@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, TokenOps}
+import graft.queries.Tables.{t, Q}
+
+/** Deduplication operators for a training-data pipeline (builder brief +
+  * SURVEY.md §7.4 M6): exact hash-dedup, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine near-dup.
+  *
+  * Hash parity across engines: every hash is md5 (identical hex output in
+  * Spark and DuckDB); MinHash minimizes md5 hex strings lexicographically
+  * (fixed-width hex preserves numeric order), so no engine-specific
+  * integer-hash function appears anywhere.
+  *
+  * Scale shape: all candidate generation is blocked (LSH bands / key
+  * buckets) — never an unblocked O(n²) cross join. Exact verification
+  * (Jaccard, Hamming, cosine) runs on candidates only.
+  */
+object DedupQueries {
+
+  private val NumHashes = 8 // 4 bands × 2 rows
+  private val Bands     = Seq((1, 2), (3, 4), (5, 6), (7, 8))
+  private val SimBits   = 16
+  private val JaccardBpThreshold = 6000
+  private val HammingMax = 3
+
+  // ---- Spark-side building blocks ---------------------------------------
+
+  /** documents + de-stopped token array, ≥3 tokens (shingle-able). */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks")) >= 3)
+
+  /** 3-word shingles (1-based element_at — same indexing as DuckDB). */
+  private val shingleExpr =
+    "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
+
+  /** Per-doc MinHash signature: for hash h, min over shingles of
+    * md5('h:' || shingle). */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val shingled = tokenized(s, dir)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+    val aggs = (1 to NumHashes).map(h =>
+      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"sig$h"))
+    shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (band, key = concat of the band's signature rows). */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val bandStructs = Bands.zipWithIndex.map { case ((h1, h2), i) =>
+      struct(lit(i + 1).as("b"), concat(col(s"sig$h1"), col(s"sig$h2")).as("bkey"))
+    }
+    minhashSigs(s, dir)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+  }
+
+  /** Per-doc SimHash over token md5 hex digits: position p contributes
+    * +1 if hex digit ≥ 8 else -1; fingerprint bit = sign of the sum. */
+  private def simhashFp(s: SparkSession, dir: String): DataFrame = {
+    val highDigits = "89abcdef".map(_.toString)
+    val toks = tokenized(s, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val aggs = (1 to SimBits).map(p =>
+      sum(when(substring(col("h"), p, 1).isin(highDigits: _*), 1).otherwise(-1)).as(s"b$p"))
+    val fp = concat((1 to SimBits).map(p =>
+      when(col(s"b$p") > 0, "1").otherwise("0")): _*)
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  // ---- queries -----------------------------------------------------------
+
+  /** Exact dedup by content hash (hash-groupBy; the scale-out form of
+    * `dropDuplicates` — deterministic representative via min). */
+  private val exactDedup: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("doc_id"), md5(TextOps.cleanText(col("text"))).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .orderBy("fp")
+
+  /** MinHash signatures (the per-doc sketch; O(shingles) map + one agg). */
+  private val minhashSignatures: Q = (s, dir) =>
+    minhashSigs(s, dir).orderBy("doc_id")
+
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join
+    * key is (band, bandKey) — shuffle is proportional to bucket sizes,
+    * never O(n²). */
+  private val minhashPairs: Q = (s, dir) => {
+    val bands = minhashBands(s, dir)
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+      .orderBy("doc1", "doc2")
+  }
+
+  /** SimHash fingerprints (16-bit sign sketch). */
+  private val simhashFingerprints: Q = (s, dir) =>
+    simhashFp(s, dir).orderBy("doc_id")
+
+  /** SimHash near-dup pairs: block on either fingerprint half (a pair
+    * within Hamming ≤ 8 shares at least one exact half — pigeonhole), then
+    * verify exact Hamming ≤ HammingMax on candidates only. */
+  private val simhashPairs: Q = (s, dir) => {
+    val fp = simhashFp(s, dir)
+    def half(c: Column, i: Int) = substring(c, 1 + 8 * i, 8)
+    def cands(i: Int) = fp.as("x").join(fp.as("y"),
+      half(col("x.simhash"), i) === half(col("y.simhash"), i) &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+    val hamming = (1 to SimBits).map(p =>
+      when(substring(col("s1"), p, 1) =!= substring(col("s2"), p, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    cands(0).union(cands(1)).distinct()
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= HammingMax)
+      .select("doc1", "doc2", "hamming")
+      .orderBy("doc1", "doc2")
+  }
+
+  /** N-gram (token-set) Jaccard near-dup, blocked by lang; similarity as
+    * exact integer basis points (10000·|∩| DIV |∪|) — cross-engine-safe.
+    * At 100 TB the lang block is replaced by the MinHash-LSH candidates
+    * above; the verification expression is unchanged. */
+  private val ngramJaccard: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        array_distinct(TokenOps.terms(col("text"))).as("tset"))
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        expr("CAST(10000 * size(array_intersect(x.tset, y.tset)) DIV size(array_union(x.tset, y.tset)) AS BIGINT)").as("jac_bp"))
+      .where(col("jac_bp") >= JaccardBpThreshold)
+      .orderBy("doc1", "doc2")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q_dedup_exact"       -> exactDedup,
+    "q_dedup_minhash_sig" -> minhashSignatures,
+    "q_dedup_minhash_pairs" -> minhashPairs,
+    "q_dedup_simhash_sig" -> simhashFingerprints,
+    "q_dedup_simhash_pairs" -> simhashPairs,
+    "q_dedup_ngram_jaccard" -> ngramJaccard
+  )
+
+  // ---- DuckDB oracles (generated from the same constants) ----------------
+
+  private def duckClean(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '${TextOps.CleanPattern}', '', 'g'), '\\s+', ' ', 'g'))"
+  private val stopListSql = TokenOps.StopWords.map(w => s"'$w'").mkString(", ")
+  private def duckTerms(c: String): String =
+    s"list_filter(string_split(${duckClean(c)}, ' '), w -> w <> '' AND w NOT IN ($stopListSql))"
+
+  private val duckToks =
+    s"SELECT doc_id, ${duckTerms("text")} AS toks FROM documents"
+  private val duckShingles =
+    s"""SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+       |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+       | FROM ($duckToks) WHERE len(toks) >= 3""".stripMargin
+  private val duckSigCols = (1 to NumHashes)
+    .map(h => s"min(md5('$h:' || shingle)) AS sig$h").mkString(",\n   ")
+  private val duckSigs =
+    s"SELECT doc_id,\n   $duckSigCols\n FROM ($duckShingles) GROUP BY doc_id"
+  private val duckBandCase = Bands.zipWithIndex.map { case ((h1, h2), i) =>
+    s"WHEN ${i + 1} THEN sig$h1 || sig$h2"
+  }.mkString(" ")
+  private val duckBands =
+    s"""SELECT doc_id, b, CASE b $duckBandCase END AS bkey
+       | FROM ($duckSigs) CROSS JOIN (SELECT unnest([${Bands.indices.map(_ + 1).mkString(", ")}]) AS b)""".stripMargin
+
+  private val duckSimSums = (1 to SimBits).map(p =>
+    s"sum(CASE WHEN substr(h, $p, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$p"
+  ).mkString(",\n   ")
+  private val duckSimFpExpr = (1 to SimBits).map(p =>
+    s"CASE WHEN b$p > 0 THEN '1' ELSE '0' END").mkString(" || ")
+  private val duckSimhash =
+    s"""SELECT doc_id, $duckSimFpExpr AS simhash FROM (
+       | SELECT doc_id,
+       |   $duckSimSums
+       | FROM (SELECT doc_id, md5(unnest(toks)) AS h FROM ($duckToks) WHERE len(toks) >= 3)
+       | GROUP BY doc_id)""".stripMargin
+  private val duckHamming = (1 to SimBits).map(p =>
+    s"CASE WHEN substr(s1, $p, 1) <> substr(s2, $p, 1) THEN 1 ELSE 0 END").mkString(" + ")
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_dedup_exact" ->
+      s"""SELECT md5(${duckClean("text")}) AS fp, count(*) AS n,
+         | min(doc_id) AS first_doc
+         | FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_minhash_sig" ->
+      s"$duckSigs ORDER BY doc_id",
+    "q_dedup_minhash_pairs" ->
+      s"""WITH bands AS ($duckBands)
+         | SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         | FROM bands x JOIN bands y
+         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_simhash_sig" ->
+      s"$duckSimhash ORDER BY doc_id",
+    "q_dedup_simhash_pairs" ->
+      s"""WITH fp AS ($duckSimhash),
+         | cands AS (
+         |  SELECT x.doc_id AS doc1, y.doc_id AS doc2, x.simhash AS s1, y.simhash AS s2
+         |  FROM fp x JOIN fp y ON substr(x.simhash, 1, 8) = substr(y.simhash, 1, 8)
+         |   AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id, y.doc_id, x.simhash, y.simhash
+         |  FROM fp x JOIN fp y ON substr(x.simhash, 9, 8) = substr(y.simhash, 9, 8)
+         |   AND x.doc_id < y.doc_id)
+         | SELECT doc1, doc2, CAST($duckHamming AS INTEGER) AS hamming
+         | FROM cands WHERE $duckHamming <= $HammingMax
+         | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(${duckTerms("text")}) AS tset FROM documents)
+         | SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+         |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) AS BIGINT) AS jac_bp
+         | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         | WHERE 10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) >= $JaccardBpThreshold
+         | ORDER BY doc1, doc2""".stripMargin
+  )
+}

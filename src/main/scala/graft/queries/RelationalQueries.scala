@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.{t, Q}
+
+/** The relational spine (SURVEY.md §2.1–§2.7): scans, filters,
+  * projections, joins, aggregations, windows, sorts, set ops.
+  *
+  * Every query ends in a total ORDER BY for oracle determinism; money
+  * aggregates go through DECIMAL so Spark and DuckDB produce bit-identical
+  * values (double `round()` at coarser-than-native scale is the classic
+  * cross-engine mismatch).
+  *
+  * Scale notes are per-query — the ORDER BY tails exist only for the
+  * correctness harness; production callers drop them.
+  */
+object RelationalQueries {
+
+  /** S1: parquet scan with projection + filter — both must reach the scan
+    * (PushedFilters / ReadSchema; SURVEY.md §4.2). Covers P4 (column
+    * drop = pruned projection). */
+  private val s1Scan: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .where(col("n_chars") > 100)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** P3: null-drop filter (reference `spark/model_training.py:37`).
+    * `nullif` manufactures nulls so the filter is observable on testdata. */
+  private val p3NullFilter: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("lang_alt", expr("nullif(lang, 'zh')"))
+      .na.drop(Seq("text", "lang_alt"))
+      .select("doc_id", "lang_alt", "n_chars")
+      .orderBy("doc_id")
+
+  /** P4: column prune + pushed-down range predicate on the volume table. */
+  private val p4ColumnPrune: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("2000-06-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P9/O1/O3: global top-K = Catalyst `TakeOrderedAndProject` — no full
+    * sort materialization at scale. */
+  private val p9TopK: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
+  /** J2+A1: star-schema join rollup (TPC-H Q5 shape). nation/region are
+    * broadcast (tiny dims — map-side join, no fact shuffle); the
+    * lineitem⋈orders⋈customer spine shuffles on its keys and aggregates
+    * with partial map-side combine. Revenue in exact DECIMAL. */
+  private val j2StarAgg: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    val c  = t(s, dir, "customer")
+    val n  = t(s, dir, "nation")
+    val r  = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4))").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J2: left outer join with null-producing side handled via coalesce. */
+  private val j2LeftJoin: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer").where(col("c_acctbal") > 5000)
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select(o("o_orderkey"), o("o_custkey"),
+        coalesce(c("c_name"), lit("(no rich customer)")).as("cust_name"),
+        coalesce(c("c_mktsegment"), lit("NONE")).as("segment"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J2: left-semi join (EXISTS). Semi joins never duplicate the left side
+    * — at scale this avoids a blow-up that an inner join + distinct pays. */
+  private val j2SemiJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_totalprice") > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** J2: left-anti join (NOT EXISTS). */
+  private val j2AntiJoin: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  /** A1: the hash-aggregate workhorse (TPC-H Q1 shape; the capability the
+    * reference's PowerBI rollups consume, SURVEY.md §2.4). Partial+final
+    * `HashAggregateExec` — sums are exact (integral doubles / DECIMAL). */
+  private val a1HashAgg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_base_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4))").as("sum_disc_price"),
+        expr("CAST(AVG(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,6))").as("avg_disc"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2: exact dedup — DISTINCT projection (reference dedup-by-id,
+    * `test/data_ingestion/testpy.py:130`). */
+  private val a2Distinct: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type")
+
+  /** A2/S10: keep-first dedup semantics — deterministic representative via
+    * min(), not an order-dependent `dropDuplicates` (which is
+    * nondeterministic under shuffle and would be wrong at scale). */
+  private val a2DedupFirst: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min("event_id").as("first_event_id"),
+        count(lit(1)).as("n"),
+        min("ts").as("first_ts"))
+      .orderBy("user_id", "event_type")
+
+  /** A2: exact count-distinct per group (the exact twin of
+    * `approx_count_distinct`, which is benched but not oracle-comparable). */
+  private val a2CountDistinct: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** A4: ROLLUP with GROUPING() sentinels — sentinels (not raw nulls) keep
+    * the ORDER BY total and dodge the Spark-nulls-first vs DuckDB-nulls-last
+    * trap. */
+  private val a4Rollup: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("g1"),
+        grouping(col("l_linestatus")).as("g2"),
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        when(col("g1") === 1, "ALL").otherwise(col("l_returnflag")).as("rflag"),
+        when(col("g2") === 1, "ALL").otherwise(col("l_linestatus")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  /** W1/N6: StringIndexer's relational core (reference
+    * `spark/model_training.py:188-203`): index = rank by (freq desc, label
+    * asc). Window over the *aggregated* label table — cardinality(labels)
+    * rows, so the single-partition window is fine at any scale. */
+  private val w1IndexerRank: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("cnt").desc, col("event_type").asc)) - 1)
+          .cast("double"))
+      .orderBy("event_type")
+
+  /** W2: per-key analytics — latest row per key (row_number), lag, running
+    * sum. Partitioned by user_id: shuffles once, then every window shares
+    * the same partitioning (single Exchange in the plan). */
+  private val w2Window: Q = (s, dir) => {
+    val wAsc  = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("prev_value", lag("value", 1).over(wAsc))
+      .withColumn("running_total",
+        round(sum("value").over(wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("value").as("last_value"), col("prev_value"), col("running_total"))
+      .orderBy("user_id")
+  }
+
+  /** Set ops: (A ∪ B) ∖ C with set semantics (Dataset.union is UNION ALL —
+    * the explicit distinct() matches SQL UNION). */
+  private val setUnionExcept: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val a = c.where(col("c_mktsegment") === "FURNITURE").select("c_custkey")
+    val b = c.where(col("c_acctbal") > 5000).select("c_custkey")
+    val x = c.where(col("c_nationkey") < 5).select("c_custkey")
+    a.union(b).distinct().except(x).orderBy("c_custkey")
+  }
+
+  /** Set ops: INTERSECT. */
+  private val setIntersect: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    c.where(col("c_mktsegment") === "FURNITURE").select("c_custkey")
+      .intersect(c.where(col("c_acctbal") > 3000).select("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q_s1_scan"            -> s1Scan,
+    "q_p3_null_filter"     -> p3NullFilter,
+    "q_p4_column_prune"    -> p4ColumnPrune,
+    "q_p9_topk"            -> p9TopK,
+    "q_j2_star_agg"        -> j2StarAgg,
+    "q_j2_left_join"       -> j2LeftJoin,
+    "q_j2_semi_join"       -> j2SemiJoin,
+    "q_j2_anti_join"       -> j2AntiJoin,
+    "q_a1_hash_agg"        -> a1HashAgg,
+    "q_a2_distinct"        -> a2Distinct,
+    "q_a2_dedup_first"     -> a2DedupFirst,
+    "q_a2_count_distinct"  -> a2CountDistinct,
+    "q_a4_rollup"          -> a4Rollup,
+    "q_w1_indexer_rank"    -> w1IndexerRank,
+    "q_w2_window"          -> w2Window,
+    "q_set_union_except"   -> setUnionExcept,
+    "q_set_intersect"      -> setIntersect
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_s1_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        | WHERE n_chars > 100 ORDER BY doc_id""".stripMargin,
+    "q_p3_null_filter" ->
+      """SELECT doc_id, nullif(lang, 'zh') AS lang_alt, n_chars FROM documents
+        | WHERE text IS NOT NULL AND nullif(lang, 'zh') IS NOT NULL
+        | ORDER BY doc_id""".stripMargin,
+    "q_p4_column_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '2000-06-01'
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_p9_topk" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_j2_star_agg" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS revenue,
+        | count(*) AS n_items
+        | FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_j2_left_join" ->
+      """SELECT o_orderkey, o_custkey,
+        | coalesce(c_name, '(no rich customer)') AS cust_name,
+        | coalesce(c_mktsegment, 'NONE') AS segment
+        | FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        | ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    "q_j2_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        | ORDER BY c_custkey""".stripMargin,
+    "q_j2_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        | ORDER BY c_custkey""".stripMargin,
+    "q_a1_hash_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+        | CAST(AVG(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_disc,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | count(*) AS count_order
+        | FROM lineitem GROUP BY l_returnflag, l_linestatus
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_a2_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        | ORDER BY user_id, event_type""".stripMargin,
+    "q_a2_dedup_first" ->
+      """SELECT user_id, event_type, min(event_id) AS first_event_id,
+        | count(*) AS n, min(ts) AS first_ts
+        | FROM events GROUP BY user_id, event_type
+        | ORDER BY user_id, event_type""".stripMargin,
+    "q_a2_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        | count(*) AS n_events
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_a4_rollup" ->
+      """SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY rflag, lstatus""".stripMargin,
+    "q_w1_indexer_rank" ->
+      """SELECT event_type, cnt,
+        | CAST(row_number() OVER (ORDER BY cnt DESC, event_type) - 1 AS DOUBLE) AS idx
+        | FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type)
+        | ORDER BY event_type""".stripMargin,
+    "q_w2_window" ->
+      """SELECT user_id, event_id AS last_event, value AS last_value,
+        | prev_value, running_total FROM (
+        |  SELECT user_id, event_id, value,
+        |   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |   lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |  FROM events)
+        | WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_set_union_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+        | UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        | EXCEPT SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        | ORDER BY c_custkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
+        | INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+        | ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+import graft.queries.Tables.{t, Q}
+
+/** Approximate-nearest-neighbor search over the embedding column (builder
+  * brief: brute-force cosine top-k baseline + an LSH-bucketed scale path)
+  * and embedding-cosine near-dup.
+  *
+  * Scale shape: the query set is broadcast (small by definition); the
+  * candidate side streams partition-parallel. Brute force is the exact
+  * baseline; the sign-LSH variant prunes candidates to one bucket per
+  * query, which is the 100 TB path (with IVF centroids as the richer
+  * alternative — see graft.sim.Similarity).
+  */
+object SimilarityQueries {
+
+  private val NumQueries   = 5     // vec_id < 5 are the query vectors
+  private val TopK         = 10
+  private val LshBits      = 6
+  private val LshTopK      = 5
+  private val CosDupThreshold = 0.40
+
+  /** Brute-force exact top-K by cosine: broadcast queries × all
+    * candidates, per-query window rank. */
+  private val bruteForceTopK: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= TopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** LSH-bucketed ANN: queries only scan their own sign-bucket. */
+  private val lshAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+      .withColumn("bucket", Similarity.signBucket(col("embedding"), LshBits))
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val c = emb.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+    c.join(broadcast(q), Seq("bucket"))
+      .select(col("qid"), col("cid"), col("bucket"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        col("bucket"), round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Embedding-cosine near-dup (the 5th dedup mode): candidate pairs
+    * blocked by label (stand-in for an IVF/LSH bucket), verified by exact
+    * cosine ≥ threshold. */
+  private val embeddingCosineDedup: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .where(col("cos") >= CosDupThreshold)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos4"))
+      .orderBy("v1", "v2")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q_sim_topk_bruteforce" -> bruteForceTopK,
+    "q_sim_lsh_ann"         -> lshAnn,
+    "q_dedup_embedding_cos" -> embeddingCosineDedup
+  )
+
+  private val duckCos = "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))"
+  private val duckBucket = (1 to LshBits).map(d =>
+    s"CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_sim_topk_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | s AS (SELECT qid, cid, $duckCos AS cos FROM q CROSS JOIN c),
+         | r AS (SELECT qid, cid, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
+         | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
+         | WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "q_sim_lsh_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+         | q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id < $NumQueries),
+         | c AS (SELECT vec_id AS cid, embedding AS ce, bucket FROM e WHERE vec_id >= $NumQueries),
+         | s AS (SELECT qid, cid, q.bucket AS bucket, $duckCos AS cos
+         |   FROM q JOIN c ON q.bucket = c.bucket),
+         | r AS (SELECT qid, cid, bucket, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
+         | SELECT qid, rnk, cid, bucket, round(cos, 4) AS cos4 FROM r
+         | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
+    "q_dedup_embedding_cos" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
+         | SELECT x.vec_id AS v1, y.vec_id AS v2,
+         |  round(list_cosine_similarity(x.emb, y.emb), 4) AS cos4
+         | FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+         | WHERE list_cosine_similarity(x.emb, y.emb) >= $CosDupThreshold
+         | ORDER BY v1, v2""".stripMargin
+  )
+}

@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ScoreOps, TextOps, TimeOps, TokenOps}
+import graft.queries.Tables.{t, Q}
+
+/** Text / time / scoring / envelope queries (SURVEY.md §2.8–§2.11 F*, D*,
+  * M*, P1/P2, N1/N2, A3, J1) plus the text-analysis extensions (language
+  * ID, quality scoring, token counting, fingerprinting) a training-data
+  * pipeline needs.
+  *
+  * The DuckDB oracle SQL is generated from the same constants the Spark
+  * plans use (regex patterns, stop-word list, thresholds) so the two sides
+  * cannot drift. Ratios are emitted as integer basis points (exact integer
+  * division) — `round()` on doubles at coarser-than-native scale rounds
+  * differently across engines on decimal-midpoint values.
+  */
+object TextQueries {
+
+  // ---- shared SQL fragments (DuckDB side), generated from the constants --
+
+  /** DuckDB mirror of TextOps.cleanText. */
+  private def duckClean(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '${TextOps.CleanPattern}', '', 'g'), '\\s+', ' ', 'g'))"
+
+  private val stopListSql: String =
+    TokenOps.StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB mirror of TokenOps.terms (clean → split → de-stop). */
+  private def duckTerms(c: String): String =
+    s"list_filter(string_split(${duckClean(c)}, ' '), w -> w <> '' AND w NOT IN ($stopListSql))"
+
+  // ---- queries -----------------------------------------------------------
+
+  /** F1–F4 + F8: the reference's full cleaning chain, inference order
+    * (reference `spark/preprocessor.py:17-21`), all native expressions in
+    * one codegen span. */
+  private val fCleanChain: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.cleanText(col("text")).as("cleaned"),
+      length(TextOps.stripUnprintable(col("text"))).as("n_printable"))
+      .orderBy("doc_id")
+
+  /** F5–F7: regexp_extract_all extraction (mentions/hashtags/s-words),
+    * emitted as joined strings (array columns hash differently across
+    * engines; the join also exercises F5 concat-with-sep). */
+  private val fExtract: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      array_join(TextOps.mentions(col("text")), ",").as("mentions"),
+      array_join(TextOps.hashtags(col("text")), ",").as("hashtags"),
+      array_join(regexp_extract_all(col("text"), lit("\\b(s[a-z]+)"), lit(1)), ",").as("s_words"))
+      .orderBy("doc_id")
+
+  /** P6/F9: whole-word keyword relevance predicate (reference
+    * `main/data_ingestion/utils.py:22-35`) — one compiled alternation,
+    * plan-native so it pushes into the scan. */
+  private val Keywords = Seq("spark", "stream", "vector", "window", "hash")
+  private val p6KeywordFilter: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .where(TextOps.containsKeywords(col("text"), Keywords))
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+
+  /** P1/P2: JSON envelope extraction on `events.props` — the same
+    * get_json_object pattern as the reference's Kafka value parse
+    * (reference `spark/engine.py:245-247`). */
+  private val p2JsonEnvelope: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      col("event_type"))
+      .orderBy("event_id")
+
+  /** D1–D4: the calendar-feature set (reference
+    * `spark/model_training.py:83-90`). Spark dayofweek is 1=Sunday; the
+    * oracle compensates (+1 over DuckDB's 0=Sunday). */
+  private val d4TimeFeatures: Q = (s, dir) =>
+    TimeOps.withTimeFeatures(t(s, dir, "events"), col("ts"))
+      .withColumn("unix_secs", TimeOps.toUnixSeconds(col("ts")))
+      .select("event_id", "year", "month", "day", "hour", "minute", "second",
+        "day_of_week", "day_of_year", "unix_secs")
+      .orderBy("event_id")
+
+  /** M1/M2/M4/P5/D3: the sink projection — rename/cast/round, virality
+    * CASE WHEN (reference `spark/engine.py:184-200`). Thresholds scaled to
+    * the events.value range (150/75); semantics identical to the storage
+    * path's 3.0/1.5. */
+  private val ViralityHot = 150.0
+  private val ViralityUp  = 75.0
+  private val m2Virality: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id").as("id"),
+      col("user_id").as("author"),
+      col("event_type").as("subreddit"),
+      round(col("value"), 2).cast("float").as("score_predit"),
+      ScoreOps.virality(col("value"), ViralityHot, ViralityUp).as("viralite"),
+      col("ts").as("creation_date"))
+      .orderBy("id")
+
+  /** M3: argmax over an array column — native, first-max tie-break like
+    * `Vector.argmax` (reference UDF at `spark/engine.py:115`). */
+  private val m3Argmax: Q = (s, dir) =>
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      ScoreOps.argmax(col("embedding")).as("top_dim"),
+      col("label"))
+      .orderBy("vec_id")
+
+  /** J1/F5: topic-label broadcast join with default label (reference
+    * `spark/engine.py:113-122` as a join, not a UDF). */
+  private val j1TopicLabel: Q = (s, dir) => {
+    val withTopic = t(s, dir, "embeddings")
+      .select(col("vec_id"), pmod(ScoreOps.argmax(col("embedding")), lit(8)).as("topic_id"))
+    ScoreOps.withTopicLabel(withTopic, col("topic_id"), ScoreOps.defaultTopicLabels(s))
+      .select("vec_id", "topic_id", "sujet")
+      .orderBy("vec_id")
+  }
+
+  /** A3/O2/N1/N2/N4: CountVectorizer's vocabulary as pure SQL (reference
+    * `spark/model_training.py:156-161`): doc-frequency ≥ minDF, top-K by
+    * total frequency. TakeOrderedAndProject — no global sort. */
+  private val a3Vocabulary: Q = (s, dir) =>
+    TokenOps.vocabulary(t(s, dir, "documents"), "doc_id", "text",
+        minDF = 3, vocabSize = 100)
+      .orderBy(col("tf").desc, col("term").asc)
+
+  // ---- text-analysis extensions (training-data pipeline ops) -------------
+
+  private val MarkersEn = Seq("the", "a", "data", "row")
+  private val MarkersFr = Seq("table", "column", "value")
+  private val MarkersDe = Seq("stream", "batch", "spark")
+
+  private def markerCount(toks: org.apache.spark.sql.Column, markers: Seq[String]) = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, w => array_contains(arr, w)))
+  }
+
+  /** Language ID by marker-token counting (an n-gram-frequency heuristic;
+    * deterministic tie-break en > fr > de). Pure expressions — at 100 TB
+    * this is a single map-side pass. */
+  private val langId: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .select(
+        col("doc_id"), col("lang"),
+        markerCount(col("toks"), MarkersEn).as("s_en"),
+        markerCount(col("toks"), MarkersFr).as("s_fr"),
+        markerCount(col("toks"), MarkersDe).as("s_de"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") >= col("s_de"), "fr")
+          .otherwise("de"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length / punctuation / stop-word ratios as exact
+    * integer basis points (10000 * part DIV whole). */
+  private val quality: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks_all",
+        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks_all")).as("n_tokens"),
+        length(col("text")).as("n_chars_raw"),
+        expr("CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text) AS BIGINT)").as("alpha_bp"),
+        expr("CAST(10000 * length(regexp_replace(text, '[^0-9]', '')) DIV length(text) AS BIGINT)").as("digit_bp"),
+        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)").as("stopword_bp"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single symbols). */
+  private val tokenCount: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: raw md5 + content fingerprint over the
+    * sorted distinct term set (order-insensitive near-identity). */
+  private val fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp_raw"),
+        md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp_content"))
+      .orderBy("doc_id")
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q_f_clean_chain"    -> fCleanChain,
+    "q_f_extract"        -> fExtract,
+    "q_p6_keyword_filter"-> p6KeywordFilter,
+    "q_p2_json_envelope" -> p2JsonEnvelope,
+    "q_d4_time_features" -> d4TimeFeatures,
+    "q_m2_virality"      -> m2Virality,
+    "q_m3_argmax"        -> m3Argmax,
+    "q_j1_topic_label"   -> j1TopicLabel,
+    "q_a3_vocabulary"    -> a3Vocabulary,
+    "q_text_langid"      -> langId,
+    "q_text_quality"     -> quality,
+    "q_text_tokencount"  -> tokenCount,
+    "q_text_fingerprint" -> fingerprint
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_f_clean_chain" ->
+      s"""SELECT doc_id, ${duckClean("text")} AS cleaned,
+         | CAST(length(regexp_replace(text, '[\\p{C}]', '', 'g')) AS INTEGER) AS n_printable
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_f_extract" ->
+      s"""SELECT doc_id,
+         | coalesce(array_to_string(regexp_extract_all(text, '@([A-Za-z0-9_]+)', 1), ','), '') AS mentions,
+         | coalesce(array_to_string(regexp_extract_all(text, '#(\\w+)', 1), ','), '') AS hashtags,
+         | coalesce(array_to_string(regexp_extract_all(text, '\\b(s[a-z]+)', 1), ','), '') AS s_words
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_p6_keyword_filter" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         | WHERE regexp_matches(lower(text), '\\b(${Keywords.mkString("|")})\\b')
+         | ORDER BY doc_id""".stripMargin,
+    "q_p2_json_envelope" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | event_type FROM events ORDER BY event_id""".stripMargin,
+    "q_d4_time_features" ->
+      """SELECT event_id,
+        | CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+        | CAST(dayofmonth(ts) AS INTEGER) AS day, CAST(hour(ts) AS INTEGER) AS hour,
+        | CAST(minute(ts) AS INTEGER) AS minute, CAST(second(ts) AS INTEGER) AS second,
+        | CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
+        | CAST(dayofyear(ts) AS INTEGER) AS day_of_year,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS unix_secs
+        | FROM events ORDER BY event_id""".stripMargin,
+    "q_m2_virality" ->
+      s"""SELECT event_id AS id, user_id AS author, event_type AS subreddit,
+         | CAST(round(value, 2) AS FLOAT) AS score_predit,
+         | CASE WHEN value > $ViralityHot THEN 'HOT'
+         |      WHEN value > $ViralityUp THEN 'UP' ELSE 'LOW' END AS viralite,
+         | ts AS creation_date
+         | FROM events ORDER BY id""".stripMargin,
+    "q_m3_argmax" ->
+      """SELECT vec_id,
+        | CAST(list_position(embedding, list_max(embedding)) - 1 AS INTEGER) AS top_dim,
+        | label FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_j1_topic_label" ->
+      """SELECT vec_id, topic_id, coalesce(label, 'Sujet ' || topic_id) AS sujet
+        | FROM (SELECT vec_id,
+        |   CAST((list_position(embedding, list_max(embedding)) - 1) % 8 AS INTEGER) AS topic_id
+        |   FROM embeddings) e
+        | LEFT JOIN (VALUES (0, 'btc-price-moon'), (1, 'eth-gas-defi'),
+        |   (2, 'market-crash-fed'), (3, 'wallet-exchange-fees'),
+        |   (4, 'nft-art-mint'), (5, 'doge-meme-elon')) t(tid, label)
+        | ON topic_id = tid ORDER BY vec_id""".stripMargin,
+    "q_a3_vocabulary" ->
+      s"""SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+         | FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)
+         | GROUP BY term HAVING count(DISTINCT doc_id) >= 3
+         | ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+    "q_text_langid" ->
+      s"""SELECT doc_id, lang, s_en, s_fr, s_de,
+         | CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+         |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted
+         | FROM (SELECT doc_id, lang,
+         |   CAST(len(list_filter(toks, w -> w IN (${MarkersEn.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_en,
+         |   CAST(len(list_filter(toks, w -> w IN (${MarkersFr.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_fr,
+         |   CAST(len(list_filter(toks, w -> w IN (${MarkersDe.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_de
+         |   FROM (SELECT doc_id, lang, ${duckTerms("text")} AS toks FROM documents))
+         | ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         | CAST(len(toks_all) AS INTEGER) AS n_tokens,
+         | CAST(length(text) AS INTEGER) AS n_chars_raw,
+         | CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS BIGINT) AS alpha_bp,
+         | CAST(10000 * length(regexp_replace(text, '[^0-9]', '', 'g')) // length(text) AS BIGINT) AS digit_bp,
+         | CAST(10000 * (len(toks_all) - len(toks)) // len(toks_all) AS BIGINT) AS stopword_bp
+         | FROM (SELECT doc_id, text,
+         |   list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all,
+         |   ${duckTerms("text")} AS toks
+         |   FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_text_tokencount" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]', 0)) AS INTEGER) AS bpe_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp_raw,
+         | md5(array_to_string(list_sort(list_distinct(${duckTerms("text")})), ' ')) AS fp_content
+         | FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
