@@ -108,21 +108,26 @@ object DedupQueries {
 
   /** SimHash near-dup pairs: block on either fingerprint half (a pair
     * within Hamming ≤ 8 shares at least one exact half — pigeonhole), then
-    * verify exact Hamming ≤ HammingMax on candidates only. */
+    * verify exact Hamming ≤ HammingMax on candidates only.
+    *
+    * Perf shape: fingerprints are computed once and cached (two band joins
+    * re-read them); the build side is broadcast (O(docs) fingerprints, 16
+    * chars each); Hamming distance is popcount(xor) over the fingerprint
+    * as an integer, not 16 per-character substring compares; the Hamming
+    * filter runs BEFORE the dedup-distinct so the exchange only carries
+    * surviving pairs. */
   private val simhashPairs: Q = (s, dir) => {
     val fp = simhashFp(s, dir)
+      .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
+      .persist()
     def half(c: Column, i: Int) = substring(c, 1 + 8 * i, 8)
-    def cands(i: Int) = fp.as("x").join(fp.as("y"),
+    def cands(i: Int) = Tables.fanout(fp).as("x").join(broadcast(fp.as("y")),
       half(col("x.simhash"), i) === half(col("y.simhash"), i) &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
-        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
-    val hamming = (1 to SimBits).map(p =>
-      when(substring(col("s1"), p, 1) =!= substring(col("s2"), p, 1), 1).otherwise(0))
-      .reduce(_ + _)
-    cands(0).union(cands(1)).distinct()
-      .withColumn("hamming", hamming)
+        bit_count(col("x.fpl").bitwiseXOR(col("y.fpl"))).as("hamming"))
       .where(col("hamming") <= HammingMax)
+    cands(0).union(cands(1)).distinct()
       .select("doc1", "doc2", "hamming")
       .orderBy("doc1", "doc2")
   }
@@ -130,15 +135,22 @@ object DedupQueries {
   /** N-gram (token-set) Jaccard near-dup, blocked by lang; similarity as
     * exact integer basis points (10000·|∩| DIV |∪|) — cross-engine-safe.
     * At 100 TB the lang block is replaced by the MinHash-LSH candidates
-    * above; the verification expression is unchanged. */
+    * above; the verification expression is unchanged.
+    *
+    * Perf shape: the build side is broadcast (map-side join, no shuffle of
+    * the probe side); |∪| is derived as |A|+|B|−|∩| so each candidate pair
+    * pays ONE array_intersect instead of intersect+union (the sizes are
+    * precomputed per doc, not per pair). */
   private val ngramJaccard: Q = (s, dir) => {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         array_distinct(TokenOps.terms(col("text"))).as("tset"))
-    d.as("x").join(d.as("y"),
+      .withColumn("n", size(col("tset")))
+    Tables.fanout(d).as("x").join(broadcast(d.as("y")),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.tset"), col("y.tset"))))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
-        expr("CAST(10000 * size(array_intersect(x.tset, y.tset)) DIV size(array_union(x.tset, y.tset)) AS BIGINT)").as("jac_bp"))
+        expr("CAST(10000 * inter DIV (x.n + y.n - inter) AS BIGINT)").as("jac_bp"))
       .where(col("jac_bp") >= JaccardBpThreshold)
       .orderBy("doc1", "doc2")
   }

@@ -68,7 +68,7 @@ object SimilarityQueries {
     * cosine ≥ threshold. */
   private val embeddingCosineDedup: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
-    e.as("x").join(e.as("y"),
+    Tables.fanout(e).as("x").join(broadcast(e.as("y")),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))

@@ -23,4 +23,13 @@ object Tables {
 
   /** Shared query-function shape: (session, sfDir) => result. */
   type Q = (SparkSession, String) => DataFrame
+
+  /** Spread a DataFrame across all cores. Small single-file parquet inputs
+    * arrive as ONE split (file < maxPartitionBytes), which would serialize
+    * any expensive per-row/per-pair work downstream onto one task. The
+    * round-robin shuffle is O(input) — negligible next to the work it
+    * parallelizes. On a real cluster with large inputs the scan is already
+    * split and this is a near-no-op (numPartitions ≈ default parallelism). */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
