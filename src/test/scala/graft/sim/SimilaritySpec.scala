@@ -1,0 +1,34 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine match hand computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, -5.0f, 6.0f))).toDF("a", "b")
+    val (d, na, cos) = df.select(
+      Similarity.dot($"a", $"b"), Similarity.norm($"a"),
+      Similarity.cosine($"a", $"b")).as[(Double, Double, Double)].head()
+    assert(d == 1.0 * 4 - 2 * 5 + 3 * 6)            // 12
+    assert(math.abs(na - math.sqrt(14)) < 1e-12)
+    val expect = 12.0 / (math.sqrt(14) * math.sqrt(16 + 25 + 36))
+    assert(math.abs(cos - expect) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(2.0f, 0.0f), Seq(2.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f))).toDF("a", "b")
+    val out = df.select(round(Similarity.cosine($"a", $"b"), 9)).as[Double].collect().toSeq
+    assert(out == Seq(1.0, 0.0))
+  }
+
+  test("signBucket encodes signs of leading dims") {
+    val out = Seq(Seq(1.0f, -2.0f, 0.0f, 3.0f)).toDF("a")
+      .select(Similarity.signBucket($"a", 4)).as[String].head()
+    assert(out == "1011") // >= 0 → '1'
+  }
+}

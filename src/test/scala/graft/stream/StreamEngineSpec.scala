@@ -1,0 +1,81 @@
+package graft.stream
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sink.{FailingSink, MemorySink}
+
+class StreamEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType), StructField("author", StringType),
+    StructField("subreddit", StringType), StructField("text", StringType),
+    StructField("timestamp", DoubleType), StructField("score", IntegerType)))
+
+  private def jsonRecord(i: Int): String =
+    s"""{"id":"c$i","author":"u${i % 3}","subreddit":"r${i % 2}","text":"text $i","timestamp":${1700000000 + i}.0,"score":${i * 2}}"""
+
+  // The Kafka-equivalent envelope: a memory stream of JSON strings named
+  // `value`, decoded by the same from_json path as the Kafka source.
+  private def runStream(primary: graft.sink.Sink, fallback: graft.sink.Sink,
+                        records: Seq[String]): Unit = {
+    val ms = MemoryStream[String](spark, numPartitions = 2)
+    ms.addData(records)
+    val raw = ms.toDF().withColumnRenamed("value", "value")
+    val engine = new StreamEngine(
+      transform = b => b.withColumn("viralite",
+        graft.ops.ScoreOps.virality(col("score").cast("double"), 10.0, 4.0)),
+      primary = primary, fallback = fallback,
+      trigger = Trigger.AvailableNow())
+    val q = engine.start(
+      StreamEngine.decodeEnvelope(raw, schema), s"spec-${System.nanoTime()}")
+    q.awaitTermination(60000)
+    ()
+  }
+
+  test("micro-batches flow through transform into the primary sink") {
+    val primary = new MemorySink
+    runStream(primary, new FailingSink, (1 to 8).map(jsonRecord))
+    assert(primary.rows.size == 8)
+    val byId = primary.rows.map(r => r.getAs[String]("id") -> r.getAs[String]("viralite")).toMap
+    assert(byId("c1") == "LOW")  // score 2
+    assert(byId("c3") == "UP")   // score 6
+    assert(byId("c8") == "HOT")  // score 16
+  }
+
+  test("primary failure diverts the whole batch to the fallback sink (T6)") {
+    val fallback = new MemorySink
+    runStream(new FailingSink, fallback, (1 to 5).map(jsonRecord))
+    assert(fallback.rows.size == 5)
+    assert(fallback.rows.map(_.getAs[String]("id")).toSet == (1 to 5).map(i => s"c$i").toSet)
+  }
+
+  test("malformed JSON becomes null columns, not a stream failure") {
+    val primary = new MemorySink
+    runStream(primary, new FailingSink, Seq(jsonRecord(1), "{not json"))
+    assert(primary.rows.size == 2)
+    assert(primary.rows.count(_.getAs[String]("id") == null) == 1)
+  }
+
+  test("windowedCounts groups by event-time tumbling window (batch parity)") {
+    val df = Seq(
+      ("2024-01-01 00:10:00", "a", 1.0), ("2024-01-01 00:50:00", "a", 3.0),
+      ("2024-01-01 01:10:00", "a", 5.0), ("2024-01-01 00:20:00", "b", 7.0))
+      .toDF("ts", "k", "value").withColumn("ts", to_timestamp($"ts"))
+    val out = StreamEngine.windowedCounts(df, "ts", "k")
+      .orderBy("k", "window_start")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._2, r._3, r._4)) == Seq(("a", 2L, 2.0), ("a", 1L, 5.0), ("b", 1L, 7.0)))
+  }
+
+  test("dedupWithinWatermark drops exact duplicate ids") {
+    val df = Seq(("2024-01-01 00:10:00", "x"), ("2024-01-01 00:10:00", "x"),
+      ("2024-01-01 00:11:00", "y")).toDF("ts", "id")
+      .withColumn("ts", to_timestamp($"ts"))
+    assert(StreamEngine.dedupWithinWatermark(df, "ts", Seq("id")).count() == 2)
+  }
+}
