@@ -163,6 +163,32 @@ object RelationalQueries {
         col("sum_qty"), col("n"))
       .orderBy("rflag", "lstatus")
 
+  /** A4: CUBE — all four grouping combinations with sentinels. */
+  private val a4Cube: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("g1"),
+        grouping(col("l_linestatus")).as("g2"),
+        sum("l_quantity").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        when(col("g1") === 1, "ALL").otherwise(col("l_returnflag")).as("rflag"),
+        when(col("g2") === 1, "ALL").otherwise(col("l_linestatus")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  /** A2: approx_count_distinct (HLL++, 1% rsd) next to the exact count —
+    * the 100 TB cardinality path (one pass, fixed memory, no shuffle of
+    * distinct values). No DuckDB oracle: HLL sketches are
+    * engine-specific, so the driver records the weaker rows-only check
+    * (per the SparkEntry contract). */
+  private val a2ApproxDistinct: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** W1/N6: StringIndexer's relational core (reference
     * `spark/model_training.py:188-203`): index = rank by (freq desc, label
     * asc). Window over the *aggregated* label table — cardinality(labels)
@@ -224,6 +250,8 @@ object RelationalQueries {
     "q_a2_dedup_first"     -> a2DedupFirst,
     "q_a2_count_distinct"  -> a2CountDistinct,
     "q_a4_rollup"          -> a4Rollup,
+    "q_a4_cube"            -> a4Cube,
+    "q_a2_approx_distinct" -> a2ApproxDistinct,
     "q_w1_indexer_rank"    -> w1IndexerRank,
     "q_w2_window"          -> w2Window,
     "q_set_union_except"   -> setUnionExcept,
@@ -299,6 +327,13 @@ object RelationalQueries {
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
         | sum(l_quantity) AS sum_qty, count(*) AS n
         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        | ORDER BY rflag, lstatus""".stripMargin,
+    "q_a4_cube" ->
+      """SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        | FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         | ORDER BY rflag, lstatus""".stripMargin,
     "q_w1_indexer_rank" ->
       """SELECT event_type, cnt,

@@ -63,6 +63,38 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  private val IvfProbes = 2
+
+  /** IVF-style ANN (the richer 100 TB scale path next to sign-LSH):
+    * centroids from the data (elementwise means per seed cell) → every
+    * vector assigned to its nearest centroid (one pass against the
+    * broadcast centroid table) → queries probe only their `IvfProbes`
+    * nearest cells. No DuckDB oracle (nearest-centroid assignment is not
+    * reasonably SQL-portable) → driver records the rows-only check. */
+  private val ivfAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.centroids(emb, "embedding", "label")
+    val affinity = Tables.fanout(emb.select("vec_id", "embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        Similarity.cosine(col("embedding"), col("centroid")).as("aff"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cell").asc)))
+    val cands = affinity.where(col("rnk") === 1 && col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
+    val probes = affinity.where(col("rnk") <= IvfProbes && col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    cands.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Embedding-cosine near-dup (the 5th dedup mode): candidate pairs
     * blocked by label (stand-in for an IVF/LSH bucket), verified by exact
     * cosine ≥ threshold. */
@@ -80,6 +112,7 @@ object SimilarityQueries {
   val queries: Seq[(String, Q)] = Seq(
     "q_sim_topk_bruteforce" -> bruteForceTopK,
     "q_sim_lsh_ann"         -> lshAnn,
+    "q_sim_ivf_ann"         -> ivfAnn,
     "q_dedup_embedding_cos" -> embeddingCosineDedup
   )
 

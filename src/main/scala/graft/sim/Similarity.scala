@@ -22,8 +22,33 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(asDouble(a), x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — a custom codegen Expression (one fused loop per
+    * pair, no intermediate array; see graft.functions.CosineSimilarity).
+    * Bit-identical to [[cosineHof]], the composed built-in form. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.toColumn(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
+        org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
+
+  /** Cosine via composed built-ins (aggregate/zip_with) — kept as the
+    * cross-check oracle for the native expression. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** IVF coarse quantizer, step 1: elementwise-mean centroid per cell
+    * (one distributed pass: posexplode → per-(cell,dim) avg → re-assemble
+    * in dim order). `seedCol` seeds the cells — any rough partition works
+    * (a hash bucket, a first-round k-means assignment); the centroids are
+    * what IVF search actually uses. Output: (cell, centroid array<double>),
+    * O(cells) rows — broadcastable by construction. */
+  def centroids(emb: org.apache.spark.sql.DataFrame, vecCol: String,
+                seedCol: String): org.apache.spark.sql.DataFrame =
+    emb.select(col(seedCol).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
 
   /** Random-hyperplane-style LSH bucket from the signs of the first
     * `bits` dimensions (axis-aligned hyperplanes — deterministic and

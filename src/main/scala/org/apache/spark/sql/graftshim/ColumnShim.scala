@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and Catalyst Expressions.
+  *
+  * Spark 4 wraps Columns in ColumnNodes; the converters live in
+  * `private[sql]` scope, so this one-file shim sits under
+  * `org.apache.spark.sql` to lift them for graft's custom expressions
+  * (the standard pattern for third-party Catalyst extensions that do not
+  * go through SparkSessionExtensions). */
+object ColumnShim {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

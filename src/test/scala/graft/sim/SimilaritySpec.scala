@@ -26,6 +26,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(1.0, 0.0))
   }
 
+  test("native cosine expression matches the higher-order-function form bit-for-bit") {
+    val vecs = (0 until 50).map { i =>
+      (Seq.tabulate(64)(d => math.sin(i * 64 + d).toFloat),
+        Seq.tabulate(64)(d => math.cos(i * 64 + d).toFloat))
+    }
+    val df = vecs.toDF("a", "b")
+    val mismatches = df.select(
+      Similarity.cosine($"a", $"b").as("native"),
+      Similarity.cosineHof($"a", $"b").as("hof"))
+      .where($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+  }
+
   test("signBucket encodes signs of leading dims") {
     val out = Seq(Seq(1.0f, -2.0f, 0.0f, 3.0f)).toDF("a")
       .select(Similarity.signBucket($"a", 4)).as[String].head()
