@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's custom expressions as SQL functions.
+  *
+  * Two entry points, same builder:
+  *  - cluster config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (the idiomatic SparkSessionExtensions path);
+  *  - live session: `GraftExtensions.register(spark)` for sessions built
+  *    without the config (tests, notebooks).
+  *
+  * After either: `SELECT cosine_similarity(a, b)` anywhere SQL runs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.cosineDescriptor)
+}
+
+object GraftExtensions {
+
+  private def cosineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"cosine_similarity expects 2 arguments, got ${args.length}")
+    CosineSimilarity(args.head, args(1))
+  }
+
+  val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_similarity"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+    cosineBuilder)
+
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
+      spark, "cosine_similarity", cosineBuilder)
+}

@@ -32,4 +32,11 @@ object JsonEnvelope {
     * Catalyst can collapse it into the surrounding projection. */
   def extract(jsonCol: Column, path: String): Column =
     get_json_object(jsonCol, path)
+
+  /** S9: the producer-side inverse of [[flatten]] — every column packed
+    * into one JSON `value` (reference `data_ingestion.py:127-135` builds
+    * the message dict by hand; `df.write.format("kafka")` takes exactly
+    * this shape). */
+  def encode(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
 }

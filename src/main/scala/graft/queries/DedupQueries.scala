@@ -142,9 +142,21 @@ object DedupQueries {
     * pays ONE array_intersect instead of intersect+union (the sizes are
     * precomputed per doc, not per pair). */
   private val ngramJaccard: Q = (s, dir) => {
-    val d = t(s, dir, "documents")
+    // Dictionary-encode terms to dense int ids before the pair join: the
+    // per-pair intersect then runs on primitive int arrays (specialized
+    // hash set, no per-element string hashing). The dictionary is built
+    // distributed and broadcast — the standard 100 TB shape (at real
+    // scale the ids come from feature hashing instead; the pair math is
+    // unchanged). Term→id is a bijection, so Jaccard is identical.
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        array_distinct(TokenOps.terms(col("text"))).as("tset"))
+        explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
+    val vocab = toks.select("term").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("term")))
+    val d = toks.join(broadcast(vocab), "term")
+      .groupBy("doc_id", "lang")
+      .agg(array_sort(collect_set("tid")).as("tset"))
       .withColumn("n", size(col("tset")))
     Tables.fanout(d).as("x").join(broadcast(d.as("y")),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))

@@ -14,4 +14,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a builder as a temp SQL function on a live session (the
+    * session-local twin of SparkSessionExtensions.injectFunction, for
+    * sessions created without `spark.sql.extensions`). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
