@@ -21,10 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + parquet-footer warmup on one cheap query, not timed.
-    try SparkEntry.queries.get("q_s1_scan")
-      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => () }
+    // JIT + parquet-footer warmup, not timed: one scan (footer/IO paths)
+    // and one text query (regex + higher-order-lambda + hash codegen —
+    // the hot paths the dedup queries lean on).
+    for (w <- Seq("q_s1_scan", "q_text_fingerprint"))
+      try SparkEntry.queries.get(w)
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
