@@ -218,6 +218,34 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** W2: the analytic-function family — lead, first_value, dense_rank,
+    * ntile — one shuffle on the shared partitioning. */
+  private val w2Analytics: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"),
+        lead("event_id", 1).over(w).as("next_event"),
+        first_value(col("event_id")).over(w).as("first_event"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** A4: GROUPING SETS through the SQL surface (the third grouping shape
+    * next to rollup/cube). */
+  private val a4GroupingSets: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        | FROM lineitem_gs
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        | ORDER BY rflag, lstatus""".stripMargin)
+  }
+
   /** Set ops: (A ∪ B) ∖ C with set semantics (Dataset.union is UNION ALL —
     * the explicit distinct() matches SQL UNION). */
   private val setUnionExcept: Q = (s, dir) => {
@@ -254,6 +282,8 @@ object RelationalQueries {
     "q_a2_approx_distinct" -> a2ApproxDistinct,
     "q_w1_indexer_rank"    -> w1IndexerRank,
     "q_w2_window"          -> w2Window,
+    "q_w2_analytics"       -> w2Analytics,
+    "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
     "q_set_intersect"      -> setIntersect
   )
@@ -350,6 +380,23 @@ object RelationalQueries {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
         |  FROM events)
         | WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_w2_analytics" ->
+      """SELECT user_id, event_id, value,
+        | lead(event_id, 1) OVER w AS next_event,
+        | first_value(event_id) OVER w AS first_event,
+        | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        | FROM events WHERE event_type = 'purchase'
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        | ORDER BY user_id, event_id""".stripMargin,
+    "q_a4_grouping_sets" ->
+      """SELECT
+        | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
+        | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
+        | sum(l_quantity) AS sum_qty, count(*) AS n
+        | FROM lineitem
+        | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        | ORDER BY rflag, lstatus""".stripMargin,
     "q_set_union_except" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'FURNITURE'
         | UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000

@@ -181,6 +181,17 @@ object TextQueries {
         lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** U1: the deterministic lexicon sentiment scorer (the graded default
+    * of the reference's HTTP pandas-UDF scorer, SURVEY.md §2.12) — one
+    * native expression over the cleaned token stream. */
+  private val u1Sentiment: Q = (s, dir) => {
+    val scorer = new graft.ml.LexiconSentiment()
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      scorer.score(col("text")).as("sentiment"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: raw md5 + content fingerprint over the
     * sorted distinct term set (order-insensitive near-identity). */
   private val fingerprint: Q = (s, dir) =>
@@ -202,6 +213,7 @@ object TextQueries {
     "q_m3_argmax"        -> m3Argmax,
     "q_j1_topic_label"   -> j1TopicLabel,
     "q_a3_vocabulary"    -> a3Vocabulary,
+    "q_u1_sentiment"     -> u1Sentiment,
     "q_text_langid"      -> langId,
     "q_text_quality"     -> quality,
     "q_text_tokencount"  -> tokenCount,
@@ -260,6 +272,19 @@ object TextQueries {
          | FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)
          | GROUP BY term HAVING count(DISTINCT doc_id) >= 3
          | ORDER BY tf DESC, term LIMIT 100""".stripMargin,
+    "q_u1_sentiment" -> {
+      val pos = graft.ml.LexiconSentiment.Positive.map(w => s"'$w'").mkString(", ")
+      val neg = graft.ml.LexiconSentiment.Negative.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         | CASE WHEN p > n THEN 'positive' WHEN p < n THEN 'negative'
+         |      ELSE 'neutral' END AS sentiment
+         | FROM (SELECT doc_id,
+         |   len(list_filter(toks, w -> w IN ($pos))) AS p,
+         |   len(list_filter(toks, w -> w IN ($neg))) AS n
+         |   FROM (SELECT doc_id, string_split(${duckClean("text")}, ' ') AS toks
+         |         FROM documents))
+         | ORDER BY doc_id""".stripMargin
+    },
     "q_text_langid" ->
       s"""SELECT doc_id, lang, s_en, s_fr, s_de,
          | CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
