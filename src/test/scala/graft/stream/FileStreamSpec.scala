@@ -46,4 +46,27 @@ class FileStreamSpec extends SparkSpec {
       Seq("id", "subreddit", "score_predit", "viralite", "creation_date"))
     assert(!new java.io.File(s"$root/fallback").exists()) // primary never failed
   }
+
+  test("failed primary diverts batches to the JSON-lines fallback (S5/S8)") {
+    val root = Files.createTempDirectory("graft-fallback").toString
+    val srcDir = s"$root/src"; val fbDir = s"$root/fallback"
+
+    graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .limit(50).select("event_id", "event_type", "value")
+      .write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val engine = new StreamEngine(
+      transform = identity,
+      primary = new graft.sink.FailingSink("cassandra down"),
+      fallback = new JsonLinesSink(fbDir),
+      trigger = Trigger.AvailableNow(),
+      checkpointLocation = Some(s"$root/ckpt"))
+    engine.start(stream, s"fb-spec-${System.nanoTime()}").awaitTermination(120000)
+
+    val diverted = spark.read.json(fbDir)
+    assert(diverted.count() == 50)
+    assert(diverted.columns.toSet == Set("event_id", "event_type", "value"))
+  }
 }
