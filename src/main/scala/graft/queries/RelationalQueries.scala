@@ -120,6 +120,20 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** A1: exact interpolated percentiles per group (`percentile` ≡ SQL
+    * percentile_cont; l_quantity values are integral doubles, so the
+    * interpolated quartiles are exact in FP on both engines). At 100 TB
+    * the approximate twin is `percentile_approx` (one-pass sketch). */
+  private val a1Percentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.5)").as("median"),
+        expr("percentile(l_quantity, 0.75)").as("q3"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** A2: exact dedup — DISTINCT projection (reference dedup-by-id,
     * `test/data_ingestion/testpy.py:130`). */
   private val a2Distinct: Q = (s, dir) =>
@@ -274,6 +288,7 @@ object RelationalQueries {
     "q_j2_semi_join"       -> j2SemiJoin,
     "q_j2_anti_join"       -> j2AntiJoin,
     "q_a1_hash_agg"        -> a1HashAgg,
+    "q_a1_percentile"      -> a1Percentile,
     "q_a2_distinct"        -> a2Distinct,
     "q_a2_dedup_first"     -> a2DedupFirst,
     "q_a2_count_distinct"  -> a2CountDistinct,
@@ -339,6 +354,13 @@ object RelationalQueries {
         | count(*) AS count_order
         | FROM lineitem GROUP BY l_returnflag, l_linestatus
         | ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_a1_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q1,
+        | quantile_cont(l_quantity, 0.5) AS median,
+        | quantile_cont(l_quantity, 0.75) AS q3,
+        | count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_a2_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
         | ORDER BY user_id, event_type""".stripMargin,

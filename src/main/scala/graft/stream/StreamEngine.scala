@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.storage.StorageLevel
 
 import graft.ingest.JsonEnvelope
-import graft.sink.Sink
+import graft.sink.{FallbackSink, Sink}
 
 /** S2/S7 + T1–T6: the Structured Streaming engine (SURVEY.md §2.13, §3.1).
   *
@@ -34,19 +34,17 @@ final class StreamEngine(
     onBatch: (Long, Long) => Unit = (_, _) => ()) extends Serializable {
 
   /** Per-micro-batch body (S7). Persist once; count is the logging action
-    * the reference performs (P8) and doubles as materialization. */
+    * the reference performs (P8) and doubles as materialization. The
+    * T6 degradation semantic lives in [[FallbackSink]]. */
+  private val sink = new FallbackSink(primary, fallback)
+
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (!batch.isEmpty) {                                  // P7 emptiness guard
       val out = transform(batch).persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val n = out.count()                                // P8 (now cached)
         onBatch(batchId, n)
-        try primary.write(out)
-        catch { case e: Exception =>
-          System.err.println(
-            s"[stream] batch $batchId primary sink failed (${e.getMessage}); using fallback")
-          fallback.write(out)                              // T6 degradation
-        }
+        sink.write(out)
       } finally out.unpersist()
     }
   }

@@ -72,6 +72,23 @@ class StreamEngineSpec extends SparkSpec {
     assert(out.map(r => (r._2, r._3, r._4)) == Seq(("a", 2L, 2.0), ("a", 1L, 5.0), ("b", 1L, 7.0)))
   }
 
+  test("windowedCounts runs as a streaming aggregation with watermark") {
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)](spark, numPartitions = 2)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    ms.addData(Seq(
+      (ts("2024-01-01 00:10:00"), "a", 1.0), (ts("2024-01-01 00:50:00"), "a", 3.0),
+      (ts("2024-01-01 01:10:00"), "a", 5.0), (ts("2024-01-01 00:20:00"), "b", 7.0)))
+    val name = s"wc${System.nanoTime()}"
+    val q = StreamEngine.windowedCounts(ms.toDF().toDF("ts", "k", "value"), "ts", "k")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).orderBy("k", "window_start")
+      .select("k", "n", "avg_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", 2L, 2.0), ("a", 1L, 5.0), ("b", 1L, 7.0)))
+  }
+
   test("dedupWithinWatermark drops exact duplicate ids") {
     val df = Seq(("2024-01-01 00:10:00", "x"), ("2024-01-01 00:10:00", "x"),
       ("2024-01-01 00:11:00", "y")).toDF("ts", "id")
