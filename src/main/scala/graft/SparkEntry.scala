@@ -26,12 +26,14 @@ object SparkEntry {
     docs.join(events, docs("doc_id") === events("event_id"))          // J2
       .where(col("text").isNotNull)                                   // P3
       .withColumn("text_clean", TextOps.cleanText(col("text")))       // F1-F4
+      .withColumn("sentiment",
+        new graft.ml.LexiconSentiment().score(col("text")))           // U1
       .withColumn("hour", hour(col("ts")))                            // D4
       .withColumn("viralite",
         ScoreOps.virality(col("value"), hot = 150.0, up = 75.0))      // M2
       .select(col("event_id").as("id"),
         col("text_clean").as("text_content"),
-        col("hour"), col("viralite"),
+        col("sentiment"), col("hour"), col("viralite"),
         col("ts").as("creation_date"))                                // P5
       .orderBy("id")
   }

@@ -63,6 +63,17 @@ class NlpPipelineSpec extends SparkSpec {
     assert(v.subsetOf(Set("HOT", "UP", "LOW")))
   }
 
+  test("save/load round-trips the whole pipeline (S3/S11)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
+    NlpPipeline.save(model, dir)
+    val reloaded = NlpPipeline.load(dir)
+    val a = model.transform(corpus).select("id", "prediction")
+      .as[(String, Double)].collect().toMap
+    val b = reloaded.transform(corpus).select("id", "prediction")
+      .as[(String, Double)].collect().toMap
+    assert(a == b)
+  }
+
   test("handleInvalid=keep indexes unseen categories instead of dropping rows (N6)") {
     val unseen = corpus.limit(3).withColumn("subreddit", lit("never_seen_sub"))
     assert(model.transform(unseen).count() == 3)
