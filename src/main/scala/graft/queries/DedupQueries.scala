@@ -158,9 +158,14 @@ object DedupQueries {
       .groupBy("doc_id", "lang")
       .agg(array_sort(collect_set("tid")).as("tset"))
       .withColumn("n", size(col("tset")))
+    def interSize(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftshim.ColumnShim.toColumn(
+        graft.functions.SortedIntersectionSize(
+          org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
+          org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
     Tables.fanout(d).as("x").join(broadcast(d.as("y")),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn("inter", size(array_intersect(col("x.tset"), col("y.tset"))))
+      .withColumn("inter", interSize(col("x.tset"), col("y.tset")))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
         expr("CAST(10000 * inter DIV (x.n + y.n - inter) AS BIGINT)").as("jac_bp"))
       .where(col("jac_bp") >= JaccardBpThreshold)

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Algebraic properties from the test plan (SURVEY.md §5.2 item 3). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.queries.Tables
+    .t(spark, "/root/testdata/sf0.001", "documents")
+    .select("doc_id", "lang", "text")
+
+  test("dropDuplicates is idempotent") {
+    val once = docs.select("lang").dropDuplicates()
+    assert(once.count() == once.dropDuplicates().count())
+  }
+
+  test("stop-word removal output is a sub-multiset of its input") {
+    val viol = docs
+      .withColumn("toks", split(graft.ops.TextOps.cleanText($"text"), " "))
+      .withColumn("kept", graft.ops.TokenOps.removeStopWords($"toks"))
+      .where(size(filter($"kept", w => !array_contains($"toks", w))) > 0)
+    assert(viol.count() == 0)
+  }
+
+  test("set algebra: (A except B) union (A intersect B) == A for key sets") {
+    val a = docs.where($"lang".isin("en", "fr")).select("doc_id")
+    val b = docs.where($"lang" === "fr").select("doc_id")
+    val rebuilt = a.except(b).union(a.intersect(b)).distinct()
+    assert(rebuilt.count() == a.distinct().count())
+    assert(rebuilt.except(a).count() == 0)
+  }
+
+  test("union is commutative under distinct") {
+    val a = docs.where($"lang" === "en").select("doc_id")
+    val b = docs.where($"lang" === "de").select("doc_id")
+    assert(a.union(b).distinct().count() == b.union(a).distinct().count())
+  }
+}

@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.scalacheck.Gen
+
+import graft.SparkSpec
+
+class SortedIntersectionSizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def interSize(a: Column, b: Column): Column =
+    ColumnShim.toColumn(SortedIntersectionSize(
+      ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
+
+  test("matches size(array_intersect) on random sorted distinct int sets") {
+    val gen = Gen.listOf(Gen.choose(0, 50)).map(_.distinct.sorted)
+    val pairs = Iterator.continually((gen.sample, gen.sample))
+      .collect { case (Some(a), Some(b)) => (a, b) }.take(60).toSeq
+    val df = pairs.toDF("a", "b")
+    val mismatches = df.select(
+      interSize($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref"))
+      .where($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
+  test("edge cases: empty, disjoint, identical") {
+    val df = Seq(
+      (Seq.empty[Int], Seq(1, 2, 3)),
+      (Seq(1, 3, 5), Seq(2, 4, 6)),
+      (Seq(1, 2, 3), Seq(1, 2, 3))).toDF("a", "b")
+    assert(df.select(interSize($"a", $"b")).as[Int].collect().toSeq == Seq(0, 0, 3))
+  }
+}
