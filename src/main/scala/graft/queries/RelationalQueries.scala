@@ -161,6 +161,19 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** A1: pivot — long→wide count matrix (user × event_type). The pivot
+    * values are declared explicitly, so no extra distinct-collect job
+    * runs and the output schema is static (the scale-safe form). Counts,
+    * not double sums — integer aggregation is order-insensitive. */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val a1Pivot: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, PivotTypes)
+      .orderBy("user_id")
+
   /** A4: ROLLUP with GROUPING() sentinels — sentinels (not raw nulls) keep
     * the ORDER BY total and dodge the Spark-nulls-first vs DuckDB-nulls-last
     * trap. */
@@ -289,6 +302,7 @@ object RelationalQueries {
     "q_j2_anti_join"       -> j2AntiJoin,
     "q_a1_hash_agg"        -> a1HashAgg,
     "q_a1_percentile"      -> a1Percentile,
+    "q_a1_pivot"           -> a1Pivot,
     "q_a2_distinct"        -> a2Distinct,
     "q_a2_dedup_first"     -> a2DedupFirst,
     "q_a2_count_distinct"  -> a2CountDistinct,
@@ -361,6 +375,14 @@ object RelationalQueries {
         | quantile_cont(l_quantity, 0.75) AS q3,
         | count(*) AS n
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_a1_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_a2_distinct" ->
       """SELECT DISTINCT user_id, event_type FROM events
         | ORDER BY user_id, event_type""".stripMargin,
