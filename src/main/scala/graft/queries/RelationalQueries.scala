@@ -104,6 +104,36 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** J2+: as-of join — for each purchase, the user's latest prior-or-same
+    * click (graft.ops.JoinOps.asofJoin: one shuffle + window carry, no
+    * pair join). Right side pre-deduped to one click per (user, ts) so
+    * the match is deterministic. */
+  private val j2AsofJoin: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+    graft.ops.JoinOps.asofJoin(purchases, clicks,
+        keys = Seq("user_id"), ts = "ts", rightCols = Seq("click_id"))
+      .select("event_id", "user_id", "value", "click_id")
+      .orderBy("event_id")
+  }
+
+  /** J2+: range join with an equi component — Catalyst joins on the equi
+    * key (broadcast/SMJ) and applies the range as a join filter, so this
+    * stays a hash join, never a nested-loop cross product. */
+  private val j2RangeJoin: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select("o_orderkey", "l_linenumber", "l_shipdate")
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
   /** A1: the hash-aggregate workhorse (TPC-H Q1 shape; the capability the
     * reference's PowerBI rollups consume, SURVEY.md §2.4). Partial+final
     * `HashAggregateExec` — sums are exact (integral doubles / DECIMAL). */
@@ -300,6 +330,8 @@ object RelationalQueries {
     "q_j2_left_join"       -> j2LeftJoin,
     "q_j2_semi_join"       -> j2SemiJoin,
     "q_j2_anti_join"       -> j2AntiJoin,
+    "q_j2_asof_join"       -> j2AsofJoin,
+    "q_j2_range_join"      -> j2RangeJoin,
     "q_a1_hash_agg"        -> a1HashAgg,
     "q_a1_percentile"      -> a1Percentile,
     "q_a1_pivot"           -> a1Pivot,
@@ -358,6 +390,22 @@ object RelationalQueries {
         | WHERE NOT EXISTS (SELECT 1 FROM orders
         |   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         | ORDER BY c_custkey""".stripMargin,
+    "q_j2_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        | c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |       WHERE event_type = 'click' GROUP BY user_id, ts)
+        | SELECT p.event_id, p.user_id, p.value, c.click_id
+        | FROM p ASOF LEFT JOIN c
+        |   ON p.user_id = c.user_id AND c.ts <= p.ts
+        | ORDER BY p.event_id""".stripMargin,
+    "q_j2_range_join" ->
+      """SELECT o_orderkey, l_linenumber, l_shipdate
+        | FROM orders JOIN lineitem
+        |   ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        | ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "q_a1_hash_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
