@@ -119,16 +119,21 @@ object DedupQueries {
   private val simhashPairs: Q = (s, dir) => {
     val fp = simhashFp(s, dir)
       .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
-      .persist()
     def half(c: Column, i: Int) = substring(c, 1 + 8 * i, 8)
-    def cands(i: Int) = Tables.fanout(fp).as("x").join(broadcast(fp.as("y")),
-      half(col("x.simhash"), i) === half(col("y.simhash"), i) &&
-        col("x.doc_id") < col("y.doc_id"))
+    // One banded self-join instead of a union of two (same minhash-LSH
+    // shape): explode each fingerprint into its two half-buckets, join
+    // on (band, bucket). A pair sharing both halves surfaces twice →
+    // distinct after the Hamming filter (which runs pre-exchange).
+    val bands = fp.select(col("doc_id"), col("fpl"),
+      posexplode(array(half(col("simhash"), 0), half(col("simhash"), 1)))
+        .as(Seq("b", "bkey")))
+    Tables.fanout(bands).as("x").join(broadcast(bands.as("y")),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
         bit_count(col("x.fpl").bitwiseXOR(col("y.fpl"))).as("hamming"))
       .where(col("hamming") <= HammingMax)
-    cands(0).union(cands(1)).distinct()
-      .select("doc1", "doc2", "hamming")
+      .distinct()
       .orderBy("doc1", "doc2")
   }
 

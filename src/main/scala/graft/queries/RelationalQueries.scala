@@ -303,6 +303,25 @@ object RelationalQueries {
         | ORDER BY rflag, lstatus""".stripMargin)
   }
 
+  /** W2+: gap-based sessionization (30-min inactivity closes a session) —
+    * lag + cumulative-sum session ids, then per-session rollup. One
+    * shuffle on user_id shared by both windows. Streaming twin:
+    * `groupBy(session_window($"ts", "30 minutes"), $"user_id")`. */
+  private val w2Sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("gap",
+        col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") > 1800.0, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Set ops: (A ∪ B) ∖ C with set semantics (Dataset.union is UNION ALL —
     * the explicit distinct() matches SQL UNION). */
   private val setUnionExcept: Q = (s, dir) => {
@@ -344,6 +363,7 @@ object RelationalQueries {
     "q_w1_indexer_rank"    -> w1IndexerRank,
     "q_w2_window"          -> w2Window,
     "q_w2_analytics"       -> w2Analytics,
+    "q_w2_sessionize"      -> w2Sessionize,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
     "q_set_intersect"      -> setIntersect
@@ -481,6 +501,19 @@ object RelationalQueries {
         | FROM events WHERE event_type = 'purchase'
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         | ORDER BY user_id, event_id""".stripMargin,
+    "q_w2_sessionize" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end
+        | FROM (
+        |  SELECT user_id, ts,
+        |   CAST(sum(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, ts,
+        |    epoch(ts) - lag(epoch(ts), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |   FROM events))
+        | GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q_a4_grouping_sets" ->
       """SELECT
         | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,

@@ -203,7 +203,18 @@ object TextQueries {
         md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp_content"))
       .orderBy("doc_id")
 
+  /** Levenshtein edit distance (fuzzy-match building block): how far the
+    * raw text head drifts from its cleaned form — bounded operands (the
+    * DP is O(len²); at scale always cap the compared prefix). */
+  private val editDistance: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      levenshtein(substring(col("text"), 1, 40),
+        substring(TextOps.cleanText(col("text")), 1, 40)).as("edit40"))
+      .orderBy("doc_id")
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_text_editdist"    -> editDistance,
     "q_f_clean_chain"    -> fCleanChain,
     "q_f_extract"        -> fExtract,
     "q_p6_keyword_filter"-> p6KeywordFilter,
@@ -221,6 +232,11 @@ object TextQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_text_editdist" ->
+      s"""SELECT doc_id,
+         | CAST(levenshtein(substr(text, 1, 40),
+         |   substr(${duckClean("text")}, 1, 40)) AS INTEGER) AS edit40
+         | FROM documents ORDER BY doc_id""".stripMargin,
     "q_f_clean_chain" ->
       s"""SELECT doc_id, ${duckClean("text")} AS cleaned,
          | CAST(length(regexp_replace(text, '[\\p{C}]', '', 'g')) AS INTEGER) AS n_printable
