@@ -41,11 +41,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries).toMap
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     (RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles).toMap
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles).toMap
 }
