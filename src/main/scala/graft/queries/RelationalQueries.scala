@@ -120,6 +120,32 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** J2+: Bloom-pruned semi join — build a Bloom filter over the dim keys
+    * (one small sketch on the driver, same trust model as a broadcast
+    * var), pre-filter the fact scan with `might_contain`, then confirm
+    * with the exact semi join. False positives are removed by the exact
+    * join, so the result equals the plain semi join (the oracle); at
+    * 100 TB the pre-filter discards most fact rows before the shuffle —
+    * the manual form of Spark's runtime row-level filtering. */
+  private val j2BloomSemi: Q = (s, dir) => {
+    import org.apache.spark.sql.graftshim.ColumnShim.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val o = t(s, dir, "orders")
+      .where(col("o_orderstatus") === "F").select("o_orderkey")
+    val bloomAgg = toColumn(new BloomFilterAggregate(
+      toExpression(xxhash64(col("o_orderkey"))),
+      toExpression(lit(50000L)), toExpression(lit(400000L)))
+      .toAggregateExpression())
+    val bf = o.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    t(s, dir, "lineitem")
+      .where(toColumn(BloomFilterMightContain(
+        toExpression(lit(bf)), toExpression(xxhash64(col("l_orderkey"))))))
+      .join(o, col("l_orderkey") === o("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** J2+: range join with an equi component — Catalyst joins on the equi
     * key (broadcast/SMJ) and applies the range as a join filter, so this
     * stays a hash join, never a nested-loop cross product. */
@@ -350,6 +376,7 @@ object RelationalQueries {
     "q_j2_semi_join"       -> j2SemiJoin,
     "q_j2_anti_join"       -> j2AntiJoin,
     "q_j2_asof_join"       -> j2AsofJoin,
+    "q_j2_bloom_semi"      -> j2BloomSemi,
     "q_j2_range_join"      -> j2RangeJoin,
     "q_a1_hash_agg"        -> a1HashAgg,
     "q_a1_percentile"      -> a1Percentile,
@@ -419,6 +446,11 @@ object RelationalQueries {
         | FROM p ASOF LEFT JOIN c
         |   ON p.user_id = c.user_id AND c.ts <= p.ts
         | ORDER BY p.event_id""".stripMargin,
+    "q_j2_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        | WHERE EXISTS (SELECT 1 FROM orders
+        |   WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_j2_range_join" ->
       """SELECT o_orderkey, l_linenumber, l_shipdate
         | FROM orders JOIN lineitem
