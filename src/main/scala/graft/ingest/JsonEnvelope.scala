@@ -23,7 +23,7 @@ object JsonEnvelope {
   /** P2: parse a JSON string column with an explicit schema and flatten
     * `data.*` alongside the other columns. */
   def flatten(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
-    val others = df.columns.filter(_ != jsonCol).map(col)
+    val others = df.columns.filter(_ != jsonCol).toIndexedSeq.map(col)
     df.withColumn("__data", from_json(col(jsonCol), schema))
       .select(others :+ col("__data.*"): _*)
   }
@@ -38,5 +38,5 @@ object JsonEnvelope {
     * the message dict by hand; `df.write.format("kafka")` takes exactly
     * this shape). */
   def encode(df: DataFrame): DataFrame =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
 }

@@ -42,4 +42,44 @@ object Stateful {
 
   /** Required sink mode for [[runningStats]] streams. */
   val outputMode: OutputMode = OutputMode.Update()
+
+  /** A closed session: [start, end] with its event count. */
+  case class Session(key: Long, start: Long, end: Long, n: Long)
+
+  /** Open-session state carried between micro-batches. */
+  case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Gap-based sessionization with custom state (`flatMapGroupsWithState`
+    * — emits 0..n rows per key per batch): events extend the key's open
+    * session while the gap ≤ `gapSeconds`; a larger gap CLOSES the
+    * previous session (emitted) and opens a new one. The final open
+    * session stays in state until more events or teardown — streams
+    * never "end", so closure is always gap- (or timeout-) driven.
+    * Batch-mode twin of q_w2_sessionize; streaming adds cross-batch
+    * session stitching that the window form cannot do. */
+  def sessionize(events: Dataset[(Long, Long, Double)],
+                 gapSeconds: Long = 1800L): Dataset[Session] = {
+    implicit val stEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[Session]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[OpenSession]) =>
+          val ts = rows.map(_._2).toSeq.sorted
+          var open = state.getOption
+          val closed = Seq.newBuilder[Session]
+          ts.foreach { t =>
+            open = open match {
+              case Some(o) if t - o.end <= gapSeconds =>
+                Some(o.copy(end = t, n = o.n + 1))
+              case Some(o) =>
+                closed += Session(key, o.start, o.end, o.n)
+                Some(OpenSession(t, t, 1))
+              case None => Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 }
