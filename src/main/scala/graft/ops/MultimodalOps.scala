@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   * Scale shape: media rows are heavy (MBs of binary each), so every
   * operator here is a narrow per-partition map — no shuffle touches the
   * binary payload; metadata-only queries prune the binary column at the
-  * parquet scan (columnar → the bytes are never read).
+  * parquet scan (columnar → the bytes are never read). The typed
+  * `Dataset.mapPartitions` used here is the Scala equivalent of PySpark's
+  * `mapInPandas` batch-UDF shape: per-partition iteration, codec state
+  * amortized across the partition, arrow-friendly fixed-width output.
   */
 object MultimodalOps {
 

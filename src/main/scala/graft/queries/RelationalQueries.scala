@@ -37,12 +37,15 @@ object RelationalQueries {
       .select("doc_id", "lang_alt", "n_chars")
       .orderBy("doc_id")
 
-  /** P4: column prune + pushed-down range predicate on the volume table. */
+  /** P4: column prune + pushed-down range predicate on the volume table.
+    * lineitem has NO unique key — the ORDER BY covers every projected
+    * column so the row order is total up to identical rows (which hash
+    * the same either way). */
   private val p4ColumnPrune: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .where(col("l_shipdate") >= lit("2000-06-01").cast("timestamp"))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
 
   /** P9/O1/O3: global top-K = Catalyst `TakeOrderedAndProject` — no full
     * sort materialization at scale. */
@@ -143,7 +146,7 @@ object RelationalQueries {
         toExpression(lit(bf)), toExpression(xxhash64(col("l_orderkey"))))))
       .join(o, col("l_orderkey") === o("o_orderkey"), "left_semi")
       .select("l_orderkey", "l_linenumber", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity") // total order: no unique lineitem key
   }
 
   /** J2+: range join with an equi component — Catalyst joins on the equi
@@ -157,7 +160,7 @@ object RelationalQueries {
         li("l_shipdate") >= o("o_orderdate") &&
         li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select("o_orderkey", "l_linenumber", "l_shipdate")
-      .orderBy("o_orderkey", "l_linenumber")
+      .orderBy("o_orderkey", "l_linenumber", "l_shipdate") // total order: no unique lineitem key
   }
 
   /** A1: the hash-aggregate workhorse (TPC-H Q1 shape; the capability the
@@ -407,7 +410,7 @@ object RelationalQueries {
     "q_p4_column_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
         | WHERE l_shipdate >= TIMESTAMP '2000-06-01'
-        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        | ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,
     "q_p9_topk" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -450,14 +453,14 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         | WHERE EXISTS (SELECT 1 FROM orders
         |   WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
-        | ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        | ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_j2_range_join" ->
       """SELECT o_orderkey, l_linenumber, l_shipdate
         | FROM orders JOIN lineitem
         |   ON o_orderkey = l_orderkey
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
-        | ORDER BY o_orderkey, l_linenumber""".stripMargin,
+        | ORDER BY o_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "q_a1_hash_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
