@@ -17,6 +17,12 @@ class JsonEnvelopeSpec extends SparkSpec {
     assert(back.as[(String, Int)].collect().toSet == Set(("a", 1), ("b", 2)))
   }
 
+  test("castToString turns a binary envelope column into utf8 (P1)") {
+    val df = Seq("""{"id":"z","score":9}""".getBytes("UTF-8")).toDF("value")
+    val out = JsonEnvelope.castToString(df).as[String].head()
+    assert(out == """{"id":"z","score":9}""")
+  }
+
   test("flatten keeps sibling columns and nulls malformed payloads") {
     val df = Seq((7L, """{"id":"x","score":3}"""), (8L, "oops")).toDF("k", "payload")
     val out = JsonEnvelope.flatten(df, "payload", schema)
