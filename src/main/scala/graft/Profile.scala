@@ -17,9 +17,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
+    // Construct inside the timer, like Bench — query functions may run
+    // driver-side work (iterative loops, sketch collects) at build time.
+    var df = SparkEntry.queries(name)(spark, sfDir)
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
+      df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }

@@ -89,17 +89,72 @@ object DedupQueries {
   private val minhashSignatures: Q = (s, dir) =>
     minhashSigs(s, dir).orderBy("doc_id")
 
-  /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join
-    * key is (band, bandKey) — shuffle is proportional to bucket sizes,
-    * never O(n²). */
-  private val minhashPairs: Q = (s, dir) => {
+  /** MinHash-LSH candidate pairs (doc1 < doc2), unordered. */
+  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(s, dir)
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
-      .orderBy("doc1", "doc2")
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join
+    * key is (band, bandKey) — shuffle is proportional to bucket sizes,
+    * never O(n²). */
+  private val minhashPairs: Q = (s, dir) =>
+    minhashCandidates(s, dir).orderBy("doc1", "doc2")
+
+  /** Duplicate-cluster formation: connected components over the candidate
+    * pair graph by distributed min-label propagation (the step a dedup
+    * pipeline runs after pair generation — keep min(doc) per component,
+    * drop the rest). Each iteration is two distributed joins; the loop
+    * runs on the driver until fixpoint (≤ graph diameter iterations —
+    * near-dup clusters are shallow). The oracle computes the same
+    * component = min(reachable id) via a recursive CTE. */
+  private val dedupComponents: Q = (s, dir) => {
+    // The candidate graph is orders of magnitude smaller than the corpus
+    // (pairs, not docs×docs): run the fixpoint loop on few shuffle
+    // partitions so each iteration is a handful of tasks, not sf-sized
+    // stages. Restored after the loop (all loop actions happen here).
+    val pairs = minhashCandidates(s, dir)
+    val edges = pairs
+      .union(pairs.select(col("doc2"), col("doc1")))
+      .toDF("src", "dst").repartition(4).persist()
+    // localCheckpoint (not persist): an iterative DataFrame loop grows
+    // the logical plan each round — caching cuts re-EXECUTION but not
+    // re-ANALYSIS, so planning time compounds. Checkpointing truncates
+    // the lineage, keeping each iteration's plan constant-size.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct().withColumn("label", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      // Propagate: label(x) := min(label(x), min over neighbors' labels).
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("label").as("nbr_label"))
+      val propagated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+      // Compress (pointer jumping): label(x) := label(label(x)) — every
+      // label is itself a node id, so one self-join halves path lengths
+      // and the loop converges in O(log diameter) instead of O(diameter).
+      val next = propagated.toDF("doc_id", "l1").as("a")
+        .join(propagated.toDF("pid", "l2").as("b"), col("l1") === col("pid"))
+        .select(col("doc_id"), least(col("l1"), col("l2")).as("label"))
+        .localCheckpoint(true)
+      changed = next.toDF("doc_id", "new_label")
+        .join(labels, "doc_id")
+        .where(col("new_label") =!= col("label")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    labels.select(col("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
   }
 
   /** SimHash fingerprints (16-bit sign sketch). */
@@ -181,6 +236,7 @@ object DedupQueries {
     "q_dedup_exact"       -> exactDedup,
     "q_dedup_minhash_sig" -> minhashSignatures,
     "q_dedup_minhash_pairs" -> minhashPairs,
+    "q_dedup_components"  -> dedupComponents,
     "q_dedup_simhash_sig" -> simhashFingerprints,
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_ngram_jaccard" -> ngramJaccard
@@ -238,6 +294,20 @@ object DedupQueries {
          | FROM bands x JOIN bands y
          |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
          | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE bands AS ($duckBands),
+         | pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+         |            UNION ALL SELECT doc2, doc1 FROM pairs),
+         | reach(n, m) AS (
+         |  SELECT s, s FROM edges2
+         |  UNION
+         |  SELECT r.n, e.d FROM reach r JOIN edges2 e ON r.m = e.s)
+         | SELECT n AS doc_id, min(m) AS component FROM reach
+         | GROUP BY n ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash_sig" ->
       s"$duckSimhash ORDER BY doc_id",
     "q_dedup_simhash_pairs" ->
