@@ -21,15 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT + parquet-footer warmup, not timed: a scan (footer/IO paths),
-    // a text query (regex + higher-order-lambda + hash codegen), and the
-    // two sketch builders (md5-explode + wide conditional aggregates) —
-    // the shared primitives the pair queries lean on. Measured times are
-    // then steady-state throughput, not first-run C2-compilation.
-    for (w <- Seq("q_s1_scan", "q_text_fingerprint",
-        "q_dedup_simhash_sig", "q_dedup_minhash_sig"))
-      try SparkEntry.queries.get(w)
-        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // JIT + parquet-footer warmup, not timed: one untimed pass over the
+    // FULL suite, so every codegen family (JSON paths, decimal aggregates,
+    // window frames, the pair-join kernels) is C2-compiled before the
+    // clock starts. Measured times are then steady-state throughput —
+    // what a long-lived cluster job sees — not first-run JIT.
+    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

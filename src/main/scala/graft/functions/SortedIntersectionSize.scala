@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** |A ∩ B| for two SORTED-ascending, duplicate-free int arrays, as one
-  * two-pointer merge: O(|A|+|B|), zero allocation, no hashing.
+/** |A ∩ B| for two SORTED-ascending, duplicate-free int or long arrays
+  * (both sides the same element type), as one two-pointer merge:
+  * O(|A|+|B|), zero allocation, no hashing.
   *
   * `size(array_intersect(a, b))` computes the same number but builds a
   * hash set AND materializes the intersection array per call — pure
@@ -21,14 +22,19 @@ case class SortedIntersectionSize(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
-      case ArrayType(IntegerType, _) => true
+      case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
       case _ => false
     }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (ok(left.dataType) && left.dataType == right.dataType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersection_size expects array<int> inputs, got " +
+      s"sorted_intersection_size expects matching array<int>/array<bigint> inputs, got " +
         s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
@@ -36,11 +42,20 @@ case class SortedIntersectionSize(left: Expression, right: Expression)
     val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
     val (na, nb) = (xa.numElements(), xb.numElements())
     var i = 0; var j = 0; var c = 0
-    while (i < na && j < nb) {
-      val x = xa.getInt(i); val y = xb.getInt(j)
-      if (x == y) { c += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    if (isLong) {
+      while (i < na && j < nb) {
+        val x = xa.getLong(i); val y = xb.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < na && j < nb) {
+        val x = xa.getInt(i); val y = xb.getInt(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -50,11 +65,12 @@ case class SortedIntersectionSize(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val c = ctx.freshName("c"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val (jt, get) = if (isLong) ("long", "getLong") else ("int", "getInt")
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $na && $j < $nb) {
-         |  int $x = $a.getInt($i); int $y = $b.getInt($j);
+         |  $jt $x = $a.$get($i); $jt $y = $b.$get($j);
          |  if ($x == $y) { $c++; $i++; $j++; }
          |  else if ($x < $y) { $i++; } else { $j++; }
          |}

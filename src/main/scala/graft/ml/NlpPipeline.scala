@@ -118,7 +118,10 @@ object NlpPipeline {
       .withColumn("topic_id", argmaxVec(col("topic_distribution")))
       .withColumn("score_predit", round(col("prediction"), 2).cast("float")) // M1/M4
       .withColumn("viralite", graft.ops.ScoreOps.virality(col("prediction"))) // M2
-    graft.ops.ScoreOps.withTopicLabel(scored, col("topic_id"), labels)
+    // Storage path: unmatched topics fall back to the constant "Autre"
+    // (reference `spark/engine.py:181-183`); "Sujet {id}" is display-only.
+    graft.ops.ScoreOps.withTopicLabel(scored, col("topic_id"), labels,
+        default = Some(lit("Autre")))
       .select(col("id"), col("author"), col("subreddit"),
         col("text").as("text_content"), col("sentiment"),
         col("sujet"), col("score_predit"), col("viralite"),

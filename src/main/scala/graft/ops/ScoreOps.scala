@@ -33,16 +33,18 @@ object ScoreOps {
   /** J1: topic-id → label via a broadcast hash join against a tiny label
     * dimension, replacing the reference's closure-captured dict UDF
     * (reference `spark/engine.py:113-122`). Unmatched ids default to
-    * "Sujet {id}" (reference `spark/engine.py:117`).
+    * "Sujet {id}" on the display path (reference `spark/engine.py:117`);
+    * the storage path uses the constant "Autre" instead (reference
+    * `spark/engine.py:181-183`) — pass `default = Some(lit("Autre"))`.
     *
     * Scale shape: `broadcast()` hint — the label table is O(topics) rows,
     * so this is a map-side join with no shuffle of the fact side. */
-  def withTopicLabel(df: DataFrame, topicId: Column,
-                     labels: DataFrame): DataFrame = {
+  def withTopicLabel(df: DataFrame, topicId: Column, labels: DataFrame,
+                     default: Option[Column] = None): DataFrame = {
     val keyed = df.withColumn("topic_id", topicId)
+    val fallback = default.getOrElse(concat(lit("Sujet "), col("topic_id")))
     keyed.join(broadcast(labels), Seq("topic_id"), "left")
-      .withColumn("sujet",
-        coalesce(col("label"), concat(lit("Sujet "), col("topic_id"))))
+      .withColumn("sujet", coalesce(col("label"), fallback))
       .drop("label")
   }
 

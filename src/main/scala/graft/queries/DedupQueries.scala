@@ -165,12 +165,13 @@ object DedupQueries {
     * within Hamming ≤ 8 shares at least one exact half — pigeonhole), then
     * verify exact Hamming ≤ HammingMax on candidates only.
     *
-    * Perf shape: fingerprints are computed once and cached (two band joins
-    * re-read them); the build side is broadcast (O(docs) fingerprints, 16
-    * chars each); Hamming distance is popcount(xor) over the fingerprint
+    * Perf shape: Hamming distance is popcount(xor) over the fingerprint
     * as an integer, not 16 per-character substring compares; the Hamming
     * filter runs BEFORE the dedup-distinct so the exchange only carries
-    * surviving pairs. */
+    * surviving pairs. The band self-join is a shuffle equi-join on
+    * (band, bucket) — shuffle ∝ bucket sizes, and AQE re-plans it to a
+    * broadcast join at runtime iff the build side measures small, so the
+    * plan has no O(corpus)-broadcast ceiling at 100×. */
   private val simhashPairs: Q = (s, dir) => {
     val fp = simhashFp(s, dir)
       .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
@@ -182,7 +183,7 @@ object DedupQueries {
     val bands = fp.select(col("doc_id"), col("fpl"),
       posexplode(array(half(col("simhash"), 0), half(col("simhash"), 1)))
         .as(Seq("b", "bkey")))
-    Tables.fanout(bands).as("x").join(broadcast(bands.as("y")),
+    Tables.fanout(bands).as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
@@ -197,33 +198,35 @@ object DedupQueries {
     * At 100 TB the lang block is replaced by the MinHash-LSH candidates
     * above; the verification expression is unchanged.
     *
-    * Perf shape: the build side is broadcast (map-side join, no shuffle of
-    * the probe side); |∪| is derived as |A|+|B|−|∩| so each candidate pair
-    * pays ONE array_intersect instead of intersect+union (the sizes are
-    * precomputed per doc, not per pair). */
+    * Perf shape: |∪| is derived as |A|+|B|−|∩| so each candidate pair pays
+    * ONE sorted-merge intersect instead of intersect+union (the sizes are
+    * precomputed per doc, not per pair). The pair join is a plain shuffle
+    * equi-join on the block key — AQE turns it into a broadcast join at
+    * runtime iff the build side measures small, so there is no O(corpus)
+    * broadcast ceiling at scale. */
   private val ngramJaccard: Q = (s, dir) => {
-    // Dictionary-encode terms to dense int ids before the pair join: the
-    // per-pair intersect then runs on primitive int arrays (specialized
-    // hash set, no per-element string hashing). The dictionary is built
-    // distributed and broadcast — the standard 100 TB shape (at real
-    // scale the ids come from feature hashing instead; the pair math is
-    // unchanged). Term→id is a bijection, so Jaccard is identical.
-    import org.apache.spark.sql.expressions.Window
+    // Feature-hash terms to long ids (xxhash64) before the pair join: the
+    // per-pair intersect then runs on primitive long arrays (two-pointer
+    // merge, no per-element string hashing), and no dictionary structure
+    // is ever built — fully map-side, no global ordering, no driver state.
+    // Term→id must stay injective on the corpus vocabulary for Jaccard to
+    // be exact; a 64-bit hash collides with probability ~V²/2⁶⁵ (≈5e-5 at
+    // a billion-term vocabulary). The production audit is one aggregation
+    // — count(DISTINCT term) = count(DISTINCT xxhash64(term)) — asserted
+    // over this corpus in DedupQueriesSpec.
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
-    val vocab = toks.select("term").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("term")))
-    val d = toks.join(broadcast(vocab), "term")
+    val d = toks
       .groupBy("doc_id", "lang")
-      .agg(array_sort(collect_set("tid")).as("tset"))
+      .agg(array_sort(collect_set(xxhash64(col("term")))).as("tset"))
       .withColumn("n", size(col("tset")))
     def interSize(a: Column, b: Column): Column =
       org.apache.spark.sql.graftshim.ColumnShim.toColumn(
         graft.functions.SortedIntersectionSize(
           org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
           org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
-    Tables.fanout(d).as("x").join(broadcast(d.as("y")),
+    Tables.fanout(d).as("x").join(d.as("y"),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
       .withColumn("inter", interSize(col("x.tset"), col("y.tset")))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),

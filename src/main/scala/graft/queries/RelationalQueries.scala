@@ -59,7 +59,10 @@ object RelationalQueries {
   /** J2+A1: star-schema join rollup (TPC-H Q5 shape). nation/region are
     * broadcast (tiny dims — map-side join, no fact shuffle); the
     * lineitem⋈orders⋈customer spine shuffles on its keys and aggregates
-    * with partial map-side combine. Revenue in exact DECIMAL. */
+    * with partial map-side combine. Revenue summed in exact DECIMAL, then
+    * emitted as BIGINT basis points (×10000 is exact at scale 4) — int64 on
+    * both engines, so the comparison is representation-independent and the
+    * column never needs int128 decimal support downstream. */
   private val j2StarAgg: Q = (s, dir) => {
     val li = t(s, dir, "lineitem")
     val o  = t(s, dir, "orders")
@@ -72,7 +75,7 @@ object RelationalQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4))").as("revenue"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)").as("revenue_bp"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -165,14 +168,17 @@ object RelationalQueries {
 
   /** A1: the hash-aggregate workhorse (TPC-H Q1 shape; the capability the
     * reference's PowerBI rollups consume, SURVEY.md §2.4). Partial+final
-    * `HashAggregateExec` — sums are exact (integral doubles / DECIMAL). */
+    * `HashAggregateExec` — sums are exact (integral doubles / DECIMAL).
+    * The discounted-price sum is emitted as BIGINT basis points: the
+    * internal DECIMAL sum is exact, and ×10000 at scale 4 keeps the
+    * emitted column int64 on both engines (no int128-decimal edge). */
   private val a1HashAgg: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
         expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))").as("sum_base_price"),
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4))").as("sum_disc_price"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT)").as("sum_disc_bp"),
         expr("CAST(AVG(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,6))").as("avg_disc"),
         min("l_quantity").as("min_qty"),
         max("l_quantity").as("max_qty"),
@@ -416,7 +422,7 @@ object RelationalQueries {
         | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
     "q_j2_star_agg" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS revenue_bp,
         | count(*) AS n_items
         | FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
@@ -465,7 +471,7 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         | sum(l_quantity) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS BIGINT) AS sum_disc_bp,
         | CAST(AVG(CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_disc,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         | count(*) AS count_order

@@ -97,10 +97,12 @@ object SimilarityQueries {
 
   /** Embedding-cosine near-dup (the 5th dedup mode): candidate pairs
     * blocked by label (stand-in for an IVF/LSH bucket), verified by exact
-    * cosine ≥ threshold. */
+    * cosine ≥ threshold. The pair join is a shuffle equi-join on the block
+    * key — AQE re-plans it to broadcast at runtime iff the build side
+    * measures small, so there is no O(corpus) broadcast ceiling. */
   private val embeddingCosineDedup: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
-    Tables.fanout(e).as("x").join(broadcast(e.as("y")),
+    Tables.fanout(e).as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))

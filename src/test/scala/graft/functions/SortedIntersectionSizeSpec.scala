@@ -26,6 +26,21 @@ class SortedIntersectionSizeSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("matches size(array_intersect) on random sorted distinct long sets") {
+    val gen = Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).map(_.distinct.sorted)
+    val small = Gen.listOf(Gen.choose(-25L, 25L)).map(_.distinct.sorted)
+    val pairs = Iterator.continually((small.sample, small.sample))
+      .collect { case (Some(a), Some(b)) => (a, b) }.take(60).toSeq ++
+      Iterator.continually((gen.sample, gen.sample))
+        .collect { case (Some(a), Some(b)) => (a, b) }.take(20).toSeq
+    val df = pairs.toDF("a", "b")
+    val mismatches = df.select(
+      interSize($"a", $"b").as("fast"),
+      size(array_intersect($"a", $"b")).as("ref"))
+      .where($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
   test("edge cases: empty, disjoint, identical") {
     val df = Seq(
       (Seq.empty[Int], Seq(1, 2, 3)),

@@ -27,4 +27,13 @@ class ScoreOpsSpec extends SparkSpec {
     assert(out(2L) == "doge-meme-elon")
     assert(out(3L) == "Sujet 7") // unmatched id → default label
   }
+
+  test("withTopicLabel storage-path default is the constant 'Autre' (engine.py:181-183)") {
+    val df = Seq((1L, 0), (3L, 7)).toDF("id", "tid")
+    val out = ScoreOps.withTopicLabel(df, $"tid",
+        ScoreOps.defaultTopicLabels(spark), default = Some(lit("Autre")))
+      .select("id", "sujet").as[(Long, String)].collect().toMap
+    assert(out(1L) == "btc-price-moon") // matched ids unaffected
+    assert(out(3L) == "Autre")
+  }
 }
