@@ -26,22 +26,38 @@ object Bench {
     // window frames, the pair-join kernels) is C2-compiled before the
     // clock starts. Measured times are then steady-state throughput —
     // what a long-lived cluster job sees — not first-run JIT.
-    for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // Not fatal (the timed pass re-reports), but never silent: a query
+        // broken only on first run must not hide behind a clean warm time.
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failure-honest timing: a failed query reports -1 (and its message in
+    // "errors"), never a plausible wall time — a regression must not read
+    // as a fast query.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> Left(String.valueOf(e.getMessage))
+        }
+      }
+    def jstr(s: String): String =
+      "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200) + "\""
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + f"""":$v%.3f"""
+      case (k, Left(_))  => "\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
+    val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.collect { case (_, Right(v)) => v }.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,16 +27,18 @@ case class SortedIntersectionSize(left: Expression, right: Expression)
     case _ => false
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType): Boolean = t match {
-      case ArrayType(IntegerType, _) | ArrayType(LongType, _) => true
-      case _ => false
+  // Element types must match; containsNull may differ (an array literal is
+  // containsNull=false while the same values read from parquet are true —
+  // the merge below never dereferences a null slot either way).
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if lt == rt && (lt == IntegerType || lt == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersection_size expects matching array<int>/array<bigint> inputs, got " +
+          s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
     }
-    if (ok(left.dataType) && left.dataType == right.dataType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersection_size expects matching array<int>/array<bigint> inputs, got " +
-        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
-  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (xa, xb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

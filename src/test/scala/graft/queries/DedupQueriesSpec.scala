@@ -10,21 +10,55 @@ import graft.ops.TokenOps
   * invariants the rewrites rely on.
   */
 class DedupQueriesSpec extends SparkSpec {
-
-  private val sfDir = "/root/testdata/sf0.001"
+  import spark.implicits._
 
   /** q_dedup_ngram_jaccard feature-hashes terms with xxhash64 instead of
     * building a global dictionary. Jaccard over hashed ids equals Jaccard
     * over terms iff the hash is injective on the corpus vocabulary — the
-    * one-aggregation audit a production run schedules alongside the job. */
-  test("xxhash64 is collision-free on the documents vocabulary") {
-    val terms = Tables.t(spark, sfDir, "documents")
-      .select(explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
-    val counts = terms.agg(
-      countDistinct(col("term")).as("n_terms"),
-      countDistinct(xxhash64(col("term"))).as("n_ids")).head()
-    assert(counts.getLong(0) > 0)
-    assert(counts.getLong(0) == counts.getLong(1),
-      "xxhash64 term-id collision: Jaccard over hashed ids would drift")
+    * one-aggregation audit a production run schedules alongside the job.
+    * Audited at BOTH sf0.001 and sf0.01 — the latter is the corpus the
+    * driver's DuckDB oracle comparison actually runs on. */
+  test("xxhash64 is collision-free on the documents vocabulary (sf0.001 + sf0.01)") {
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val terms = Tables.t(spark, sfDir, "documents")
+        .select(explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
+      val counts = terms.agg(
+        countDistinct(col("term")).as("n_terms"),
+        countDistinct(xxhash64(col("term"))).as("n_ids")).head()
+      assert(counts.getLong(0) > 0)
+      assert(counts.getLong(0) == counts.getLong(1),
+        s"xxhash64 term-id collision at $sfDir: Jaccard over hashed ids would drift")
+    }
+  }
+
+  /** The components fixpoint drops shuffle partitions for the loop; the
+    * override must be restored even when the loop body throws, because
+    * Bench/Verify swallow per-query Throwables and keep the session —
+    * a leak would silently cut every later query's parallelism. */
+  test("connectedComponents restores spark.sql.shuffle.partitions on failure") {
+    val boom = udf((i: Long) => {
+      if (i >= 0) throw new RuntimeException("boom"); i
+    })
+    val pairs = spark.range(8)
+      .select(boom(col("id")).as("doc1"), (col("id") + 1).as("doc2"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    intercept[Exception] {
+      DedupQueries.connectedComponents(spark, pairs).collect()
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev,
+      "shuffle-partition override leaked out of the components loop")
+  }
+
+  /** Same fixpoint, happy path, on a hand-built graph: two chains and an
+    * isolated edge must collapse to their min ids. */
+  test("connectedComponents labels chains by their min node") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y"), ("c", "d"))
+      .toDF("doc1", "doc2")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val out = DedupQueries.connectedComponents(spark, pairs)
+      .as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "x" -> "x", "y" -> "x"))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
   }
 }
