@@ -79,11 +79,14 @@ object StreamEngine {
       .load()
 
   /** P1/P2 on the streaming envelope: bytes → string → from_json(schema)
-    * → flattened columns (reference `spark/engine.py:245-247`). */
+    * → flattened columns (reference `spark/engine.py:245-247`). The
+    * leading select prunes the Kafka metadata columns (key/topic/offset/
+    * timestamp/…) BEFORE the flatten — dropping them afterwards would
+    * clobber any payload field sharing a metadata name (the corpus's own
+    * `timestamp`, reference `spark/model_training.py:26`). */
   def decodeEnvelope(raw: DataFrame, schema: StructType): DataFrame =
     JsonEnvelope.flatten(
       raw.selectExpr("CAST(value AS STRING) AS value"), "value", schema)
-      .drop("key", "topic", "partition", "offset", "timestamp", "timestampType")
 
   /** T5 upgrade path (absent in the reference, SURVEY.md §2.13): event-time
     * tumbling-window rollup with a watermark, the idiomatic form of the
