@@ -225,35 +225,38 @@ object DedupQueries {
     * equi-join on the block key — AQE turns it into a broadcast join at
     * runtime iff the build side measures small, so there is no O(corpus)
     * broadcast ceiling at scale. */
-  private val ngramJaccard: Q = (s, dir) => {
-    // Feature-hash terms to long ids (xxhash64) before the pair join: the
-    // per-pair intersect then runs on primitive long arrays (two-pointer
-    // merge, no per-element string hashing), and no dictionary structure
-    // is ever built — fully map-side, no global ordering, no driver state.
-    // Term→id must stay injective on the corpus vocabulary for Jaccard to
-    // be exact; a 64-bit hash collides with probability ~V²/2⁶⁵ (≈5e-5 at
-    // a billion-term vocabulary). The production audit is one aggregation
-    // — count(DISTINCT term) = count(DISTINCT xxhash64(term)) — asserted
-    // over this corpus in DedupQueriesSpec.
-    val toks = t(s, dir, "documents")
+  /** Per-doc hashed term sets for Jaccard verification: distinct terms,
+    * capped at the MaxTermsPerDoc lexicographically-smallest BEFORE hashing
+    * (both engines apply the same rule, so the oracle stays exact), then
+    * feature-hashed to sorted long ids (xxhash64). The per-pair intersect
+    * runs on primitive long arrays (two-pointer merge, no per-element
+    * string hashing) and no dictionary structure is ever built — fully
+    * map-side, no global ordering, no driver state. Term→id must stay
+    * injective on the corpus vocabulary for Jaccard to be exact; a 64-bit
+    * hash collides with probability ~V²/2⁶⁵ (≈5e-5 at a billion-term
+    * vocabulary). The production audit is one aggregation —
+    * count(DISTINCT term) = count(DISTINCT xxhash64(term)) — asserted over
+    * this corpus in DedupQueriesSpec. Terms are cleaned ASCII, so Spark's
+    * binary-UTF8 sort and DuckDB's varchar sort agree. */
+  private def termSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
-    // Cap each doc at the MaxTermsPerDoc lexicographically-smallest terms
-    // BEFORE hashing (both engines apply the same rule, so Jaccard stays
-    // engine-exact); the hash-to-long then happens on the bounded array —
-    // still map-side, still no dictionary. Terms are cleaned ASCII, so
-    // Spark's binary-UTF8 sort and DuckDB's varchar sort agree.
-    val d = toks
       .groupBy("doc_id", "lang")
       .agg(slice(array_sort(collect_set(col("term"))), 1, MaxTermsPerDoc).as("terms"))
       .select(col("doc_id"), col("lang"),
         array_sort(transform(col("terms"), tm => xxhash64(tm))).as("tset"))
       .withColumn("n", size(col("tset")))
-    def interSize(a: Column, b: Column): Column =
-      org.apache.spark.sql.graftshim.ColumnShim.toColumn(
-        graft.functions.SortedIntersectionSize(
-          org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
-          org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
+
+  /** Fused two-pointer sorted-intersection codegen expression. */
+  private def interSize(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnShim.toColumn(
+      graft.functions.SortedIntersectionSize(
+        org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
+        org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
+
+  private val ngramJaccard: Q = (s, dir) => {
+    val d = termSets(s, dir)
     Tables.fanout(d).as("x").join(d.as("y"),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
       .withColumn("inter", interSize(col("x.tset"), col("y.tset")))
@@ -263,6 +266,42 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** LSH-candidates → exact-Jaccard verification — the 100 TB chain the
+    * lang-blocked [[ngramJaccard]] documents: candidate pairs come from
+    * MinHash-LSH banding (shuffle ∝ bucket sizes, never O(n²)), then each
+    * candidate pays one sorted-merge intersect. Two shuffle equi-joins on
+    * doc id attach the per-doc term sets; the candidate side is orders of
+    * magnitude smaller than the corpus, so AQE broadcast-promotes it when
+    * it measures small. Emits the verified similarity (no threshold) —
+    * the downstream filter is policy, the verify kernel is the operator. */
+  private val lshJaccard: Q = (s, dir) => {
+    val d = termSets(s, dir)
+    minhashCandidates(s, dir)
+      .join(d.select(col("doc_id").as("doc1"), col("tset").as("t1"),
+        col("n").as("n1")), Seq("doc1"))
+      .join(d.select(col("doc_id").as("doc2"), col("tset").as("t2"),
+        col("n").as("n2")), Seq("doc2"))
+      .withColumn("inter", interSize(col("t1"), col("t2")))
+      .select(col("doc1"), col("doc2"),
+        expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)").as("jac_bp"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** Deduplicated-corpus materialization — the step every training
+    * pipeline actually ships: form duplicate clusters (LSH pairs →
+    * connected components), keep each cluster's min-doc_id representative
+    * (the component label IS that min), drop the rest via a left-anti
+    * join. Docs outside any cluster pass through untouched. The anti-join
+    * probe side is O(duplicates), not O(corpus). */
+  private val dedupApply: Q = (s, dir) => {
+    val comp = connectedComponents(s, minhashCandidates(s, dir))
+    val dupes = comp.where(col("doc_id") =!= col("component")).select("doc_id")
+    t(s, dir, "documents")
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_dedup_exact"       -> exactDedup,
     "q_dedup_minhash_sig" -> minhashSignatures,
@@ -270,7 +309,9 @@ object DedupQueries {
     "q_dedup_components"  -> dedupComponents,
     "q_dedup_simhash_sig" -> simhashFingerprints,
     "q_dedup_simhash_pairs" -> simhashPairs,
-    "q_dedup_ngram_jaccard" -> ngramJaccard
+    "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_lsh_jaccard" -> lshJaccard,
+    "q_dedup_apply"       -> dedupApply
   )
 
   // ---- DuckDB oracles (generated from the same constants) ----------------
@@ -360,6 +401,33 @@ object DedupQueries {
          |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) AS BIGINT) AS jac_bp
          | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
          | WHERE 10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) >= $JaccardBpThreshold
-         | ORDER BY doc1, doc2""".stripMargin
+         | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_lsh_jaccard" ->
+      s"""WITH bands AS ($duckBands),
+         | pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         | d AS (SELECT doc_id, list_slice(list_sort(list_distinct(${duckTerms("text")})), 1, $MaxTermsPerDoc) AS tset FROM documents)
+         | SELECT p.doc1, p.doc2,
+         |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset))) AS BIGINT) AS jac_bp
+         | FROM pairs p JOIN d x ON p.doc1 = x.doc_id JOIN d y ON p.doc2 = y.doc_id
+         | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_apply" ->
+      s"""WITH RECURSIVE bands AS ($duckBands),
+         | pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+         |            UNION ALL SELECT doc2, doc1 FROM pairs),
+         | reach(n, m) AS (
+         |  SELECT s, s FROM edges2
+         |  UNION
+         |  SELECT r.n, e.d FROM reach r JOIN edges2 e ON r.m = e.s),
+         | comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+         | SELECT doc_id, lang, source, n_chars FROM documents
+         | WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+         | ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.{t, Q}
+
+/** Deterministic sampling / split operators for a training-data pipeline
+  * (builder brief: the operations a large-scale corpus pipeline needs
+  * beyond the reference's own surface).
+  *
+  * Everything is keyed on `md5(doc_id)` — a pure map-side expression, so
+  * a split is reproducible across engines, runs, clusters, and corpus
+  * repartitions (unlike `rand(seed)`, whose draw order depends on
+  * partitioning, or `TABLESAMPLE`, which is engine-specific). Buckets come
+  * from the last two hex digits (256 buckets); the same expression text is
+  * generated for the DuckDB oracle, so the two sides cannot drift.
+  *
+  * At 100 TB: no shuffle, no state, no coordination — the split predicate
+  * rides the parquet scan and prunes before anything downstream.
+  */
+object SamplingQueries {
+
+  /** train gets buckets [0, 205) ≈ 80%, val [205, 230) ≈ 10%, test the
+    * rest — the conventional 80/10/10. */
+  private val TrainUpper = 205
+  private val ValUpper   = 230
+  /** ~10% sample: buckets [0, 26) of 256. */
+  private val SampleUpper = 26
+
+  private val Hex = "0123456789abcdef"
+
+  /** 0..255 from the last two md5 hex digits of the row key — `instr` into
+    * the hex alphabet is the hex-digit parse both engines share (neither
+    * Spark's `conv` nor DuckDB's `unhex` exists on the other side). */
+  private def bucketSql(key: String): String = {
+    val h = s"md5(CAST($key AS STRING))"
+    s"16 * (instr('$Hex', substring($h, 31, 1)) - 1) + instr('$Hex', substring($h, 32, 1)) - 1"
+  }
+
+  /** Deterministic 80/10/10 train/val/test assignment (the split a
+    * fine-tuning pipeline ships with the corpus — stable under
+    * re-ingestion, so no example ever migrates between splits). */
+  private val sampleSplit: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("bucket", expr(s"CAST(${bucketSql("doc_id")} AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < TrainUpper, "train")
+          .when(col("bucket") < ValUpper, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  /** Deterministic ~10% sample with per-stratum counts: the hash predicate
+    * samples uniformly WITHIN every lang stratum (md5 is independent of
+    * lang), so strata keep their corpus proportions without any per-group
+    * state — the scale-safe form of `sampleBy`. */
+  private val sampleStratified: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .where(expr(s"${bucketSql("doc_id")} < $SampleUpper"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+      .orderBy("lang")
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q_sample_split" -> sampleSplit,
+    "q_sample_strat" -> sampleStratified
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_sample_split" ->
+      s"""SELECT doc_id,
+         | CAST(${bucketSql("doc_id")} AS INTEGER) AS bucket,
+         | CASE WHEN ${bucketSql("doc_id")} < $TrainUpper THEN 'train'
+         |      WHEN ${bucketSql("doc_id")} < $ValUpper THEN 'val'
+         |      ELSE 'test' END AS split
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_strat" ->
+      s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+         | FROM documents WHERE ${bucketSql("doc_id")} < $SampleUpper
+         | GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -203,6 +203,31 @@ object TextQueries {
         md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp_content"))
       .orderBy("doc_id")
 
+  /** Repetition-ratio quality signal (the within-document counterpart of
+    * cross-document dedup; Gopher-style "repetitious text" filter, Rae et
+    * al. 2021 §A1.1): the fraction of word tokens and of word 2-grams that
+    * are repeats of an earlier occurrence, as exact integer basis points.
+    * A spammy "buy now buy now buy now" page scores ~1, clean prose ~0.
+    * Pure map-side expressions — one codegen pass at any scale. */
+  private val repetition: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks_all",
+        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+      // Guard the 0/1-token case explicitly: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0] (default step -1), not an empty list.
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(toks_all) >= 2
+          | THEN transform(sequence(1, size(toks_all) - 1), i -> concat_ws(' ', element_at(toks_all, i), element_at(toks_all, i+1)))
+          | ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("toks_all")).as("n_tokens"),
+        expr("CASE WHEN size(toks_all) > 0 THEN CAST(10000 * (size(toks_all) - size(array_distinct(toks_all))) DIV size(toks_all) AS BIGINT) ELSE 0 END")
+          .as("dup_token_bp"),
+        expr("CASE WHEN size(bigrams) > 0 THEN CAST(10000 * (size(bigrams) - size(array_distinct(bigrams))) DIV size(bigrams) AS BIGINT) ELSE 0 END")
+          .as("dup_bigram_bp"))
+      .orderBy("doc_id")
+
   /** Levenshtein edit distance (fuzzy-match building block): how far the
     * raw text head drifts from its cleaned form — bounded operands (the
     * DP is O(len²); at scale always cap the compared prefix). */
@@ -228,7 +253,8 @@ object TextQueries {
     "q_text_langid"      -> langId,
     "q_text_quality"     -> quality,
     "q_text_tokencount"  -> tokenCount,
-    "q_text_fingerprint" -> fingerprint
+    "q_text_fingerprint" -> fingerprint,
+    "q_text_repetition"  -> repetition
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -330,6 +356,16 @@ object TextQueries {
     "q_text_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_raw,
          | md5(array_to_string(list_sort(list_distinct(${duckTerms("text")})), ' ')) AS fp_content
-         | FROM documents ORDER BY doc_id""".stripMargin
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      s"""SELECT doc_id,
+         | CAST(len(toks_all) AS INTEGER) AS n_tokens,
+         | CASE WHEN len(toks_all) > 0 THEN CAST(10000 * (len(toks_all) - len(list_distinct(toks_all))) // len(toks_all) AS BIGINT) ELSE 0 END AS dup_token_bp,
+         | CASE WHEN len(bigrams) > 0 THEN CAST(10000 * (len(bigrams) - len(list_distinct(bigrams))) // len(bigrams) AS BIGINT) ELSE 0 END AS dup_bigram_bp
+         | FROM (SELECT doc_id, toks_all,
+         |   list_transform(generate_series(1, len(toks_all) - 1), i -> toks_all[i] || ' ' || toks_all[i+1]) AS bigrams
+         |  FROM (SELECT doc_id,
+         |    list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all
+         |   FROM documents)) ORDER BY doc_id""".stripMargin
   )
 }

@@ -61,4 +61,29 @@ class DedupQueriesSpec extends SparkSpec {
       "x" -> "x", "y" -> "x"))
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
   }
+
+  /** q_dedup_apply must keep exactly one representative per duplicate
+    * cluster and every unclustered doc: kept = corpus − (cluster members
+    * that are not their cluster's min). */
+  test("dedupApply keeps one representative per cluster plus all singletons") {
+    val dir = "/root/testdata/sf0.001"
+    val total = Tables.t(spark, dir, "documents").count()
+    val kept = SamplingSpecHelper.q(spark, "q_dedup_apply", dir)
+    val comp = SamplingSpecHelper.q(spark, "q_dedup_components", dir)
+    val clusters = comp.select("component").distinct().count()
+    val members = comp.count()
+    assert(kept.count() == total - (members - clusters))
+    // Every component label survives (it IS the kept representative)...
+    assert(comp.select(col("component").as("doc_id")).distinct()
+      .join(kept, "doc_id", "left_anti").count() == 0)
+    // ...and no non-representative member does.
+    assert(comp.where(col("doc_id") =!= col("component"))
+      .select("doc_id").join(kept, "doc_id").count() == 0)
+  }
+}
+
+/** Indirection so specs exercise exactly the declared query fns. */
+private[queries] object SamplingSpecHelper {
+  def q(s: org.apache.spark.sql.SparkSession, name: String, dir: String) =
+    graft.SparkEntry.queries(name)(s, dir)
 }

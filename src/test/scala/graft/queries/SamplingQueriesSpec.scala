@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Invariants of the deterministic hash-split family (values themselves
+  * are oracle-verified by the driver). */
+class SamplingQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private def split() = graft.SparkEntry.queries("q_sample_split")(spark, dir)
+
+  test("hash split is deterministic, total, and disjoint") {
+    val a = split().collect()
+    val b = split().collect()
+    assert(a.sameElements(b)) // same bytes, run to run
+    val total = Tables.t(spark, dir, "documents").count()
+    assert(a.length == total)            // every doc assigned
+    assert(a.map(_.getLong(0)).distinct.length == a.length) // exactly once
+  }
+
+  test("split proportions land near 80/10/10 and buckets stay in range") {
+    val byS = split().groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byS.values.sum.toDouble
+    assert(math.abs(byS("train") / n - 205.0 / 256) < 0.05)
+    assert(math.abs(byS("val") / n - 25.0 / 256) < 0.05)
+    assert(math.abs(byS("test") / n - 26.0 / 256) < 0.05)
+    val range = split().agg(min("bucket"), max("bucket")).head()
+    assert(range.getInt(0) >= 0 && range.getInt(1) <= 255)
+  }
+
+  test("stratified sample keeps every stratum at roughly the corpus share") {
+    val sampled = graft.SparkEntry.queries("q_sample_strat")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = Tables.t(spark, dir, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled.keySet == corpus.keySet) // no stratum vanishes
+    for ((lang, total) <- corpus) {
+      val rate = sampled(lang).toDouble / total
+      assert(rate > 0.03 && rate < 0.20, // ~10% target, small-stratum noise
+        s"stratum $lang sampled at $rate")
+    }
+  }
+}
