@@ -54,4 +54,25 @@ object TextOps {
 
   /** F5: join words with a separator (reference `spark/engine.py:64`). */
   def joinWords(c: Column, sep: String = "-"): Column = array_join(c, sep)
+
+  // ---- PII scrubbing (training-data extension; RE2-safe ASCII classes) --
+
+  /** Email address (the conventional ASCII form). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IP literal. */
+  val IpPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** 9+-digit runs (phone / account / SSN-ish identifiers). */
+  val LongNumPattern = "[0-9]{9,}"
+
+  /** PII redaction for corpus publication: emails → `<EMAIL>`, IPs →
+    * `<IP>`, long digit runs → `<NUM>`, in that order (emails contain
+    * digit runs; IP quads must be consumed before the bare-digit rule).
+    * Three chained `regexp_replace` — one codegen'd map-side pass, no
+    * UDF, and the identical patterns evaluate in DuckDB's RE2. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        IpPattern, "<IP>"),
+      LongNumPattern, "<NUM>")
 }

@@ -31,6 +31,13 @@ object TextQueries {
   private def duckTerms(c: String): String =
     s"list_filter(string_split(${duckClean(c)}, ' '), w -> w <> '' AND w NOT IN ($stopListSql))"
 
+  /** Filter-decision thresholds (C4/Gopher-style gate, shared with the
+    * generated oracle so the two sides cannot drift). */
+  private val FilterMinTokens     = 10
+  private val FilterMinAlphaBp    = 5000
+  private val FilterMaxDupBigramBp = 2000
+  private val FilterMinStopwordBp = 100
+
   // ---- queries -----------------------------------------------------------
 
   /** F1–F4 + F8: the reference's full cleaning chain, inference order
@@ -228,6 +235,44 @@ object TextQueries {
           .as("dup_bigram_bp"))
       .orderBy("doc_id")
 
+  /** PII scrubbing for corpus publication: redact emails / IP literals /
+    * long digit runs, plus per-doc match counts for the redaction audit a
+    * release pipeline logs. Chained regexp_replace — map-side, no UDF. */
+  private val piiScrub: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextOps.scrubPii(col("text")).as("scrubbed"),
+      size(regexp_extract_all(col("text"), lit(TextOps.EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(TextOps.IpPattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(TextOps.LongNumPattern), lit(0))).as("n_longnums"))
+      .orderBy("doc_id")
+
+  /** C4/Gopher-style keep/drop decision: the composed quality gate a
+    * curation pipeline applies before dedup — minimum length, alphabetic
+    * ratio, repetition, stop-word presence — emitting the FIRST failing
+    * rule as the verdict (so drop reasons are auditable). All integer
+    * basis points; the CASE short-circuits in both engines, so the ratio
+    * divisions only run once the length guard has passed. */
+  private val filterDecision: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("toks_all",
+        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(toks_all) >= 2
+          | THEN transform(sequence(1, size(toks_all) - 1), i -> concat_ws(' ', element_at(toks_all, i), element_at(toks_all, i+1)))
+          | ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .select(
+        col("doc_id"),
+        size(col("toks_all")).as("n_tokens"),
+        expr(
+          s"""CASE WHEN size(toks_all) < $FilterMinTokens THEN 'too_short'
+             | WHEN 10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text) < $FilterMinAlphaBp THEN 'low_alpha'
+             | WHEN 10000 * (size(bigrams) - size(array_distinct(bigrams))) DIV size(bigrams) > $FilterMaxDupBigramBp THEN 'repetitive'
+             | WHEN 10000 * (size(toks_all) - size(toks)) DIV size(toks_all) < $FilterMinStopwordBp THEN 'low_stopword'
+             | ELSE 'keep' END""".stripMargin).as("verdict"))
+      .orderBy("doc_id")
+
   /** Levenshtein edit distance (fuzzy-match building block): how far the
     * raw text head drifts from its cleaned form — bounded operands (the
     * DP is O(len²); at scale always cap the compared prefix). */
@@ -254,7 +299,9 @@ object TextQueries {
     "q_text_quality"     -> quality,
     "q_text_tokencount"  -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
-    "q_text_repetition"  -> repetition
+    "q_text_repetition"  -> repetition,
+    "q_text_pii"         -> piiScrub,
+    "q_text_filter"      -> filterDecision
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -365,6 +412,30 @@ object TextQueries {
          | FROM (SELECT doc_id, toks_all,
          |   list_transform(generate_series(1, len(toks_all) - 1), i -> toks_all[i] || ' ' || toks_all[i+1]) AS bigrams
          |  FROM (SELECT doc_id,
+         |    list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all
+         |   FROM documents)) ORDER BY doc_id""".stripMargin,
+    "q_text_pii" ->
+      s"""SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+         |   '${TextOps.IpPattern}', '<IP>', 'g'),
+         |   '${TextOps.LongNumPattern}', '<NUM>', 'g') AS scrubbed,
+         | CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS INTEGER) AS n_emails,
+         | CAST(len(regexp_extract_all(text, '${TextOps.IpPattern}')) AS INTEGER) AS n_ips,
+         | CAST(len(regexp_extract_all(text, '${TextOps.LongNumPattern}')) AS INTEGER) AS n_longnums
+         | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_filter" ->
+      s"""SELECT doc_id,
+         | CAST(len(toks_all) AS INTEGER) AS n_tokens,
+         | CASE WHEN len(toks_all) < $FilterMinTokens THEN 'too_short'
+         |  WHEN 10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) < $FilterMinAlphaBp THEN 'low_alpha'
+         |  WHEN 10000 * (len(bigrams) - len(list_distinct(bigrams))) // len(bigrams) > $FilterMaxDupBigramBp THEN 'repetitive'
+         |  WHEN 10000 * (len(toks_all) - len(toks)) // len(toks_all) < $FilterMinStopwordBp THEN 'low_stopword'
+         |  ELSE 'keep' END AS verdict
+         | FROM (SELECT doc_id, text, toks_all,
+         |   list_filter(toks_all, w -> w NOT IN ($stopListSql)) AS toks,
+         |   list_transform(generate_series(1, len(toks_all) - 1), i -> toks_all[i] || ' ' || toks_all[i+1]) AS bigrams
+         |  FROM (SELECT doc_id, text,
          |    list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all
          |   FROM documents)) ORDER BY doc_id""".stripMargin
   )

@@ -49,4 +49,20 @@ class TextOpsSpec extends SparkSpec {
       .select(TextOps.stripUnprintable($"t")).as[String].head()
     assert(out == "abc d") // tab (Cc) + zero-width space (Cf) stripped, space kept
   }
+
+  test("scrubPii redacts emails, IPs, and long digit runs in order") {
+    val cases = Seq(
+      "mail me at jane.doe+x@corp.example.com now"
+        -> "mail me at <EMAIL> now",
+      "server 192.168.100.1 port 8080"            // IP quad eaten whole,
+        -> "server <IP> port 8080",               // short digit run kept
+      "call 0123456789 or acct 98765432101112"
+        -> "call <NUM> or acct <NUM>",
+      "a@b.io vs 10.0.0.1 vs 123456789"
+        -> "<EMAIL> vs <IP> vs <NUM>",
+      "nothing sensitive here 12345" -> "nothing sensitive here 12345")
+    val out = cases.map(_._1).toDF("t")
+      .select(TextOps.scrubPii($"t")).as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
 }
