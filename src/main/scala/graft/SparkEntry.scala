@@ -42,12 +42,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
-      MultimodalQueries.queries ++ SamplingQueries.queries).toMap
+      MultimodalQueries.queries ++ SamplingQueries.queries ++
+      CurationQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     (RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MultimodalQueries.oracles ++ SamplingQueries.oracles).toMap
+      MultimodalQueries.oracles ++ SamplingQueries.oracles ++
+      CurationQueries.oracles).toMap
 }

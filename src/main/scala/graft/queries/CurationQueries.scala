@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables.{t, Q}
+
+/** The end-to-end corpus-curation pipeline as ONE declarative plan —
+  * the composition a training-data team actually ships (builder brief):
+  *
+  *   quality filter (C4/Gopher gate, first-failing-rule verdicts)
+  *   → near-dup removal among survivors (MinHash-LSH candidates →
+  *     connected components → keep each cluster's min-id representative)
+  *   → deterministic 80/10/10 split assignment (md5-bucketed)
+  *
+  * Every stage is the already-oracle-verified operator; this query checks
+  * the COMPOSITION end to end against a single DuckDB statement (filter
+  * CTE + recursive-CTE components + hash split).
+  *
+  * Scale shape: the filter is map-side and prunes before any dedup work;
+  * candidate pairs are LSH-blocked and then semi-joined to survivors (the
+  * pair graph only shrinks); the components fixpoint runs on the
+  * edges-sized graph; the split is a pure map-side expression on the
+  * output. No stage materializes to the driver.
+  */
+object CurationQueries {
+
+  private val curate: Q = (s, dir) => {
+    // Materialize the verdicts ONCE, BEFORE the keep-filter. Two reasons,
+    // both measured at sf0.1: (1) filter pushdown would substitute the
+    // whole verdict CASE into a single Filter condition, duplicating the
+    // bigram/token subtrees that the project structure shares (CASE
+    // branches re-derive the token array per element → O(tokens²) regex
+    // work per row: 65 s vs 2 s); (2) every later reference — both
+    // semi-join sides, the union's two pair scans, the final anti-join —
+    // would re-run the gate. The checkpointed frame is (doc_id, verdict)
+    // only, and the components loop below plans against a leaf.
+    val kept = TextQueries.filterVerdicts(s, dir)
+      .select("doc_id", "verdict").localCheckpoint(true)
+      .where(col("verdict") === "keep").select("doc_id")
+    // Restrict the LSH candidate graph to filter survivors BEFORE cluster
+    // formation — dropped docs must not bridge two clusters together.
+    val pairs = DedupQueries.minhashCandidates(s, dir)
+      .join(kept.withColumnRenamed("doc_id", "doc1"), Seq("doc1"), "left_semi")
+      .join(kept.withColumnRenamed("doc_id", "doc2"), Seq("doc2"), "left_semi")
+      .select("doc1", "doc2")
+    val comp = DedupQueries.connectedComponents(s, pairs)
+    val dupes = comp.where(col("doc_id") =!= col("component")).select("doc_id")
+    kept.join(dupes, Seq("doc_id"), "left_anti")
+      .withColumn("bucket",
+        expr(s"CAST(${SamplingQueries.bucketSql("doc_id")} AS INT)"))
+      .withColumn("split",
+        when(col("bucket") < SamplingQueries.TrainUpper, "train")
+          .when(col("bucket") < SamplingQueries.ValUpper, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q_pipeline_curate" -> curate
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_pipeline_curate" ->
+      s"""WITH RECURSIVE verdicts AS (${TextQueries.duckFilterVerdicts}),
+         | kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
+         | bands AS (${DedupQueries.duckBands}),
+         | pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id IN (SELECT doc_id FROM kept)
+         |    AND y.doc_id IN (SELECT doc_id FROM kept)),
+         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+         |            UNION ALL SELECT doc2, doc1 FROM pairs),
+         | reach(n, m) AS (
+         |  SELECT s, s FROM edges2
+         |  UNION
+         |  SELECT r.n, e.d FROM reach r JOIN edges2 e ON r.m = e.s),
+         | comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+         | SELECT doc_id,
+         |  CASE WHEN ${SamplingQueries.bucketSql("doc_id")} < ${SamplingQueries.TrainUpper} THEN 'train'
+         |       WHEN ${SamplingQueries.bucketSql("doc_id")} < ${SamplingQueries.ValUpper} THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM kept
+         | WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+         | ORDER BY doc_id""".stripMargin
+  )
+}

@@ -96,7 +96,7 @@ object DedupQueries {
     minhashSigs(s, dir).orderBy("doc_id")
 
   /** MinHash-LSH candidate pairs (doc1 < doc2), unordered. */
-  private def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(s, dir)
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
@@ -139,6 +139,7 @@ object DedupQueries {
       // billion-edge graph across a 4000-core cluster (500 partitions).
       val loopParts = math.max(1, s.sparkContext.defaultParallelism / 8)
       s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      val t0 = System.nanoTime()
       edges = pairs
         .union(pairs.select(col("doc2"), col("doc1")))
         .toDF("src", "dst").repartition(loopParts).persist()
@@ -150,7 +151,9 @@ object DedupQueries {
         .distinct().withColumn("label", col("doc_id")).localCheckpoint(true)
       var changed = 1L
       var iter = 0
+      System.err.println(f"[cc] edges+labels init: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       while (changed > 0 && iter < 25) {
+        val ti = System.nanoTime()
         // Propagate: label(x) := min(label(x), min over neighbors' labels).
         val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy("src").agg(min("label").as("nbr_label"))
@@ -169,6 +172,7 @@ object DedupQueries {
           .where(col("new_label") =!= col("label")).count()
         labels = next
         iter += 1
+        System.err.println(f"[cc] iter $iter: changed=$changed ${(System.nanoTime() - ti) / 1e9}%.2f s")
       }
       labels.select(col("doc_id"), col("label").as("component"))
         .orderBy("doc_id")
@@ -335,7 +339,7 @@ object DedupQueries {
   private val duckBandCase = Bands.zipWithIndex.map { case ((h1, h2), i) =>
     s"WHEN ${i + 1} THEN sig$h1 || sig$h2"
   }.mkString(" ")
-  private val duckBands =
+  private[queries] val duckBands =
     s"""SELECT doc_id, b, CASE b $duckBandCase END AS bkey
        | FROM ($duckSigs) CROSS JOIN (SELECT unnest([${Bands.indices.map(_ + 1).mkString(", ")}]) AS b)""".stripMargin
 

@@ -22,8 +22,8 @@ object SamplingQueries {
 
   /** train gets buckets [0, 205) ≈ 80%, val [205, 230) ≈ 10%, test the
     * rest — the conventional 80/10/10. */
-  private val TrainUpper = 205
-  private val ValUpper   = 230
+  private[queries] val TrainUpper = 205
+  private[queries] val ValUpper   = 230
   /** ~10% sample: buckets [0, 26) of 256. */
   private val SampleUpper = 26
 
@@ -32,7 +32,7 @@ object SamplingQueries {
   /** 0..255 from the last two md5 hex digits of the row key — `instr` into
     * the hex alphabet is the hex-digit parse both engines share (neither
     * Spark's `conv` nor DuckDB's `unhex` exists on the other side). */
-  private def bucketSql(key: String): String = {
+  private[queries] def bucketSql(key: String): String = {
     val h = s"md5(CAST($key AS STRING))"
     s"16 * (instr('$Hex', substring($h, 31, 1)) - 1) + instr('$Hex', substring($h, 32, 1)) - 1"
   }

@@ -38,6 +38,23 @@ object TextQueries {
   private val FilterMaxDupBigramBp = 2000
   private val FilterMinStopwordBp = 100
 
+  /** DuckDB mirror of [[filterVerdicts]] (doc_id, n_tokens, verdict) —
+    * shared with the curation-pipeline oracle. */
+  private[queries] val duckFilterVerdicts: String =
+    s"""SELECT doc_id,
+       | CAST(len(toks_all) AS INTEGER) AS n_tokens,
+       | CASE WHEN len(toks_all) < $FilterMinTokens THEN 'too_short'
+       |  WHEN 10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) < $FilterMinAlphaBp THEN 'low_alpha'
+       |  WHEN 10000 * (len(bigrams) - len(list_distinct(bigrams))) // len(bigrams) > $FilterMaxDupBigramBp THEN 'repetitive'
+       |  WHEN 10000 * (len(toks_all) - len(toks)) // len(toks_all) < $FilterMinStopwordBp THEN 'low_stopword'
+       |  ELSE 'keep' END AS verdict
+       | FROM (SELECT doc_id, text, toks_all,
+       |   list_filter(toks_all, w -> w NOT IN ($stopListSql)) AS toks,
+       |   list_transform(generate_series(1, len(toks_all) - 1), i -> toks_all[i] || ' ' || toks_all[i+1]) AS bigrams
+       |  FROM (SELECT doc_id, text,
+       |    list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all
+       |   FROM documents))""".stripMargin
+
   // ---- queries -----------------------------------------------------------
 
   /** F1–F4 + F8: the reference's full cleaning chain, inference order
@@ -253,7 +270,8 @@ object TextQueries {
     * rule as the verdict (so drop reasons are auditable). All integer
     * basis points; the CASE short-circuits in both engines, so the ratio
     * divisions only run once the length guard has passed. */
-  private val filterDecision: Q = (s, dir) =>
+  private[queries] def filterVerdicts(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): org.apache.spark.sql.DataFrame =
     t(s, dir, "documents")
       .withColumn("toks_all",
         filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
@@ -271,7 +289,9 @@ object TextQueries {
              | WHEN 10000 * (size(bigrams) - size(array_distinct(bigrams))) DIV size(bigrams) > $FilterMaxDupBigramBp THEN 'repetitive'
              | WHEN 10000 * (size(toks_all) - size(toks)) DIV size(toks_all) < $FilterMinStopwordBp THEN 'low_stopword'
              | ELSE 'keep' END""".stripMargin).as("verdict"))
-      .orderBy("doc_id")
+
+  private val filterDecision: Q = (s, dir) =>
+    filterVerdicts(s, dir).orderBy("doc_id")
 
   /** Levenshtein edit distance (fuzzy-match building block): how far the
     * raw text head drifts from its cleaned form — bounded operands (the
@@ -425,18 +445,6 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '${TextOps.LongNumPattern}')) AS INTEGER) AS n_longnums
          | FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_filter" ->
-      s"""SELECT doc_id,
-         | CAST(len(toks_all) AS INTEGER) AS n_tokens,
-         | CASE WHEN len(toks_all) < $FilterMinTokens THEN 'too_short'
-         |  WHEN 10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) < $FilterMinAlphaBp THEN 'low_alpha'
-         |  WHEN 10000 * (len(bigrams) - len(list_distinct(bigrams))) // len(bigrams) > $FilterMaxDupBigramBp THEN 'repetitive'
-         |  WHEN 10000 * (len(toks_all) - len(toks)) // len(toks_all) < $FilterMinStopwordBp THEN 'low_stopword'
-         |  ELSE 'keep' END AS verdict
-         | FROM (SELECT doc_id, text, toks_all,
-         |   list_filter(toks_all, w -> w NOT IN ($stopListSql)) AS toks,
-         |   list_transform(generate_series(1, len(toks_all) - 1), i -> toks_all[i] || ' ' || toks_all[i+1]) AS bigrams
-         |  FROM (SELECT doc_id, text,
-         |    list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all
-         |   FROM documents)) ORDER BY doc_id""".stripMargin
+      s"$duckFilterVerdicts ORDER BY doc_id"
   )
 }
