@@ -1,0 +1,147 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Per-key top-K as a first-class operator — the whole-operator extension
+  * path (custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`, SURVEY.md
+  * §7.1 preference (c)).
+  *
+  * The composable form (`rank() OVER (PARTITION BY k ORDER BY v) <= K`,
+  * declared as `q_w2_analytics`) plans as Exchange → **full Sort of every
+  * partition** → WindowExec: at 100 TB the sort dominates — O(n log n)
+  * comparisons and a spill-prone buffered partition per key. Top-K needs
+  * none of that: a bounded heap per key is O(n log K) with K·keys rows of
+  * state.
+  *
+  * Physical shape (mirrors partial/final aggregation):
+  *
+  *   TopKPerKeyExec(final)            ≤ K rows per key, exact
+  *     +- ShuffleExchange(key)        carries ≤ K · keys · partitions rows
+  *        +- TopKPerKeyExec(partial)  map-side heaps: the shuffle sees the
+  *           +- child                 pre-pruned stream, NEVER the corpus
+  *
+  * The partial phase bounds its own state: heap memory is
+  * keys-per-partition · K rows. (A production hardening would spill the
+  * per-partition hash map; at K·keys ≪ partition size — the top-K regime —
+  * the bound is tiny.)
+  *
+  * Registered by [[graft.functions.GraftExtensions]]
+  * (`injectPlannerStrategy`) or per-session via
+  * `GraftOps.install(spark)`; constructed by [[GraftOps.topKPerKey]],
+  * which resolves key/order columns by name against the analyzed child so
+  * no analyzer rule is required.
+  */
+case class TopKPerKey(
+    keys: Seq[Attribute],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** The bounded-heap physical operator. `partial = true` runs on the
+  * child's existing partitioning (map-side prune before the exchange);
+  * `partial = false` declares `ClusteredDistribution(keys)` so
+  * EnsureRequirements inserts the one hash exchange, then finalizes.
+  * Identical kernel both phases: top-K of a top-K union is the top-K. */
+case class TopKPerKeyExec(
+    keys: Seq[Attribute],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keys, child.output)
+      val better = GenerateOrdering.generate(order, child.output)
+      // Heap root = the WORST retained row, so a full heap admits a new
+      // row iff it beats the root — O(log K) per admit, O(1) per reject,
+      // and rejects dominate on real data. scala.PriorityQueue keeps its
+      // MAXIMUM at the head, and `better.compare(a, b) > 0` means "a sorts
+      // after b" — so the sort ordering itself is the heap ordering.
+      val heapOrd = new Ordering[InternalRow] {
+        def compare(a: InternalRow, b: InternalRow): Int = better.compare(a, b)
+      }
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row) // reused buffer — copy only on first sight
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < k) heap.enqueue(row.copy())
+            else if (better.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+            heap.enqueue(row.copy())
+            heaps.update(key.copy(), heap)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as the partial/final pair. */
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing construction (name-resolved, so no analyzer rule). */
+object GraftOps {
+
+  /** Idempotently add the strategy to a live session (the extensions
+    * config path is `spark.sql.extensions=graft.functions.GraftExtensions`). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
+  }
+
+  /** Exact top-`k` rows per `keys` group under `orderBy` (column name →
+    * ascending?; e.g. `Seq("value" -> false, "id" -> true)` = highest
+    * value, id-ascending tie-break). Output order within groups is
+    * unspecified — compose `.orderBy` downstream as with any aggregate. */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+                 orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val order = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending) }
+    org.apache.spark.sql.graftshim.ColumnShim.ofRows(spark,
+      TopKPerKey(keyCols.map(attr), order, k, analyzed))
+  }
+}

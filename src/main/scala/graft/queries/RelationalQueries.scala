@@ -362,6 +362,20 @@ object RelationalQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** W2 via the custom whole-operator extension: exact per-user top-3 by
+    * (value DESC, event_id ASC tie-break) through
+    * [[graft.plans.TopKPerKey]] — partial bounded heaps → one hash
+    * exchange → final heaps, NO sort (the rank-window composition this
+    * replaces full-sorts every partition; see TopKPerKeySpec for the plan
+    * assertion and the row-for-row parity check). The tie-break makes the
+    * top-3 SET unique, so the oracle's row_number() picks the same rows. */
+  private val w2TopkUser: Q = (s, dir) =>
+    graft.plans.GraftOps.topKPerKey(
+        t(s, dir, "events").select("event_id", "user_id", "value"),
+        keyCols = Seq("user_id"),
+        orderBy = Seq("value" -> false, "event_id" -> true), k = 3)
+      .orderBy("user_id", "event_id")
+
   /** Set ops: (A ∪ B) ∖ C with set semantics (Dataset.union is UNION ALL —
     * the explicit distinct() matches SQL UNION). */
   private val setUnionExcept: Q = (s, dir) => {
@@ -405,6 +419,7 @@ object RelationalQueries {
     "q_w2_window"          -> w2Window,
     "q_w2_analytics"       -> w2Analytics,
     "q_w2_sessionize"      -> w2Sessionize,
+    "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
     "q_set_intersect"      -> setIntersect
@@ -560,6 +575,13 @@ object RelationalQueries {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |   FROM events))
         | GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_w2_topk_user" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        | WHERE rn <= 3 ORDER BY user_id, event_id""".stripMargin,
     "q_a4_grouping_sets" ->
       """SELECT
         | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,

@@ -15,6 +15,13 @@ object ColumnShim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (the `Dataset.ofRows` bridge,
+    * `private[sql]` upstream) — used by graft's custom logical operators. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a builder as a temp SQL function on a live session (the
     * session-local twin of SparkSessionExtensions.injectFunction, for
     * sessions created without `spark.sql.extensions`). */

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The custom top-K operator must be exactly the window-rank composition,
+  * minus the sort: same rows, two-phase plan, no SortExec. */
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = graft.queries.Tables
+    .t(spark, "/root/testdata/sf0.01", "events")
+    .select("event_id", "user_id", "value")
+
+  test("topKPerKey matches the rank-window composition exactly") {
+    val custom = GraftOps.topKPerKey(events, Seq("user_id"),
+        Seq("value" -> false, "event_id" -> true), k = 3)
+      .orderBy("user_id", "event_id")
+      .collect().toSeq
+    val viaWindow = events
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy($"value".desc, $"event_id")))
+      .where($"rn" <= 3).drop("rn")
+      .orderBy("user_id", "event_id")
+      .collect().toSeq
+    assert(custom.nonEmpty)
+    assert(custom == viaWindow)
+  }
+
+  test("plans as partial+final heaps with no sort") {
+    val plan = GraftOps.topKPerKey(events, Seq("user_id"),
+      Seq("value" -> false), k = 5).queryExecution.executedPlan.toString
+    assert("TopKPerKey ".r.findAllIn(plan).size == 2, plan) // partial + final
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort "), plan) // WindowExec would need one
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("k larger than any group degenerates to the identity set") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val out = GraftOps.topKPerKey(df, Seq("k"), Seq("v" -> true), k = 10)
+      .as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("a", 2), ("b", 3)))
+  }
+
+  test("ascending order keeps the smallest") {
+    val df = Seq(("a", 5), ("a", 1), ("a", 3), ("b", 9), ("b", 2)).toDF("k", "v")
+    val out = GraftOps.topKPerKey(df, Seq("k"), Seq("v" -> true), k = 1)
+      .as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("b", 2)))
+  }
+}
