@@ -25,7 +25,12 @@ object SimilarityQueries {
   private val CosDupThreshold = 0.40
 
   /** Brute-force exact top-K by cosine: broadcast queries × all
-    * candidates, per-query window rank. */
+    * candidates, then the custom [[graft.plans.TopKPerKey]] operator —
+    * bounded per-query heaps prune map-side, so the exchange carries
+    * ≤ K·queries·partitions rows instead of the full queries×corpus score
+    * stream a rank window would sort. The rank column is recomputed by a
+    * window over the PRUNED set (≤ K rows per query — bounded, not
+    * corpus-sized). */
   private val bruteForceTopK: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val q = emb.where(col("vec_id") < NumQueries)
@@ -35,10 +40,10 @@ object SimilarityQueries {
     val scored = c.join(broadcast(q))
       .select(col("qid"), col("cid"),
         Similarity.cosine(col("qe"), col("ce")).as("cos"))
-    scored
+    graft.plans.GraftOps.topKPerKey(scored, Seq("qid"),
+        Seq("cos" -> false, "cid" -> true), TopK)
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
-      .where(col("rnk") <= TopK)
       .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
         round(col("cos"), 4).as("cos4"))
       .orderBy("qid", "rnk")
