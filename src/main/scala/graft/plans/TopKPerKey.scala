@@ -126,6 +126,17 @@ object GraftOps {
       spark.experimental.extraStrategies = cur :+ TopKPerKeyStrategy
   }
 
+  /** Additionally enable the [[RankLimitToTopK]] rewrite for the session:
+    * every `row_number() <= K` window filter re-plans through TopKPerKey.
+    * Opt-in and separate from [[install]] — it changes the plans of
+    * queries the caller did not write with this operator in mind. */
+  def installRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    install(spark)
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(RankLimitToTopK))
+      spark.experimental.extraOptimizations = cur :+ RankLimitToTopK
+  }
+
   /** Exact top-`k` rows per `keys` group under `orderBy` (column name →
     * ascending?; e.g. `Seq("value" -> false, "id" -> true)` = highest
     * value, id-ascending tie-break). Output order within groups is
