@@ -62,7 +62,9 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     partial: Boolean,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxPartialKeys: Int = TopKPerKeyExec.DefaultMaxPartialKeys)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
@@ -82,35 +84,75 @@ case class TopKPerKeyExec(
       val heapOrd = new Ordering[InternalRow] {
         def compare(a: InternalRow, b: InternalRow): Int = better.compare(a, b)
       }
+      // Memory discipline, the map-side-combine contract: the PARTIAL
+      // phase is an opportunistic prune, so its state is hard-capped at
+      // maxPartialKeys heaps; rows of keys beyond the cap pass through
+      // unpruned (still exact — the final phase re-heaps everything).
+      // The FINAL phase runs after the hash exchange and must be exact,
+      // so it is uncapped: its state is keys-in-partition × K rows, the
+      // same memory class as a hash aggregate's group map.
+      val keyCap = if (partial) maxPartialKeys else Int.MaxValue
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row) // reused buffer — copy only on first sight
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < k) heap.enqueue(row.copy())
-            else if (better.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
+      new Iterator[InternalRow] {
+        private var overflow: InternalRow = _   // at most one pending row
+        private var drain: Iterator[InternalRow] = _
+        override def hasNext: Boolean = {
+          if (overflow != null) return true
+          if (drain != null) return drain.hasNext
+          while (iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row) // reused buffer — copy only on first sight
+            heaps.get(key) match {
+              case Some(heap) =>
+                if (heap.size < k) heap.enqueue(row.copy())
+                else if (better.compare(row, heap.head) < 0) {
+                  heap.dequeue(); heap.enqueue(row.copy())
+                }
+              case None if heaps.size < keyCap =>
+                val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+                heap.enqueue(row.copy())
+                heaps.update(key.copy(), heap)
+              case None =>
+                // Cap hit: stream the row through uncopied (the consumer
+                // serializes it before the next hasNext call).
+                overflow = row
+                return true
             }
-          case None =>
-            val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
-            heap.enqueue(row.copy())
-            heaps.update(key.copy(), heap)
+          }
+          drain = heaps.valuesIterator.flatMap(_.iterator)
+          drain.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          if (overflow != null) { val r = overflow; overflow = null; r }
+          else drain.next()
         }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     }, preservesPartitioning = true)
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
 }
 
-/** Plans the logical node as the partial/final pair. */
+object TopKPerKeyExec {
+  /** 128 K heaps ≈ a few hundred MB at K·row ≈ 1 KB — the scale of a
+    * map-side combiner, far under executor budgets. */
+  val DefaultMaxPartialKeys: Int = 1 << 17
+}
+
+/** Plans the logical node as the partial/final pair. The partial-phase
+  * key cap is tunable per session via `spark.graft.topk.maxPartialKeys`
+  * (read at planning time through the active SQLConf). */
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  val MaxPartialKeysConf = "spark.graft.topk.maxPartialKeys"
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
+      val cap = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(MaxPartialKeysConf,
+          TopKPerKeyExec.DefaultMaxPartialKeys.toString).toInt
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child),
+          maxPartialKeys = cap)) :: Nil
     case _ => Nil
   }
 }

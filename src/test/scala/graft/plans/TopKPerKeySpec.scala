@@ -45,6 +45,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(out == Set(("a", 1), ("a", 2), ("b", 3)))
   }
 
+  test("partial-phase key cap passes overflow rows through, still exact") {
+    // Cap the partial phase at ONE heap: nearly every key overflows and
+    // reaches the final phase unpruned — the result must not change.
+    def run() = GraftOps.topKPerKey(events, Seq("user_id"),
+        Seq("value" -> false, "event_id" -> true), 3)
+      .orderBy("user_id", "event_id").collect().toSeq
+    val uncapped = run()
+    spark.conf.set(TopKPerKeyStrategy.MaxPartialKeysConf, "1")
+    try {
+      val capped = run()
+      assert(capped == uncapped)
+    } finally spark.conf.unset(TopKPerKeyStrategy.MaxPartialKeysConf)
+  }
+
   test("ascending order keeps the smallest") {
     val df = Seq(("a", 5), ("a", 1), ("a", 3), ("b", 9), ("b", 2)).toDF("k", "v")
     val out = GraftOps.topKPerKey(df, Seq("k"), Seq("v" -> true), k = 1)
