@@ -36,29 +36,50 @@ import org.apache.spark.sql.types.IntegerType
   */
 object RankLimitToTopK extends Rule[LogicalPlan] {
 
-  /** cond → (rank attribute, K) when cond keeps exactly ranks 1..K. */
+  /** Above this K the heaps lose to a spillable sort — leave the window
+    * plan alone (the same reasoning as Spark's own
+    * `spark.sql.optimizer.windowGroupLimitThreshold`). Tunable. */
+  val MaxKConf = "spark.graft.topk.rewrite.maxK"
+  val DefaultMaxK = 1000
+
+  /** Session kill-switch (default OFF): the rule is injected everywhere
+    * the extensions class is configured, but only fires where enabled. */
+  val EnabledConf = "spark.graft.topk.rewrite.enabled"
+
+  /** cond → (rank attribute, K) when cond keeps exactly ranks 1..K.
+    * Arithmetic in Long: `rn < Int.MinValue` must not wrap k−1 into a
+    * huge positive K (it would turn an always-false filter into
+    * keep-everything). */
   private object RankLimit {
-    def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
-      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) => Some((a, k))
-      case LessThan(a: Attribute, Literal(k: Int, IntegerType))        => Some((a, k - 1))
-      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) => Some((a, k))
-      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)     => Some((a, k - 1))
-      case EqualTo(a: Attribute, Literal(1, IntegerType))              => Some((a, 1))
-      case EqualTo(Literal(1, IntegerType), a: Attribute)              => Some((a, 1))
+    def unapply(cond: Expression): Option[(Attribute, Long)] = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) => Some((a, k.toLong))
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))        => Some((a, k.toLong - 1))
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) => Some((a, k.toLong))
+      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)     => Some((a, k.toLong - 1))
+      case EqualTo(a: Attribute, Literal(1, IntegerType))              => Some((a, 1L))
+      case EqualTo(Literal(1, IntegerType), a: Attribute)              => Some((a, 1L))
       case _ => None
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Filter(RankLimit(rn, k),
-        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
-          partitionSpec, orderSpec, child, _))
-        if k > 0 &&
-          rn.exprId == alias.exprId &&
-          partitionSpec.nonEmpty &&
-          partitionSpec.forall(_.isInstanceOf[Attribute]) &&
-          orderSpec.nonEmpty =>
-      val keys = partitionSpec.map(_.asInstanceOf[Attribute])
-      w.copy(child = TopKPerKey(keys, orderSpec, k, child))
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    // Opt-in: the extensions class injects this rule into every session of
+    // a deployment; it must stay inert until the session enables it
+    // (GraftOps.installRewrite does) — never silently re-plan queries.
+    if (!sqlConf.getConfString(EnabledConf, "false").toBoolean) return plan
+    val maxK = sqlConf.getConfString(MaxKConf, DefaultMaxK.toString).toLong
+    plan.transformUp {
+      case Filter(RankLimit(rn, k),
+          w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+            partitionSpec, orderSpec, child, _))
+          if k > 0 && k <= maxK &&
+            rn.exprId == alias.exprId &&
+            partitionSpec.nonEmpty &&
+            partitionSpec.forall(_.isInstanceOf[Attribute]) &&
+            orderSpec.nonEmpty =>
+        val keys = partitionSpec.map(_.asInstanceOf[Attribute])
+        w.copy(child = TopKPerKey(keys, orderSpec, k.toInt, child))
+    }
   }
 }

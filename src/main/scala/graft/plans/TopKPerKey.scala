@@ -72,10 +72,17 @@ case class TopKPerKeyExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] =
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Locals only in the task closure — capturing fields would serialize
+    // this operator (and its whole child plan) into every task.
+    val localKeys = keys
+    val localOrder = order
+    val localK = k
+    val childOutput = child.output
+    val keyCap = if (partial) maxPartialKeys else Int.MaxValue
     child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(keys, child.output)
-      val better = GenerateOrdering.generate(order, child.output)
+      val keyProj = UnsafeProjection.create(localKeys, childOutput)
+      val better = GenerateOrdering.generate(localOrder, childOutput)
       // Heap root = the WORST retained row, so a full heap admits a new
       // row iff it beats the root — O(log K) per admit, O(1) per reject,
       // and rejects dominate on real data. scala.PriorityQueue keeps its
@@ -91,7 +98,6 @@ case class TopKPerKeyExec(
       // The FINAL phase runs after the hash exchange and must be exact,
       // so it is uncapped: its state is keys-in-partition × K rows, the
       // same memory class as a hash aggregate's group map.
-      val keyCap = if (partial) maxPartialKeys else Int.MaxValue
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       new Iterator[InternalRow] {
         private var overflow: InternalRow = _   // at most one pending row
@@ -104,7 +110,7 @@ case class TopKPerKeyExec(
             val key = keyProj(row) // reused buffer — copy only on first sight
             heaps.get(key) match {
               case Some(heap) =>
-                if (heap.size < k) heap.enqueue(row.copy())
+                if (heap.size < localK) heap.enqueue(row.copy())
                 else if (better.compare(row, heap.head) < 0) {
                   heap.dequeue(); heap.enqueue(row.copy())
                 }
@@ -129,6 +135,7 @@ case class TopKPerKeyExec(
         }
       }
     }, preservesPartitioning = true)
+  }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
@@ -174,6 +181,7 @@ object GraftOps {
     * queries the caller did not write with this operator in mind. */
   def installRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
     install(spark)
+    spark.conf.set(RankLimitToTopK.EnabledConf, "true")
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(RankLimitToTopK))
       spark.experimental.extraOptimizations = cur :+ RankLimitToTopK

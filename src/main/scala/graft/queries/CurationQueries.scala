@@ -45,13 +45,8 @@ object CurationQueries {
       .select("doc1", "doc2")
     val comp = DedupQueries.connectedComponents(s, pairs)
     val dupes = comp.where(col("doc_id") =!= col("component")).select("doc_id")
-    kept.join(dupes, Seq("doc_id"), "left_anti")
-      .withColumn("bucket",
-        expr(s"CAST(${SamplingQueries.bucketSql("doc_id")} AS INT)"))
-      .withColumn("split",
-        when(col("bucket") < SamplingQueries.TrainUpper, "train")
-          .when(col("bucket") < SamplingQueries.ValUpper, "val")
-          .otherwise("test"))
+    SamplingQueries.withSplit(
+        kept.join(dupes, Seq("doc_id"), "left_anti"), "doc_id")
       .select(col("doc_id"), col("split"))
       .orderBy("doc_id")
   }

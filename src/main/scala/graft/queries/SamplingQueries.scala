@@ -37,16 +37,22 @@ object SamplingQueries {
     s"16 * (instr('$Hex', substring($h, 31, 1)) - 1) + instr('$Hex', substring($h, 32, 1)) - 1"
   }
 
-  /** Deterministic 80/10/10 train/val/test assignment (the split a
-    * fine-tuning pipeline ships with the corpus — stable under
-    * re-ingestion, so no example ever migrates between splits). */
-  private val sampleSplit: Q = (s, dir) =>
-    t(s, dir, "documents")
-      .withColumn("bucket", expr(s"CAST(${bucketSql("doc_id")} AS INT)"))
+  /** The one split-assignment implementation: `bucket` (0..255) and
+    * `split` columns from the row key. Shared by [[sampleSplit]] and the
+    * curation pipeline so the two can never assign differently. */
+  private[queries] def withSplit(df: org.apache.spark.sql.DataFrame,
+                                 keyCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("bucket", expr(s"CAST(${bucketSql(keyCol)} AS INT)"))
       .withColumn("split",
         when(col("bucket") < TrainUpper, "train")
           .when(col("bucket") < ValUpper, "val")
           .otherwise("test"))
+
+  /** Deterministic 80/10/10 train/val/test assignment (the split a
+    * fine-tuning pipeline ships with the corpus — stable under
+    * re-ingestion, so no example ever migrates between splits). */
+  private val sampleSplit: Q = (s, dir) =>
+    withSplit(t(s, dir, "documents"), "doc_id")
       .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy("doc_id")
 
