@@ -36,6 +36,34 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  val queries: Seq[(String, Q)] = Seq("q_mm_features" -> mmFeatures)
-  val oracles: Seq[(String, String)] = Seq.empty
+  /** Metadata-only profile of the manufactured media table, but
+    * oracle-checkable (unlike the codec path): per-kind counts and
+    * payload byte sizes, where the payload is the utf8 encoding of
+    * `text` — byte lengths agree across engines by construction. At
+    * scale this is the query shape that never reads the binary column
+    * region (only its length), the first thing a media-curation job
+    * runs. */
+  private val mmProfile: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(
+        expr("CASE CAST(pmod(doc_id, 3) AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        length(coalesce(col("text"), lit("")).cast("binary")).as("n_bytes"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum("n_bytes").cast("long").as("sum_bytes"),
+        max("n_bytes").cast("long").as("max_bytes"))
+      .orderBy("kind")
+
+  val queries: Seq[(String, Q)] = Seq(
+    "q_mm_features" -> mmFeatures,
+    "q_mm_profile"  -> mmProfile)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_mm_profile" ->
+      """SELECT
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | count(*) AS n,
+        | CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS sum_bytes,
+        | CAST(max(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS max_bytes
+        | FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
 }
