@@ -29,10 +29,10 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *        +- TopKPerKeyExec(partial)  map-side heaps: the shuffle sees the
   *           +- child                 pre-pruned stream, NEVER the corpus
   *
-  * The partial phase bounds its own state: heap memory is
-  * keys-per-partition · K rows. (A production hardening would spill the
-  * per-partition hash map; at K·keys ≪ partition size — the top-K regime —
-  * the bound is tiny.)
+  * The partial phase hard-caps its own state at `maxPartialKeys` heaps
+  * (conf `spark.graft.topk.maxPartialKeys`); rows of keys beyond the cap
+  * stream through unpruned and the final phase re-heaps them, so results
+  * stay exact while map-side memory stays bounded.
   *
   * Registered by [[graft.functions.GraftExtensions]]
   * (`injectPlannerStrategy`) or per-session via
@@ -87,10 +87,7 @@ case class TopKPerKeyExec(
       // row iff it beats the root — O(log K) per admit, O(1) per reject,
       // and rejects dominate on real data. scala.PriorityQueue keeps its
       // MAXIMUM at the head, and `better.compare(a, b) > 0` means "a sorts
-      // after b" — so the sort ordering itself is the heap ordering.
-      val heapOrd = new Ordering[InternalRow] {
-        def compare(a: InternalRow, b: InternalRow): Int = better.compare(a, b)
-      }
+      // after b" — so `better` itself is the heap ordering (head = worst).
       // Memory discipline, the map-side-combine contract: the PARTIAL
       // phase is an opportunistic prune, so its state is hard-capped at
       // maxPartialKeys heaps; rows of keys beyond the cap pass through
@@ -115,7 +112,7 @@ case class TopKPerKeyExec(
                   heap.dequeue(); heap.enqueue(row.copy())
                 }
               case None if heaps.size < keyCap =>
-                val heap = mutable.PriorityQueue.empty[InternalRow](heapOrd)
+                val heap = mutable.PriorityQueue.empty[InternalRow](better)
                 heap.enqueue(row.copy())
                 heaps.update(key.copy(), heap)
               case None =>

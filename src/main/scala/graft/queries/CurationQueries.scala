@@ -56,27 +56,17 @@ object CurationQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Stage fragments are the SAME generated SQL the standalone oracles
+    // use (filter gate, LSH components, split) — composed, not restated.
     "q_pipeline_curate" ->
       s"""WITH RECURSIVE verdicts AS (${TextQueries.duckFilterVerdicts}),
          | kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
-         | bands AS (${DedupQueries.duckBands}),
-         | pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |  FROM bands x JOIN bands y
-         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-         |  WHERE x.doc_id IN (SELECT doc_id FROM kept)
-         |    AND y.doc_id IN (SELECT doc_id FROM kept)),
-         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
-         |            UNION ALL SELECT doc2, doc1 FROM pairs),
-         | reach(n, m) AS (
-         |  SELECT s, s FROM edges2
-         |  UNION
-         |  SELECT r.n, e.d FROM reach r JOIN edges2 e ON r.m = e.s),
-         | comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+         | ${DedupQueries.duckComponentsCte(
+               """
+                 |  WHERE x.doc_id IN (SELECT doc_id FROM kept)
+                 |    AND y.doc_id IN (SELECT doc_id FROM kept)""".stripMargin)}
          | SELECT doc_id,
-         |  CASE WHEN ${SamplingQueries.bucketSql("doc_id")} < ${SamplingQueries.TrainUpper} THEN 'train'
-         |       WHEN ${SamplingQueries.bucketSql("doc_id")} < ${SamplingQueries.ValUpper} THEN 'val'
-         |       ELSE 'test' END AS split
+         |  ${SamplingQueries.duckSplitSql("doc_id")} AS split
          | FROM kept
          | WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
          | ORDER BY doc_id""".stripMargin

@@ -357,6 +357,30 @@ object DedupQueries {
   private val duckHamming = (1 to SimBits).map(p =>
     s"CASE WHEN substr(s1, $p, 1) <> substr(s2, $p, 1) THEN 1 ELSE 0 END").mkString(" + ")
 
+  /** Shared CTE chain `bands → pairs` (LSH candidates, doc1 < doc2).
+    * `pairsWhere` optionally restricts the pair ends (e.g. to filter
+    * survivors). Callers continue the WITH list or select from `pairs`. */
+  private[queries] def duckPairsCte(pairsWhere: String = ""): String =
+    s"""bands AS ($duckBands),
+       | pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM bands x JOIN bands y
+       |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id$pairsWhere)""".stripMargin
+
+  /** Shared CTE chain through connected components:
+    * `bands → pairs → edges2 → reach → comp(doc_id, component)`. Needs a
+    * leading `WITH RECURSIVE`. One definition for the three oracles that
+    * form clusters (components, apply, curate) — they cannot drift. */
+  private[queries] def duckComponentsCte(pairsWhere: String = ""): String =
+    s"""${duckPairsCte(pairsWhere)},
+       | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+       |            UNION ALL SELECT doc2, doc1 FROM pairs),
+       | reach(n, m) AS (
+       |  SELECT s, s FROM edges2
+       |  UNION
+       |  SELECT r.n, e.d FROM reach r JOIN edges2 e ON r.m = e.s),
+       | comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "q_dedup_exact" ->
       s"""SELECT md5(${duckClean("text")}) AS fp, count(*) AS n,
@@ -365,25 +389,13 @@ object DedupQueries {
     "q_dedup_minhash_sig" ->
       s"$duckSigs ORDER BY doc_id",
     "q_dedup_minhash_pairs" ->
-      s"""WITH bands AS ($duckBands)
-         | SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         | FROM bands x JOIN bands y
-         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      s"""WITH ${duckPairsCte()}
+         | SELECT doc1, doc2 FROM pairs
          | ORDER BY doc1, doc2""".stripMargin,
     "q_dedup_components" ->
-      s"""WITH RECURSIVE bands AS ($duckBands),
-         | pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |  FROM bands x JOIN bands y
-         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
-         |            UNION ALL SELECT doc2, doc1 FROM pairs),
-         | reach(n, m) AS (
-         |  SELECT s, s FROM edges2
-         |  UNION
-         |  SELECT r.n, e.d FROM reach r JOIN edges2 e ON r.m = e.s)
-         | SELECT n AS doc_id, min(m) AS component FROM reach
-         | GROUP BY n ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${duckComponentsCte()}
+         | SELECT doc_id, component FROM comp
+         | ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash_sig" ->
       s"$duckSimhash ORDER BY doc_id",
     "q_dedup_simhash_pairs" ->
@@ -407,29 +419,14 @@ object DedupQueries {
          | WHERE 10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) >= $JaccardBpThreshold
          | ORDER BY doc1, doc2""".stripMargin,
     "q_dedup_lsh_jaccard" ->
-      s"""WITH bands AS ($duckBands),
-         | pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |  FROM bands x JOIN bands y
-         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      s"""WITH ${duckPairsCte()},
          | d AS (SELECT doc_id, list_slice(list_sort(list_distinct(${duckTerms("text")})), 1, $MaxTermsPerDoc) AS tset FROM documents)
          | SELECT p.doc1, p.doc2,
          |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset))) AS BIGINT) AS jac_bp
          | FROM pairs p JOIN d x ON p.doc1 = x.doc_id JOIN d y ON p.doc2 = y.doc_id
          | ORDER BY doc1, doc2""".stripMargin,
     "q_dedup_apply" ->
-      s"""WITH RECURSIVE bands AS ($duckBands),
-         | pairs AS (
-         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |  FROM bands x JOIN bands y
-         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
-         |            UNION ALL SELECT doc2, doc1 FROM pairs),
-         | reach(n, m) AS (
-         |  SELECT s, s FROM edges2
-         |  UNION
-         |  SELECT r.n, e.d FROM reach r JOIN edges2 e ON r.m = e.s),
-         | comp AS (SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n)
+      s"""WITH RECURSIVE ${duckComponentsCte()}
          | SELECT doc_id, lang, source, n_chars FROM documents
          | WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
          | ORDER BY doc_id""".stripMargin

@@ -72,13 +72,19 @@ object SamplingQueries {
     "q_sample_strat" -> sampleStratified
   )
 
+  /** DuckDB mirror of the `split` column in [[withSplit]] — shared with
+    * the curation-pipeline oracle (same no-drift contract as the Spark
+    * side). */
+  private[queries] def duckSplitSql(key: String): String =
+    s"""CASE WHEN ${bucketSql(key)} < $TrainUpper THEN 'train'
+       |      WHEN ${bucketSql(key)} < $ValUpper THEN 'val'
+       |      ELSE 'test' END""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "q_sample_split" ->
       s"""SELECT doc_id,
          | CAST(${bucketSql("doc_id")} AS INTEGER) AS bucket,
-         | CASE WHEN ${bucketSql("doc_id")} < $TrainUpper THEN 'train'
-         |      WHEN ${bucketSql("doc_id")} < $ValUpper THEN 'val'
-         |      ELSE 'test' END AS split
+         | ${duckSplitSql("doc_id")} AS split
          | FROM documents ORDER BY doc_id""".stripMargin,
     "q_sample_strat" ->
       s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
