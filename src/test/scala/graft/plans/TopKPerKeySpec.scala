@@ -59,6 +59,25 @@ class TopKPerKeySpec extends SparkSpec {
     } finally spark.conf.unset(TopKPerKeyStrategy.MaxPartialKeysConf)
   }
 
+  test("null order values match the window's NULLS LAST/FIRST semantics") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(("a", Some(5)), ("a", None), ("a", Some(9)), ("a", Some(1)),
+        ("b", None), ("b", None), ("b", Some(2)))
+      .toDF("k", "v")
+    // DESC default = NULLS LAST (same as Window.orderBy($"v".desc)): the
+    // nulls only surface when a group runs out of non-null rows.
+    val custom = GraftOps.topKPerKey(df, Seq("k"), Seq("v" -> false), 2)
+      .orderBy("k", "v").collect().toSeq
+    val viaWindow = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("v").desc)))
+      .where(col("rn") <= 2).drop("rn")
+      .orderBy("k", "v").collect().toSeq
+    assert(custom == viaWindow)
+    assert(custom.map(r => (r.getString(0), Option(r.get(1)))) ==
+      Seq(("a", Some(5)), ("a", Some(9)), ("b", None), ("b", Some(2))))
+  }
+
   test("ascending order keeps the smallest") {
     val df = Seq(("a", 5), ("a", 1), ("a", 3), ("b", 9), ("b", 2)).toDF("k", "v")
     val out = GraftOps.topKPerKey(df, Seq("k"), Seq("v" -> true), k = 1)
