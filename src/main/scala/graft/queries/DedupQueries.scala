@@ -119,7 +119,7 @@ object DedupQueries {
     * near-dup clusters are shallow). The oracle computes the same
     * component = min(reachable id) via a recursive CTE. */
   private val dedupComponents: Q = (s, dir) =>
-    connectedComponents(s, minhashCandidates(s, dir))
+    connectedComponents(s, minhashCandidates(s, dir)).orderBy("doc_id")
 
   /** The fixpoint itself, over any (doc1, doc2) pair frame. The candidate
     * graph is orders of magnitude smaller than the corpus (pairs, not
@@ -174,8 +174,10 @@ object DedupQueries {
         iter += 1
         System.err.println(f"[cc] iter $iter: changed=$changed ${(System.nanoTime() - ti) / 1e9}%.2f s")
       }
+      // No ordering imposed here: callers that JOIN against the labels
+      // (dedup-apply, the curation pipeline) must not pay a global sort;
+      // the components query orders its own output.
       labels.select(col("doc_id"), col("label").as("component"))
-        .orderBy("doc_id")
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       if (edges != null) edges.unpersist()
