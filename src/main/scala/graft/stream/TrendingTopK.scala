@@ -1,0 +1,103 @@
+package graft.stream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.plans.GraftOps
+
+/** T5+/O2 streaming composition (absent in the reference, whose dashboard
+  * recomputes trends by re-querying the warehouse — reference
+  * `powerbi/dashboard_reddit.pbix` consumes batch rollups; SURVEY.md
+  * §2.13): continuously-maintained trending top-K over an event stream,
+  * as the medallion gold-layer pattern:
+  *
+  *   stream → watermarked windowed counts (update mode)
+  *          → foreachBatch MERGE into a window-partitioned silver store
+  *          → per-window top-K (the [[graft.plans.TopKPerKey]] operator)
+  *            rebuilt for the windows this batch touched, nothing else.
+  *
+  * Scale analysis (the 100 TB lens):
+  *  - update-mode rows carry the FULL running count for each (window, key)
+  *    the micro-batch touched, so the merge REPLACES rows instead of
+  *    adding deltas — idempotent under micro-batch replay (at-least-once
+  *    safe), and the silver store never needs a read-side aggregate;
+  *  - streaming-agg state is bounded by the watermark horizon ×
+  *    live-key cardinality (the store is RocksDB-backed on a cluster);
+  *  - the silver/gold stores are partitioned by window start, so a merge
+  *    prunes to the touched windows (partition pushdown on `ws`) — work
+  *    per batch is O(keys in touched windows), independent of stream age;
+  *  - the driver only ever materializes the touched-window ID list
+  *    (bounded by horizon / window-length), never data rows.
+  */
+final class TrendingTopK(
+    keyCol: String, k: Int, silverDir: String, goldDir: String,
+    window: String = "1 hour", watermark: String = "2 hours",
+    trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
+    checkpointLocation: Option[String] = None) extends Serializable {
+
+  /** Window start is stored as epoch SECONDS (long): a timestamp-typed
+    * partition column round-trips through directory names as a string
+    * and re-infers engine-dependently; integers do not. */
+  private def counts(stream: DataFrame, tsCol: String): DataFrame =
+    StreamEngine.windowedCounts(stream, tsCol, keyCol, window, watermark)
+      .select(col("window_start").cast("long").as("ws"), col(keyCol), col("n"))
+
+  /** One micro-batch: replace-merge `updates` into silver, rebuild gold
+    * top-K for the touched windows. Public-in-package so the spec can
+    * drive it on batch frames too. */
+  private[stream] def mergeBatch(updates0: DataFrame): Unit = {
+    if (updates0.isEmpty) return
+    val spark = updates0.sparkSession
+    // Materialize BEFORE reading the store this write will replace — an
+    // overwrite that still has a lazy scan of its own target corrupts it.
+    val updates = updates0.localCheckpoint(true)
+    val touched = updates.select("ws").distinct().collect().map(_.getLong(0)).toSeq
+    val silverPath = new Path(silverDir)
+    val fs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = (if (fs.exists(silverPath)) {
+      // Partition values re-infer as int when they fit; normalize to long.
+      val existing = spark.read.parquet(silverDir)
+        .withColumn("ws", col("ws").cast("long"))
+        .where(col("ws").isin(touched: _*))
+      // Batch rows win (they hold the full running count); silver keys the
+      // batch did not touch survive via the anti-join.
+      existing.join(updates, Seq("ws", keyCol), "left_anti").unionByName(updates)
+    } else updates).localCheckpoint(true)
+    overwriteTouched(merged, silverDir)
+    overwriteTouched(
+      GraftOps.topKPerKey(merged, Seq("ws"), Seq("n" -> false, keyCol -> true), k),
+      goldDir)
+  }
+
+  /** Dynamic partition overwrite: only the windows present in `df` are
+    * replaced; all other window partitions are untouched. */
+  private def overwriteTouched(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "dynamic")
+      df.write.mode("overwrite").partitionBy("ws").parquet(dir)
+    } finally spark.conf.set(conf, prev)
+  }
+
+  /** Start the maintenance query over any streaming frame with an
+    * event-time column. */
+  def start(stream: DataFrame, tsCol: String = "ts",
+            queryName: String = "graft-trending"): StreamingQuery = {
+    val w = counts(stream, tsCol).writeStream
+      .queryName(queryName)
+      .outputMode("update")
+      .foreachBatch((b: DataFrame, _: Long) => mergeBatch(b))
+      .trigger(trigger)
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+
+  /** The continuously-maintained result: top-`k` keys per window. */
+  def gold(spark: SparkSession): DataFrame =
+    spark.read.parquet(goldDir)
+      .select(col("ws").cast("long").as("ws"), col(keyCol), col("n"))
+}
