@@ -35,9 +35,12 @@ object DedupQueries {
 
   // ---- Spark-side building blocks ---------------------------------------
 
-  /** documents + de-stopped token array, ≥3 tokens (shingle-able). */
+  /** documents + de-stopped token array, ≥3 tokens (shingle-able). The
+    * scan is fanned out FIRST: tokenize/shingle/hash are the map-side
+    * cost of every sketch below, and a single-split parquet input would
+    * run them all on one task. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Tables.fanout(t(s, dir, "documents"))
       .withColumn("toks", TokenOps.terms(col("text")))
       .where(size(col("toks")) >= 3)
 
@@ -45,20 +48,45 @@ object DedupQueries {
   private val shingleExpr =
     "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1), element_at(toks, i+2)))"
 
-  /** Per-doc MinHash signature: for hash h, min over shingles of
-    * md5('h:' || shingle). */
+  /** Universal-hash permutation constants: sig_i = min over shingles of
+    * (A_i·h32 + B_i) mod P, P = 2³¹−1 (Mersenne prime), A_i/B_i fixed
+    * 30-bit primes. ONE md5 per shingle — the base hash is its first 60
+    * bits, which both engines read as an int64 (`conv(hex,16,10)` /
+    * `CAST('0x'||hex AS BIGINT)`) — then 8 integer multiply-mods replace
+    * 8 full md5 passes over the shingle text. At corpus scale that is an
+    * 8× cut in hash throughput cost, and the signature shuffle carries 8
+    * longs instead of 8 hex strings (4× narrower rows). Overflow-safe by
+    * construction: A_i < 2³¹ and h32 < 2³² keep A·h+B under 2⁶³ in both
+    * engines. P must be SMALL relative to the product range: A·h32 then
+    * wraps the modulus ~2³² times, destroying monotonicity in h32 — with
+    * a large P (say 2⁶¹−1) the product wraps at most once, the 8
+    * "permutations" share the same argmin shingle, and LSH buckets
+    * degenerate (measured: 16 fixpoint iterations instead of 3).
+    * Truncating the base hash to 32 bits aliases ~V²/2³³ shingle pairs
+    * (identical aliasing in both engines, so the oracle stays exact). */
+  private val MinhashP = 2147483647L // 2^31 − 1
+  private val MinhashA = Seq(1000000007L, 998244353L, 754974721L, 167772161L,
+    469762049L, 1004535809L, 1073741789L, 715827883L)
+  private val MinhashB = Seq(433494437L, 299709779L, 179424673L, 613651369L,
+    982451653L, 735632797L, 104395303L, 533000401L)
+
+  /** Per-doc MinHash signature (sig1..sigN as BIGINT). */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     val shingled = tokenized(s, dir)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
-    val aggs = (1 to NumHashes).map(h =>
-      min(md5(concat(lit(s"$h:"), col("shingle")))).as(s"sig$h"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
+          % 4294967296L).as("h32"))
+    val aggs = (0 until NumHashes).map(i =>
+      min((col("h32") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"sig${i + 1}"))
     shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: (band, key = concat of the band's signature rows). */
+  /** LSH banding: (band, key = ':'-joined band signature rows). */
   private def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val bandStructs = Bands.zipWithIndex.map { case ((h1, h2), i) =>
-      struct(lit(i + 1).as("b"), concat(col(s"sig$h1"), col(s"sig$h2")).as("bkey"))
+      struct(lit(i + 1).as("b"),
+        concat_ws(":", col(s"sig$h1"), col(s"sig$h2")).as("bkey"))
     }
     minhashSigs(s, dir)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
@@ -97,7 +125,10 @@ object DedupQueries {
 
   /** MinHash-LSH candidate pairs (doc1 < doc2), unordered. */
   private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir)
+    // Materialize the sketch once: the self-join's two branches otherwise
+    // re-run the whole shingle→signature pipeline (round-robin fanout
+    // upstream defeats exchange reuse).
+    val bands = minhashBands(s, dir).localCheckpoint(true)
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -140,8 +171,11 @@ object DedupQueries {
       val loopParts = math.max(1, s.sparkContext.defaultParallelism / 8)
       s.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       val t0 = System.nanoTime()
-      edges = pairs
-        .union(pairs.select(col("doc2"), col("doc1")))
+      // The union references `pairs` twice; materialize the (possibly
+      // expensive) candidate subtree once before mirroring it.
+      val p = pairs.localCheckpoint(true)
+      edges = p
+        .union(p.select(col("doc2"), col("doc1")))
         .toDF("src", "dst").repartition(loopParts).persist()
       // localCheckpoint (not persist): an iterative DataFrame loop grows
       // the logical plan each round — caching cuts re-EXECUTION but not
@@ -210,7 +244,8 @@ object DedupQueries {
     val bands = fp.select(col("doc_id"), col("fpl"),
       posexplode(array(half(col("simhash"), 0), half(col("simhash"), 1)))
         .as(Seq("b", "bkey")))
-    Tables.fanout(bands).as("x").join(bands.as("y"),
+      .localCheckpoint(true) // fingerprint agg computed once, not per join side
+    bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
@@ -245,7 +280,7 @@ object DedupQueries {
     * this corpus in DedupQueriesSpec. Terms are cleaned ASCII, so Spark's
     * binary-UTF8 sort and DuckDB's varchar sort agree. */
   private def termSets(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    Tables.fanout(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
       .groupBy("doc_id", "lang")
@@ -262,13 +297,21 @@ object DedupQueries {
         org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
 
   private val ngramJaccard: Q = (s, dir) => {
-    val d = termSets(s, dir)
-    Tables.fanout(d).as("x").join(d.as("y"),
-        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn("inter", interSize(col("x.tset"), col("y.tset")))
+    val d = termSets(s, dir).localCheckpoint(true) // one term-set build, two join sides
+    // The threshold test runs inside the join condition in division-free
+    // form: floor(10000·I / (n1+n2−I)) ≥ T  ⇔  (10000+T)·I ≥ T·(n1+n2),
+    // so each candidate pair pays the intersection kernel ONCE (a naive
+    // post-join `where` on jac_bp gets substituted into the condition
+    // with the kernel duplicated per reference). The exact jac_bp is
+    // recomputed only for the few surviving near-dup pairs.
+    val inter = interSize(col("x.tset"), col("y.tset"))
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id") &&
+          inter * lit(10000 + JaccardBpThreshold) >=
+            lit(JaccardBpThreshold) * (col("x.n") + col("y.n")))
+      .withColumn("inter", inter)
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
         expr("CAST(10000 * inter DIV (x.n + y.n - inter) AS BIGINT)").as("jac_bp"))
-      .where(col("jac_bp") >= JaccardBpThreshold)
       .orderBy("doc1", "doc2")
   }
 
@@ -281,7 +324,7 @@ object DedupQueries {
     * it measures small. Emits the verified similarity (no threshold) —
     * the downstream filter is policy, the verify kernel is the operator. */
   private val lshJaccard: Q = (s, dir) => {
-    val d = termSets(s, dir)
+    val d = termSets(s, dir).localCheckpoint(true) // attached to both pair ends
     minhashCandidates(s, dir)
       .join(d.select(col("doc_id").as("doc1"), col("tset").as("t1"),
         col("n").as("n1")), Seq("doc1"))
@@ -334,12 +377,20 @@ object DedupQueries {
     s"""SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
        | FROM ($duckToks) WHERE len(toks) >= 3""".stripMargin
-  private val duckSigCols = (1 to NumHashes)
-    .map(h => s"min(md5('$h:' || shingle)) AS sig$h").mkString(",\n   ")
+  /** Same single-md5 + universal-hash scheme as [[minhashSigs]]: the
+    * first 60 bits of md5 parse as int64 via DuckDB's '0x' string cast,
+    * then the identical (A·h32+B) mod P arithmetic. */
+  private val duckH32 =
+    s"""SELECT doc_id,
+       |   CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 4294967296 AS h32
+       | FROM ($duckShingles)""".stripMargin
+  private val duckSigCols = (0 until NumHashes)
+    .map(i => s"min((h32 * ${MinhashA(i)} + ${MinhashB(i)}) % $MinhashP) AS sig${i + 1}")
+    .mkString(",\n   ")
   private val duckSigs =
-    s"SELECT doc_id,\n   $duckSigCols\n FROM ($duckShingles) GROUP BY doc_id"
+    s"SELECT doc_id,\n   $duckSigCols\n FROM ($duckH32) GROUP BY doc_id"
   private val duckBandCase = Bands.zipWithIndex.map { case ((h1, h2), i) =>
-    s"WHEN ${i + 1} THEN sig$h1 || sig$h2"
+    s"WHEN ${i + 1} THEN CAST(sig$h1 AS VARCHAR) || ':' || CAST(sig$h2 AS VARCHAR)"
   }.mkString(" ")
   private[queries] val duckBands =
     s"""SELECT doc_id, b, CASE b $duckBandCase END AS bkey
