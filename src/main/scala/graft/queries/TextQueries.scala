@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.ops.{ScoreOps, TextOps, TimeOps, TokenOps}
@@ -55,13 +56,19 @@ object TextQueries {
        |    list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all
        |   FROM documents))""".stripMargin
 
+  /** documents scan, fanned out: every query below is a regex/token-heavy
+    * map pass, and a single-split parquet input would run it on one task
+    * (see Tables.fanout — near-no-op on an already-split cluster scan). */
+  private def docs(s: SparkSession, dir: String) =
+    Tables.fanout(t(s, dir, "documents"))
+
   // ---- queries -----------------------------------------------------------
 
   /** F1–F4 + F8: the reference's full cleaning chain, inference order
     * (reference `spark/preprocessor.py:17-21`), all native expressions in
     * one codegen span. */
   private val fCleanChain: Q = (s, dir) =>
-    t(s, dir, "documents").select(
+    docs(s, dir).select(
       col("doc_id"),
       TextOps.cleanText(col("text")).as("cleaned"),
       length(TextOps.stripUnprintable(col("text"))).as("n_printable"))
@@ -71,7 +78,7 @@ object TextQueries {
     * emitted as joined strings (array columns hash differently across
     * engines; the join also exercises F5 concat-with-sep). */
   private val fExtract: Q = (s, dir) =>
-    t(s, dir, "documents").select(
+    docs(s, dir).select(
       col("doc_id"),
       array_join(TextOps.mentions(col("text")), ",").as("mentions"),
       array_join(TextOps.hashtags(col("text")), ",").as("hashtags"),
@@ -147,7 +154,7 @@ object TextQueries {
     * `spark/model_training.py:156-161`): doc-frequency ≥ minDF, top-K by
     * total frequency. TakeOrderedAndProject — no global sort. */
   private val a3Vocabulary: Q = (s, dir) =>
-    TokenOps.vocabulary(t(s, dir, "documents"), "doc_id", "text",
+    TokenOps.vocabulary(docs(s, dir), "doc_id", "text",
         minDF = 3, vocabSize = 100)
       .orderBy(col("tf").desc, col("term").asc)
 
@@ -166,7 +173,7 @@ object TextQueries {
     * deterministic tie-break en > fr > de). Pure expressions — at 100 TB
     * this is a single map-side pass. */
   private val langId: Q = (s, dir) =>
-    t(s, dir, "documents")
+    docs(s, dir)
       .withColumn("toks", TokenOps.terms(col("text")))
       .select(
         col("doc_id"), col("lang"),
@@ -182,7 +189,7 @@ object TextQueries {
   /** Quality scoring: length / punctuation / stop-word ratios as exact
     * integer basis points (10000 * part DIV whole). */
   private val quality: Q = (s, dir) =>
-    t(s, dir, "documents")
+    docs(s, dir)
       .withColumn("toks_all",
         filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
       .withColumn("toks", TokenOps.terms(col("text")))
@@ -198,7 +205,7 @@ object TextQueries {
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols). */
   private val tokenCount: Q = (s, dir) =>
-    t(s, dir, "documents").select(
+    docs(s, dir).select(
       col("doc_id"),
       size(split(col("text"), "\\s+")).as("ws_tokens"),
       size(regexp_extract_all(col("text"),
@@ -210,7 +217,7 @@ object TextQueries {
     * native expression over the cleaned token stream. */
   private val u1Sentiment: Q = (s, dir) => {
     val scorer = new graft.ml.LexiconSentiment()
-    t(s, dir, "documents").select(
+    docs(s, dir).select(
       col("doc_id"),
       scorer.score(col("text")).as("sentiment"))
       .orderBy("doc_id")
@@ -219,7 +226,7 @@ object TextQueries {
   /** Document fingerprinting: raw md5 + content fingerprint over the
     * sorted distinct term set (order-insensitive near-identity). */
   private val fingerprint: Q = (s, dir) =>
-    t(s, dir, "documents")
+    docs(s, dir)
       .withColumn("toks", TokenOps.terms(col("text")))
       .select(
         col("doc_id"),
@@ -234,7 +241,7 @@ object TextQueries {
     * A spammy "buy now buy now buy now" page scores ~1, clean prose ~0.
     * Pure map-side expressions — one codegen pass at any scale. */
   private val repetition: Q = (s, dir) =>
-    t(s, dir, "documents")
+    docs(s, dir)
       .withColumn("toks_all",
         filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
       // Guard the 0/1-token case explicitly: Spark's sequence(1, 0) is the
@@ -256,7 +263,7 @@ object TextQueries {
     * long digit runs, plus per-doc match counts for the redaction audit a
     * release pipeline logs. Chained regexp_replace — map-side, no UDF. */
   private val piiScrub: Q = (s, dir) =>
-    t(s, dir, "documents").select(
+    docs(s, dir).select(
       col("doc_id"),
       TextOps.scrubPii(col("text")).as("scrubbed"),
       size(regexp_extract_all(col("text"), lit(TextOps.EmailPattern), lit(0))).as("n_emails"),
@@ -272,7 +279,7 @@ object TextQueries {
     * divisions only run once the length guard has passed. */
   private[queries] def filterVerdicts(s: org.apache.spark.sql.SparkSession,
                                       dir: String): org.apache.spark.sql.DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .withColumn("toks_all",
         filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
       .withColumn("toks", TokenOps.terms(col("text")))
@@ -297,7 +304,7 @@ object TextQueries {
     * raw text head drifts from its cleaned form — bounded operands (the
     * DP is O(len²); at scale always cap the compared prefix). */
   private val editDistance: Q = (s, dir) =>
-    t(s, dir, "documents").select(
+    docs(s, dir).select(
       col("doc_id"),
       levenshtein(substring(col("text"), 1, 40),
         substring(TextOps.cleanText(col("text")), 1, 40)).as("edit40"))
