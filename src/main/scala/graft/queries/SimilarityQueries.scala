@@ -74,8 +74,9 @@ object SimilarityQueries {
     * centroids from the data (elementwise means per seed cell) → every
     * vector assigned to its nearest centroid (one pass against the
     * broadcast centroid table) → queries probe only their `IvfProbes`
-    * nearest cells. No DuckDB oracle (nearest-centroid assignment is not
-    * reasonably SQL-portable) → driver records the rows-only check. */
+    * nearest cells. Fully oracle-checked: the centroid means, the
+    * nearest-centroid assignment, and the probe join are all expressed in
+    * DuckDB via aligned unnest + per-(cell,dim) avg (see `oracles`). */
   private val ivfAnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val cents = Similarity.centroids(emb, "embedding", "label")
@@ -145,6 +146,38 @@ object SimilarityQueries {
          | r AS (SELECT qid, cid, bucket, cos,
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
          | SELECT qid, rnk, cid, bucket, round(cos, 4) AS cos4 FROM r
+         | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
+    // The IVF pipeline transliterated: centroids as per-(cell,dim) means
+    // (aligned unnest = posexplode), nearest-centroid assignment by rank
+    // over the vector×centroid affinity, then the probe join. The rank
+    // orders on unrounded doubles, same determinism class as the
+    // brute-force oracle (affinities between distinct cells are far
+    // apart relative to FP summation noise).
+    "q_sim_ivf_ann" ->
+      s"""WITH ex AS (
+         |  SELECT label AS cell, unnest(embedding) AS v,
+         |         unnest(generate_series(1, len(embedding))) AS pos
+         |  FROM embeddings),
+         | cent AS (SELECT cell, pos, avg(v) AS m FROM ex GROUP BY 1, 2),
+         | cen AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell),
+         | aff AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) AS aff
+         |  FROM embeddings e CROSS JOIN cen c),
+         | rk AS (
+         |  SELECT vec_id, embedding, cell, aff,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rnk
+         |  FROM aff),
+         | cands AS (SELECT vec_id AS cid, embedding AS ce, cell
+         |   FROM rk WHERE rnk = 1 AND vec_id >= $NumQueries),
+         | probes AS (SELECT vec_id AS qid, embedding AS qe, cell
+         |   FROM rk WHERE rnk <= $IvfProbes AND vec_id < $NumQueries),
+         | s AS (
+         |  SELECT qid, cid, $duckCos AS cos
+         |  FROM cands JOIN probes USING (cell)),
+         | r AS (SELECT qid, cid, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
+         | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
          | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
     "q_dedup_embedding_cos" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)

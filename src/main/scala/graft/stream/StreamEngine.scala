@@ -107,11 +107,16 @@ object StreamEngine {
   /** Watermarked streaming dedup (A2's streaming twin): exact-once ids
     * within the watermark horizon — state is bounded by the horizon, so
     * it holds at 100 TB/day ingest where an unbounded `dropDuplicates`
-    * would OOM the state store. */
+    * would OOM the state store.
+    *
+    * Streaming uses `dropDuplicatesWithinWatermark`, which dedups on the
+    * id alone: a re-delivered id with a DIFFERENT event time (the realistic
+    * at-least-once shape — producer retries restamp) is still dropped,
+    * where `dropDuplicates(id, ts)` would let it through. Batch twin is a
+    * plain per-id distinct. */
   def dedupWithinWatermark(df: DataFrame, tsCol: String, idCols: Seq[String],
-                           watermark: String = "2 hours"): DataFrame = {
-    val withWm =
-      if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
-    withWm.dropDuplicates(idCols :+ tsCol)
-  }
+                           watermark: String = "2 hours"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols)
+    else df.dropDuplicates(idCols)
 }

@@ -95,4 +95,22 @@ class StreamEngineSpec extends SparkSpec {
       .withColumn("ts", to_timestamp($"ts"))
     assert(StreamEngine.dedupWithinWatermark(df, "ts", Seq("id")).count() == 2)
   }
+
+  test("streaming dedup drops a re-delivered id even when restamped") {
+    val ms = MemoryStream[(java.sql.Timestamp, String)](spark, numPartitions = 2)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // "x" arrives twice with different event times (producer retry
+    // restamped it) — dropDuplicatesWithinWatermark must keep one.
+    ms.addData(Seq(
+      (ts("2024-01-01 00:10:00"), "x"), (ts("2024-01-01 00:12:00"), "x"),
+      (ts("2024-01-01 00:11:00"), "y")))
+    val name = s"dd${System.nanoTime()}"
+    val q = StreamEngine.dedupWithinWatermark(
+        ms.toDF().toDF("ts", "id"), "ts", Seq("id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val ids = spark.table(name).select("id").as[String].collect().toSeq
+    assert(ids.sorted == Seq("x", "y"))
+  }
 }
