@@ -127,8 +127,10 @@ object DedupQueries {
   private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
     // Materialize the sketch once: the self-join's two branches otherwise
     // re-run the whole shingle→signature pipeline (round-robin fanout
-    // upstream defeats exchange reuse).
-    val bands = minhashBands(s, dir).localCheckpoint(true)
+    // upstream defeats exchange reuse). The fanout before the checkpoint
+    // undoes AQE's coalescing of the signature aggregate's tiny shuffle —
+    // without it the checkpoint pins the pair join to ~1 partition.
+    val bands = Tables.fanout(minhashBands(s, dir)).localCheckpoint(true)
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -241,9 +243,12 @@ object DedupQueries {
     // shape): explode each fingerprint into its two half-buckets, join
     // on (band, bucket). A pair sharing both halves surfaces twice →
     // distinct after the Hamming filter (which runs pre-exchange).
-    val bands = fp.select(col("doc_id"), col("fpl"),
+    // Fanout before the checkpoint: the fingerprint aggregate's tiny
+    // shuffle gets AQE-coalesced, and without the explicit repartition the
+    // checkpoint would pin the banded pair join to those few partitions.
+    val bands = Tables.fanout(fp.select(col("doc_id"), col("fpl"),
       posexplode(array(half(col("simhash"), 0), half(col("simhash"), 1)))
-        .as(Seq("b", "bkey")))
+        .as(Seq("b", "bkey"))))
       .localCheckpoint(true) // fingerprint agg computed once, not per join side
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
@@ -279,15 +284,23 @@ object DedupQueries {
     * count(DISTINCT term) = count(DISTINCT xxhash64(term)) — asserted over
     * this corpus in DedupQueriesSpec. Terms are cleaned ASCII, so Spark's
     * binary-UTF8 sort and DuckDB's varchar sort agree. */
-  private def termSets(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(t(s, dir, "documents"))
-      .select(col("doc_id"), col("lang"),
-        explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
-      .groupBy("doc_id", "lang")
-      .agg(slice(array_sort(collect_set(col("term"))), 1, MaxTermsPerDoc).as("terms"))
-      .select(col("doc_id"), col("lang"),
-        array_sort(transform(col("terms"), tm => xxhash64(tm))).as("tset"))
-      .withColumn("n", size(col("tset")))
+  private[queries] def termSets(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(
+      Tables.fanout(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
+        .groupBy("doc_id", "lang")
+        .agg(slice(array_sort(collect_set(col("term"))), 1, MaxTermsPerDoc).as("terms"))
+        .select(col("doc_id"), col("lang"),
+          array_sort(transform(col("terms"), tm => xxhash64(tm))).as("tset"))
+        .withColumn("n", size(col("tset"))))
+  // The TRAILING fanout is load-bearing: the term-set aggregate's shuffle
+  // output is tiny at bench scale, so AQE coalesces its final stage to ~1
+  // partition — and the checkpoint downstream then pins the PAIR JOIN
+  // (the kernel-heavy O(bucket²) stage) to that single task. An explicit
+  // round-robin repartition is exempt from AQE coalescing, keeping the
+  // verify kernels spread across all cores (measured 3.1 s → ~1.4 s on
+  // q_dedup_ngram_jaccard at sf0.1).
 
   /** Fused two-pointer sorted-intersection codegen expression. */
   private def interSize(a: Column, b: Column): Column =

@@ -31,6 +31,22 @@ class DedupQueriesSpec extends SparkSpec {
     }
   }
 
+  /** The pair joins read their checkpointed build inputs' partitioning
+    * verbatim: AQE coalesces the tiny sketch-aggregate shuffles to ~1
+    * partition at test scale, and a checkpoint taken there pins the
+    * kernel-heavy O(bucket²) join to that single task (measured 2× on
+    * q_dedup_ngram_jaccard at sf0.1). The trailing fanout is the guard —
+    * an explicit round-robin repartition is exempt from AQE coalescing. */
+  test("checkpointed pair-join inputs keep full fanout parallelism") {
+    val sfDir = "/root/testdata/sf0.001"
+    val expected = spark.sparkContext.defaultParallelism
+    assert(DedupQueries.termSets(spark, sfDir)
+      .localCheckpoint(true).rdd.getNumPartitions == expected)
+    // The guard itself: fanout un-coalesces even a single-partition frame.
+    assert(Tables.fanout(Seq(1, 2, 3).toDF("x").coalesce(1))
+      .rdd.getNumPartitions == expected)
+  }
+
   /** The components fixpoint drops shuffle partitions for the loop; the
     * override must be restored even when the loop body throws, because
     * Bench/Verify swallow per-query Throwables and keep the session —
