@@ -286,6 +286,27 @@ object RelationalQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** A2+: linear-counting distinct sketch — the cross-engine-VERIFIABLE
+    * cardinality estimator next to [[a2ApproxDistinct]]'s HLL++. The
+    * sketch is a 64 K-bucket occupancy bitmap keyed on the last 4 md5 hex
+    * digits (the same portable hash-parse the sampling splits use), so
+    * both engines build bit-identical sketches and the estimate
+    * −K·ln(1 − occupied/K) is hash-comparable, not just rows-comparable.
+    * Scale shape: one hash-aggregate pass; the distinct runs over buckets
+    * (≤ K per group), never over raw values — fixed memory per group like
+    * HLL, with ~K·load accuracy until occupancy saturates. */
+  private val a2LinearCount: Q = (s, dir) => {
+    val bucket = SamplingQueries.hexBucketSql("user_id", 4)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(expr(s"CAST($bucket AS INT)")).as("n_occupied"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .withColumn("est_distinct", expr(
+        "CAST(floor(-65536.0 * ln(1.0 - n_occupied / 65536.0)) AS BIGINT)"))
+      .orderBy("event_type")
+  }
+
   /** W1/N6: StringIndexer's relational core (reference
     * `spark/model_training.py:188-203`): index = rank by (freq desc, label
     * asc). Window over the *aggregated* label table — cardinality(labels)
@@ -415,6 +436,7 @@ object RelationalQueries {
     "q_a4_rollup"          -> a4Rollup,
     "q_a4_cube"            -> a4Cube,
     "q_a2_approx_distinct" -> a2ApproxDistinct,
+    "q_a2_linear_count"    -> a2LinearCount,
     "q_w1_indexer_rank"    -> w1IndexerRank,
     "q_w2_window"          -> w2Window,
     "q_w2_analytics"       -> w2Analytics,
@@ -524,6 +546,12 @@ object RelationalQueries {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | count(*) AS n_events
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_a2_linear_count" ->
+      s"""SELECT event_type,
+         | count(DISTINCT CAST(${SamplingQueries.hexBucketSql("user_id", 4)} AS INT)) AS n_occupied,
+         | count(DISTINCT user_id) AS n_exact,
+         | CAST(floor(-65536.0 * ln(1.0 - count(DISTINCT CAST(${SamplingQueries.hexBucketSql("user_id", 4)} AS INT)) / 65536.0)) AS BIGINT) AS est_distinct
+         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_a4_rollup" ->
       """SELECT
         | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,

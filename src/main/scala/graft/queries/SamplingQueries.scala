@@ -29,13 +29,21 @@ object SamplingQueries {
 
   private val Hex = "0123456789abcdef"
 
-  /** 0..255 from the last two md5 hex digits of the row key — `instr` into
-    * the hex alphabet is the hex-digit parse both engines share (neither
-    * Spark's `conv` nor DuckDB's `unhex` exists on the other side). */
-  private[queries] def bucketSql(key: String): String = {
+  /** 0..16^digits−1 from the last `digits` md5 hex digits of the row key —
+    * `instr` into the hex alphabet is the hex-digit parse both engines
+    * share (neither Spark's `conv` nor DuckDB's `unhex` exists on the
+    * other side). */
+  private[queries] def hexBucketSql(key: String, digits: Int): String = {
     val h = s"md5(CAST($key AS STRING))"
-    s"16 * (instr('$Hex', substring($h, 31, 1)) - 1) + instr('$Hex', substring($h, 32, 1)) - 1"
+    (0 until digits).map { i =>
+      val pos = 33 - digits + i
+      val scale = Seq.fill(digits - 1 - i)(16L).product
+      s"$scale * (instr('$Hex', substring($h, $pos, 1)) - 1)"
+    }.mkString(" + ")
   }
+
+  /** 0..255 — the split/sample bucket form. */
+  private[queries] def bucketSql(key: String): String = hexBucketSql(key, 2)
 
   /** The one split-assignment implementation: `bucket` (0..255) and
     * `split` columns from the row key. Shared by [[sampleSplit]] and the
