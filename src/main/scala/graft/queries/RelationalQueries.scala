@@ -383,6 +383,22 @@ object RelationalQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** W2+ via Spark's NATIVE session-window operator (the streaming-capable
+    * form of [[w2Sessionize]] — identical plan batch or streaming, state
+    * store + watermark in the latter). `session_window(ts, gap)` merges
+    * events whose windows overlap: a gap of exactly `gap` starts a NEW
+    * session (strict overlap), hence the `>=` in the generated oracle's
+    * islands form. Session end = last event + gap, per the operator's
+    * [start, end) contract. One shuffle on user_id; no window-function
+    * sort of the raw stream in the streaming case. */
+  private val w2SessionNative: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** W2 via the custom whole-operator extension: exact per-user top-3 by
     * (value DESC, event_id ASC tie-break) through
     * [[graft.plans.TopKPerKey]] — partial bounded heaps → one hash
@@ -441,6 +457,7 @@ object RelationalQueries {
     "q_w2_window"          -> w2Window,
     "q_w2_analytics"       -> w2Analytics,
     "q_w2_sessionize"      -> w2Sessionize,
+    "q_w2_session_native"  -> w2SessionNative,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
@@ -603,6 +620,22 @@ object RelationalQueries {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |   FROM events))
         | GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // session_window semantics: a gap of EXACTLY 30 min starts a new
+    // session (windows [t, t+30) and [t+30, ...) do not overlap) → `>=`
+    // here where q_w2_sessionize's islands use `>`; end = last event + gap.
+    "q_w2_session_native" ->
+      """SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        | FROM (
+        |  SELECT user_id, ts,
+        |   CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800.0 THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM (SELECT user_id, event_id, ts,
+        |    epoch(ts) - lag(epoch(ts), 1)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |   FROM events))
+        | GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
     "q_w2_topk_user" ->
       """SELECT event_id, user_id, value FROM (
         |  SELECT event_id, user_id, value,

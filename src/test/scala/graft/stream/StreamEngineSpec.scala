@@ -96,6 +96,33 @@ class StreamEngineSpec extends SparkSpec {
     assert(StreamEngine.dedupWithinWatermark(df, "ts", Seq("id")).count() == 2)
   }
 
+  test("session_window aggregates as a watermarked streaming query") {
+    val ms = MemoryStream[(java.sql.Timestamp, Long)](spark, numPartitions = 2)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 7: two events 10 min apart (one session), then a 50-min gap
+    // (new session). Session windows only support APPEND output — a
+    // session is emitted once the watermark passes its end, so user 8's
+    // much-later event advances the (zero-delay) watermark past both of
+    // user 7's sessions in the closing no-data batch.
+    ms.addData(Seq(
+      (ts("2024-01-01 00:00:00"), 7L), (ts("2024-01-01 00:10:00"), 7L),
+      (ts("2024-01-01 01:00:00"), 7L), (ts("2024-01-01 04:00:00"), 8L)))
+    val name = s"sw${System.nanoTime()}"
+    val q = ms.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"sw.start".as("start"), $"sw.end".as("end"), $"n")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).orderBy("start")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    assert(out == Seq(
+      (7L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:40:00"), 2L),
+      (7L, ts("2024-01-01 01:00:00"), ts("2024-01-01 01:30:00"), 1L)))
+  }
+
   test("streaming dedup drops a re-delivered id even when restamped") {
     val ms = MemoryStream[(java.sql.Timestamp, String)](spark, numPartitions = 2)
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
