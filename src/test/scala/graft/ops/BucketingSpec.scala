@@ -35,4 +35,28 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  /** Hive-style partition layout: a filter on the partition column must
+    * become a PartitionFilter (directory pruning — unselected partitions
+    * are never listed or opened), not a data filter. The 100 TB analogue:
+    * a lang- or date-partitioned corpus where per-partition queries read
+    * only their slice. */
+  test("partitionBy layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val scan = spark.read.parquet(dir).where($"lang" === "en")
+    val fileScan = scan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScan.nonEmpty)
+    // Pruning happened at planning: only the lang=en directory survives.
+    val files = fileScan.head.selectedPartitions.toPartitionArray
+    assert(files.nonEmpty &&
+      files.forall(_.urlEncodedPath.contains("lang=en")),
+      s"expected only lang=en files, got: ${files.map(_.urlEncodedPath).mkString(", ")}")
+    val expected = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .where($"lang" === "en").count()
+    assert(scan.count() == expected)
+  }
 }

@@ -96,6 +96,25 @@ class StreamEngineSpec extends SparkSpec {
     assert(StreamEngine.dedupWithinWatermark(df, "ts", Seq("id")).count() == 2)
   }
 
+  test("stream-static broadcast join enriches the stream (J1 streaming form)") {
+    val dim = Seq(("crypto", "Crypto & DeFi"), ("fed", "Fed & Rates"))
+      .toDF("topic_key", "label")
+    val ms = MemoryStream[(Long, String)](spark, numPartitions = 2)
+    ms.addData(Seq((1L, "crypto"), (2L, "fed"), (3L, "unknown")))
+    val name = s"ssj${System.nanoTime()}"
+    // Static side broadcast per micro-batch — no state store, the
+    // scale-correct enrichment for a small dim at any stream volume.
+    val q = ms.toDF().toDF("id", "topic_key")
+      .join(broadcast(dim), Seq("topic_key"), "left")
+      .withColumn("label", coalesce($"label", lit("Autre")))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).select("id", "label")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "Crypto & DeFi", 2L -> "Fed & Rates", 3L -> "Autre"))
+  }
+
   test("session_window aggregates as a watermarked streaming query") {
     val ms = MemoryStream[(java.sql.Timestamp, Long)](spark, numPartitions = 2)
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
