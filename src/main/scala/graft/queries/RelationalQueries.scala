@@ -110,6 +110,23 @@ object RelationalQueries {
       .orderBy("c_custkey")
   }
 
+  /** J2 full outer: the reconciliation join (rows on either side only —
+    * e.g. two corpus snapshots diffed by key). Full outer cannot
+    * broadcast either side; it shuffles both on the key, which is the
+    * correct 100 TB shape. Keys restricted to a deterministic slice so
+    * both unmatched directions appear in the result. */
+  private val j2FullOuter: Q = (s, dir) => {
+    val c = t(s, dir, "customer").where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("k"), col("c_name"))
+    val o = t(s, dir, "orders").where(col("o_custkey") % 2 === 0)
+      .groupBy(col("o_custkey").as("k2")).agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("k") === col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("custkey"),
+        coalesce(col("c_name"), lit("<none>")).as("name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("custkey")
+  }
+
   /** J2+: as-of join — for each purchase, the user's latest prior-or-same
     * click (graft.ops.JoinOps.asofJoin: one shuffle + window carry, no
     * pair join). Right side pre-deduped to one click per (user, ts) so
@@ -440,6 +457,7 @@ object RelationalQueries {
     "q_j2_left_join"       -> j2LeftJoin,
     "q_j2_semi_join"       -> j2SemiJoin,
     "q_j2_anti_join"       -> j2AntiJoin,
+    "q_j2_full_outer"      -> j2FullOuter,
     "q_j2_asof_join"       -> j2AsofJoin,
     "q_j2_bloom_semi"      -> j2BloomSemi,
     "q_j2_range_join"      -> j2RangeJoin,
@@ -505,6 +523,14 @@ object RelationalQueries {
         | WHERE NOT EXISTS (SELECT 1 FROM orders
         |   WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         | ORDER BY c_custkey""".stripMargin,
+    "q_j2_full_outer" ->
+      """SELECT coalesce(c.k, o.k2) AS custkey,
+        | coalesce(c.c_name, '<none>') AS name,
+        | coalesce(o.n_orders, 0) AS n_orders
+        | FROM (SELECT c_custkey AS k, c_name FROM customer WHERE c_custkey % 3 = 0) c
+        | FULL OUTER JOIN (SELECT o_custkey AS k2, count(*) AS n_orders
+        |   FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+        | ON c.k = o.k2 ORDER BY custkey""".stripMargin,
     "q_j2_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts, value FROM events
         |           WHERE event_type = 'purchase'),
