@@ -309,15 +309,19 @@ object RelationalQueries {
     * digits (the same portable hash-parse the sampling splits use), so
     * both engines build bit-identical sketches and the estimate
     * −K·ln(1 − occupied/K) is hash-comparable, not just rows-comparable.
-    * Scale shape: one hash-aggregate pass; the distinct runs over buckets
-    * (≤ K per group), never over raw values — fixed memory per group like
-    * HLL, with ~K·load accuracy until occupancy saturates. */
+    * Scale shape: `n_occupied` comes from the custom
+    * [[graft.functions.LinearCountSketch]] typed Aggregator — a FIXED
+    * 8 KB bitmap per group with map-side partial merge (never a distinct
+    * shuffle of values), the true sketch economics at 100 TB; the DuckDB
+    * side reproduces it as count(DISTINCT bucket), which is what the
+    * popcount equals by construction. */
   private val a2LinearCount: Q = (s, dir) => {
     val bucket = SamplingQueries.hexBucketSql("user_id", 4)
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        countDistinct(expr(s"CAST($bucket AS INT)")).as("n_occupied"),
+        graft.functions.LinearCountSketch.occupied(
+          expr(s"CAST($bucket AS BIGINT)")).as("n_occupied"),
         countDistinct(col("user_id")).as("n_exact"))
       .withColumn("est_distinct", expr(
         "CAST(floor(-65536.0 * ln(1.0 - n_occupied / 65536.0)) AS BIGINT)"))
