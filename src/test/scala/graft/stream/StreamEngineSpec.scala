@@ -96,6 +96,35 @@ class StreamEngineSpec extends SparkSpec {
     assert(StreamEngine.dedupWithinWatermark(df, "ts", Seq("id")).count() == 2)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)](spark, numPartitions = 2)
+    val buys = MemoryStream[(java.sql.Timestamp, Long)](spark, numPartitions = 2)
+    // user 1 clicked twice within the hour before buying; user 2's click
+    // is far outside the horizon of their purchase.
+    clicks.addData(Seq(
+      (ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:30:00"), 1L),
+      (ts("2024-01-01 00:05:00"), 2L)))
+    buys.addData(Seq(
+      (ts("2024-01-01 00:45:00"), 1L), (ts("2024-01-01 02:00:00"), 2L)))
+    val name = s"ivj${System.nanoTime()}"
+    val q = StreamEngine.intervalJoin(
+        clicks.toDF().toDF("c_ts", "uid"), buys.toDF().toDF("p_ts", "uid"),
+        "uid", "c_ts", "p_ts", horizon = "1 hour")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table(name).select("uid", "c_ts")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq.sorted
+    assert(out == Seq((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:30:00"))))
+    // Batch parity: same inputs as plain frames, same matches.
+    val bc = Seq((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:30:00"), 1L),
+      (ts("2024-01-01 00:05:00"), 2L)).toDF("c_ts", "uid")
+    val bb = Seq((ts("2024-01-01 00:45:00"), 1L), (ts("2024-01-01 02:00:00"), 2L))
+      .toDF("p_ts", "uid")
+    assert(StreamEngine.intervalJoin(bc, bb, "uid", "c_ts", "p_ts", "1 hour").count() == 2)
+  }
+
   test("stream-static broadcast join enriches the stream (J1 streaming form)") {
     val dim = Seq(("crypto", "Crypto & DeFi"), ("fed", "Fed & Rates"))
       .toDF("topic_key", "label")
