@@ -158,6 +158,31 @@ object TextQueries {
         minDF = 3, vocabSize = 100)
       .orderBy(col("tf").desc, col("term").asc)
 
+  /** TF-IDF: the corpus-statistics composite — per-(doc,term) tf, per-term
+    * df, smoothed idf = ln((N+1)/(df+1)), top-3 terms per doc through the
+    * custom [[graft.plans.TopKPerKey]] operator (bounded heaps, no
+    * per-doc sort of the full term list). Scale shape: two hash
+    * aggregations + one join on term stats (shuffle on term — at corpus
+    * scale df stats are vocabulary-sized, AQE broadcasts them when they
+    * measure small) + the map-side-pruned top-K exchange. The score is
+    * emitted as floor-basis-points: ln is irrational on these inputs, so
+    * the floor boundary carries no engine-divergence risk. */
+  private val tfidf: Q = (s, dir) => {
+    val byDocTerm = docs(s, dir)
+      .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+    val tf = byDocTerm.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf_bp", expr(
+        "CAST(floor(10000.0 * tf * ln((n_docs + 1.0) / (df + 1.0))) AS BIGINT)"))
+    graft.plans.GraftOps.topKPerKey(
+        scored.select("doc_id", "term", "tf", "df", "tfidf_bp"),
+        keyCols = Seq("doc_id"),
+        orderBy = Seq("tfidf_bp" -> false, "term" -> true), k = 3)
+      .orderBy(col("doc_id"), col("tfidf_bp").desc, col("term").asc)
+  }
+
   // ---- text-analysis extensions (training-data pipeline ops) -------------
 
   private val MarkersEn = Seq("the", "a", "data", "row")
@@ -328,7 +353,8 @@ object TextQueries {
     "q_text_fingerprint" -> fingerprint,
     "q_text_repetition"  -> repetition,
     "q_text_pii"         -> piiScrub,
-    "q_text_filter"      -> filterDecision
+    "q_text_filter"      -> filterDecision,
+    "q_text_tfidf"       -> tfidf
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -452,6 +478,19 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '${TextOps.LongNumPattern}')) AS INTEGER) AS n_longnums
          | FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_filter" ->
-      s"$duckFilterVerdicts ORDER BY doc_id"
+      s"$duckFilterVerdicts ORDER BY doc_id",
+    "q_text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         | s AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    CAST(floor(10000.0 * tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))) AS BIGINT) AS tfidf_bp
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_bp DESC, term) AS rnk FROM s)
+         | SELECT doc_id, term, tf, df, tfidf_bp FROM r WHERE rnk <= 3
+         | ORDER BY doc_id, tfidf_bp DESC, term""".stripMargin
   )
 }
