@@ -404,6 +404,23 @@ object RelationalQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** W2+ RANGE frame: trailing 1-hour per-user event count and value sum —
+    * the sliding-lookback feature family (rate limits, rolling engagement)
+    * that ROWS frames cannot express when event spacing is irregular.
+    * The frame is time-bounded per row; one shuffle on user_id. The sum
+    * rides DECIMAL so partial-order differences cannot drift the hash. */
+  private val w2RollingRange: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("v", expr("CAST(round(value, 2) AS DECIMAL(12,2))"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("""count(*) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+          .as("n_1h"),
+        expr("""CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                * 100 AS BIGINT)""").as("sum_1h_cents"))
+      .orderBy("user_id", "event_id")
+
   /** W2+ via Spark's NATIVE session-window operator (the streaming-capable
     * form of [[w2Sessionize]] — identical plan batch or streaming, state
     * store + watermark in the latter). `session_window(ts, gap)` merges
@@ -480,6 +497,7 @@ object RelationalQueries {
     "q_w2_analytics"       -> w2Analytics,
     "q_w2_sessionize"      -> w2Sessionize,
     "q_w2_session_native"  -> w2SessionNative,
+    "q_w2_rolling_range"   -> w2RollingRange,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
@@ -650,6 +668,14 @@ object RelationalQueries {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |   FROM events))
         | GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_w2_rolling_range" ->
+      """SELECT user_id, event_id, ts,
+        | count(*) OVER w AS n_1h,
+        | CAST(sum(CAST(round(value, 2) AS DECIMAL(12,2))) OVER w * 100 AS BIGINT) AS sum_1h_cents
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        | ORDER BY user_id, event_id""".stripMargin,
     // session_window semantics: a gap of EXACTLY 30 min starts a new
     // session (windows [t, t+30) and [t+30, ...) do not overlap) → `>=`
     // here where q_w2_sessionize's islands use `>`; end = last event + gap.
