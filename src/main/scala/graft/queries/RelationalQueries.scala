@@ -404,6 +404,35 @@ object RelationalQueries {
       .orderBy("user_id", "session_id")
   }
 
+  /** P2+ JSON-path extraction from a string column (the semi-structured
+    * props bag every event pipeline carries): `get_json_object` is a pure
+    * map-side expression — no schema inference pass, no shuffle. The
+    * aggregate emits integer sums and a basis-point mean (integer DIV)
+    * so the cross-engine hash is exact. */
+  private val pJsonProps: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("k", expr("CAST(get_json_object(props, '$.k') AS INT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        expr("10000 * sum(k) DIV count(1)").as("mean_k_bp"))
+      .orderBy("event_type")
+
+  /** A1+ statistical aggregates: corr / covar_samp / stddev_samp — the
+    * feature-screening pass a training pipeline runs over numeric columns.
+    * Normalized outputs rounded to 4 dp (corr) / 2 dp (covar, stddev):
+    * cross-engine partial-sum order differences sit at ~1e-12 relative,
+    * far from the rounding boundary. */
+  private val a1Stats: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** W2+ RANGE frame: trailing 1-hour per-user event count and value sum —
     * the sliding-lookback feature family (rate limits, rolling engagement)
     * that ROWS frames cannot express when event spacing is irregular.
@@ -498,6 +527,8 @@ object RelationalQueries {
     "q_w2_sessionize"      -> w2Sessionize,
     "q_w2_session_native"  -> w2SessionNative,
     "q_w2_rolling_range"   -> w2RollingRange,
+    "q_p_json_props"       -> pJsonProps,
+    "q_a1_stats"           -> a1Stats,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
@@ -668,6 +699,19 @@ object RelationalQueries {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |   FROM events))
         | GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_p_json_props" ->
+      """SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(10000 * sum(k) // count(*) AS BIGINT) AS mean_k_bp
+        | FROM (SELECT event_type,
+        |   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        | GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_a1_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | count(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_w2_rolling_range" ->
       """SELECT user_id, event_id, ts,
         | count(*) OVER w AS n_1h,
