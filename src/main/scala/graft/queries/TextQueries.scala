@@ -170,7 +170,13 @@ object TextQueries {
   private val tfidf: Q = (s, dir) => {
     val byDocTerm = docs(s, dir)
       .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
-    val tf = byDocTerm.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // Materialize tf ONCE: df, N, and the join all derive from it — unshared,
+    // the plan tokenizes the corpus three times. Trailing fanout keeps the
+    // checkpoint at full parallelism past AQE's small-shuffle coalescing
+    // (same guard as the dedup pair joins).
+    val tf = Tables.fanout(
+        byDocTerm.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
