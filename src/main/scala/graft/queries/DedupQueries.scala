@@ -199,14 +199,21 @@ object DedupQueries {
         // Compress (pointer jumping): label(x) := label(label(x)) — every
         // label is itself a node id, so one self-join halves path lengths
         // and the loop converges in O(log diameter) instead of O(diameter).
-        val next = propagated.toDF("doc_id", "l1").as("a")
+        val jumped = propagated.toDF("doc_id", "l1").as("a")
           .join(propagated.toDF("pid", "l2").as("b"), col("l1") === col("pid"))
           .select(col("doc_id"), least(col("l1"), col("l2")).as("label"))
+        // Fuse the convergence check into the checkpointed frame: the
+        // old-label join runs once inside the materialization and the
+        // count is then a scan of the cached RDD — one fewer distributed
+        // join job per iteration than checkpointing first and joining
+        // labels again for `changed`.
+        val next = jumped.toDF("doc_id", "new_label")
+          .join(labels.select(col("doc_id"), col("label").as("old_label")), "doc_id")
+          .select(col("doc_id"), col("new_label").as("label"),
+            (col("new_label") =!= col("old_label")).as("chg"))
           .localCheckpoint(true)
-        changed = next.toDF("doc_id", "new_label")
-          .join(labels, "doc_id")
-          .where(col("new_label") =!= col("label")).count()
-        labels = next
+        changed = next.where(col("chg")).count()
+        labels = next.select("doc_id", "label")
         iter += 1
         System.err.println(f"[cc] iter $iter: changed=$changed ${(System.nanoTime() - ti) / 1e9}%.2f s")
       }
