@@ -466,6 +466,73 @@ object RelationalQueries {
         col("sw.end").as("session_end"), col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** A1+ skew path: explicit salted two-phase aggregation through
+    * [[graft.ops.JoinOps.saltedSum]] — partial sums on (key, salt), final
+    * sum on key. l_returnflag has 3 values over the whole table: the
+    * textbook hot-key aggregation where even post-combine partitions are
+    * unbalanced. Salting is semantically invisible (sums are algebraic),
+    * so the oracle is the plain GROUP BY — which is exactly the point:
+    * the operator's contract is "same result, bounded per-task load".
+    * Money rides DECIMAL end to end; cents emission keeps the hash
+    * portable. */
+  private val a1SaltedSum: Q = (s, dir) =>
+    graft.ops.JoinOps.saltedSum(
+        t(s, dir, "lineitem")
+          .withColumn("price_dec", expr("CAST(l_extendedprice AS DECIMAL(12,2))")),
+        key = "l_returnflag", valueCol = "price_dec",
+        buckets = 32, saltOn = Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_returnflag"),
+        expr("CAST(sum_price_dec * 100 AS BIGINT)").as("sum_price_cents"))
+      .orderBy("l_returnflag")
+
+  /** A1+ fixed-bin histogram — the 100 TB distribution profile: where the
+    * exact per-group [[a1Percentile]] needs a sort of every group, fixed
+    * bins are ONE partial+final hash aggregate at constant memory (the
+    * same economics as `percentile_approx`, but cross-engine-verifiable
+    * because bin assignment is exact integer arithmetic). Cents first
+    * (round(x*100) — the values are 2-dp decimals stored as doubles, so
+    * the rounded product is exact on both engines), then integer DIV into
+    * $10,000-wide bins capped at the last bin. The share column's global
+    * window runs over the aggregated O(bins) frame — provably small, same
+    * pattern as [[w1IndexerRank]]. */
+  private val HistWidthCents = 1000000L
+  private val HistBuckets    = 12
+  private val a1Histogram: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("bucket", expr(
+        s"CAST(least(cents DIV $HistWidthCents, ${HistBuckets - 1}) AS INT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .withColumn("share_bp", expr("CAST(10000 * n DIV sum(n) OVER () AS BIGINT)"))
+      .orderBy("bucket")
+
+  /** W2+ rank-based score normalization — percent_rank / cume_dist as
+    * exact integer basis points: the quantile-normalization pass a feature
+    * pipeline runs so scores from differently-scaled groups become
+    * comparable. Computed from rank()/count() with integer DIV rather
+    * than the built-in percent_rank (a double ratio whose floor sits ON
+    * the representable boundary — integer arithmetic sidesteps the
+    * cross-engine FP edge entirely). Ties share a rank (no tie-break
+    * column: adding one would order tied rows engine-specifically).
+    * `cum`'s default RANGE frame counts through the last peer — exactly
+    * cume_dist's numerator. One shuffle on event_type shared by all
+    * three windows. */
+  private val w2PercentNorm: Q = (s, dir) => {
+    val byType  = Window.partitionBy("event_type")
+    val ordered = byType.orderBy(col("value").asc)
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        rank().over(ordered).as("rnk"),
+        count(lit(1)).over(byType).as("n"),
+        count(lit(1)).over(ordered).as("cum"))
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(CASE WHEN n > 1 THEN 10000 * (rnk - 1) DIV (n - 1) ELSE 0 END AS BIGINT)").as("pr_bp"),
+        expr("CAST(10000 * cum DIV n AS BIGINT)").as("cd_bp"))
+      .orderBy("event_id")
+  }
+
   /** W2 via the custom whole-operator extension: exact per-user top-3 by
     * (value DESC, event_id ASC tie-break) through
     * [[graft.plans.TopKPerKey]] — partial bounded heaps → one hash
@@ -529,6 +596,9 @@ object RelationalQueries {
     "q_w2_rolling_range"   -> w2RollingRange,
     "q_p_json_props"       -> pJsonProps,
     "q_a1_stats"           -> a1Stats,
+    "q_a1_salted_sum"      -> a1SaltedSum,
+    "q_a1_histogram"       -> a1Histogram,
+    "q_w2_percent_norm"    -> w2PercentNorm,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
@@ -712,6 +782,29 @@ object RelationalQueries {
         | round(stddev_samp(l_quantity), 4) AS sd_qty,
         | count(*) AS n
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Salting is invisible to the result: the oracle is the plain GROUP BY.
+    "q_a1_salted_sum" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS sum_price_cents
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_a1_histogram" ->
+      s"""SELECT bucket, count(*) AS n,
+         | min(cents) AS min_cents, max(cents) AS max_cents,
+         | CAST(10000 * count(*) // sum(count(*)) OVER () AS BIGINT) AS share_bp
+         | FROM (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         |   CAST(least(CAST(round(l_extendedprice * 100) AS BIGINT) // $HistWidthCents,
+         |     ${HistBuckets - 1}) AS INTEGER) AS bucket
+         |  FROM lineitem)
+         | GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_w2_percent_norm" ->
+      """SELECT event_id, event_type,
+        | CAST(CASE WHEN n > 1 THEN 10000 * (rnk - 1) // (n - 1) ELSE 0 END AS BIGINT) AS pr_bp,
+        | CAST(10000 * cum // n AS BIGINT) AS cd_bp
+        | FROM (SELECT event_id, event_type,
+        |   rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+        |   count(*) OVER (PARTITION BY event_type) AS n,
+        |   count(*) OVER (PARTITION BY event_type ORDER BY value) AS cum
+        |  FROM events) ORDER BY event_id""".stripMargin,
     "q_w2_rolling_range" ->
       """SELECT user_id, event_id, ts,
         | count(*) OVER w AS n_1h,
