@@ -356,6 +356,57 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Containment (overlap-coefficient) threshold, basis points. */
+  private val ContainmentBpThreshold = 8000
+
+  /** Containment near-dup detection — |A∩B| / min(|A|,|B|): the
+    * quote/near-superset detector Jaccard misses (a doc pasted inside a
+    * 10× larger one has Jaccard ≈ 0.1 but containment ≈ 1.0). Same
+    * blocked-candidates + sorted-merge-intersect machinery as
+    * [[ngramJaccard]] — lang-blocked here; at scale the candidates come
+    * from LSH or a prefix-filter index, the verify kernel is unchanged.
+    * The threshold runs division-free inside the join condition so each
+    * candidate pays the intersection kernel once. */
+  private val containment: Q = (s, dir) => {
+    val d = termSets(s, dir).localCheckpoint(true)
+    val inter = interSize(col("x.tset"), col("y.tset"))
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id") &&
+          inter * lit(10000) >=
+            lit(ContainmentBpThreshold) * least(col("x.n"), col("y.n")))
+      .withColumn("inter", inter)
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        expr("CAST(10000 * inter DIV least(x.n, y.n) AS BIGINT)").as("cont_bp"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** Eval-set membership for [[decontaminate]]: doc_id ≡ 0 (mod 97) plays
+    * the held-out benchmark. */
+  private val EvalModulus = 97
+
+  /** Benchmark decontamination — the train/eval overlap scan every serious
+    * corpus release runs (e.g. GPT-3 appendix C; The Pile §6.3): flag
+    * training docs sharing any 3-token shingle with the eval set, with
+    * shared-shingle and eval-doc counts for the contamination report.
+    * Scale shape: the eval side is small BY DEFINITION (a benchmark), so
+    * its distinct shingles are explicitly broadcast — the train corpus is
+    * probed map-side by a broadcast hash join and NEVER shuffles its
+    * shingles; only matches reach the per-doc aggregation. At 100 TB this
+    * is one pass over the corpus with an O(|eval shingles|) build side. */
+  private val decontaminate: Q = (s, dir) => {
+    val sh = tokenized(s, dir)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+    val evalSh = sh.where(col("doc_id") % EvalModulus === 0)
+      .select(col("doc_id").as("eval_doc"), col("shingle")).distinct()
+    sh.where(col("doc_id") % EvalModulus =!= 0)
+      .distinct()
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared_shingles"),
+        countDistinct("eval_doc").as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   /** Deduplicated-corpus materialization — the step every training
     * pipeline actually ships: form duplicate clusters (LSH pairs →
     * connected components), keep each cluster's min-doc_id representative
@@ -380,6 +431,8 @@ object DedupQueries {
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_lsh_jaccard" -> lshJaccard,
+    "q_dedup_containment" -> containment,
+    "q_dedup_decontam"    -> decontaminate,
     "q_dedup_apply"       -> dedupApply
   )
 
@@ -498,6 +551,23 @@ object DedupQueries {
          |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset))) AS BIGINT) AS jac_bp
          | FROM pairs p JOIN d x ON p.doc1 = x.doc_id JOIN d y ON p.doc2 = y.doc_id
          | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, lang, list_slice(list_sort(list_distinct(${duckTerms("text")})), 1, $MaxTermsPerDoc) AS tset FROM documents)
+         | SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+         |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // least(len(x.tset), len(y.tset)) AS BIGINT) AS cont_bp
+         | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         | WHERE 10000 * len(list_intersect(x.tset, y.tset)) >= $ContainmentBpThreshold * least(len(x.tset), len(y.tset))
+         | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_decontam" ->
+      s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles)),
+         | ev AS (SELECT DISTINCT doc_id AS eval_doc, shingle FROM sh
+         |        WHERE doc_id % $EvalModulus = 0),
+         | tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % $EvalModulus <> 0)
+         | SELECT tr.doc_id,
+         |  count(DISTINCT tr.shingle) AS n_shared_shingles,
+         |  count(DISTINCT ev.eval_doc) AS n_eval_docs
+         | FROM tr JOIN ev ON tr.shingle = ev.shingle
+         | GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_apply" ->
       s"""WITH RECURSIVE ${duckComponentsCte()}
          | SELECT doc_id, lang, source, n_chars FROM documents

@@ -75,9 +75,31 @@ object SamplingQueries {
       .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
       .orderBy("lang")
 
+  /** Weight denominator for [[sampleWeighted]]: p = min(1, n_chars/1000),
+    * so a 1000-char doc is always kept and a 100-char doc keeps 10% — the
+    * token-budget-proportional rate a mixture pipeline wants. */
+  private val WeightDenom = 1000L
+
+  /** Deterministic length-weighted Poisson sampling: each doc is kept with
+    * probability ∝ its size (how pretraining mixtures weight sources by
+    * token budget, not doc count). The draw is the doc's md5 bucket over
+    * 16⁴ compared against a per-doc integer threshold — pure map-side
+    * integer arithmetic, reproducible across engines and repartitions,
+    * no global state, no second pass. Emitting (wbucket, thr) makes the
+    * decision itself auditable, not just the surviving rows. */
+  private val sampleWeighted: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("wbucket", expr(s"CAST(${hexBucketSql("doc_id", 4)} AS BIGINT)"))
+      .withColumn("thr", expr(
+        s"least(CAST(65536 AS BIGINT), n_chars * 65536 DIV $WeightDenom)"))
+      .where(col("wbucket") < col("thr"))
+      .select(col("doc_id"), col("n_chars"), col("wbucket"), col("thr"))
+      .orderBy("doc_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sample_split" -> sampleSplit,
-    "q_sample_strat" -> sampleStratified
+    "q_sample_strat" -> sampleStratified,
+    "q_sample_weighted" -> sampleWeighted
   )
 
   /** DuckDB mirror of the `split` column in [[withSplit]] — shared with
@@ -97,6 +119,13 @@ object SamplingQueries {
     "q_sample_strat" ->
       s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
          | FROM documents WHERE ${bucketSql("doc_id")} < $SampleUpper
-         | GROUP BY lang ORDER BY lang""".stripMargin
+         | GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sample_weighted" ->
+      s"""SELECT doc_id, n_chars,
+         | CAST(${hexBucketSql("doc_id", 4)} AS BIGINT) AS wbucket,
+         | CAST(least(65536, n_chars * 65536 // $WeightDenom) AS BIGINT) AS thr
+         | FROM documents
+         | WHERE ${hexBucketSql("doc_id", 4)} < least(65536, n_chars * 65536 // $WeightDenom)
+         | ORDER BY doc_id""".stripMargin
   )
 }

@@ -189,6 +189,34 @@ object TextQueries {
       .orderBy(col("doc_id"), col("tfidf_bp").desc, col("term").asc)
   }
 
+  /** Unigram language-model scoring — the perplexity-proxy quality signal
+    * (KenLM-style filtering's cheapest form): per-token surprisal
+    * −ln(count(term)/corpus_total), averaged per document. Rare-token-heavy
+    * (gibberish, boilerplate-ID) docs score high; common prose scores low.
+    * Surprisal is QUANTIZED to integer millinats per TERM (one ln + floor —
+    * deterministic cross-engine, same discipline as tfidf's floor-bp), so
+    * the per-doc mean is exact integer arithmetic: summing raw doubles
+    * per doc would hash-drift on partial-sum order. Scale shape: tokenize
+    * once into a checkpointed tf frame; term totals are vocabulary-sized
+    * (AQE broadcasts them when small); corpus total is one broadcast
+    * scalar; everything else is partial+final hash aggregation. */
+  private val unigramLp: Q = (s, dir) => {
+    val tf = Tables.fanout(
+        docs(s, dir)
+          .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("k")))
+      .localCheckpoint(true)
+    val termCnt = tf.groupBy("term").agg(sum("k").as("cnt"))
+    val total = tf.select(sum("k").as("t_total"))
+    tf.join(termCnt, Seq("term")).crossJoin(broadcast(total))
+      .withColumn("surprisal_mb", expr(
+        "CAST(floor(-1000.0 * ln(CAST(cnt AS DOUBLE) / t_total)) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_tokens"),
+        expr("sum(k * surprisal_mb) DIV sum(k)").as("mean_surprisal_mb"))
+      .orderBy("doc_id")
+  }
+
   // ---- text-analysis extensions (training-data pipeline ops) -------------
 
   private val MarkersEn = Seq("the", "a", "data", "row")
@@ -360,7 +388,8 @@ object TextQueries {
     "q_text_repetition"  -> repetition,
     "q_text_pii"         -> piiScrub,
     "q_text_filter"      -> filterDecision,
-    "q_text_tfidf"       -> tfidf
+    "q_text_tfidf"       -> tfidf,
+    "q_text_unigram_lp"  -> unigramLp
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -497,6 +526,18 @@ object TextQueries {
          |  FROM tf JOIN df USING (term) CROSS JOIN n),
          | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_bp DESC, term) AS rnk FROM s)
          | SELECT doc_id, term, tf, df, tfidf_bp FROM r WHERE rnk <= 3
-         | ORDER BY doc_id, tfidf_bp DESC, term""".stripMargin
+         | ORDER BY doc_id, tfidf_bp DESC, term""".stripMargin,
+    "q_text_unigram_lp" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS k FROM tok GROUP BY 1, 2),
+         | tc AS (SELECT term, sum(k) AS cnt FROM tf GROUP BY 1),
+         | tot AS (SELECT sum(k) AS t_total FROM tf),
+         | sc AS (SELECT tf.doc_id, tf.k,
+         |   CAST(floor(-1000.0 * ln(CAST(tc.cnt AS DOUBLE) / tot.t_total)) AS BIGINT) AS surprisal_mb
+         |  FROM tf JOIN tc USING (term) CROSS JOIN tot)
+         | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |  CAST(sum(k * surprisal_mb) // sum(k) AS BIGINT) AS mean_surprisal_mb
+         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
