@@ -398,8 +398,11 @@ object DedupQueries {
       .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
     val evalSh = sh.where(col("doc_id") % EvalModulus === 0)
       .select(col("doc_id").as("eval_doc"), col("shingle")).distinct()
+    // No distinct on the train side: the final countDistinct dedups
+    // repeated shingles anyway, and a pre-join distinct would shuffle the
+    // FULL train shingle stream — the broadcast probe must stay map-side
+    // so the only exchange after the scan carries matches.
     sh.where(col("doc_id") % EvalModulus =!= 0)
-      .distinct()
       .join(broadcast(evalSh), Seq("shingle"))
       .groupBy("doc_id")
       .agg(countDistinct("shingle").as("n_shared_shingles"),
