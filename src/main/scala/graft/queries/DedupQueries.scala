@@ -380,6 +380,40 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** The "new batch" source for [[incrementalDedup]] — one of the 20
+    * equal-sized source shards plays the freshly-ingested delta. */
+  private val NewBatchSource = "src0"
+
+  /** Incremental dedup — the delta-ingestion path a production pipeline
+    * actually runs: a 100 TB corpus is NOT re-deduplicated per batch; the
+    * new batch's sketches are checked against the standing corpus index.
+    * Each new doc gets its corpus-candidate count (LSH band collisions)
+    * and a keep/drop decision; new docs with no banded collision pass
+    * without ever forming a pair. Scale shape: the band join is a shuffle
+    * equi-join on (band, key) — the batch side is small by definition, so
+    * AQE broadcast-promotes it against the corpus index (which at scale
+    * is a precomputed, bucketed signature table: [[minhashBands]] IS that
+    * index's build expression). Short docs (< 3 tokens, no shingles) have
+    * no sketch and default to keep. */
+  private val incrementalDedup: Q = (s, dir) => {
+    val bySource = minhashBands(s, dir)
+      .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+    val newBands    = bySource.where(col("source") === NewBatchSource)
+    val corpusBands = bySource.where(col("source") =!= NewBatchSource)
+    val matches = newBands.as("n").join(corpusBands.as("c"),
+        col("n.b") === col("c.b") && col("n.bkey") === col("c.bkey"))
+      .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("corpus_doc"))
+      .groupBy("doc_id")
+      .agg(countDistinct("corpus_doc").as("n_matches"))
+    t(s, dir, "documents").where(col("source") === NewBatchSource)
+      .select("doc_id")
+      .join(matches, Seq("doc_id"), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+      .withColumn("decision",
+        when(col("n_matches") > 0, "drop").otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Eval-set membership for [[decontaminate]]: doc_id ≡ 0 (mod 97) plays
     * the held-out benchmark. */
   private val EvalModulus = 97
@@ -436,6 +470,7 @@ object DedupQueries {
     "q_dedup_lsh_jaccard" -> lshJaccard,
     "q_dedup_containment" -> containment,
     "q_dedup_decontam"    -> decontaminate,
+    "q_dedup_incremental" -> incrementalDedup,
     "q_dedup_apply"       -> dedupApply
   )
 
@@ -571,6 +606,22 @@ object DedupQueries {
          |  count(DISTINCT ev.eval_doc) AS n_eval_docs
          | FROM tr JOIN ev ON tr.shingle = ev.shingle
          | GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH bands AS ($duckBands),
+         | src AS (SELECT doc_id, source FROM documents),
+         | nb AS (SELECT bands.* FROM bands JOIN src USING (doc_id)
+         |        WHERE source = '$NewBatchSource'),
+         | cb AS (SELECT bands.* FROM bands JOIN src USING (doc_id)
+         |        WHERE source <> '$NewBatchSource'),
+         | agg AS (
+         |  SELECT nb.doc_id, count(DISTINCT cb.doc_id) AS n_matches
+         |  FROM nb JOIN cb ON nb.b = cb.b AND nb.bkey = cb.bkey
+         |  GROUP BY nb.doc_id)
+         | SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+         |  CASE WHEN coalesce(a.n_matches, 0) > 0 THEN 'drop' ELSE 'keep' END AS decision
+         | FROM (SELECT doc_id FROM documents WHERE source = '$NewBatchSource') d
+         | LEFT JOIN agg a ON d.doc_id = a.doc_id
+         | ORDER BY d.doc_id""".stripMargin,
     "q_dedup_apply" ->
       s"""WITH RECURSIVE ${duckComponentsCte()}
          | SELECT doc_id, lang, source, n_chars FROM documents

