@@ -547,6 +547,39 @@ object RelationalQueries {
         orderBy = Seq("value" -> false, "event_id" -> true), k = 3)
       .orderBy("user_id", "event_id")
 
+  /** W2+ funnel conversion — the event-sequence question every product
+    * pipeline asks ("did a view convert to a purchase within the hour?"):
+    * for each view, the NEXT purchase by the same user comes from a
+    * running min over the strictly-following frame — one shuffle on
+    * user_id, no self-join, no per-pair work (the range-join formulation
+    * is O(views × purchases-per-user)). Timestamps compare as epoch
+    * seconds (µs-aligned on both engines). */
+  private val w2Funnel: Q = (s, dir) => {
+    val after = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .withColumn("next_purchase_ts",
+        min(when(col("event_type") === "purchase", col("ts"))).over(after))
+      .where(col("event_type") === "view")
+      .withColumn("converted",
+        when(col("next_purchase_ts").isNotNull &&
+            col("next_purchase_ts").cast("double") - col("ts").cast("double") <= 3600.0,
+          1).otherwise(0))
+      .select(col("user_id"), col("event_id"), col("ts"), col("converted"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** A4+ unpivot (melt) — the wide→long reshape dual of [[a1Pivot]],
+    * through Spark's native `unpivot` (an Expand node: map-side row
+    * fan-out, no shuffle beyond the upstream aggregate). Verifies the
+    * round trip: melt(pivot(events)) equals the grouped counts with
+    * explicit zero rows. */
+  private val a1Unpivot: Q = (s, dir) =>
+    a1Pivot(s, dir)
+      .unpivot(Array(col("user_id")), PivotTypes.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   /** Set ops: (A ∪ B) ∖ C with set semantics (Dataset.union is UNION ALL —
     * the explicit distinct() matches SQL UNION). */
   private val setUnionExcept: Q = (s, dir) => {
@@ -599,6 +632,8 @@ object RelationalQueries {
     "q_a1_salted_sum"      -> a1SaltedSum,
     "q_a1_histogram"       -> a1Histogram,
     "q_w2_percent_norm"    -> w2PercentNorm,
+    "q_w2_funnel"          -> w2Funnel,
+    "q_a1_unpivot"         -> a1Unpivot,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
@@ -805,6 +840,26 @@ object RelationalQueries {
         |   count(*) OVER (PARTITION BY event_type) AS n,
         |   count(*) OVER (PARTITION BY event_type ORDER BY value) AS cum
         |  FROM events) ORDER BY event_id""".stripMargin,
+    "q_w2_funnel" ->
+      """SELECT user_id, event_id, ts,
+        | CAST(CASE WHEN next_purchase_ts IS NOT NULL
+        |   AND epoch(next_purchase_ts) - epoch(ts) <= 3600.0
+        |  THEN 1 ELSE 0 END AS INTEGER) AS converted
+        | FROM (SELECT user_id, event_id, ts, event_type,
+        |   min(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+        |  FROM events)
+        | WHERE event_type = 'view'
+        | ORDER BY user_id, event_id""".stripMargin,
+    "q_a1_unpivot" ->
+      """SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        | FROM (SELECT DISTINCT user_id FROM events) u
+        | CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view']) AS event_type) t
+        | LEFT JOIN (SELECT user_id, event_type, count(*) AS n
+        |            FROM events GROUP BY 1, 2) c
+        |  ON u.user_id = c.user_id AND t.event_type = c.event_type
+        | ORDER BY u.user_id, t.event_type""".stripMargin,
     "q_w2_rolling_range" ->
       """SELECT user_id, event_id, ts,
         | count(*) OVER w AS n_1h,

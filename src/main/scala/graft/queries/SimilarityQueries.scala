@@ -117,10 +117,32 @@ object SimilarityQueries {
       .orderBy("v1", "v2")
   }
 
+  /** Int8 embedding quantization — the storage-path transform for a
+    * 100 TB vector store (4× smaller than float32, SIMD-friendly integer
+    * dot products; the compaction IVF/LSH indexes ship with): per-vector
+    * absmax scaling to [-127, 127] with the scale kept for
+    * dequantization. Pure map-side expressions, no shuffle. `floor` (not
+    * `round`) keeps the bin edge off the representable-midpoint question;
+    * inputs are float32 widened to double identically on both engines, so
+    * the floor argument is bit-identical. Codes are emitted CSV-joined
+    * (array columns hash differently across engines). */
+  private val quantizeInt8: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("maxabs",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .where(col("maxabs") > 0)
+      .select(col("vec_id"),
+        expr("CAST(floor(1000000.0 * maxabs) AS BIGINT)").as("scale_ppm"),
+        expr("""array_join(transform(embedding,
+               |  x -> CAST(CAST(floor(127.0 * CAST(x AS DOUBLE) / maxabs) AS INT) AS STRING)),
+               | ',')""".stripMargin).as("q8_csv"))
+      .orderBy("vec_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sim_topk_bruteforce" -> bruteForceTopK,
     "q_sim_lsh_ann"         -> lshAnn,
     "q_sim_ivf_ann"         -> ivfAnn,
+    "q_sim_quantize"        -> quantizeInt8,
     "q_dedup_embedding_cos" -> embeddingCosineDedup
   )
 
@@ -179,6 +201,16 @@ object SimilarityQueries {
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
          | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
          | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
+    "q_sim_quantize" ->
+      """SELECT vec_id,
+        | CAST(floor(1000000.0 * maxabs) AS BIGINT) AS scale_ppm,
+        | array_to_string(list_transform(embedding,
+        |   x -> CAST(CAST(floor(127.0 * CAST(x AS DOUBLE) / maxabs) AS INTEGER) AS VARCHAR)),
+        |  ',') AS q8_csv
+        | FROM (SELECT vec_id, embedding,
+        |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |  FROM embeddings)
+        | WHERE maxabs > 0 ORDER BY vec_id""".stripMargin,
     "q_dedup_embedding_cos" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
          | SELECT x.vec_id AS v1, y.vec_id AS v2,
