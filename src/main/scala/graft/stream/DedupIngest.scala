@@ -1,0 +1,83 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.TextOps
+
+/** Streaming corpus ingestion with cross-batch exact dedup — the streaming
+  * twin of `q_dedup_incremental` (batch) and the composition of S7/S10:
+  * each micro-batch is content-fingerprinted, deduped WITHIN the batch
+  * (deterministic min-id representative), anti-joined against the standing
+  * fingerprint index on disk, and the survivors are appended to both the
+  * corpus and the index.
+  *
+  * The index is a parquet table, NOT stream-engine state, deliberately: a
+  * corpus identity set must survive restarts and grow past executor memory
+  * for the life of the corpus, while the state store is bounded to a
+  * watermark horizon by design (see `StreamEngine.dedupWithinWatermark`
+  * for the horizon-bounded id-replay case — the two compose: watermark
+  * dedup absorbs at-least-once replays cheaply upstream, the index join
+  * enforces corpus-lifetime uniqueness).
+  *
+  * Scale shape: the anti-join shuffles the BATCH side (small per trigger);
+  * the index side at 100 TB is bucketed by fingerprint so its scan feeds
+  * the join co-partitioned, and date-partitioning bounds re-reads. Replays
+  * are idempotent: a re-delivered batch anti-joins against the index rows
+  * its first delivery appended.
+  */
+final class DedupIngest(
+    spark: SparkSession,
+    idCol: String,
+    textCol: String,
+    corpusDir: String,
+    indexDir: String) extends Serializable {
+
+  /** Fingerprint = md5 of the cleaned text (same normalization as
+    * `q_dedup_exact`, so batch and streaming dedup agree on identity). */
+  private def fingerprinted(batch: DataFrame): DataFrame =
+    batch.withColumn("fp", md5(TextOps.cleanText(col(textCol))))
+
+  /** The standing index; empty-schema'd on first batch (no files yet). */
+  private def seenFps(): DataFrame =
+    try spark.read.parquet(indexDir).select("fp")
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.range(0).select(lit("").as("fp")).where(lit(false))
+    }
+
+  /** One micro-batch: returns the number of novel documents appended. */
+  def processBatch(batch: DataFrame, batchId: Long): Long = {
+    if (batch.isEmpty) return 0L
+    val fp = fingerprinted(batch)
+    // In-batch dedup: keep the min-id row per fingerprint (deterministic
+    // under any partitioning, unlike dropDuplicates' first-seen).
+    val firstIds = fp.groupBy("fp").agg(min(col(idCol)).as(idCol))
+    val inBatch = fp.join(firstIds, Seq("fp", idCol))
+    // Cross-batch dedup: drop anything the corpus has ever seen.
+    val fresh = inBatch.join(seenFps(), Seq("fp"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK) // read twice: corpus + index
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        fresh.drop("fp").write.mode(SaveMode.Append).parquet(corpusDir)
+        fresh.select("fp").write.mode(SaveMode.Append).parquet(indexDir)
+      }
+      n
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** Attach to a streaming frame via foreachBatch. */
+  def start(source: DataFrame, queryName: String,
+            trigger: org.apache.spark.sql.streaming.Trigger,
+            checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = source.writeStream
+      .queryName(queryName)
+      .foreachBatch((b: DataFrame, id: Long) => { processBatch(b, id); () })
+      .trigger(trigger)
+    checkpointLocation.foreach(w.option("checkpointLocation", _))
+    w.start()
+  }
+}
