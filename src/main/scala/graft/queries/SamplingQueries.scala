@@ -96,10 +96,47 @@ object SamplingQueries {
       .select(col("doc_id"), col("n_chars"), col("wbucket"), col("thr"))
       .orderBy("doc_id")
 
+  /** Target mixture shares per lang, basis points (sum 10000). */
+  private[queries] val MixtureTargetsBp =
+    Seq("de" -> 1500, "en" -> 4000, "es" -> 1500, "fr" -> 1500, "zh" -> 1500)
+
+  /** Mixture rebalancing — downsample each language to hit target corpus
+    * shares (the domain/language reweighting every pretraining mixture
+    * applies): the output budget is set by the binding stratum
+    * (min over langs of n_l·10000/t_l, so no rate exceeds 1), per-lang
+    * takes follow the targets, and membership is the same deterministic
+    * md5-bucket-vs-threshold predicate as the other samplers. ALL
+    * threshold arithmetic is integer (counts → budget → per-lang
+    * threshold), so both engines select the identical doc set. Scale
+    * shape: one count aggregation over lang (O(langs) rows), thresholds
+    * broadcast back, then a map-side predicate — the corpus is scanned
+    * twice but never shuffled. */
+  private val sampleMixture: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val targets = MixtureTargetsBp.toDF("lang", "t_bp")
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_corpus"))
+      .join(targets, Seq("lang"))
+    val nOut = counts.select(min(expr("n_corpus * 10000 DIV t_bp")).as("n_out"))
+    val thr = counts.crossJoin(broadcast(nOut))
+      .withColumn("n_take", expr("t_bp * n_out DIV 10000"))
+      .withColumn("thr", expr(
+        "least(CAST(65536 AS BIGINT), n_take * 65536 DIV n_corpus)"))
+      .select("lang", "n_corpus", "n_take", "thr")
+    docs.join(broadcast(thr), Seq("lang"))
+      .where(expr(s"${hexBucketSql("doc_id", 4)} < thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+      .join(thr, Seq("lang"))
+      .select("lang", "n_corpus", "n_take", "thr", "n_sampled", "first_doc")
+      .orderBy("lang")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sample_split" -> sampleSplit,
     "q_sample_strat" -> sampleStratified,
-    "q_sample_weighted" -> sampleWeighted
+    "q_sample_weighted" -> sampleWeighted,
+    "q_sample_mixture" -> sampleMixture
   )
 
   /** DuckDB mirror of the `split` column in [[withSplit]] — shared with
@@ -126,6 +163,25 @@ object SamplingQueries {
          | CAST(least(65536, n_chars * 65536 // $WeightDenom) AS BIGINT) AS thr
          | FROM documents
          | WHERE ${hexBucketSql("doc_id", 4)} < least(65536, n_chars * 65536 // $WeightDenom)
-         | ORDER BY doc_id""".stripMargin
+         | ORDER BY doc_id""".stripMargin,
+    "q_sample_mixture" -> {
+      val values = MixtureTargetsBp.map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+      s"""WITH tgt(lang, t_bp) AS (VALUES $values),
+         | c AS (SELECT lang, count(*) AS n_corpus FROM documents GROUP BY lang),
+         | ct AS (SELECT c.lang, n_corpus, t_bp FROM c JOIN tgt USING (lang)),
+         | o AS (SELECT min(n_corpus * 10000 // t_bp) AS n_out FROM ct),
+         | thr AS (SELECT lang, n_corpus,
+         |   t_bp * n_out // 10000 AS n_take,
+         |   least(65536, (t_bp * n_out // 10000) * 65536 // n_corpus) AS thr
+         |  FROM ct CROSS JOIN o),
+         | sel AS (SELECT d.lang, d.doc_id FROM documents d JOIN thr ON d.lang = thr.lang
+         |  WHERE ${hexBucketSql("doc_id", 4)} < thr.thr)
+         | SELECT thr.lang, CAST(n_corpus AS BIGINT) AS n_corpus,
+         |  CAST(n_take AS BIGINT) AS n_take, CAST(thr AS BIGINT) AS thr,
+         |  CAST(count(*) AS BIGINT) AS n_sampled, min(doc_id) AS first_doc
+         | FROM sel JOIN thr ON sel.lang = thr.lang
+         | GROUP BY thr.lang, n_corpus, n_take, thr
+         | ORDER BY thr.lang""".stripMargin
+    }
   )
 }

@@ -49,6 +49,21 @@ class SamplingQueriesSpec extends SparkSpec {
       s"weighted sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("mixture sample lands near the target shares") {
+    val out = graft.SparkEntry.queries("q_sample_mixture")(spark, dir).collect()
+    assert(out.length == SamplingQueries.MixtureTargetsBp.length)
+    val total = out.map(_.getAs[Long]("n_sampled")).sum.toDouble
+    val targets = SamplingQueries.MixtureTargetsBp.toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_corpus"))
+      assert(r.getAs[Long]("n_sampled") > 0)
+      val share = r.getAs[Long]("n_sampled") / total
+      val tgt = targets(r.getString(0)) / 10000.0
+      assert(math.abs(share - tgt) < 0.08,
+        s"${r.getString(0)}: sampled share $share vs target $tgt")
+    }
+  }
+
   test("stratified sample keeps every stratum at roughly the corpus share") {
     val sampled = graft.SparkEntry.queries("q_sample_strat")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
