@@ -1,0 +1,54 @@
+package graft.sink
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction — the maintenance pass a streaming corpus store
+  * needs: every micro-batch append (see [[graft.stream.DedupIngest]],
+  * `JsonLinesSink`) adds task-count files, and at 100 TB a table quietly
+  * accumulates millions of kilobyte files whose per-file open/footer cost
+  * dominates scans. Compaction rewrites a directory into
+  * ceil(bytes/target) files of ~`targetBytes` each.
+  *
+  * Shape: one distributed read → round-robin repartition to the computed
+  * file count → write to a NEW directory. The destination is
+  * caller-provided rather than an in-place rewrite: swapping directories
+  * atomically is filesystem-specific (rename on HDFS, copy on object
+  * stores), so the swap is left to the orchestration layer and the
+  * library stays non-destructive.
+  */
+object Compaction {
+
+  final case class Stats(filesBefore: Int, filesAfter: Int,
+                         bytes: Long, rows: Long)
+
+  /** Data files under `dir` (ignores _SUCCESS and checksums). */
+  private def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /** Target output-file count for `dir` at `targetBytes` per file. */
+  def plannedFiles(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val bytes = dataFiles(spark, dir).map(_._2).sum
+    math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+  }
+
+  /** Rewrite `srcDir` (parquet) into `dstDir` as ~`targetBytes` files. */
+  def compact(spark: SparkSession, srcDir: String, dstDir: String,
+              targetBytes: Long): Stats = {
+    val before = dataFiles(spark, srcDir)
+    val n = plannedFiles(spark, srcDir, targetBytes)
+    val df = spark.read.parquet(srcDir)
+    df.repartition(n).write.mode(SaveMode.ErrorIfExists).parquet(dstDir)
+    val rows = spark.read.parquet(dstDir).count()
+    Stats(before.length, dataFiles(spark, dstDir).length,
+      before.map(_._2).sum, rows)
+  }
+}
