@@ -570,6 +570,28 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** W2+ top-P (nucleus) selection — keep, per group, the smallest
+    * score-descending prefix holding ≥ P of the group's total score mass
+    * (the curation-budget dual of top-K: "spend 50% of the quality mass",
+    * not "take 3 docs"). A row survives iff the running sum BEFORE it is
+    * still under P·total. Scores ride integer cents; the running and
+    * total sums are exact integers, so the cut is engine-exact. One
+    * shuffle on event_type shared by both windows. */
+  private val TopPBp = 5000
+  private val w2TopP: Q = (s, dir) => {
+    val byType  = Window.partitionBy("event_type")
+    val ordered = byType.orderBy(col("cents").desc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("cum_before", coalesce(
+        sum("cents").over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("total", sum("cents").over(byType))
+      .where(expr(s"10000 * cum_before < $TopPBp * total"))
+      .select("event_id", "event_type", "cents")
+      .orderBy("event_id")
+  }
+
   /** A4+ unpivot (melt) — the wide→long reshape dual of [[a1Pivot]],
     * through Spark's native `unpivot` (an Expand node: map-side row
     * fan-out, no shuffle beyond the upstream aggregate). Verifies the
@@ -633,6 +655,7 @@ object RelationalQueries {
     "q_a1_histogram"       -> a1Histogram,
     "q_w2_percent_norm"    -> w2PercentNorm,
     "q_w2_funnel"          -> w2Funnel,
+    "q_w2_top_p"           -> w2TopP,
     "q_a1_unpivot"         -> a1Unpivot,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
@@ -852,6 +875,17 @@ object RelationalQueries {
         |  FROM events)
         | WHERE event_type = 'view'
         | ORDER BY user_id, event_id""".stripMargin,
+    "q_w2_top_p" ->
+      s"""SELECT event_id, event_type, cents FROM (
+         |  SELECT event_id, event_type, cents,
+         |   coalesce(sum(cents) OVER (PARTITION BY event_type
+         |     ORDER BY cents DESC, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         |   sum(cents) OVER (PARTITION BY event_type) AS total
+         |  FROM (SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events))
+         | WHERE 10000 * cum_before < $TopPBp * total
+         | ORDER BY event_id""".stripMargin,
     "q_a1_unpivot" ->
       """SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
         | FROM (SELECT DISTINCT user_id FROM events) u

@@ -138,11 +138,31 @@ object SimilarityQueries {
                | ',')""".stripMargin).as("q8_csv"))
       .orderBy("vec_id")
 
+  /** ANN recall audit — recall@K of the LSH index against the exact
+    * brute-force truth, per query: the quality gate an ANN deployment
+    * ships next to its index build (an index that silently decays is
+    * worse than none). Both sides are the already-verified pipelines;
+    * the audit is one left join truth→approx and an integer ratio.
+    * At scale the truth side comes from a sampled query panel — recall
+    * is estimated, never computed over the full corpus. */
+  private val annRecall: Q = (s, dir) => {
+    val truth = bruteForceTopK(s, dir).where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("cid"))
+    val approx = lshAnn(s, dir).select(col("qid").as("aqid"), col("cid").as("acid"))
+    truth.join(approx,
+        truth("qid") === col("aqid") && truth("cid") === col("acid"), "left")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hits"))
+      .withColumn("recall_bp", expr(s"CAST(10000 * n_hits DIV $LshTopK AS BIGINT)"))
+      .orderBy("qid")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sim_topk_bruteforce" -> bruteForceTopK,
     "q_sim_lsh_ann"         -> lshAnn,
     "q_sim_ivf_ann"         -> ivfAnn,
     "q_sim_quantize"        -> quantizeInt8,
+    "q_sim_recall"          -> annRecall,
     "q_dedup_embedding_cos" -> embeddingCosineDedup
   )
 
@@ -201,6 +221,26 @@ object SimilarityQueries {
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
          | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
          | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
+    // The truth and approx CTE chains are the two verified pipelines
+    // above, renamed to coexist in one WITH list.
+    "q_sim_recall" ->
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | bc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | br AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCos DESC, cid) AS rnk
+         |  FROM bq CROSS JOIN bc),
+         | truth AS (SELECT qid, cid FROM br WHERE rnk <= $LshTopK),
+         | le AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+         | lq AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM le WHERE vec_id < $NumQueries),
+         | lc AS (SELECT vec_id AS cid, embedding AS ce, bucket FROM le WHERE vec_id >= $NumQueries),
+         | lr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCos DESC, cid) AS rnk
+         |  FROM lq JOIN lc ON lq.bucket = lc.bucket),
+         | approx AS (SELECT qid, cid FROM lr WHERE rnk <= $LshTopK)
+         | SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
+         |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
+         | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+         | GROUP BY t.qid ORDER BY t.qid""".stripMargin,
     "q_sim_quantize" ->
       """SELECT vec_id,
         | CAST(floor(1000000.0 * maxabs) AS BIGINT) AS scale_ppm,

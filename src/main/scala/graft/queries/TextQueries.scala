@@ -217,6 +217,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** PMI keyphrase extraction — corpus-level collocations: bigrams whose
+    * joint count beats the independence expectation, PMI ≈
+    * ln(c_ab·N / (c_a·c_b)) with all counts over the unigram total N.
+    * The ln input is a ratio of EXACT integers (one double division), so
+    * the floor-millinat emission is engine-exact — same quantization
+    * discipline as [[unigramLp]]. Global top-20 by (pmi desc, bigram) is
+    * a TakeOrderedAndProject: per-partition heaps, no global sort. Scale
+    * shape: two hash aggregations (unigrams, bigrams), two
+    * vocabulary-sized joins (AQE broadcasts when small), one scalar
+    * broadcast. */
+  private val PmiMinCount = 3
+  private val PmiTopK = 20
+  private val pmiKeyphrases: Q = (s, dir) => {
+    val toks = docs(s, dir)
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks")) >= 2)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val n = uni.select(sum("c").as("n_tok"))
+    val bi = toks.select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          | i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= PmiMinCount)
+    bi.join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_mb", expr(
+        "CAST(floor(1000.0 * ln(CAST(c_ab * n_tok AS DOUBLE) / (c1 * c2))) AS BIGINT)"))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_ab"), col("pmi_mb"))
+      .orderBy(col("pmi_mb").desc, col("bigram").asc)
+      .limit(PmiTopK)
+      .orderBy(col("pmi_mb").desc, col("bigram").asc)
+  }
+
   // ---- text-analysis extensions (training-data pipeline ops) -------------
 
   private val MarkersEn = Seq("the", "a", "data", "row")
@@ -389,7 +427,8 @@ object TextQueries {
     "q_text_pii"         -> piiScrub,
     "q_text_filter"      -> filterDecision,
     "q_text_tfidf"       -> tfidf,
-    "q_text_unigram_lp"  -> unigramLp
+    "q_text_unigram_lp"  -> unigramLp,
+    "q_text_pmi"         -> pmiKeyphrases
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -538,6 +577,23 @@ object TextQueries {
          |  FROM tf JOIN tc USING (term) CROSS JOIN tot)
          | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
          |  CAST(sum(k * surprisal_mb) // sum(k) AS BIGINT) AS mean_surprisal_mb
-         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_pmi" ->
+      s"""WITH tk AS (SELECT ${duckTerms("text")} AS toks FROM documents),
+         | uc AS (SELECT w, count(*) AS c FROM
+         |   (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+         | n AS (SELECT sum(c) AS n_tok FROM uc),
+         | bl AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |   FROM tk WHERE len(toks) >= 2),
+         | bc AS (SELECT bigram, count(*) AS c_ab FROM bl GROUP BY bigram
+         |   HAVING count(*) >= $PmiMinCount),
+         | j AS (SELECT bigram, c_ab,
+         |   string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2 FROM bc),
+         | p AS (SELECT j.bigram, j.c_ab,
+         |   CAST(floor(1000.0 * ln(CAST(j.c_ab * n.n_tok AS DOUBLE) / (u1.c * u2.c))) AS BIGINT) AS pmi_mb
+         |  FROM j JOIN uc u1 ON j.w1 = u1.w JOIN uc u2 ON j.w2 = u2.w CROSS JOIN n)
+         | SELECT bigram, c_ab, pmi_mb FROM p
+         | ORDER BY pmi_mb DESC, bigram LIMIT $PmiTopK""".stripMargin
   )
 }
