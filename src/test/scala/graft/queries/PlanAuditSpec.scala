@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-regression audit: the physical-plan properties the SURVEY §7.5
+  * scale claims rest on, pinned as assertions so a refactor that silently
+  * loses pushdown, broadcasts a fact table, or adds a second shuffle to a
+  * window family fails HERE, not in a 100 TB run. Values are covered by
+  * the oracle; these tests look only at plan shape (planning only — no
+  * query is executed). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  /** Data shuffles only: the trailing ORDER BY rangepartitioning exchange
+    * is harness-only (production callers drop the sort). */
+  private def dataShuffles(p: String): Int =
+    "hashpartitioning".r.findAllIn(p).length
+
+  test("scans push filters and prune columns (S1/P4)") {
+    val p = plan("q_s1_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"))
+    val p2 = plan("q_p4_column_prune")
+    assert(p2.contains("GreaterThanOrEqual(l_shipdate"), p2)
+    assert(!p2.contains("l_extendedprice"), "pruned column still read")
+  }
+
+  test("star-schema dims broadcast; the spine never does (J2)") {
+    val p = plan("q_j2_star_agg")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p) // dims
+    // The lineitem spine must not be a broadcast build side: its scan
+    // appears under a non-broadcast join input (SMJ or shuffled hash) —
+    // here all four dims broadcast onto the streamed spine, so exactly
+    // as many BroadcastExchanges as dim joins exist.
+    assert("BroadcastExchange".r.findAllIn(p).length ==
+      "BroadcastHashJoin".r.findAllIn(p).length)
+  }
+
+  test("window families share one data shuffle (W2)") {
+    for (q <- Seq("q_w2_window", "q_w2_analytics", "q_w2_percent_norm", "q_w2_top_p"))
+      assert(dataShuffles(plan(q)) == 1, s"$q has >1 data shuffle:\n${plan(q)}")
+  }
+
+  test("global top-K plans as TakeOrderedAndProject, never a global sort (O1/O3)") {
+    for (q <- Seq("q_p9_topk", "q_text_pmi")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("salted aggregation spreads the hot key before any exchange (skew)") {
+    val p = plan("q_a1_salted_sum")
+    // The tree prints top-down, so the LAST hashpartitioning is the
+    // first exchange the data meets — it must carry the salt.
+    val upstreamExchange = p.lastIndexOf("hashpartitioning")
+    assert(upstreamExchange >= 0)
+    assert(p.substring(upstreamExchange, math.min(p.length, upstreamExchange + 120))
+      .contains("__salt"), "upstream shuffle not salted:\n" + p)
+  }
+
+  test("per-key top-K rides the custom sort-free operator (TopKPerKey)") {
+    val p = plan("q_w2_topk_user")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("Window"), "fell back to a rank window:\n" + p)
+  }
+}
