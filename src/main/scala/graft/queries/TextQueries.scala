@@ -283,6 +283,16 @@ object TextQueries {
           .otherwise("de"))
       .orderBy("doc_id")
 
+  /** Classifier evaluation — the confusion matrix of [[langId]] against
+    * the labeled `lang` column, in long form (actual, predicted, n): the
+    * eval-harness pass a pipeline runs after any heuristic classifier
+    * change. One hash aggregation over the map-side classifier. */
+  private val langIdEval: Q = (s, dir) =>
+    langId(s, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
   /** Quality scoring: length / punctuation / stop-word ratios as exact
     * integer basis points (10000 * part DIV whole). */
   private val quality: Q = (s, dir) =>
@@ -407,6 +417,18 @@ object TextQueries {
         substring(TextOps.cleanText(col("text")), 1, 40)).as("edit40"))
       .orderBy("doc_id")
 
+  /** Shared langid SELECT (sans ORDER BY) for the per-doc and
+    * confusion-matrix oracles — one definition, no drift. */
+  private lazy val duckLangId: String =
+    s"""SELECT doc_id, lang, s_en, s_fr, s_de,
+       | CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+       |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted
+       | FROM (SELECT doc_id, lang,
+       |   CAST(len(list_filter(toks, w -> w IN (${MarkersEn.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_en,
+       |   CAST(len(list_filter(toks, w -> w IN (${MarkersFr.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_fr,
+       |   CAST(len(list_filter(toks, w -> w IN (${MarkersDe.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_de
+       |   FROM (SELECT doc_id, lang, ${duckTerms("text")} AS toks FROM documents))""".stripMargin
+
   val queries: Seq[(String, Q)] = Seq(
     "q_text_editdist"    -> editDistance,
     "q_f_clean_chain"    -> fCleanChain,
@@ -420,6 +442,7 @@ object TextQueries {
     "q_a3_vocabulary"    -> a3Vocabulary,
     "q_u1_sentiment"     -> u1Sentiment,
     "q_text_langid"      -> langId,
+    "q_text_langid_eval" -> langIdEval,
     "q_text_quality"     -> quality,
     "q_text_tokencount"  -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
@@ -502,15 +525,10 @@ object TextQueries {
          | ORDER BY doc_id""".stripMargin
     },
     "q_text_langid" ->
-      s"""SELECT doc_id, lang, s_en, s_fr, s_de,
-         | CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
-         |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted
-         | FROM (SELECT doc_id, lang,
-         |   CAST(len(list_filter(toks, w -> w IN (${MarkersEn.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_en,
-         |   CAST(len(list_filter(toks, w -> w IN (${MarkersFr.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_fr,
-         |   CAST(len(list_filter(toks, w -> w IN (${MarkersDe.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_de
-         |   FROM (SELECT doc_id, lang, ${duckTerms("text")} AS toks FROM documents))
-         | ORDER BY doc_id""".stripMargin,
+      s"$duckLangId ORDER BY doc_id",
+    "q_text_langid_eval" ->
+      s"""SELECT lang, predicted, count(*) AS n FROM ($duckLangId)
+         | GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
          | CAST(len(toks_all) AS INTEGER) AS n_tokens,
