@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.intersectionDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RankLimitToTopK)
   }
@@ -30,12 +31,26 @@ object GraftExtensions {
     CosineSimilarity(args.head, args(1))
   }
 
+  private def intersectionBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2,
+      s"sorted_intersection_size expects 2 arguments, got ${args.length}")
+    SortedIntersectionSize(args.head, args(1))
+  }
+
   val cosineDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cosine_similarity"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
     cosineBuilder)
 
-  def register(spark: SparkSession): Unit =
+  val intersectionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersection_size"),
+    new ExpressionInfo(classOf[SortedIntersectionSize].getName, "sorted_intersection_size"),
+    intersectionBuilder)
+
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
       spark, "cosine_similarity", cosineBuilder)
+    org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
+      spark, "sorted_intersection_size", intersectionBuilder)
+  }
 }

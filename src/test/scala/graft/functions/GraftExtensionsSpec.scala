@@ -15,6 +15,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == Seq(0.0, 1.0))
   }
 
+  test("sorted_intersection_size is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val n = spark.sql(
+      "SELECT sorted_intersection_size(array(1, 3, 5, 9), array(3, 4, 9))")
+      .head().getInt(0)
+    assert(n == 2)
+  }
+
   test("registration survives mixed float/double array arguments") {
     GraftExtensions.register(spark)
     val c = spark.sql(
