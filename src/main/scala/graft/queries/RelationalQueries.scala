@@ -371,6 +371,44 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** J2+ LATERAL correlated subquery (SQL surface): per order, its
+    * top-quantity line item via a correlated ORDER BY … LIMIT 1 — the
+    * "top-1 detail per master" idiom. Catalyst decorrelates the lateral
+    * into a per-key aggregation/join, so no per-order subquery ever
+    * executes — the plan is the same shuffle shape as a rank-window or
+    * TopKPerKey form, reached from plain SQL. */
+  private val j2Lateral: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_lat")
+    t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
+        |FROM orders_lat o, LATERAL (
+        |  SELECT l_linenumber, l_quantity FROM lineitem_lat
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 1) l
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  /** Recursive CTE (SQL surface, Spark 4): ancestor closure over the
+    * synthetic binary hierarchy parent(u) = u DIV 2 on the distinct user
+    * set — the hierarchy-walk capability (org charts, category trees,
+    * reply chains). Each step is one distributed self-union; depth is
+    * log₂(max id), so the iteration count grows logarithmically, not
+    * with row count. The dedup connected-components fixpoint is the
+    * same recursion expressed by hand where convergence control (pointer
+    * jumping, checkpointing) must be explicit. */
+  private val sqlRecursive: Q = (s, dir) => {
+    t(s, dir, "events").createOrReplaceTempView("events_rec")
+    s.sql(
+      """WITH RECURSIVE anc(user_id, a) AS (
+        |  SELECT user_id, user_id DIV 2
+        |  FROM (SELECT DISTINCT user_id FROM events_rec) WHERE user_id > 0
+        |  UNION ALL
+        |  SELECT user_id, a DIV 2 FROM anc WHERE a > 0)
+        |SELECT user_id, count(*) AS n_anc, sum(a) AS sum_anc
+        |FROM anc GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   /** A4: GROUPING SETS through the SQL surface (the third grouping shape
     * next to rollup/cube). */
   private val a4GroupingSets: Q = (s, dir) => {
@@ -633,6 +671,8 @@ object RelationalQueries {
     "q_j2_asof_join"       -> j2AsofJoin,
     "q_j2_bloom_semi"      -> j2BloomSemi,
     "q_j2_range_join"      -> j2RangeJoin,
+    "q_j2_lateral"         -> j2Lateral,
+    "q_sql_recursive"      -> sqlRecursive,
     "q_a1_hash_agg"        -> a1HashAgg,
     "q_a1_percentile"      -> a1Percentile,
     "q_a1_pivot"           -> a1Pivot,
@@ -863,6 +903,21 @@ object RelationalQueries {
         |   count(*) OVER (PARTITION BY event_type) AS n,
         |   count(*) OVER (PARTITION BY event_type ORDER BY value) AS cum
         |  FROM events) ORDER BY event_id""".stripMargin,
+    "q_j2_lateral" ->
+      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
+        | FROM orders o, LATERAL (
+        |  SELECT l_linenumber, l_quantity FROM lineitem
+        |  WHERE l_orderkey = o.o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 1) l
+        | ORDER BY o.o_orderkey""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE anc(user_id, a) AS (
+        |  SELECT user_id, user_id // 2
+        |  FROM (SELECT DISTINCT user_id FROM events) WHERE user_id > 0
+        |  UNION ALL
+        |  SELECT user_id, a // 2 FROM anc WHERE a > 0)
+        | SELECT user_id, count(*) AS n_anc, CAST(sum(a) AS BIGINT) AS sum_anc
+        | FROM anc GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_w2_funnel" ->
       """SELECT user_id, event_id, ts,
         | CAST(CASE WHEN next_purchase_ts IS NOT NULL
