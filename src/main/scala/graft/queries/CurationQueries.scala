@@ -51,8 +51,27 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus report card — the governance output a curation
+    * run publishes: document counts, filter-gate keep rate, token volume,
+    * and mean length per ingestion source, so a drifting scraper is
+    * visible the day it regresses. Composes the already-verified gate;
+    * one join + one hash aggregation over O(sources) groups. */
+  private val sourceReport: Q = (s, dir) =>
+    t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      .join(TextQueries.filterVerdicts(s, dir)
+        .select("doc_id", "n_tokens", "verdict"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("n_keep"),
+        expr("10000 * sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) DIV count(1)").as("keep_bp"),
+        sum("n_tokens").as("n_tokens"),
+        expr("sum(n_chars) DIV count(1)").as("mean_chars"))
+      .orderBy("source")
+
   val queries: Seq[(String, Q)] = Seq(
-    "q_pipeline_curate" -> curate
+    "q_pipeline_curate" -> curate,
+    "q_report_sources"  -> sourceReport
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -69,6 +88,15 @@ object CurationQueries {
          |  ${SamplingQueries.duckSplitSql("doc_id")} AS split
          | FROM kept
          | WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
-         | ORDER BY doc_id""".stripMargin
+         | ORDER BY doc_id""".stripMargin,
+    "q_report_sources" ->
+      s"""WITH verdicts AS (${TextQueries.duckFilterVerdicts})
+         | SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(10000 * sum(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS keep_bp,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+         | FROM documents d JOIN verdicts v ON d.doc_id = v.doc_id
+         | GROUP BY source ORDER BY source""".stripMargin
   )
 }
