@@ -106,7 +106,7 @@ object SimilarityQueries {
     * cosine ≥ threshold. The pair join is a shuffle equi-join on the block
     * key — AQE re-plans it to broadcast at runtime iff the build side
     * measures small, so there is no O(corpus) broadcast ceiling. */
-  private val embeddingCosineDedup: Q = (s, dir) => {
+  private[queries] val embeddingCosineDedup: Q = (s, dir) => {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"), col("label"))
     Tables.fanout(e).as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
@@ -157,13 +157,33 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
+  /** Semantic dedup apply (SemDeDup, Abbas et al. 2023 — dedup in
+    * EMBEDDING space, which catches paraphrases that share no n-grams):
+    * the verified cosine pair graph is clustered by the same distributed
+    * connected-components fixpoint the MinHash chain uses, and each
+    * cluster keeps its min-vec_id representative. At scale the label
+    * block becomes IVF/LSH cells; the component/apply machinery is
+    * unchanged — it takes any pair frame. */
+  private val semanticApply: Q = (s, dir) => {
+    val pairs = embeddingCosineDedup(s, dir)
+      .select(col("v1").as("doc1"), col("v2").as("doc2"))
+    val comp = DedupQueries.connectedComponents(s, pairs)
+    val dupes = comp.where(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("vec_id"))
+    t(s, dir, "embeddings")
+      .join(dupes, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label")
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sim_topk_bruteforce" -> bruteForceTopK,
     "q_sim_lsh_ann"         -> lshAnn,
     "q_sim_ivf_ann"         -> ivfAnn,
     "q_sim_quantize"        -> quantizeInt8,
     "q_sim_recall"          -> annRecall,
-    "q_dedup_embedding_cos" -> embeddingCosineDedup
+    "q_dedup_embedding_cos" -> embeddingCosineDedup,
+    "q_dedup_semantic_apply" -> semanticApply
   )
 
   private val duckCos = "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))"
@@ -257,6 +277,23 @@ object SimilarityQueries {
          |  round(list_cosine_similarity(x.emb, y.emb), 4) AS cos4
          | FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
          | WHERE list_cosine_similarity(x.emb, y.emb) >= $CosDupThreshold
-         | ORDER BY v1, v2""".stripMargin
+         | ORDER BY v1, v2""".stripMargin,
+    // Same cluster = min(reachable id) recursion as the MinHash apply
+    // oracle, over the cosine pair graph.
+    "q_dedup_semantic_apply" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+         | p AS (SELECT x.vec_id AS doc1, y.vec_id AS doc2
+         |   FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+         |   WHERE list_cosine_similarity(x.emb, y.emb) >= $CosDupThreshold),
+         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM p
+         |            UNION ALL SELECT doc2, doc1 FROM p),
+         | reach(n, m) AS (
+         |  SELECT s, s FROM edges2
+         |  UNION
+         |  SELECT r.n, e2.d FROM reach r JOIN edges2 e2 ON r.m = e2.s),
+         | comp AS (SELECT n AS id, min(m) AS component FROM reach GROUP BY n)
+         | SELECT vec_id, label FROM embeddings
+         | WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         | ORDER BY vec_id""".stripMargin
   )
 }
