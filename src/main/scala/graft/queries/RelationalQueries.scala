@@ -608,6 +608,38 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** W2+ cohort retention — the product-analytics matrix (cohort week ×
+    * week offset → distinct active users): each user's cohort is their
+    * first active week; weeks are integer epoch-second DIV 604800 on
+    * both engines. Two hash aggregations and one user-keyed join —
+    * the cohort table is users-sized, AQE broadcasts it when small. */
+  private val w2Cohort: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .withColumn("week", expr("unix_timestamp(ts) DIV 604800"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** W2+ event-transition matrix (first-order Markov counts): how often
+    * each event type follows each other within a user's stream — the
+    * path-analysis / next-action primitive. One lag window, one hash
+    * aggregation over O(types²) groups. */
+  private val w2Transitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "event_type")
+  }
+
   /** W2+ top-P (nucleus) selection — keep, per group, the smallest
     * score-descending prefix holding ≥ P of the group's total score mass
     * (the curation-budget dual of top-K: "spend 50% of the quality mass",
@@ -696,6 +728,8 @@ object RelationalQueries {
     "q_w2_percent_norm"    -> w2PercentNorm,
     "q_w2_funnel"          -> w2Funnel,
     "q_w2_top_p"           -> w2TopP,
+    "q_w2_cohort"          -> w2Cohort,
+    "q_w2_transitions"     -> w2Transitions,
     "q_a1_unpivot"         -> a1Unpivot,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
@@ -930,6 +964,24 @@ object RelationalQueries {
         |  FROM events)
         | WHERE event_type = 'view'
         | ORDER BY user_id, event_id""".stripMargin,
+    "q_w2_cohort" ->
+      """WITH ev AS (SELECT user_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM events),
+        | c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+        | SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        | FROM ev JOIN c ON ev.user_id = c.user_id
+        | GROUP BY cohort_week, week - cohort_week
+        | ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_w2_transitions" ->
+      """SELECT prev_type, event_type, count(*) AS n
+        | FROM (SELECT event_type,
+        |   lag(event_type, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        | WHERE prev_type IS NOT NULL
+        | GROUP BY prev_type, event_type
+        | ORDER BY prev_type, event_type""".stripMargin,
     "q_w2_top_p" ->
       s"""SELECT event_id, event_type, cents FROM (
          |  SELECT event_id, event_type, cents,
