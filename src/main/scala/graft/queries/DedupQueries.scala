@@ -162,6 +162,12 @@ object DedupQueries {
     * restored in a `finally`: callers like Bench/Verify catch per-query
     * Throwables and continue, so a leak here would silently cut every
     * subsequent query's parallelism. */
+  /** Fixpoint iteration tracing — off by default (library stderr stays
+    * clean); set GRAFT_CC_DEBUG=1 to see per-iteration timings. */
+  private val ccDebug = sys.env.contains("GRAFT_CC_DEBUG")
+  @inline private def ccLog(msg: => String): Unit =
+    if (ccDebug) System.err.println(msg)
+
   private[queries] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     var edges: DataFrame = null
@@ -187,7 +193,7 @@ object DedupQueries {
         .distinct().withColumn("label", col("doc_id")).localCheckpoint(true)
       var changed = 1L
       var iter = 0
-      System.err.println(f"[cc] edges+labels init: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      ccLog(f"[cc] edges+labels init: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       while (changed > 0 && iter < 25) {
         val ti = System.nanoTime()
         // Propagate: label(x) := min(label(x), min over neighbors' labels).
@@ -215,7 +221,7 @@ object DedupQueries {
         changed = next.where(col("chg")).count()
         labels = next.select("doc_id", "label")
         iter += 1
-        System.err.println(f"[cc] iter $iter: changed=$changed ${(System.nanoTime() - ti) / 1e9}%.2f s")
+        ccLog(f"[cc] iter $iter: changed=$changed ${(System.nanoTime() - ti) / 1e9}%.2f s")
       }
       // No ordering imposed here: callers that JOIN against the labels
       // (dedup-apply, the curation pipeline) must not pay a global sort;

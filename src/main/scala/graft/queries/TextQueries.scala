@@ -232,11 +232,13 @@ object TextQueries {
   private val pmiKeyphrases: Q = (s, dir) => {
     val toks = docs(s, dir)
       .withColumn("toks", TokenOps.terms(col("text")))
-      .where(size(col("toks")) >= 2)
+    // Unigram counts and N span the WHOLE corpus (the oracle's scope);
+    // only the bigram stream needs the ≥2-token guard (and gets it —
+    // sequence(1, 0) would be the descending [1, 0], not empty).
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val n = uni.select(sum("c").as("n_tok"))
-    val bi = toks.select(explode(expr(
+    val bi = toks.where(size(col("toks")) >= 2).select(explode(expr(
         """transform(sequence(1, size(toks) - 1),
           | i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))""".stripMargin))
         .as("b"))

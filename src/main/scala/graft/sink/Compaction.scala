@@ -22,12 +22,23 @@ object Compaction {
   final case class Stats(filesBefore: Int, filesAfter: Int,
                          bytes: Long, rows: Long)
 
-  /** Data files under `dir` (ignores _SUCCESS and checksums). */
+  /** Data files under `dir` (ignores _SUCCESS and checksums). Flat
+    * layouts only, enforced: on a Hive-partitioned table the listing
+    * would see 0 bytes while the read pulls every row — the rewrite
+    * would silently collapse the table into one unpartitioned file.
+    * Partitioned tables are compacted per LEAF directory (which also
+    * preserves the partitioning). */
   private def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
-    fs.listStatus(p).toSeq
+    val entries = fs.listStatus(p).toSeq
+    val subdirs = entries.filter(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"$dir has a partitioned/nested layout (e.g. ${subdirs.headOption.map(_.getPath.getName).getOrElse("")}); " +
+        "compact each leaf partition directory instead")
+    entries
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.toString, s.getLen))

@@ -47,12 +47,22 @@ final class DedupIngest(
         spark.range(0).select(lit("").as("fp")).where(lit(false))
     }
 
-  /** One micro-batch: returns the number of novel documents appended. */
+  /** One micro-batch: returns the number of novel documents appended.
+    *
+    * Replay safety: survivors land as a `batch_id=<id>` partition via
+    * DYNAMIC partition overwrite, corpus FIRST then index. A replayed
+    * batch (same checkpointed offsets ⇒ same rows, same id) recomputes
+    * the same survivor set and overwrites its own partitions — so a crash
+    * between the two writes converges on retry instead of duplicating
+    * (append-mode would re-append). The ordering matters: writing the
+    * index first would make a replay after an index-success/corpus-crash
+    * see its own fingerprints and drop the batch — data loss, not dedup. */
   def processBatch(batch: DataFrame, batchId: Long): Long = {
     if (batch.isEmpty) return 0L
-    val fp = fingerprinted(batch)
-    // In-batch dedup: keep the min-id row per fingerprint (deterministic
-    // under any partitioning, unlike dropDuplicates' first-seen).
+    // Rows sharing (fp, id) are redelivered copies of one record — keep
+    // one; then keep the min-id row per fingerprint (deterministic under
+    // any partitioning, unlike dropDuplicates' first-seen).
+    val fp = fingerprinted(batch).dropDuplicates("fp", idCol)
     val firstIds = fp.groupBy("fp").agg(min(col(idCol)).as(idCol))
     val inBatch = fp.join(firstIds, Seq("fp", idCol))
     // Cross-batch dedup: drop anything the corpus has ever seen.
@@ -61,12 +71,22 @@ final class DedupIngest(
     try {
       val n = fresh.count()
       if (n > 0) {
-        fresh.drop("fp").write.mode(SaveMode.Append).parquet(corpusDir)
-        fresh.select("fp").write.mode(SaveMode.Append).parquet(indexDir)
+        writeBatchPartition(fresh.drop("fp"), corpusDir, batchId)
+        writeBatchPartition(fresh.select("fp"), indexDir, batchId)
       }
       n
     } finally { fresh.unpersist(); () }
   }
+
+  /** Idempotent per-batch write: dynamic overwrite of this batch's own
+    * partition only — every other batch's output is untouched. */
+  private def writeBatchPartition(df: DataFrame, dir: String, batchId: Long): Unit =
+    df.withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy("batch_id")
+      .parquet(dir)
 
   /** Attach to a streaming frame via foreachBatch. */
   def start(source: DataFrame, queryName: String,

@@ -39,10 +39,19 @@ final class TrendingTopK(
 
   /** Window start is stored as epoch SECONDS (long): a timestamp-typed
     * partition column round-trips through directory names as a string
-    * and re-infers engine-dependently; integers do not. */
-  private def counts(stream: DataFrame, tsCol: String): DataFrame =
-    StreamEngine.windowedCounts(stream, tsCol, keyCol, window, watermark)
-      .select(col("window_start").cast("long").as("ws"), col(keyCol), col("n"))
+    * and re-infers engine-dependently; integers do not.
+    *
+    * Count-only aggregation (NOT `StreamEngine.windowedCounts`): trending
+    * needs no `value` column — depending on one would crash any stream
+    * without it and carry a discarded avg in every state-store row. */
+  private def counts(stream: DataFrame, tsCol: String): DataFrame = {
+    val withWm =
+      if (stream.isStreaming) stream.withWatermark(tsCol, watermark) else stream
+    withWm
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col(keyCol), col("n"))
+  }
 
   /** One micro-batch: replace-merge `updates` into silver, rebuild gold
     * top-K for the touched windows. Public-in-package so the spec can

@@ -37,6 +37,30 @@ class DedupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/corpus").count() == 2)
   }
 
+  test("identical redelivered records inside ONE batch land once") {
+    val (ingest, base) = mkIngest()
+    val b = Seq((1L, "alpha"), (1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    assert(ingest.processBatch(b, 0L) == 2)
+    assert(spark.read.parquet(s"$base/corpus").count() == 2)
+  }
+
+  test("replay after a crash between corpus and index writes converges") {
+    val (ingest, base) = mkIngest()
+    val b = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    assert(ingest.processBatch(b, 0L) == 2)
+    // Simulate the crash window: the corpus partition committed but the
+    // index write was lost. The replayed batch must overwrite its own
+    // partition, not append next to it.
+    val idx = new java.io.File(s"$base/index")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(idx)
+    assert(ingest.processBatch(b, 0L) == 2) // recomputed, not skipped
+    assert(spark.read.parquet(s"$base/corpus").count() == 2) // no duplicates
+    assert(spark.read.parquet(s"$base/index").distinct().count() == 2)
+  }
+
   test("drives end to end from a streaming source") {
     val (ingest, base) = mkIngest()
     val ms = MemoryStream[(Long, String)](spark, numPartitions = 2)

@@ -48,6 +48,24 @@ class TrendingTopKSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runs on a value-less stream (counts need nothing but ts and key)") {
+    val dir = java.nio.file.Files.createTempDirectory("trend-novalue").toString
+    val ttk = new TrendingTopK("topic", k = 1,
+      silverDir = s"$dir/silver", goldDir = s"$dir/gold",
+      trigger = Trigger.ProcessingTime(0))
+    val ms = MemoryStream[(java.sql.Timestamp, String)](spark, numPartitions = 2)
+    val q = ttk.start(ms.toDF().toDF("ts", "topic"),
+      queryName = s"trend-nv${System.nanoTime()}")
+    try {
+      ms.addData(Seq(
+        (ts("2024-01-01 00:10:00"), "x"), (ts("2024-01-01 00:11:00"), "x"),
+        (ts("2024-01-01 00:12:00"), "y")))
+      q.processAllAvailable()
+      assert(ttk.gold(spark).as[(Long, String, Long)].collect().toSet ==
+        Set((W1, "x", 2L)))
+    } finally q.stop()
+  }
+
   test("replayed micro-batch is idempotent: replace-merge, not delta-add") {
     val dir = java.nio.file.Files.createTempDirectory("trend-replay").toString
     val ttk = new TrendingTopK("user", k = 3,
