@@ -386,6 +386,37 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Sketch calibration — MinHash-ESTIMATED Jaccard (matching-signature
+    * fraction, the estimator LSH banding is built on) next to the exact
+    * sorted-merge value for every candidate pair: the audit that tells
+    * you whether 8 hashes are enough for your threshold before you trust
+    * the sketch at 100 TB. Pure composition of two verified frames; both
+    * sides integer basis points. */
+  private val minhashEstimate: Q = (s, dir) => {
+    val sigs = minhashSigs(s, dir).localCheckpoint(true)
+    def side(role: String) = sigs.select(
+      col("doc_id").as(role) +:
+        (1 to NumHashes).map(i => col(s"sig$i").as(s"${role}_s$i")): _*)
+    val matchSql = (1 to NumHashes)
+      .map(i => s"CASE WHEN doc1_s$i = doc2_s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val d = termSets(s, dir).localCheckpoint(true)
+    // Signatures and term sets attach to the LSH CANDIDATES only — the
+    // estimator is never evaluated on an unblocked pair space.
+    minhashCandidates(s, dir)
+      .join(side("doc1"), Seq("doc1")).join(side("doc2"), Seq("doc2"))
+      .withColumn("est_jac_bp",
+        expr(s"CAST(10000 * ($matchSql) DIV $NumHashes AS BIGINT)"))
+      .join(d.select(col("doc_id").as("doc1"),
+        col("tset").as("t1"), col("n").as("n1")), Seq("doc1"))
+      .join(d.select(col("doc_id").as("doc2"),
+        col("tset").as("t2"), col("n").as("n2")), Seq("doc2"))
+      .withColumn("inter", interSize(col("t1"), col("t2")))
+      .select(col("doc1"), col("doc2"), col("est_jac_bp"),
+        expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)").as("jac_bp"))
+      .orderBy("doc1", "doc2")
+  }
+
   /** The "new batch" source for [[incrementalDedup]] — one of the 20
     * equal-sized source shards plays the freshly-ingested delta. */
   private val NewBatchSource = "src0"
@@ -477,6 +508,7 @@ object DedupQueries {
     "q_dedup_containment" -> containment,
     "q_dedup_decontam"    -> decontaminate,
     "q_dedup_incremental" -> incrementalDedup,
+    "q_dedup_minhash_est" -> minhashEstimate,
     "q_dedup_apply"       -> dedupApply
   )
 
@@ -612,6 +644,21 @@ object DedupQueries {
          |  count(DISTINCT ev.eval_doc) AS n_eval_docs
          | FROM tr JOIN ev ON tr.shingle = ev.shingle
          | GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash_est" -> {
+      val matchSql = (1 to NumHashes)
+        .map(i => s"CASE WHEN sx.sig$i = sy.sig$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ${duckPairsCte()},
+         | s1 AS ($duckSigs),
+         | d AS (SELECT doc_id, list_slice(list_sort(list_distinct(${duckTerms("text")})), 1, $MaxTermsPerDoc) AS tset FROM documents)
+         | SELECT p.doc1, p.doc2,
+         |  CAST(10000 * ($matchSql) // $NumHashes AS BIGINT) AS est_jac_bp,
+         |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset))) AS BIGINT) AS jac_bp
+         | FROM pairs p
+         |  JOIN s1 sx ON p.doc1 = sx.doc_id JOIN s1 sy ON p.doc2 = sy.doc_id
+         |  JOIN d x ON p.doc1 = x.doc_id JOIN d y ON p.doc2 = y.doc_id
+         | ORDER BY doc1, doc2""".stripMargin
+    },
     "q_dedup_incremental" ->
       s"""WITH bands AS ($duckBands),
          | src AS (SELECT doc_id, source FROM documents),
