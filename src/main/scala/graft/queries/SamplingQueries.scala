@@ -132,11 +132,26 @@ object SamplingQueries {
       .orderBy("lang")
   }
 
+  private val NumFolds = 5
+
+  /** Deterministic k-fold assignment — fold = md5-bucket mod k, the
+    * cross-validation counterpart of [[sampleSplit]]: stable under
+    * re-ingestion and engine-independent, so fold membership never
+    * drifts between the Spark pipeline and any other consumer of the
+    * corpus. Map-side expression; per-fold counts verify balance. */
+  private val sampleKfold: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("fold", expr(s"CAST((${bucketSql("doc_id")}) % $NumFolds AS INT)"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+      .orderBy("fold")
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sample_split" -> sampleSplit,
     "q_sample_strat" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
-    "q_sample_mixture" -> sampleMixture
+    "q_sample_mixture" -> sampleMixture,
+    "q_sample_kfold" -> sampleKfold
   )
 
   /** DuckDB mirror of the `split` column in [[withSplit]] — shared with
@@ -182,6 +197,10 @@ object SamplingQueries {
          | FROM sel JOIN thr ON sel.lang = thr.lang
          | GROUP BY thr.lang, n_corpus, n_take, thr
          | ORDER BY thr.lang""".stripMargin
-    }
+    },
+    "q_sample_kfold" ->
+      s"""SELECT CAST((${bucketSql("doc_id")}) % $NumFolds AS INTEGER) AS fold,
+         | count(*) AS n, min(doc_id) AS first_doc
+         | FROM documents GROUP BY fold ORDER BY fold""".stripMargin
   )
 }
