@@ -257,6 +257,32 @@ object TextQueries {
       .orderBy(col("pmi_mb").desc, col("bigram").asc)
   }
 
+  /** S-stemmer (Harman 1991) as a pure CASE expression — identical text
+    * in both engines, so stemming is oracle-exact: ies→y (unless
+    * e/a-ies), es→e-drop-s (unless a/e/o-es), trailing s dropped (unless
+    * us/ss). Applied per token map-side, then the stemmed vocabulary's
+    * top-50 by frequency (TakeOrderedAndProject). The conflation-ratio
+    * use: comparing this vocabulary against [[a3Vocabulary]] measures
+    * what stemming merges. */
+  private def stemCase(w: String): String =
+    s"""CASE
+       | WHEN $w LIKE '%ies' AND NOT ($w LIKE '%eies' OR $w LIKE '%aies')
+       |  THEN concat(substring($w, 1, length($w) - 3), 'y')
+       | WHEN $w LIKE '%es' AND NOT ($w LIKE '%aes' OR $w LIKE '%ees' OR $w LIKE '%oes')
+       |  THEN substring($w, 1, length($w) - 1)
+       | WHEN $w LIKE '%s' AND NOT ($w LIKE '%us' OR $w LIKE '%ss')
+       |  THEN substring($w, 1, length($w) - 1)
+       | ELSE $w END""".stripMargin
+  private val StemTopK = 50
+  private val stemVocabulary: Q = (s, dir) =>
+    docs(s, dir)
+      .select(explode(TokenOps.terms(col("text"))).as("w"))
+      .select(expr(stemCase("w")).as("stem"))
+      .groupBy("stem").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("stem").asc)
+      .limit(StemTopK)
+      .orderBy(col("n").desc, col("stem").asc)
+
   // ---- text-analysis extensions (training-data pipeline ops) -------------
 
   private val MarkersEn = Seq("the", "a", "data", "row")
@@ -453,7 +479,8 @@ object TextQueries {
     "q_text_filter"      -> filterDecision,
     "q_text_tfidf"       -> tfidf,
     "q_text_unigram_lp"  -> unigramLp,
-    "q_text_pmi"         -> pmiKeyphrases
+    "q_text_pmi"         -> pmiKeyphrases,
+    "q_text_stem"        -> stemVocabulary
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -614,6 +641,10 @@ object TextQueries {
          |   CAST(floor(1000.0 * ln(CAST(j.c_ab * n.n_tok AS DOUBLE) / (u1.c * u2.c))) AS BIGINT) AS pmi_mb
          |  FROM j JOIN uc u1 ON j.w1 = u1.w JOIN uc u2 ON j.w2 = u2.w CROSS JOIN n)
          | SELECT bigram, c_ab, pmi_mb FROM p
-         | ORDER BY pmi_mb DESC, bigram LIMIT $PmiTopK""".stripMargin
+         | ORDER BY pmi_mb DESC, bigram LIMIT $PmiTopK""".stripMargin,
+    "q_text_stem" ->
+      s"""SELECT ${stemCase("w")} AS stem, count(*) AS n
+         | FROM (SELECT unnest(${duckTerms("text")}) AS w FROM documents)
+         | GROUP BY stem ORDER BY n DESC, stem LIMIT $StemTopK""".stripMargin
   )
 }
