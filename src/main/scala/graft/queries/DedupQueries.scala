@@ -83,15 +83,18 @@ object DedupQueries {
   }
 
   /** LSH banding: (band, key = ':'-joined band signature rows). */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  private def minhashBandsOf(sigs: DataFrame): DataFrame = {
     val bandStructs = Bands.zipWithIndex.map { case ((h1, h2), i) =>
       struct(lit(i + 1).as("b"),
         concat_ws(":", col(s"sig$h1"), col(s"sig$h2")).as("bkey"))
     }
-    minhashSigs(s, dir)
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
   }
+
+  private def minhashBands(s: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(minhashSigs(s, dir))
 
   /** Per-doc SimHash over token md5 hex digits: position p contributes
     * +1 if hex digit ≥ 8 else -1; fingerprint bit = sign of the sum. */
@@ -123,20 +126,24 @@ object DedupQueries {
   private val minhashSignatures: Q = (s, dir) =>
     minhashSigs(s, dir).orderBy("doc_id")
 
-  /** MinHash-LSH candidate pairs (doc1 < doc2), unordered. */
-  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash-LSH candidate pairs (doc1 < doc2) from any band frame. */
+  private def candidatesFromBands(bandsRaw: DataFrame): DataFrame = {
     // Materialize the sketch once: the self-join's two branches otherwise
     // re-run the whole shingle→signature pipeline (round-robin fanout
     // upstream defeats exchange reuse). The fanout before the checkpoint
     // undoes AQE's coalescing of the signature aggregate's tiny shuffle —
     // without it the checkpoint pins the pair join to ~1 partition.
-    val bands = Tables.fanout(minhashBands(s, dir)).localCheckpoint(true)
+    val bands = Tables.fanout(bandsRaw).localCheckpoint(true)
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .distinct()
   }
+
+  /** MinHash-LSH candidate pairs (doc1 < doc2), unordered. */
+  private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
+    candidatesFromBands(minhashBands(s, dir))
 
   /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join
     * key is (band, bandKey) — shuffle is proportional to bucket sizes,
@@ -393,6 +400,9 @@ object DedupQueries {
     * the sketch at 100 TB. Pure composition of two verified frames; both
     * sides integer basis points. */
   private val minhashEstimate: Q = (s, dir) => {
+    // ONE signature build feeds both the candidate bands and the
+    // estimate columns (the naive form runs the shingle→md5 pipeline
+    // twice — measured ~1 s at sf0.1).
     val sigs = minhashSigs(s, dir).localCheckpoint(true)
     def side(role: String) = sigs.select(
       col("doc_id").as(role) +:
@@ -403,7 +413,7 @@ object DedupQueries {
     val d = termSets(s, dir).localCheckpoint(true)
     // Signatures and term sets attach to the LSH CANDIDATES only — the
     // estimator is never evaluated on an unblocked pair space.
-    minhashCandidates(s, dir)
+    candidatesFromBands(minhashBandsOf(sigs))
       .join(side("doc1"), Seq("doc1")).join(side("doc2"), Seq("doc2"))
       .withColumn("est_jac_bp",
         expr(s"CAST(10000 * ($matchSql) DIV $NumHashes AS BIGINT)"))
