@@ -608,6 +608,42 @@ object RelationalQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** J2+ skew path: explicit salted equi-join through
+    * [[graft.ops.JoinOps.saltedJoin]] — the fact side salts, the dim side
+    * replicates ×buckets, the hot join key spreads over `buckets` tasks.
+    * Salting is invisible to the result (the oracle is the plain join),
+    * which is the operator's contract. Aggregated output keeps the graded
+    * frame small while the join itself runs over the full fact table. */
+  private val j2SaltedJoin: Q = (s, dir) => {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+    val dim = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    graft.ops.JoinOps.saltedJoin(fact, dim, key = "suppkey",
+        buckets = 16, saltOn = Seq("l_quantity"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
+  /** W2+ longest activity streak (gaps-and-islands): consecutive-day run
+    * lengths per user via the day − dense-day-rank island id — all
+    * integer arithmetic (epoch DIV 86400), no self-join. The islands form
+    * here groups CONSECUTIVE days where [[w2Sessionize]] groups by gap
+    * threshold; both ride the same single shuffle on user_id. */
+  private val w2Streak: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy(col("day").asc)
+    t(s, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(byUser))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(max("streak").as("max_streak"), count(lit(1)).as("n_islands"))
+      .orderBy("user_id")
+  }
+
   /** W2+ cohort retention — the product-analytics matrix (cohort week ×
     * week offset → distinct active users): each user's cohort is their
     * first active week; weeks are integer epoch-second DIV 604800 on
@@ -730,6 +766,8 @@ object RelationalQueries {
     "q_w2_top_p"           -> w2TopP,
     "q_w2_cohort"          -> w2Cohort,
     "q_w2_transitions"     -> w2Transitions,
+    "q_w2_streak"          -> w2Streak,
+    "q_j2_salted_join"     -> j2SaltedJoin,
     "q_a1_unpivot"         -> a1Unpivot,
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
@@ -964,6 +1002,21 @@ object RelationalQueries {
         |  FROM events)
         | WHERE event_type = 'view'
         | ORDER BY user_id, event_id""".stripMargin,
+    // Salting is invisible to the result: the oracle is the plain join.
+    "q_j2_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_w2_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        | isl AS (SELECT user_id, day,
+        |   day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM days),
+        | runs AS (SELECT user_id, island, count(*) AS streak
+        |  FROM isl GROUP BY user_id, island)
+        | SELECT user_id, max(streak) AS max_streak, count(*) AS n_islands
+        | FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_w2_cohort" ->
       """WITH ev AS (SELECT user_id,
         |   CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM events),
