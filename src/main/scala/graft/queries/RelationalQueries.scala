@@ -708,6 +708,46 @@ object RelationalQueries {
       .unpivot(Array(col("user_id")), PivotTypes.map(col).toArray, "event_type", "n")
       .orderBy("user_id", "event_type")
 
+  /** J2+ null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * MATCH each other instead of dropping — the semantics a dedup or
+    * reconciliation join over nullable keys actually wants (a plain `=`
+    * silently loses every NULL row). Keys manufactured via nullif so the
+    * NULL group is observable on testdata. */
+  private val j2NullSafe: Q = (s, dir) => {
+    val d = t(s, dir, "documents")
+      .withColumn("lang_n", expr("nullif(lang, 'zh')"))
+    // The counts frame derives from d — rename its key so the null-safe
+    // condition is unambiguous under Spark's self-join analysis.
+    val counts = d.groupBy("lang_n").agg(count(lit(1)).as("n_docs"))
+      .withColumnRenamed("lang_n", "lang_c")
+    d.join(counts, col("lang_n") <=> col("lang_c"))
+      .groupBy("lang_n")
+      .agg(count(lit(1)).as("n_rows"), max("n_docs").as("n_docs"))
+      .orderBy(col("lang_n").asc_nulls_first)
+  }
+
+  /** Set ops with BAG semantics: EXCEPT ALL keeps multiplicity
+    * (count(A) − count(B) copies survive) — the reconciliation form that
+    * detects duplicate-count drift where set-EXCEPT hides it. */
+  private val setExceptAll: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val a = e.select("user_id", "event_type")
+    val b = e.where(col("value") > 100).select("user_id", "event_type")
+    a.exceptAll(b)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** INTERSECT ALL: min(count(A), count(B)) copies survive. */
+  private val setIntersectAll: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+    val a = e.select("user_id", "event_type")
+    val b = e.where(col("value") > 50).select("user_id", "event_type")
+    a.intersectAll(b)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Set ops: (A ∪ B) ∖ C with set semantics (Dataset.union is UNION ALL —
     * the explicit distinct() matches SQL UNION). */
   private val setUnionExcept: Q = (s, dir) => {
@@ -772,7 +812,10 @@ object RelationalQueries {
     "q_w2_topk_user"       -> w2TopkUser,
     "q_a4_grouping_sets"   -> a4GroupingSets,
     "q_set_union_except"   -> setUnionExcept,
-    "q_set_intersect"      -> setIntersect
+    "q_set_intersect"      -> setIntersect,
+    "q_set_except_all"     -> setExceptAll,
+    "q_set_intersect_all"  -> setIntersectAll,
+    "q_j2_nullsafe"        -> j2NullSafe
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1002,6 +1045,24 @@ object RelationalQueries {
         |  FROM events)
         | WHERE event_type = 'view'
         | ORDER BY user_id, event_id""".stripMargin,
+    "q_j2_nullsafe" ->
+      """WITH d AS (SELECT doc_id, nullif(lang, 'zh') AS lang_n FROM documents),
+        | c AS (SELECT lang_n, count(*) AS n_docs FROM d GROUP BY lang_n)
+        | SELECT d.lang_n, count(*) AS n_rows, max(c.n_docs) AS n_docs
+        | FROM d JOIN c ON d.lang_n IS NOT DISTINCT FROM c.lang_n
+        | GROUP BY d.lang_n ORDER BY d.lang_n NULLS FIRST""".stripMargin,
+    "q_set_except_all" ->
+      """SELECT user_id, event_type, count(*) AS n FROM (
+        |  SELECT user_id, event_type FROM events
+        |  EXCEPT ALL
+        |  SELECT user_id, event_type FROM events WHERE value > 100)
+        | GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "q_set_intersect_all" ->
+      """SELECT user_id, event_type, count(*) AS n FROM (
+        |  SELECT user_id, event_type FROM events
+        |  INTERSECT ALL
+        |  SELECT user_id, event_type FROM events WHERE value > 50)
+        | GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     // Salting is invisible to the result: the oracle is the plain join.
     "q_j2_salted_join" ->
       """SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
