@@ -138,6 +138,26 @@ object SimilarityQueries {
                | ',')""".stripMargin).as("q8_csv"))
       .orderBy("vec_id")
 
+  /** Vector math through BUILT-IN higher-order functions (zip_with +
+    * aggregate), no UDF and no custom expression: dot product, norms,
+    * and cosine in floor-ppm — the composable fallback when a codegen
+    * expression like [[graft.functions.CosineSimilarity]] is not on the
+    * classpath. Emitted as exact-integer ppm (single sqrt/divide per row,
+    * floor — same FP-determinism class as the codegen path). */
+  private val hofVectorMath: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .where(col("vec_id") < 100)
+      .select(col("vec_id"),
+        expr("""aggregate(zip_with(embedding, reverse(embedding),
+               |  (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+               | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("dot_rev"),
+        expr("""aggregate(embedding, CAST(0.0 AS DOUBLE),
+               | (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))""".stripMargin).as("norm2"))
+      .select(col("vec_id"),
+        expr("CAST(floor(1000000.0 * dot_rev) AS BIGINT)").as("dot_rev_ppm"),
+        expr("CAST(floor(1000000.0 * (dot_rev / norm2)) AS BIGINT)").as("selfcos_ppm"))
+      .orderBy("vec_id")
+
   /** ANN recall audit — recall@K of the LSH index against the exact
     * brute-force truth, per query: the quality gate an ANN deployment
     * ships next to its index build (an index that silently decays is
@@ -182,6 +202,7 @@ object SimilarityQueries {
     "q_sim_ivf_ann"         -> ivfAnn,
     "q_sim_quantize"        -> quantizeInt8,
     "q_sim_recall"          -> annRecall,
+    "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
     "q_dedup_semantic_apply" -> semanticApply
   )
@@ -261,6 +282,19 @@ object SimilarityQueries {
          |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
          | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
          | GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+    // Sequential left-fold sums on both sides (Spark `aggregate`, DuckDB
+    // list_sum over a 16-element list) — same FP addition order.
+    "q_sim_hof_math" ->
+      """SELECT vec_id,
+        | CAST(floor(1000000.0 * dot_rev) AS BIGINT) AS dot_rev_ppm,
+        | CAST(floor(1000000.0 * (dot_rev / norm2)) AS BIGINT) AS selfcos_ppm
+        | FROM (SELECT vec_id,
+        |   list_sum(list_transform(generate_series(1, len(embedding)),
+        |     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[len(embedding) - i + 1] AS DOUBLE))) AS dot_rev,
+        |   list_sum(list_transform(embedding,
+        |     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+        |  FROM embeddings WHERE vec_id < 100)
+        | ORDER BY vec_id""".stripMargin,
     "q_sim_quantize" ->
       """SELECT vec_id,
         | CAST(floor(1000000.0 * maxabs) AS BIGINT) AS scale_ppm,

@@ -115,6 +115,19 @@ object TextQueries {
         "day_of_week", "day_of_year", "unix_secs")
       .orderBy("event_id")
 
+  /** D4+ calendar truncation/arithmetic: date_trunc to month/week (ISO
+    * Monday on both engines), day diffs against an epoch date, month end
+    * — the partition-key derivations a date-partitioned lake computes at
+    * write time. Pure map-side expressions. */
+  private val dTrunc: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      expr("date_trunc('month', ts)").as("month_start"),
+      expr("date_trunc('week', ts)").as("week_start"),
+      expr("datediff(ts, TIMESTAMP '2024-01-01')").as("days_since"),
+      expr("last_day(ts)").as("month_end"))
+      .orderBy("event_id")
+
   /** M1/M2/M4/P5/D3: the sink projection — rename/cast/round, virality
     * CASE WHEN (reference `spark/engine.py:184-200`). Thresholds scaled to
     * the events.value range (150/75); semantics identical to the storage
@@ -464,6 +477,7 @@ object TextQueries {
     "q_p6_keyword_filter"-> p6KeywordFilter,
     "q_p2_json_envelope" -> p2JsonEnvelope,
     "q_d4_time_features" -> d4TimeFeatures,
+    "q_d_trunc"          -> dTrunc,
     "q_m2_virality"      -> m2Virality,
     "q_m3_argmax"        -> m3Argmax,
     "q_j1_topic_label"   -> j1TopicLabel,
@@ -514,6 +528,13 @@ object TextQueries {
         | CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
         | CAST(dayofyear(ts) AS INTEGER) AS day_of_year,
         | CAST(floor(epoch(ts)) AS BIGINT) AS unix_secs
+        | FROM events ORDER BY event_id""".stripMargin,
+    "q_d_trunc" ->
+      """SELECT event_id,
+        | date_trunc('month', ts) AS month_start,
+        | date_trunc('week', ts) AS week_start,
+        | CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since,
+        | last_day(ts) AS month_end
         | FROM events ORDER BY event_id""".stripMargin,
     "q_m2_virality" ->
       s"""SELECT event_id AS id, user_id AS author, event_type AS subreddit,
