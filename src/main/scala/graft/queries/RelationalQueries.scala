@@ -291,6 +291,21 @@ object RelationalQueries {
         col("sum_qty"), col("n"))
       .orderBy("rflag", "lstatus")
 
+  /** A2+ argmin/argmax aggregates (max_by/min_by ↔ DuckDB arg_max/
+    * arg_min): first/last event per user as ONE hash aggregate — the
+    * scale-preferred form of the rank-window latest-row idiom
+    * ([[w2Window]]): partial+final combine, no per-key sort, no window
+    * state. Deterministic because (user_id, ts) is unique on this data
+    * (verified at both graded scales). */
+  private val a2ArgMinMax: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        expr("min_by(event_id, ts)").as("first_event"),
+        expr("max_by(event_id, ts)").as("last_event"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+
   /** A2: approx_count_distinct (HLL++, 1% rsd) next to the exact count —
     * the 100 TB cardinality path (one pass, fixed memory, no shuffle of
     * distinct values). No DuckDB oracle: HLL sketches are
@@ -791,6 +806,7 @@ object RelationalQueries {
     "q_a4_cube"            -> a4Cube,
     "q_a2_approx_distinct" -> a2ApproxDistinct,
     "q_a2_linear_count"    -> a2LinearCount,
+    "q_a2_argminmax"       -> a2ArgMinMax,
     "q_w1_indexer_rank"    -> w1IndexerRank,
     "q_w2_window"          -> w2Window,
     "q_w2_analytics"       -> w2Analytics,
@@ -1045,6 +1061,12 @@ object RelationalQueries {
         |  FROM events)
         | WHERE event_type = 'view'
         | ORDER BY user_id, event_id""".stripMargin,
+    "q_a2_argminmax" ->
+      """SELECT user_id,
+        | arg_min(event_id, ts) AS first_event,
+        | arg_max(event_id, ts) AS last_event,
+        | count(*) AS n
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_j2_nullsafe" ->
       """WITH d AS (SELECT doc_id, nullif(lang, 'zh') AS lang_n FROM documents),
         | c AS (SELECT lang_n, count(*) AS n_docs FROM d GROUP BY lang_n)
