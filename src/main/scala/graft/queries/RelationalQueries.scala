@@ -659,6 +659,20 @@ object RelationalQueries {
       .orderBy("user_id")
   }
 
+  /** W2+ SLIDING event-time windows through Spark's native `window()`
+    * in batch — each event lands in span/slide windows (here 2); the
+    * same expression runs streaming with a watermark
+    * (`StreamEngine.windowedCounts` is the tumbling twin). The oracle
+    * derives the two candidate window starts by integer epoch
+    * arithmetic and keeps those covering the event. */
+  private val w2Sliding: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("w_start_s"),
+        col("event_type"), col("n"))
+      .orderBy("w_start_s", "event_type")
+
   /** W2+ cohort retention — the product-analytics matrix (cohort week ×
     * week offset → distinct active users): each user's cohort is their
     * first active week; weeks are integer epoch-second DIV 604800 on
@@ -823,6 +837,7 @@ object RelationalQueries {
     "q_w2_cohort"          -> w2Cohort,
     "q_w2_transitions"     -> w2Transitions,
     "q_w2_streak"          -> w2Streak,
+    "q_w2_sliding"         -> w2Sliding,
     "q_j2_salted_join"     -> j2SaltedJoin,
     "q_a1_unpivot"         -> a1Unpivot,
     "q_w2_topk_user"       -> w2TopkUser,
@@ -1090,6 +1105,15 @@ object RelationalQueries {
       """SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
         | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         | GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // Every event lands in exactly two 1h/30m sliding windows: starts
+    // trunc30(e) and trunc30(e)−1800 both satisfy s ≤ e < s+3600.
+    "q_w2_sliding" ->
+      """SELECT ws AS w_start_s, event_type, count(*) AS n
+        | FROM (SELECT event_type, unnest([
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800]) AS ws
+        |   FROM events)
+        | GROUP BY ws, event_type ORDER BY w_start_s, event_type""".stripMargin,
     "q_w2_streak" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
