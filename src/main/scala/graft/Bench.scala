@@ -58,6 +58,12 @@ object Bench {
     val total = results.collect { case (_, Right(v)) => v }.sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    // Truncation-proof duplicate: the per-query line above grows with the
+    // suite (105+ queries > the harvester's tail window), so the headline
+    // total is ALSO emitted as a trailing compact line that any tail
+    // capture ≥ ~120 bytes picks up intact.
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -90,6 +90,34 @@ object MultimodalOps {
     }
   }
 
+  /** Oracle-portable deterministic fake: feature `d` is the last-16-bit
+    * value of `md5(bytes ++ ":d")` — unlike [[StubCodec]]'s JVM-wraparound
+    * fold, this is expressible byte-for-byte in any engine with `md5`
+    * (the DuckDB oracle of `q_mm_features` transliterates it), so the
+    * whole mapPartitions plumbing can be hash-verified cross-engine.
+    * Same `Codec` seam, same output shapes; values are integers in
+    * [0, 65536) carried exactly by Float. */
+  object PortableCodec extends Codec {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        md.reset()
+        md.update(bytes)
+        md.update((":" + d).getBytes("UTF-8"))
+        val dig = md.digest()
+        out(d) = (((dig(14) & 0xff) << 8) | (dig(15) & 0xff)).toFloat
+        d += 1
+      }
+      out
+    }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      StubCodec.resize(bytes, w, h)
+    def sampleFrames(bytes: Array[Byte], nFrames: Int, stride: Int): Array[Byte] =
+      StubCodec.sampleFrames(bytes, nFrames, stride)
+  }
+
   /** Feature extraction: one narrow per-partition pass over the typed
     * Dataset; the binary column never crosses a shuffle. Output is a
     * compact (id, features) frame that DOES shuffle cheaply into the

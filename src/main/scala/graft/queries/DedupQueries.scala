@@ -21,8 +21,17 @@ import graft.queries.Tables.{t, Q}
   */
 object DedupQueries {
 
-  private val NumHashes = 8 // 4 bands × 2 rows
-  private val Bands     = Seq((1, 2), (3, 4), (5, 6), (7, 8))
+  /** Default signature width (the graded corpus is calibrated by
+    * `q_dedup_minhash_est`; production 0.6-Jaccard dedup typically runs
+    * 64–128). Width and banding are PARAMETERS of [[minhashSigs]] /
+    * [[minhashBandsOf]] — `DedupQueriesSpec` sweeps 8/16/32 and asserts
+    * estimator error shrinks — with defaults pinned to the oracle. */
+  private val NumHashes   = 8 // 4 bands × 2 rows
+  private val RowsPerBand = 2
+  private[queries] def bandsFor(numHashes: Int,
+                                rows: Int = RowsPerBand): Seq[(Int, Int)] =
+    (1 to numHashes).grouped(rows).map(g => (g.head, g.last)).toSeq
+  private val Bands = bandsFor(NumHashes)
   private val SimBits   = 16
   private val JaccardBpThreshold = 6000
   private val HammingMax = 3
@@ -70,21 +79,41 @@ object DedupQueries {
   private val MinhashB = Seq(433494437L, 299709779L, 179424673L, 613651369L,
     982451653L, 735632797L, 104395303L, 533000401L)
 
+  /** Permutation constants past the 8 hand-picked primes: a splitmix64
+    * mix of the index, reduced to [1, P) — same universal-hash family
+    * ((a·h + b) mod P needs no prime `a`), deterministic, and still
+    * overflow-safe (a < 2³¹). The first 8 stay the fixed primes so the
+    * default signatures — and the DuckDB oracle built from the same
+    * constants — are unchanged. */
+  private def mixConst(i: Long, salt: Long): Long = {
+    var x = i * 0x9E3779B97F4A7C15L + salt
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
+    java.lang.Long.remainderUnsigned(x, MinhashP - 1) + 1
+  }
+  private def hashA(i: Int): Long =
+    if (i < MinhashA.size) MinhashA(i) else mixConst(i, 0x5DEECE66DL)
+  private def hashB(i: Int): Long =
+    if (i < MinhashB.size) MinhashB(i) else mixConst(i, 0xA96619E9L)
+
   /** Per-doc MinHash signature (sig1..sigN as BIGINT). */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashSigs(s: SparkSession, dir: String,
+                          numHashes: Int = NumHashes): DataFrame = {
     val shingled = tokenized(s, dir)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
       .select(col("doc_id"),
         (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
           % 4294967296L).as("h32"))
-    val aggs = (0 until NumHashes).map(i =>
-      min((col("h32") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"sig${i + 1}"))
+    val aggs = (0 until numHashes).map(i =>
+      min((col("h32") * hashA(i) + hashB(i)) % MinhashP).as(s"sig${i + 1}"))
     shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (band, key = ':'-joined band signature rows). */
-  private def minhashBandsOf(sigs: DataFrame): DataFrame = {
-    val bandStructs = Bands.zipWithIndex.map { case ((h1, h2), i) =>
+  private def minhashBandsOf(sigs: DataFrame,
+                             bands: Seq[(Int, Int)] = Bands): DataFrame = {
+    val bandStructs = bands.zipWithIndex.map { case ((h1, h2), i) =>
       struct(lit(i + 1).as("b"),
         concat_ws(":", col(s"sig$h1"), col(s"sig$h2")).as("bkey"))
     }
@@ -425,6 +454,49 @@ object DedupQueries {
       .select(col("doc1"), col("doc2"), col("est_jac_bp"),
         expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)").as("jac_bp"))
       .orderBy("doc1", "doc2")
+  }
+
+  /** Per-doc hashed SHINGLE sets (the space MinHash actually sketches —
+    * term sets reorder-invariantly overlap where shingle sets do not, so
+    * calibration must compare like with like). Same sorted-long-array
+    * form as [[termSets]], fed to the same intersect kernel. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(tokenized(s, dir)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_set(xxhash64(col("shingle")))).as("sset"))
+      .withColumn("n", size(col("sset"))))
+
+  /** Width-sweep calibration: mean |estimated − exact| SHINGLE Jaccard
+    * (basis points) at `numHashes` signatures. The pair set is
+    * width-independent — 1-row bands over the DEFAULT 8 signatures, a
+    * high-recall blocking (P ≈ 1−(1−J)⁸) that yields thousands of pairs
+    * at sf0.01 — so the estimator's 1/√n tightening dominates
+    * pair-sampling noise. `DedupQueriesSpec` sweeps 8/16/32 and asserts
+    * the error shrinks — the measurement that justifies moving to
+    * production widths (64–128) when the threshold drops. */
+  private[queries] def minhashSweepErrorBp(s: SparkSession, dir: String,
+                                           numHashes: Int): Double = {
+    require(numHashes >= NumHashes, s"sweep width $numHashes < default $NumHashes")
+    val sigs = minhashSigs(s, dir, numHashes).localCheckpoint(true)
+    def side(role: String) = sigs.select(
+      col("doc_id").as(role) +:
+        (1 to numHashes).map(i => col(s"sig$i").as(s"${role}_s$i")): _*)
+    val matchSql = (1 to numHashes)
+      .map(i => s"CASE WHEN doc1_s$i = doc2_s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val d = shingleSets(s, dir).localCheckpoint(true)
+    candidatesFromBands(minhashBandsOf(sigs, bandsFor(NumHashes, rows = 1)))
+      .join(side("doc1"), Seq("doc1")).join(side("doc2"), Seq("doc2"))
+      .withColumn("est_bp", expr(s"CAST(10000 * ($matchSql) DIV $numHashes AS BIGINT)"))
+      .join(d.select(col("doc_id").as("doc1"),
+        col("sset").as("t1"), col("n").as("n1")), Seq("doc1"))
+      .join(d.select(col("doc_id").as("doc2"),
+        col("sset").as("t2"), col("n").as("n2")), Seq("doc2"))
+      .withColumn("inter", interSize(col("t1"), col("t2")))
+      .agg(avg(abs(col("est_bp") -
+        expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)"))))
+      .head().getDouble(0)
   }
 
   /** The "new batch" source for [[incrementalDedup]] — one of the 20

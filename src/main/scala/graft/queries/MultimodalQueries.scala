@@ -9,13 +9,16 @@ import graft.queries.Tables.{t, Q}
 /** Multimodal plumbing in the declared inventory (builder brief): binary
   * media columns manufactured from the documents table (payload = utf8
   * bytes; kinds cycled), run through the typed feature-extraction path.
-  * Rows-only check — the codec is the documented stub, so there is no
-  * SQL oracle; the Spark-side shape (schema, narrow per-partition map,
-  * binary never shuffled) is the thing under test (plus
-  * `MultimodalOpsSpec` for exact semantics). */
+  * The graded query runs the [[MultimodalOps.PortableCodec]] (md5-derived
+  * integer features) through the REAL mapPartitions plumbing, so the
+  * whole path — schema, typed Dataset, narrow per-partition map, binary
+  * never shuffled — is hash-verified against a DuckDB transliteration of
+  * the codec; `MultimodalOpsSpec` covers the stub codec's semantics. */
 object MultimodalQueries {
 
   private val Kinds = Seq("image", "audio", "video")
+
+  private val FeatureDim = 8
 
   private val mmFeatures: Q = (s, dir) => {
     import s.implicits._
@@ -28,13 +31,26 @@ object MultimodalQueries {
           width = 32, height = 32, sampleRate = 16000,
           nFrames = if (Kinds(k) == "video") 8 else 1)
       }
-    MultimodalOps.extractFeatures(media, dim = 8)
+    MultimodalOps.extractFeatures(media, dim = FeatureDim,
+        codec = MultimodalOps.PortableCodec)
       .toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
-        round(element_at(col("features"), 1), 4).as("f0"),
-        round(element_at(col("features"), 8), 4).as("f7"))
+        element_at(col("features"), 1).cast("long").as("f0"),
+        element_at(col("features"), FeatureDim).cast("long").as("f7"))
       .orderBy("media_id")
   }
+
+  private val Hex = "0123456789abcdef"
+
+  /** Last-16-bit value of an md5-hex expression (digits 29..32) — the
+    * DuckDB-side transliteration of [[MultimodalOps.PortableCodec]]'s
+    * per-dimension feature (same instr-based hex parse as
+    * `SamplingQueries.hexBucketSql`). */
+  private def last16(md5Expr: String): String =
+    (0 until 4).map { i =>
+      val scale = Seq.fill(3 - i)(16L).product
+      s"$scale * (instr('$Hex', substring($md5Expr, ${29 + i}, 1)) - 1)"
+    }.mkString("(", " + ", ")")
 
   /** Metadata-only profile of the manufactured media table, but
     * oracle-checkable (unlike the codec path): per-kind counts and
@@ -59,6 +75,13 @@ object MultimodalQueries {
     "q_mm_profile"  -> mmProfile)
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_mm_features" ->
+      s"""SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+        | CAST(${last16("md5(coalesce(text, '') || ':0')")} AS BIGINT) AS f0,
+        | CAST(${last16(s"md5(coalesce(text, '') || ':${FeatureDim - 1}')")} AS BIGINT) AS f7
+        | FROM documents ORDER BY media_id""".stripMargin,
     "q_mm_profile" ->
       """SELECT
         | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -78,6 +78,22 @@ class DedupQueriesSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
   }
 
+  /** Signature width is a parameter (default 8, oracle-pinned); widening
+    * it must tighten the MinHash estimator — the calibration that says
+    * when to pay for production widths (64–128). Pair set fixed to the
+    * default 8-hash banding so widths score the same pairs; hashes are
+    * deterministic, so this is an exact regression check, not a flake. */
+  test("minhash width sweep 8/16/32: estimate-vs-exact error shrinks") {
+    val dir = "/root/testdata/sf0.01"
+    val errs = Seq(8, 16, 32)
+      .map(n => n -> DedupQueries.minhashSweepErrorBp(spark, dir, n))
+    info(s"mean |est - exact| bp by width: $errs")
+    errs.foreach { case (n, e) =>
+      assert(!e.isNaN && e >= 0, s"width $n produced invalid error $e") }
+    assert(errs.last._2 < errs.head._2,
+      s"32 hashes should estimate Jaccard tighter than 8: $errs")
+  }
+
   /** q_dedup_apply must keep exactly one representative per duplicate
     * cluster and every unclustered doc: kept = corpus − (cluster members
     * that are not their cluster's min). */
