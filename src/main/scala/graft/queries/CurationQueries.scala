@@ -34,6 +34,9 @@ object CurationQueries {
     // semi-join sides, the union's two pair scans, the final anti-join —
     // would re-run the gate. The checkpointed frame is (doc_id, verdict)
     // only, and the components loop below plans against a leaf.
+    // Cluster-mode swap point for every localCheckpoint(true) in the
+    // graded paths: see "localCheckpoint swap point" in PLANS.md
+    // (persist(MEMORY_AND_DISK_2) / reliable checkpoint dir).
     val kept = TextQueries.filterVerdicts(s, dir)
       .select("doc_id", "verdict").localCheckpoint(true)
       .where(col("verdict") === "keep").select("doc_id")

@@ -204,7 +204,15 @@ object DedupQueries {
   @inline private def ccLog(msg: => String): Unit =
     if (ccDebug) System.err.println(msg)
 
-  private[queries] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[queries] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame =
+    connectedComponentsWithIters(s, pairs)._1
+
+  /** The fixpoint plus its iteration count — the count is the pointer-
+    * jumping O(log diameter) claim, pinned by the power-law skew spec in
+    * `DedupQueriesSpec` (a star-hub + long-chain mega-cluster must
+    * converge logarithmically, not walk the chain). */
+  private[queries] def connectedComponentsWithIters(
+      s: SparkSession, pairs: DataFrame): (DataFrame, Int) = {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     var edges: DataFrame = null
     try {
@@ -262,7 +270,7 @@ object DedupQueries {
       // No ordering imposed here: callers that JOIN against the labels
       // (dedup-apply, the curation pipeline) must not pay a global sort;
       // the components query orders its own output.
-      labels.select(col("doc_id"), col("label").as("component"))
+      (labels.select(col("doc_id"), col("label").as("component")), iter)
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       if (edges != null) edges.unpersist()

@@ -156,9 +156,18 @@ object RelationalQueries {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val o = t(s, dir, "orders")
       .where(col("o_orderstatus") === "F").select("o_orderkey")
+    // Sized from the DATA, not a literal: a fixed-capacity filter outgrown
+    // 100× sends fpp → 1 and silently degrades the pre-filter to a no-op.
+    // One tiny aggregate estimates the build side's NDV (HLL, ±~2%),
+    // padded 1.2×; 8 bits/key keeps fpp ≈ 2% at any scale. Both `.head()`
+    // actions are driver-blocking collects of ONE row (an NDV long, then
+    // the sketch bytes) — the same trust model as a broadcast variable,
+    // not a data collect.
+    val ndv = math.max(1024L,
+      (o.agg(approx_count_distinct("o_orderkey")).head().getLong(0) * 1.2).toLong)
     val bloomAgg = toColumn(new BloomFilterAggregate(
       toExpression(xxhash64(col("o_orderkey"))),
-      toExpression(lit(50000L)), toExpression(lit(400000L)))
+      toExpression(lit(ndv)), toExpression(lit(ndv * 8)))
       .toAggregateExpression())
     val bf = o.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
     t(s, dir, "lineitem")
@@ -392,13 +401,24 @@ object RelationalQueries {
     * into a per-key aggregation/join, so no per-order subquery ever
     * executes — the plan is the same shuffle shape as a rank-window or
     * TopKPerKey form, reached from plain SQL. */
+  /** SQL-surface queries register temp views; the name carries a suffix
+    * derived from the data dir so two concurrent invocations on the same
+    * SparkSession with different dirs cannot cross-contaminate — the
+    * SQL-surface entries stay re-entrant like the rest of the inventory. */
+  private def dirView(s: SparkSession, dir: String, table: String,
+                      base: String): String = {
+    val name = base + "_" + (dir.hashCode & 0x7fffffff).toHexString
+    t(s, dir, table).createOrReplaceTempView(name)
+    name
+  }
+
   private val j2Lateral: Q = (s, dir) => {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_lat")
-    t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    val li = dirView(s, dir, "lineitem", "lineitem_lat")
+    val o = dirView(s, dir, "orders", "orders_lat")
     s.sql(
-      """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
-        |FROM orders_lat o, LATERAL (
-        |  SELECT l_linenumber, l_quantity FROM lineitem_lat
+      s"""SELECT o.o_orderkey, l.l_linenumber, l.l_quantity
+        |FROM $o o, LATERAL (
+        |  SELECT l_linenumber, l_quantity FROM $li
         |  WHERE l_orderkey = o.o_orderkey
         |  ORDER BY l_quantity DESC, l_linenumber LIMIT 1) l
         |ORDER BY o.o_orderkey""".stripMargin)
@@ -413,11 +433,11 @@ object RelationalQueries {
     * same recursion expressed by hand where convergence control (pointer
     * jumping, checkpointing) must be explicit. */
   private val sqlRecursive: Q = (s, dir) => {
-    t(s, dir, "events").createOrReplaceTempView("events_rec")
+    val ev = dirView(s, dir, "events", "events_rec")
     s.sql(
-      """WITH RECURSIVE anc(user_id, a) AS (
+      s"""WITH RECURSIVE anc(user_id, a) AS (
         |  SELECT user_id, user_id DIV 2
-        |  FROM (SELECT DISTINCT user_id FROM events_rec) WHERE user_id > 0
+        |  FROM (SELECT DISTINCT user_id FROM $ev) WHERE user_id > 0
         |  UNION ALL
         |  SELECT user_id, a DIV 2 FROM anc WHERE a > 0)
         |SELECT user_id, count(*) AS n_anc, sum(a) AS sum_anc
@@ -427,13 +447,13 @@ object RelationalQueries {
   /** A4: GROUPING SETS through the SQL surface (the third grouping shape
     * next to rollup/cube). */
   private val a4GroupingSets: Q = (s, dir) => {
-    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    val li = dirView(s, dir, "lineitem", "lineitem_gs")
     s.sql(
-      """SELECT
+      s"""SELECT
         | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
         | CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS lstatus,
         | sum(l_quantity) AS sum_qty, count(*) AS n
-        | FROM lineitem_gs
+        | FROM $li
         | GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         | ORDER BY rflag, lstatus""".stripMargin)
   }

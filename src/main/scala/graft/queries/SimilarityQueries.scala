@@ -125,16 +125,20 @@ object SimilarityQueries {
     * `round`) keeps the bin edge off the representable-midpoint question;
     * inputs are float32 widened to double identically on both engines, so
     * the floor argument is bit-identical. Codes are emitted CSV-joined
-    * (array columns hash differently across engines). */
+    * (array columns hash differently across engines). Row-preserving: an
+    * all-zero embedding is REPRESENTED (scale_ppm = 0, all-zero codes via
+    * the CASE guard on the division), never dropped — a storage transform
+    * must not lose rows from the quantized store. */
   private val quantizeInt8: Q = (s, dir) =>
     t(s, dir, "embeddings")
       .withColumn("maxabs",
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
-      .where(col("maxabs") > 0)
       .select(col("vec_id"),
         expr("CAST(floor(1000000.0 * maxabs) AS BIGINT)").as("scale_ppm"),
         expr("""array_join(transform(embedding,
-               |  x -> CAST(CAST(floor(127.0 * CAST(x AS DOUBLE) / maxabs) AS INT) AS STRING)),
+               |  x -> CAST(CAST(CASE WHEN maxabs > 0
+               |    THEN floor(127.0 * CAST(x AS DOUBLE) / maxabs)
+               |    ELSE 0.0 END AS INT) AS STRING)),
                | ',')""".stripMargin).as("q8_csv"))
       .orderBy("vec_id")
 
@@ -299,12 +303,14 @@ object SimilarityQueries {
       """SELECT vec_id,
         | CAST(floor(1000000.0 * maxabs) AS BIGINT) AS scale_ppm,
         | array_to_string(list_transform(embedding,
-        |   x -> CAST(CAST(floor(127.0 * CAST(x AS DOUBLE) / maxabs) AS INTEGER) AS VARCHAR)),
+        |   x -> CAST(CAST(CASE WHEN maxabs > 0
+        |     THEN floor(127.0 * CAST(x AS DOUBLE) / maxabs)
+        |     ELSE 0.0 END AS INTEGER) AS VARCHAR)),
         |  ',') AS q8_csv
         | FROM (SELECT vec_id, embedding,
         |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
         |  FROM embeddings)
-        | WHERE maxabs > 0 ORDER BY vec_id""".stripMargin,
+        | ORDER BY vec_id""".stripMargin,
     "q_dedup_embedding_cos" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
          | SELECT x.vec_id AS v1, y.vec_id AS v2,

@@ -33,8 +33,13 @@ object Compaction {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
     val entries = fs.listStatus(p).toSeq
+    // '.'-prefixed dirs are hidden temp state (e.g. .spark-staging-* left
+    // by an interrupted write), not partitions — ignore them like hidden
+    // files, or a leftover staging dir fails compact() with a misleading
+    // "partitioned layout" error.
     val subdirs = entries.filter(s =>
-      s.isDirectory && !s.getPath.getName.startsWith("_"))
+      s.isDirectory && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
     require(subdirs.isEmpty,
       s"$dir has a partitioned/nested layout (e.g. ${subdirs.headOption.map(_.getPath.getName).getOrElse("")}); " +
         "compact each leaf partition directory instead")
@@ -51,15 +56,20 @@ object Compaction {
     math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
   }
 
-  /** Rewrite `srcDir` (parquet) into `dstDir` as ~`targetBytes` files. */
+  /** Rewrite `srcDir` (parquet) into `dstDir` as ~`targetBytes` files.
+    * Stats.rows is observed DURING the rewrite (`Dataset.observe`), not
+    * by re-reading the destination — a maintenance pass motivated by scan
+    * cost must not pay a second full scan of what it just wrote. */
   def compact(spark: SparkSession, srcDir: String, dstDir: String,
               targetBytes: Long): Stats = {
     val before = dataFiles(spark, srcDir)
     val n = plannedFiles(spark, srcDir, targetBytes)
-    val df = spark.read.parquet(srcDir)
-    df.repartition(n).write.mode(SaveMode.ErrorIfExists).parquet(dstDir)
-    val rows = spark.read.parquet(dstDir).count()
+    val obs = new org.apache.spark.sql.Observation("compact_rows")
+    spark.read.parquet(srcDir)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .repartition(n).write.mode(SaveMode.ErrorIfExists).parquet(dstDir)
     Stats(before.length, dataFiles(spark, dstDir).length,
-      before.map(_._2).sum, rows)
+      before.map(_._2).sum, obs.get("rows").asInstanceOf[Long])
   }
 }

@@ -38,6 +38,23 @@ final class JsonLinesSink(path: String) extends Sink {
     df.write.mode("append").json(path)
 }
 
+/** S4/S5's real connector form: config-passthrough to ANY Spark
+  * datasource — the reference writes micro-batches with
+  * `format("org.apache.spark.sql.cassandra")` + keyspace/table options
+  * (reference `spark/engine.py:205-209`); with the connector jar on the
+  * classpath that IS Spark's generic `format`/`options` write path, so
+  * the engine forwards it verbatim and needs no connector-specific code.
+  * In-sandbox runs use [[ParquetSink]]/[[JsonLinesSink]] (no
+  * Cassandra/Mongo in this container); `FormatSinkSpec` exercises the
+  * passthrough with a built-in format unconditionally, and against a
+  * live Cassandra when `GRAFT_CASSANDRA_HOST` is set (the KafkaLiveSpec
+  * pattern — CANCELED, not passed, without the env). */
+final class FormatSink(format: String, options: Map[String, String],
+                       saveMode: String = "append") extends Sink {
+  def write(df: DataFrame): Unit =
+    df.write.format(format).options(options).mode(saveMode).save()
+}
+
 /** S6: console sink (reference `spark/engine.py:133-134`). */
 final class ConsoleSink(numRows: Int = 10, truncate: Int = 30) extends Sink {
   def write(df: DataFrame): Unit = df.show(numRows, truncate)

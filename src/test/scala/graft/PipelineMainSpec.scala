@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** The DAG-parity entry end to end: cold start trains the model THEN
+  * streams a batch into the sink; a second run sees the saved model and
+  * skips retraining (restart idempotence) while still streaming. */
+class PipelineMainSpec extends SparkSpec {
+
+  private def jsonLine(i: Int): String = {
+    val words = Seq("btc", "eth", "moon", "crash", "hodl", "defi",
+      "gas", "fee", "pump", "dump", "bull", "bear")
+    val text = (0 until 8).map(j => words((i * 7 + j * 3) % words.size)).mkString(" ")
+    s"""{"id": "id$i", "author": "u${i % 5}", "subreddit": "r${i % 3}", """ +
+      s""""text": "$text", "timestamp": ${1.7e9 + i * 3600}, """ +
+      s""""score": ${(i % 10) * 2}, "num_replies": ${i % 4}}"""
+  }
+
+  test("cold start trains then streams; warm restart skips training") {
+    val root = Files.createTempDirectory("graft-pipeline").toString
+    val corpus = s"$root/corpus.json"
+    val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+    Files.writeString(java.nio.file.Path.of(corpus),
+      (0 until 60).map(jsonLine).mkString("[\n", ",\n", "\n]"))
+    Files.writeString(inDir.toPath.resolve("batch0.jsonl"),
+      (0 until 25).map(jsonLine).mkString("\n"))
+
+    def cfg(ckpt: String) = StreamMain.Config(
+      source = StreamMain.FileSource(inDir.toString),
+      modelDir = s"$root/model",
+      outDir = s"$root/out",
+      fallbackDir = s"$root/fallback",
+      checkpointDir = s"$root/$ckpt",
+      trigger = Trigger.AvailableNow())
+
+    // Cold start: no model on disk — the run must train first.
+    assert(!PipelineMain.modelExists(spark, s"$root/model"))
+    val (q1, trained1) = PipelineMain.run(spark, corpus, cfg("ckpt1"))
+    q1.awaitTermination(300000)
+    assert(trained1, "cold start must train")
+    assert(PipelineMain.modelExists(spark, s"$root/model"))
+    val sunk = spark.read.parquet(s"$root/out")
+    assert(sunk.count() == 25)
+    assert(sunk.where(col("sentiment").isin("positive", "negative", "neutral"))
+      .count() == 25)
+
+    // Warm restart (fresh checkpoint = new logical run): model present,
+    // training skipped, streaming still works.
+    val (q2, trained2) = PipelineMain.run(spark, corpus, cfg("ckpt2"))
+    q2.awaitTermination(300000)
+    assert(!trained2, "restart must reuse the saved model")
+    assert(spark.read.parquet(s"$root/out").count() == 50) // appended again
+  }
+}

@@ -65,6 +65,27 @@ class DedupQueriesSpec extends SparkSpec {
       "shuffle-partition override leaked out of the components loop")
   }
 
+  /** The dedup scale claim not pinned elsewhere: a power-law component —
+    * a 1000-spoke hub (the mega-bucket skew case) welded to a 512-link
+    * chain (the depth case) — must converge in O(log diameter)
+    * iterations, not walk the chain O(diameter). Skew cannot concentrate
+    * on a task by construction: the loop spreads edges round-robin
+    * (`repartition(loopParts)`), which is key-oblivious, so the hub's
+    * edges land evenly regardless of degree. */
+  test("components fixpoint: power-law mega-cluster converges logarithmically") {
+    val hub = (1 to 1000).map(i => (0L, i.toLong))
+    val chain = (1000 until 1512).map(j => (j.toLong, j.toLong + 1))
+    val (labels, iters) = DedupQueries.connectedComponentsWithIters(
+      spark, (hub ++ chain).toDF("doc1", "doc2"))
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == 1513)
+    assert(out.forall(_._2 == 0L), "single component must label to min id 0")
+    val logBound = math.ceil(math.log(513.0) / math.log(2.0)).toInt // ≈ 10
+    assert(iters <= logBound + 4,
+      s"fixpoint took $iters iterations on diameter ~513 — pointer jumping " +
+        s"should stay near log2 (${logBound}), chain-walking would take 500+")
+  }
+
   /** Same fixpoint, happy path, on a hand-built graph: two chains and an
     * isolated edge must collapse to their min ids. */
   test("connectedComponents labels chains by their min node") {
