@@ -132,6 +132,56 @@ object SamplingQueries {
       .orderBy("lang")
   }
 
+  /** Leakage-safe split — split assignment BY NEAR-DUP CLUSTER, not by
+    * doc: with per-doc hashing, the two halves of a near-duplicate pair
+    * can land in train and test and leak supervision across the
+    * boundary; hashing the CLUSTER id instead keeps every member of a
+    * dup cluster in one split (the eval-hygiene rule every pretraining
+    * split should apply after dedup discovery). Composition: LSH
+    * candidate pairs → components fixpoint → left join back to the
+    * corpus (singletons keep their own id as cluster) → the same md5
+    * bucket split as [[sampleSplit]], keyed on the cluster. Scale: the
+    * components graph is pairs-sized (≪ corpus); the final assignment is
+    * one left join plus a map-side hash — no new shuffle family. */
+  private val sampleClusterSplit: Q = (s, dir) => {
+    val comp = DedupQueries.connectedComponents(
+      s, DedupQueries.minhashCandidates(s, dir))
+    val assigned = t(s, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+    withSplit(assigned, "cluster")
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window budget for [[samplePack]] (tokens per packed
+    * sequence). */
+  private val PackBudget = 2048L
+
+  /** Sequence packing — the pretraining assembly step that lays docs
+    * head-to-tail into fixed token-budget context windows: deterministic
+    * layout (doc_id order within source), each doc assigned to the
+    * window its START offset falls in (bin = tokens-before DIV budget —
+    * the greedy append packing, reproduced exactly on any engine).
+    * One window cumsum per source — a single shuffle on the source key;
+    * at 100 TB every source shard packs independently, no global
+    * coordination and no iteration. Token counts are the chars-DIV-4
+    * integer heuristic (engine-portable; a real tokenizer count column
+    * drops in without changing the packing shape). */
+  private val samplePack: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .withColumn("tok", expr("n_chars DIV 4"))
+      .withColumn("before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before DIV $PackBudget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
   private val NumFolds = 5
 
   /** Deterministic k-fold assignment — fold = md5-bucket mod k, the
@@ -151,7 +201,9 @@ object SamplingQueries {
     "q_sample_strat" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
     "q_sample_mixture" -> sampleMixture,
-    "q_sample_kfold" -> sampleKfold
+    "q_sample_kfold" -> sampleKfold,
+    "q_sample_cluster_split" -> sampleClusterSplit,
+    "q_sample_pack" -> samplePack
   )
 
   /** DuckDB mirror of the `split` column in [[withSplit]] — shared with
@@ -201,6 +253,26 @@ object SamplingQueries {
     "q_sample_kfold" ->
       s"""SELECT CAST((${bucketSql("doc_id")}) % $NumFolds AS INTEGER) AS fold,
          | count(*) AS n, min(doc_id) AS first_doc
-         | FROM documents GROUP BY fold ORDER BY fold""".stripMargin
+         | FROM documents GROUP BY fold ORDER BY fold""".stripMargin,
+    "q_sample_cluster_split" -> {
+      val cluster = "coalesce(c.component, d.doc_id)"
+      s"""WITH RECURSIVE ${DedupQueries.duckComponentsCte()}
+         | SELECT d.doc_id, CAST($cluster AS BIGINT) AS cluster,
+         |  CASE WHEN ${bucketSql(cluster)} < $TrainUpper THEN 'train'
+         |       WHEN ${bucketSql(cluster)} < $ValUpper THEN 'val'
+         |       ELSE 'test' END AS split
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         | ORDER BY d.doc_id""".stripMargin
+    },
+    "q_sample_pack" ->
+      s"""WITH c AS (
+         |  SELECT source, doc_id, n_chars // 4 AS tok,
+         |   coalesce(sum(n_chars // 4) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM documents)
+         | SELECT source, CAST(before // $PackBudget AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         | FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin
   )
 }

@@ -202,6 +202,49 @@ object TextQueries {
       .orderBy(col("doc_id"), col("tfidf_bp").desc, col("term").asc)
   }
 
+  /** Postings cap / output cap for [[docsim]]. */
+  private val DocsimTopTerms = 10
+  private val DocsimTopPairs = 50
+
+  /** Sparse document-similarity join — all-pairs TF-IDF dot products via
+    * the inverted index (postings self-join on term), the sparse
+    * counterpart of embedding cosine and the workhorse of
+    * related-document mining. Scale discipline: (1) per-doc postings are
+    * capped to the top-[[DocsimTopTerms]] weighted terms (bounded row
+    * width, bounded per-doc fanout); (2) hub terms (df·2 > N) are PRUNED
+    * before the self-join — an uncapped ubiquitous term contributes
+    * O(df²) candidate pairs, the classic quadratic blowup of similarity
+    * self-joins, while carrying ≈no idf weight anyway. Weights are
+    * integer floor-bp so the pair dot products are exact int64 —
+    * hash-identical across engines. The global top-50 pairs ride
+    * TakeOrderedAndProject, never a full sort. */
+  private val docsim: Q = (s, dir) => {
+    val tf = Tables.fanout(
+        docs(s, dir)
+          .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      .localCheckpoint(true)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .where(expr("df * 2 <= n_docs"))
+      .withColumn("w", expr(
+        "CAST(floor(10000.0 * tf * ln((n_docs + 1.0) / (df + 1.0))) AS BIGINT)"))
+    val topw = graft.plans.GraftOps.topKPerKey(
+        w.select("doc_id", "term", "w"),
+        keyCols = Seq("doc_id"),
+        orderBy = Seq("w" -> false, "term" -> true), k = DocsimTopTerms)
+      .localCheckpoint(true)
+    topw.as("x").join(topw.as("y"),
+        col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
+        (col("x.w") * col("y.w")).as("ww"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared"), sum("ww").as("dot_bp2"))
+      .orderBy(col("dot_bp2").desc, col("doc1"), col("doc2"))
+      .limit(DocsimTopPairs)
+  }
+
   /** Unigram language-model scoring — the perplexity-proxy quality signal
     * (KenLM-style filtering's cheapest form): per-token surprisal
     * −ln(count(term)/corpus_total), averaged per document. Rare-token-heavy
@@ -492,6 +535,7 @@ object TextQueries {
     "q_text_pii"         -> piiScrub,
     "q_text_filter"      -> filterDecision,
     "q_text_tfidf"       -> tfidf,
+    "q_text_docsim"      -> docsim,
     "q_text_unigram_lp"  -> unigramLp,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
@@ -634,6 +678,26 @@ object TextQueries {
          | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_bp DESC, term) AS rnk FROM s)
          | SELECT doc_id, term, tf, df, tfidf_bp FROM r WHERE rnk <= 3
          | ORDER BY doc_id, tfidf_bp DESC, term""".stripMargin,
+    "q_text_docsim" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         | df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         | n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         | w AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(floor(10000.0 * tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0))) AS BIGINT) AS w
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |  WHERE df.df * 2 <= n.n_docs),
+         | topw AS (
+         |  SELECT doc_id, term, w FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rnk FROM w)
+         |  WHERE rnk <= $DocsimTopTerms)
+         | SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+         |  count(*) AS n_shared, CAST(sum(x.w * y.w) AS BIGINT) AS dot_bp2
+         | FROM topw x JOIN topw y ON x.term = y.term AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2
+         | ORDER BY dot_bp2 DESC, doc1, doc2 LIMIT $DocsimTopPairs""".stripMargin,
     "q_text_unigram_lp" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents),
