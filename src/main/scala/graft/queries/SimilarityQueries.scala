@@ -142,6 +142,47 @@ object SimilarityQueries {
                | ',')""".stripMargin).as("q8_csv"))
       .orderBy("vec_id")
 
+  /** 3-bit grid over [-1, 1): 8 cells/dim → 24 B codes for 64-dim f32
+    * (10.7× compression) with a fixed lattice codebook. */
+  private val SqCells = 8
+
+  /** Scalar-quantized ADC search — the search-side counterpart of
+    * [[quantizeInt8]]'s storage transform (FAISS-SQ-style): candidates
+    * live ONLY as 3-bit/dim lattice codes; queries stay exact floats and
+    * score against reconstructed cell centers (asymmetric distance
+    * computation), so the corpus is never decompressed and the scan
+    * reads 24-byte codes instead of 256-byte vectors — at 100 TB the
+    * difference between an in-memory index and an I/O-bound one. Cell
+    * centers ((c+0.5)/4 − 1) are exact binary fractions, so the ADC
+    * arithmetic is bit-identical across engines; ranking uses the
+    * floor-ppm INTEGER distance (ties broken on cid), never raw doubles.
+    * Top-K per query rides a bounded rank window over the broadcast
+    * query set. */
+  private val sqAdc: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"),
+        expr(s"""transform(embedding,
+               |  x -> least(${SqCells - 1}, greatest(0,
+               |    CAST(floor((CAST(x AS DOUBLE) + 1.0) * ${SqCells / 2}.0) AS INT))))"""
+          .stripMargin).as("codes"))
+      .withColumn("recon", expr(
+        s"transform(codes, c -> (CAST(c AS DOUBLE) + 0.5) / ${SqCells / 2}.0 - 1.0)"))
+    Tables.fanout(c).join(broadcast(q))
+      .withColumn("adc_ppm", expr(
+        """CAST(floor(1000000.0 * aggregate(
+          |  zip_with(qe, recon, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+          |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)) AS BIGINT)""".stripMargin))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_ppm").asc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"),
+        col("cid"), col("adc_ppm"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Vector math through BUILT-IN higher-order functions (zip_with +
     * aggregate), no UDF and no custom expression: dot product, norms,
     * and cosine in floor-ppm — the composable fallback when a codegen
@@ -205,6 +246,7 @@ object SimilarityQueries {
     "q_sim_lsh_ann"         -> lshAnn,
     "q_sim_ivf_ann"         -> ivfAnn,
     "q_sim_quantize"        -> quantizeInt8,
+    "q_sim_sq_adc"          -> sqAdc,
     "q_sim_recall"          -> annRecall,
     "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
@@ -311,6 +353,23 @@ object SimilarityQueries {
         |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
         |  FROM embeddings)
         | ORDER BY vec_id""".stripMargin,
+    "q_sim_sq_adc" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | c AS (SELECT vec_id AS cid,
+         |   list_transform(embedding, x -> least(${SqCells - 1}, greatest(0,
+         |     CAST(floor((CAST(x AS DOUBLE) + 1.0) * ${SqCells / 2}.0) AS INTEGER)))) AS codes
+         |  FROM embeddings WHERE vec_id >= $NumQueries),
+         | r AS (SELECT cid,
+         |   list_transform(codes, c -> (CAST(c AS DOUBLE) + 0.5) / ${SqCells / 2}.0 - 1.0) AS rc
+         |  FROM c),
+         | s AS (SELECT qid, cid,
+         |   CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, len(rc)),
+         |     i -> (CAST(qe[i] AS DOUBLE) - rc[i]) * (CAST(qe[i] AS DOUBLE) - rc[i])))) AS BIGINT) AS adc_ppm
+         |  FROM q CROSS JOIN r),
+         | t AS (SELECT qid, cid, adc_ppm,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS INTEGER) AS rnk FROM s)
+         | SELECT qid, rnk, cid, adc_ppm FROM t WHERE rnk <= $LshTopK
+         | ORDER BY qid, rnk""".stripMargin,
     "q_dedup_embedding_cos" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
          | SELECT x.vec_id AS v1, y.vec_id AS v2,

@@ -202,6 +202,34 @@ object TextQueries {
       .orderBy(col("doc_id"), col("tfidf_bp").desc, col("term").asc)
   }
 
+  /** Heavy-hitter counter budget: hitters are terms with frequency
+    * > corpus_tokens / HhK. */
+  private val HhK = 50
+
+  /** EXACT corpus heavy hitters in two bounded passes — sketch then
+    * verify (see [[graft.ops.FrequentItems]] for the guarantee): pass 1
+    * runs Misra–Gries per partition (O(k) memory, ≤ k·partitions
+    * candidate rows shuffled — never a corpus-wide groupBy on a
+    * heavy-tailed key), pass 2 exact-counts ONLY the candidate union
+    * (semi join) and keeps count·k > n. The sketch can only
+    * over-generate, the exact filter kills false positives, so the
+    * output is exactly the plain GROUP BY ... HAVING oracle. */
+  private val heavyHitters: Q = (s, dir) => {
+    val toks = Tables.fanout(
+        docs(s, dir).select(explode(TokenOps.terms(col("text"))).as("term")))
+      .localCheckpoint(true) // sketch + exact pass read the same frame once
+    val cands = graft.ops.FrequentItems.candidates(
+        toks.select("term").as(org.apache.spark.sql.Encoders.STRING), HhK)
+      .toDF("term").distinct()
+    val total = toks.select(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .where(expr(s"cnt * $HhK > n_total"))
+      .select(col("term"), col("cnt"), col("n_total"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Postings cap / output cap for [[docsim]]. */
   private val DocsimTopTerms = 10
   private val DocsimTopPairs = 50
@@ -536,6 +564,7 @@ object TextQueries {
     "q_text_filter"      -> filterDecision,
     "q_text_tfidf"       -> tfidf,
     "q_text_docsim"      -> docsim,
+    "q_text_heavyhitters" -> heavyHitters,
     "q_text_unigram_lp"  -> unigramLp,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
@@ -678,6 +707,14 @@ object TextQueries {
          | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_bp DESC, term) AS rnk FROM s)
          | SELECT doc_id, term, tf, df, tfidf_bp FROM r WHERE rnk <= 3
          | ORDER BY doc_id, tfidf_bp DESC, term""".stripMargin,
+    "q_text_heavyhitters" ->
+      s"""WITH tok AS (SELECT unnest(${duckTerms("text")}) AS term FROM documents),
+         | n AS (SELECT count(*) AS n_total FROM tok)
+         | SELECT term, count(*) AS cnt, n_total
+         | FROM tok CROSS JOIN n
+         | GROUP BY term, n_total
+         | HAVING count(*) * $HhK > n_total
+         | ORDER BY cnt DESC, term""".stripMargin,
     "q_text_docsim" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents),
