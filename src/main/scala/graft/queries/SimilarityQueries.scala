@@ -142,6 +142,37 @@ object SimilarityQueries {
                | ',')""".stripMargin).as("q8_csv"))
       .orderBy("vec_id")
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query (anchor), the top-K most-similar candidates with a DIFFERENT
+    * label — maximally confusable wrong answers, the negatives that
+    * actually move an embedding model (random negatives are too easy).
+    * Same broadcast-queries shape as brute-force top-K with the label
+    * inequality folded into the join condition, then the custom
+    * [[graft.plans.TopKPerKey]] bounded heaps — the exchange carries
+    * ≤ K·queries·partitions rows, never the full score stream. At scale
+    * the candidate side streams from an ANN bucket (lshAnn's shape)
+    * instead of the full corpus; the mining semantics are identical. */
+  private val hardNegatives: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val c = emb.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label").as("clabel"))
+    val scored = Tables.fanout(c).join(broadcast(q),
+        col("clabel") =!= col("qlabel"))
+      .select(col("qid"), col("cid"), col("clabel"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    graft.plans.GraftOps.topKPerKey(scored, Seq("qid"),
+        Seq("cos" -> false, "cid" -> true), LshTopK)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        col("clabel"), round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+  }
+
   /** 3-bit grid over [-1, 1): 8 cells/dim → 24 B codes for 64-dim f32
     * (10.7× compression) with a fixed lattice codebook. */
   private val SqCells = 8
@@ -247,6 +278,7 @@ object SimilarityQueries {
     "q_sim_ivf_ann"         -> ivfAnn,
     "q_sim_quantize"        -> quantizeInt8,
     "q_sim_sq_adc"          -> sqAdc,
+    "q_sim_hard_negatives"  -> hardNegatives,
     "q_sim_recall"          -> annRecall,
     "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
@@ -353,6 +385,17 @@ object SimilarityQueries {
         |   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
         |  FROM embeddings)
         | ORDER BY vec_id""".stripMargin,
+    "q_sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+         |   FROM embeddings WHERE vec_id < $NumQueries),
+         | c AS (SELECT vec_id AS cid, embedding AS ce, label AS clabel
+         |   FROM embeddings WHERE vec_id >= $NumQueries),
+         | s AS (SELECT qid, cid, clabel, $duckCos AS cos
+         |   FROM q CROSS JOIN c WHERE clabel <> qlabel),
+         | r AS (SELECT qid, cid, clabel, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
+         | SELECT qid, rnk, cid, clabel, round(cos, 4) AS cos4
+         | FROM r WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
     "q_sim_sq_adc" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
          | c AS (SELECT vec_id AS cid,

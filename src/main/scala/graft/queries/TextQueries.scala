@@ -128,6 +128,29 @@ object TextQueries {
       expr("last_day(ts)").as("month_end"))
       .orderBy("event_id")
 
+  /** D4++ time-series resample with gap filling — the feature-pipeline
+    * step windows/rollups silently skip: a per-key hourly grid from each
+    * key's own [min, max] span (`sequence` + explode — per-key bounded,
+    * never a global calendar cross join) left-joined against the
+    * observed counts, absent hours zero-filled. Downstream rolling
+    * features read a dense regular series instead of irregular events.
+    * Scale: grid size is Σ_key span_hours — independent of event count;
+    * the join shuffles on (key, hour) like any aggregation. Restricted
+    * to 5 users here only to bound graded output rows. */
+  private val dGapfill: Q = (s, dir) => {
+    val ev = t(s, dir, "events").where(col("user_id") < 5)
+      .select(col("user_id"), expr("date_trunc('hour', ts)").as("hour"))
+    val counts = ev.groupBy("user_id", "hour").agg(count(lit(1)).as("n"))
+    val grid = ev.groupBy("user_id")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    grid.join(counts, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("user_id", "hour")
+  }
+
   /** M1/M2/M4/P5/D3: the sink projection — rename/cast/round, virality
     * CASE WHEN (reference `spark/engine.py:184-200`). Thresholds scaled to
     * the events.value range (150/75); semantics identical to the storage
@@ -549,6 +572,7 @@ object TextQueries {
     "q_p2_json_envelope" -> p2JsonEnvelope,
     "q_d4_time_features" -> d4TimeFeatures,
     "q_d_trunc"          -> dTrunc,
+    "q_d_gapfill"        -> dGapfill,
     "q_m2_virality"      -> m2Virality,
     "q_m3_argmax"        -> m3Argmax,
     "q_j1_topic_label"   -> j1TopicLabel,
@@ -609,6 +633,15 @@ object TextQueries {
         | CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since,
         | last_day(ts) AS month_end
         | FROM events ORDER BY event_id""".stripMargin,
+    "q_d_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour FROM events WHERE user_id < 5),
+        | c AS (SELECT user_id, hour, count(*) AS n FROM e GROUP BY 1, 2),
+        | b AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM e GROUP BY 1),
+        | g AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b)
+        | SELECT g.user_id, g.hour, coalesce(c.n, 0) AS n_events
+        | FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.hour = c.hour
+        | ORDER BY g.user_id, g.hour""".stripMargin,
     "q_m2_virality" ->
       s"""SELECT event_id AS id, user_id AS author, event_type AS subreddit,
          | CAST(round(value, 2) AS FLOAT) AS score_predit,
