@@ -725,6 +725,24 @@ object RelationalQueries {
       .orderBy("prev_type", "event_type")
   }
 
+  /** W2+ behavioral-sequence export — each user's event stream
+    * materialized as ONE ordered token path ("view>click>purchase>…"),
+    * the event-stream→token-sequence step that turns logs into a
+    * training corpus for sequence models. Order inside the aggregated
+    * array is forced by `array_sort` over (ts, event_id, type) structs —
+    * collect_list alone is partition-order nondeterministic, the classic
+    * silent corruption of sequence exports. Scale: one hash aggregation
+    * keyed by user; per-row width is the user's own stream length
+    * (bounded by per-key activity, not corpus size). */
+  private val w2SeqExport: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("""array_join(transform(
+               |  array_sort(collect_list(struct(ts, event_id, event_type))),
+               |  x -> x.event_type), '>')""".stripMargin).as("path"))
+      .orderBy("user_id")
+
   /** W2+ top-P (nucleus) selection — keep, per group, the smallest
     * score-descending prefix holding ≥ P of the group's total score mass
     * (the curation-budget dual of top-K: "spend 50% of the quality mass",
@@ -856,6 +874,7 @@ object RelationalQueries {
     "q_w2_top_p"           -> w2TopP,
     "q_w2_cohort"          -> w2Cohort,
     "q_w2_transitions"     -> w2Transitions,
+    "q_w2_seq_export"      -> w2SeqExport,
     "q_w2_streak"          -> w2Streak,
     "q_w2_sliding"         -> w2Sliding,
     "q_j2_salted_join"     -> j2SaltedJoin,
@@ -1162,6 +1181,10 @@ object RelationalQueries {
         | WHERE prev_type IS NOT NULL
         | GROUP BY prev_type, event_type
         | ORDER BY prev_type, event_type""".stripMargin,
+    "q_w2_seq_export" ->
+      """SELECT user_id, count(*) AS n_events,
+        | string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_w2_top_p" ->
       s"""SELECT event_id, event_type, cents FROM (
          |  SELECT event_id, event_type, cents,

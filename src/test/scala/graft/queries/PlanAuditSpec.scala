@@ -53,6 +53,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** Hive-style partition layout: a filter on the partition column must
+    * prune directories at PLANNING time (PartitionFilters, not data
+    * filters) — at 100 TB the difference between listing one date dir
+    * and scanning the lake. Exercises the write path too. */
+  test("partition-column filters prune partitions at planning time") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ppart").toString + "/events"
+    Tables.t(spark, dir, "events")
+      .write.partitionBy("event_type").parquet(out)
+    val all = spark.read.parquet(out)
+    val one = all.where(col("event_type") === "click")
+    val scan = one.queryExecution.sparkPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val nTypes = all.select("event_type").distinct().count()
+    assert(nTypes > 1, "fixture needs several partitions")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 of $nTypes partitions after pruning, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+    assert(scan.metadata("PartitionFilters").contains("event_type"),
+      scan.metadata.mkString("\n"))
+    assert(one.count() ==
+      Tables.t(spark, dir, "events").where(col("event_type") === "click").count())
+  }
+
   test("salted aggregation spreads the hot key before any exchange (skew)") {
     val p = plan("q_a1_salted_sum")
     // The tree prints top-down, so the LAST hashpartitioning is the
