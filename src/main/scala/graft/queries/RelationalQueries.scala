@@ -192,6 +192,46 @@ object RelationalQueries {
       .orderBy("o_orderkey", "l_linenumber", "l_shipdate") // total order: no unique lineitem key
   }
 
+  /** J2+ band join through BroadcastNestedLoopJoin — the ONE join family
+    * where a nested loop is the right plan: a tiny dim of value ranges
+    * (no equi key at all) against a fact stream. Catalyst picks BNLJ
+    * with the dim broadcast, so the "cartesian" is per-row × O(bands) —
+    * a CASE-expression cost, not a pair blowup; the fact side never
+    * shuffles. Cents are computed PER ROW before the sum (round(sum)
+    * would ride double partial-order noise; sum(round) is exact). */
+  private val j2BnlBand: Q = (s, dir) => {
+    val bands = t(s, dir, "region").select(col("r_name").as("band"),
+      (col("r_regionkey") * 100).cast("double").as("lo"),
+      ((col("r_regionkey") + 1) * 100).cast("double").as("hi"))
+    t(s, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("band")
+  }
+
+  /** Fuzzy-match threshold for [[j2Fuzzy]]. */
+  private val FuzzyMaxDist = 4
+
+  /** J2+ blocked fuzzy string join — entity resolution's core move:
+    * candidate pairs come from an equi BLOCK key (here the trailing
+    * token), never an all-pairs comparison; the quadratic levenshtein
+    * kernel runs on within-block pairs only. The same
+    * block → verify shape as the LSH dedup chain, on the string-equality
+    * surface (names, addresses, product titles). */
+  private val j2Fuzzy: Q = (s, dir) => {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+      .withColumn("blk", expr("element_at(split(p_name, ' '), -1)"))
+    names.as("x").join(names.as("y"),
+        col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+      .withColumn("dist", levenshtein(col("x.p_name"), col("y.p_name")))
+      .where(col("dist") <= FuzzyMaxDist)
+      .select(col("x.p_name").as("name1"), col("y.p_name").as("name2"),
+        col("dist").cast("int").as("dist"))
+      .orderBy("name1", "name2")
+  }
+
   /** A1: the hash-aggregate workhorse (TPC-H Q1 shape; the capability the
     * reference's PowerBI rollups consume, SURVEY.md §2.4). Partial+final
     * `HashAggregateExec` — sums are exact (integral doubles / DECIMAL).
@@ -845,6 +885,8 @@ object RelationalQueries {
     "q_j2_full_outer"      -> j2FullOuter,
     "q_j2_asof_join"       -> j2AsofJoin,
     "q_j2_bloom_semi"      -> j2BloomSemi,
+    "q_j2_bnl_band"        -> j2BnlBand,
+    "q_j2_fuzzy"           -> j2Fuzzy,
     "q_j2_range_join"      -> j2RangeJoin,
     "q_j2_lateral"         -> j2Lateral,
     "q_sql_recursive"      -> sqlRecursive,
@@ -951,6 +993,20 @@ object RelationalQueries {
         | WHERE EXISTS (SELECT 1 FROM orders
         |   WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
         | ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_j2_bnl_band" ->
+      """SELECT r_name AS band, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        | FROM events e JOIN region r
+        |   ON e.value >= r.r_regionkey * 100 AND e.value < (r.r_regionkey + 1) * 100
+        | GROUP BY band ORDER BY band""".stripMargin,
+    "q_j2_fuzzy" ->
+      s"""WITH n AS (SELECT DISTINCT p_name,
+         |   string_split(p_name, ' ')[-1] AS blk FROM part)
+         | SELECT x.p_name AS name1, y.p_name AS name2,
+         |  CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS dist
+         | FROM n x JOIN n y ON x.blk = y.blk AND x.p_name < y.p_name
+         | WHERE levenshtein(x.p_name, y.p_name) <= $FuzzyMaxDist
+         | ORDER BY name1, name2""".stripMargin,
     "q_j2_range_join" ->
       """SELECT o_orderkey, l_linenumber, l_shipdate
         | FROM orders JOIN lineitem

@@ -89,6 +89,14 @@ class PlanAuditSpec extends SparkSpec {
       .contains("__salt"), "upstream shuffle not salted:\n" + p)
   }
 
+  /** The band join must broadcast the O(bands) dim into a nested loop —
+    * and must NOT shuffle the fact side or fall into a cartesian. */
+  test("non-equi band join broadcasts the dim through a nested loop (J2+)") {
+    val p = plan("q_j2_bnl_band")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), "unbroadcast cartesian:\n" + p)
+  }
+
   test("per-key top-K rides the custom sort-free operator (TopKPerKey)") {
     val p = plan("q_w2_topk_user")
     assert(p.contains("TopKPerKey"), p)
