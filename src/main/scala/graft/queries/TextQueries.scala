@@ -324,6 +324,48 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Interpolation weight for [[bigramLm]]: 0.75·P(w₂|w₁) + 0.25·P(w₂). */
+  private val BigramLambdaPct = 75
+
+  /** Interpolated bigram LM scoring — the next step up from
+    * [[unigramLp]]'s perplexity proxy: per-bigram surprisal
+    * −ln(λ·c₂/c₁(w₁) + (1−λ)·c₁(w₂)/T), averaged per doc. Catches
+    * word-salad documents whose unigram stats look normal but whose
+    * transitions are improbable (the unigram model's blind spot).
+    * Same integer discipline as the whole LM family: one ln + floor to
+    * millinats PER BIGRAM TYPE, then the per-doc mean is exact integer
+    * arithmetic. Scale shape: doc-bigram counts checkpoint once; corpus
+    * bigram/first/unigram tables are vocabulary²-bounded (in practice
+    * Zipf-small) and AQE-broadcast; the corpus total is one scalar. */
+  private val bigramLm: Q = (s, dir) => {
+    val bigramsExpr =
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin
+    val db = Tables.fanout(
+        docs(s, dir)
+          .withColumn("toks", TokenOps.terms(col("text")))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k")))
+      .localCheckpoint(true)
+    val c2 = db.groupBy("w1", "w2").agg(sum("k").as("c2"))
+    val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
+    val uni = db.groupBy(col("w2").as("w")).agg(sum("k").as("cuni"))
+    val total = uni.select(sum("cuni").as("t_total"))
+    val lam = BigramLambdaPct / 100.0
+    db.join(c2, Seq("w1", "w2")).join(cFirst, Seq("w1"))
+      .join(uni, db("w2") === uni("w")).crossJoin(broadcast(total))
+      .withColumn("surprisal_mb", expr(
+        s"""CAST(floor(-1000.0 * ln(
+           |  $lam * (CAST(c2 AS DOUBLE) / c1first) +
+           |  ${1 - lam} * (CAST(cuni AS DOUBLE) / t_total))) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        expr("sum(k * surprisal_mb) DIV sum(k)").as("mean_surprisal_mb"))
+      .orderBy("doc_id")
+  }
+
   /** PMI keyphrase extraction — corpus-level collocations: bigrams whose
     * joint count beats the independence expectation, PMI ≈
     * ln(c_ab·N / (c_a·c_b)) with all counts over the unigram total N.
@@ -590,6 +632,7 @@ object TextQueries {
     "q_text_docsim"      -> docsim,
     "q_text_heavyhitters" -> heavyHitters,
     "q_text_unigram_lp"  -> unigramLp,
+    "q_text_bigram_lm"   -> bigramLm,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
@@ -748,6 +791,32 @@ object TextQueries {
          | GROUP BY term, n_total
          | HAVING count(*) * $HhK > n_total
          | ORDER BY cnt DESC, term""".stripMargin,
+    "q_text_bigram_lm" -> {
+      val lam = BigramLambdaPct / 100.0
+      s"""WITH db AS (
+         |  SELECT doc_id, w1, w2, count(*) AS k FROM (
+         |   SELECT doc_id,
+         |     unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+         |     unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+         |   FROM (SELECT doc_id, ${duckTerms("text")} AS toks FROM documents)
+         |   WHERE len(toks) >= 2)
+         |  GROUP BY 1, 2, 3),
+         | c2 AS (SELECT w1, w2, sum(k) AS c2 FROM db GROUP BY 1, 2),
+         | cf AS (SELECT w1, sum(c2) AS c1first FROM c2 GROUP BY 1),
+         | un AS (SELECT w2 AS w, sum(k) AS cuni FROM db GROUP BY 1),
+         | t AS (SELECT sum(cuni) AS t_total FROM un),
+         | sc AS (SELECT db.doc_id, db.k,
+         |   CAST(floor(-1000.0 * ln(
+         |     $lam * (CAST(c2.c2 AS DOUBLE) / cf.c1first) +
+         |     ${1 - lam} * (CAST(un.cuni AS DOUBLE) / t.t_total))) AS BIGINT) AS s_mb
+         |  FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+         |   JOIN cf ON db.w1 = cf.w1
+         |   JOIN un ON db.w2 = un.w
+         |   CROSS JOIN t)
+         | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(k * s_mb) // sum(k) AS BIGINT) AS mean_surprisal_mb
+         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_text_docsim" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents),
