@@ -507,6 +507,29 @@ object DedupQueries {
       .head().getDouble(0)
   }
 
+  /** Triangle counting over the candidate graph — the cluster-density
+    * diagnostic next to [[dedupComponents]]: a clique-like component
+    * (many triangles) is a true duplicate cluster; a star/chain (few)
+    * is band-collision noise chaining unrelated docs — exactly the case
+    * to re-verify before [[dedupApply]] drops documents. Classic
+    * ordered-edge distributed algorithm: edges already carry doc1<doc2
+    * orientation, so two equi-joins enumerate each triangle exactly once
+    * (wedge a<b<c closed by edge (a,c)) — shuffle ∝ wedge count, never
+    * an all-pairs product; per-node counts are one explode + hash agg.
+    * (At corpus scale, orientation by DEGREE instead of id bounds the
+    * per-vertex wedge fanout on hubs; id-orientation is the same join
+    * shape.) */
+  private val dedupTriangles: Q = (s, dir) => {
+    val e = minhashCandidates(s, dir).localCheckpoint(true)
+    val tri = e.as("ab").join(e.as("bc"), col("ab.doc2") === col("bc.doc1"))
+      .select(col("ab.doc1").as("a"), col("ab.doc2").as("b"),
+        col("bc.doc2").as("c"))
+      .join(e.toDF("a", "c"), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+
   /** The "new batch" source for [[incrementalDedup]] — one of the 20
     * equal-sized source shards plays the freshly-ingested delta. */
   private val NewBatchSource = "src0"
@@ -599,6 +622,7 @@ object DedupQueries {
     "q_dedup_decontam"    -> decontaminate,
     "q_dedup_incremental" -> incrementalDedup,
     "q_dedup_minhash_est" -> minhashEstimate,
+    "q_dedup_triangles" -> dedupTriangles,
     "q_dedup_apply"       -> dedupApply
   )
 
@@ -688,6 +712,15 @@ object DedupQueries {
       s"""WITH RECURSIVE ${duckComponentsCte()}
          | SELECT doc_id, component FROM comp
          | ORDER BY doc_id""".stripMargin,
+    "q_dedup_triangles" ->
+      s"""WITH ${duckPairsCte()},
+         | tri AS (
+         |  SELECT ab.doc1 AS a, ab.doc2 AS b, bc.doc2 AS c
+         |  FROM pairs ab JOIN pairs bc ON ab.doc2 = bc.doc1
+         |   JOIN pairs ac ON ac.doc1 = ab.doc1 AND ac.doc2 = bc.doc2)
+         | SELECT doc_id, count(*) AS n_triangles FROM (
+         |  SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash_sig" ->
       s"$duckSimhash ORDER BY doc_id",
     "q_dedup_simhash_pairs" ->

@@ -154,6 +154,26 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** Panel size for [[sampleTopkStrat]]. */
+  private val StratTopK = 10
+
+  /** Deterministic fixed-size per-stratum sample — EXACTLY k docs per
+    * lang (the fixed-budget eval-panel builder), chosen by md5 rank so
+    * membership is stable under re-ingestion, engines, and
+    * repartitioning (a rate-based sampler can't hit an exact size;
+    * rand() isn't reproducible). Rides the custom TopKPerKey bounded
+    * heaps — map-side pruning to k per stratum, never a per-stratum
+    * global sort; at 100 TB the exchange carries k·strata·partitions
+    * rows. */
+  private val sampleTopkStrat: Q = (s, dir) => {
+    val keyed = t(s, dir, "documents")
+      .withColumn("rk", md5(col("doc_id").cast("string")))
+      .select("lang", "doc_id", "rk")
+    graft.plans.GraftOps.topKPerKey(keyed, Seq("lang"),
+        Seq("rk" -> true, "doc_id" -> true), StratTopK)
+      .orderBy("lang", "rk")
+  }
+
   /** Context-window budget for [[samplePack]] (tokens per packed
     * sequence). */
   private val PackBudget = 2048L
@@ -203,7 +223,8 @@ object SamplingQueries {
     "q_sample_mixture" -> sampleMixture,
     "q_sample_kfold" -> sampleKfold,
     "q_sample_cluster_split" -> sampleClusterSplit,
-    "q_sample_pack" -> samplePack
+    "q_sample_pack" -> samplePack,
+    "q_sample_topk_strat" -> sampleTopkStrat
   )
 
   /** DuckDB mirror of the `split` column in [[withSplit]] — shared with
@@ -264,6 +285,13 @@ object SamplingQueries {
          | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
          | ORDER BY d.doc_id""".stripMargin
     },
+    "q_sample_topk_strat" ->
+      s"""SELECT lang, doc_id, rk FROM (
+         | SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+         | FROM documents)
+         | WHERE rnk <= $StratTopK ORDER BY lang, rk""".stripMargin,
     "q_sample_pack" ->
       s"""WITH c AS (
          |  SELECT source, doc_id, n_chars // 4 AS tok,
