@@ -23,11 +23,21 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object PipelineMain {
 
-  /** A saved model exists iff PipelineModel's metadata dir is present
-    * (an interrupted save leaves no metadata — retrain). */
+  /** A usable saved model: metadata present AND the model actually
+    * loads. Presence alone is not enough — PipelineModel.save writes
+    * `metadata/` BEFORE the stage dirs, so a crash mid-save leaves a
+    * metadata-only husk that would otherwise permanently disable
+    * retraining while the stream fails at load on every restart. A
+    * failed load here means "retrain over it" (save() overwrites). */
   private[graft] def modelExists(spark: SparkSession, modelDir: String): Boolean = {
     val p = new Path(modelDir, "metadata")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
+      (try { graft.ml.NlpPipeline.load(modelDir); true }
+       catch { case scala.util.control.NonFatal(e) =>
+         System.err.println(
+           s"[pipeline] model at $modelDir present but unloadable (${e.getMessage}); retraining")
+         false
+       })
   }
 
   /** Train-if-absent → stream. Returns the running query (callers own
@@ -47,13 +57,7 @@ object PipelineMain {
     require(args.length >= 1,
       "usage: graft.PipelineMain <corpus.json> <StreamMain args...>")
     val cfg = StreamMain.parse(args.drop(1))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-pipeline")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Sessions.local("graft-pipeline")
     try {
       val (query, trained) = run(spark, args(0), cfg)
       println(s"[pipeline] trained=$trained model=${cfg.modelDir}; streaming started")

@@ -86,13 +86,7 @@ object StreamMain {
 
   def main(args: Array[String]): Unit = {
     val cfg = parse(args)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-stream")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Sessions.local("graft-stream")
     try run(spark, cfg).awaitTermination()
     finally spark.stop()
   }

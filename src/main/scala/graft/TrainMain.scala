@@ -69,13 +69,7 @@ object TrainMain {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: graft.TrainMain <corpus.json> <modelOutDir>")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
-      .appName("graft-train")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = Sessions.local("graft-train")
     try {
       run(spark, args(0), args(1))
       println(s"[train] model saved to ${args(1)}")

@@ -110,12 +110,16 @@ object DedupQueries {
     shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: (band, key = ':'-joined band signature rows). */
+  /** LSH banding: (band, key = ':'-joined band signature rows). Band
+    * tuples are INCLUSIVE ranges (start, end): every signature row in
+    * the range joins the key, so rows-per-band ≥ 3 keeps its middle
+    * rows (a head/last-only key would silently widen bucket collision
+    * probability past the advertised (1−Jʳ)ᵇ). */
   private def minhashBandsOf(sigs: DataFrame,
                              bands: Seq[(Int, Int)] = Bands): DataFrame = {
     val bandStructs = bands.zipWithIndex.map { case ((h1, h2), i) =>
       struct(lit(i + 1).as("b"),
-        concat_ws(":", col(s"sig$h1"), col(s"sig$h2")).as("bkey"))
+        concat_ws(":", (h1 to h2).map(h => col(s"sig$h")): _*).as("bkey"))
     }
     sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
@@ -504,7 +508,12 @@ object DedupQueries {
       .withColumn("inter", interSize(col("t1"), col("t2")))
       .agg(avg(abs(col("est_bp") -
         expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)"))))
-      .head().getDouble(0)
+      .head() match {
+        // avg over zero pairs is NULL — surface NaN, not a primitive-getter
+        // NPE, so the sweep spec reports "no pairs" instead of crashing.
+        case r if r.isNullAt(0) => Double.NaN
+        case r => r.getDouble(0)
+      }
   }
 
   /** Triangle counting over the candidate graph — the cluster-density
@@ -653,7 +662,8 @@ object DedupQueries {
   private val duckSigs =
     s"SELECT doc_id,\n   $duckSigCols\n FROM ($duckH32) GROUP BY doc_id"
   private val duckBandCase = Bands.zipWithIndex.map { case ((h1, h2), i) =>
-    s"WHEN ${i + 1} THEN CAST(sig$h1 AS VARCHAR) || ':' || CAST(sig$h2 AS VARCHAR)"
+    val key = (h1 to h2).map(h => s"CAST(sig$h AS VARCHAR)").mkString(" || ':' || ")
+    s"WHEN ${i + 1} THEN $key"
   }.mkString(" ")
   private[queries] val duckBands =
     s"""SELECT doc_id, b, CASE b $duckBandCase END AS bkey

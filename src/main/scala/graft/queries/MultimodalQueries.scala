@@ -40,17 +40,13 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  private val Hex = "0123456789abcdef"
-
-  /** Last-16-bit value of an md5-hex expression (digits 29..32) — the
-    * DuckDB-side transliteration of [[MultimodalOps.PortableCodec]]'s
-    * per-dimension feature (same instr-based hex parse as
-    * `SamplingQueries.hexBucketSql`). */
-  private def last16(md5Expr: String): String =
-    (0 until 4).map { i =>
-      val scale = Seq.fill(3 - i)(16L).product
-      s"$scale * (instr('$Hex', substring($md5Expr, ${29 + i}, 1)) - 1)"
-    }.mkString("(", " + ", ")")
+  /** Last-16-bit value of md5 of an expression — the DuckDB-side
+    * transliteration of [[MultimodalOps.PortableCodec]]'s per-dimension
+    * feature. Delegates to the ONE instr-based md5 hex parse
+    * (`SamplingQueries.hexBucketSql`, digits 29..32) so the cross-engine
+    * hash contract has a single definition. */
+  private def last16(payloadExpr: String): String =
+    "(" + SamplingQueries.hexBucketSql(payloadExpr, 4) + ")"
 
   /** Metadata-only profile of the manufactured media table, but
     * oracle-checkable (unlike the codec path): per-kind counts and
@@ -79,8 +75,8 @@ object MultimodalQueries {
       s"""SELECT doc_id AS media_id,
         | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         | CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
-        | CAST(${last16("md5(coalesce(text, '') || ':0')")} AS BIGINT) AS f0,
-        | CAST(${last16(s"md5(coalesce(text, '') || ':${FeatureDim - 1}')")} AS BIGINT) AS f7
+        | CAST(${last16("coalesce(text, '') || ':0'")} AS BIGINT) AS f0,
+        | CAST(${last16(s"coalesce(text, '') || ':${FeatureDim - 1}'")} AS BIGINT) AS f7
         | FROM documents ORDER BY media_id""".stripMargin,
     "q_mm_profile" ->
       """SELECT

@@ -444,10 +444,19 @@ object RelationalQueries {
   /** SQL-surface queries register temp views; the name carries a suffix
     * derived from the data dir so two concurrent invocations on the same
     * SparkSession with different dirs cannot cross-contaminate — the
-    * SQL-surface entries stay re-entrant like the rest of the inventory. */
+    * SQL-surface entries stay re-entrant like the rest of the inventory.
+    * The suffix is 16 md5 hex chars of the full path (64 bits) — a
+    * 32-bit String.hashCode collides for realistic path pairs, which
+    * would silently re-introduce exactly the cross-talk this prevents.
+    * Views intentionally persist for the session (the returned DataFrame
+    * is lazy — dropping the view here would break it before execution);
+    * the catalog holds one view per (table, dir) pair, bounded by the
+    * handful of dirs a session touches. */
   private def dirView(s: SparkSession, dir: String, table: String,
                       base: String): String = {
-    val name = base + "_" + (dir.hashCode & 0x7fffffff).toHexString
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val name = base + "_" + md.take(8).map("%02x".format(_)).mkString
     t(s, dir, table).createOrReplaceTempView(name)
     name
   }

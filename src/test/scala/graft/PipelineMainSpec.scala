@@ -19,6 +19,19 @@ class PipelineMainSpec extends SparkSpec {
       s""""score": ${(i % 10) * 2}, "num_replies": ${i % 4}}"""
   }
 
+  /** PipelineModel.save writes metadata/ before the stage dirs, so a
+    * crash mid-save leaves a metadata-only husk. modelExists must treat
+    * that as ABSENT (retrain overwrites it), or the pipeline would skip
+    * training forever while the stream fails at load on every restart. */
+  test("a metadata-only husk from an interrupted save triggers retraining") {
+    val root = Files.createTempDirectory("graft-pipeline-husk").toString
+    val meta = new java.io.File(s"$root/model/metadata"); meta.mkdirs()
+    Files.writeString(meta.toPath.resolve("part-00000"),
+      """{"class":"org.apache.spark.ml.PipelineModel","timestamp":0}""")
+    assert(!PipelineMain.modelExists(spark, s"$root/model"),
+      "metadata-only husk must read as no-model")
+  }
+
   test("cold start trains then streams; warm restart skips training") {
     val root = Files.createTempDirectory("graft-pipeline").toString
     val corpus = s"$root/corpus.json"
