@@ -72,9 +72,34 @@ object CurationQueries {
         expr("sum(n_chars) DIV count(1)").as("mean_chars"))
       .orderBy("source")
 
+  /** Expected language codes for the constraint audit. */
+  private val KnownLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Declarative data-quality constraint audit (the Deequ-style gate a
+    * lake runs before publishing a corpus snapshot): uniqueness of the
+    * key, null rate of the payload, domain membership of categorical
+    * columns, range and CONSISTENCY of derived columns (n_chars must
+    * equal length(text)) — all as ONE partial+final aggregation pass,
+    * O(1) output. A violation count, not a boolean: the report says how
+    * broken, not just that it broke. */
+  private val constraintReport: Q = (s, dir) => {
+    val langList = KnownLangs.map(l => s"'$l'").mkString(", ")
+    t(s, dir, "documents").agg(
+      count(lit(1)).as("n_rows"),
+      expr("count(1) - count(text)").as("n_null_text"),
+      expr("count(1) - count(DISTINCT doc_id)").as("n_dup_ids"),
+      expr(s"sum(CASE WHEN lang NOT IN ($langList) THEN 1 ELSE 0 END)")
+        .as("n_bad_lang"),
+      expr("sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END)")
+        .as("n_len_oob"),
+      expr("sum(CASE WHEN text IS NOT NULL AND n_chars <> length(text) THEN 1 ELSE 0 END)")
+        .as("n_len_mismatch"))
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
-    "q_report_sources"  -> sourceReport
+    "q_report_sources"  -> sourceReport,
+    "q_report_constraints" -> constraintReport
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -100,6 +125,16 @@ object CurationQueries {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
          | FROM documents d JOIN verdicts v ON d.doc_id = v.doc_id
-         | GROUP BY source ORDER BY source""".stripMargin
+         | GROUP BY source ORDER BY source""".stripMargin,
+    "q_report_constraints" -> {
+      val langList = KnownLangs.map(l => s"'$l'").mkString(", ")
+      s"""SELECT count(*) AS n_rows,
+         | CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+         | CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS n_dup_ids,
+         | CAST(sum(CASE WHEN lang NOT IN ($langList) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+         | CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_oob,
+         | CAST(sum(CASE WHEN text IS NOT NULL AND n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
+         | FROM documents""".stripMargin
+    }
   )
 }
