@@ -41,7 +41,8 @@ object StreamMain {
       fallbackDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("20 seconds"), // T1
-      maxOffsetsPerTrigger: Long = 50)                         // T2
+      maxOffsetsPerTrigger: Long = 50,                         // T2
+      reloadModel: Boolean = false)  // hot-reload on retrain (ModelReloader)
 
   /** The raw stream with a string-castable `value` column — Kafka's
     * envelope, or one JSON record per text-file line (same shape the
@@ -53,15 +54,21 @@ object StreamMain {
       spark.readStream.text(dir)
   }
 
-  /** The whole wired body: load model once on the driver, derive the
+  /** The whole wired body: load model once on the driver (or through the
+    * hot-reloading wrapper when `cfg.reloadModel` — a retrain lands at
+    * the next micro-batch without restarting the query), derive the
     * O(topics) label table, start the checkpointed foreachBatch engine.
     * Returns the running query (callers own awaitTermination). */
   def run(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val model = NlpPipeline.load(cfg.modelDir)                 // S3
-    val labels = NlpPipeline.topicLabels(spark, model)         // J1 dim side
+    val transform: DataFrame => DataFrame =
+      if (cfg.reloadModel) new graft.ml.ModelReloader(cfg.modelDir).infer
+      else {
+        val model = NlpPipeline.load(cfg.modelDir)             // S3
+        val labels = NlpPipeline.topicLabels(spark, model)     // J1 dim side
+        batch => NlpPipeline.inferBatch(TrainMain.prepare(batch), model, labels)
+      }
     val engine = new StreamEngine(
-      transform = batch =>
-        NlpPipeline.inferBatch(TrainMain.prepare(batch), model, labels),
+      transform = transform,
       primary = new ParquetSink(cfg.outDir),                   // S4 stand-in
       fallback = new JsonLinesSink(cfg.fallbackDir),           // S5/S8
       trigger = cfg.trigger,

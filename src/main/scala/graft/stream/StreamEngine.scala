@@ -31,14 +31,35 @@ final class StreamEngine(
     fallback: Sink,
     trigger: Trigger = Trigger.ProcessingTime("20 seconds"),
     checkpointLocation: Option[String] = None,
-    onBatch: (Long, Long) => Unit = (_, _) => ()) extends Serializable {
+    onBatch: (Long, Long) => Unit = (_, _) => (),
+    epochLedger: Option[String] = None) extends Serializable {
 
   /** Per-micro-batch body (S7). Persist once; count is the logging action
     * the reference performs (P8) and doubles as materialization. The
     * T6 degradation semantic lives in [[FallbackSink]]. */
   private val sink = new FallbackSink(primary, fallback)
 
+  /** Exactly-once epoch ledger (opt-in): one marker file per COMMITTED
+    * micro-batch id. foreachBatch is at-least-once — after a crash the
+    * restarted query re-delivers the last uncommitted batch — so a sink
+    * without native idempotence double-writes on recovery. A replayed id
+    * with a marker is skipped whole. The marker lands AFTER the sink
+    * write: a crash between write and marker re-writes that one batch
+    * (at-least-once at the sink); pair with keyed/deduped storage for
+    * end-to-end exactly-once on arbitrary sinks. */
+  private def ledgerPath(spark: SparkSession, id: Long) = {
+    val p = new org.apache.hadoop.fs.Path(epochLedger.get, s"epoch-$id")
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   private[stream] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (epochLedger.isDefined) {
+      val (fs, p) = ledgerPath(batch.sparkSession, batchId)
+      if (fs.exists(p)) {
+        System.err.println(s"[stream] batch $batchId already committed; skipping replay")
+        return
+      }
+    }
     if (!batch.isEmpty) {                                  // P7 emptiness guard
       val out = transform(batch).persist(StorageLevel.MEMORY_AND_DISK)
       try {
@@ -46,6 +67,11 @@ final class StreamEngine(
         onBatch(batchId, n)
         sink.write(out)
       } finally out.unpersist()
+    }
+    if (epochLedger.isDefined) {
+      val (fs, p) = ledgerPath(batch.sparkSession, batchId)
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
     }
   }
 
