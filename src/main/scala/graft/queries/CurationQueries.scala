@@ -24,7 +24,10 @@ import graft.queries.Tables.{t, Q}
   */
 object CurationQueries {
 
-  private val curate: Q = (s, dir) => {
+  /** The curated (doc_id, split) assignment — shared by [[curate]] and
+    * [[corpusBuild]] so the two can never disagree on membership. */
+  private def curatedSplit(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     // Materialize the verdicts ONCE, BEFORE the keep-filter. Two reasons,
     // both measured at sf0.1: (1) filter pushdown would substitute the
     // whole verdict CASE into a single Filter condition, duplicating the
@@ -51,7 +54,33 @@ object CurationQueries {
     SamplingQueries.withSplit(
         kept.join(dupes, Seq("doc_id"), "left_anti"), "doc_id")
       .select(col("doc_id"), col("split"))
-      .orderBy("doc_id")
+  }
+
+  private val curate: Q = (s, dir) =>
+    curatedSplit(s, dir).orderBy("doc_id")
+
+  /** The whole corpus BUILD as one plan — what a pretraining data job
+    * actually ships: quality gate → LSH dedup → leakage-free split →
+    * the train split packed into fixed token-budget context windows →
+    * the per-(source, bin) manifest. Three operator families composed
+    * into a single Catalyst plan (and ONE DuckDB statement), no
+    * intermediate materialization beyond the shared verdict checkpoint.
+    * Scale: everything upstream is the verified curate plan; packing
+    * adds one window cumsum per source shard. */
+  private val corpusBuild: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    curatedSplit(s, dir).where(col("split") === "train")
+      .join(t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("doc_id"))
+      .withColumn("tok", expr("n_chars DIV 4"))
+      .withColumn("before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"before DIV ${SamplingQueries.PackBudget}"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "bin")
   }
 
   /** Per-source corpus report card — the governance output a curation
@@ -98,25 +127,48 @@ object CurationQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
+    "q_pipeline_corpus" -> corpusBuild,
     "q_report_sources"  -> sourceReport,
     "q_report_constraints" -> constraintReport
   )
+
+  /** Shared WITH prefix ending in `cur(doc_id, split)` — the curated
+    * assignment both pipeline oracles read (composed, not restated). */
+  private def duckCuratedCtes: String =
+    s"""verdicts AS (${TextQueries.duckFilterVerdicts}),
+       | kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
+       | ${DedupQueries.duckComponentsCte(
+             """
+               |  WHERE x.doc_id IN (SELECT doc_id FROM kept)
+               |    AND y.doc_id IN (SELECT doc_id FROM kept)""".stripMargin)},
+       | cur AS (
+       |  SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split
+       |  FROM kept
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component))""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     // Stage fragments are the SAME generated SQL the standalone oracles
     // use (filter gate, LSH components, split) — composed, not restated.
     "q_pipeline_curate" ->
-      s"""WITH RECURSIVE verdicts AS (${TextQueries.duckFilterVerdicts}),
-         | kept AS (SELECT doc_id FROM verdicts WHERE verdict = 'keep'),
-         | ${DedupQueries.duckComponentsCte(
-               """
-                 |  WHERE x.doc_id IN (SELECT doc_id FROM kept)
-                 |    AND y.doc_id IN (SELECT doc_id FROM kept)""".stripMargin)}
-         | SELECT doc_id,
-         |  ${SamplingQueries.duckSplitSql("doc_id")} AS split
-         | FROM kept
-         | WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+      s"""WITH RECURSIVE $duckCuratedCtes
+         | SELECT doc_id, split FROM cur
          | ORDER BY doc_id""".stripMargin,
+    "q_pipeline_corpus" ->
+      s"""WITH RECURSIVE $duckCuratedCtes,
+         | train AS (
+         |  SELECT d.source, d.doc_id, d.n_chars // 4 AS tok
+         |  FROM cur JOIN documents d ON cur.doc_id = d.doc_id
+         |  WHERE cur.split = 'train'),
+         | packed AS (
+         |  SELECT source, doc_id, tok,
+         |   coalesce(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |     // ${SamplingQueries.PackBudget} AS bin
+         |  FROM train)
+         | SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         | FROM packed GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "q_report_sources" ->
       s"""WITH verdicts AS (${TextQueries.duckFilterVerdicts})
          | SELECT source, count(*) AS n_docs,

@@ -192,6 +192,35 @@ object RelationalQueries {
       .orderBy("o_orderkey", "l_linenumber", "l_shipdate") // total order: no unique lineitem key
   }
 
+  /** A1+ robust outlier detection — median/MAD, not mean/stddev: one
+    * extreme value drags a z-score gate's own threshold, so the outliers
+    * hide the outliers; the median and the median-absolute-deviation
+    * are breakdown-resistant at up to 50% contamination. Two grouped
+    * exact-percentile passes over integer cents (group stats are
+    * O(groups), AQE-broadcast back), then a map-side flag — the modified
+    * z-score |x−med| > 3·MAD·1.4826 in integer basis-point form. */
+  private val a1Outliers: Q = (s, dir) => {
+    // Integer exactness: a median of integers is integer-or-half, so
+    // DOUBLED medians (med2 = 2·median(cents), mad4 = 2·median(2·|dev|))
+    // are exact BIGINTs on both engines; the 3·1.4826·MAD gate becomes
+    // the integer comparison 10000·dev2 > 22239·mad4 — no double ever
+    // reaches a compare or a hash.
+    val cents = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val med = cents.groupBy("event_type")
+      .agg(expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)").as("med2"))
+    val mad = cents.join(med, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(expr("CAST(2 * percentile(abs(2 * cents - med2), 0.5) AS BIGINT)").as("mad4"),
+        first("med2").as("med2"))
+    cents.join(mad, Seq("event_type"))
+      .where(expr("10000 * abs(2 * cents - med2) > 22239 * mad4"))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("med2"), col("mad4"))
+      .orderBy("event_id")
+  }
+
   /** J2+ band join through BroadcastNestedLoopJoin — the ONE join family
     * where a nested loop is the right plan: a tiny dim of value ranges
     * (no equi key at all) against a fact stream. Catalyst picks BNLJ
@@ -894,6 +923,7 @@ object RelationalQueries {
     "q_j2_full_outer"      -> j2FullOuter,
     "q_j2_asof_join"       -> j2AsofJoin,
     "q_j2_bloom_semi"      -> j2BloomSemi,
+    "q_a1_outliers"        -> a1Outliers,
     "q_j2_bnl_band"        -> j2BnlBand,
     "q_j2_fuzzy"           -> j2Fuzzy,
     "q_j2_range_join"      -> j2RangeJoin,
@@ -1002,6 +1032,19 @@ object RelationalQueries {
         | WHERE EXISTS (SELECT 1 FROM orders
         |   WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
         | ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "q_a1_outliers" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        | m AS (SELECT event_type,
+        |   CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+        |  FROM c GROUP BY event_type),
+        | d AS (SELECT event_type,
+        |   CAST(2 * quantile_cont(abs(2 * cents - med2), 0.5) AS BIGINT) AS mad4
+        |  FROM c JOIN m USING (event_type) GROUP BY event_type)
+        | SELECT event_id, c.event_type, cents, med2, mad4
+        | FROM c JOIN m USING (event_type) JOIN d USING (event_type)
+        | WHERE 10000 * abs(2 * cents - med2) > 22239 * mad4
+        | ORDER BY event_id""".stripMargin,
     "q_j2_bnl_band" ->
       """SELECT r_name AS band, count(*) AS n,
         | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

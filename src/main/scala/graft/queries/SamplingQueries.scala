@@ -176,7 +176,7 @@ object SamplingQueries {
 
   /** Context-window budget for [[samplePack]] (tokens per packed
     * sequence). */
-  private val PackBudget = 2048L
+  private[queries] val PackBudget = 2048L
 
   /** Sequence packing — the pretraining assembly step that lays docs
     * head-to-tail into fixed token-budget context windows: deterministic
