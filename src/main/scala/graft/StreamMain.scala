@@ -42,7 +42,8 @@ object StreamMain {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("20 seconds"), // T1
       maxOffsetsPerTrigger: Long = 50,                         // T2
-      reloadModel: Boolean = false)  // hot-reload on retrain (ModelReloader)
+      reloadModel: Boolean = false,  // hot-reload on retrain (ModelReloader)
+      epochLedger: Option[String] = None) // exactly-once batch markers
 
   /** The raw stream with a string-castable `value` column — Kafka's
     * envelope, or one JSON record per text-file line (same shape the
@@ -73,7 +74,8 @@ object StreamMain {
       fallback = new JsonLinesSink(cfg.fallbackDir),           // S5/S8
       trigger = cfg.trigger,
       checkpointLocation = Some(cfg.checkpointDir),            // T4
-      onBatch = (id, n) => println(s"[stream] batch $id: $n rows"))
+      onBatch = (id, n) => println(s"[stream] batch $id: $n rows"),
+      epochLedger = cfg.epochLedger)
     engine.start(
       StreamEngine.decodeEnvelope(rawSource(spark, cfg), TrainMain.CorpusSchema),
       "graft-stream-inference")

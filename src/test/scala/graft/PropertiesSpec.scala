@@ -10,6 +10,21 @@ class PropertiesSpec extends SparkSpec {
     .t(spark, "/root/testdata/sf0.001", "documents")
     .select("doc_id", "lang", "text")
 
+  /** Several graded emissions (a1HashAgg basis points, cents columns)
+    * document "overflow is loud, not silent" on the strength of Spark 4's
+    * ANSI default. Pin that assumption: if a config drift ever flips ANSI
+    * off, overflow would silently wrap/NULL and the documented bounds
+    * become lies — this fails first. */
+  test("ANSI default holds: bigint overflow raises, never wraps") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val e = intercept[Exception] {
+      spark.sql("SELECT CAST(9223372036854775807 AS BIGINT) + CAST(1 AS BIGINT)")
+        .collect()
+    }
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      e.getMessage.toLowerCase.contains("overflow"), e.getMessage)
+  }
+
   test("dropDuplicates is idempotent") {
     val once = docs.select("lang").dropDuplicates()
     assert(once.count() == once.dropDuplicates().count())
