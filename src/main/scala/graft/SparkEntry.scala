@@ -43,7 +43,7 @@ object SparkEntry {
     (RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ SamplingQueries.queries ++
-      CurationQueries.queries).toMap
+      CurationQueries.queries ++ CdcQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +51,5 @@ object SparkEntry {
     (RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ SamplingQueries.oracles ++
-      CurationQueries.oracles).toMap
+      CurationQueries.oracles ++ CdcQueries.oracles).toMap
 }

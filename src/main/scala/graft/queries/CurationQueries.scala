@@ -125,11 +125,51 @@ object CurationQueries {
         .as("n_len_mismatch"))
   }
 
+  /** Histogram bin count / width for the drift report (fixed-width bins
+    * over the generator's [0, 500) value range; `least` clamps the open
+    * top end). */
+  private val DriftBins  = 10
+  private val DriftWidth = 50.0
+
+  /** Population-stability-index (PSI) drift report between the pre- and
+    * post-cutoff halves of the event stream — the monitoring check a
+    * pipeline runs before trusting a new ingest slice. Counts are exact
+    * integers per (bin, side) from ONE partial+final aggregation pass;
+    * the PSI contribution is emitted per bin in integer micronats
+    * (floor of 1e6·(p_cur − p_ref)·ln(p_cur/p_ref)) with Laplace +1
+    * smoothing so an empty bin on either side stays finite — the same
+    * one-ln-per-row quantization the text LMs use. Scale: O(rows) scan,
+    * O(bins) output; the totals row is a broadcast, never a shuffle. */
+  private val driftReport: Q = (s, dir) => {
+    val cutoff = lit(CdcQueries.Cutoff).cast("timestamp")
+    val counts = t(s, dir, "events")
+      .select(least(lit(DriftBins - 1), floor(col("value") / DriftWidth))
+          .cast("long").as("bin"),
+        (col("ts") >= cutoff).as("is_cur"))
+      .groupBy("bin")
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_cur"))
+    val totals = counts.agg(sum("c_ref").as("t_ref"), sum("c_cur").as("t_cur"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        expr(driftPsiExpr).as("psi_unat"))
+      .orderBy("bin")
+  }
+
+  /** The PSI micronat emission — ONE string, parsed by both engines, so
+    * the double arithmetic is structurally identical on each side. */
+  private val driftPsiExpr =
+    s"""CAST(floor(1000000.0 *
+       | ((c_cur + 1.0) / (t_cur + $DriftBins.0) - (c_ref + 1.0) / (t_ref + $DriftBins.0)) *
+       | ln(((c_cur + 1.0) * (t_ref + $DriftBins.0)) / ((c_ref + 1.0) * (t_cur + $DriftBins.0)))
+       |) AS BIGINT)""".stripMargin.replace("\n", " ")
+
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
     "q_pipeline_corpus" -> corpusBuild,
     "q_report_sources"  -> sourceReport,
-    "q_report_constraints" -> constraintReport
+    "q_report_constraints" -> constraintReport,
+    "q_report_drift"    -> driftReport
   )
 
   /** Shared WITH prefix ending in `cur(doc_id, split)` — the curated
@@ -187,6 +227,18 @@ object CurationQueries {
          | CAST(sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_oob,
          | CAST(sum(CASE WHEN text IS NOT NULL AND n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
          | FROM documents""".stripMargin
-    }
+    },
+    "q_report_drift" ->
+      s"""WITH counts AS (
+         |  SELECT CAST(least(${DriftBins - 1}, floor(value / $DriftWidth)) AS BIGINT) AS bin,
+         |   CAST(sum(CASE WHEN ts <  TIMESTAMP '${CdcQueries.Cutoff}' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         |   CAST(sum(CASE WHEN ts >= TIMESTAMP '${CdcQueries.Cutoff}' THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+         |  FROM events GROUP BY 1),
+         | totals AS (
+         |  SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+         |         CAST(sum(c_cur) AS BIGINT) AS t_cur FROM counts)
+         | SELECT bin, c_ref, c_cur, $driftPsiExpr AS psi_unat
+         | FROM counts CROSS JOIN totals
+         | ORDER BY bin""".stripMargin
   )
 }

@@ -618,6 +618,33 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-document duplicated-n-gram fraction (the span-level dedup signal
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022 — reference has no equivalent): the share of a
+    * document's distinct 3-shingles that also occur in ANY other
+    * document. Unlike the pairwise sketches above this is a corpus-global
+    * per-doc score — the gate that catches boilerplate-heavy documents no
+    * single near-dup pair would flag.
+    *
+    * Scale shape: distinct (doc, shingle) → shingle document-frequency
+    * (partial+final hash agg) → join back on shingle (both sides
+    * co-partitioned by the join key) → per-doc hash agg. No pair
+    * enumeration anywhere: cost is O(total shingles), the same as one
+    * MinHash signature pass. The fraction is integer basis points
+    * ((10000·shared) div total) — exact in both engines. */
+  private val dupNgrams: Q = (s, dir) => {
+    val docShingles = tokenized(s, dir)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+      .distinct()
+    val dfreq = docShingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    docShingles.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_bp", expr("(10000 * n_shared) div n_shingles"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_dedup_exact"       -> exactDedup,
     "q_dedup_minhash_sig" -> minhashSignatures,
@@ -632,6 +659,7 @@ object DedupQueries {
     "q_dedup_incremental" -> incrementalDedup,
     "q_dedup_minhash_est" -> minhashEstimate,
     "q_dedup_triangles" -> dedupTriangles,
+    "q_dedup_dupngrams"   -> dupNgrams,
     "q_dedup_apply"       -> dedupApply
   )
 
@@ -767,6 +795,14 @@ object DedupQueries {
          | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
          | WHERE 10000 * len(list_intersect(x.tset, y.tset)) >= $ContainmentBpThreshold * least(len(x.tset), len(y.tset))
          | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_dupngrams" ->
+      s"""WITH ds AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles)),
+         | dfreq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle)
+         | SELECT ds.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST((10000 * CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS BIGINT) AS dup_bp
+         | FROM ds JOIN dfreq ON ds.shingle = dfreq.shingle
+         | GROUP BY ds.doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_decontam" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles)),
          | ev AS (SELECT DISTINCT doc_id AS eval_doc, shingle FROM sh
