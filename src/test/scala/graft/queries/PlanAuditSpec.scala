@@ -102,4 +102,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TopKPerKey"), p)
     assert(!p.contains("Window"), "fell back to a rank window:\n" + p)
   }
+
+  /** Bucketed tables co-locate repeated key joins and aggregations: both
+    * sides pre-hashed into the same bucket layout at WRITE time, so the
+    * join needs no exchange at all — at 100 TB this converts the
+    * fact-to-fact join from a full network shuffle per run into a local
+    * merge per bucket, paid once at ingest. (SURVEY §7.5's "bucketing for
+    * repeated co-located joins" claim, pinned.) */
+  test("bucketed tables join and aggregate with zero exchanges (bucketing)") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val s = spark
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // Force a non-broadcast join so the test observes the bucket layout,
+      // not the small-fixture broadcast shortcut.
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ev = Tables.t(s, dir, "events")
+      ev.write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+        .mode("overwrite").saveAsTable("graft_bkt_a")
+      ev.select(col("user_id"), col("value"))
+        .write.bucketBy(4, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable("graft_bkt_b")
+      val joined = s.table("graft_bkt_a")
+        .join(s.table("graft_bkt_b"), Seq("user_id"))
+      val jp = joined.queryExecution.executedPlan.toString
+      assert(jp.contains("SortMergeJoin") || jp.contains("ShuffledHashJoin"), jp)
+      assert(!jp.contains("Exchange"),
+        "bucketed join still shuffles:\n" + jp)
+      assert(jp.contains("SelectedBucketsCount"), jp)
+      // Aggregation on the bucket key rides the same layout shuffle-free.
+      val agg = s.table("graft_bkt_a").groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange"),
+        "bucketed aggregation still shuffles:\n" + ap)
+      // And the result is the plain-table result, exactly.
+      val expect = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      assert(agg.except(expect).isEmpty && expect.except(agg).isEmpty)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
 }
