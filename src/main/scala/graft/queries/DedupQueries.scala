@@ -618,6 +618,53 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** PageRank scale (micro-rank units) and fixed iteration count. */
+  private val PageRankU     = 1000000000000L // 10^12
+  private val PageRankIters = 3
+
+  /** Integer-exact PageRank over the LSH candidate graph — the
+    * centrality diagnostic that ranks "template" documents sitting at the
+    * heart of many near-dup chains (the triangle count's global cousin).
+    *
+    * Every quantity is INTEGER: ranks in 10^12 micro-units, contributions
+    * `r div outdeg`, damping `(15·(U div N)) div 100 + (85·Σ) div 100`.
+    * Integer addition commutes exactly, so the result is bit-identical at
+    * ANY parallelism — unlike double-valued PageRank, whose per-partition
+    * sum order changes the low bits run to run. The graded corpus' graph
+    * is symmetric (undirected pairs), so there are no dangling nodes and
+    * no rank leak.
+    *
+    * Scale shape: edges checkpointed once (the LSH chain is not re-run
+    * per iteration); each of the 3 fixed iterations is one edge-keyed
+    * join + hash agg + node-keyed left join — shuffle ∝ edges, the same
+    * budget as one components round. */
+  private val dedupPagerank: Q = (s, dir) => {
+    val pairs = minhashCandidates(s, dir)
+    // Cluster-mode swap point: see "localCheckpoint swap point" in PLANS.md.
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val nn = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var ranks = nodes.crossJoin(nn)
+      .select(col("doc_id"), expr(s"$PageRankU DIV n").as("r"))
+    for (_ <- 1 to PageRankIters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .groupBy("dst")
+        .agg(sum(expr("r DIV outdeg")).as("c"))
+        .withColumnRenamed("dst", "doc_id")
+      ranks = nodes.crossJoin(nn)
+        .join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"), expr(
+          s"(15 * ($PageRankU DIV n)) DIV 100 + (85 * coalesce(c, 0L)) DIV 100"
+        ).as("r"))
+    }
+    ranks.select(col("doc_id"), col("r").as("rank_u")).orderBy("doc_id")
+  }
+
   /** Per-document duplicated-n-gram fraction (the span-level dedup signal
     * of Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", ACL 2022 — reference has no equivalent): the share of a
@@ -660,6 +707,7 @@ object DedupQueries {
     "q_dedup_minhash_est" -> minhashEstimate,
     "q_dedup_triangles" -> dedupTriangles,
     "q_dedup_dupngrams"   -> dupNgrams,
+    "q_dedup_pagerank"    -> dedupPagerank,
     "q_dedup_apply"       -> dedupApply
   )
 
@@ -795,6 +843,30 @@ object DedupQueries {
          | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
          | WHERE 10000 * len(list_intersect(x.tset, y.tset)) >= $ContainmentBpThreshold * least(len(x.tset), len(y.tset))
          | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_pagerank" -> {
+      val U = PageRankU
+      val iters = (1 to PageRankIters).map { i =>
+        s""" r$i AS (
+           |  SELECT nodes.doc_id,
+           |   (15 * ($U // nn.n)) // 100 + (85 * coalesce(c.c, 0)) // 100 AS r
+           |  FROM nodes CROSS JOIN nn
+           |   LEFT JOIN (SELECT e.d AS doc_id,
+           |      CAST(sum(p.r // deg.outdeg) AS BIGINT) AS c
+           |     FROM edges2 e JOIN r${i - 1} p ON e.s = p.doc_id
+           |      JOIN deg ON deg.s = e.s
+           |     GROUP BY e.d) c ON c.doc_id = nodes.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${duckPairsCte()},
+         | edges2 AS (SELECT doc1 AS s, doc2 AS d FROM pairs
+         |            UNION ALL SELECT doc2, doc1 FROM pairs),
+         | deg AS (SELECT s, count(*) AS outdeg FROM edges2 GROUP BY s),
+         | nodes AS (SELECT DISTINCT s AS doc_id FROM edges2),
+         | nn AS (SELECT count(*) AS n FROM nodes),
+         | r0 AS (SELECT doc_id, $U // n AS r FROM nodes CROSS JOIN nn),
+         |$iters
+         | SELECT doc_id, CAST(r AS BIGINT) AS rank_u
+         | FROM r$PageRankIters ORDER BY doc_id""".stripMargin
+    },
     "q_dedup_dupngrams" ->
       s"""WITH ds AS (SELECT DISTINCT doc_id, shingle FROM ($duckShingles)),
          | dfreq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle)

@@ -843,6 +843,38 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** W2+ RFM segmentation — the canonical customer-value cut (recency /
+    * frequency / monetary quartiles → a 'r-f-m' segment label). Metrics
+    * are one hash aggregation (cents-exact, recency in whole days against
+    * the stream's max timestamp); the three `ntile(4)` windows are GLOBAL
+    * but run over the already-aggregated O(users) frame — the same
+    * documented exception as `q_w1_indexer_rank` (a key-space-sized
+    * input, not the event stream; at 100 TB the users frame is the small
+    * output of the first aggregate). Ties are broken by user_id so ntile
+    * is deterministic in both engines. */
+  private val w2Rfm: Q = (s, dir) => {
+    val agg = t(s, dir, "events")
+      .groupBy("user_id").agg(
+        max(expr("unix_timestamp(ts)")).as("last_s"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
+    val ref = agg.agg(max("last_s").as("ref_s"))
+    agg.crossJoin(broadcast(ref))
+      .withColumn("recency_days", expr("(ref_s - last_s) DIV 86400"))
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("recency_days").asc, col("user_id").asc)))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(col("freq").desc, col("user_id").asc)))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(col("monetary_cents").desc, col("user_id").asc)))
+      .select(col("user_id"), col("recency_days"), col("freq"),
+        col("monetary_cents"),
+        col("r_q").cast("long").as("r_q"), col("f_q").cast("long").as("f_q"),
+        col("m_q").cast("long").as("m_q"),
+        concat_ws("-", col("r_q"), col("f_q"), col("m_q")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** A4+ unpivot (melt) — the wide→long reshape dual of [[a1Pivot]],
     * through Spark's native `unpivot` (an Expand node: map-side row
     * fan-out, no shuffle beyond the upstream aggregate). Verifies the
@@ -954,6 +986,7 @@ object RelationalQueries {
     "q_w2_funnel"          -> w2Funnel,
     "q_w2_top_p"           -> w2TopP,
     "q_w2_cohort"          -> w2Cohort,
+    "q_w2_rfm"             -> w2Rfm,
     "q_w2_transitions"     -> w2Transitions,
     "q_w2_seq_export"      -> w2SeqExport,
     "q_w2_streak"          -> w2Streak,
@@ -1280,6 +1313,26 @@ object RelationalQueries {
         | FROM ev JOIN c ON ev.user_id = c.user_id
         | GROUP BY cohort_week, week - cohort_week
         | ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_w2_rfm" ->
+      """WITH agg AS (
+        |  SELECT user_id,
+        |   max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+        |   count(*) AS freq,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        |  FROM events GROUP BY user_id),
+        | ref AS (SELECT max(last_s) AS ref_s FROM agg),
+        | scored AS (
+        |  SELECT user_id, (ref_s - last_s) // 86400 AS recency_days,
+        |   freq, monetary_cents,
+        |   ntile(4) OVER (ORDER BY (ref_s - last_s) // 86400, user_id) AS r_q,
+        |   ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+        |   ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_q
+        |  FROM agg CROSS JOIN ref)
+        | SELECT user_id, recency_days, freq, monetary_cents,
+        |  CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q,
+        |  r_q || '-' || f_q || '-' || m_q AS segment
+        | FROM scored ORDER BY user_id""".stripMargin,
     "q_w2_transitions" ->
       """SELECT prev_type, event_type, count(*) AS n
         | FROM (SELECT event_type,

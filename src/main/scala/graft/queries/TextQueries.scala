@@ -612,7 +612,48 @@ object TextQueries {
        |   CAST(len(list_filter(toks, w -> w IN (${MarkersDe.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS s_de
        |   FROM (SELECT doc_id, lang, ${duckTerms("text")} AS toks FROM documents))""".stripMargin
 
+  /** Context-window chunking constants: 32-token windows, 8-token
+    * overlap → stride 24. Chunk count and bounds are pure integer
+    * arithmetic (no ceil-of-double), identical in both engines. */
+  private val ChunkSize    = 32
+  private val ChunkOverlap = 8
+  private val ChunkStride  = ChunkSize - ChunkOverlap
+
+  /** Fixed-token-window document chunking with overlap — the step that
+    * turns variable-length documents into training context windows
+    * (every pretraining pipeline ships one; the reference has none).
+    * ALL tokens are kept (no de-stopping — chunks must reconstruct the
+    * text); last chunk may run short; single-chunk docs pass through
+    * whole. Emits per-chunk bounds + an md5 fingerprint of the chunk
+    * text rather than the text itself, so the output stays narrow and
+    * the oracle hash-checks content without shipping it twice.
+    *
+    * Scale shape: pure map-side — tokenize once, an integer-sequence
+    * explode per doc (fan-out ∝ chunks, no shuffle, no window), and
+    * codegen'd slice/concat per chunk. At 100 TB this is the shape you
+    * want: chunking never exchanges data, parallelism is the scan's. */
+  private val chunkDocs: Q = (s, dir) =>
+    Tables.fanout(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        filter(TokenOps.tokenize(TextOps.cleanText(col("text"))),
+          w => w =!= "").as("toks"))
+      .where(size(col("toks")) >= 1)
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        expr(s"CAST(1 + (greatest(0, n - $ChunkSize) + $ChunkStride - 1) DIV $ChunkStride AS INT)"))
+      .select(col("doc_id"), col("n"), col("toks"),
+        explode(expr("sequence(1, n_chunks)")).as("cid"))
+      .withColumn("tok_start", expr(s"1 + (cid - 1) * $ChunkStride"))
+      .withColumn("tok_end", expr(s"least(n, tok_start + ${ChunkSize - 1})"))
+      .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
+        col("tok_start").cast("long").as("tok_start"),
+        (col("tok_end") - col("tok_start") + 1).cast("long").as("n_tok"),
+        md5(concat_ws(" ",
+          expr("slice(toks, tok_start, tok_end - tok_start + 1)"))).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_text_chunks"      -> chunkDocs,
     "q_text_editdist"    -> editDistance,
     "q_f_clean_chain"    -> fCleanChain,
     "q_f_extract"        -> fExtract,
@@ -644,6 +685,29 @@ object TextQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_text_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |   list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks
+         |  FROM documents),
+         | sized AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |   1 + (greatest(0, len(toks) - $ChunkSize) + $ChunkStride - 1) // $ChunkStride AS n_chunks
+         |  FROM toks WHERE len(toks) >= 1),
+         | chunks AS (
+         |  SELECT doc_id, toks, n,
+         |   unnest(generate_series(1, n_chunks)) AS chunk_id
+         |  FROM sized),
+         | bounds AS (
+         |  SELECT doc_id, toks, n, chunk_id,
+         |   1 + (chunk_id - 1) * $ChunkStride AS tok_start
+         |  FROM chunks)
+         | SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(tok_start AS BIGINT) AS tok_start,
+         |  CAST(least(n, tok_start + ${ChunkSize - 1}) - tok_start + 1 AS BIGINT) AS n_tok,
+         |  md5(array_to_string(list_slice(toks, tok_start,
+         |    least(n, tok_start + ${ChunkSize - 1})), ' ')) AS chunk_fp
+         | FROM bounds ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_editdist" ->
       s"""SELECT doc_id,
          | CAST(levenshtein(substr(text, 1, 40),
