@@ -76,6 +76,39 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
+  /** Snapshot-diff cutoffs: state as of day 11 vs day 21. */
+  private[queries] val DiffCutoff1 = "2024-01-11 00:00:00"
+  private[queries] val DiffCutoff2 = "2024-01-21 00:00:00"
+
+  /** Live state as of a cutoff: latest pre-cutoff record per key, delete
+    * tombstone at the head removes the key. */
+  private def stateAt(s: SparkSession, dir: String, cutoff: String): DataFrame =
+    latestPerKey(changelog(s, dir)
+        .where(col("ts") < lit(cutoff).cast("timestamp")))
+      .where(col("op") === "U")
+
+  /** Snapshot reconciliation — the audit a table-maintenance pipeline
+    * runs after every merge window: classify each key as added / removed /
+    * changed / unchanged between two point-in-time states. One full-outer
+    * key join of two compacted states; at 100 TB both sides are the
+    * bucketed snapshot layout, so the diff is co-partitioned and
+    * shuffle-free. `changed` keys are detected by state timestamp (any
+    * winning new event advances it). */
+  private val cdcSnapshotDiff: Q = (s, dir) => {
+    val before = stateAt(s, dir, DiffCutoff1).select(col("user_id"),
+      col("value_cents").as("b_cents"), col("ts").as("b_ts"))
+    val after = stateAt(s, dir, DiffCutoff2).select(col("user_id"),
+      col("value_cents").as("a_cents"), col("ts").as("a_ts"))
+    before.join(after, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("b_ts").isNull, lit("added"))
+          .when(col("a_ts").isNull, lit("removed"))
+          .when(col("b_ts") =!= col("a_ts"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"),
+        col("b_cents"), col("a_cents"))
+      .orderBy("user_id")
+  }
+
   /** SCD type-2 dimension build: collapse each user's event history into
     * validity intervals of constant event_type (gaps-and-islands on the
     * (ts, event_id) order), with half-open [valid_from, valid_to) ranges
@@ -105,7 +138,8 @@ object CdcQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "q_cdc_upsert" -> cdcUpsert,
-    "q_cdc_scd2"   -> cdcScd2
+    "q_cdc_scd2"   -> cdcScd2,
+    "q_cdc_diff"   -> cdcSnapshotDiff
   )
 
   // ---- DuckDB oracles (generated from the same constants) ----------------
@@ -137,6 +171,28 @@ object CdcQueries {
          |   coalesce(d.ts, b.ts) AS state_ts
          | FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
          | WHERE d.op IS NULL OR d.op = 'U'
+         | ORDER BY user_id""".stripMargin,
+    "q_cdc_diff" ->
+      s"""WITH log AS ($duckLog),
+         | state1 AS (
+         |  SELECT user_id, value_cents, ts FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY user_id
+         |     ORDER BY ts DESC, event_id DESC) AS rn
+         |   FROM log WHERE ts < TIMESTAMP '$DiffCutoff1')
+         |  WHERE rn = 1 AND op = 'U'),
+         | state2 AS (
+         |  SELECT user_id, value_cents, ts FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY user_id
+         |     ORDER BY ts DESC, event_id DESC) AS rn
+         |   FROM log WHERE ts < TIMESTAMP '$DiffCutoff2')
+         |  WHERE rn = 1 AND op = 'U')
+         | SELECT coalesce(b.user_id, a.user_id) AS user_id,
+         |  CASE WHEN b.ts IS NULL THEN 'added'
+         |       WHEN a.ts IS NULL THEN 'removed'
+         |       WHEN b.ts <> a.ts THEN 'changed'
+         |       ELSE 'unchanged' END AS change,
+         |  b.value_cents AS b_cents, a.value_cents AS a_cents
+         | FROM state1 b FULL OUTER JOIN state2 a ON b.user_id = a.user_id
          | ORDER BY user_id""".stripMargin,
     "q_cdc_scd2" ->
       s"""WITH runs AS (
