@@ -45,13 +45,11 @@ object CdcQueries {
       when(col("event_type") === "error", lit("D"))
         .otherwise(lit("U")).as("op"))
 
-  /** Latest record per key by (ts, event_id) — event_id breaks the
-    * (unlikely) equal-timestamp tie deterministically. */
-  private def latestPerKey(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
-    df.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-  }
+  /** Latest record per key by (ts, event_id) — the shared
+    * [[graft.ops.CdcOps.latestPerKey]] compaction (one definition with
+    * the streaming maintainer, so the tie-break rule cannot drift). */
+  private def latestPerKey(df: DataFrame): DataFrame =
+    graft.ops.CdcOps.latestPerKey(df, "user_id", "ts", "event_id")
 
   /** CDC upsert: base snapshot (latest live row per key before the
     * cutoff) merged with the compacted delta (latest op per key at/after
@@ -126,9 +124,15 @@ object CdcQueries {
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("grp"), col("event_type"))
       .agg(min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+    // `grp` tie-breaks runs sharing a valid_from (possible only when one
+    // key has two type-changing events at the SAME timestamp): grp is
+    // assigned in (ts, event_id) order, so it is the deterministic run
+    // sequence — without it, which run is "current" would be
+    // engine-dependent.
     runs
       .withColumn("valid_to", lead("valid_from", 1)
-        .over(Window.partitionBy("user_id").orderBy(col("valid_from").asc)))
+        .over(Window.partitionBy("user_id")
+          .orderBy(col("valid_from").asc, col("grp").asc)))
       .withColumn("is_current",
         when(col("valid_to").isNull, 1L).otherwise(0L))
       .select("user_id", "event_type", "valid_from", "valid_to",
@@ -211,10 +215,10 @@ object CdcQueries {
          |  GROUP BY user_id, grp, event_type)
          | SELECT user_id, event_type, valid_from,
          |   lead(valid_from) OVER (PARTITION BY user_id
-         |     ORDER BY valid_from) AS valid_to,
+         |     ORDER BY valid_from, grp) AS valid_to,
          |   n_events,
          |   CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
-         |     ORDER BY valid_from) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |     ORDER BY valid_from, grp) IS NULL THEN 1 ELSE 0 END AS BIGINT)
          |     AS is_current
          | FROM runs
          | ORDER BY user_id, valid_from""".stripMargin

@@ -2,7 +2,6 @@ package graft.stream
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming CDC apply — the streaming twin of `q_cdc_upsert`: maintain a
@@ -49,38 +48,41 @@ final class CdcIngest(
 
   private val DeleteOp = "D"
 
-  /** Latest record per key by (ts, seq) — the per-batch compaction. */
-  private def compact(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).desc, col(seqCol).desc)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).drop("__rn")
-  }
+  /** Latest record per key by (ts, seq) — the shared
+    * [[graft.ops.CdcOps.latestPerKey]] compaction (one definition with
+    * the batch CDC queries, so the tie-break rule cannot drift). */
+  private def compact(df: DataFrame): DataFrame =
+    graft.ops.CdcOps.latestPerKey(df, keyCol, tsCol, seqCol)
 
   /** Highest complete (has _SUCCESS) snapshot version, if any. */
   def currentVersion(): Option[Long] = {
     val dir = new Path(snapshotDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
-    else fs.listStatus(dir).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("v=") &&
-        fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.stripPrefix("v=").toLong)
-      .sorted.lastOption
+    else {
+      val version = "^v=(\\d+)$".r
+      fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+        .flatMap(_.getName match {
+          case version(v) => Some(v.toLong)
+          case _          => None
+        })
+        .sorted.lastOption
+    }
   }
 
   /** The standing snapshot (tombstones included), empty if none. */
   def snapshot(): Option[DataFrame] =
     currentVersion().map(v => spark.read.parquet(s"$snapshotDir/v=$v"))
 
-  /** Live state: the snapshot minus delete tombstones. */
-  def currentState(): DataFrame =
-    snapshot() match {
-      case Some(df) => df.where(col(opCol) =!= DeleteOp)
-      case None     => spark.emptyDataFrame
-    }
+  /** Live state: the snapshot minus delete tombstones. None before the
+    * first batch commits — the payload schema is unknown until then, so
+    * there is no well-typed empty frame to return (a schema-less one
+    * would throw on the first column reference). */
+  def currentState(): Option[DataFrame] =
+    snapshot().map(_.where(col(opCol) =!= DeleteOp))
 
   /** TS-monotone merge of the standing snapshot with a compacted delta:
     * rows travel as one struct per side so the winner is picked ONCE and
@@ -100,32 +102,48 @@ final class CdcIngest(
   }
 
   /** One micro-batch: compact, merge, publish version `batchId`.
-    * Returns the merged snapshot's row count (tombstones included). */
+    * Returns the published snapshot's row count (tombstones included;
+    * 0 means the batch was empty and no version was written). The count
+    * rides the same computation that feeds the write — the snapshot is
+    * never re-read to produce it. */
   def processBatch(batch: DataFrame, batchId: Long): Long = {
-    if (batch.isEmpty) return snapshot().map(_.count()).getOrElse(0L)
+    if (batch.isEmpty) return 0L
     val delta = compact(batch)
-    val merged = snapshot() match {
+    val merged = (snapshot() match {
       case Some(base) => merge(base, delta)
       case None       => delta
-    }
-    val out = s"$snapshotDir/v=$batchId"
-    merged.write.mode(SaveMode.Overwrite).parquet(out)
-    prune(batchId)
-    spark.read.parquet(out).count()
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = merged.count()
+      merged.write.mode(SaveMode.Overwrite).parquet(s"$snapshotDir/v=$batchId")
+      prune(batchId)
+      n
+    } finally { merged.unpersist(); () }
   }
 
   /** Best-effort removal of versions older than the keep-window. A
-    * failure here never fails the batch — pruning retries next commit. */
+    * failure never fails the batch — pruning retries next commit. Only
+    * exact `v=<digits>` DIRECTORIES are candidates: a stray operator
+    * artifact (`v=bak`) must be ignored, not allowed to throw before any
+    * delete happens (which would disable pruning permanently). */
   private def prune(latest: Long): Unit =
     try {
       val dir = new Path(snapshotDir)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val version = "^v=(\\d+)$".r
       fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
         .map(_.getPath)
-        .filter(_.getName.startsWith("v="))
-        .filter(_.getName.stripPrefix("v=").toLong <= latest - keepVersions)
-        .foreach(p => fs.delete(p, true))
-    } catch { case scala.util.control.NonFatal(_) => () }
+        .flatMap(p => p.getName match {
+          case version(v) => Some(p -> v.toLong)
+          case _          => None
+        })
+        .filter(_._2 <= latest - keepVersions)
+        .foreach { case (p, _) => fs.delete(p, true) }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[CdcIngest] prune failed (will retry): $e")
+    }
 
   /** Attach to a streaming frame via foreachBatch. */
   def start(source: DataFrame, queryName: String,

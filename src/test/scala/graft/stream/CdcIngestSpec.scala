@@ -16,7 +16,7 @@ class CdcIngestSpec extends SparkSpec {
   }
 
   private def state(ingest: CdcIngest): Map[String, (Long, String)] =
-    ingest.currentState().select("k", "ts", "v")
+    ingest.currentState().get.select("k", "ts", "v")
       .as[(String, Long, String)].collect()
       .map { case (k, ts, v) => k -> (ts, v) }.toMap
 
@@ -72,6 +72,27 @@ class CdcIngestSpec extends SparkSpec {
     val kept = new java.io.File(s"$dir/snap").listFiles()
       .map(_.getName).filter(_.startsWith("v=")).toSet
     assert(kept == Set("v=3", "v=4"), s"pruning kept $kept")
+  }
+
+  test("cold start exposes no version and no state") {
+    val (ingest, _) = mkIngest()
+    assert(ingest.currentVersion().isEmpty)
+    assert(ingest.currentState().isEmpty)
+  }
+
+  test("a stray non-numeric v= entry breaks neither the reader nor pruning") {
+    val (ingest, dir) = mkIngest()
+    def batch(i: Int) =
+      Seq(("a", i.toLong, i.toLong, "U", s"a$i")).toDF("k", "ts", "seq", "op", "v")
+    ingest.processBatch(batch(0), 0L)
+    assert(new java.io.File(s"$dir/snap/v=bak").mkdirs())
+    for (i <- 1 to 3) ingest.processBatch(batch(i), i.toLong)
+    assert(ingest.currentVersion().contains(3L))
+    assert(state(ingest) == Map("a" -> (3L, "a3")))
+    val names = new java.io.File(s"$dir/snap").listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(names == Set("v=bak", "v=2", "v=3"),
+      s"numeric versions must prune around the stray entry, got $names")
   }
 
   test("drives a real micro-batch stream end to end") {
