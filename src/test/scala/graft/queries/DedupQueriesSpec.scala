@@ -118,6 +118,28 @@ class DedupQueriesSpec extends SparkSpec {
   /** q_dedup_apply must keep exactly one representative per duplicate
     * cluster and every unclustered doc: kept = corpus − (cluster members
     * that are not their cluster's min). */
+  /** Integer PageRank conservation: ranks start at U div N each; every
+    * iteration only moves mass through integer divisions (each div can
+    * only LOSE mass) plus the teleport floor — so Σranks never exceeds U
+    * and every node keeps at least the teleport term. Violations mean
+    * double-counted contributions (a join fan-out bug) or a dropped
+    * node. */
+  test("pagerank: mass bounded by U, every node holds the teleport floor") {
+    import org.apache.spark.sql.functions.{col, countDistinct, min => fmin, sum => fsum}
+    val dir = "/root/testdata/sf0.001"
+    val ranks = graft.SparkEntry.queries("q_dedup_pagerank")(spark, dir)
+    val pairs = DedupQueries.minhashCandidates(spark, dir)
+    val nNodes = pairs.select(col("doc1").as("d"))
+      .union(pairs.select(col("doc2"))).agg(countDistinct("d")).head.getLong(0)
+    val u = 1000000000000L
+    val floor = (15L * (u / nNodes)) / 100L
+    val row = ranks.agg(fsum("rank_u"), fmin("rank_u"), countDistinct("doc_id")).head
+    assert(row.getLong(2) == nNodes, "rank rows must cover every graph node")
+    assert(row.getLong(0) <= u, s"rank mass exceeds U: ${row.getLong(0)}")
+    assert(row.getLong(1) >= floor,
+      s"node below teleport floor: ${row.getLong(1)} < $floor")
+  }
+
   test("dedupApply keeps one representative per cluster plus all singletons") {
     val dir = "/root/testdata/sf0.001"
     val total = Tables.t(spark, dir, "documents").count()
