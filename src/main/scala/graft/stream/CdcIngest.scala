@@ -77,6 +77,16 @@ final class CdcIngest(
   def snapshot(): Option[DataFrame] =
     currentVersion().map(v => spark.read.parquet(s"$snapshotDir/v=$v"))
 
+  /** Time travel: read a specific retained version (None if pruned,
+    * never written, or incomplete). Versions inside the keep-window are
+    * point-in-time states — the audit input `q_cdc_diff` consumes. */
+  def readVersion(v: Long): Option[DataFrame] = {
+    val p = new Path(s"$snapshotDir/v=$v")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(p, "_SUCCESS"))) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
   /** Live state: the snapshot minus delete tombstones. None before the
     * first batch commits — the payload schema is unknown until then, so
     * there is no well-typed empty frame to return (a schema-less one

@@ -72,6 +72,10 @@ class CdcIngestSpec extends SparkSpec {
     val kept = new java.io.File(s"$dir/snap").listFiles()
       .map(_.getName).filter(_.startsWith("v=")).toSet
     assert(kept == Set("v=3", "v=4"), s"pruning kept $kept")
+    // Time travel inside the keep-window; pruned versions answer None.
+    assert(ingest.readVersion(3L).get.select("v").as[String].collect()
+      .toSeq == Seq("a3"))
+    assert(ingest.readVersion(1L).isEmpty)
   }
 
   test("cold start exposes no version and no state") {
