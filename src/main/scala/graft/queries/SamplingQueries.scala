@@ -216,7 +216,34 @@ object SamplingQueries {
       .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
       .orderBy("fold")
 
+  /** Embargoed temporal split boundaries: train < embargo start; a
+    * one-day embargo gap is DROPPED; test ≥ test start. */
+  private val EmbargoStart = "2024-01-20 00:00:00"
+  private val TestStart    = "2024-01-21 00:00:00"
+
+  /** Time-based train/test split with an embargo gap — the
+    * leakage-safe protocol for temporally-correlated data (train on the
+    * past, evaluate on the future, and PURGE a boundary window so
+    * overlapping sequences/labels cannot straddle the cut; the
+    * hash-split family is wrong whenever time leaks signal). Pure
+    * map-side classification; the verification emission is the compact
+    * per-split membership summary (counts, distinct users, boundary
+    * epochs) rather than 10k assignment rows. */
+  private val sampleTemporal: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("split",
+        when(col("ts") < lit(EmbargoStart).cast("timestamp"), "train")
+          .when(col("ts") < lit(TestStart).cast("timestamp"), "embargo")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min(expr("unix_timestamp(ts)")).as("min_s"),
+        max(expr("unix_timestamp(ts)")).as("max_s"))
+      .orderBy("split")
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_sample_temporal" -> sampleTemporal,
     "q_sample_split" -> sampleSplit,
     "q_sample_strat" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
@@ -236,6 +263,15 @@ object SamplingQueries {
        |      ELSE 'test' END""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sample_temporal" ->
+      s"""SELECT CASE WHEN ts < TIMESTAMP '$EmbargoStart' THEN 'train'
+         |       WHEN ts < TIMESTAMP '$TestStart' THEN 'embargo'
+         |       ELSE 'test' END AS split,
+         |  count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_s,
+         |  max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_s
+         | FROM events GROUP BY 1 ORDER BY split""".stripMargin,
     "q_sample_split" ->
       s"""SELECT doc_id,
          | CAST(${bucketSql("doc_id")} AS INTEGER) AS bucket,
