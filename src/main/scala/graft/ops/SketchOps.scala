@@ -29,14 +29,17 @@ object SketchOps {
         hll_sketch_agg(col(of), lit(DefaultLgK)).as("sketch"))
 
   /** Roll persisted slice sketches up to any coarser grain (or global
-    * with no keys): merges binaries, never touches the base data. */
+    * with no keys): merges binaries, never touches the base data. An
+    * EMPTY store rolls up to an empty frame on both paths — without the
+    * filter, the global (no-key) aggregate would emit one all-NULL row
+    * whose NULL sketch breaks the documented `estimate(...)` pattern. */
   def rollup(sketches: DataFrame, groupBy: String*): DataFrame = {
     val aggs = Seq(sum(col("n_rows")).as("n_rows"),
       hll_union_agg(col("sketch"), lit(false)).as("sketch"))
     val grouped =
       if (groupBy.isEmpty) sketches.agg(aggs.head, aggs.tail: _*)
       else sketches.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    grouped
+    grouped.where(col("sketch").isNotNull)
   }
 
   /** The estimate a merged (or per-slice) sketch answers with. */

@@ -618,8 +618,11 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** PageRank scale (micro-rank units) and fixed iteration count. */
-  private val PageRankU     = 1000000000000L // 10^12
+  /** PageRank scale (micro-rank units), fixed iteration count, and
+    * teleport percentage (damping = 100 − teleport). `private[queries]`
+    * so the conservation spec asserts against THESE constants. */
+  private[queries] val PageRankU           = 1000000000000L // 10^12
+  private[queries] val PageRankTeleportPct = 15L
   private val PageRankIters = 3
 
   /** Integer-exact PageRank over the LSH candidate graph — the
@@ -659,7 +662,8 @@ object DedupQueries {
       ranks = nodes.crossJoin(nn)
         .join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"), expr(
-          s"(15 * ($PageRankU DIV n)) DIV 100 + (85 * coalesce(c, 0L)) DIV 100"
+          s"($PageRankTeleportPct * ($PageRankU DIV n)) DIV 100 + " +
+            s"(${100 - PageRankTeleportPct} * coalesce(c, 0L)) DIV 100"
         ).as("r"))
     }
     ranks.select(col("doc_id"), col("r").as("rank_u")).orderBy("doc_id")
@@ -848,7 +852,7 @@ object DedupQueries {
       val iters = (1 to PageRankIters).map { i =>
         s""" r$i AS (
            |  SELECT nodes.doc_id,
-           |   (15 * ($U // nn.n)) // 100 + (85 * coalesce(c.c, 0)) // 100 AS r
+           |   ($PageRankTeleportPct * ($U // nn.n)) // 100 + (${100 - PageRankTeleportPct} * coalesce(c.c, 0)) // 100 AS r
            |  FROM nodes CROSS JOIN nn
            |   LEFT JOIN (SELECT e.d AS doc_id,
            |      CAST(sum(p.r // deg.outdeg) AS BIGINT) AS c

@@ -73,9 +73,10 @@ final class CdcIngest(
     }
   }
 
-  /** The standing snapshot (tombstones included), empty if none. */
+  /** The standing snapshot (tombstones included), empty if none — the
+    * newest version through the same gated reader as [[readVersion]]. */
   def snapshot(): Option[DataFrame] =
-    currentVersion().map(v => spark.read.parquet(s"$snapshotDir/v=$v"))
+    currentVersion().flatMap(readVersion)
 
   /** Time travel: read a specific retained version (None if pruned,
     * never written, or incomplete). Versions inside the keep-window are

@@ -35,7 +35,7 @@ class SketchOpsSpec extends SparkSpec {
     assert(merged.getLong(1) == ev.count(), "row counts sum exactly")
     val errPct = math.abs(est - exact).toDouble / exact * 100
     assert(errPct <= 5.0,
-      s"merged estimate $est vs exact $exact ($errPct%% off, lgK=12)")
+      s"merged estimate $est vs exact $exact ($errPct% off, lgK=12)")
 
     // Partial rollup to a coarser grain keeps one row per group.
     val byType = SketchOps.rollup(slices, "event_type")

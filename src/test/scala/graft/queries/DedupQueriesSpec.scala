@@ -115,15 +115,12 @@ class DedupQueriesSpec extends SparkSpec {
       s"32 hashes should estimate Jaccard tighter than 8: $errs")
   }
 
-  /** q_dedup_apply must keep exactly one representative per duplicate
-    * cluster and every unclustered doc: kept = corpus − (cluster members
-    * that are not their cluster's min). */
   /** Integer PageRank conservation: ranks start at U div N each; every
     * iteration only moves mass through integer divisions (each div can
     * only LOSE mass) plus the teleport floor — so Σranks never exceeds U
     * and every node keeps at least the teleport term. Violations mean
     * double-counted contributions (a join fan-out bug) or a dropped
-    * node. */
+    * node. Constants come from DedupQueries so a retune cannot drift. */
   test("pagerank: mass bounded by U, every node holds the teleport floor") {
     import org.apache.spark.sql.functions.{col, countDistinct, min => fmin, sum => fsum}
     val dir = "/root/testdata/sf0.001"
@@ -131,8 +128,8 @@ class DedupQueriesSpec extends SparkSpec {
     val pairs = DedupQueries.minhashCandidates(spark, dir)
     val nNodes = pairs.select(col("doc1").as("d"))
       .union(pairs.select(col("doc2"))).agg(countDistinct("d")).head.getLong(0)
-    val u = 1000000000000L
-    val floor = (15L * (u / nNodes)) / 100L
+    val u = DedupQueries.PageRankU
+    val floor = (DedupQueries.PageRankTeleportPct * (u / nNodes)) / 100L
     val row = ranks.agg(fsum("rank_u"), fmin("rank_u"), countDistinct("doc_id")).head
     assert(row.getLong(2) == nNodes, "rank rows must cover every graph node")
     assert(row.getLong(0) <= u, s"rank mass exceeds U: ${row.getLong(0)}")
@@ -140,6 +137,9 @@ class DedupQueriesSpec extends SparkSpec {
       s"node below teleport floor: ${row.getLong(1)} < $floor")
   }
 
+  /** q_dedup_apply must keep exactly one representative per duplicate
+    * cluster and every unclustered doc: kept = corpus − (cluster members
+    * that are not their cluster's min). */
   test("dedupApply keeps one representative per cluster plus all singletons") {
     val dir = "/root/testdata/sf0.001"
     val total = Tables.t(spark, dir, "documents").count()
