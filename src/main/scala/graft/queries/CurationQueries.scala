@@ -164,12 +164,32 @@ object CurationQueries {
        | ln(((c_cur + 1.0) * (t_ref + $DriftBins.0)) / ((c_ref + 1.0) * (t_cur + $DriftBins.0)))
        |) AS BIGINT)""".stripMargin.replace("\n", " ")
 
+  /** Ingestion freshness report — the lag monitor an on-call rotation
+    * actually pages on: per feed (event_type here), last-seen event time
+    * and its lag in whole minutes behind the freshest feed. One
+    * partial+final hash aggregation to O(feeds) rows; the global
+    * high-water mark derives from those rows and broadcasts back — the
+    * stream is scanned once. A feed whose lag grows trigger-over-trigger
+    * is dead upstream; the report makes that visible the same day. */
+  private val freshnessReport: Q = (s, dir) => {
+    val perFeed = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(max(expr("unix_timestamp(ts)")).as("last_s"),
+        count(lit(1)).as("n_events"))
+    val hwm = perFeed.agg(max("last_s").as("global_s"))
+    perFeed.crossJoin(broadcast(hwm))
+      .select(col("event_type"), col("n_events"), col("last_s"),
+        expr("(global_s - last_s) DIV 60").as("lag_min"))
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
     "q_pipeline_corpus" -> corpusBuild,
     "q_report_sources"  -> sourceReport,
     "q_report_constraints" -> constraintReport,
-    "q_report_drift"    -> driftReport
+    "q_report_drift"    -> driftReport,
+    "q_report_freshness" -> freshnessReport
   )
 
   /** Shared WITH prefix ending in `cur(doc_id, split)` — the curated
@@ -239,6 +259,17 @@ object CurationQueries {
          |         CAST(sum(c_cur) AS BIGINT) AS t_cur FROM counts)
          | SELECT bin, c_ref, c_cur, $driftPsiExpr AS psi_unat
          | FROM counts CROSS JOIN totals
-         | ORDER BY bin""".stripMargin
+         | ORDER BY bin""".stripMargin,
+    "q_report_freshness" ->
+      """WITH per_feed AS (
+        |  SELECT event_type,
+        |   max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+        |   count(*) AS n_events
+        |  FROM events GROUP BY event_type),
+        | hwm AS (SELECT max(last_s) AS global_s FROM per_feed)
+        | SELECT event_type, n_events, last_s,
+        |  (global_s - last_s) // 60 AS lag_min
+        | FROM per_feed CROSS JOIN hwm
+        | ORDER BY event_type""".stripMargin
   )
 }
