@@ -25,6 +25,47 @@ class PropertiesSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("overflow"), e.getMessage)
   }
 
+  /** The chunking contract a training consumer relies on: chunks tile
+    * every document — stride-aligned starts, full windows everywhere but
+    * the tail, and complete coverage of the token range (start of chunk
+    * k+1 = start of chunk k + stride, last chunk reaches token n). */
+  test("q_text_chunks tiles each document's token range completely") {
+    val dir = "/root/testdata/sf0.001"
+    val chunks = graft.SparkEntry.queries("q_text_chunks")(spark, dir)
+    val bad = chunks
+      .withColumn("next_start", lead("tok_start", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("chunk_id")))
+      .where(
+        // interior chunks are full-width and stride-spaced …
+        (col("next_start").isNotNull &&
+          (col("next_start") =!= col("tok_start") + 24 || col("n_tok") =!= 32)) ||
+        // … the last chunk ends exactly at the document's token count
+        (col("next_start").isNull && col("n_tok") > 32) ||
+        col("n_tok") < 1)
+    assert(bad.isEmpty, bad.limit(5).collect().mkString("\n"))
+    // Coverage: last chunk's end (start + n_tok − 1) is the max token
+    // index, and consecutive windows overlap (no token falls in a gap).
+    val gap = chunks
+      .withColumn("prev_end", lag(col("tok_start") + col("n_tok") - 1, 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("chunk_id")))
+      .where(col("prev_end").isNotNull && col("tok_start") > col("prev_end") + 1)
+    assert(gap.isEmpty, "a token index fell between chunks")
+  }
+
+  /** ntile(4) balance: RFM quartile sizes differ by at most one row —
+    * the property that makes quartile labels comparable across metrics. */
+  test("q_w2_rfm quartiles are balanced within one row") {
+    val rfm = graft.SparkEntry.queries("q_w2_rfm")(spark, "/root/testdata/sf0.001")
+    for (qc <- Seq("r_q", "f_q", "m_q")) {
+      val sizes = rfm.groupBy(qc).count()
+        .select("count").as[Long].collect()
+      assert(sizes.length == 4 && sizes.max - sizes.min <= 1,
+        s"$qc sizes: ${sizes.mkString(",")}")
+    }
+  }
+
   test("dropDuplicates is idempotent") {
     val once = docs.select("lang").dropDuplicates()
     assert(once.count() == once.dropDuplicates().count())
