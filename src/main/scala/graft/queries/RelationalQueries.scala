@@ -28,6 +28,26 @@ object RelationalQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Z-order bits per dimension (16×16 grid). */
+  private val ZBits = 4
+
+  /** S1+ Z-order clustering key — the two-dimensional data-skipping
+    * layout (lakehouse "OPTIMIZE ZORDER BY"): the Morton interleave of
+    * two bucketed dimensions, by which a writer range-partitions and
+    * sorts so every file's min/max footer stats are narrow in BOTH
+    * columns (a single-column sort is narrow only in its lead column).
+    * The emission verifies the interleave arithmetic cross-engine; the
+    * file-stats narrowing claim itself is measured in `ZOrderSpec` by
+    * comparing per-file bounding boxes of a z-sorted vs id-sorted
+    * layout. Pure integer map-side expression, trivially codegen'd. */
+  private val sZorder: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"),
+        least(lit(15L), floor(col("value") / 32.0).cast("long")).as("xb"),
+        (col("user_id") % 16).as("yb"))
+      .withColumn("z", graft.ops.ZOrder.zvalue(col("xb"), col("yb"), ZBits))
+      .orderBy("z", "event_id")
+
   /** P3: null-drop filter (reference `spark/model_training.py:37`).
     * `nullif` manufactures nulls so the filter is observable on testdata. */
   private val p3NullFilter: Q = (s, dir) =>
@@ -945,6 +965,7 @@ object RelationalQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "q_s1_scan"            -> s1Scan,
+    "q_s_zorder"           -> sZorder,
     "q_p3_null_filter"     -> p3NullFilter,
     "q_p4_column_prune"    -> p4ColumnPrune,
     "q_p9_topk"            -> p9TopK,
@@ -1006,6 +1027,14 @@ object RelationalQueries {
     "q_s1_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         | WHERE n_chars > 100 ORDER BY doc_id""".stripMargin,
+    "q_s_zorder" ->
+      s"""SELECT event_id, xb, yb,
+         |  CAST(${graft.ops.ZOrder.zvalueSql("xb", "yb", ZBits, "//")} AS BIGINT) AS z
+         | FROM (SELECT event_id,
+         |    least(15, CAST(floor(value / 32.0) AS BIGINT)) AS xb,
+         |    user_id % 16 AS yb
+         |   FROM events)
+         | ORDER BY z, event_id""".stripMargin,
     "q_p3_null_filter" ->
       """SELECT doc_id, nullif(lang, 'zh') AS lang_alt, n_chars FROM documents
         | WHERE text IS NOT NULL AND nullif(lang, 'zh') IS NOT NULL
