@@ -1,0 +1,87 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Tables
+
+/** The persisted-index contract: complete single-assignment postings,
+  * deterministic search, cell-pruned probes, and useful recall against
+  * exact brute force. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private val K = 5
+  private val NumQueries = 5
+
+  private lazy val emb = Tables.t(spark, dir, "embeddings")
+  private lazy val queries = emb.where(col("vec_id") < NumQueries)
+  private lazy val corpus = emb.where(col("vec_id") >= NumQueries)
+
+  private def built(): IvfIndex = {
+    val idx = new IvfIndex(spark,
+      Files.createTempDirectory("ivf").toString + "/index")
+    idx.build(corpus, "vec_id", "embedding", "label")
+    idx
+  }
+
+  test("postings assign every corpus vector to exactly one cell") {
+    val idx = built()
+    assert(idx.postings().count() == corpus.count())
+    assert(idx.postings().groupBy("id").count()
+      .where(col("count") > 1).isEmpty, "a vector landed in two cells")
+    val cells = idx.centroids().select("cell").distinct().count()
+    assert(cells == emb.select("label").distinct().count())
+  }
+
+  test("search is deterministic and probes prune cells") {
+    val idx = built()
+    val r1 = idx.search(queries, "vec_id", "embedding", K, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val r2 = idx.search(queries, "vec_id", "embedding", K, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(r1 == r2, "two identical searches disagreed")
+    assert(r1.size == NumQueries * K)
+    // A full-probe search must equal brute force exactly — with every
+    // cell probed, IVF is exhaustive.
+    val cells = idx.centroids().count().toInt
+    val full = idx.search(queries, "vec_id", "embedding", K, probes = cells)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(full == bruteTopK.toSet, "full-probe search must be exhaustive")
+  }
+
+  private def bruteTopK: Seq[(Long, Long)] =
+    queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(corpus.select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= K)
+      .select("qid", "cid").as[(Long, Long)].collect().toSeq
+
+  /** The synthetic embeddings are only weakly clustered by label, so an
+    * absolute recall bar would test the DATA, not the index. The index's
+    * own contracts are structural: probing must beat the random-pruning
+    * floor (probes/cells — what keeping an arbitrary probes-sized subset
+    * of cells would recall), and recall must be monotone in probes. */
+  test("probed search beats random pruning and improves with more probes") {
+    val idx = built()
+    val exact = bruteTopK.toSet
+    def recallAt(probes: Int): Double = {
+      val approx = idx.search(queries, "vec_id", "embedding", K, probes)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      (approx intersect exact).size.toDouble / exact.size
+    }
+    val cells = idx.centroids().count().toDouble
+    val r2 = recallAt(2)
+    val r5 = recallAt(5)
+    info(s"recall@$K: probes=2 → $r2, probes=5 → $r5 (random floor ${2 / cells})")
+    assert(r2 > 2 / cells, s"2-probe recall $r2 no better than random pruning")
+    assert(r5 >= r2, s"recall must not degrade with more probes: $r2 → $r5")
+  }
+}
