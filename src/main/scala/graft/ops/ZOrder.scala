@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * The interleave is pure integer shift/or arithmetic (codegen-friendly,
   * engine-portable — the DuckDB oracle derives the same value with
-  * division/modulo), deterministic for any input, and monotone in each
-  * dimension holding the other fixed. */
+  * division/modulo) and monotone in each dimension holding the other
+  * fixed. Inputs MUST be non-negative and clamped below 2^bits by the
+  * caller: on negative inputs the shift form and the div/mod form
+  * DISAGREE (arithmetic shift yields 1-bits where `%` yields −1), so
+  * every call site buckets through greatest/least/pmod first — see
+  * `RelationalQueries.zorderBucketed`. */
 object ZOrder {
 
   /** Interleave the low `bits` of two non-negative int columns:

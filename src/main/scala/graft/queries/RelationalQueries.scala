@@ -29,7 +29,21 @@ object RelationalQueries {
       .orderBy("doc_id")
 
   /** Z-order bits per dimension (16×16 grid). */
-  private val ZBits = 4
+  private[graft] val ZBits = 4
+
+  /** The bucketed projection [[sZorder]] interleaves — shared with
+    * `ZOrderSpec`'s layout measurement so the spec pins the SHIPPED
+    * buckets, not a private copy. Both buckets are clamped to
+    * [0, 2^bits): `ZOrder.zvalue`'s shift arithmetic and the oracle's
+    * div/mod arithmetic agree only on non-negative inputs (`pmod` keeps
+    * a negative key non-negative where `%` would not). */
+  private[graft] def zorderBucketed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        greatest(lit(0L),
+          least(lit(15L), floor(col("value") / 32.0).cast("long"))).as("xb"),
+        pmod(col("user_id"), lit(16L)).as("yb"))
+      .withColumn("z", graft.ops.ZOrder.zvalue(col("xb"), col("yb"), ZBits))
 
   /** S1+ Z-order clustering key — the two-dimensional data-skipping
     * layout (lakehouse "OPTIMIZE ZORDER BY"): the Morton interleave of
@@ -41,12 +55,7 @@ object RelationalQueries {
     * comparing per-file bounding boxes of a z-sorted vs id-sorted
     * layout. Pure integer map-side expression, trivially codegen'd. */
   private val sZorder: Q = (s, dir) =>
-    t(s, dir, "events")
-      .select(col("event_id"),
-        least(lit(15L), floor(col("value") / 32.0).cast("long")).as("xb"),
-        (col("user_id") % 16).as("yb"))
-      .withColumn("z", graft.ops.ZOrder.zvalue(col("xb"), col("yb"), ZBits))
-      .orderBy("z", "event_id")
+    zorderBucketed(s, dir).orderBy("z", "event_id")
 
   /** P3: null-drop filter (reference `spark/model_training.py:37`).
     * `nullif` manufactures nulls so the filter is observable on testdata. */
@@ -1031,8 +1040,8 @@ object RelationalQueries {
       s"""SELECT event_id, xb, yb,
          |  CAST(${graft.ops.ZOrder.zvalueSql("xb", "yb", ZBits, "//")} AS BIGINT) AS z
          | FROM (SELECT event_id,
-         |    least(15, CAST(floor(value / 32.0) AS BIGINT)) AS xb,
-         |    user_id % 16 AS yb
+         |    greatest(0, least(15, CAST(floor(value / 32.0) AS BIGINT))) AS xb,
+         |    ((user_id % 16) + 16) % 16 AS yb
          |   FROM events)
          | ORDER BY z, event_id""".stripMargin,
     "q_p3_null_filter" ->

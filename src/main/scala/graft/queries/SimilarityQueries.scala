@@ -80,16 +80,15 @@ object SimilarityQueries {
   private val ivfAnn: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val cents = Similarity.centroids(emb, "embedding", "label")
-    val affinity = Tables.fanout(emb.select("vec_id", "embedding"))
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        Similarity.cosine(col("embedding"), col("centroid")).as("aff"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("aff").desc, col("cell").asc)))
-    val cands = affinity.where(col("rnk") === 1 && col("vec_id") >= NumQueries)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("cell"))
-    val probes = affinity.where(col("rnk") <= IvfProbes && col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cell"))
+    // Nearest-cell rule shared with the persisted sim.IvfIndex — ONE
+    // definition (Similarity.rankedCellAffinity) for both.
+    val affinity = Similarity.rankedCellAffinity(
+      Tables.fanout(emb.select("vec_id", "embedding")),
+      "vec_id", "embedding", cents)
+    val cands = affinity.where(col("rnk") === 1 && col("id") >= NumQueries)
+      .select(col("id").as("cid"), col("vector").as("ce"), col("cell"))
+    val probes = affinity.where(col("rnk") <= IvfProbes && col("id") < NumQueries)
+      .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
     cands.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("cid"),
         Similarity.cosine(col("qe"), col("ce")).as("cos"))

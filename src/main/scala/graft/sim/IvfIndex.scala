@@ -1,7 +1,7 @@
 package graft.sim
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the build-once / query-many shape a production
@@ -9,62 +9,97 @@ import org.apache.spark.sql.functions._
   * cells per query; an index amortizes that over every future search,
   * the same economics `ops/SketchOps` gives cardinality rollups).
   *
-  * Layout under `indexDir`:
+  * Storage is VERSIONED like `stream/CdcIngest`'s snapshots — builds are
+  * atomic-by-publication, never in-place: build N writes
+  * `indexDir/v=N/centroids` then `indexDir/v=N/postings`, and readers
+  * use the newest version whose BOTH tables carry `_SUCCESS`. A reader
+  * can therefore never join new centroids against old postings (the
+  * failure mode of overwrite-in-place), and an interrupted build leaves
+  * only an ignored incomplete version.
+  *
+  * Layout per version:
   *   - `centroids/` — (cell, centroid array<double>), O(cells) rows
   *   - `postings/`  — (cell, id, vector), every corpus vector assigned
-  *     to its single nearest cell
+  *     to its single nearest cell, PARTITIONED BY cell on disk
   *
-  * Search probes the top-`probes` cells per query against the
-  * broadcast centroids, joins ONLY those cells' postings, scores exact
-  * cosine, and keeps top-k per query. At 100 TB the postings table is
-  * partitioned by cell on disk, so a probe reads `probes/cells` of the
-  * corpus — the scan-pruning this index exists for (postings are
-  * written `partitionBy("cell")` for exactly that reason).
-  */
+  * Search probes the top-`probes` cells per query against the broadcast
+  * centroids, joins ONLY those cells' postings, scores exact cosine,
+  * and keeps top-k per query. At 100 TB the cell-partitioned postings
+  * mean a probe reads `probes/cells` of the corpus — the scan pruning
+  * this index exists for. The nearest-cell rule is the shared
+  * [[Similarity.rankedCellAffinity]], so the persisted index and the
+  * oracle-checked inline query cannot drift. */
 final class IvfIndex(spark: SparkSession, indexDir: String)
     extends Serializable {
 
-  /** Build (or rebuild) the index from an embedding table. `seedCol`
-    * seeds the cells (any rough partition — a label, a hash bucket, a
-    * first-round k-means assignment); vectors are then assigned to their
-    * NEAREST seeded centroid, which repairs a mediocre seed. */
-  def build(emb: DataFrame, idCol: String, vecCol: String,
-            seedCol: String): Unit = {
-    val cents = Similarity.centroids(emb, vecCol, seedCol)
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$indexDir/centroids")
-    val assigned = emb
-      .select(col(idCol).as("id"), col(vecCol).as("vector"))
-      .join(broadcast(spark.read.parquet(s"$indexDir/centroids")))
-      .select(col("id"), col("vector"), col("cell"),
-        Similarity.cosine(col("vector"), col("centroid")).as("aff"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("id").orderBy(col("aff").desc, col("cell").asc)))
-      .where(col("rnk") === 1)
-      .select("cell", "id", "vector")
-    assigned.write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$indexDir/postings")
+  /** Newest version whose centroids AND postings are complete. */
+  def currentVersion(): Option[Long] = {
+    val dir = new Path(indexDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else {
+      val version = "^v=(\\d+)$".r
+      fs.listStatus(dir).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => fs.exists(new Path(p, "centroids/_SUCCESS")) &&
+          fs.exists(new Path(p, "postings/_SUCCESS")))
+        .flatMap(_.getName match {
+          case version(v) => Some(v.toLong)
+          case _          => None
+        })
+        .sorted.lastOption
+    }
   }
 
-  def centroids(): DataFrame = spark.read.parquet(s"$indexDir/centroids")
-  def postings(): DataFrame = spark.read.parquet(s"$indexDir/postings")
+  /** Build and PUBLISH the next index version from an embedding table.
+    * `seedCol` seeds the cells (any rough partition — a label, a hash
+    * bucket, a first-round k-means assignment); vectors are then
+    * assigned to their NEAREST seeded centroid, which repairs a
+    * mediocre seed. Returns the published version. */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            seedCol: String): Long = {
+    val v = currentVersion().map(_ + 1).getOrElse(0L)
+    val out = s"$indexDir/v=$v"
+    val cents = Similarity.centroids(emb, vecCol, seedCol)
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
+    // Fan out first: the assignment pass (a cosine against every
+    // centroid per vector) is the expensive stage, and a single-file
+    // parquet input would otherwise run it all on one task — same
+    // rationale as the inline query's fanout.
+    Similarity.rankedCellAffinity(
+        graft.queries.Tables.fanout(emb.select(col(idCol), col(vecCol))),
+        idCol, vecCol, spark.read.parquet(s"$out/centroids"))
+      .where(col("rnk") === 1)
+      .select("cell", "id", "vector")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$out/postings")
+    v
+  }
+
+  private def versionedOrFail(table: String): DataFrame = {
+    val v = currentVersion().getOrElse(
+      throw new IllegalStateException(s"no complete index under $indexDir"))
+    spark.read.parquet(s"$indexDir/v=$v/$table")
+  }
+
+  def centroids(): DataFrame = versionedOrFail("centroids")
+  def postings(): DataFrame = versionedOrFail("postings")
 
   /** Top-k cosine neighbors per query over the persisted index. */
   def search(queries: DataFrame, idCol: String, vecCol: String,
              k: Int, probes: Int): DataFrame = {
-    val probed = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qe"))
-      .join(broadcast(centroids()))
-      .select(col("qid"), col("qe"), col("cell"),
-        Similarity.cosine(col("qe"), col("centroid")).as("aff"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("aff").desc, col("cell").asc)))
+    val probed = Similarity
+      .rankedCellAffinity(queries.select(col(idCol), col(vecCol)),
+        idCol, vecCol, centroids())
       .where(col("rnk") <= probes)
-      .select(col("qid"), col("qe"), col("cell"))
+      .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
     postings().join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id").as("cid"),
         Similarity.cosine(col("qe"), col("vector")).as("cos"))
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
       .where(col("rnk") <= k)
       .select(col("qid"), col("rnk").cast("int").as("rnk"),
         col("cid"), col("cos"))

@@ -50,6 +50,23 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("centroid"))
 
+  /** Cell affinity of every vector against broadcast centroids, ranked
+    * per vector by (cosine desc, cell asc) — ONE definition of the
+    * nearest-cell rule shared by the inline `q_sim_ivf_ann` query and
+    * the persisted [[IvfIndex]] (assignment = rnk 1, probing =
+    * rnk ≤ probes); a tie-break fix lands in all of them at once.
+    * Output: (id, vector, cell, aff, rnk). */
+  def rankedCellAffinity(vecs: org.apache.spark.sql.DataFrame, idCol: String,
+                         vecCol: String, cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vector"))
+      .join(broadcast(cents))
+      .select(col("id"), col("vector"), col("cell"),
+        cosine(col("vector"), col("centroid")).as("aff"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("aff").desc, col("cell").asc)))
+
   /** Random-hyperplane-style LSH bucket from the signs of the first
     * `bits` dimensions (axis-aligned hyperplanes — deterministic and
     * SQL-portable; swap in seeded random planes for production skew

@@ -5,7 +5,6 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.queries.Tables
 
 /** The Z-order claims, pinned: the interleave arithmetic (round-trip and
   * Column-vs-generated-SQL parity) and the DATA-SKIPPING effect itself —
@@ -14,13 +13,12 @@ import graft.queries.Tables
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
 
-  private val Bits = 4
+  private val Bits = graft.queries.RelationalQueries.ZBits
 
-  private def bucketed = Tables.t(spark, "/root/testdata/sf0.001", "events")
-    .select(col("event_id"),
-      least(lit(15L), floor(col("value") / 32.0).cast("long")).as("xb"),
-      (col("user_id") % 16).as("yb"))
-    .withColumn("z", ZOrder.zvalue(col("xb"), col("yb"), Bits))
+  /** The SHIPPED q_s_zorder bucket projection (shared definition — the
+    * spec must pin the query's buckets, not a private copy). */
+  private def bucketed = graft.queries.RelationalQueries
+    .zorderBucketed(spark, "/root/testdata/sf0.001")
 
   test("zvalue round-trips through deinterleave and matches its SQL twin") {
     val rows = bucketed

@@ -22,24 +22,33 @@ class IvfIndexSpec extends SparkSpec {
   private lazy val queries = emb.where(col("vec_id") < NumQueries)
   private lazy val corpus = emb.where(col("vec_id") >= NumQueries)
 
-  private def built(): IvfIndex = {
-    val idx = new IvfIndex(spark,
+  /** One shared build — every test below only READS the index. */
+  private lazy val idx: IvfIndex = {
+    val i = new IvfIndex(spark,
       Files.createTempDirectory("ivf").toString + "/index")
-    idx.build(corpus, "vec_id", "embedding", "label")
-    idx
+    i.build(corpus, "vec_id", "embedding", "label")
+    i
   }
 
   test("postings assign every corpus vector to exactly one cell") {
-    val idx = built()
     assert(idx.postings().count() == corpus.count())
     assert(idx.postings().groupBy("id").count()
       .where(col("count") > 1).isEmpty, "a vector landed in two cells")
     val cells = idx.centroids().select("cell").distinct().count()
-    assert(cells == emb.select("label").distinct().count())
+    // Centroids are seeded from the CORPUS slice's labels (queries are
+    // held out of the build, so their labels must not be expected here).
+    assert(cells == corpus.select("label").distinct().count())
+  }
+
+  test("a rebuild publishes a new complete version atomically") {
+    assert(idx.currentVersion().contains(0L))
+    assert(idx.build(corpus, "vec_id", "embedding", "label") == 1L)
+    assert(idx.currentVersion().contains(1L))
+    // Old version remains readable (publication, not overwrite-in-place).
+    assert(idx.postings().count() == corpus.count())
   }
 
   test("search is deterministic and probes prune cells") {
-    val idx = built()
     val r1 = idx.search(queries, "vec_id", "embedding", K, probes = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val r2 = idx.search(queries, "vec_id", "embedding", K, probes = 2)
@@ -70,7 +79,6 @@ class IvfIndexSpec extends SparkSpec {
     * floor (probes/cells — what keeping an arbitrary probes-sized subset
     * of cells would recall), and recall must be monotone in probes. */
   test("probed search beats random pruning and improves with more probes") {
-    val idx = built()
     val exact = bruteTopK.toSet
     def recallAt(probes: Int): Double = {
       val approx = idx.search(queries, "vec_id", "embedding", K, probes)
