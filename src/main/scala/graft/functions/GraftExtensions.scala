@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.intersectionDescriptor)
+    ext.injectFunction(GraftExtensions.jaroDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RankLimitToTopK)
   }
@@ -47,10 +48,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SortedIntersectionSize].getName, "sorted_intersection_size"),
     intersectionBuilder)
 
+  private def jaroBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"jaro_winkler expects 2 arguments, got ${args.length}")
+    JaroWinklerSim(args.head, args(1))
+  }
+
+  val jaroDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+    jaroBuilder)
+
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
       spark, "cosine_similarity", cosineBuilder)
     org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
       spark, "sorted_intersection_size", intersectionBuilder)
+    org.apache.spark.sql.graftshim.ColumnShim.registerFunction(
+      spark, "jaro_winkler", jaroBuilder)
   }
 }

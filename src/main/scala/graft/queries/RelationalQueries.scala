@@ -290,6 +290,45 @@ object RelationalQueries {
       .orderBy("name1", "name2")
   }
 
+  /** Quantized Jaro–Winkler keep-threshold for [[j2Jaro]] (basis
+    * points; 8500 ≡ 0.85 — the high-similarity band on the two-word
+    * part-name surface). */
+  private val JaroMinBp = 8500L
+
+  /** J2+ prefix-blocked Jaro–Winkler join — the scorer record linkage
+    * actually uses on names (complements [[j2Fuzzy]]'s token-blocked
+    * levenshtein: JW weights shared prefixes and tolerates the
+    * transpositions that dominate real typos). Candidates come from
+    * 2-char-prefix blocking (sorted-neighborhood style), so the
+    * quadratic scorer runs within blocks only, never all-pairs; the
+    * name-dictionary side of an ER join is bounded (entity names grow
+    * sublinearly in corpus size), so at 100 TB the blocked self-join is
+    * dwarfed by the corpus scan feeding it. The scorer is the custom
+    * codegen expression [[graft.functions.JaroWinklerSim]] (one static
+    * call inside the join's whole-stage span, like the built-in
+    * levenshtein); scores are emitted as epsilon-floored basis points
+    * and THRESHOLDED ON THE QUANTIZED value, so both engines make the
+    * identical keep decision even if a last-ulp double divergence
+    * exists at the boundary. */
+  private val j2Jaro: Q = (s, dir) => {
+    def jw(a: org.apache.spark.sql.Column,
+           b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graftshim.ColumnShim.toColumn(
+        graft.functions.JaroWinklerSim(
+          org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
+          org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+      .withColumn("blk", substring(col("p_name"), 1, 2))
+    names.as("x").join(names.as("y"),
+        col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name"))
+      .withColumn("jw_bp",
+        floor(jw(col("x.p_name"), col("y.p_name")) * 10000 + lit(1e-6)).cast("long"))
+      .where(col("jw_bp") >= JaroMinBp)
+      .select(col("x.p_name").as("name1"), col("y.p_name").as("name2"),
+        col("jw_bp"))
+      .orderBy("name1", "name2")
+  }
+
   /** A1: the hash-aggregate workhorse (TPC-H Q1 shape; the capability the
     * reference's PowerBI rollups consume, SURVEY.md §2.4). Partial+final
     * `HashAggregateExec` — sums are exact (integral doubles / DECIMAL).
@@ -988,6 +1027,7 @@ object RelationalQueries {
     "q_a1_outliers"        -> a1Outliers,
     "q_j2_bnl_band"        -> j2BnlBand,
     "q_j2_fuzzy"           -> j2Fuzzy,
+    "q_j2_jaro"            -> j2Jaro,
     "q_j2_range_join"      -> j2RangeJoin,
     "q_j2_lateral"         -> j2Lateral,
     "q_sql_recursive"      -> sqlRecursive,
@@ -1129,6 +1169,14 @@ object RelationalQueries {
          |  CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS dist
          | FROM n x JOIN n y ON x.blk = y.blk AND x.p_name < y.p_name
          | WHERE levenshtein(x.p_name, y.p_name) <= $FuzzyMaxDist
+         | ORDER BY name1, name2""".stripMargin,
+    "q_j2_jaro" ->
+      s"""WITH n AS (SELECT DISTINCT p_name,
+         |   substr(p_name, 1, 2) AS blk FROM part)
+         | SELECT x.p_name AS name1, y.p_name AS name2,
+         |  CAST(floor(jaro_winkler_similarity(x.p_name, y.p_name) * 10000 + 1e-6) AS BIGINT) AS jw_bp
+         | FROM n x JOIN n y ON x.blk = y.blk AND x.p_name < y.p_name
+         | WHERE CAST(floor(jaro_winkler_similarity(x.p_name, y.p_name) * 10000 + 1e-6) AS BIGINT) >= $JaroMinBp
          | ORDER BY name1, name2""".stripMargin,
     "q_j2_range_join" ->
       """SELECT o_orderkey, l_linenumber, l_shipdate
