@@ -183,13 +183,62 @@ object CurationQueries {
       .orderBy("event_type")
   }
 
+  /** (table, key column) pairs the skew report audits — the join/agg
+    * keys the relational suite actually shuffles on. */
+  private val SkewKeys: Seq[(String, String)] = Seq(
+    ("events", "user_id"), ("lineitem", "l_orderkey"), ("orders", "o_custkey"))
+
+  /** Key-skew diagnostic — the report you run BEFORE choosing a salted
+    * join or AQE skew hints: per audited shuffle key, exact integer
+    * concentration metrics (top-1 / top-10 share in basis points,
+    * Herfindahl index in ppm, hottest-key-over-median ratio). All
+    * emissions are integer-exact: quartiles of integer counts are
+    * interpolated at binary-exact fractions (multiples of 0.25), so ×4
+    * is an exact BIGINT on both engines (the q_a1_percentile pattern),
+    * and every ratio is integer division on those.
+    *
+    * Scale shape: one partial+final hash aggregate per table to O(keys)
+    * count rows; top-10 rides `TakeOrderedAndProject` (no global sort);
+    * `percentile` aggregates the value→count map of per-key counts
+    * (distinct LOAD values, far fewer than keys) — at extreme key
+    * cardinality swap for `approx_percentile`, same emission. Overflow
+    * bound, documented like a1HashAgg's: `1e6·Σcnt²` stays under
+    * Long.MaxValue while Σcnt² < 9.2e12, i.e. up to ~3M rows on one key
+    * or far more when spread; past that widen sum_sq to DECIMAL(38,0).
+    * ANSI mode makes the overflow loud, not silent. */
+  private val skewReport: Q = (s, dir) => {
+    val parts = SkewKeys.map { case (tbl, key) =>
+      val cnts = t(s, dir, tbl)
+        .groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      val agg = cnts.agg(
+        sum("cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max("cnt").as("max_cnt"),
+        expr("CAST(percentile(cnt, 0.5) * 4 AS BIGINT)").as("med_x4"),
+        expr("CAST(percentile(cnt, 0.75) * 4 AS BIGINT)").as("p75_x4"),
+        sum(expr("cnt * cnt")).as("sum_sq"))
+      val top10 = cnts.orderBy(col("cnt").desc, col("k").asc).limit(10)
+        .agg(sum("cnt").as("top10_cnt"))
+      agg.crossJoin(broadcast(top10))
+        .select(lit(tbl).as("tbl"), lit(key).as("key_col"),
+          col("n_rows"), col("n_keys"), col("max_cnt"),
+          expr("10000 * max_cnt div n_rows").as("top1_bp"),
+          expr("10000 * top10_cnt div n_rows").as("top10_bp"),
+          expr("10000 * max_cnt * 4 div med_x4").as("max_med_bp"),
+          col("med_x4"), col("p75_x4"),
+          expr("1000000 * sum_sq div (n_rows * n_rows)").as("hhi_ppm"))
+    }
+    parts.reduce(_ unionByName _).orderBy("tbl")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
     "q_pipeline_corpus" -> corpusBuild,
     "q_report_sources"  -> sourceReport,
     "q_report_constraints" -> constraintReport,
     "q_report_drift"    -> driftReport,
-    "q_report_freshness" -> freshnessReport
+    "q_report_freshness" -> freshnessReport,
+    "q_report_skew"     -> skewReport
   )
 
   /** Shared WITH prefix ending in `cur(doc_id, split)` — the curated
@@ -270,6 +319,24 @@ object CurationQueries {
         | SELECT event_type, n_events, last_s,
         |  (global_s - last_s) // 60 AS lag_min
         | FROM per_feed CROSS JOIN hwm
-        | ORDER BY event_type""".stripMargin
+        | ORDER BY event_type""".stripMargin,
+    "q_report_skew" ->
+      (SkewKeys.map { case (tbl, key) =>
+        s"""(WITH c AS (SELECT $key AS k, count(*) AS cnt FROM $tbl GROUP BY 1),
+           | a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys,
+           |   max(cnt) AS max_cnt,
+           |   CAST(quantile_cont(cnt, 0.5) * 4 AS BIGINT) AS med_x4,
+           |   CAST(quantile_cont(cnt, 0.75) * 4 AS BIGINT) AS p75_x4,
+           |   CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq FROM c),
+           | t10 AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10_cnt FROM
+           |   (SELECT cnt FROM c ORDER BY cnt DESC, k ASC LIMIT 10))
+           | SELECT '$tbl' AS tbl, '$key' AS key_col, n_rows, n_keys, max_cnt,
+           |  10000 * max_cnt // n_rows AS top1_bp,
+           |  10000 * top10_cnt // n_rows AS top10_bp,
+           |  10000 * max_cnt * 4 // med_x4 AS max_med_bp,
+           |  med_x4, p75_x4,
+           |  1000000 * sum_sq // (n_rows * n_rows) AS hhi_ppm
+           | FROM a, t10)""".stripMargin
+      }.mkString("\n UNION ALL\n") + "\n ORDER BY tbl")
   )
 }

@@ -68,6 +68,105 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Candidate metadata predicate for [[filteredAnn]] (even label). */
+  private val FilteredTopK = 5
+
+  /** Filtered vector search — top-K restricted to candidates passing a
+    * metadata predicate, the shape every production vector store serves
+    * ("nearest docs WHERE lang = 'en' AND license = 'ok'"). Semantics
+    * are PRE-FILTER: the predicate prunes candidates BEFORE any
+    * distance math, so the result is the exact top-K of the filtered
+    * subset. (Post-filtering an ANN result list — filter after top-K —
+    * silently under-fills K when the filter is selective; pre-filter is
+    * the correctness baseline an index's filtered mode must match.) At
+    * scale the predicate pushes into the scan (PushedFilters on the
+    * metadata column), shrinking the distance workload by the filter's
+    * selectivity. */
+  private val filteredAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.where(col("vec_id") >= NumQueries && col("label") % 2 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("label"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("cid"), col("label"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    graft.plans.GraftOps.topKPerKey(scored, Seq("qid"),
+        Seq("cos" -> false, "cid" -> true), FilteredTopK)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        col("label"), round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Hybrid-retrieval knobs for [[hybridRrf]]: the classic RRF damping
+    * constant, per-modality candidate depth, and fused output size. */
+  private val RrfK    = 60
+  private val RrfTopN = 20
+  private val RrfOut  = 10
+
+  /** Hybrid retrieval with reciprocal rank fusion — the
+    * lexical + dense combination modern search stacks ship (dense
+    * embeddings recall paraphrases; lexical overlap nails exact terms;
+    * RRF fuses the two WITHOUT score calibration, using only ranks).
+    * Everything is integer-exact across engines: the lexical score is
+    * Σ `1e6 div df(term)` over shared distinct terms (rarer terms weigh
+    * more — idf's ordering without its logarithm's FP surface), and the
+    * fused score is Σ `1e6 div (K + rank)` over both top-[[RrfTopN]]
+    * lists, rank 0 marking absence from a list (contributes nothing,
+    * keeps the output null-free). Scale shape: the query side of both
+    * modalities is broadcast (small by definition); per-modality
+    * candidates ride [[graft.plans.TopKPerKey]] bounded heaps; the df
+    * join is vocabulary-sized (AQE decides the broadcast); the fusion
+    * join is over two ≤ queries×[[RrfTopN]] lists — trivially small. */
+  private val hybridRrf: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val qv = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cv = emb.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dense = cv.join(broadcast(qv))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    val denseRnk = graft.plans.GraftOps.topKPerKey(dense, Seq("qid"),
+        Seq("cos" -> false, "cid" -> true), RrfTopN)
+      .withColumn("dense_rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .select("qid", "cid", "dense_rnk")
+    val terms = Tables.fanout(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.ops.TokenOps.terms(col("text")))).as("term"))
+    val df_ = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = terms.where(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("qid"), col("term"))
+    val ct = terms.where(col("doc_id") >= NumQueries)
+      .select(col("doc_id").as("cid"), col("term"))
+    val lex = ct.join(broadcast(qt), Seq("term")).join(df_, Seq("term"))
+      .groupBy("qid", "cid")
+      .agg(expr("CAST(sum(1000000 div df) AS BIGINT)").as("lex_score"))
+    val lexRnk = graft.plans.GraftOps.topKPerKey(lex, Seq("qid"),
+        Seq("lex_score" -> false, "cid" -> true), RrfTopN)
+      .withColumn("lex_rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("lex_score").desc, col("cid").asc)))
+      .select("qid", "cid", "lex_rnk")
+    denseRnk.join(lexRnk, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        coalesce(col("dense_rnk"), lit(0)).cast("int").as("dense_rnk"),
+        coalesce(col("lex_rnk"), lit(0)).cast("int").as("lex_rnk"))
+      .withColumn("fused", expr(
+        s"""CAST(CASE WHEN dense_rnk > 0 THEN 1000000 div ($RrfK + dense_rnk) ELSE 0 END
+           | + CASE WHEN lex_rnk > 0 THEN 1000000 div ($RrfK + lex_rnk) ELSE 0 END AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("fused").desc, col("cid").asc)))
+      .where(col("rnk") <= RrfOut)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        col("fused"), col("dense_rnk"), col("lex_rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   private val IvfProbes = 2
 
   /** IVF-style ANN (the richer 100 TB scale path next to sign-LSH):
@@ -273,6 +372,8 @@ object SimilarityQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "q_sim_topk_bruteforce" -> bruteForceTopK,
+    "q_sim_filtered_ann"    -> filteredAnn,
+    "q_sim_hybrid_rrf"      -> hybridRrf,
     "q_sim_lsh_ann"         -> lshAnn,
     "q_sim_ivf_ann"         -> ivfAnn,
     "q_sim_quantize"        -> quantizeInt8,
@@ -297,6 +398,51 @@ object SimilarityQueries {
          |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
          | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
          | WHERE rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "q_sim_filtered_ann" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings
+         |   WHERE vec_id >= $NumQueries AND label % 2 = 0),
+         | s AS (SELECT qid, cid, label, $duckCos AS cos FROM q CROSS JOIN c),
+         | r AS (SELECT qid, cid, label, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
+         | SELECT qid, rnk, cid, label, round(cos, 4) AS cos4 FROM r
+         | WHERE rnk <= $FilteredTopK ORDER BY qid, rnk""".stripMargin,
+    "q_sim_hybrid_rrf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(list_distinct(${TextQueries.duckTerms("text")})) AS term
+         |  FROM documents),
+         | df AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+         | qt AS (SELECT doc_id AS qid, term FROM terms WHERE doc_id < $NumQueries),
+         | ct AS (SELECT doc_id AS cid, term FROM terms WHERE doc_id >= $NumQueries),
+         | lex AS (SELECT qid, cid, CAST(sum(1000000 // df) AS BIGINT) AS lex_score
+         |   FROM qt JOIN ct USING (term) JOIN df USING (term) GROUP BY qid, cid),
+         | lexw AS (SELECT qid, cid,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY lex_score DESC, cid) AS INTEGER) AS lex_rnk
+         |  FROM lex),
+         | lexr AS (SELECT * FROM lexw WHERE lex_rnk <= $RrfTopN),
+         | qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | cv AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | dn AS (SELECT qid, cid, $duckCos AS cos FROM qv CROSS JOIN cv),
+         | dnw AS (SELECT qid, cid,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS dense_rnk
+         |  FROM dn),
+         | dnr AS (SELECT * FROM dnw WHERE dense_rnk <= $RrfTopN),
+         | fused AS (
+         |  SELECT coalesce(d.qid, l.qid) AS qid, coalesce(d.cid, l.cid) AS cid,
+         |   CAST(coalesce(d.dense_rnk, 0) AS INTEGER) AS dense_rnk,
+         |   CAST(coalesce(l.lex_rnk, 0) AS INTEGER) AS lex_rnk
+         |  FROM dnr d FULL OUTER JOIN lexr l ON d.qid = l.qid AND d.cid = l.cid),
+         | scored AS (
+         |  SELECT qid, cid, dense_rnk, lex_rnk,
+         |   CAST(CASE WHEN dense_rnk > 0 THEN 1000000 // ($RrfK + dense_rnk) ELSE 0 END
+         |     + CASE WHEN lex_rnk > 0 THEN 1000000 // ($RrfK + lex_rnk) ELSE 0 END AS BIGINT) AS fused
+         |  FROM fused),
+         | ranked AS (
+         |  SELECT qid, cid, fused, dense_rnk, lex_rnk,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY fused DESC, cid) AS INTEGER) AS rnk
+         |  FROM scored)
+         | SELECT qid, rnk, cid, fused, dense_rnk, lex_rnk
+         | FROM ranked WHERE rnk <= $RrfOut ORDER BY qid, rnk""".stripMargin,
     "q_sim_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
          | q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM e WHERE vec_id < $NumQueries),

@@ -29,7 +29,7 @@ object TextQueries {
     TokenOps.StopWords.map(w => s"'$w'").mkString(", ")
 
   /** DuckDB mirror of TokenOps.terms (clean → split → de-stop). */
-  private def duckTerms(c: String): String =
+  private[queries] def duckTerms(c: String): String =
     s"list_filter(string_split(${duckClean(c)}, ' '), w -> w <> '' AND w NOT IN ($stopListSql))"
 
   /** Filter-decision thresholds (C4/Gopher-style gate, shared with the
@@ -652,7 +652,35 @@ object TextQueries {
           expr("slice(toks, tok_start, tok_end - tok_start + 1)"))).as("chunk_fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Output cap for [[bpePairs]]. */
+  private val BpeTopPairs = 50
+
+  /** The first BPE merge iteration — the statistic a tokenizer TRAINING
+    * pass computes: adjacent character-pair frequencies over the corpus,
+    * as the argmax candidate list for the first merge rule. The classic
+    * BPE efficiency trick is load-bearing at scale: pairs are counted
+    * over the DISTINCT vocabulary weighted by word frequency (one row
+    * per word TYPE × position), never over raw corpus tokens — the
+    * explode is vocabulary-sized (sublinear in corpus, Heaps' law)
+    * while the counts are exactly the corpus-wide ones. Top-K rides
+    * `TakeOrderedAndProject`; ties break on the pair string. */
+  private val bpePairs: Q = (s, dir) => {
+    val wordFreq = docs(s, dir)
+      .select(explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+    wordFreq
+      .where(length(col("term")) >= 2)
+      .select(col("term"), col("freq"),
+        explode(expr("sequence(1, length(term) - 1)")).as("i"))
+      .select(concat(expr("substring(term, i, 1)"), lit(" "),
+        expr("substring(term, i + 1, 1)")).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(BpeTopPairs)
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_text_bpe_pairs"   -> bpePairs,
     "q_text_chunks"      -> chunkDocs,
     "q_text_editdist"    -> editDistance,
     "q_f_clean_chain"    -> fCleanChain,
@@ -685,6 +713,19 @@ object TextQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_text_bpe_pairs" ->
+      s"""WITH wf AS (
+         |  SELECT t AS term, count(*) AS freq
+         |  FROM (SELECT unnest(${duckTerms("text")}) AS t FROM documents)
+         |  GROUP BY 1),
+         | pairs AS (
+         |  SELECT substr(term, i, 1) || ' ' || substr(term, i + 1, 1) AS pair, freq
+         |  FROM (SELECT term, freq,
+         |     unnest(generate_series(1, len(term) - 1)) AS i
+         |    FROM wf WHERE len(term) >= 2))
+         | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+         | FROM pairs GROUP BY pair
+         | ORDER BY cnt DESC, pair ASC LIMIT $BpeTopPairs""".stripMargin,
     "q_text_chunks" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
