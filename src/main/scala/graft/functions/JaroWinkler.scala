@@ -32,6 +32,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinkler {
 
+  /** Column-API wrapper (the `Similarity.cosine` pattern) — the one
+    * place the ColumnShim wrapping lives; call sites and specs share
+    * it. */
+  def column(a: org.apache.spark.sql.Column,
+             b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftshim.ColumnShim.toColumn(
+      JaroWinklerSim(
+        org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
+        org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
+
   def similarity(l: UTF8String, r: UTF8String): Double = {
     val s1 = l.toString
     val s2 = r.toString

@@ -217,8 +217,11 @@ object CurationQueries {
         expr("CAST(percentile(cnt, 0.5) * 4 AS BIGINT)").as("med_x4"),
         expr("CAST(percentile(cnt, 0.75) * 4 AS BIGINT)").as("p75_x4"),
         sum(expr("cnt * cnt")).as("sum_sq"))
-      val top10 = cnts.orderBy(col("cnt").desc, col("k").asc).limit(10)
-        .agg(sum("cnt").as("top10_cnt"))
+      // asc_nulls_last matches DuckDB's ASC default (NULLS LAST), so a
+      // NULL-key group tying at the top-10 boundary breaks the same way
+      // on both engines (testdata has no NULL keys; real tables do).
+      val top10 = cnts.orderBy(col("cnt").desc, col("k").asc_nulls_last)
+        .limit(10).agg(sum("cnt").as("top10_cnt"))
       agg.crossJoin(broadcast(top10))
         .select(lit(tbl).as("tbl"), lit(key).as("key_col"),
           col("n_rows"), col("n_keys"), col("max_cnt"),

@@ -311,12 +311,7 @@ object RelationalQueries {
     * identical keep decision even if a last-ulp double divergence
     * exists at the boundary. */
   private val j2Jaro: Q = (s, dir) => {
-    def jw(a: org.apache.spark.sql.Column,
-           b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      org.apache.spark.sql.graftshim.ColumnShim.toColumn(
-        graft.functions.JaroWinklerSim(
-          org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
-          org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
+    val jw = graft.functions.JaroWinkler.column _
     val names = t(s, dir, "part").select(col("p_name")).distinct()
       .withColumn("blk", substring(col("p_name"), 1, 2))
     names.as("x").join(names.as("y"),

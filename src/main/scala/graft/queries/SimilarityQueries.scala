@@ -68,7 +68,8 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
-  /** Candidate metadata predicate for [[filteredAnn]] (even label). */
+  /** Output depth for [[filteredAnn]] (its metadata predicate — even
+    * label — lives inline in the candidate filter). */
   private val FilteredTopK = 5
 
   /** Filtered vector search — top-K restricted to candidates passing a

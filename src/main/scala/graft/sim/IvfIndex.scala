@@ -29,10 +29,14 @@ import org.apache.spark.sql.functions._
   * this index exists for. The nearest-cell rule is the shared
   * [[Similarity.rankedCellAffinity]], so the persisted index and the
   * oracle-checked inline query cannot drift. */
-final class IvfIndex(spark: SparkSession, indexDir: String)
+final class IvfIndex(spark: SparkSession, val indexDir: String)
     extends Serializable {
 
-  /** Newest version whose centroids AND postings are complete. */
+  /** Newest version whose centroids AND postings are complete. The
+    * `v=N` name filter runs BEFORE the `_SUCCESS` probes, so unrelated
+    * or stale directories under `indexDir` cost zero existence RPCs
+    * (they matter on object stores, where every probe is a round
+    * trip). */
   def currentVersion(): Option[Long] = {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -41,13 +45,14 @@ final class IvfIndex(spark: SparkSession, indexDir: String)
       val version = "^v=(\\d+)$".r
       fs.listStatus(dir).toSeq
         .filter(_.isDirectory)
-        .map(_.getPath)
-        .filter(p => fs.exists(new Path(p, "centroids/_SUCCESS")) &&
-          fs.exists(new Path(p, "postings/_SUCCESS")))
-        .flatMap(_.getName match {
-          case version(v) => Some(v.toLong)
+        .flatMap(s => s.getPath.getName match {
+          case version(v) => Some((s.getPath, v.toLong))
           case _          => None
         })
+        .filter { case (p, _) =>
+          fs.exists(new Path(p, "centroids/_SUCCESS")) &&
+            fs.exists(new Path(p, "postings/_SUCCESS")) }
+        .map(_._2)
         .sorted.lastOption
     }
   }
@@ -56,7 +61,14 @@ final class IvfIndex(spark: SparkSession, indexDir: String)
     * `seedCol` seeds the cells (any rough partition — a label, a hash
     * bucket, a first-round k-means assignment); vectors are then
     * assigned to their NEAREST seeded centroid, which repairs a
-    * mediocre seed. Returns the published version. */
+    * mediocre seed. Returns the published version.
+    *
+    * SINGLE WRITER assumed (the normal shape for an index-maintenance
+    * job): two concurrent builds would compute the same target version
+    * and interleave writes into one `v=N` directory. Under a scheduler
+    * that cannot guarantee one builder, stage into a temp dir and
+    * atomically rename to `v=N` (rename is atomic on HDFS/local), so
+    * the loser's rename fails loudly instead of publishing a mix. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             seedCol: String): Long = {
     val v = currentVersion().map(_ + 1).getOrElse(0L)
@@ -77,24 +89,30 @@ final class IvfIndex(spark: SparkSession, indexDir: String)
     v
   }
 
-  private def versionedOrFail(table: String): DataFrame = {
-    val v = currentVersion().getOrElse(
-      throw new IllegalStateException(s"no complete index under $indexDir"))
+  private def resolvedOrFail(): Long = currentVersion().getOrElse(
+    throw new IllegalStateException(s"no complete index under $indexDir"))
+
+  private def read(v: Long, table: String): DataFrame =
     spark.read.parquet(s"$indexDir/v=$v/$table")
-  }
 
-  def centroids(): DataFrame = versionedOrFail("centroids")
-  def postings(): DataFrame = versionedOrFail("postings")
+  def centroids(): DataFrame = read(resolvedOrFail(), "centroids")
+  def postings(): DataFrame = read(resolvedOrFail(), "postings")
 
-  /** Top-k cosine neighbors per query over the persisted index. */
+  /** Top-k cosine neighbors per query over the persisted index. The
+    * version is resolved ONCE and both tables read at it — resolving
+    * per-table would let a build publishing mid-search pair version-N
+    * centroids with version-N+1 postings (cell assignments from
+    * different centroids: the torn read the versioning exists to
+    * prevent). */
   def search(queries: DataFrame, idCol: String, vecCol: String,
              k: Int, probes: Int): DataFrame = {
+    val v = resolvedOrFail()
     val probed = Similarity
       .rankedCellAffinity(queries.select(col(idCol), col(vecCol)),
-        idCol, vecCol, centroids())
+        idCol, vecCol, read(v, "centroids"))
       .where(col("rnk") <= probes)
       .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
-    postings().join(broadcast(probed), Seq("cell"))
+    read(v, "postings").join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id").as("cid"),
         Similarity.cosine(col("qe"), col("vector")).as("cos"))
       .withColumn("rnk", row_number().over(

@@ -13,9 +13,7 @@ import graft.SparkSpec
 class JaroWinklerSpec extends SparkSpec {
   import spark.implicits._
 
-  private def jw(a: Column, b: Column): Column =
-    ColumnShim.toColumn(JaroWinklerSim(
-      ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
+  private def jw(a: Column, b: Column): Column = JaroWinkler.column(a, b)
 
   private def sim(a: String, b: String): Double =
     JaroWinkler.similarity(UTF8String.fromString(a), UTF8String.fromString(b))

@@ -22,7 +22,9 @@ class IvfIndexSpec extends SparkSpec {
   private lazy val queries = emb.where(col("vec_id") < NumQueries)
   private lazy val corpus = emb.where(col("vec_id") >= NumQueries)
 
-  /** One shared build — every test below only READS the index. */
+  /** One shared build. The rebuild test publishes a v=1 with identical
+    * content (same corpus), so later tests read the same data whichever
+    * version the resolver serves. */
   private lazy val idx: IvfIndex = {
     val i = new IvfIndex(spark,
       Files.createTempDirectory("ivf").toString + "/index")
@@ -44,7 +46,12 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.currentVersion().contains(0L))
     assert(idx.build(corpus, "vec_id", "embedding", "label") == 1L)
     assert(idx.currentVersion().contains(1L))
-    // Old version remains readable (publication, not overwrite-in-place).
+    // The OLD version must remain intact on disk (publication, not
+    // overwrite-in-place) — read v=0 directly, not through the index
+    // (which resolves to the new version).
+    assert(spark.read.parquet(s"${idx.indexDir}/v=0/postings").count() ==
+      corpus.count())
+    // And the resolver serves the new complete version.
     assert(idx.postings().count() == corpus.count())
   }
 
