@@ -56,14 +56,25 @@ object Bench {
     val errs = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(fullLine)
     // Truncation-proof duplicate: the per-query line above grows with the
     // suite (105+ queries > the harvester's tail window), so the headline
     // total is ALSO emitted as a trailing compact line that any tail
     // capture ≥ ~120 bytes picks up intact.
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+    // File artifact with the COMPLETE per-query map: the driver's 2 KB
+    // stdout tail lost ~half the 137 timings in round 4 — regression
+    // detection needs all of them, so the full line is also written
+    // next to the repo (overridable for local runs).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_per_query.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -65,23 +65,17 @@ object CurationQueries {
     * the per-(source, bin) manifest. Three operator families composed
     * into a single Catalyst plan (and ONE DuckDB statement), no
     * intermediate materialization beyond the shared verdict checkpoint.
-    * Scale: everything upstream is the verified curate plan; packing
-    * adds one window cumsum per source shard. */
-  private val corpusBuild: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    curatedSplit(s, dir).where(col("split") === "train")
-      .join(t(s, dir, "documents").select("doc_id", "source", "n_chars"),
-        Seq("doc_id"))
-      .withColumn("tok", expr("n_chars DIV 4"))
-      .withColumn("before", coalesce(sum(col("tok")).over(w), lit(0L)))
-      .withColumn("bin", expr(s"before DIV ${SamplingQueries.PackBudget}"))
-      .groupBy("source", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
-        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("source", "bin")
-  }
+    * Scale: everything upstream is the verified curate plan; packing is
+    * the SHARED [[SamplingQueries.packManifest]] two-phase prefix sum
+    * (range partition + broadcast offsets — never a per-source window;
+    * the round-4 `weak` finding closed in one place for both paths). */
+  private val corpusBuild: Q = (s, dir) =>
+    SamplingQueries.packManifest(
+      curatedSplit(s, dir).where(col("split") === "train")
+        .join(t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          Seq("doc_id"))
+        .withColumn("tok", expr("n_chars DIV 4"))
+        .select("doc_id", "source", "tok"))
 
   /** Per-source corpus report card — the governance output a curation
     * run publishes: document counts, filter-gate keep rate, token volume,

@@ -731,16 +731,27 @@ object RelationalQueries {
     * cross-engine FP edge entirely). Ties share a rank (no tie-break
     * column: adding one would order tied rows engine-specifically).
     * `cum`'s default RANGE frame counts through the last peer — exactly
-    * cume_dist's numerator. One shuffle on event_type shared by all
-    * three windows. */
+    * cume_dist's numerator.
+    *
+    * Scale: event_type is a HANDFUL of values, so a window partitioned
+    * by it alone would funnel the whole stream through a handful of
+    * tasks (the round-4 `weak` finding). Instead the ranks ride
+    * [[graft.ops.PrefixOps]]' two-phase prefix sum: global rank = the
+    * broadcast exclusive-prefix row count of earlier partitions + the
+    * LOCAL rank within (event_type, __pid) — bit-identical because
+    * range partitioning keeps value-peers in one partition. Both local
+    * windows and the per-type total share the one (type, pid) frame. */
   private val w2PercentNorm: Q = (s, dir) => {
-    val byType  = Window.partitionBy("event_type")
-    val ordered = byType.orderBy(col("value").asc)
-    t(s, dir, "events")
+    val base = t(s, dir, "events").select("event_id", "event_type", "value")
+    val pref = graft.ops.PrefixOps.withPrefixOffsets(base, Seq("event_type"),
+      Seq(col("value").asc), Seq("cnt" -> lit(1L)))
+    val wLoc = Window.partitionBy("event_type", graft.ops.PrefixOps.PidCol)
+      .orderBy(col("value").asc)
+    pref
       .select(col("event_id"), col("event_type"),
-        rank().over(ordered).as("rnk"),
-        count(lit(1)).over(byType).as("n"),
-        count(lit(1)).over(ordered).as("cum"))
+        (col("cnt_off") + rank().over(wLoc)).as("rnk"),
+        col("cnt_tot").as("n"),
+        (col("cnt_off") + count(lit(1)).over(wLoc)).as("cum"))
       .select(col("event_id"), col("event_type"),
         expr("CAST(CASE WHEN n > 1 THEN 10000 * (rnk - 1) DIV (n - 1) ELSE 0 END AS BIGINT)").as("pr_bp"),
         expr("CAST(10000 * cum DIV n AS BIGINT)").as("cd_bp"))
@@ -889,19 +900,29 @@ object RelationalQueries {
     * (the curation-budget dual of top-K: "spend 50% of the quality mass",
     * not "take 3 docs"). A row survives iff the running sum BEFORE it is
     * still under P·total. Scores ride integer cents; the running and
-    * total sums are exact integers, so the cut is engine-exact. One
-    * shuffle on event_type shared by both windows. */
+    * total sums are exact integers, so the cut is engine-exact.
+    *
+    * Scale: same low-cardinality-key hazard (and fix) as
+    * [[w2PercentNorm]] — the running-sum-before rides the two-phase
+    * prefix sum: broadcast exclusive-prefix cents of earlier
+    * (event_type, __pid) partitions + a LOCAL rows-frame sum. The
+    * ordering is total (event_id tie-break), so the cut row is
+    * engine- and partitioning-exact; the per-type total comes from the
+    * same subtotal frame (`cents_tot`). */
   private val TopPBp = 5000
   private val w2TopP: Q = (s, dir) => {
-    val byType  = Window.partitionBy("event_type")
-    val ordered = byType.orderBy(col("cents").desc, col("event_id").asc)
-    t(s, dir, "events")
+    val base = t(s, dir, "events")
       .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
-      .withColumn("cum_before", coalesce(
-        sum("cents").over(ordered.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("total", sum("cents").over(byType))
-      .where(expr(s"10000 * cum_before < $TopPBp * total"))
+      .select("event_id", "event_type", "cents")
+    val ord  = Seq(col("cents").desc, col("event_id").asc)
+    val pref = graft.ops.PrefixOps.withPrefixOffsets(base, Seq("event_type"),
+      ord, Seq("cents" -> col("cents")))
+    val wLoc = Window.partitionBy("event_type", graft.ops.PrefixOps.PidCol)
+      .orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, -1)
+    pref
+      .withColumn("cum_before",
+        col("cents_off") + coalesce(sum("cents").over(wLoc), lit(0L)))
+      .where(expr(s"10000 * cum_before < $TopPBp * cents_tot"))
       .select("event_id", "event_type", "cents")
       .orderBy("event_id")
   }
@@ -909,12 +930,21 @@ object RelationalQueries {
   /** W2+ RFM segmentation — the canonical customer-value cut (recency /
     * frequency / monetary quartiles → a 'r-f-m' segment label). Metrics
     * are one hash aggregation (cents-exact, recency in whole days against
-    * the stream's max timestamp); the three `ntile(4)` windows are GLOBAL
-    * but run over the already-aggregated O(users) frame — the same
-    * documented exception as `q_w1_indexer_rank` (a key-space-sized
-    * input, not the event stream; at 100 TB the users frame is the small
-    * output of the first aggregate). Ties are broken by user_id so ntile
-    * is deterministic in both engines. */
+    * the stream's max timestamp). Ties are broken by user_id so the
+    * quartile cut is deterministic in both engines.
+    *
+    * Scale: a global `ntile(4)` window is ONE task carrying every user —
+    * O(users) is the event stream's key space, billions at 100 TB (the
+    * round-4 `weak` finding; unlike `q_w1_indexer_rank`'s O(labels)
+    * frame this is NOT provably tiny). Each quartile instead derives
+    * from a distributed global row number ([[graft.ops.PrefixOps
+    * .withGlobalRowNumber]]: range partition → local row_number +
+    * broadcast prefix offsets) and the exact integer NTile arithmetic
+    * ([[graft.ops.PrefixOps.ntileFromRowNumber]]) — bit-identical to
+    * ntile because the ordering is total. The metrics frame is
+    * checkpointed once so the three independent range shuffles don't
+    * re-aggregate the event stream three times (same swap-point
+    * convention as the curation verdict frame). */
   private val w2Rfm: Q = (s, dir) => {
     val agg = t(s, dir, "events")
       .groupBy("user_id").agg(
@@ -922,14 +952,20 @@ object RelationalQueries {
         count(lit(1)).as("freq"),
         sum(expr("CAST(round(value * 100) AS BIGINT)")).as("monetary_cents"))
     val ref = agg.agg(max("last_s").as("ref_s"))
-    agg.crossJoin(broadcast(ref))
+    val metrics = agg.crossJoin(broadcast(ref))
       .withColumn("recency_days", expr("(ref_s - last_s) DIV 86400"))
-      .withColumn("r_q", ntile(4).over(
-        Window.orderBy(col("recency_days").asc, col("user_id").asc)))
-      .withColumn("f_q", ntile(4).over(
-        Window.orderBy(col("freq").desc, col("user_id").asc)))
-      .withColumn("m_q", ntile(4).over(
-        Window.orderBy(col("monetary_cents").desc, col("user_id").asc)))
+      .localCheckpoint(true)
+    val ranked = Seq(
+        ("r", Seq(col("recency_days").asc, col("user_id").asc)),
+        ("f", Seq(col("freq").desc, col("user_id").asc)),
+        ("m", Seq(col("monetary_cents").desc, col("user_id").asc)))
+      .foldLeft(metrics) { case (d, (m, ord)) =>
+        graft.ops.PrefixOps.withGlobalRowNumber(d, ord, m + "_rn")
+      }
+    Seq("r", "f", "m").foldLeft(ranked) { (d, m) =>
+        d.withColumn(m + "_q",
+          graft.ops.PrefixOps.ntileFromRowNumber(m + "_rn", m + "_rn_n", 4))
+      }
       .select(col("user_id"), col("recency_days"), col("freq"),
         col("monetary_cents"),
         col("r_q").cast("long").as("r_q"), col("f_q").cast("long").as("f_q"),

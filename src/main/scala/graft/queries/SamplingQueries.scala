@@ -178,29 +178,49 @@ object SamplingQueries {
     * sequence). */
   private[queries] val PackBudget = 2048L
 
-  /** Sequence packing — the pretraining assembly step that lays docs
-    * head-to-tail into fixed token-budget context windows: deterministic
-    * layout (doc_id order within source), each doc assigned to the
-    * window its START offset falls in (bin = tokens-before DIV budget —
-    * the greedy append packing, reproduced exactly on any engine).
-    * One window cumsum per source — a single shuffle on the source key;
-    * at 100 TB every source shard packs independently, no global
-    * coordination and no iteration. Token counts are the chars-DIV-4
-    * integer heuristic (engine-portable; a real tokenizer count column
-    * drops in without changing the packing shape). */
-  private val samplePack: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
+  /** The one packing implementation — shared by [[samplePack]] and the
+    * corpus build so the two can never bin differently. Input must carry
+    * (doc_id, source, tok); output is the per-(source, bin) manifest.
+    *
+    * Scale: the per-source cumulative sum was the round-4 `weak` finding
+    * (a window partitioned by `source` makes parallelism = #sources, so
+    * a 10 TB source packs on ONE task). It now rides
+    * [[graft.ops.PrefixOps]]' two-phase prefix sum: range partition by
+    * (source, doc_id) → LOCAL rows-frame cumsum per (source, __pid) +
+    * broadcast exclusive-prefix token offsets. Bin assignment
+    * (tokens-before DIV budget) is unchanged integer arithmetic, so the
+    * manifest is bit-identical while every source shard packs on
+    * `parts` tasks. */
+  private[queries] def packManifest(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pref = graft.ops.PrefixOps.withPrefixOffsets(docs, Seq("source"),
+      Seq(col("doc_id").asc), Seq("tok" -> col("tok")))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", graft.ops.PrefixOps.PidCol).orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    t(s, dir, "documents")
-      .withColumn("tok", expr("n_chars DIV 4"))
-      .withColumn("before", coalesce(sum(col("tok")).over(w), lit(0L)))
+    pref
+      .withColumn("before",
+        col("tok_off") + coalesce(sum(col("tok")).over(wLoc), lit(0L)))
       .withColumn("bin", expr(s"before DIV $PackBudget"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("source", "bin")
   }
+
+  /** Sequence packing — the pretraining assembly step that lays docs
+    * head-to-tail into fixed token-budget context windows: deterministic
+    * layout (doc_id order within source), each doc assigned to the
+    * window its START offset falls in (bin = tokens-before DIV budget —
+    * the greedy append packing, reproduced exactly on any engine).
+    * Token counts are the chars-DIV-4 integer heuristic
+    * (engine-portable; a real tokenizer count column drops in without
+    * changing the packing shape). Scale shape: see [[packManifest]]. */
+  private val samplePack: Q = (s, dir) =>
+    packManifest(
+      t(s, dir, "documents")
+        .withColumn("tok", expr("n_chars DIV 4"))
+        .select("doc_id", "source", "tok"))
 
   private val NumFolds = 5
 

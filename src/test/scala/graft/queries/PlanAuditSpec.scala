@@ -42,8 +42,37 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("window families share one data shuffle (W2)") {
-    for (q <- Seq("q_w2_window", "q_w2_analytics", "q_w2_percent_norm", "q_w2_top_p"))
+    for (q <- Seq("q_w2_window", "q_w2_analytics"))
       assert(dataShuffles(plan(q)) == 1, s"$q has >1 data shuffle:\n${plan(q)}")
+  }
+
+  /** The round-4 `weak` family, closed: no window in these plans may
+    * funnel the stream through a low-cardinality partition key. Every
+    * Window node must either carry the prefix-sum partition-id column
+    * (parallelism = shuffle partitions by construction) or run over the
+    * subtotal frame — recognizable as an Aggregate BELOW it that groups
+    * by that same column, whose output is ≤ parts + |groups| rows. The
+    * old plans (windows on event_type/source, global ntile over the
+    * users frame) fail both arms. */
+  test("prefix-sum family: no stream-level window on a low-cardinality key") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val pid = graft.ops.PrefixOps.PidCol
+    for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
+        "q_w2_top_p", "q_w2_rfm")) {
+      val wins = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$q: expected Window operators in the plan")
+      for (w <- wins) {
+        val hasPid = w.partitionSpec.exists(_.references.exists(_.name == pid))
+        val boundedBelow = w.child.collectFirst {
+          case a: Aggregate
+              if a.groupingExpressions.exists(_.references.exists(_.name == pid)) => a
+        }.isDefined
+        assert(hasPid || boundedBelow,
+          s"$q: window partitions on a low-cardinality key without a " +
+            s"bounded frame below:\n$w")
+      }
+    }
   }
 
   test("global top-K plans as TakeOrderedAndProject, never a global sort (O1/O3)") {
