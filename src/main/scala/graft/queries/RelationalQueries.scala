@@ -449,14 +449,22 @@ object RelationalQueries {
 
   /** A2: approx_count_distinct (HLL++, 1% rsd) next to the exact count —
     * the 100 TB cardinality path (one pass, fixed memory, no shuffle of
-    * distinct values). No DuckDB oracle: HLL sketches are
-    * engine-specific, so the driver records the weaker rows-only check
-    * (per the SparkEntry contract). */
+    * distinct values). The HLL estimate itself is engine-specific, so
+    * the GRADED emission is its error CONTRACT, not its value: a
+    * `within_tol` boolean asserting |est − exact| ≤ 3·rsd·exact (3σ of
+    * the 1% rsd), which the DuckDB oracle reproduces as the exact counts
+    * plus literal TRUE — the estimator's accuracy is thereby pinned in
+    * the correctness artifact instead of being declared no-oracle.
+    * Integer comparison (100·|diff| ≤ 3·exact) keeps the tolerance check
+    * engine-exact. */
   private val a2ApproxDistinct: Q = (s, dir) =>
     t(s, dir, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"),
+      .agg(approx_count_distinct("user_id", 0.01).as("est"),
+        countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_users_exact"), col("n_events"),
+        expr("100 * abs(est - n_users_exact) <= 3 * n_users_exact").as("within_tol"))
       .orderBy("event_type")
 
   /** A2+: linear-counting distinct sketch — the cross-engine-VERIFIABLE
@@ -1252,6 +1260,13 @@ object RelationalQueries {
     "q_a2_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         | count(*) AS n_events
+        | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // The estimate is engine-specific; the graded claim is the error
+    // contract — Spark emits |est − exact| ≤ 3σ as a boolean, the oracle
+    // asserts it as literal TRUE next to the same exact counts.
+    "q_a2_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+        | count(*) AS n_events, TRUE AS within_tol
         | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_a2_linear_count" ->
       s"""SELECT event_type,
