@@ -23,34 +23,49 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object PipelineMain {
 
-  /** A usable saved model: metadata present AND the model actually
-    * loads. Presence alone is not enough — PipelineModel.save writes
-    * `metadata/` BEFORE the stage dirs, so a crash mid-save leaves a
-    * metadata-only husk that would otherwise permanently disable
-    * retraining while the stream fails at load on every restart. A
-    * failed load here means "retrain over it" (save() overwrites). */
-  private[graft] def modelExists(spark: SparkSession, modelDir: String): Boolean = {
+  /** A usable saved model, LOADED: metadata present AND the model
+    * actually loads — returned so the caller can SERVE the exact
+    * artifact it validated. Presence alone is not enough —
+    * PipelineModel.save writes `metadata/` BEFORE the stage dirs, so a
+    * crash mid-save leaves a metadata-only husk that would otherwise
+    * permanently disable retraining while the stream fails at load on
+    * every restart. A failed load here means "retrain over it" (save()
+    * overwrites). Returning the model (instead of a boolean the caller
+    * re-loads behind) kills both the double full-model load at startup
+    * and the TOCTOU window in which a concurrent retrain overwriting the
+    * dir between check and load reintroduces the half-written-model
+    * failure the check exists to prevent. */
+  private[graft] def loadIfUsable(spark: SparkSession,
+      modelDir: String): Option[org.apache.spark.ml.PipelineModel] = {
     val p = new Path(modelDir, "metadata")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) &&
-      (try { graft.ml.NlpPipeline.load(modelDir); true }
-       catch { case scala.util.control.NonFatal(e) =>
-         System.err.println(
-           s"[pipeline] model at $modelDir present but unloadable (${e.getMessage}); retraining")
-         false
-       })
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
+    else
+      try Some(graft.ml.NlpPipeline.load(modelDir))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[pipeline] model at $modelDir present but unloadable (${e.getMessage}); retraining")
+        None
+      }
   }
 
+  /** Boolean view of [[loadIfUsable]] (spec surface; production callers
+    * should take the model, not re-load behind the check). */
+  private[graft] def modelExists(spark: SparkSession, modelDir: String): Boolean =
+    loadIfUsable(spark, modelDir).isDefined
+
   /** Train-if-absent → stream. Returns the running query (callers own
-    * awaitTermination), plus whether this run trained. */
+    * awaitTermination), plus whether this run trained. The validated
+    * model is handed to the stream so the checked artifact IS the served
+    * artifact (one load, no check-to-load window). */
   def run(spark: SparkSession, corpusPath: String,
           cfg: StreamMain.Config): (StreamingQuery, Boolean) = {
-    val trained =
-      if (modelExists(spark, cfg.modelDir)) false
-      else {
+    val (preloaded, trained) = loadIfUsable(spark, cfg.modelDir) match {
+      case some @ Some(_) => (some, false)
+      case None =>
         TrainMain.run(spark, corpusPath, cfg.modelDir)
-        true
-      }
-    (StreamMain.run(spark, cfg), trained)
+        (None, true)
+    }
+    (StreamMain.run(spark, cfg, preloaded), trained)
   }
 
   def main(args: Array[String]): Unit = {

@@ -59,12 +59,19 @@ object StreamMain {
     * hot-reloading wrapper when `cfg.reloadModel` — a retrain lands at
     * the next micro-batch without restarting the query), derive the
     * O(topics) label table, start the checkpointed foreachBatch engine.
-    * Returns the running query (callers own awaitTermination). */
-  def run(spark: SparkSession, cfg: Config): StreamingQuery = {
+    * Returns the running query (callers own awaitTermination).
+    *
+    * `preloaded` lets a caller that already validated-by-loading the
+    * model (PipelineMain's startup probe) hand it in, so the checked
+    * artifact is the served artifact — no second full-model load and no
+    * window for a concurrent retrain to swap a half-written save under
+    * the stream. Ignored under `reloadModel` (the reloader owns loads). */
+  def run(spark: SparkSession, cfg: Config,
+          preloaded: Option[org.apache.spark.ml.PipelineModel] = None): StreamingQuery = {
     val transform: DataFrame => DataFrame =
       if (cfg.reloadModel) new graft.ml.ModelReloader(cfg.modelDir).infer
       else {
-        val model = NlpPipeline.load(cfg.modelDir)             // S3
+        val model = preloaded.getOrElse(NlpPipeline.load(cfg.modelDir)) // S3
         val labels = NlpPipeline.topicLabels(spark, model)     // J1 dim side
         batch => NlpPipeline.inferBatch(TrainMain.prepare(batch), model, labels)
       }

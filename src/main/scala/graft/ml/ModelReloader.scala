@@ -30,15 +30,45 @@ final class ModelReloader(modelDir: String) {
   /** Spec hook: how many times a (re)load actually happened. */
   private[ml] def loadCount: Int = synchronized(loads)
 
-  /** Metadata-dir fingerprint: (name, length, mtime) of every metadata
-    * file — a completed overwrite always changes it. */
-  private def fingerprint(spark: SparkSession): String = {
+  /** Metadata-dir fingerprint: (name, length, content-md5) of every
+    * metadata file — a completed overwrite always changes it. mtime is
+    * deliberately NOT part of the fingerprint: a retrain completing
+    * within the filesystem's timestamp granularity (1 s on many
+    * HDFS/object stores) with identically-sized files would read as
+    * unchanged and the new model would silently never load. The content
+    * hash has no such blind spot — Spark ML's metadata JSON embeds the
+    * writer's uid and timestamp, so a completed save always changes the
+    * bytes. The files are a few KB (one part file + _SUCCESS), so the
+    * per-batch driver-side read is trivial next to the micro-batch. */
+  private[ml] def fingerprint(spark: SparkSession): String = {
     val meta = new Path(modelDir, "metadata")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(meta)) ""
     else fs.listStatus(meta).filter(_.isFile)
       .sortBy(_.getPath.getName)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .map { st =>
+        // A file that cannot be read (mid-write, checksum mismatch on a
+        // torn overwrite) hashes as a distinct sentinel instead of
+        // throwing: the fingerprint then differs from the last good one,
+        // the reload is attempted, its load failure is absorbed by
+        // ensureCurrent's keep-serving catch, and the retry happens next
+        // batch — the same degradation path as a corrupt-but-readable
+        // save.
+        val content =
+          try {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val in = fs.open(st.getPath)
+            try {
+              val buf = new Array[Byte](8192)
+              var n = in.read(buf)
+              while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            md.digest().map("%02x".format(_)).mkString
+          } catch {
+            case scala.util.control.NonFatal(_) => "unreadable"
+          }
+        s"${st.getPath.getName}:${st.getLen}:$content"
+      }
       .mkString("|")
   }
 

@@ -63,16 +63,18 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * assigned to their NEAREST seeded centroid, which repairs a
     * mediocre seed. Returns the published version.
     *
-    * SINGLE WRITER assumed (the normal shape for an index-maintenance
-    * job): two concurrent builds would compute the same target version
-    * and interleave writes into one `v=N` directory. Under a scheduler
-    * that cannot guarantee one builder, stage into a temp dir and
-    * atomically rename to `v=N` (rename is atomic on HDFS/local), so
-    * the loser's rename fails loudly instead of publishing a mix. */
+    * Concurrent-builder safe: both tables are written into a hidden
+    * `.staging-<uuid>` dir under `indexDir` (same filesystem, invisible
+    * to [[currentVersion]]'s `v=` filter), and publication is ONE
+    * atomic rename to `v=N` via [[publish]] — of two interleaved
+    * builders exactly one renames first; the loser's publication fails
+    * loudly and its staging is discarded, never interleaved into the
+    * winner's version. The target version is resolved AFTER the heavy
+    * writes, so the collision window is the rename itself. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             seedCol: String): Long = {
-    val v = currentVersion().map(_ + 1).getOrElse(0L)
-    val out = s"$indexDir/v=$v"
+    val staging = new Path(indexDir, s".staging-${java.util.UUID.randomUUID()}")
+    val out = staging.toString
     val cents = Similarity.centroids(emb, vecCol, seedCol)
     cents.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
     // Fan out first: the assignment pass (a cosine against every
@@ -86,6 +88,33 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
       .select("cell", "id", "vector")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell").parquet(s"$out/postings")
+    publish(staging, currentVersion().map(_ + 1).getOrElse(0L))
+  }
+
+  /** Atomically publish a fully-staged version dir as `v=N`. Rename is
+    * atomic on HDFS/local; an existing destination makes it fail — and
+    * on the local filesystem, where a rename onto an existing directory
+    * can instead degrade to a move INTO it, the misplaced staging dir is
+    * detected and removed — so the loser of a publication race throws
+    * instead of mixing its files into the winner's version, and readers
+    * only ever see a version that was completely written before the
+    * rename. */
+  private[sim] def publish(staging: Path, v: Long): Long = {
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(indexDir, s"v=$v")
+    def lose(detail: String): Nothing = {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"concurrent index build lost the publication race ($detail); " +
+          s"staging discarded, v=$v left exactly as its writer published it")
+    }
+    if (fs.exists(target)) lose(s"v=$v already exists")
+    if (!fs.rename(staging, target)) lose(s"rename to v=$v failed")
+    val misplaced = new Path(target, staging.getName)
+    if (fs.exists(misplaced)) {
+      fs.delete(misplaced, true)
+      lose(s"rename landed inside existing v=$v; reverted")
+    }
     v
   }
 

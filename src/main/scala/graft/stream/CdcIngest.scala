@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   *
   * Snapshot storage is VERSIONED: batch B writes the full merged state to
   * `snapshotDir/v=B` (parquet `_SUCCESS` marks completion) and the reader
-  * picks the highest complete version. A replayed batch overwrites its
-  * own version directory — convergent, never duplicated; a crash
-  * mid-write leaves an incomplete dir the reader ignores. Older versions
-  * past a keep-window are pruned best-effort after each commit.
+  * picks the highest complete version. A replayed batch whose version is
+  * already complete SHORT-CIRCUITS — the published dir already is that
+  * batch's output, so replay is a no-op by construction (never a re-merge
+  * that would read from the directory its own overwrite deletes); a crash
+  * mid-write leaves an incomplete dir the reader ignores and the replay
+  * recomputes. Older versions past a keep-window are pruned best-effort
+  * after each commit.
   *
   * Scale shape: only the micro-batch is windowed (per-key top-1 compacts
   * via WindowGroupLimit before any exchange); the standing snapshot joins
@@ -61,14 +64,18 @@ final class CdcIngest(
     if (!fs.exists(dir)) None
     else {
       val version = "^v=(\\d+)$".r
+      // Name-filter BEFORE the _SUCCESS probe: one existence RPC per real
+      // version, none for stray/stale entries (matches
+      // IvfIndex.currentVersion, the documented twin of this reader).
       fs.listStatus(dir).toSeq
         .filter(_.isDirectory)
         .map(_.getPath)
-        .filter(p => fs.exists(new Path(p, "_SUCCESS")))
-        .flatMap(_.getName match {
-          case version(v) => Some(v.toLong)
+        .flatMap(p => p.getName match {
+          case version(v) => Some(p -> v.toLong)
           case _          => None
         })
+        .filter { case (p, _) => fs.exists(new Path(p, "_SUCCESS")) }
+        .map(_._2)
         .sorted.lastOption
     }
   }
@@ -118,6 +125,18 @@ final class CdcIngest(
     * rides the same computation that feeds the write — the snapshot is
     * never re-read to produce it. */
   def processBatch(batch: DataFrame, batchId: Long): Long = {
+    // At-least-once replay of an already-committed batch: v=batchId is
+    // complete on disk, and a re-merge would resolve snapshot() to that
+    // same version — a plan that READS parquet from the directory its own
+    // overwrite then deletes, correct only while the persisted blocks
+    // happen to stay resident (cache loss mid-write would recompute from
+    // the deleted input and destroy the only copy of the newest
+    // snapshot). The published version already IS this batch's output,
+    // so replay short-circuits before any plan is built over it.
+    readVersion(batchId) match {
+      case Some(published) => return published.count()
+      case None            => ()
+    }
     if (batch.isEmpty) return 0L
     val delta = compact(batch)
     val merged = (snapshot() match {

@@ -32,6 +32,43 @@ class PipelineMainSpec extends SparkSpec {
       "metadata-only husk must read as no-model")
   }
 
+  /** Regression (validate-then-reload TOCTOU): the startup probe used to
+    * load the model, discard it, and let the stream load AGAIN from the
+    * dir — a retrain overwriting the dir in between would serve a
+    * half-written model. Now the probe's loaded model is handed to the
+    * stream; serving must not touch the dir again. Proven by the
+    * harshest form of the race: the dir is GONE by the time the stream
+    * starts, and inference still works off the validated artifact. */
+  test("the validated model is the served model — no second load from the dir") {
+    val root = Files.createTempDirectory("graft-pipeline-preload").toString
+    val corpus = s"$root/corpus.json"
+    val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+    Files.writeString(java.nio.file.Path.of(corpus),
+      (0 until 60).map(jsonLine).mkString("[\n", ",\n", "\n]"))
+    Files.writeString(inDir.toPath.resolve("batch0.jsonl"),
+      (0 until 10).map(jsonLine).mkString("\n"))
+    TrainMain.run(spark, corpus, s"$root/model")
+    val preloaded = PipelineMain.loadIfUsable(spark, s"$root/model")
+    assert(preloaded.isDefined)
+    // Simulate the concurrent overwrite at its most hostile: remove the
+    // saved model entirely between validation and serving.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/model"))
+    val cfg = StreamMain.Config(
+      source = StreamMain.FileSource(inDir.toString),
+      modelDir = s"$root/model", // now nonexistent
+      outDir = s"$root/out",
+      fallbackDir = s"$root/fallback",
+      checkpointDir = s"$root/ckpt",
+      trigger = Trigger.AvailableNow())
+    val q = StreamMain.run(spark, cfg, preloaded)
+    q.awaitTermination(300000)
+    assert(spark.read.parquet(s"$root/out").count() == 10,
+      "the stream must serve the validated artifact, not re-load the dir")
+  }
+
   test("cold start trains then streams; warm restart skips training") {
     val root = Files.createTempDirectory("graft-pipeline").toString
     val corpus = s"$root/corpus.json"

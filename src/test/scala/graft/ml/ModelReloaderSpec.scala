@@ -48,4 +48,29 @@ class ModelReloaderSpec extends SparkSpec {
     assert(reloader.infer(batch).count() == 60)
     assert(reloader.loadCount == 2, "unloadable overwrite must not count as a load")
   }
+
+  /** Regression (mtime-blind fingerprint): a retrain completing within
+    * the filesystem's timestamp granularity with identically-sized
+    * metadata files must still change the fingerprint — the content
+    * hash catches what (name, length, mtime) cannot. Simulated by
+    * rewriting the metadata part file with same-length bytes and pinning
+    * the mtime back to its previous value. */
+  test("fingerprint changes on a same-size same-mtime metadata rewrite") {
+    val root = Files.createTempDirectory("graft-reload-fp").toString
+    val meta = new java.io.File(s"$root/model/metadata"); meta.mkdirs()
+    val part = meta.toPath.resolve("part-00000")
+    Files.writeString(part, """{"uid":"pipeline_aaaa","timestamp":1111}""")
+    val mtime = 1700000000000L
+    assert(part.toFile.setLastModified(mtime))
+    val reloader = new ModelReloader(s"$root/model")
+    val fp1 = reloader.fingerprint(spark)
+    Files.writeString(part, """{"uid":"pipeline_bbbb","timestamp":2222}""")
+    assert(part.toFile.setLastModified(mtime)) // same length, same mtime
+    val fp2 = reloader.fingerprint(spark)
+    assert(Files.size(part) == fp1.split(":")(1).toLong,
+      "fixture must keep the byte length identical")
+    assert(fp1 != fp2,
+      "a content change with unchanged (name, length, mtime) must still " +
+        "change the fingerprint")
+  }
 }

@@ -55,6 +55,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.postings().count() == corpus.count())
   }
 
+  /** Regression (publication race): two interleaved builders both
+    * resolve the same target version; exactly ONE may publish. The loser
+    * must fail loudly, discard its staging, and leave the winner's
+    * version byte-identical — never interleave files into it. Driven
+    * deterministically: a separate index dir gets a winner via build(),
+    * then a fabricated fully-staged loser attempts publication of the
+    * same version through the same [[IvfIndex.publish]] path build()
+    * uses. */
+  test("of two interleaved builds exactly one publishes; the loser never corrupts") {
+    val raceIdx = new IvfIndex(spark,
+      Files.createTempDirectory("ivf-race").toString + "/index")
+    // Builder A wins: publishes v=0.
+    assert(raceIdx.build(corpus, "vec_id", "embedding", "label") == 0L)
+    val winnerFiles = new java.io.File(s"${raceIdx.indexDir}/v=0")
+      .listFiles().map(_.getName).toSet
+    // Builder B staged concurrently (before A published, it also
+    // resolved v=0) and now tries to publish the same version.
+    val staging = new org.apache.hadoop.fs.Path(
+      raceIdx.indexDir, ".staging-loser")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("centroids", "postings")) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(staging, t))
+      fs.create(new org.apache.hadoop.fs.Path(staging, s"$t/_SUCCESS"), true).close()
+    }
+    val e = intercept[IllegalStateException] { raceIdx.publish(staging, 0L) }
+    assert(e.getMessage.contains("publication race"), e.getMessage)
+    // Loser's staging is gone; the winner's version is untouched — same
+    // file set, no nested staging remnant; the reader still serves v=0.
+    assert(!fs.exists(staging), "loser staging must be discarded")
+    val after = new java.io.File(s"${raceIdx.indexDir}/v=0")
+      .listFiles().map(_.getName).toSet
+    assert(after == winnerFiles, s"winner's version corrupted: $after")
+    assert(raceIdx.currentVersion().contains(0L))
+    assert(raceIdx.postings().count() == corpus.count())
+  }
+
   test("search is deterministic and probes prune cells") {
     val r1 = idx.search(queries, "vec_id", "embedding", K, probes = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet

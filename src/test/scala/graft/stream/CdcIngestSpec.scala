@@ -46,6 +46,30 @@ class CdcIngestSpec extends SparkSpec {
     assert(state(ingest) == expect)
   }
 
+  /** Regression (replay-overwrite hazard): re-merging a replayed batch
+    * builds a plan that reads v=batchId while the overwrite deletes that
+    * same directory — correct only while cached blocks stay resident.
+    * The fix short-circuits on the already-published version, so replay
+    * must leave the published files byte- and mtime-untouched while
+    * still reporting the published row count. */
+  test("replaying the latest committed batch never rewrites its published version") {
+    val (ingest, dir) = mkIngest()
+    val b0 = Seq(("a", 1L, 1L, "U", "a1")).toDF("k", "ts", "seq", "op", "v")
+    val b1 = Seq(("a", 5L, 2L, "U", "a5"), ("b", 5L, 3L, "U", "b5"))
+      .toDF("k", "ts", "seq", "op", "v")
+    ingest.processBatch(b0, 0L)
+    assert(ingest.processBatch(b1, 1L) == 2L)
+    def listing = new java.io.File(s"$dir/snap/v=1").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = listing
+    Thread.sleep(1100) // past any fs timestamp granularity
+    val n = ingest.processBatch(b1, 1L)
+    assert(n == 2L, "replay must report the published count")
+    assert(listing == before,
+      "replay of a committed batch must not rewrite the published version")
+    assert(ingest.currentVersion().contains(1L))
+  }
+
   test("out-of-order replay cannot regress state or resurrect deletes") {
     val (ingest, _) = mkIngest()
     val older = Seq(("a", 1L, 1L, "U", "a-old"), ("d", 1L, 2L, "U", "d-old"))

@@ -39,6 +39,27 @@ class EpochLedgerSpec extends SparkSpec {
     assert(sink2.rows.size == 2)
   }
 
+  /** Regression (unbounded ledger growth): one marker per committed
+    * batch, never pruned, turns the probe dir into a million-entry
+    * listing over a long-running query. With a keep-window, only the
+    * newest `ledgerKeep` markers survive — and the skip guarantee holds
+    * for every retained epoch. */
+  test("ledger prunes markers beyond the keep-window; retained epochs still skip") {
+    val ledger = Files.createTempDirectory("graft-ledger-prune").toString
+    val sink = new MemorySink
+    val e = new StreamEngine(identity, sink, new MemorySink,
+      epochLedger = Some(ledger), ledgerKeep = 2)
+    val batch = Seq((1L, "a")).toDF("id", "v")
+    for (i <- 0L to 4L) e.processBatch(batch, i)
+    val markers = new java.io.File(ledger).listFiles()
+      .map(_.getName).filter(_.startsWith("epoch-")).toSet
+    assert(markers == Set("epoch-3", "epoch-4"),
+      s"expected only the keep-window markers, got $markers")
+    val n = sink.rows.size
+    e.processBatch(batch, 4L) // newest retained epoch still skips
+    assert(sink.rows.size == n, "retained epoch must still be replay-skipped")
+  }
+
   test("without a ledger the engine keeps its at-least-once default") {
     val sink = new MemorySink
     val e = new StreamEngine(identity, sink, new MemorySink)
