@@ -211,6 +211,18 @@ object DedupQueries {
   private[queries] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame =
     connectedComponentsWithIters(s, pairs)._1
 
+  /** The fixpoint loop's edge layout: mirror the pairs and spread them
+    * ROUND-ROBIN over the loop's partition count. Key-OBLIVIOUS by
+    * design — a power-law hub's edges land evenly regardless of degree,
+    * so no iteration task can be dominated by one mega-cluster. This is
+    * the rule the skew spec in `DedupQueriesSpec` measures; keeping it
+    * here (not inlined in the loop) means the spec pins the SHIPPED
+    * spread, not a private copy. */
+  private[queries] def spreadEdges(pairs: DataFrame, loopParts: Int): DataFrame =
+    pairs
+      .union(pairs.select(col("doc2"), col("doc1")))
+      .toDF("src", "dst").repartition(loopParts)
+
   /** The fixpoint plus its iteration count — the count is the pointer-
     * jumping O(log diameter) claim, pinned by the power-law skew spec in
     * `DedupQueriesSpec` (a star-hub + long-chain mega-cluster must
@@ -230,9 +242,7 @@ object DedupQueries {
       // The union references `pairs` twice; materialize the (possibly
       // expensive) candidate subtree once before mirroring it.
       val p = pairs.localCheckpoint(true)
-      edges = p
-        .union(p.select(col("doc2"), col("doc1")))
-        .toDF("src", "dst").repartition(loopParts).persist()
+      edges = spreadEdges(p, loopParts).persist()
       // localCheckpoint (not persist): an iterative DataFrame loop grows
       // the logical plan each round — caching cuts re-EXECUTION but not
       // re-ANALYSIS, so planning time compounds. Checkpointing truncates

@@ -69,6 +69,78 @@ class PipelineMainSpec extends SparkSpec {
       "the stream must serve the validated artifact, not re-load the dir")
   }
 
+  /** The composed recovery path — hot reload + exactly-once ledger
+    * driven through PipelineMain as one scenario (each part is spec'd
+    * alone; this is the integration the two must survive TOGETHER):
+    *   1. cold start trains, streams a batch, commits its epoch marker;
+    *   2. a retrain overwrites the model dir (the mid-stream landing —
+    *      `reloadModel` serves it at the next batch, no restart);
+    *   3. crash-replay with the marker intact: the re-delivered epoch is
+    *      skipped WHOLE — no duplicate rows — and the run must NOT
+    *      retrain over the fresh model;
+    *   4. crash BETWEEN sink write and marker (simulated by dropping the
+    *      marker): replay re-writes that one batch — at-least-once at
+    *      the sink, served by the retrained model, rows stay valid. */
+  test("composed recovery: retrain + ledgered crash-replay through PipelineMain") {
+    val root = Files.createTempDirectory("graft-pipeline-recover").toString
+    val corpus = s"$root/corpus.json"
+    val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+    val ledger = s"$root/ledger"
+    Files.writeString(java.nio.file.Path.of(corpus),
+      (0 until 60).map(jsonLine).mkString("[\n", ",\n", "\n]"))
+    Files.writeString(inDir.toPath.resolve("batch0.jsonl"),
+      (0 until 25).map(jsonLine).mkString("\n"))
+    def cfg(ckpt: String) = StreamMain.Config(
+      source = StreamMain.FileSource(inDir.toString),
+      modelDir = s"$root/model",
+      outDir = s"$root/out",
+      fallbackDir = s"$root/fallback",
+      checkpointDir = s"$root/$ckpt",
+      trigger = Trigger.AvailableNow(),
+      reloadModel = true,
+      epochLedger = Some(ledger))
+    def metaBytes: Seq[String] = new java.io.File(s"$root/model/metadata")
+      .listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      .map(f => Files.readString(f.toPath)).toSeq
+
+    // 1. Cold start: train, stream, commit the epoch marker.
+    val (q1, trained1) = PipelineMain.run(spark, corpus, cfg("ckpt1"))
+    q1.awaitTermination(300000)
+    assert(trained1)
+    assert(spark.read.parquet(s"$root/out").count() == 25)
+    assert(new java.io.File(ledger).listFiles().exists(_.getName == "epoch-0"),
+      "committed batch must leave its epoch marker")
+
+    // 2. Retrain lands over the model dir (what a scheduler does while
+    // the stream runs; reloadModel picks it up batch-aligned).
+    val metaBefore = metaBytes
+    Files.writeString(java.nio.file.Path.of(s"$root/corpus2.json"),
+      (0 until 60).map(i => jsonLine(i + 7)).mkString("[\n", ",\n", "\n]"))
+    TrainMain.run(spark, s"$root/corpus2.json", s"$root/model")
+    assert(metaBytes != metaBefore, "retrain must overwrite the saved model")
+
+    // 3. Crash-replay, marker intact: fresh checkpoint re-delivers the
+    // file as epoch 0 — skipped whole; the retrained model is validated
+    // and reused, never retrained over.
+    val (q2, trained2) = PipelineMain.run(spark, corpus, cfg("ckpt2"))
+    q2.awaitTermination(300000)
+    assert(!trained2, "recovery must reuse the retrained model")
+    assert(spark.read.parquet(s"$root/out").count() == 25,
+      "a committed epoch must be skipped whole on crash-replay")
+
+    // 4. Crash between sink write and marker: the marker is missing, so
+    // replay re-writes that one batch (at-least-once at the sink),
+    // through the RETRAINED model, still producing valid rows.
+    assert(new java.io.File(s"$ledger/epoch-0").delete())
+    val (q3, trained3) = PipelineMain.run(spark, corpus, cfg("ckpt3"))
+    q3.awaitTermination(300000)
+    assert(!trained3)
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 50, "a torn commit must replay its batch")
+    assert(out.where(col("sentiment").isin("positive", "negative", "neutral"))
+      .count() == 50, "replayed rows must be fully inferred")
+  }
+
   test("cold start trains then streams; warm restart skips training") {
     val root = Files.createTempDirectory("graft-pipeline").toString
     val corpus = s"$root/corpus.json"
