@@ -362,6 +362,48 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** A1+ EXACT per-group quartiles at scale — the positional-selection
+    * twin of [[a1Percentile]]: `percentile()` is an ObjectHashAggregate
+    * whose per-group buffer holds EVERY value of the group (at 100 TB
+    * that is the whole table inside three aggregation buffers; the
+    * histogram is the fixed-memory profile, but some audits need the
+    * exact quantile). Here each quartile is the value at its exact
+    * interpolation positions, located by a DISTRIBUTED global row
+    * number ([[graft.ops.PrefixOps]]: range partition → local
+    * row_number + broadcast prefix offsets) and picked up by one
+    * grouped aggregate — two balanced shuffles, constant state per
+    * task. Values ride integer cents and the interpolated quartile is
+    * emitted ×4 (`(4 − pos₄%4)·v⌊⌋ + (pos₄%4)·v⌈⌉` at pos₄ = k·(n−1)),
+    * so the number is integer-exact on both engines — same
+    * interpolation rule as `percentile`, verified against it in
+    * `PrefixOpsSpec`. Tie order (orderkey, linenumber) cannot affect
+    * the selected VALUE — any total order consistent with the value
+    * order selects the same cents at a given position. */
+  private val a1QuartilesScale: Q = (s, dir) => {
+    val base = t(s, dir, "lineitem")
+      .withColumn("cents", expr("CAST(round(l_quantity * 100) AS BIGINT)"))
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "cents")
+    val ord = Seq(col("cents").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val pref = graft.ops.PrefixOps.withPrefixOffsets(base, Seq("l_returnflag"),
+      ord, Seq("cnt" -> lit(1L)))
+    val wLoc = Window.partitionBy("l_returnflag", graft.ops.PrefixOps.PidCol)
+      .orderBy(ord: _*)
+    val qCols = (1 to 3).map { k =>
+      sum(expr(
+        s"""CASE WHEN rn = 1 + ($k * (n - 1)) DIV 4
+           | THEN (4 - ($k * (n - 1)) % 4) * cents
+           | WHEN ($k * (n - 1)) % 4 > 0 AND rn = 2 + ($k * (n - 1)) DIV 4
+           | THEN (($k * (n - 1)) % 4) * cents
+           | ELSE 0 END""".stripMargin)).as(s"q${k}_x4")
+    }
+    pref
+      .withColumn("rn", col("cnt_off") + row_number().over(wLoc))
+      .withColumn("n", col("cnt_tot"))
+      .groupBy("l_returnflag")
+      .agg(qCols.head, qCols.tail :+ count(lit(1)).as("n_rows"): _*)
+      .orderBy("l_returnflag")
+  }
+
   /** A2: exact dedup — DISTINCT projection (reference dedup-by-id,
     * `test/data_ingestion/testpy.py:130`). */
   private val a2Distinct: Q = (s, dir) =>
@@ -1072,6 +1114,7 @@ object RelationalQueries {
     "q_sql_recursive"      -> sqlRecursive,
     "q_a1_hash_agg"        -> a1HashAgg,
     "q_a1_percentile"      -> a1Percentile,
+    "q_a1_quartiles_scale" -> a1QuartilesScale,
     "q_a1_pivot"           -> a1Pivot,
     "q_a2_distinct"        -> a2Distinct,
     "q_a2_dedup_first"     -> a2DedupFirst,
@@ -1241,6 +1284,33 @@ object RelationalQueries {
         | quantile_cont(l_quantity, 0.75) AS q3,
         | count(*) AS n
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Positional selection over a per-group row_number — the same
+    // interpolation rule as quantile_cont, kept integer (cents ×4) so
+    // the comparison is exact.
+    "q_a1_quartiles_scale" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(round(l_quantity * 100) AS BIGINT),
+        |               l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        | CAST(sum(CASE WHEN rn = 1 + (1 * (n - 1)) // 4
+        |   THEN (4 - (1 * (n - 1)) % 4) * cents
+        |   WHEN (1 * (n - 1)) % 4 > 0 AND rn = 2 + (1 * (n - 1)) // 4
+        |   THEN ((1 * (n - 1)) % 4) * cents ELSE 0 END) AS BIGINT) AS q1_x4,
+        | CAST(sum(CASE WHEN rn = 1 + (2 * (n - 1)) // 4
+        |   THEN (4 - (2 * (n - 1)) % 4) * cents
+        |   WHEN (2 * (n - 1)) % 4 > 0 AND rn = 2 + (2 * (n - 1)) // 4
+        |   THEN ((2 * (n - 1)) % 4) * cents ELSE 0 END) AS BIGINT) AS q2_x4,
+        | CAST(sum(CASE WHEN rn = 1 + (3 * (n - 1)) // 4
+        |   THEN (4 - (3 * (n - 1)) % 4) * cents
+        |   WHEN (3 * (n - 1)) % 4 > 0 AND rn = 2 + (3 * (n - 1)) // 4
+        |   THEN ((3 * (n - 1)) % 4) * cents ELSE 0 END) AS BIGINT) AS q3_x4,
+        | count(*) AS n_rows
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_a1_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (event_type = 'click') AS click,

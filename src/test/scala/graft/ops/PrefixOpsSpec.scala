@@ -71,6 +71,25 @@ class PrefixOpsSpec extends SparkSpec {
     assertSame(got, want)
   }
 
+  test("positional quartiles equal the percentile() aggregate exactly") {
+    import spark.implicits._
+    // q_a1_quartiles_scale uses cents ×4, percentile() uses raw
+    // quantities: qk_x4 == 400 · percentile(l_quantity, k/4) exactly
+    // (same interpolation rule; cents are exact integers).
+    val scale = graft.SparkEntry.queries("q_a1_quartiles_scale")(spark, dir)
+      .select("l_returnflag", "q1_x4", "q2_x4", "q3_x4")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val exact = graft.SparkEntry.queries("q_a1_percentile")(spark, dir)
+      .selectExpr("l_returnflag", "q1 * 400", "median * 400", "q3 * 400")
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(scale.length == exact.length && scale.nonEmpty)
+    for (((f1, a, b, c), (f2, x, y, z)) <- scale.zip(exact)) {
+      assert(f1 == f2)
+      assert(a.toDouble == x && b.toDouble == y && c.toDouble == z,
+        s"$f1: positional ($a,$b,$c) != percentile·400 ($x,$y,$z)")
+    }
+  }
+
   test("ntileFromRowNumber reproduces ntile() including remainders and n < tiles") {
     import spark.implicits._
     for (n <- Seq(1, 2, 3, 4, 5, 7, 8, 150)) {
