@@ -67,8 +67,10 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     // File artifact with the COMPLETE per-query map: the driver's 2 KB
     // stdout tail lost ~half the 137 timings in round 4 — regression
-    // detection needs all of them, so the full line is also written
-    // next to the repo (overridable for local runs).
+    // detection needs all of them. Default is CWD-relative (the driver
+    // launches Bench from the repo root, where the other round artifacts
+    // land); set SPARK_GRAFT_BENCH_OUT to an absolute path when running
+    // from anywhere else. A failed write is loud on stderr, never fatal.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_per_query.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -36,16 +36,22 @@ object PipelineMain {
     * dir between check and load reintroduces the half-written-model
     * failure the check exists to prevent. */
   private[graft] def loadIfUsable(spark: SparkSession,
-      modelDir: String): Option[org.apache.spark.ml.PipelineModel] = {
+      modelDir: String): Option[graft.ml.ValidatedModel] = {
     val p = new Path(modelDir, "metadata")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) None
-    else
-      try Some(graft.ml.NlpPipeline.load(modelDir))
+    else {
+      // Fingerprint BEFORE the load: pairing the model with a fingerprint
+      // taken afterwards could bind a fresh fingerprint to a stale model
+      // if a retrain overwrites mid-load; the stale-fingerprint pairing
+      // degrades to one extra (clean) reload instead.
+      val fp = graft.ml.ModelReloader.fingerprint(spark, modelDir)
+      try Some(graft.ml.ValidatedModel(graft.ml.NlpPipeline.load(modelDir), fp))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[pipeline] model at $modelDir present but unloadable (${e.getMessage}); retraining")
         None
       }
+    }
   }
 
   /** Boolean view of [[loadIfUsable]] (spec surface; production callers

@@ -65,13 +65,17 @@ object StreamMain {
     * model (PipelineMain's startup probe) hand it in, so the checked
     * artifact is the served artifact — no second full-model load and no
     * window for a concurrent retrain to swap a half-written save under
-    * the stream. Ignored under `reloadModel` (the reloader owns loads). */
+    * the stream. Under `reloadModel` the pair seeds the reloader's
+    * initial state (adopted at the first batch, re-fingerprinted every
+    * batch thereafter) — both serving paths load the model exactly
+    * once. */
   def run(spark: SparkSession, cfg: Config,
-          preloaded: Option[org.apache.spark.ml.PipelineModel] = None): StreamingQuery = {
+          preloaded: Option[graft.ml.ValidatedModel] = None): StreamingQuery = {
     val transform: DataFrame => DataFrame =
-      if (cfg.reloadModel) new graft.ml.ModelReloader(cfg.modelDir).infer
+      if (cfg.reloadModel) new graft.ml.ModelReloader(cfg.modelDir, preloaded).infer
       else {
-        val model = preloaded.getOrElse(NlpPipeline.load(cfg.modelDir)) // S3
+        val model = preloaded.map(_.model)
+          .getOrElse(NlpPipeline.load(cfg.modelDir))           // S3
         val labels = NlpPipeline.topicLabels(spark, model)     // J1 dim side
         batch => NlpPipeline.inferBatch(TrainMain.prepare(batch), model, labels)
       }

@@ -63,12 +63,15 @@ object CurationQueries {
     * actually ships: quality gate → LSH dedup → leakage-free split →
     * the train split packed into fixed token-budget context windows →
     * the per-(source, bin) manifest. Three operator families composed
-    * into a single Catalyst plan (and ONE DuckDB statement), no
-    * intermediate materialization beyond the shared verdict checkpoint.
-    * Scale: everything upstream is the verified curate plan; packing is
-    * the SHARED [[SamplingQueries.packManifest]] two-phase prefix sum
-    * (range partition + broadcast offsets — never a per-source window;
-    * the round-4 `weak` finding closed in one place for both paths). */
+    * into a single Catalyst plan (and ONE DuckDB statement). Two
+    * materialization points: the shared verdict checkpoint, and the
+    * prefix-sum packing stage's pid-stamped checkpoint of the
+    * range-shuffled train stream (the two-pass cost documented in
+    * [[graft.ops.PrefixOps]]). Scale: everything upstream is the
+    * verified curate plan; packing is the SHARED
+    * [[SamplingQueries.packManifest]] two-phase prefix sum (range
+    * partition + broadcast offsets — never a per-source window; the
+    * round-4 `weak` finding closed in one place for both paths). */
   private val corpusBuild: Q = (s, dir) =>
     SamplingQueries.packManifest(
       curatedSplit(s, dir).where(col("split") === "train")

@@ -489,16 +489,21 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("user_id")
 
-  /** A2: approx_count_distinct (HLL++, 1% rsd) next to the exact count —
-    * the 100 TB cardinality path (one pass, fixed memory, no shuffle of
-    * distinct values). The HLL estimate itself is engine-specific, so
-    * the GRADED emission is its error CONTRACT, not its value: a
-    * `within_tol` boolean asserting |est − exact| ≤ 3·rsd·exact (3σ of
-    * the 1% rsd), which the DuckDB oracle reproduces as the exact counts
-    * plus literal TRUE — the estimator's accuracy is thereby pinned in
-    * the correctness artifact instead of being declared no-oracle.
-    * Integer comparison (100·|diff| ≤ 3·exact) keeps the tolerance check
-    * engine-exact. */
+  /** A2: approx_count_distinct (HLL++, 1% rsd) GRADED against its error
+    * contract. The HLL estimate itself is engine-specific, so the graded
+    * emission is a `within_tol` boolean asserting |est − exact| ≤
+    * 3·rsd·exact (3σ of the 1% rsd, integer comparison 100·|diff| ≤
+    * 3·exact), which the DuckDB oracle reproduces as the exact counts
+    * plus literal TRUE — the estimator's accuracy is pinned in the
+    * correctness artifact instead of being declared no-oracle.
+    *
+    * DELIBERATE COST CAVEAT: pairing the estimator with `countDistinct`
+    * makes THIS emission pay the exact distinct shuffle — the audit
+    * shape (run the sketch next to ground truth), not the production
+    * shape. The 100 TB cardinality path (one pass, fixed memory, no
+    * shuffle of distinct values) is the same aggregate WITHOUT the
+    * exact column; the mergeable-sketch store in [[graft.ops.SketchOps]]
+    * is the incremental form, spec'd with its own ≤5% error bar. */
   private val a2ApproxDistinct: Q = (s, dir) =>
     t(s, dir, "events")
       .groupBy("event_type")

@@ -32,29 +32,21 @@ import org.apache.spark.sql.functions._
 final class IvfIndex(spark: SparkSession, val indexDir: String)
     extends Serializable {
 
-  /** Newest version whose centroids AND postings are complete. The
-    * `v=N` name filter runs BEFORE the `_SUCCESS` probes, so unrelated
-    * or stale directories under `indexDir` cost zero existence RPCs
-    * (they matter on object stores, where every probe is a round
-    * trip). */
+  /** Newest version whose centroids AND postings are complete — the
+    * shared [[graft.ops.VersionedPaths]] listing: the `v=N` name filter
+    * runs BEFORE the `_SUCCESS` probes, so unrelated or stale
+    * directories under `indexDir` (including `.staging-*`) cost zero
+    * existence RPCs (they matter on object stores, where every probe is
+    * a round trip). */
   def currentVersion(): Option[Long] = {
     val dir = new Path(indexDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
-    else {
-      val version = "^v=(\\d+)$".r
-      fs.listStatus(dir).toSeq
-        .filter(_.isDirectory)
-        .flatMap(s => s.getPath.getName match {
-          case version(v) => Some((s.getPath, v.toLong))
-          case _          => None
-        })
-        .filter { case (p, _) =>
-          fs.exists(new Path(p, "centroids/_SUCCESS")) &&
-            fs.exists(new Path(p, "postings/_SUCCESS")) }
-        .map(_._2)
-        .sorted.lastOption
-    }
+    graft.ops.VersionedPaths.listNumbered(fs, dir, "v=", dirsOnly = true)
+      .filter { case (p, _) =>
+        fs.exists(new Path(p, "centroids/_SUCCESS")) &&
+          fs.exists(new Path(p, "postings/_SUCCESS")) }
+      .map(_._2)
+      .sorted.lastOption
   }
 
   /** Build and PUBLISH the next index version from an embedding table.
@@ -75,19 +67,31 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
             seedCol: String): Long = {
     val staging = new Path(indexDir, s".staging-${java.util.UUID.randomUUID()}")
     val out = staging.toString
-    val cents = Similarity.centroids(emb, vecCol, seedCol)
-    cents.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
-    // Fan out first: the assignment pass (a cosine against every
-    // centroid per vector) is the expensive stage, and a single-file
-    // parquet input would otherwise run it all on one task — same
-    // rationale as the inline query's fanout.
-    Similarity.rankedCellAffinity(
-        graft.queries.Tables.fanout(emb.select(col(idCol), col(vecCol))),
-        idCol, vecCol, spark.read.parquet(s"$out/centroids"))
-      .where(col("rnk") === 1)
-      .select("cell", "id", "vector")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell").parquet(s"$out/postings")
+    // A failed build must not leak its corpus-sized staging dir (the
+    // uuid name means no later build would ever reclaim it): delete on
+    // any write failure, then rethrow. publish() owns cleanup on the
+    // lose() paths past this point.
+    try {
+      val cents = Similarity.centroids(emb, vecCol, seedCol)
+      cents.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
+      // Fan out first: the assignment pass (a cosine against every
+      // centroid per vector) is the expensive stage, and a single-file
+      // parquet input would otherwise run it all on one task — same
+      // rationale as the inline query's fanout.
+      Similarity.rankedCellAffinity(
+          graft.queries.Tables.fanout(emb.select(col(idCol), col(vecCol))),
+          idCol, vecCol, spark.read.parquet(s"$out/centroids"))
+        .where(col("rnk") === 1)
+        .select("cell", "id", "vector")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$out/postings")
+    } catch {
+      case e: Throwable =>
+        try staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(staging, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     publish(staging, currentVersion().map(_ + 1).getOrElse(0L))
   }
 

@@ -57,27 +57,16 @@ final class CdcIngest(
   private def compact(df: DataFrame): DataFrame =
     graft.ops.CdcOps.latestPerKey(df, keyCol, tsCol, seqCol)
 
-  /** Highest complete (has _SUCCESS) snapshot version, if any. */
+  /** Highest complete (has _SUCCESS) snapshot version, if any — the
+    * shared [[graft.ops.VersionedPaths]] listing (name filter before the
+    * _SUCCESS probe; one rule with the IvfIndex reader). */
   def currentVersion(): Option[Long] = {
     val dir = new Path(snapshotDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
-    else {
-      val version = "^v=(\\d+)$".r
-      // Name-filter BEFORE the _SUCCESS probe: one existence RPC per real
-      // version, none for stray/stale entries (matches
-      // IvfIndex.currentVersion, the documented twin of this reader).
-      fs.listStatus(dir).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
-        .flatMap(p => p.getName match {
-          case version(v) => Some(p -> v.toLong)
-          case _          => None
-        })
-        .filter { case (p, _) => fs.exists(new Path(p, "_SUCCESS")) }
-        .map(_._2)
-        .sorted.lastOption
-    }
+    graft.ops.VersionedPaths.listNumbered(fs, dir, "v=", dirsOnly = true)
+      .filter { case (p, _) => fs.exists(new Path(p, "_SUCCESS")) }
+      .map(_._2)
+      .sorted.lastOption
   }
 
   /** The standing snapshot (tombstones included), empty if none — the
@@ -151,29 +140,16 @@ final class CdcIngest(
     } finally { merged.unpersist(); () }
   }
 
-  /** Best-effort removal of versions older than the keep-window. A
-    * failure never fails the batch — pruning retries next commit. Only
-    * exact `v=<digits>` DIRECTORIES are candidates: a stray operator
-    * artifact (`v=bak`) must be ignored, not allowed to throw before any
-    * delete happens (which would disable pruning permanently). */
-  private def prune(latest: Long): Unit =
-    try {
-      val dir = new Path(snapshotDir)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val version = "^v=(\\d+)$".r
-      fs.listStatus(dir).toSeq
-        .filter(_.isDirectory)
-        .map(_.getPath)
-        .flatMap(p => p.getName match {
-          case version(v) => Some(p -> v.toLong)
-          case _          => None
-        })
-        .filter(_._2 <= latest - keepVersions)
-        .foreach { case (p, _) => fs.delete(p, true) }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[CdcIngest] prune failed (will retry): $e")
-    }
+  /** Best-effort removal of versions older than the keep-window — the
+    * shared [[graft.ops.VersionedPaths]] retention (a stray `v=bak` is
+    * name-rejected, never allowed to throw before any delete happens;
+    * a failure never fails the batch). */
+  private def prune(latest: Long): Unit = {
+    val dir = new Path(snapshotDir)
+    graft.ops.VersionedPaths.pruneOlderThan(
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      dir, "v=", dirsOnly = true, latest, keepVersions, "CdcIngest")
+  }
 
   /** Attach to a streaming frame via foreachBatch. */
   def start(source: DataFrame, queryName: String,

@@ -78,31 +78,19 @@ final class StreamEngine(
   }
 
   /** Ledger retention: markers more than `ledgerKeep` epochs behind the
-    * newest commit are deleted best-effort after each commit — without
-    * this the ledger grows one file per micro-batch forever and the
-    * existence probe's parent becomes a hot million-entry listing on
-    * object stores. Correctness bound: foreachBatch replays only the
-    * LAST uncommitted batch after a restart, so any keep-window ≥ 1
-    * preserves the skip guarantee; the default leaves generous slack for
-    * manual offset rewinds. Steady state the dir holds ≤ ledgerKeep
-    * entries, so the per-commit listing stays cheap. A prune failure
-    * never fails the batch — it retries next commit. */
+    * newest commit are deleted best-effort after each commit (the shared
+    * [[graft.ops.VersionedPaths]] retention) — without this the ledger
+    * grows one file per micro-batch forever and the existence probe's
+    * parent becomes a hot million-entry listing on object stores.
+    * Correctness bound: foreachBatch replays only the LAST uncommitted
+    * batch after a restart, so any keep-window ≥ 1 preserves the skip
+    * guarantee; the default leaves generous slack for manual offset
+    * rewinds. Steady state the dir holds ≤ ledgerKeep entries, so the
+    * per-commit listing stays cheap. */
   private def pruneLedger(fs: org.apache.hadoop.fs.FileSystem,
                           dir: org.apache.hadoop.fs.Path, latest: Long): Unit =
-    try {
-      val marker = "^epoch-(\\d+)$".r
-      fs.listStatus(dir).toSeq
-        .map(_.getPath)
-        .flatMap(p => p.getName match {
-          case marker(v) => Some(p -> v.toLong)
-          case _         => None
-        })
-        .filter(_._2 <= latest - ledgerKeep)
-        .foreach { case (p, _) => fs.delete(p, false) }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[stream] ledger prune failed (will retry): $e")
-    }
+    graft.ops.VersionedPaths.pruneOlderThan(
+      fs, dir, "epoch-", dirsOnly = false, latest, ledgerKeep, "stream-ledger")
 
   /** Start the query over any streaming DataFrame (Kafka, file, memory). */
   def start(source: DataFrame, queryName: String = "graft-stream"): StreamingQuery = {

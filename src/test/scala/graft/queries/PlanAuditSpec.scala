@@ -55,8 +55,25 @@ class PlanAuditSpec extends SparkSpec {
     * old plans (windows on event_type/source, global ntile over the
     * users frame) fail both arms. */
   test("prefix-sum family: no stream-level window on a low-cardinality key") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias, Window => LWindow}
     val pid = graft.ops.PrefixOps.PidCol
+    // The exemption must hold only when the window's DIRECT input frame
+    // is the pid-grouped subtotal aggregate (≤ parts + groups rows by
+    // construction) — walking the whole subtree would also exempt a
+    // reintroduced global window sitting ABOVE prefix-sum machinery
+    // (e.g. a global ntile over the ranked frame), whose child contains
+    // that aggregate somewhere deep but whose own input is stream- or
+    // key-space-sized. So: descend only through row-preserving narrow
+    // nodes; anything else (a join, a repartition, a leaf) ends the walk.
+    def inputBoundedByPidAggregate(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.exists(_.references.exists(_.name == pid))
+      case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+                _: LWindow) =>
+        inputBoundedByPidAggregate(n.children.head)
+      case _ => false
+    }
     for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
         "q_w2_top_p", "q_w2_rfm")) {
       val wins = graft.SparkEntry.queries(q)(spark, dir)
@@ -64,13 +81,9 @@ class PlanAuditSpec extends SparkSpec {
       assert(wins.nonEmpty, s"$q: expected Window operators in the plan")
       for (w <- wins) {
         val hasPid = w.partitionSpec.exists(_.references.exists(_.name == pid))
-        val boundedBelow = w.child.collectFirst {
-          case a: Aggregate
-              if a.groupingExpressions.exists(_.references.exists(_.name == pid)) => a
-        }.isDefined
-        assert(hasPid || boundedBelow,
+        assert(hasPid || inputBoundedByPidAggregate(w.child),
           s"$q: window partitions on a low-cardinality key without a " +
-            s"bounded frame below:\n$w")
+            s"bounded frame as its direct input:\n$w")
       }
     }
   }
