@@ -54,18 +54,20 @@ class PlanAuditSpec extends SparkSpec {
     * by that same column, whose output is ≤ parts + |groups| rows. The
     * old plans (windows on event_type/source, global ntile over the
     * users frame) fail both arms. */
-  test("prefix-sum family: no stream-level window on a low-cardinality key") {
+  /** The exemption must hold only when the window's DIRECT input frame
+    * is the pid-grouped subtotal aggregate (≤ parts + groups rows by
+    * construction) — walking the whole subtree would also exempt a
+    * reintroduced global window sitting ABOVE prefix-sum machinery
+    * (e.g. a global ntile over the ranked frame), whose child contains
+    * that aggregate somewhere deep but whose own input is stream- or
+    * key-space-sized. So: descend only through row-preserving narrow
+    * nodes; anything else (a join, a repartition, a leaf) ends the
+    * walk. Returns the windows that fail BOTH arms. */
+  private def offendingWindows(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.Window] = {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, LogicalPlan, Project, Sort, SubqueryAlias, Window => LWindow}
     val pid = graft.ops.PrefixOps.PidCol
-    // The exemption must hold only when the window's DIRECT input frame
-    // is the pid-grouped subtotal aggregate (≤ parts + groups rows by
-    // construction) — walking the whole subtree would also exempt a
-    // reintroduced global window sitting ABOVE prefix-sum machinery
-    // (e.g. a global ntile over the ranked frame), whose child contains
-    // that aggregate somewhere deep but whose own input is stream- or
-    // key-space-sized. So: descend only through row-preserving narrow
-    // nodes; anything else (a join, a repartition, a leaf) ends the walk.
     def inputBoundedByPidAggregate(p: LogicalPlan): Boolean = p match {
       case a: Aggregate =>
         a.groupingExpressions.exists(_.references.exists(_.name == pid))
@@ -74,18 +76,49 @@ class PlanAuditSpec extends SparkSpec {
         inputBoundedByPidAggregate(n.children.head)
       case _ => false
     }
+    df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+          if !w.partitionSpec.exists(_.references.exists(_.name == pid)) &&
+            !inputBoundedByPidAggregate(w.child) => w
+    }
+  }
+
+  test("prefix-sum family: no stream-level window on a low-cardinality key") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
         "q_w2_top_p", "q_w2_rfm")) {
-      val wins = graft.SparkEntry.queries(q)(spark, dir)
-        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
-      assert(wins.nonEmpty, s"$q: expected Window operators in the plan")
-      for (w <- wins) {
-        val hasPid = w.partitionSpec.exists(_.references.exists(_.name == pid))
-        assert(hasPid || inputBoundedByPidAggregate(w.child),
-          s"$q: window partitions on a low-cardinality key without a " +
-            s"bounded frame as its direct input:\n$w")
-      }
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      assert(df.queryExecution.optimizedPlan
+          .collect { case w: LWindow => w }.nonEmpty,
+        s"$q: expected Window operators in the plan")
+      val bad = offendingWindows(df)
+      assert(bad.isEmpty,
+        s"$q: window partitions on a low-cardinality key without a " +
+          s"bounded frame as its direct input:\n${bad.mkString("\n")}")
     }
+  }
+
+  /** Negative control — the audit must have teeth: both round-4 `weak`
+    * shapes (a stream window partitioned by the handful-of-values
+    * event_type; a global ntile over a users-sized aggregate, even one
+    * sitting ABOVE prefix-sum machinery) must be flagged. If this test
+    * fails, the audit above is vacuous. */
+  test("the low-cardinality audit rejects both old window shapes") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ev = Tables.t(spark, dir, "events")
+    val oldPercent = ev.select(col("event_id"),
+      rank().over(Window.partitionBy("event_type").orderBy("value")).as("rnk"))
+    assert(offendingWindows(oldPercent).nonEmpty,
+      "stream window on event_type must be flagged")
+    val ranked = graft.ops.PrefixOps.withGlobalRowNumber(
+      ev.groupBy("user_id").agg(count(lit(1)).as("freq")),
+      Seq(col("freq").desc, col("user_id").asc), "rn")
+    val regressed = ranked.withColumn("q",
+      ntile(4).over(Window.orderBy(col("freq").desc, col("user_id").asc)))
+    assert(offendingWindows(regressed).nonEmpty,
+      "a global ntile above prefix-sum machinery must be flagged — the " +
+        "whole-subtree exemption would have let it through")
   }
 
   test("global top-K plans as TakeOrderedAndProject, never a global sort (O1/O3)") {
