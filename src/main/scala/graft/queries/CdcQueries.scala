@@ -107,11 +107,14 @@ object CdcQueries {
       .orderBy("user_id")
   }
 
-  /** SCD type-2 dimension build: collapse each user's event history into
+  /** The SCD2 interval frame (unsorted) — shared by [[cdcScd2]] and the
+    * point-in-time lookup [[cdcTemporalJoin]] so the two cannot derive
+    * different intervals. Collapses each user's event history into
     * validity intervals of constant event_type (gaps-and-islands on the
     * (ts, event_id) order), with half-open [valid_from, valid_to) ranges
-    * and a current-row flag. */
-  private val cdcScd2: Q = (s, dir) => {
+    * and a current-row flag. One user-keyed shuffle shared by every
+    * window and the run rollup. */
+  private def scd2Frame(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
     val runs = t(s, dir, "events")
@@ -137,13 +140,50 @@ object CdcQueries {
         when(col("valid_to").isNull, 1L).otherwise(0L))
       .select("user_id", "event_type", "valid_from", "valid_to",
         "n_events", "is_current")
-      .orderBy("user_id", "valid_from")
+  }
+
+  private val cdcScd2: Q = (s, dir) =>
+    scd2Frame(s, dir).orderBy("user_id", "valid_from")
+
+  /** Point-in-time dimension lookup (the AS-OF join against an SCD2
+    * dimension — the warehouse op every fact enrichment needs once a
+    * dimension is slowly changing): each event looks up the state run
+    * that was valid ONE HOUR BEFORE it (lookback attribution: "what was
+    * this user doing an hour ago?"; the offset also keeps the lookup
+    * from trivially matching the event's own run). Exactly one interval
+    * can cover any probe instant — runs tile each user's timeline
+    * half-open and zero-width runs `[t, t)` match nothing — so the left
+    * join cannot fan out and the row count is exactly the event count.
+    *
+    * Scale: this is an EQUI join on the high-cardinality user key with
+    * the interval containment as a residual filter — SMJ/SHJ on
+    * user_id, per-key interval lists are short (runs, not events), and
+    * at 100 TB both sides bucket by the same key. Never a range-only
+    * join. Probe instants compare as epoch seconds (integer, engine-
+    * exact). */
+  private val cdcTemporalJoin: Q = (s, dir) => {
+    val dim = scd2Frame(s, dir).select(
+      col("user_id").as("d_user"),
+      col("event_type").as("prior_type"),
+      expr("unix_timestamp(valid_from)").as("from_s"),
+      expr("unix_timestamp(valid_to)").as("to_s"),
+      col("n_events").as("prior_n"))
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      expr("unix_timestamp(ts) - 3600").as("probe_s"))
+    ev.join(dim,
+        ev("user_id") === dim("d_user") &&
+          col("probe_s") >= col("from_s") &&
+          (col("to_s").isNull || col("probe_s") < col("to_s")), "left")
+      .select(col("event_id"), col("user_id"), col("prior_type"),
+        col("prior_n"))
+      .orderBy("event_id")
   }
 
   val queries: Seq[(String, Q)] = Seq(
     "q_cdc_upsert" -> cdcUpsert,
     "q_cdc_scd2"   -> cdcScd2,
-    "q_cdc_diff"   -> cdcSnapshotDiff
+    "q_cdc_diff"   -> cdcSnapshotDiff,
+    "q_cdc_temporal_join" -> cdcTemporalJoin
   )
 
   // ---- DuckDB oracles (generated from the same constants) ----------------
@@ -199,28 +239,49 @@ object CdcQueries {
          | FROM state1 b FULL OUTER JOIN state2 a ON b.user_id = a.user_id
          | ORDER BY user_id""".stripMargin,
     "q_cdc_scd2" ->
-      s"""WITH runs AS (
-         |  SELECT user_id, grp, event_type,
-         |    min(ts) AS valid_from, count(*) AS n_events
-         |  FROM (
-         |   SELECT user_id, ts, event_id, event_type,
-         |     sum(CASE WHEN prev IS NULL OR prev <> event_type
-         |         THEN 1 ELSE 0 END)
-         |       OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |             ROWS UNBOUNDED PRECEDING) AS grp
-         |   FROM (
-         |    SELECT *, lag(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS prev
-         |    FROM events))
-         |  GROUP BY user_id, grp, event_type)
-         | SELECT user_id, event_type, valid_from,
-         |   lead(valid_from) OVER (PARTITION BY user_id
-         |     ORDER BY valid_from, grp) AS valid_to,
-         |   n_events,
-         |   CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
-         |     ORDER BY valid_from, grp) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+      s"""WITH $duckScd2Ctes
+         | SELECT user_id, event_type, valid_from, valid_to, n_events,
+         |   CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
          |     AS is_current
-         | FROM runs
-         | ORDER BY user_id, valid_from""".stripMargin
+         | FROM dim
+         | ORDER BY user_id, valid_from""".stripMargin,
+    "q_cdc_temporal_join" ->
+      s"""WITH $duckScd2Ctes
+         | SELECT e.event_id, e.user_id,
+         |   d.event_type AS prior_type, d.n_events AS prior_n
+         | FROM events e LEFT JOIN dim d
+         |   ON e.user_id = d.user_id
+         |  AND CAST(floor(epoch(e.ts)) AS BIGINT) - 3600
+         |      >= CAST(floor(epoch(d.valid_from)) AS BIGINT)
+         |  AND (d.valid_to IS NULL OR
+         |       CAST(floor(epoch(e.ts)) AS BIGINT) - 3600
+         |       < CAST(floor(epoch(d.valid_to)) AS BIGINT))
+         | ORDER BY e.event_id""".stripMargin
   )
+
+  /** The SCD2 derivation as reusable CTEs ending in
+    * `dim(user_id, event_type, valid_from, valid_to, grp, n_events)` —
+    * composed by both the scd2 oracle and the temporal-join oracle so
+    * the two engines' interval definitions cannot drift. */
+  private def duckScd2Ctes: String =
+    s"""runs AS (
+       |  SELECT user_id, grp, event_type,
+       |    min(ts) AS valid_from, count(*) AS n_events
+       |  FROM (
+       |   SELECT user_id, ts, event_id, event_type,
+       |     sum(CASE WHEN prev IS NULL OR prev <> event_type
+       |         THEN 1 ELSE 0 END)
+       |       OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |             ROWS UNBOUNDED PRECEDING) AS grp
+       |   FROM (
+       |    SELECT *, lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |    FROM events))
+       |  GROUP BY user_id, grp, event_type),
+       | dim AS (
+       |  SELECT user_id, event_type, valid_from,
+       |    lead(valid_from) OVER (PARTITION BY user_id
+       |      ORDER BY valid_from, grp) AS valid_to,
+       |    grp, n_events
+       |  FROM runs)""".stripMargin
 }
