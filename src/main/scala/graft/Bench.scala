@@ -14,6 +14,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Optional arg: comma-separated query names — local single-query
+    // iteration; the driver always invokes with no args (full suite).
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +32,7 @@ object Bench {
     // window frames, the pair-join kernels) is C2-compiled before the
     // clock starts. Measured times are then steady-state throughput —
     // what a long-lived cluster job sees — not first-run JIT.
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
+    for ((name, fn) <- selected)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         // Not fatal (the timed pass re-reports), but never silent: a query
@@ -37,7 +43,7 @@ object Bench {
     // "errors"), never a plausible wall time — a regression must not read
     // as a fast query.
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -17,7 +17,7 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF" "$OUT" 2>/tmp/verify_spark.log || {
+  graft.Verify "$SF" "$OUT" ${3:+"$3"} 2>/tmp/verify_spark.log || {
     echo "Verify failed; last log lines:"; tail -20 /tmp/verify_spark.log; exit 1; }
 grep -E "^\[verify\]" /tmp/verify_spark.log || true
 python3 tools/verify_local.py "$SF" "$OUT"
