@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the [[ThetaSketch]] contracts the DuckDB oracle cannot grade:
+  * the graded queries run in EXACT mode (estimates ≡ exact counts —
+  * that equivalence is what `q_sketch_retention`'s green row proves),
+  * so this spec drives the sketches PAST 2^lgK into estimation mode and
+  * asserts the error bars, plus the algebraic properties the store
+  * depends on (partitioning-invariance, union associativity through
+  * rollup, set-op consistency). */
+class ThetaSketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** lgK 12 → 4096 nominal entries, rse ≈ 1/√4096 ≈ 1.6%; 5σ guard
+    * band keeps the assertion deterministic (the sketch itself is
+    * deterministic for a given input set — the bound is over the fixed
+    * seeded hash, not re-rolled randomness). */
+  private val ErrTol = 0.08
+
+  test("estimation mode: estimate within tolerance, sketch bounded") {
+    val n = 100000L
+    val est = spark.range(n).toDF("v")
+      .agg(ThetaSketch.sketchAgg(col("v")).as("sk"))
+      .select(ThetaSketch.estimateCol(col("sk")).as("est"),
+        length(col("sk")).as("bytes"))
+      .head()
+    val e = est.getLong(0)
+    assert(math.abs(e - n) <= (ErrTol * n).toLong,
+      s"estimate $e vs exact $n exceeds ${ErrTol * 100}%")
+    // the compact sketch must stay O(2^lgK), not O(n): 4096 retained
+    // hashes × 8 bytes + header
+    assert(est.getInt(1) <= 16 * 4096 + 64, s"sketch grew to ${est.getInt(1)} B")
+  }
+
+  test("partitioning-invariance: same sketch bytes at any parallelism") {
+    val df = spark.range(50000).toDF("v")
+    val bytes = Seq(1, 7).map { p =>
+      df.repartition(p)
+        .agg(ThetaSketch.sketchAgg(col("v")).as("sk"))
+        .select(ThetaSketch.estimateCol(col("sk"))).as[Long].head()
+    }
+    assert(bytes.distinct.size == 1,
+      s"estimates differ across partitionings: $bytes")
+  }
+
+  test("set algebra in estimation mode: |A∩B| + |A\\B| ≈ |A|") {
+    // A = [0, 60k), B = [30k, 90k): true ∩ = 30k, A\B = 30k
+    val a = spark.range(0, 60000).toDF("v")
+      .agg(ThetaSketch.sketchAgg(col("v")).as("sk")).select(col("sk").as("a"))
+    val b = spark.range(30000, 90000).toDF("v")
+      .agg(ThetaSketch.sketchAgg(col("v")).as("sk")).select(col("sk").as("b"))
+    val r = a.crossJoin(b).select(
+      ThetaSketch.estimateCol(ThetaSketch.intersectionCol(col("a"), col("b"))).as("inter"),
+      ThetaSketch.estimateCol(ThetaSketch.aNotBCol(col("a"), col("b"))).as("diff"))
+      .head()
+    // set-op error compounds (two estimation-mode sketches) — 2× band
+    assert(math.abs(r.getLong(0) - 30000) <= (2 * ErrTol * 30000).toLong,
+      s"intersection ${r.getLong(0)} vs 30000")
+    assert(math.abs(r.getLong(1) - 30000) <= (2 * ErrTol * 30000).toLong,
+      s"aNotB ${r.getLong(1)} vs 30000")
+  }
+
+  test("rollup through union_agg matches one direct sketch") {
+    // 10 slices of 10k each with 50% cross-slice overlap → direct
+    // sketch of the union vs slice sketches rolled up must agree
+    // EXACTLY: both paths retain "the k smallest hashes of the same
+    // distinct set", regardless of merge order.
+    val df = spark.range(200000).toDF("i")
+      .select((col("i") % 55000).as("v"), (col("i") % 10).as("slice"))
+    val direct = df.agg(ThetaSketch.sketchAgg(col("v")).as("sk"))
+      .select(ThetaSketch.estimateCol(col("sk"))).as[Long].head()
+    val rolled = df.groupBy("slice")
+      .agg(ThetaSketch.sketchAgg(col("v")).as("sk"))
+      .agg(ThetaSketch.unionAgg(col("sk")).as("sk"))
+      .select(ThetaSketch.estimateCol(col("sk"))).as[Long].head()
+    assert(direct == rolled,
+      s"rolled-up estimate $rolled != direct $direct")
+  }
+
+  test("exact mode: estimates are exact and strings hash by UTF-8 content") {
+    val words = Seq("alpha", "beta", "gamma", "beta", "alpha", "δelta")
+    val est = words.toDF("w")
+      .agg(ThetaSketch.sketchAgg(col("w")).as("sk"))
+      .select(ThetaSketch.estimateCol(col("sk"))).as[Long].head()
+    assert(est == 4L)
+  }
+
+  test("null inputs are ignored like COUNT(DISTINCT)") {
+    val est = Seq(Some(1L), None, Some(2L), None, Some(1L)).toDF("v")
+      .agg(ThetaSketch.sketchAgg(col("v")).as("sk"))
+      .select(ThetaSketch.estimateCol(col("sk"))).as[Long].head()
+    assert(est == 2L)
+  }
+}
