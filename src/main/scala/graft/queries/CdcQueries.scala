@@ -179,11 +179,64 @@ object CdcQueries {
       .orderBy("event_id")
   }
 
+  /** Incremental aggregate (materialized-view) maintenance with
+    * RETRACTIONS — the algebra that keeps a per-group aggregate current
+    * under upserts and deletes without rescanning the base: each changed
+    * key retracts its OLD contribution (−1 key, −old cents, from its
+    * old group) and asserts its NEW one (+1, +new cents, to its new
+    * group — which may be a different group, the case append-only IVM
+    * gets wrong). new_view = old_view ⊎ Σ(retractions ∪ assertions).
+    *
+    * The emitted frame is the MAINTAINED view; the oracle recomputes
+    * the view directly from the final state, so a green row proves the
+    * maintenance algebra exact — including group migrations and
+    * keys deleted or created between the two states.
+    *
+    * Scale: here both states derive from the one events table (the only
+    * input), but the SHAPE is the production one — the old view is
+    * O(groups), the contribution stream is O(changed keys) (unchanged
+    * keys are filtered out before aggregation, so a quiet day costs
+    * nothing), and the final combine is an O(groups) full-outer join.
+    * The base event log is never re-aggregated. */
+  private val cdcAggMaintain: Q = (s, dir) => {
+    val before = stateAt(s, dir, Cutoff).select(col("user_id"),
+      col("event_type").as("b_type"), col("value_cents").as("b_cents"),
+      col("ts").as("b_ts"))
+    val after = latestPerKey(changelog(s, dir)).where(col("op") === "U")
+      .select(col("user_id"), col("event_type").as("a_type"),
+        col("value_cents").as("a_cents"), col("ts").as("a_ts"))
+    val oldView = before.groupBy(col("b_type").as("event_type"))
+      .agg(count(lit(1)).as("n_keys"), sum("b_cents").as("sum_cents"))
+    // cost ∝ changed keys: same-state rows (identical winning ts) drop
+    // out. Checkpointed once — retraction and assertion branches both
+    // read it (without this, both state compactions execute twice).
+    val changed = before.join(after, Seq("user_id"), "full_outer")
+      .where(col("b_ts").isNull || col("a_ts").isNull ||
+        col("b_ts") =!= col("a_ts"))
+      .localCheckpoint(true)
+    val contributions =
+      changed.where(col("b_ts").isNotNull)
+        .select(col("b_type").as("event_type"),
+          lit(-1L).as("dk"), (-col("b_cents")).as("dc"))
+      .unionAll(changed.where(col("a_ts").isNotNull)
+        .select(col("a_type").as("event_type"),
+          lit(1L).as("dk"), col("a_cents").as("dc")))
+    val deltaView = contributions.groupBy("event_type")
+      .agg(sum("dk").as("dk"), sum("dc").as("dc"))
+    oldView.join(deltaView, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n_keys"), lit(0L)) + coalesce(col("dk"), lit(0L))).as("n_keys"),
+        (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_cents"))
+      .where(col("n_keys") > 0)
+      .orderBy("event_type")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_cdc_upsert" -> cdcUpsert,
     "q_cdc_scd2"   -> cdcScd2,
     "q_cdc_diff"   -> cdcSnapshotDiff,
-    "q_cdc_temporal_join" -> cdcTemporalJoin
+    "q_cdc_temporal_join" -> cdcTemporalJoin,
+    "q_cdc_agg_maintain" -> cdcAggMaintain
   )
 
   // ---- DuckDB oracles (generated from the same constants) ----------------
@@ -245,6 +298,21 @@ object CdcQueries {
          |     AS is_current
          | FROM dim
          | ORDER BY user_id, valid_from""".stripMargin,
+    // The oracle recomputes the maintained view DIRECTLY from the final
+    // state — agreement proves the retraction algebra, not a shared
+    // derivation.
+    "q_cdc_agg_maintain" ->
+      s"""WITH log AS ($duckLog),
+         | final AS (
+         |  SELECT user_id, event_type, value_cents FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY user_id
+         |     ORDER BY ts DESC, event_id DESC) AS rn
+         |   FROM log)
+         |  WHERE rn = 1 AND op = 'U')
+         | SELECT event_type, count(*) AS n_keys,
+         |   CAST(sum(value_cents) AS BIGINT) AS sum_cents
+         | FROM final GROUP BY event_type
+         | ORDER BY event_type""".stripMargin,
     "q_cdc_temporal_join" ->
       s"""WITH $duckScd2Ctes
          | SELECT e.event_id, e.user_id,
