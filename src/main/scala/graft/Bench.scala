@@ -16,8 +16,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Optional arg: comma-separated query names — local single-query
     // iteration; the driver always invokes with no args (full suite).
+    // Unknown names fail FAST (a silent empty selection would report a
+    // plausible 0-second total for a query that never ran).
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()

@@ -8,8 +8,14 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional 3rd arg: comma-separated query names — local iteration only;
     // the driver always invokes with 2 args and gets the full dump.
+    // Unknown names fail FAST: a typo that silently selected nothing would
+    // read as "0 passed, 0 failed" — a clean pass for a query that never ran.
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

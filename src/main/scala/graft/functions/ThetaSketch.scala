@@ -73,12 +73,6 @@ object ThetaSketch {
     SetOperation.builder().buildANotB()
       .aNotB(heapify(a), heapify(b)).toByteArray
 
-  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val u = unionOf(DefaultLgK)
-    u.union(heapify(a)); u.union(heapify(b))
-    u.getResult.toByteArray
-  }
-
   // Column API (the ColumnShim wrapping lives here, like JaroWinkler.column).
 
   def sketchAgg(c: Column, lgK: Int = DefaultLgK): Column =

@@ -199,20 +199,26 @@ object CdcQueries {
     * nothing), and the final combine is an O(groups) full-outer join.
     * The base event log is never re-aggregated. */
   private val cdcAggMaintain: Q = (s, dir) => {
+    // Checkpointed once: oldView aggregates it AND the change join probes
+    // it — without this the pre-cutoff state compaction executes twice.
     val before = stateAt(s, dir, Cutoff).select(col("user_id"),
       col("event_type").as("b_type"), col("value_cents").as("b_cents"),
-      col("ts").as("b_ts"))
+      col("ts").as("b_ts"), col("event_id").as("b_eid"))
+      .localCheckpoint(true)
     val after = latestPerKey(changelog(s, dir)).where(col("op") === "U")
       .select(col("user_id"), col("event_type").as("a_type"),
-        col("value_cents").as("a_cents"), col("ts").as("a_ts"))
+        col("value_cents").as("a_cents"), col("ts").as("a_ts"),
+        col("event_id").as("a_eid"))
     val oldView = before.groupBy(col("b_type").as("event_type"))
       .agg(count(lit(1)).as("n_keys"), sum("b_cents").as("sum_cents"))
-    // cost ∝ changed keys: same-state rows (identical winning ts) drop
-    // out. Checkpointed once — retraction and assertion branches both
-    // read it (without this, both state compactions execute twice).
+    // cost ∝ changed keys: rows whose WINNING RECORD is the same drop
+    // out. Identity is (ts, event_id) — the latestPerKey tie-break — not
+    // ts alone: two records on one key CAN share a timestamp, and the
+    // winner flipping to an equal-ts record must read as a change.
+    // Checkpointed once — retraction and assertion branches both read it.
     val changed = before.join(after, Seq("user_id"), "full_outer")
       .where(col("b_ts").isNull || col("a_ts").isNull ||
-        col("b_ts") =!= col("a_ts"))
+        struct(col("b_ts"), col("b_eid")) =!= struct(col("a_ts"), col("a_eid")))
       .localCheckpoint(true)
     val contributions =
       changed.where(col("b_ts").isNotNull)

@@ -557,10 +557,13 @@ object RelationalQueries {
     * estimates with the identical shuffle shape ([[ThetaSketch]]
     * scaladoc). */
   private val a2SketchRetention: Q = (s, dir) => {
+    // Checkpointed once: both sides of the day/day+1 self-join read it —
+    // without this the events scan + sketch build executes twice.
     val daily = t(s, dir, "events")
       .select(expr("unix_timestamp(ts) DIV 86400").as("day"), col("user_id"))
       .groupBy("day")
       .agg(graft.functions.ThetaSketch.sketchAgg(col("user_id")).as("sk"))
+      .localCheckpoint(true)
     val next = daily.select((col("day") - 1).as("day"), col("sk").as("sk_b"))
     import graft.functions.ThetaSketch.{aNotBCol, estimateCol, intersectionCol}
     daily.join(next, Seq("day"))

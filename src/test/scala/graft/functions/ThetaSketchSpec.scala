@@ -37,14 +37,39 @@ class ThetaSketchSpec extends SparkSpec {
   }
 
   test("partitioning-invariance: same sketch bytes at any parallelism") {
+    // Byte identity, not just estimate equality: the persisted store
+    // unions/intersects sketches built at different parallelism, so the
+    // serialized form itself (retained-hash set + theta, ordered compact
+    // encoding) must not depend on how the input was partitioned.
     val df = spark.range(50000).toDF("v")
     val bytes = Seq(1, 7).map { p =>
       df.repartition(p)
         .agg(ThetaSketch.sketchAgg(col("v")).as("sk"))
-        .select(ThetaSketch.estimateCol(col("sk"))).as[Long].head()
+        .select(base64(col("sk"))).as[String].head()
     }
     assert(bytes.distinct.size == 1,
-      s"estimates differ across partitionings: $bytes")
+      s"serialized sketches differ across partitionings")
+  }
+
+  test("graded queries stay in exact mode: per-day cardinality < 2^lgK") {
+    // q_sketch_retention/q_sketch_rollup's oracle-exactness rests on
+    // every per-day sketch staying in exact mode (estimate ≡ exact).
+    // Pin the data-side assumption with HEADROOM: the peak per-day
+    // distinct-user count at the largest local scale must sit under
+    // half the nominal entries, so a modest data-growth bump degrades
+    // the margin, not correctness. (Measured: 1356 at sf0.1 vs 4096
+    // nominal — the cliff is ~sf0.3, and this test is the tripwire.)
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory)
+    val peak = graft.queries.Tables.t(spark, dir, "events")
+      .select(expr("unix_timestamp(ts) DIV 86400").as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("n"))
+      .agg(max("n")).as[Long].head()
+    val nominal = 1L << ThetaSketch.DefaultLgK
+    assert(peak < nominal / 2,
+      s"peak per-day distinct users $peak is within 2× of the $nominal-entry " +
+        "exact-mode bound — raise DefaultLgK for the sketch queries before " +
+        "estimation mode breaks their oracles")
   }
 
   test("set algebra in estimation mode: |A∩B| + |A\\B| ≈ |A|") {
