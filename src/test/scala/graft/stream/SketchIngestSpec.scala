@@ -1,0 +1,95 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.functions.ThetaSketch
+
+class SketchIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkIngest() = {
+    val dir = Files.createTempDirectory("sketch-ingest").toString + "/store"
+    (new SketchIngest(spark, "day", "user_id", "score", dir), dir)
+  }
+
+  private def batch(rows: (Long, Long, Double)*) =
+    rows.toDF("day", "user_id", "score")
+
+  test("per-slice summary matches exact counts in exact mode") {
+    val (ingest, _) = mkIngest()
+    assert(ingest.processBatch(batch(
+      (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 10L, 3.0),
+      (2L, 20L, 5.0)), 0L) == 2)
+    val s = ingest.summary().orderBy("day")
+      .select("day", "n_rows", "distinct_ids").as[(Long, Long, Long)].collect()
+    // day 1: 3 rows, 2 distinct users; day 2: 1 row, 1 user
+    assert(s.toSeq == Seq((1L, 3L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("cross-batch rollup: distinct union vs row-count sum") {
+    val (ingest, _) = mkIngest()
+    ingest.processBatch(batch((1L, 10L, 1.0), (1L, 11L, 2.0)), 0L)
+    // user 10 recurs in batch 1: counted again in n_rows, NOT in distinct
+    ingest.processBatch(batch((1L, 10L, 9.0), (1L, 12L, 4.0)), 1L)
+    val r = ingest.summary().where(col("day") === 1)
+      .select("n_rows", "distinct_ids").as[(Long, Long)].head()
+    assert(r == ((4L, 3L)))
+  }
+
+  test("at-least-once replay converges: same batch id overwrites itself") {
+    val (ingest, dir) = mkIngest()
+    val b = batch((1L, 10L, 1.0), (1L, 11L, 2.0))
+    ingest.processBatch(b, 0L)
+    ingest.processBatch(b, 0L) // redelivery
+    val r = ingest.summary().select("n_rows", "distinct_ids")
+      .as[(Long, Long)].head()
+    assert(r == ((2L, 2L)), s"replay double-counted: $r")
+    // exactly one batch partition on disk
+    assert(spark.read.parquet(dir).select("batch_id").distinct().count() == 1)
+  }
+
+  test("overlap questions answer from the store: day-over-day retention") {
+    val (ingest, _) = mkIngest()
+    ingest.processBatch(batch(
+      (1L, 10L, 1.0), (1L, 11L, 1.0), (1L, 12L, 1.0),
+      (2L, 11L, 1.0), (2L, 12L, 1.0), (2L, 13L, 1.0)), 0L)
+    val sk = ingest.rollup()
+    val a = sk.where(col("day") === 1).select(col("distinct_sk").as("a"))
+    val b = sk.where(col("day") === 2).select(col("distinct_sk").as("b"))
+    val retained = a.crossJoin(b).select(ThetaSketch.estimateCol(
+      ThetaSketch.intersectionCol(col("a"), col("b")))).as[Long].head()
+    assert(retained == 2L) // users 11, 12
+  }
+
+  test("quantiles come from the merged metric sketch") {
+    val (ingest, _) = mkIngest()
+    ingest.processBatch(batch((1L, 10L, 1.0), (1L, 11L, 3.0)), 0L)
+    ingest.processBatch(batch((1L, 12L, 5.0)), 1L)
+    val p50 = ingest.summary().select("p50").as[Double].head()
+    assert(p50 == 3.0, s"median of {1,3,5} from merged sketches was $p50")
+  }
+
+  test("empty store rolls up empty; empty batch writes nothing") {
+    val (ingest, _) = mkIngest()
+    assert(ingest.summary().count() == 0)
+    assert(ingest.processBatch(batch().limit(0), 0L) == 0L)
+    assert(ingest.summary().count() == 0)
+  }
+
+  test("drives end to end from a streaming source") {
+    val (ingest, _) = mkIngest()
+    val ms = MemoryStream[(Long, Long, Double)](spark, numPartitions = 2)
+    ms.addData(Seq((1L, 10L, 1.0), (1L, 11L, 2.0), (2L, 10L, 3.0)))
+    val q = ingest.start(ms.toDF().toDF("day", "user_id", "score"),
+      s"sketch-ingest-${System.nanoTime()}", Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val s = ingest.summary().orderBy("day")
+      .select("day", "distinct_ids").as[(Long, Long)].collect()
+    assert(s.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+}
