@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[ParquetStats]]: the footer stats must reconstruct exact global
+  * facts (row counts, min/max), and the point-probe audit must MEASURE
+  * the difference between a range-clustered write and a shuffled one —
+  * the number every data-skipping claim in SURVEY ultimately rests on. */
+class ParquetStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeLayout(sorted: Boolean): String = {
+    val dir = Files.createTempDirectory("pqstats").toString + "/t"
+    val df = spark.range(10000).toDF("k")
+      .withColumn("payload", concat(lit("row-"), col("k")))
+    val out =
+      if (sorted) df.repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      else df.repartition(8) // round-robin: every file spans ~the full range
+    out.write.parquet(dir)
+    dir
+  }
+
+  test("footer stats reconstruct exact row count and global min/max") {
+    val dir = writeLayout(sorted = true)
+    val st = ParquetStats.rowGroupStats(spark, dir, Seq("k"))
+    val agg = st.agg(sum("rg_rows").as("rows"),
+      min(col("min_val").cast("long")).as("mn"),
+      max(col("max_val").cast("long")).as("mx"),
+      sum("n_nulls").as("nulls")).head()
+    assert(agg.getLong(0) == 10000L)
+    assert(agg.getLong(1) == 0L && agg.getLong(2) == 9999L)
+    assert(agg.getLong(3) == 0L)
+    // one stats row per (file, row-group) for the single audited column
+    assert(st.select("file").distinct().count() == 8)
+  }
+
+  test("string columns stringify through UTF-8, not byte dumps") {
+    val dir = writeLayout(sorted = true)
+    val st = ParquetStats.rowGroupStats(spark, dir, Seq("payload"))
+    val mn = st.agg(min("min_val")).as[String].head()
+    assert(mn.startsWith("row-"), s"binary min surfaced as '$mn'")
+  }
+
+  test("point-probe audit measures clustering: sorted layout prunes, shuffled doesn't") {
+    val sortedDir = writeLayout(sorted = true)
+    val shuffledDir = writeLayout(sorted = false)
+    def bp(dir: String): Long = ParquetStats.pointProbeAudit(
+      ParquetStats.rowGroupStats(spark, dir, Seq("k")), "k", 1234L)
+      .select("prunable_bp").as[Long].head()
+    val (sortedBp, shuffledBp) = (bp(sortedDir), bp(shuffledDir))
+    // range-clustered: the probe hits exactly one of 8 disjoint ranges →
+    // ≥ 7/8 of row groups prunable; round-robin: every file spans the
+    // whole range → nothing prunable
+    assert(sortedBp >= 8000L, s"sorted layout pruned only $sortedBp bp")
+    assert(shuffledBp == 0L, s"shuffled layout claimed $shuffledBp bp prunable")
+  }
+
+  test("a probe outside the domain prunes everything") {
+    val dir = writeLayout(sorted = true)
+    val r = ParquetStats.pointProbeAudit(
+      ParquetStats.rowGroupStats(spark, dir, Seq("k")), "k", -5L).head()
+    assert(r.getLong(1) == r.getLong(0) && r.getLong(2) == 10000L)
+  }
+}
