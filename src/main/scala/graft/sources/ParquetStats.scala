@@ -28,21 +28,38 @@ object ParquetStats {
   /** Per (file, row-group, column) footer stats for `columns`. min/max
     * are stringified in parquet's logical representation (UTF-8 for
     * binary/string columns, decimal text for numerics) — comparison
-    * semantics belong to the caller, who knows the column type. */
+    * semantics belong to the caller, who knows the column type. `file`
+    * is the full URI (basenames alias across subdirectories, and the
+    * audit's point is to name files a rewrite could act on).
+    *
+    * Fails fast on a column the footers don't carry (typo, nested
+    * field, or a PARTITION column — those live in directory names, not
+    * footers): a silent empty result would read as "no evidence" when
+    * the question itself was malformed. Validated against the first
+    * file's footer — one driver-side metadata read. */
   def rowGroupStats(spark: SparkSession, dir: String,
                     columns: Seq[String]): DataFrame = {
     import spark.implicits._
     val files = spark.read.parquet(dir).inputFiles.toSeq.sorted
+    require(files.nonEmpty, s"no parquet files under $dir")
     val conf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val wanted = columns.toSet
+    val available = ParquetFileReader.readFooter(
+        conf.value, new Path(files.head), ParquetMetadataConverter.NO_FILTER)
+      .getFileMetaData.getSchema.getColumns.asScala
+      .map(_.getPath.mkString(".")).toSet
+    val missing = wanted -- available
+    require(missing.isEmpty,
+      s"column(s) not in parquet footers (typo or partition column?): " +
+        s"${missing.mkString(", ")}; footer columns: " +
+        s"${available.toSeq.sorted.mkString(", ")}")
     spark.createDataset(files)
       .repartition(math.max(1, math.min(files.size,
         spark.sparkContext.defaultParallelism)))
       .flatMap { uri =>
         val meta = ParquetFileReader.readFooter(
           conf.value, new Path(uri), ParquetMetadataConverter.NO_FILTER)
-        val fileName = uri.substring(uri.lastIndexOf('/') + 1)
         meta.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
           case (block, rg) =>
             block.getColumns.asScala.toSeq
@@ -56,7 +73,7 @@ object ParquetStats {
                     stringify(st.genericGetMax))
                 val nulls =
                   if (st == null || st.isEmpty) -1L else st.getNumNulls
-                (fileName, rg, block.getRowCount, block.getTotalByteSize,
+                (uri, rg, block.getRowCount, block.getTotalByteSize,
                   c.getPath.toDotString, minS, maxS, nulls)
               }
         }
@@ -72,18 +89,24 @@ object ParquetStats {
 
   /** Skipping audit for a LONG-typed column: of the row groups carrying
     * `column`, how many could a reader PRUNE for the point probe
-    * `column = value` on min/max evidence alone. Returns one row:
-    * (n_row_groups, n_prunable, prunable_bp). The basis-point ratio is
-    * the measured value of a layout — contrast a sorted/z-ordered write
-    * against a shuffled one on the same data. */
+    * `column = value` on footer evidence alone. Three prunable cases:
+    * value below min, value above max, and an ALL-NULL row group
+    * (stats present, no non-null value — NULL never equals a probe).
+    * A row group with stats genuinely absent (`n_nulls = -1`) is NOT
+    * prunable: no evidence means the reader must scan it. Returns one
+    * row (n_row_groups, n_prunable, prunable_bp) — the basis-point
+    * ratio is the measured value of a layout; contrast a
+    * sorted/z-ordered write against a shuffled one on the same data. */
   def pointProbeAudit(stats: DataFrame, column: String,
                       value: Long): DataFrame = {
     val s = stats.where(col("column") === column)
       .select(col("min_val").cast("long").as("mn"),
-        col("max_val").cast("long").as("mx"))
+        col("max_val").cast("long").as("mx"), col("n_nulls"))
     s.agg(count(lit(1)).as("n_row_groups"),
-        sum(when(col("mn").isNotNull &&
-            (lit(value) < col("mn") || lit(value) > col("mx")), 1L)
+        sum(when(
+            (col("mn").isNotNull &&
+              (lit(value) < col("mn") || lit(value) > col("mx"))) ||
+            (col("mn").isNull && col("n_nulls") >= 0), 1L)
           .otherwise(0L)).as("n_prunable"))
       .select(col("n_row_groups"), col("n_prunable"),
         expr("CAST(10000 * n_prunable DIV n_row_groups AS BIGINT)")

@@ -47,7 +47,7 @@ final class CdcIngest(
     seqCol: String,
     opCol: String,
     snapshotDir: String,
-    keepVersions: Int = 2) extends Serializable {
+    keepVersions: Int = 2) extends MicroBatchIngest with Serializable {
 
   private val DeleteOp = "D"
 
@@ -113,7 +113,7 @@ final class CdcIngest(
     * 0 means the batch was empty and no version was written). The count
     * rides the same computation that feeds the write — the snapshot is
     * never re-read to produce it. */
-  def processBatch(batch: DataFrame, batchId: Long): Long = {
+  override def processBatch(batch: DataFrame, batchId: Long): Long = {
     // At-least-once replay of an already-committed batch: v=batchId is
     // complete on disk, and a re-merge would resolve snapshot() to that
     // same version — a plan that READS parquet from the directory its own
@@ -151,16 +151,4 @@ final class CdcIngest(
       dir, "v=", dirsOnly = true, latest, keepVersions, "CdcIngest")
   }
 
-  /** Attach to a streaming frame via foreachBatch. */
-  def start(source: DataFrame, queryName: String,
-            trigger: org.apache.spark.sql.streaming.Trigger,
-            checkpointLocation: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = source.writeStream
-      .queryName(queryName)
-      .foreachBatch((b: DataFrame, id: Long) => { processBatch(b, id); () })
-      .trigger(trigger)
-    checkpointLocation.foreach(w.option("checkpointLocation", _))
-    w.start()
-  }
 }

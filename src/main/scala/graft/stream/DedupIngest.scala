@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -32,7 +32,7 @@ final class DedupIngest(
     idCol: String,
     textCol: String,
     corpusDir: String,
-    indexDir: String) extends Serializable {
+    indexDir: String) extends MicroBatchIngest with Serializable {
 
   /** Fingerprint = md5 of the cleaned text (same normalization as
     * `q_dedup_exact`, so batch and streaming dedup agree on identity). */
@@ -41,11 +41,9 @@ final class DedupIngest(
 
   /** The standing index; empty-schema'd on first batch (no files yet). */
   private def seenFps(): DataFrame =
-    try spark.read.parquet(indexDir).select("fp")
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.range(0).select(lit("").as("fp")).where(lit(false))
-    }
+    MicroBatchIngest.storeOrElse(spark, indexDir,
+      spark.range(0).select(lit("").as("fp")).where(lit(false)))
+      .select("fp")
 
   /** One micro-batch: returns the number of novel documents appended.
     *
@@ -57,7 +55,7 @@ final class DedupIngest(
     * (append-mode would re-append). The ordering matters: writing the
     * index first would make a replay after an index-success/corpus-crash
     * see its own fingerprints and drop the batch — data loss, not dedup. */
-  def processBatch(batch: DataFrame, batchId: Long): Long = {
+  override def processBatch(batch: DataFrame, batchId: Long): Long = {
     if (batch.isEmpty) return 0L
     // Rows sharing (fp, id) are redelivered copies of one record — keep
     // one; then keep the min-id row per fingerprint (deterministic under
@@ -71,33 +69,10 @@ final class DedupIngest(
     try {
       val n = fresh.count()
       if (n > 0) {
-        writeBatchPartition(fresh.drop("fp"), corpusDir, batchId)
-        writeBatchPartition(fresh.select("fp"), indexDir, batchId)
+        MicroBatchIngest.writeBatchPartition(fresh.drop("fp"), corpusDir, batchId)
+        MicroBatchIngest.writeBatchPartition(fresh.select("fp"), indexDir, batchId)
       }
       n
     } finally { fresh.unpersist(); () }
-  }
-
-  /** Idempotent per-batch write: dynamic overwrite of this batch's own
-    * partition only — every other batch's output is untouched. */
-  private def writeBatchPartition(df: DataFrame, dir: String, batchId: Long): Unit =
-    df.withColumn("batch_id", lit(batchId))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite)
-      .partitionBy("batch_id")
-      .parquet(dir)
-
-  /** Attach to a streaming frame via foreachBatch. */
-  def start(source: DataFrame, queryName: String,
-            trigger: org.apache.spark.sql.streaming.Trigger,
-            checkpointLocation: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = source.writeStream
-      .queryName(queryName)
-      .foreachBatch((b: DataFrame, id: Long) => { processBatch(b, id); () })
-      .trigger(trigger)
-    checkpointLocation.foreach(w.option("checkpointLocation", _))
-    w.start()
   }
 }

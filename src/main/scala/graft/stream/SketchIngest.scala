@@ -1,7 +1,9 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{QuantileSketch, ThetaSketch}
 
@@ -16,13 +18,14 @@ import graft.functions.{QuantileSketch, ThetaSketch}
   * retention overlap, score-distribution drift) is answered from the
   * store in O(slices × k), never by rescanning the stream's history.
   *
-  * Replay safety follows [[DedupIngest]]'s convention: each batch writes
-  * its slice rows as a `batch_id=<id>` partition via DYNAMIC partition
-  * overwrite, so an at-least-once redelivery (same checkpointed offsets ⇒
-  * same rows, same id) overwrites its own partition and the store
-  * converges instead of double-counting. The store is parquet, not
-  * stream-engine state, deliberately: it must survive restarts, outlive
-  * any watermark horizon, and stay readable by plain batch queries.
+  * Replay safety follows the shared [[MicroBatchIngest]] convention:
+  * each batch writes its slice rows as a `batch_id=<id>` partition via
+  * DYNAMIC partition overwrite, so an at-least-once redelivery (same
+  * checkpointed offsets ⇒ same rows, same id) overwrites its own
+  * partition and the store converges instead of double-counting. The
+  * store is parquet, not stream-engine state, deliberately: it must
+  * survive restarts, outlive any watermark horizon, and stay readable
+  * by plain batch queries.
   *
   * Semantics under cross-batch duplicates: theta estimates are DISTINCT
   * counts, so a value recurring in later batches is correctly not
@@ -33,44 +36,50 @@ import graft.functions.{QuantileSketch, ThetaSketch}
   * carrying ≤ ~32 KB per (slice × partition); the store grows by
   * O(slices) rows per trigger regardless of batch width, and
   * [[rollup]]'s cost is O(store rows), independent of the data volume
-  * the sketches summarize. */
+  * the sketches summarize.
+  *
+  * `sliceType` must match the batch's slice column (it shapes the
+  * empty-store schema so pre-first-batch consumers see exactly what
+  * the first write will produce). */
 final class SketchIngest(
     spark: SparkSession,
     sliceCol: String,
     idCol: String,
     metricCol: String,
     storeDir: String,
-    lgK: Int = ThetaSketch.DefaultLgK) extends Serializable {
+    lgK: Int = ThetaSketch.DefaultLgK,
+    sliceType: DataType = LongType) extends MicroBatchIngest with Serializable {
 
   /** One micro-batch → one store row per slice present in the batch.
-    * Returns the number of slice rows written. */
-  def processBatch(batch: DataFrame, batchId: Long): Long = {
-    if (batch.isEmpty) return 0L
+    * Returns the number of slice rows written. The aggregated frame is
+    * persisted across its two uses (count + write) — without that the
+    * full sketch aggregation would execute twice per trigger. An empty
+    * batch aggregates to zero groups and writes nothing. */
+  override def processBatch(batch: DataFrame, batchId: Long): Long = {
     val slices = batch.groupBy(col(sliceCol))
       .agg(count(lit(1)).as("n_rows"),
         ThetaSketch.sketchAgg(col(idCol), lgK).as("distinct_sk"),
         QuantileSketch.sketchAgg(col(metricCol)).as("metric_sk"))
-    val n = slices.count()
-    if (n > 0)
-      slices.withColumn("batch_id", lit(batchId))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .mode(SaveMode.Overwrite)
-        .partitionBy("batch_id")
-        .parquet(storeDir)
-    n
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = slices.count()
+      if (n > 0)
+        MicroBatchIngest.writeBatchPartition(slices, storeDir, batchId)
+      n
+    } finally { slices.unpersist(); () }
   }
 
-  /** The standing store (empty-schema'd before the first batch lands). */
+  /** The standing store (empty-schema'd before the first batch lands,
+    * with `sliceType` keeping the pre- and post-data schemas identical). */
   def store(): DataFrame =
-    try spark.read.parquet(storeDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.range(0).select(lit(0L).as(sliceCol), lit(0L).as("n_rows"),
-          lit(Array.empty[Byte]).as("distinct_sk"),
-          lit(Array.empty[Byte]).as("metric_sk"), lit(0L).as("batch_id"))
-          .where(lit(false))
-    }
+    MicroBatchIngest.storeOrElse(spark, storeDir,
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(
+          StructField(sliceCol, sliceType),
+          StructField("n_rows", LongType, nullable = false),
+          StructField("distinct_sk", BinaryType, nullable = false),
+          StructField("metric_sk", BinaryType, nullable = false),
+          StructField("batch_id", LongType)))))
 
   /** Merge the per-batch slice rows down to one row per slice — the
     * read path every consumer starts from. Never touches base data. */
@@ -87,17 +96,4 @@ final class SketchIngest(
       ThetaSketch.estimateCol(col("distinct_sk")).as("distinct_ids"),
       QuantileSketch.quantileCol(col("metric_sk"), lit(0.5)).as("p50"),
       QuantileSketch.quantileCol(col("metric_sk"), lit(0.99)).as("p99"))
-
-  /** Attach to a streaming frame via foreachBatch (the S7 engine shape). */
-  def start(source: DataFrame, queryName: String,
-            trigger: org.apache.spark.sql.streaming.Trigger,
-            checkpointLocation: Option[String] = None)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val w = source.writeStream
-      .queryName(queryName)
-      .foreachBatch((b: DataFrame, id: Long) => { processBatch(b, id); () })
-      .trigger(trigger)
-    checkpointLocation.foreach(w.option("checkpointLocation", _))
-    w.start()
-  }
 }

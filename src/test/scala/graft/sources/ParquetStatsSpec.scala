@@ -65,4 +65,32 @@ class ParquetStatsSpec extends SparkSpec {
       ParquetStats.rowGroupStats(spark, dir, Seq("k")), "k", -5L).head()
     assert(r.getLong(1) == r.getLong(0) && r.getLong(2) == 10000L)
   }
+
+  test("a column absent from the footers fails fast, not silently empty") {
+    val dir = writeLayout(sorted = true)
+    val e = intercept[IllegalArgumentException] {
+      ParquetStats.rowGroupStats(spark, dir, Seq("kk_typo"))
+    }
+    assert(e.getMessage.contains("kk_typo"))
+  }
+
+  test("all-null row groups count as prunable for a point probe") {
+    val dir = Files.createTempDirectory("pqstats-null").toString + "/t"
+    // one file all-null in v, one file with values — a v=7 probe can
+    // prune the null file on footer evidence (NULL never equals)
+    spark.range(100).select(lit(null).cast("long").as("v")).coalesce(1)
+      .write.parquet(dir)
+    spark.range(100).select(lit(7L).as("v")).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val r = ParquetStats.pointProbeAudit(
+      ParquetStats.rowGroupStats(spark, dir, Seq("v")), "v", 7L).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L, r.toString)
+  }
+
+  test("file column carries the full URI, not an aliasable basename") {
+    val dir = writeLayout(sorted = true)
+    val files = ParquetStats.rowGroupStats(spark, dir, Seq("k"))
+      .select("file").distinct().as[String].collect()
+    assert(files.forall(_.contains(dir.stripPrefix("/"))), files.take(2).mkString(", "))
+  }
 }

@@ -81,6 +81,19 @@ class SketchIngestSpec extends SparkSpec {
     assert(ingest.summary().count() == 0)
   }
 
+  test("empty-store schema matches the post-data schema for non-Long slices") {
+    val dir = Files.createTempDirectory("sketch-ingest-str").toString + "/store"
+    val ingest = new SketchIngest(spark, "src", "user_id", "score", dir,
+      sliceType = org.apache.spark.sql.types.StringType)
+    val pre = ingest.store().schema
+    ingest.processBatch(
+      Seq(("web", 10L, 1.0)).toDF("src", "user_id", "score"), 0L)
+    val post = ingest.store().schema
+    assert(pre("src").dataType == post("src").dataType,
+      s"slice schema drifted: ${pre("src").dataType} -> ${post("src").dataType}")
+    assert(ingest.summary().select("distinct_ids").as[Long].head() == 1L)
+  }
+
   test("drives end to end from a streaming source") {
     val (ingest, _) = mkIngest()
     val ms = MemoryStream[(Long, Long, Double)](spark, numPartitions = 2)
