@@ -446,11 +446,17 @@ object DedupQueries {
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
       .where(expr("pos <= n DIV 2 + 1"))
-      .select("doc_id", "h")
+      .select("doc_id", "n", "h")
       .localCheckpoint(true)
-    val cand = prefix.select(col("doc_id").as("doc1"), col("h"))
-      .join(prefix.select(col("doc_id").as("doc2"), col("h")), Seq("h"))
-      .where(col("doc1") < col("doc2"))
+    // Length filter inside the candidate join (also lossless): J ≥ 1/2
+    // forces |∩| ≥ max(n1,n2)/2 and |∩| ≤ min(n1,n2), so sizes must be
+    // within 2× of each other — a hub element (boilerplate shingle)
+    // shared by d docs contributes only its length-COMPATIBLE pairs,
+    // not d²/2.
+    val cand = prefix.select(col("doc_id").as("doc1"), col("n").as("na"), col("h"))
+      .join(prefix.select(col("doc_id").as("doc2"), col("n").as("nb"), col("h")), Seq("h"))
+      .where(col("doc1") < col("doc2") &&
+        expr("2 * nb >= na AND 2 * na >= nb"))
       .select("doc1", "doc2").distinct()
     cand
       .join(d.select(col("doc_id").as("doc1"), col("tset").as("t1"),

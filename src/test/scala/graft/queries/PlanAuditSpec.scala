@@ -178,6 +178,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), "fell back to a rank window:\n" + p)
   }
 
+  /** The sketch queries' scale claim: the event stream is shuffled ONLY
+    * as sketch payloads. q_sketch_rollup must aggregate through
+    * ObjectHashAggregate partial/final pairs (the TypedImperativeAggregate
+    * form — never sort-based aggregation) with exactly two data
+    * exchanges (daily build + weekly union), both carrying O(slices)
+    * binary rows. q_sketch_retention's post-store join must BROADCAST
+    * the O(days) sketch frame, adding no data shuffle of its own (its
+    * build side is the checkpointed daily frame). */
+  test("sketch queries shuffle sketches, not rows (theta store)") {
+    val roll = plan("q_sketch_rollup")
+    assert("ObjectHashAggregate".r.findAllIn(roll).length == 4,
+      "sketch aggregation lost its partial/final ObjectHashAggregate pairs:\n" + roll)
+    assert(dataShuffles(roll) == 2,
+      s"rollup should shuffle twice (build + union):\n$roll")
+    val ret = plan("q_sketch_retention")
+    assert(ret.contains("BroadcastHashJoin"),
+      "day/day+1 join stopped broadcasting the sketch frame:\n" + ret)
+    assert(dataShuffles(ret) == 0,
+      "retention added a data shuffle beyond the checkpointed build:\n" + ret)
+  }
+
   /** Bucketed tables co-locate repeated key joins and aggregations: both
     * sides pre-hashed into the same bucket layout at WRITE time, so the
     * join needs no exchange at all — at 100 TB this converts the
