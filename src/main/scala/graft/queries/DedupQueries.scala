@@ -473,6 +473,57 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Content-defined chunk boundary density: 1/16 ⇒ ~16-token expected
+    * chunks on this corpus (docs are a few dozen tokens after
+    * de-stopping). */
+  private val CdcChunkMod = 16
+
+  /** CONTENT-DEFINED chunk fingerprinting — the shift-robust dedup
+    * primitive fixed windows lack: [[graft.queries.TextQueries]]'
+    * `q_text_chunks` cuts every 8 tokens from the doc head, so ONE
+    * inserted sentence shifts every later window and all their
+    * fingerprints change; here a token OPENS a new chunk iff its own
+    * hash ≡ 0 mod $CdcChunkMod — boundaries depend only on LOCAL
+    * content, so an edit changes the fingerprint of the chunk holding
+    * it and leaves every other chunk's fp intact (the rsync/LBFS
+    * anchoring idea, over tokens). Joining chunk fps across docs then
+    * finds shared passages between documents whose heads differ — the
+    * copy-with-edits case shingle-set Jaccard scores low and fixed
+    * windows miss entirely.
+    *
+    * Determinism: boundaries and fps use the portable md5 idiom (60-bit
+    * hash for the anchor test, md5 text digest for the fp), token order
+    * forced by array_sort over (pos, tok) structs. Scale: posexplode +
+    * per-doc cumulative sum (window on high-cardinality doc_id) + one
+    * hash aggregation — no pair enumeration anywhere; the chunk-fp
+    * table is the O(total tokens / mod) index later passage-level joins
+    * consume. */
+  /** The chunk transform over any (doc_id, toks) frame — shared by the
+    * declared query and the spec's shift-robustness property (an edit
+    * must change ONE chunk's fp), so the pinned claim tests the shipped
+    * rule. */
+  private[queries] def cdcChunkFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("boundary", when(
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+          % CdcChunkMod === 0, 1L).otherwise(0L))
+      .withColumn("chunk", sum("boundary").over(
+        Window.partitionBy("doc_id").orderBy(col("pos").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_toks"),
+        (min("pos") + 1).as("tok_start"),
+        expr("""md5(array_join(transform(
+               |  array_sort(collect_list(struct(pos, tok))),
+               |  x -> x.tok), ' '))""".stripMargin).as("chunk_fp"))
+      .select(col("doc_id"), col("chunk").as("chunk_idx"),
+        col("n_toks"), col("tok_start").cast("long").as("tok_start"),
+        col("chunk_fp"))
+
+  private val cdcChunks: Q = (s, dir) =>
+    cdcChunkFrame(tokenized(s, dir)).orderBy("doc_id", "chunk_idx")
+
   /** LSH-candidates → exact-Jaccard verification — the 100 TB chain the
     * lang-blocked [[ngramJaccard]] documents: candidate pairs come from
     * MinHash-LSH banding (shuffle ∝ bucket sizes, never O(n²)), then each
@@ -789,6 +840,7 @@ object DedupQueries {
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_prefix_join"   -> prefixJaccardJoin,
+    "q_dedup_cdc_chunks"    -> cdcChunks,
     "q_dedup_lsh_jaccard" -> lshJaccard,
     "q_dedup_containment" -> containment,
     "q_dedup_decontam"    -> decontaminate,
@@ -918,6 +970,22 @@ object DedupQueries {
          | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
          | WHERE 10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) >= $JaccardBpThreshold
          | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, toks FROM ($duckToks) WHERE len(toks) >= 3),
+         | pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM toks),
+         | tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM pos),
+         | b AS (SELECT doc_id, pos, tok,
+         |   CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $CdcChunkMod = 0
+         |        THEN 1 ELSE 0 END AS boundary FROM tok),
+         | c AS (SELECT doc_id, pos, tok,
+         |   sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS UNBOUNDED PRECEDING) AS chunk FROM b)
+         | SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
+         |  CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(min(pos) AS BIGINT) AS tok_start,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+         | FROM c GROUP BY doc_id, chunk
+         | ORDER BY doc_id, chunk_idx""".stripMargin,
     // Brute-force ALL-PAIRS over the same md5-60-bit shingle sets at the
     // same threshold: a green row proves the Spark side's prefix filter
     // lossless on the graded corpus.

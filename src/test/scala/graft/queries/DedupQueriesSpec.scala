@@ -136,6 +136,26 @@ class DedupQueriesSpec extends SparkSpec {
     * when to pay for production widths (64–128). Pair set fixed to the
     * default 8-hash banding so widths score the same pairs; hashes are
     * deterministic, so this is an exact regression check, not a flake. */
+  test("content-defined chunks: an insertion disturbs exactly one region") {
+    // 200 tokens; insert one token at position 100. Fixed windows would
+    // shift every later chunk; content-defined boundaries must keep all
+    // chunks outside the edited one identical. The edited chunk itself
+    // changes fp (1 disturbed) and, if the inserted token is an anchor,
+    // splits in two (2 fps on the edited side) — never more.
+    val toks = (0 until 200).map(i => s"w$i")
+    val edited = (toks.take(100) :+ "INSERTED") ++ toks.drop(100)
+    val frame = DedupQueries.cdcChunkFrame(
+      Seq((1L, toks), (2L, edited)).toDF("doc_id", "toks"))
+    val fps = frame.select("doc_id", "chunk_fp").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val onlyOrig = fps(1L) -- fps(2L)
+    val onlyEdit = fps(2L) -- fps(1L)
+    assert(onlyOrig.size == 1, s"edit disturbed ${onlyOrig.size} original chunks")
+    assert(onlyEdit.size <= 2, s"edit produced ${onlyEdit.size} new chunks")
+    // sanity: the docs share a substantial body of identical chunks
+    assert((fps(1L) & fps(2L)).size >= 3, fps.toString)
+  }
+
   test("minhash width sweep 8/16/32: estimate-vs-exact error shrinks") {
     val dir = "/root/testdata/sf0.01"
     val errs = Seq(8, 16, 32)
