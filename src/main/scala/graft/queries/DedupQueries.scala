@@ -524,6 +524,35 @@ object DedupQueries {
   private val cdcChunks: Q = (s, dir) =>
     cdcChunkFrame(tokenized(s, dir)).orderBy("doc_id", "chunk_idx")
 
+  /** Substantial-passage floor: chunks shorter than this are too common
+    * to signal copying (articles, headers) — both engines filter on it
+    * before the fp join. */
+  private val MinSharedChunkToks = 8
+
+  /** Shared-passage detection — the consumer of [[cdcChunks]]' index:
+    * two docs share a passage iff they share a chunk fingerprint, so
+    * copy-with-edits pairs surface from ONE equi-join on the fp column
+    * (shuffle ∝ chunk table, never doc pairs; bucket sizes are the
+    * number of docs holding that exact passage). Per-doc duplicate fps
+    * (a passage repeated WITHIN a doc) are collapsed first so the pair
+    * counts mean "distinct shared passages". The substantial-chunk
+    * floor keeps trivial short chunks from linking unrelated docs. */
+  private val sharedPassages: Q = (s, dir) => {
+    // Checkpointed once: both sides of the fp self-join consume it.
+    val ch = cdcChunkFrame(tokenized(s, dir))
+      .where(col("n_toks") >= MinSharedChunkToks)
+      .groupBy("doc_id", "chunk_fp")
+      .agg(max("n_toks").as("n_toks"))
+      .localCheckpoint(true)
+    ch.select(col("doc_id").as("doc1"), col("chunk_fp"), col("n_toks"))
+      .join(ch.select(col("doc_id").as("doc2"), col("chunk_fp")), Seq("chunk_fp"))
+      .where(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared_chunks"),
+        sum("n_toks").as("shared_toks"))
+      .orderBy("doc1", "doc2")
+  }
+
   /** LSH-candidates → exact-Jaccard verification — the 100 TB chain the
     * lang-blocked [[ngramJaccard]] documents: candidate pairs come from
     * MinHash-LSH banding (shuffle ∝ bucket sizes, never O(n²)), then each
@@ -841,6 +870,7 @@ object DedupQueries {
     "q_dedup_ngram_jaccard" -> ngramJaccard,
     "q_dedup_prefix_join"   -> prefixJaccardJoin,
     "q_dedup_cdc_chunks"    -> cdcChunks,
+    "q_dedup_shared_passages" -> sharedPassages,
     "q_dedup_lsh_jaccard" -> lshJaccard,
     "q_dedup_containment" -> containment,
     "q_dedup_decontam"    -> decontaminate,
@@ -862,6 +892,27 @@ object DedupQueries {
 
   private val duckToks =
     s"SELECT doc_id, ${duckTerms("text")} AS toks FROM documents"
+
+  /** The content-defined chunk derivation ending in
+    * `chunks(doc_id, chunk_idx, n_toks, tok_start, chunk_fp)` — shared
+    * by the chunk dump and the shared-passage join so the boundary rule
+    * cannot drift between the two oracles. */
+  private def duckCdcChunkCtes: String =
+    s"""ctoks AS (SELECT doc_id, toks FROM ($duckToks) WHERE len(toks) >= 3),
+       | cpos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM ctoks),
+       | ctok AS (SELECT doc_id, pos, toks[pos] AS tok FROM cpos),
+       | cb AS (SELECT doc_id, pos, tok,
+       |   CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $CdcChunkMod = 0
+       |        THEN 1 ELSE 0 END AS boundary FROM ctok),
+       | cc AS (SELECT doc_id, pos, tok,
+       |   sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS UNBOUNDED PRECEDING) AS chunk FROM cb),
+       | chunks AS (
+       |  SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
+       |   CAST(count(*) AS BIGINT) AS n_toks,
+       |   CAST(min(pos) AS BIGINT) AS tok_start,
+       |   md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+       |  FROM cc GROUP BY doc_id, chunk)""".stripMargin
   private val duckShingles =
     s"""SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
        |   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
@@ -971,21 +1022,19 @@ object DedupQueries {
          | WHERE 10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) >= $JaccardBpThreshold
          | ORDER BY doc1, doc2""".stripMargin,
     "q_dedup_cdc_chunks" ->
-      s"""WITH toks AS (SELECT doc_id, toks FROM ($duckToks) WHERE len(toks) >= 3),
-         | pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM toks),
-         | tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM pos),
-         | b AS (SELECT doc_id, pos, tok,
-         |   CASE WHEN CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $CdcChunkMod = 0
-         |        THEN 1 ELSE 0 END AS boundary FROM tok),
-         | c AS (SELECT doc_id, pos, tok,
-         |   sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
-         |     ROWS UNBOUNDED PRECEDING) AS chunk FROM b)
-         | SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_idx,
-         |  CAST(count(*) AS BIGINT) AS n_toks,
-         |  CAST(min(pos) AS BIGINT) AS tok_start,
-         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
-         | FROM c GROUP BY doc_id, chunk
-         | ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"""WITH $duckCdcChunkCtes
+         | SELECT doc_id, chunk_idx, n_toks, tok_start, chunk_fp
+         | FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_dedup_shared_passages" ->
+      s"""WITH $duckCdcChunkCtes,
+         | ch AS (SELECT doc_id, chunk_fp, max(n_toks) AS n_toks
+         |  FROM chunks WHERE n_toks >= $MinSharedChunkToks
+         |  GROUP BY doc_id, chunk_fp)
+         | SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |  count(*) AS n_shared_chunks,
+         |  CAST(sum(a.n_toks) AS BIGINT) AS shared_toks
+         | FROM ch a JOIN ch b ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2 ORDER BY doc1, doc2""".stripMargin,
     // Brute-force ALL-PAIRS over the same md5-60-bit shingle sets at the
     // same threshold: a green row proves the Spark side's prefix filter
     // lossless on the graded corpus.
