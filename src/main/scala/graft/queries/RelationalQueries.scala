@@ -598,6 +598,33 @@ object RelationalQueries {
         col("n_days"))
       .orderBy("week")
 
+  /** A2+ frequency-sketch HOT KEYS — the fourth sketch leg graded: per
+    * event type, every user holding > 1% of the type's events, read
+    * from a [[graft.functions.FrequencySketch]] (frequent-items sketch,
+    * `NO_FALSE_POSITIVES`). Emission carries the sketch's own
+    * `max_err` next to the counts; the oracle pins it to literal 0 —
+    * the graded claim is "under capacity the sketch never purged, so
+    * these ARE the exact counts DuckDB computes" (the exact-mode
+    * convention of [[a2SketchRetention]]; `FrequencySketchSpec` pins
+    * the ≤ εN bound past capacity, where the same plan degrades to
+    * bounded estimates instead of breaking). One partial/final
+    * ObjectHashAggregate per type; the explode runs over the O(types)
+    * sketch frame. */
+  private val a2SketchHotkeys: Q = (s, dir) => {
+    import graft.functions.FrequencySketch
+    val sk = t(s, dir, "events").groupBy("event_type")
+      .agg(FrequencySketch.sketchAgg(col("user_id")).as("sk"),
+        count(lit(1)).as("n_events"))
+    sk.select(col("event_type"), col("n_events"),
+        FrequencySketch.maxErrorCol(col("sk")).as("max_err"),
+        posexplode(FrequencySketch.itemsOverCol(col("sk"),
+          expr("n_events DIV 100"))).as(Seq("rank", "it")))
+      .select(col("event_type"), col("n_events"), col("max_err"),
+        col("rank").cast("long").as("rank"),
+        col("it.item").as("user_id"), col("it.est").as("n_user"))
+      .orderBy("event_type", "rank")
+  }
+
   /** W1/N6: StringIndexer's relational core (reference
     * `spark/model_training.py:188-203`): index = rank by (freq desc, label
     * asc). Window over the *aggregated* label table — cardinality(labels)
@@ -1190,6 +1217,7 @@ object RelationalQueries {
     "q_a2_argminmax"       -> a2ArgMinMax,
     "q_sketch_retention"   -> a2SketchRetention,
     "q_sketch_rollup"      -> a2SketchRollup,
+    "q_sketch_hotkeys"     -> a2SketchHotkeys,
     "q_w1_indexer_rank"    -> w1IndexerRank,
     "q_w2_window"          -> w2Window,
     "q_w2_analytics"       -> w2Analytics,
@@ -1430,6 +1458,21 @@ object RelationalQueries {
         | SELECT day // 7 AS week, count(DISTINCT user_id) AS wau,
         |  count(DISTINCT day) AS n_days
         | FROM e GROUP BY 1 ORDER BY week""".stripMargin,
+    // max_err pinned to literal 0: the graded claim is that the sketch
+    // stayed under capacity (no purge), so its estimates are exact.
+    "q_sketch_hotkeys" ->
+      """WITH counts AS (
+        |  SELECT event_type, user_id, count(*) AS n_user
+        |  FROM events GROUP BY 1, 2),
+        | tot AS (SELECT event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        | SELECT t.event_type, t.n_events, CAST(0 AS BIGINT) AS max_err,
+        |  row_number() OVER (PARTITION BY t.event_type
+        |    ORDER BY c.n_user DESC, c.user_id) - 1 AS rank,
+        |  c.user_id, c.n_user
+        | FROM tot t JOIN counts c USING (event_type)
+        | WHERE c.n_user >= t.n_events // 100
+        | ORDER BY event_type, rank""".stripMargin,
     "q_a4_rollup" ->
       """SELECT
         | CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rflag,
