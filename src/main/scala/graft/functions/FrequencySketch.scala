@@ -33,9 +33,13 @@ import org.apache.spark.sql.types._
   * architecture as [[ThetaSketch]]/[[QuantileSketch]]. */
 object FrequencySketch {
 
-  /** lgMaxMapSize 10 → 1024-slot map (~8 KB), ε ≈ 3.5/1024: exact for
-    * ≤ ~768 distinct items, ≤ 0.35% of stream length past that. */
-  val DefaultLgMax = 10
+  /** lgMaxMapSize 13 → 8192-slot map (≲150 KB worst case per group),
+    * ε ≈ 3.5/8192: EXACT for ≤ ~6144 distinct items — 4× the ~1.5 K
+    * per-slice cardinality at the largest local scale (sf0.1), the
+    * same headroom discipline as [[ThetaSketch.DefaultLgK]] (tripwire
+    * in `FrequencySketchSpec`) — and ≤ 0.043% of stream length past
+    * that. */
+  val DefaultLgMax = 13
 
   private def heapify(b: Array[Byte]): LongsSketch =
     LongsSketch.getInstance(Memory.wrap(b))

@@ -599,7 +599,9 @@ object RelationalQueries {
       .orderBy("week")
 
   /** A2+ frequency-sketch HOT KEYS — the fourth sketch leg graded: per
-    * event type, every user holding > 1% of the type's events, read
+    * event type, every user whose event count REACHES the inclusive
+    * floor(1%) threshold (`count ≥ n_events DIV 100` — DataSketches'
+    * lb ≥ minCount semantics, which the oracle mirrors with `>=`), read
     * from a [[graft.functions.FrequencySketch]] (frequent-items sketch,
     * `NO_FALSE_POSITIVES`). Emission carries the sketch's own
     * `max_err` next to the counts; the oracle pins it to literal 0 —
@@ -1460,10 +1462,13 @@ object RelationalQueries {
         | FROM e GROUP BY 1 ORDER BY week""".stripMargin,
     // max_err pinned to literal 0: the graded claim is that the sketch
     // stayed under capacity (no purge), so its estimates are exact.
+    // user_id IS NOT NULL mirrors the sketch's null-skip (a NULL-user
+    // group clearing the threshold would otherwise exist only on the
+    // DuckDB side); n_events deliberately counts ALL rows on both sides.
     "q_sketch_hotkeys" ->
       """WITH counts AS (
         |  SELECT event_type, user_id, count(*) AS n_user
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         | tot AS (SELECT event_type, count(*) AS n_events
         |  FROM events GROUP BY 1)
         | SELECT t.event_type, t.n_events, CAST(0 AS BIGINT) AS max_err,

@@ -136,6 +136,17 @@ class DedupQueriesSpec extends SparkSpec {
     * when to pay for production widths (64–128). Pair set fixed to the
     * default 8-hash banding so widths score the same pairs; hashes are
     * deterministic, so this is an exact regression check, not a flake. */
+  test("minhash width sweep 8/16/32: estimate-vs-exact error shrinks") {
+    val dir = "/root/testdata/sf0.01"
+    val errs = Seq(8, 16, 32)
+      .map(n => n -> DedupQueries.minhashSweepErrorBp(spark, dir, n))
+    info(s"mean |est - exact| bp by width: $errs")
+    errs.foreach { case (n, e) =>
+      assert(!e.isNaN && e >= 0, s"width $n produced invalid error $e") }
+    assert(errs.last._2 < errs.head._2,
+      s"32 hashes should estimate Jaccard tighter than 8: $errs")
+  }
+
   test("content-defined chunks: an insertion disturbs exactly one region") {
     // 200 tokens; insert one token at position 100. Fixed windows would
     // shift every later chunk; content-defined boundaries must keep all
@@ -154,17 +165,6 @@ class DedupQueriesSpec extends SparkSpec {
     assert(onlyEdit.size <= 2, s"edit produced ${onlyEdit.size} new chunks")
     // sanity: the docs share a substantial body of identical chunks
     assert((fps(1L) & fps(2L)).size >= 3, fps.toString)
-  }
-
-  test("minhash width sweep 8/16/32: estimate-vs-exact error shrinks") {
-    val dir = "/root/testdata/sf0.01"
-    val errs = Seq(8, 16, 32)
-      .map(n => n -> DedupQueries.minhashSweepErrorBp(spark, dir, n))
-    info(s"mean |est - exact| bp by width: $errs")
-    errs.foreach { case (n, e) =>
-      assert(!e.isNaN && e >= 0, s"width $n produced invalid error $e") }
-    assert(errs.last._2 < errs.head._2,
-      s"32 hashes should estimate Jaccard tighter than 8: $errs")
   }
 
   /** Integer PageRank conservation: ranks start at U div N each; every

@@ -7,7 +7,9 @@ import graft.SparkSpec
   * loses pushdown, broadcasts a fact table, or adds a second shuffle to a
   * window family fails HERE, not in a 100 TB run. Values are covered by
   * the oracle; these tests look only at plan shape (planning only — no
-  * query is executed). */
+  * query is executed, EXCEPT where a query's builder carries an eager
+  * localCheckpoint, which materializes its tiny sf0.001 build frame and
+  * is called out at the test site). */
 class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -187,6 +189,9 @@ class PlanAuditSpec extends SparkSpec {
     * the O(days) sketch frame, adding no data shuffle of its own (its
     * build side is the checkpointed daily frame). */
   test("sketch queries shuffle sketches, not rows (theta store)") {
+    // NOTE: building q_sketch_retention EXECUTES its eager
+    // localCheckpoint (the sf0.001 daily sketch build — the header's
+    // documented exception); the audited plan is the post-store join.
     val roll = plan("q_sketch_rollup")
     assert("ObjectHashAggregate".r.findAllIn(roll).length == 4,
       "sketch aggregation lost its partial/final ObjectHashAggregate pairs:\n" + roll)
