@@ -5,16 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{QuantileSketch, ThetaSketch}
+import graft.functions.{FrequencySketch, QuantileSketch, ThetaSketch}
 
 /** Streaming maintainer for the SLICE-SKETCH STORE — the piece that turns
   * the sketch family ([[graft.functions.ThetaSketch]] distinct/overlap,
   * [[graft.functions.QuantileSketch]] distributions,
+  * [[graft.functions.FrequencySketch]] heavy items,
   * [[graft.ops.SketchOps]] HLL) from a batch convenience into standing
   * infrastructure: every micro-batch folds its rows into one compact
-  * observability row per slice — exact row count, theta sketch of the id
-  * column, KLL sketch of the metric column — and appends it to a parquet
-  * store. Any later question (daily distinct users, week-over-week
+  * observability row per slice — exact row count, theta + frequency
+  * sketches of the id column, KLL sketch of the metric column — and
+  * appends it to a parquet store. Any later question (daily distinct users, week-over-week
   * retention overlap, score-distribution drift) is answered from the
   * store in O(slices × k), never by rescanning the stream's history.
   *
@@ -59,7 +60,8 @@ final class SketchIngest(
     val slices = batch.groupBy(col(sliceCol))
       .agg(count(lit(1)).as("n_rows"),
         ThetaSketch.sketchAgg(col(idCol), lgK).as("distinct_sk"),
-        QuantileSketch.sketchAgg(col(metricCol)).as("metric_sk"))
+        QuantileSketch.sketchAgg(col(metricCol)).as("metric_sk"),
+        FrequencySketch.sketchAgg(col(idCol)).as("freq_sk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = slices.count()
@@ -79,6 +81,7 @@ final class SketchIngest(
           StructField("n_rows", LongType, nullable = false),
           StructField("distinct_sk", BinaryType, nullable = false),
           StructField("metric_sk", BinaryType, nullable = false),
+          StructField("freq_sk", BinaryType, nullable = false),
           StructField("batch_id", LongType)))))
 
   /** Merge the per-batch slice rows down to one row per slice — the
@@ -87,7 +90,19 @@ final class SketchIngest(
     store().groupBy(col(sliceCol))
       .agg(sum("n_rows").as("n_rows"),
         ThetaSketch.unionAgg(col("distinct_sk"), lgK).as("distinct_sk"),
-        QuantileSketch.mergeAgg(col("metric_sk")).as("metric_sk"))
+        QuantileSketch.mergeAgg(col("metric_sk")).as("metric_sk"),
+        FrequencySketch.mergeAgg(col("freq_sk")).as("freq_sk"))
+
+  /** Per-slice hot ids from the merged frequency sketches: ids whose
+    * (lower-bounded) count reaches `minCount`, exploded to one row per
+    * (slice, id) with the estimate — exact while slices stay under the
+    * sketch's purge capacity ([[graft.functions.FrequencySketch]]). */
+  def hotIds(minCount: Long): DataFrame =
+    rollup().select(col(sliceCol),
+        explode(FrequencySketch.itemsOverCol(col("freq_sk"),
+          lit(minCount))).as("it"))
+      .select(col(sliceCol), col("it.item").as("id"),
+        col("it.est").as("n"))
 
   /** Rolled-up store with the sketches opened into human answers:
     * distinct-id estimate and metric quantiles per slice. */

@@ -66,6 +66,17 @@ class SketchIngestSpec extends SparkSpec {
     assert(retained == 2L) // users 11, 12
   }
 
+  test("hot ids answer from the store, merged across batches") {
+    val (ingest, _) = mkIngest()
+    ingest.processBatch(batch(
+      (1L, 10L, 1.0), (1L, 10L, 1.0), (1L, 11L, 1.0)), 0L)
+    ingest.processBatch(batch((1L, 10L, 1.0), (2L, 20L, 1.0)), 1L)
+    val hot = ingest.hotIds(minCount = 2L)
+      .select("day", "id", "n").as[(Long, Long, Long)].collect().toSet
+    // user 10 reaches 3 across batches on day 1; 11 and 20 stay under 2
+    assert(hot == Set((1L, 10L, 3L)), hot.toString)
+  }
+
   test("quantiles come from the merged metric sketch") {
     val (ingest, _) = mkIngest()
     ingest.processBatch(batch((1L, 10L, 1.0), (1L, 11L, 3.0)), 0L)
