@@ -473,6 +473,40 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** Cross-source DUPLICATION MATRIX — the dedup-planning signal read
+    * from theta sketches instead of a corpus self-join: one content
+    * fingerprint sketch per source (md5 of the cleaned text, the
+    * [[exactDedup]] identity), then every pairwise shared-document
+    * count comes from sketch INTERSECTION over the O(sources) frame.
+    * This is the triage that decides where dedup effort goes ("src3
+    * and src7 mirror each other; src9 is clean") without ever joining
+    * the corpus against itself — and with persisted per-source
+    * sketches ([[graft.stream.SketchIngest]]) it answers from the
+    * store alone.
+    *
+    * Oracle-exactness: per-source distinct fingerprints (≤250 at
+    * sf0.1) sit far under the 2^12 exact-mode bound, so estimates ARE
+    * the exact distinct counts DuckDB computes ([[ThetaSketch]]
+    * scaladoc; same convention as `q_sketch_retention`). At corpus
+    * scale the same plan serves ±1.6% estimates — still enough to
+    * rank source pairs. */
+  private val sourceOverlap: Q = (s, dir) => {
+    import graft.functions.ThetaSketch.{estimateCol, intersectionCol, sketchAgg}
+    // Checkpointed once: both sides of the pairwise self-join read it.
+    val sk = Tables.fanout(t(s, dir, "documents"))
+      .select(col("source"), md5(TextOps.cleanText(col("text"))).as("fp"))
+      .groupBy("source").agg(sketchAgg(col("fp")).as("sk"))
+      .localCheckpoint(true)
+    sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+      .join(sk.select(col("source").as("src_b"), col("sk").as("sk_b")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        estimateCol(col("sk_a")).as("docs_a"),
+        estimateCol(col("sk_b")).as("docs_b"),
+        estimateCol(intersectionCol(col("sk_a"), col("sk_b"))).as("shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Content-defined chunk boundary density: 1/16 ⇒ ~16-token expected
     * chunks on this corpus (docs are a few dozen tokens after
     * de-stopping). */
@@ -871,6 +905,7 @@ object DedupQueries {
     "q_dedup_prefix_join"   -> prefixJaccardJoin,
     "q_dedup_cdc_chunks"    -> cdcChunks,
     "q_dedup_shared_passages" -> sharedPassages,
+    "q_dedup_source_overlap" -> sourceOverlap,
     "q_dedup_lsh_jaccard" -> lshJaccard,
     "q_dedup_containment" -> containment,
     "q_dedup_decontam"    -> decontaminate,
@@ -1021,6 +1056,21 @@ object DedupQueries {
          | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
          | WHERE 10000 * len(list_intersect(x.tset, y.tset)) // len(list_distinct(list_concat(x.tset, y.tset))) >= $JaccardBpThreshold
          | ORDER BY doc1, doc2""".stripMargin,
+    // Exact-mode sketches (≤250 distinct fps per source ≪ 2^12), so the
+    // theta estimates equal DuckDB's exact distinct/intersection counts.
+    "q_dedup_source_overlap" ->
+      s"""WITH d AS (SELECT source, md5(${duckClean("text")}) AS fp FROM documents),
+         | s AS (SELECT source, count(DISTINCT fp) AS n FROM d GROUP BY 1),
+         | sh AS (SELECT x.source AS sa, y.source AS sb,
+         |   count(DISTINCT x.fp) AS shared
+         |  FROM d x JOIN d y ON x.fp = y.fp AND x.source < y.source
+         |  GROUP BY 1, 2)
+         | SELECT a.source AS src_a, b.source AS src_b,
+         |  a.n AS docs_a, b.n AS docs_b,
+         |  coalesce(sh.shared, 0) AS shared
+         | FROM s a JOIN s b ON a.source < b.source
+         | LEFT JOIN sh ON sh.sa = a.source AND sh.sb = b.source
+         | ORDER BY src_a, src_b""".stripMargin,
     "q_dedup_cdc_chunks" ->
       s"""WITH $duckCdcChunkCtes
          | SELECT doc_id, chunk_idx, n_toks, tok_start, chunk_fp
