@@ -428,16 +428,12 @@ object DedupQueries {
     * corpus size. The DuckDB oracle is the brute-force all-pairs join
     * at the same threshold, so every green run PROVES the filter
     * lossless on the graded corpus. */
-  private val prefixJaccardJoin: Q = (s, dir) => {
-    val d = Tables.fanout(tokenized(s, dir)
-        .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
-            .cast("long").as("h"))
-        .groupBy("doc_id")
-        .agg(array_sort(collect_set(col("h"))).as("tset"))
-        .withColumn("n", size(col("tset"))))
-      .localCheckpoint(true)
+  /** The prefix-filter join kernel over any (doc_id, tset, n) set frame
+    * — shared by the declared query and the spec's random-input
+    * losslessness property, so the pinned theorem (no qualifying pair
+    * escapes the prefix + length filters) tests the SHIPPED filter, not
+    * a re-derivation. Caller checkpoints the input. */
+  private[queries] def prefixJoinPairs(d: DataFrame): DataFrame = {
     val toks = d.select(col("doc_id"), col("n"), explode(col("tset")).as("h"))
     val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
     // Checkpointed once: both sides of the candidate self-join consume it
@@ -470,8 +466,20 @@ object DedupQueries {
         expr("CAST(n1 AS BIGINT)").as("n1"),
         expr("CAST(n2 AS BIGINT)").as("n2"),
         expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)").as("jac_bp"))
-      .orderBy("doc1", "doc2")
   }
+
+  private val prefixJaccardJoin: Q = (s, dir) =>
+    prefixJoinPairs(
+      Tables.fanout(tokenized(s, dir)
+          .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
+          .select(col("doc_id"),
+            conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .groupBy("doc_id")
+          .agg(array_sort(collect_set(col("h"))).as("tset"))
+          .withColumn("n", size(col("tset"))))
+        .localCheckpoint(true))
+      .orderBy("doc1", "doc2")
 
   /** Cross-source DUPLICATION MATRIX — the dedup-planning signal read
     * from theta sketches instead of a corpus self-join: one content

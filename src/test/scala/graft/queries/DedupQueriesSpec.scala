@@ -167,6 +167,35 @@ class DedupQueriesSpec extends SparkSpec {
     assert((fps(1L) & fps(2L)).size >= 3, fps.toString)
   }
 
+  /** The prefix-filter theorem, probed on ADVERSARIAL random inputs —
+    * the corpus oracle proves losslessness on one distribution; this
+    * drives the shipped [[DedupQueries.prefixJoinPairs]] kernel over a
+    * TINY vocabulary (max collisions, the regime where the filter
+    * prunes least) with set sizes spanning the 2× length-filter
+    * boundary (the n2 = 2·n1 edge is exactly representable), and
+    * checks every J ≥ 1/2 pair against a driver-side brute force.
+    * Seeded: an exact regression check, not a flake. */
+  test("prefix join kernel is lossless on random small-vocab sets") {
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 40L).map { id =>
+      val size = 1 + rnd.nextInt(12) // spans well past the 2× ratio edge
+      val tset = Iterator.continually(rnd.nextInt(30).toLong)
+        .distinct.take(size).toSeq.sorted
+      (id, tset, tset.size)
+    }
+    val expected = (for {
+      a <- docs; b <- docs if a._1 < b._1
+      inter = a._2.toSet.intersect(b._2.toSet).size
+      if 3 * inter >= a._3 + b._3
+    } yield (a._1, b._1)).toSet
+    val got = DedupQueries.prefixJoinPairs(
+        docs.toDF("doc_id", "tset", "n").localCheckpoint(true))
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missed: ${expected -- got}; spurious: ${got -- expected}")
+    assert(expected.nonEmpty, "degenerate fixture: no qualifying pairs")
+  }
+
   /** Integer PageRank conservation: ranks start at U div N each; every
     * iteration only moves mass through integer divisions (each div can
     * only LOSE mass) plus the teleport floor — so Σranks never exceeds U
