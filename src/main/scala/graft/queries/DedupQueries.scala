@@ -381,14 +381,97 @@ object DedupQueries {
         org.apache.spark.sql.graftshim.ColumnShim.toExpression(a),
         org.apache.spark.sql.graftshim.ColumnShim.toExpression(b)))
 
+  /** Every term-set element ranked within its doc by the global canonical
+    * order (document frequency ASC, hash ASC — so each doc's earliest
+    * positions hold its RAREST terms). One df aggregate (vocabulary-sized)
+    * + one doc_id-partitioned window; both the prefix filter and the
+    * PPJoin positional filter read `pos` from this single frame, so the
+    * position bookkeeping adds zero extra shuffles over a plain prefix
+    * build. Shared by the Jaccard and containment candidate generators. */
+  private def rankedTerms(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), col("lang"), col("n"),
+      explode(col("tset")).as("h"))
+    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, Seq("h"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
+      .select("doc_id", "lang", "n", "h", "pos")
+  }
+
+  /** Per-doc prefix length for threshold t (basis points): keep positions
+    * `pos ≤ n − ⌈t·n/10⁴⌉ + 1`. Any qualifying pair shares ≥ ⌈t·n⌉
+    * elements per side, and the canonically-smallest shared element must
+    * sit inside this prefix (≥ I−1 shared elements follow it). */
+  private def prefixLenFilter(tBp: Int): Column =
+    expr(s"pos <= n - (($tBp * n + 9999) DIV 10000) + 1")
+
+  /** LOSSLESS candidate pairs for Jaccard ≥ t over term sets — the
+    * AllPairs/PPJoin construction replacing the language-blocked
+    * all-pairs join (the last quadratic-shaped plan in the dedup family):
+    *
+    *  - prefix filter: J ≥ t forces I ≥ ⌈t·nx⌉ on either side (via the
+    *    length bound ny ≥ t·nx), so the smallest common element lands in
+    *    both docs' (n − ⌈t·n⌉ + 1)-prefixes — an equi-join on prefix
+    *    elements (+ lang, part of the query's block semantics) cannot
+    *    miss a qualifying pair;
+    *  - length filter: t·max(n1,n2) ≤ min(n1,n2), division-free in bp;
+    *  - positional filter (the "PP" in PPJoin): a match at positions
+    *    (pa, pb) bounds I ≤ 1 + min(na−pa, nb−pb) (all other shared
+    *    elements rank after the smallest one), so rows where that upper
+    *    bound cannot reach ⌈t·(na+nb)/(1+t)⌉ are dropped BEFORE the
+    *    pair-distinct — lossless because the smallest-common-element row
+    *    itself always passes.
+    *
+    * Scale: df frame is vocabulary-sized and aggregated before joining;
+    * the rank window partitions on doc_id (high-cardinality); candidate
+    * volume is Σ_h prefix-bucket², bounded by true term sharing among
+    * length-compatible same-lang docs — never corpus². The DuckDB oracle
+    * stays the brute-force all-pairs join, so every green run proves the
+    * filter lossless on the graded corpus (same convention as
+    * [[prefixJoinPairs]]). */
+  private[queries] def jaccardPrefixCandidates(d: DataFrame, tBp: Int): DataFrame = {
+    // Checkpointed once: both sides of the candidate self-join read it.
+    val pfx = rankedTerms(d).where(prefixLenFilter(tBp)).localCheckpoint(true)
+    pfx.select(col("doc_id").as("doc1"), col("lang"), col("n").as("na"),
+        col("pos").as("pa"), col("h"))
+      .join(pfx.select(col("doc_id").as("doc2"), col("lang"),
+        col("n").as("nb"), col("pos").as("pb"), col("h")), Seq("h", "lang"))
+      .where(col("doc1") < col("doc2") &&
+        expr(s"10000 * nb >= $tBp * na AND 10000 * na >= $tBp * nb") &&
+        expr(s"(1 + least(na - pa, nb - pb)) * ${10000 + tBp} >= $tBp * (na + nb)"))
+      .select("doc1", "doc2").distinct()
+  }
+
+  /** N-gram (token-set) Jaccard near-dup at T = 0.6, routed through the
+    * lossless prefix filter: candidates from [[jaccardPrefixCandidates]],
+    * then two equi-joins attach the term sets and the fused two-pointer
+    * kernel verifies exactly. The division-free threshold
+    * (10000+T)·I ≥ T·(n1+n2) runs in the filter so each candidate pays
+    * the intersection kernel once; the exact jac_bp is recomputed only
+    * for the few surviving near-dup pairs. Output (and the all-pairs
+    * DuckDB oracle) unchanged from the pre-prefix form — similarity as
+    * exact integer basis points (10000·|∩| DIV |∪|), cross-engine-safe. */
   private val ngramJaccard: Q = (s, dir) => {
-    val d = termSets(s, dir).localCheckpoint(true) // one term-set build, two join sides
-    // The threshold test runs inside the join condition in division-free
-    // form: floor(10000·I / (n1+n2−I)) ≥ T  ⇔  (10000+T)·I ≥ T·(n1+n2),
-    // so each candidate pair pays the intersection kernel ONCE (a naive
-    // post-join `where` on jac_bp gets substituted into the condition
-    // with the kernel duplicated per reference). The exact jac_bp is
-    // recomputed only for the few surviving near-dup pairs.
+    val d = termSets(s, dir).localCheckpoint(true) // one term-set build, three readers
+    jaccardPrefixCandidates(d, JaccardBpThreshold)
+      .join(d.select(col("doc_id").as("doc1"), col("tset").as("t1"),
+        col("n").as("n1")), Seq("doc1"))
+      .join(d.select(col("doc_id").as("doc2"), col("tset").as("t2"),
+        col("n").as("n2")), Seq("doc2"))
+      .withColumn("inter", interSize(col("t1"), col("t2")))
+      .where(col("inter") * lit(10000 + JaccardBpThreshold) >=
+        lit(JaccardBpThreshold) * (col("n1") + col("n2")))
+      .select(col("doc1"), col("doc2"),
+        expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)").as("jac_bp"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** The retired language-blocked all-pairs form, kept ONLY as the
+    * spec-side exact twin ([[ngramJaccard]]'s DuckDB oracle is the same
+    * brute force, but the local spec compares engines without DuckDB).
+    * Never registered as a graded query. */
+  private[queries] def ngramJaccardAllPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = termSets(s, dir).localCheckpoint(true)
     val inter = interSize(col("x.tset"), col("y.tset"))
     d.as("x").join(d.as("y"),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id") &&
@@ -619,15 +702,73 @@ object DedupQueries {
   /** Containment (overlap-coefficient) threshold, basis points. */
   private val ContainmentBpThreshold = 8000
 
+  /** LOSSLESS candidate pairs for containment ≥ T — the asymmetric
+    * prefix-vs-full construction. Containment (I / min(n1,n2)) admits NO
+    * length-ratio filter (a doc pasted inside a 10× larger one qualifies
+    * by design), so the Jaccard symmetric prefix join does not transfer:
+    * the larger doc's guaranteed overlap ⌈T·n_min⌉ depends on the
+    * UNKNOWN partner size, and its own safe prefix degenerates to the
+    * full set. The asymmetric theorem fixes this:
+    *
+    *   for a qualifying pair with ns ≤ nb, I ≥ ⌈T·ns⌉, so the smallest
+    *   common element sits within the SMALLER doc's
+    *   (ns − ⌈T·ns⌉ + 1)-prefix — and trivially somewhere in the larger
+    *   doc's full element list. Equi-joining small-side prefixes against
+    *   the full ranked element frame (+ lang) with ns ≤ nb therefore
+    *   cannot miss a qualifying pair.
+    *
+    * The positional filter still applies (all other shared elements rank
+    * after the smallest on BOTH sides): I ≤ 1 + min(ns−ps, nb−pb), so
+    * rows where that bound cannot reach ⌈T·ns⌉ drop before the
+    * pair-distinct. At T = 0.8 the small-side prefix is ~n/5 — and the
+    * full-side frame is consumed as built (no second window): candidate
+    * volume is Σ_h prefix-df(h)·df(h) over the rarest fifth of each
+    * doc's terms. Pairs are emitted normalized to doc_id order (the
+    * size order that drove generation is an implementation detail). */
+  private[queries] def containmentPrefixCandidates(d: DataFrame, tBp: Int): DataFrame = {
+    // Checkpointed once: the prefix side is a filter over the same frame
+    // the full side consumes, so one df-aggregate + one rank window feed
+    // both join inputs.
+    val ranked = rankedTerms(d).localCheckpoint(true)
+    ranked.where(prefixLenFilter(tBp))
+      .select(col("doc_id").as("small"), col("lang"), col("n").as("ns"),
+        col("pos").as("ps"), col("h"))
+      .join(ranked.select(col("doc_id").as("big"), col("lang"),
+        col("n").as("nb"), col("pos").as("pb"), col("h")), Seq("h", "lang"))
+      .where(col("small") =!= col("big") && col("ns") <= col("nb") &&
+        expr(s"(1 + least(ns - ps, nb - pb)) * 10000 >= $tBp * ns"))
+      .select(least(col("small"), col("big")).as("doc1"),
+        greatest(col("small"), col("big")).as("doc2"))
+      .distinct()
+  }
+
   /** Containment near-dup detection — |A∩B| / min(|A|,|B|): the
     * quote/near-superset detector Jaccard misses (a doc pasted inside a
-    * 10× larger one has Jaccard ≈ 0.1 but containment ≈ 1.0). Same
-    * blocked-candidates + sorted-merge-intersect machinery as
-    * [[ngramJaccard]] — lang-blocked here; at scale the candidates come
-    * from LSH or a prefix-filter index, the verify kernel is unchanged.
-    * The threshold runs division-free inside the join condition so each
-    * candidate pays the intersection kernel once. */
+    * 10× larger one has Jaccard ≈ 0.1 but containment ≈ 1.0). Routed
+    * through the lossless asymmetric prefix filter
+    * ([[containmentPrefixCandidates]]); the fused sorted-merge kernel
+    * then verifies each candidate exactly, division-free, paying the
+    * intersection once per candidate. Output and all-pairs DuckDB oracle
+    * unchanged from the pre-prefix form. */
   private val containment: Q = (s, dir) => {
+    val d = termSets(s, dir).localCheckpoint(true)
+    containmentPrefixCandidates(d, ContainmentBpThreshold)
+      .join(d.select(col("doc_id").as("doc1"), col("tset").as("t1"),
+        col("n").as("n1")), Seq("doc1"))
+      .join(d.select(col("doc_id").as("doc2"), col("tset").as("t2"),
+        col("n").as("n2")), Seq("doc2"))
+      .withColumn("inter", interSize(col("t1"), col("t2")))
+      .where(col("inter") * lit(10000) >=
+        lit(ContainmentBpThreshold) * least(col("n1"), col("n2")))
+      .select(col("doc1"), col("doc2"),
+        expr("CAST(10000 * inter DIV least(n1, n2) AS BIGINT)").as("cont_bp"))
+      .orderBy("doc1", "doc2")
+  }
+
+  /** Retired all-pairs containment, kept ONLY as the spec-side exact twin
+    * (mirrors [[ngramJaccardAllPairs]]). Never registered as a graded
+    * query. */
+  private[queries] def containmentAllPairs(s: SparkSession, dir: String): DataFrame = {
     val d = termSets(s, dir).localCheckpoint(true)
     val inter = interSize(col("x.tset"), col("y.tset"))
     d.as("x").join(d.as("y"),

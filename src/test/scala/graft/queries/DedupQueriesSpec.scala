@@ -282,6 +282,77 @@ class DedupQueriesSpec extends SparkSpec {
     // similarity-heavy corpus — the operator is observably non-trivial.
     assert(out.where(col("decision") === "drop").count() > 0)
   }
+
+  /** The exact-verify kernels now consume prefix-filter candidates
+    * instead of language-blocked all-pairs; the retired all-pairs forms
+    * are kept as spec twins. The DuckDB oracle is the same brute force,
+    * but this comparison closes the loop locally, engine-vs-engine, on
+    * the full sf0.001 corpus (both SIDES of the equality run Spark, so
+    * any candidate the filter missed would surface as a row diff). */
+  test("prefix-routed ngram Jaccard and containment match their all-pairs twins") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val jac = rows(SamplingSpecHelper.q(spark, "q_dedup_ngram_jaccard", dir))
+    assert(jac == rows(DedupQueries.ngramJaccardAllPairs(spark, dir)))
+    assert(jac.nonEmpty, "degenerate corpus: no qualifying Jaccard pairs")
+    val cont = rows(SamplingSpecHelper.q(spark, "q_dedup_containment", dir))
+    assert(cont == rows(DedupQueries.containmentAllPairs(spark, dir)))
+    assert(cont.nonEmpty, "degenerate corpus: no qualifying containment pairs")
+  }
+
+  /** Adversarial random-input losslessness for the term-space candidate
+    * generators (mirrors the shingle-space prefix-join property): tiny
+    * vocabulary = maximum prefix collisions AND maximum qualifying
+    * pairs; two langs exercise the block key; sizes 1..12 cross every
+    * integer-ceiling edge in the prefix/length/positional bounds.
+    * Candidates may over-approximate (the kernel filters later) — the
+    * pinned theorem is that no qualifying pair ESCAPES. Seeded. */
+  test("Jaccard and containment prefix candidates are lossless on random sets") {
+    val rnd = new scala.util.Random(7)
+    val noise = (1L to 60L).map { id =>
+      val size = 1 + rnd.nextInt(12)
+      val tset = Iterator.continually(rnd.nextInt(30).toLong)
+        .distinct.take(size).toSeq.sorted
+      (id, if (id % 2 == 0) "en" else "fr", tset, tset.size)
+    }
+    // Planted near-dups so the qualifying sets are provably non-empty at
+    // every perturbation depth: each base doc 1..12 gets a clone at
+    // id+100 with `id % 3` elements swapped for fresh vocabulary (drop
+    // the largest k, add k from outside the 0..29 noise range). Depth 0
+    // is an exact dup (J = 1); deeper clones straddle both thresholds,
+    // so the expected sets keep exercising the boundary, not just the
+    // trivial identical case.
+    val planted = noise.take(12).map { case (id, lang, tset, _) =>
+      val k = (id % 3).toInt
+      val t2 = (tset.dropRight(k) ++ (1 to k).map(i => 100L + id * 16 + i)).sorted
+      (id + 100, lang, t2, t2.size)
+    }
+    val docs = noise ++ planted
+    val d = docs.toDF("doc_id", "lang", "tset", "n").localCheckpoint(true)
+    def inter(a: Seq[Long], b: Seq[Long]) = a.toSet.intersect(b.toSet).size
+    val sameLang = for {
+      a <- docs; b <- docs if a._1 < b._1 && a._2 == b._2
+    } yield (a, b)
+
+    val wantJac = sameLang.collect { case (a, b)
+      if inter(a._3, b._3) * (10000 + 6000) >= 6000 * (a._4 + b._4) =>
+      (a._1, b._1)
+    }.toSet
+    val gotJac = DedupQueries.jaccardPrefixCandidates(d, 6000)
+      .as[(Long, Long)].collect().toSet
+    assert(wantJac.nonEmpty, "degenerate fixture: no qualifying Jaccard pairs")
+    assert((wantJac -- gotJac).isEmpty, s"missed: ${wantJac -- gotJac}")
+
+    val wantCont = sameLang.collect { case (a, b)
+      if inter(a._3, b._3) * 10000 >= 8000 * math.min(a._4, b._4) =>
+      (a._1, b._1)
+    }.toSet
+    val gotCont = DedupQueries.containmentPrefixCandidates(d, 8000)
+      .as[(Long, Long)].collect().toSet
+    assert(wantCont.nonEmpty, "degenerate fixture: no qualifying containment pairs")
+    assert((wantCont -- gotCont).isEmpty, s"missed: ${wantCont -- gotCont}")
+  }
 }
 
 /** Indirection so specs exercise exactly the declared query fns. */

@@ -174,6 +174,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "unbroadcast cartesian:\n" + p)
   }
 
+  /** The exact-verify dedup kernels consume prefix-filter candidates:
+    * the candidate generation must be an EQUI-join on the prefix element
+    * hash `h` (+ lang) — the lossless AllPairs/PPJoin shape — and no
+    * cartesian may appear anywhere. The retired all-pairs twin serves as
+    * the negative control: its only join key is the language block, so
+    * the audit genuinely discriminates the two shapes. (Building these
+    * executes their eager sf0.001 localCheckpoints — the header's
+    * documented exception.) */
+  test("exact dedup verify kernels ride the prefix-filter candidate equi-join") {
+    def hJoinLines(p: String): Seq[String] =
+      p.linesIterator.filter(l => l.contains("Join") && l.contains("h#")).toSeq
+    for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_containment")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q fell into a cartesian:\n$p")
+      assert(hJoinLines(p).nonEmpty,
+        s"$q lost the prefix-element candidate equi-join:\n$p")
+      assert(p.contains("sorted_intersection_size"),
+        s"$q lost the exact verification kernel:\n$p")
+    }
+    // Negative control: the all-pairs twins have no h-keyed join.
+    for (twin <- Seq(
+        DedupQueries.ngramJaccardAllPairs(spark, dir),
+        DedupQueries.containmentAllPairs(spark, dir))) {
+      val p = twin.queryExecution.executedPlan.toString
+      assert(hJoinLines(p).isEmpty,
+        "audit no longer discriminates all-pairs from prefix-routed:\n" + p)
+    }
+  }
+
   test("per-key top-K rides the custom sort-free operator (TopKPerKey)") {
     val p = plan("q_w2_topk_user")
     assert(p.contains("TopKPerKey"), p)
