@@ -19,8 +19,13 @@ object Bench {
     // Unknown names fail FAST (a silent empty selection would report a
     // plausible 0-second total for a query that never ran).
     val only: Option[Set[String]] =
-      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+      if (args.nonEmpty)
+        // Stray commas ("a,b,") must not become empty-string names — the
+        // unknown-name check would reject them with a baffling message.
+        Some(args(0).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
     only.foreach { names =>
+      require(names.nonEmpty, "query-name arg given but empty after parsing")
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     }
@@ -86,7 +91,9 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_per_query.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OOM/interrupt here must propagate, not be
+      // swallowed after the (already-printed) results.
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()

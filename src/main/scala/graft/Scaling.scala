@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** SCALE-AMPLIFICATION TRIPWIRE — converts the "would survive 100×" plan
+  * arguments into a measured artifact (`SCALING_r{N}.json`).
+  *
+  * The sf series (0.001/0.01/0.1) already measures organic 10× growth;
+  * this main extends the curve PAST the largest generated scale by
+  * amplifying sf0.1 in place: each table becomes `factor` id-shifted
+  * copies (every `*_id`/`*key` BIGINT column offset per copy so join
+  * keys stay consistent ACROSS tables and key cardinality grows with
+  * the data, `ts` shifted a day per copy so time windows spread, and
+  * `documents.text` prefixed with a per-copy tag so the copies are not
+  * verbatim duplicates — verbatim replication would manufacture K²
+  * cross-copy duplicate pairs and measure the fixture, not the plan).
+  *
+  * Each audited query then runs at ×1/×4/×8 and the artifact records
+  * wall seconds AND result rows per factor: `g4 = t4/(4·t1)` ≈ 1 means
+  * shuffle-bound linear scaling; for the exact-verify dedup queries the
+  * RESULT itself grows quadratically on this dense corpus (SURVEY §7.5,
+  * `DedupQueries.prefixSelective`), so the fair tripwire there is
+  * seconds per OUTPUT row, which the recorded rows make computable.
+  * The timing action is `count()` — sort-free and projection-pruned, so
+  * the measured work is the scan/join/aggregate structure being scaled,
+  * not the final materialization. */
+object Scaling {
+
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Queries audited: the most expensive tail of the bench (everything
+    * ≥ ~1.5 s at sf0.1) — the plans whose 100× story matters most. */
+  private val Audited = Seq(
+    "q_pipeline_corpus", "q_pipeline_curate", "q_text_bigram_lm",
+    "q_dedup_prefix_join", "q_sample_cluster_split", "q_dedup_components",
+    "q_dedup_apply", "q_dedup_lsh_jaccard", "q_dedup_ngram_jaccard",
+    "q_dedup_containment", "q_a2_approx_distinct", "q_a1_quartiles_scale")
+
+  private val IdShift = 1000000000L
+
+  private def shifted(df: DataFrame, k: Int): DataFrame = {
+    if (k == 0) return df
+    var out = df
+    df.schema.fields.foreach { f =>
+      val isKey = f.name.endsWith("_id") || f.name.endsWith("key")
+      if (isKey && f.dataType == LongType)
+        out = out.withColumn(f.name, col(f.name) + lit(k * IdShift))
+      if (f.name == "ts" && f.dataType == TimestampType)
+        out = out.withColumn("ts", col("ts") + expr(s"INTERVAL $k DAYS"))
+      if (f.name == "text")
+        out = out.withColumn("text", concat(lit(s"cp$k "), col("text")))
+    }
+    out
+  }
+
+  private def amplify(spark: SparkSession, srcDir: String, dstDir: String,
+      factor: Int): Unit =
+    AllTables.foreach { t =>
+      val base = graft.queries.Tables.t(spark, srcDir, t)
+      (0 until factor).map(shifted(base, _)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = if (args.nonEmpty) args(0) else "SCALING_r6.json"
+    val factors = Seq(1, 4, 8)
+    val scaleRoot = "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dirs: Map[Int, String] = factors.map {
+      case 1 => 1 -> srcDir
+      case f =>
+        val d = s"$scaleRoot/x$f"
+        System.err.println(s"[scaling] amplifying $srcDir -> $d (x$f)")
+        amplify(spark, srcDir, d, f)
+        f -> d
+    }.toMap
+
+    val results = Audited.map { name =>
+      val per = factors.map { f =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, dirs(f)).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaling] $name x$f: $sec%.2f s, $rows rows")
+        f -> ((sec, rows))
+      }.toMap
+      val (t1, _) = per(1)
+      val g = factors.filter(_ > 1).map { f =>
+        f -> per(f)._1 / (f * t1)
+      }.toMap
+      name -> ((per, g))
+    }
+
+    val json = results.map { case (name, (per, g)) =>
+      val times = factors.map(f => f"""\"t$f%d\":${per(f)._1}%.3f""").mkString(",")
+      val rows = factors.map(f => s""""rows$f":${per(f)._2}""").mkString(",")
+      val growth = g.toSeq.sortBy(_._1)
+        .map { case (f, v) => f"""\"g$f%d\":$v%.3f""" }.mkString(",")
+      s""""$name":{$times,$rows,$growth}"""
+    }.mkString("{", ",", s""","sf":"$srcDir","factors":[${factors.mkString(",")}]}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

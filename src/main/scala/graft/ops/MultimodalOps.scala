@@ -165,4 +165,71 @@ object MultimodalOps {
       count(lit(1)).as("n"),
       avg("width").as("avg_w"), avg("height").as("avg_h"),
       max("nFrames").as("max_frames"))
+
+  /** One content-defined chunk of a binary payload (byte offsets are
+    * 1-based to match SQL substring addressing in the oracle). */
+  case class ByteChunk(
+      media_id: Long,
+      chunk_idx: Long,
+      n_bytes: Long,
+      byte_start: Long,
+      chunk_fp: String)
+
+  private def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Content-defined chunking over BYTES — the binary-payload twin of
+    * the token-level rule in `graft.queries.DedupQueries.cdcChunkFrame`
+    * (a unit opens a chunk iff its own local hash hits the anchor
+    * condition; rsync/LBFS anchoring). Here the unit is a TWO-BYTE
+    * window: byte `i` (0-based, i ≥ 1) opens a new chunk iff
+    * `md5(bytes[i-1..i])`'s last hex nibble is 0 — expected anchor rate
+    * 1/16 ⇒ ~16-byte mean chunks. A single-byte window degenerates on
+    * low-entropy payloads (text corpora use few distinct byte values,
+    * and whether ANY of them anchors is a coin flip); two-byte windows
+    * see the value space squared. Boundaries depend only on the two
+    * local bytes, so an edit re-fingerprints the chunk holding it and
+    * leaves every other chunk untouched (spec-pinned shift-robustness).
+    *
+    * md5-per-window is the PORTABLE stand-in (the DuckDB oracle of
+    * `q_mm_chunks` transliterates it character-for-character); a
+    * production deployment swaps a gear/buzhash rolling hash behind this
+    * same signature with no Spark-side changes — same seam discipline as
+    * [[Codec]]. Pure per-payload JVM work: callers run it inside a
+    * narrow `flatMap`, so chunking shuffles nothing and the chunk-fp
+    * table (O(payload bytes / 16) rows) is what downstream joins
+    * consume. */
+  def cdcByteChunks(mediaId: Long, bytes: Array[Byte]): Seq[ByteChunk] = {
+    if (bytes.isEmpty) return Nil
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def anchor(i: Int): Boolean = {
+      md.reset()
+      md.update(bytes, i - 1, 2)
+      (md.digest()(15) & 0x0f) == 0
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[ByteChunk]
+    var chunkIdx = 0L
+    var start = 0
+    var i = 1
+    def emit(end: Int): Unit = {            // [start, end) as one chunk
+      md.reset()
+      md.update(bytes, start, end - start)
+      out += ByteChunk(mediaId, chunkIdx, (end - start).toLong,
+        start + 1L, hex(md.digest()))
+    }
+    while (i < bytes.length) {
+      if (anchor(i)) { emit(i); chunkIdx += 1; start = i }
+      i += 1
+    }
+    emit(bytes.length)
+    out.toSeq
+  }
 }

@@ -388,10 +388,11 @@ object DedupQueries {
     * PPJoin positional filter read `pos` from this single frame, so the
     * position bookkeeping adds zero extra shuffles over a plain prefix
     * build. Shared by the Jaccard and containment candidate generators. */
-  private def rankedTerms(d: DataFrame): DataFrame = {
+  private[queries] def rankedTerms(d: DataFrame,
+      dfreqIn: Option[DataFrame] = None): DataFrame = {
     val toks = d.select(col("doc_id"), col("lang"), col("n"),
       explode(col("tset")).as("h"))
-    val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val dfreq = dfreqIn.getOrElse(toks.groupBy("h").agg(count(lit(1)).as("df")))
     toks.join(dfreq, Seq("h"))
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)))
@@ -404,6 +405,59 @@ object DedupQueries {
     * sit inside this prefix (≥ I−1 shared elements follow it). */
   private def prefixLenFilter(tBp: Int): Column =
     expr(s"pos <= n - (($tBp * n + 9999) DIV 10000) + 1")
+
+  /** Document-frequency profile of a term-set frame: one vocabulary-sized
+    * aggregate, shared by the strategy selector and (on the prefix
+    * branch) the canonical term ranking — computed once per query. */
+  private[queries] def termDf(d: DataFrame): DataFrame =
+    d.select(explode(col("tset")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+
+  /** COST-BASED STRATEGY SELECTOR for the exact-verify joins: does the
+    * prefix-filter candidate join beat the fused all-pairs block join on
+    * THIS corpus? The prefix filter's pruning power is bounded by term
+    * rarity: its candidate join shuffles ~Σ_h pb(h)² rows, where pb(h)
+    * counts docs holding prefix element h. On Zipfian vocabularies
+    * (real text) prefixes hold df≈1 terms and the join is near-linear;
+    * on a dense corpus the bound collapses — the graded documents table
+    * is a 29-term vocabulary where the measured filter is NEAR-OPTIMAL
+    * (2.45 M candidates vs 1.80 M true pairs at sf0.1, 1.36×) yet still
+    * shuffles 21.3 M pre-filter rows, 4× slower than the fused all-pairs
+    * join that streams 12.5 M in-join kernel evals with ZERO extra
+    * exchanges. No candidate generator can beat Ω(result) — and when
+    * the result itself is Θ(n²)-dense, all-pairs IS the optimal plan.
+    *
+    * The estimate: take terms in df-ASCENDING order (exactly the order
+    * the canonical ranking fills prefixes from) until their total mass
+    * reaches the prefix share of all tokens (`prefixFracBp`, ≈(1−t) for
+    * Jaccard, (1−T) for containment's small side), and sum df² over
+    * that head — an upper bound on the candidate join volume (pb ≤ df).
+    * Bucketing df by log2 keeps the profile frame O(64) rows at any
+    * vocabulary size (no global sort, no driver-side vocabulary); the
+    * one `.collect()` reads those ≤64 rows — AQE-style stats, not data.
+    * Prefix wins when the estimate stays under the all-pairs kernel
+    * volume n²/4 (measured per-row costs put indifference near n²/5;
+    * the regimes sit orders of magnitude apart, so the constant is not
+    * load-bearing). Both branches are LOSSLESS — the selector moves
+    * time, never results (pinned engine-vs-engine in DedupQueriesSpec,
+    * plan shapes per regime in PlanAuditSpec). */
+  private[queries] def prefixSelective(dfreq: DataFrame, nDocs: Long,
+      prefixFracBp: Int): Boolean = {
+    val prof = dfreq
+      .groupBy(ceil(log2(col("df"))).cast("int").as("b"))
+      .agg(sum(col("df")).as("mass"),
+        sum(col("df").cast("double") * col("df")).as("sq"))
+      .orderBy("b").collect()
+    val total = prof.map(_.getLong(1)).sum
+    val budget = prefixFracBp.toLong * total / 10000
+    var cum = 0L
+    var vol = 0.0
+    prof.foreach { r =>
+      if (cum < budget) vol += r.getDouble(2)
+      cum += r.getLong(1)
+    }
+    vol < nDocs.toDouble * nDocs / 4
+  }
 
   /** LOSSLESS candidate pairs for Jaccard ≥ t over term sets — the
     * AllPairs/PPJoin construction replacing the language-blocked
@@ -429,9 +483,10 @@ object DedupQueries {
     * stays the brute-force all-pairs join, so every green run proves the
     * filter lossless on the graded corpus (same convention as
     * [[prefixJoinPairs]]). */
-  private[queries] def jaccardPrefixCandidates(d: DataFrame, tBp: Int): DataFrame = {
+  private[queries] def jaccardPrefixCandidates(d: DataFrame, tBp: Int,
+      dfreq: Option[DataFrame] = None): DataFrame = {
     // Checkpointed once: both sides of the candidate self-join read it.
-    val pfx = rankedTerms(d).where(prefixLenFilter(tBp)).localCheckpoint(true)
+    val pfx = rankedTerms(d, dfreq).where(prefixLenFilter(tBp)).localCheckpoint(true)
     pfx.select(col("doc_id").as("doc1"), col("lang"), col("n").as("na"),
         col("pos").as("pa"), col("h"))
       .join(pfx.select(col("doc_id").as("doc2"), col("lang"),
@@ -442,18 +497,40 @@ object DedupQueries {
       .select("doc1", "doc2").distinct()
   }
 
-  /** N-gram (token-set) Jaccard near-dup at T = 0.6, routed through the
-    * lossless prefix filter: candidates from [[jaccardPrefixCandidates]],
-    * then two equi-joins attach the term sets and the fused two-pointer
-    * kernel verifies exactly. The division-free threshold
-    * (10000+T)·I ≥ T·(n1+n2) runs in the filter so each candidate pays
-    * the intersection kernel once; the exact jac_bp is recomputed only
-    * for the few surviving near-dup pairs. Output (and the all-pairs
-    * DuckDB oracle) unchanged from the pre-prefix form — similarity as
-    * exact integer basis points (10000·|∩| DIV |∪|), cross-engine-safe. */
+  /** N-gram (token-set) Jaccard near-dup at T = 0.6, with the candidate
+    * strategy chosen per-corpus by [[prefixSelective]]:
+    *
+    *  - SPARSE (Zipfian vocabulary — real text): candidates from the
+    *    lossless prefix filter ([[jaccardPrefixCandidates]]), then two
+    *    equi-joins attach the term sets and the fused two-pointer kernel
+    *    verifies exactly — near-linear in true phrase sharing, the only
+    *    shape that survives 100×;
+    *  - DENSE (the selector's measured Σdf² estimate approaches n²):
+    *    the fused lang-blocked all-pairs join — when the RESULT is
+    *    Θ(n²)-dense no candidate generator can win, and the fused form
+    *    pays zero candidate shuffles (measured 4× faster at sf0.1,
+    *    where 14% of all pairs qualify).
+    *
+    * Both branches verify with the same kernel and are individually
+    * lossless, so the output (and the all-pairs DuckDB oracle) is
+    * branch-independent — similarity as exact integer basis points
+    * (10000·|∩| DIV |∪|), cross-engine-safe. */
   private val ngramJaccard: Q = (s, dir) => {
     val d = termSets(s, dir).localCheckpoint(true) // one term-set build, three readers
-    jaccardPrefixCandidates(d, JaccardBpThreshold)
+    val dfreq = termDf(d).localCheckpoint(true)    // selector + prefix ranking
+    val out =
+      if (prefixSelective(dfreq, d.count(), 10000 - JaccardBpThreshold))
+        ngramJaccardPrefixRouted(d, dfreq)
+      else ngramJaccardAllPairsFrame(d)
+    out.orderBy("doc1", "doc2")
+  }
+
+  /** The sparse-regime plan, exposed so specs can pin it engine-vs-engine
+    * against the all-pairs twin regardless of what the selector picks on
+    * the graded corpus. */
+  private[queries] def ngramJaccardPrefixRouted(d: DataFrame,
+      dfreq: DataFrame): DataFrame =
+    jaccardPrefixCandidates(d, JaccardBpThreshold, Some(dfreq))
       .join(d.select(col("doc_id").as("doc1"), col("tset").as("t1"),
         col("n").as("n1")), Seq("doc1"))
       .join(d.select(col("doc_id").as("doc2"), col("tset").as("t2"),
@@ -463,15 +540,13 @@ object DedupQueries {
         lit(JaccardBpThreshold) * (col("n1") + col("n2")))
       .select(col("doc1"), col("doc2"),
         expr("CAST(10000 * inter DIV (n1 + n2 - inter) AS BIGINT)").as("jac_bp"))
-      .orderBy("doc1", "doc2")
-  }
 
-  /** The retired language-blocked all-pairs form, kept ONLY as the
-    * spec-side exact twin ([[ngramJaccard]]'s DuckDB oracle is the same
-    * brute force, but the local spec compares engines without DuckDB).
-    * Never registered as a graded query. */
-  private[queries] def ngramJaccardAllPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = termSets(s, dir).localCheckpoint(true)
+  /** The fused language-blocked all-pairs form — the DENSE-regime branch
+    * of [[ngramJaccard]] (kernel runs inside the join condition, so no
+    * candidate row is ever materialized or shuffled) and, via the
+    * (s, dir) wrapper below, the spec-side exact twin the prefix branch
+    * is compared against engine-vs-engine. */
+  private[queries] def ngramJaccardAllPairsFrame(d: DataFrame): DataFrame = {
     val inter = interSize(col("x.tset"), col("y.tset"))
     d.as("x").join(d.as("y"),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id") &&
@@ -480,8 +555,11 @@ object DedupQueries {
       .withColumn("inter", inter)
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
         expr("CAST(10000 * inter DIV (x.n + y.n - inter) AS BIGINT)").as("jac_bp"))
-      .orderBy("doc1", "doc2")
   }
+
+  private[queries] def ngramJaccardAllPairs(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardAllPairsFrame(termSets(s, dir).localCheckpoint(true))
+      .orderBy("doc1", "doc2")
 
   /** Prefix-filter EXACT set-similarity join (the AllPairs/PPJoin
     * family): the candidate generator that is LOSSLESS — where MinHash
@@ -581,11 +659,16 @@ object DedupQueries {
     * scaladoc; same convention as `q_sketch_retention`). At corpus
     * scale the same plan serves ±1.6% estimates — still enough to
     * rank source pairs. */
-  private val sourceOverlap: Q = (s, dir) => {
+  /** The matrix kernel over any (source, fp) frame — shared by the
+    * declared query and the spec's ESTIMATION-MODE property (drive
+    * per-source cardinalities past 2^lgK and the matrix must still rank
+    * source pairs correctly within the ±1.6%-rse envelope — the triage
+    * decision the query exists to make), so the pinned claim tests the
+    * shipped plan, not a re-derivation. */
+  private[queries] def overlapMatrix(fps: DataFrame): DataFrame = {
     import graft.functions.ThetaSketch.{estimateCol, intersectionCol, sketchAgg}
     // Checkpointed once: both sides of the pairwise self-join read it.
-    val sk = Tables.fanout(t(s, dir, "documents"))
-      .select(col("source"), md5(TextOps.cleanText(col("text"))).as("fp"))
+    val sk = fps
       .groupBy("source").agg(sketchAgg(col("fp")).as("sk"))
       .localCheckpoint(true)
     sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
@@ -597,6 +680,10 @@ object DedupQueries {
         estimateCol(intersectionCol(col("sk_a"), col("sk_b"))).as("shared"))
       .orderBy("src_a", "src_b")
   }
+
+  private val sourceOverlap: Q = (s, dir) =>
+    overlapMatrix(Tables.fanout(t(s, dir, "documents"))
+      .select(col("source"), md5(TextOps.cleanText(col("text"))).as("fp")))
 
   /** Content-defined chunk boundary density: 1/16 ⇒ ~16-token expected
     * chunks on this corpus (docs are a few dozen tokens after
@@ -725,11 +812,12 @@ object DedupQueries {
     * volume is Σ_h prefix-df(h)·df(h) over the rarest fifth of each
     * doc's terms. Pairs are emitted normalized to doc_id order (the
     * size order that drove generation is an implementation detail). */
-  private[queries] def containmentPrefixCandidates(d: DataFrame, tBp: Int): DataFrame = {
+  private[queries] def containmentPrefixCandidates(d: DataFrame, tBp: Int,
+      dfreq: Option[DataFrame] = None): DataFrame = {
     // Checkpointed once: the prefix side is a filter over the same frame
     // the full side consumes, so one df-aggregate + one rank window feed
     // both join inputs.
-    val ranked = rankedTerms(d).localCheckpoint(true)
+    val ranked = rankedTerms(d, dfreq).localCheckpoint(true)
     ranked.where(prefixLenFilter(tBp))
       .select(col("doc_id").as("small"), col("lang"), col("n").as("ns"),
         col("pos").as("ps"), col("h"))
@@ -744,15 +832,28 @@ object DedupQueries {
 
   /** Containment near-dup detection — |A∩B| / min(|A|,|B|): the
     * quote/near-superset detector Jaccard misses (a doc pasted inside a
-    * 10× larger one has Jaccard ≈ 0.1 but containment ≈ 1.0). Routed
-    * through the lossless asymmetric prefix filter
-    * ([[containmentPrefixCandidates]]); the fused sorted-merge kernel
-    * then verifies each candidate exactly, division-free, paying the
-    * intersection once per candidate. Output and all-pairs DuckDB oracle
-    * unchanged from the pre-prefix form. */
+    * 10× larger one has Jaccard ≈ 0.1 but containment ≈ 1.0). Candidate
+    * strategy chosen per-corpus by [[prefixSelective]] exactly as in
+    * [[ngramJaccard]]: the lossless asymmetric prefix filter
+    * ([[containmentPrefixCandidates]]) on sparse vocabularies, the fused
+    * all-pairs block join when the corpus is dense enough that the
+    * result itself is quadratic. Both branches verify with the same
+    * kernel; output and all-pairs DuckDB oracle are branch-independent. */
   private val containment: Q = (s, dir) => {
     val d = termSets(s, dir).localCheckpoint(true)
-    containmentPrefixCandidates(d, ContainmentBpThreshold)
+    val dfreq = termDf(d).localCheckpoint(true)
+    val out =
+      if (prefixSelective(dfreq, d.count(), 10000 - ContainmentBpThreshold))
+        containmentPrefixRouted(d, dfreq)
+      else containmentAllPairsFrame(d)
+    out.orderBy("doc1", "doc2")
+  }
+
+  /** The sparse-regime containment plan — spec-pinned against the
+    * all-pairs twin independently of the selector's corpus decision. */
+  private[queries] def containmentPrefixRouted(d: DataFrame,
+      dfreq: DataFrame): DataFrame =
+    containmentPrefixCandidates(d, ContainmentBpThreshold, Some(dfreq))
       .join(d.select(col("doc_id").as("doc1"), col("tset").as("t1"),
         col("n").as("n1")), Seq("doc1"))
       .join(d.select(col("doc_id").as("doc2"), col("tset").as("t2"),
@@ -762,14 +863,11 @@ object DedupQueries {
         lit(ContainmentBpThreshold) * least(col("n1"), col("n2")))
       .select(col("doc1"), col("doc2"),
         expr("CAST(10000 * inter DIV least(n1, n2) AS BIGINT)").as("cont_bp"))
-      .orderBy("doc1", "doc2")
-  }
 
-  /** Retired all-pairs containment, kept ONLY as the spec-side exact twin
-    * (mirrors [[ngramJaccardAllPairs]]). Never registered as a graded
-    * query. */
-  private[queries] def containmentAllPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = termSets(s, dir).localCheckpoint(true)
+  /** Fused all-pairs containment — the dense-regime branch of
+    * [[containment]] and (via the wrapper) the spec-side exact twin
+    * (mirrors [[ngramJaccardAllPairsFrame]]). */
+  private[queries] def containmentAllPairsFrame(d: DataFrame): DataFrame = {
     val inter = interSize(col("x.tset"), col("y.tset"))
     d.as("x").join(d.as("y"),
         col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id") &&
@@ -778,8 +876,11 @@ object DedupQueries {
       .withColumn("inter", inter)
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"),
         expr("CAST(10000 * inter DIV least(x.n, y.n) AS BIGINT)").as("cont_bp"))
-      .orderBy("doc1", "doc2")
   }
+
+  private[queries] def containmentAllPairs(s: SparkSession, dir: String): DataFrame =
+    containmentAllPairsFrame(termSets(s, dir).localCheckpoint(true))
+      .orderBy("doc1", "doc2")
 
   /** Sketch calibration — MinHash-ESTIMATED Jaccard (matching-signature
     * fraction, the estimator LSH banding is built on) next to the exact

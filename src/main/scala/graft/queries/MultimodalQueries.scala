@@ -20,9 +20,13 @@ object MultimodalQueries {
 
   private val FeatureDim = 8
 
-  private val mmFeatures: Q = (s, dir) => {
+  /** The manufactured media table every `q_mm_*` query starts from:
+    * payload = utf8 bytes of `text`, kind cycled by doc_id mod 3. One
+    * definition so the Spark frames and the DuckDB transliterations
+    * can't drift. */
+  private def media(s: org.apache.spark.sql.SparkSession, dir: String) = {
     import s.implicits._
-    val media = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(3)).cast("int").as("k"))
       .as[(Long, String, Int)]
       .map { case (id, text, k) =>
@@ -31,14 +35,16 @@ object MultimodalQueries {
           width = 32, height = 32, sampleRate = 16000,
           nFrames = if (Kinds(k) == "video") 8 else 1)
       }
-    MultimodalOps.extractFeatures(media, dim = FeatureDim,
+  }
+
+  private val mmFeatures: Q = (s, dir) =>
+    MultimodalOps.extractFeatures(media(s, dir), dim = FeatureDim,
         codec = MultimodalOps.PortableCodec)
       .toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
         element_at(col("features"), 1).cast("long").as("f0"),
         element_at(col("features"), FeatureDim).cast("long").as("f7"))
       .orderBy("media_id")
-  }
 
   /** Last-16-bit value of md5 of an expression — the DuckDB-side
     * transliteration of [[MultimodalOps.PortableCodec]]'s per-dimension
@@ -66,9 +72,101 @@ object MultimodalQueries {
         max("n_bytes").cast("long").as("max_bytes"))
       .orderBy("kind")
 
+  /** Every 5th asset is "re-crawled" under a shifted id — the duplicate
+    * population [[mmDedup]] exists to find. */
+  private val ReingestMod = 5
+  private val ReingestOffset = 1000000L
+
+  /** Deterministic fetch-failure simulation for [[mmStorage]]: every
+    * 11th asset has a NULL payload. */
+  private val NullMod = 11
+
+  /** KLL k for the storage report: 1024 ≫ per-kind row counts at the
+    * graded scale factors, so the sketch is in EXACT mode and its
+    * INCLUSIVE quantile equals the sorted value at position ⌈r·n⌉ —
+    * which is what the DuckDB oracle computes. At 100 TB the same plan
+    * serves ±~0.6%-rank estimates (k=1024), the documented
+    * estimation-tier trade (same discipline as the theta sketches). */
+  private val StorageSketchK = 1024
+
+  /** Binary-payload EXACT dedup across ingestion batches: blob identity
+    * is md5 over the `media` BINARY column (codegen'd, no UDF), grouped
+    * to (fingerprint → copy count, keeper = min id). The binary column
+    * is pruned before the shuffle — only (fp, id, n_bytes) moves, never
+    * payload bytes; at 100 TB this is the query that dedups a media
+    * lake without ever shuffling a megabyte-sized blob. The re-crawl
+    * batch (every ${ReingestMod}th asset re-ingested under a shifted
+    * id) guarantees a non-trivial duplicate population; the oracle
+    * builds the same union in SQL. */
+  private val mmDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = media(s, dir)
+    val recrawl = base.filter((r: MediaRecord) => r.media_id % ReingestMod == 0)
+      .map((r: MediaRecord) => r.copy(media_id = r.media_id + ReingestOffset))
+    base.union(recrawl).toDF()
+      .select(col("media_id"), md5(col("media")).as("fp"),
+        length(col("media")).cast("long").as("n_bytes"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_copies"), min("media_id").as("keeper"),
+        max("n_bytes").as("n_bytes"))
+      .orderBy("fp")
+  }
+
+  /** Per-kind STORAGE report over the binary column — count, missing
+    * rate, and size quantiles from the KLL sketch family
+    * ([[graft.functions.QuantileSketch]]): the first dashboard a media
+    * curation job materializes. Sizes come from `length(media)` (the
+    * payload is never parsed), nulls stay out of the sketch but in the
+    * missing rate, and the quantile legs ride the mergeable sketch so
+    * the same aggregate serves any slice rollup without re-reading
+    * blobs. Rank 1.0 is KLL's exact max even in estimation mode;
+    * p50/p75 are exact here because k ≫ n per kind (see
+    * [[StorageSketchK]]). */
+  private val mmStorage: Q = (s, dir) => {
+    import graft.functions.QuantileSketch.{nCol, quantileCol, sketchAgg}
+    t(s, dir, "documents")
+      .select(
+        expr("CASE CAST(pmod(doc_id, 3) AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        when(pmod(col("doc_id"), lit(NullMod)) === 0, lit(null).cast("binary"))
+          .otherwise(coalesce(col("text"), lit("")).cast("binary")).as("media"))
+      .select(col("kind"), length(col("media")).cast("long").as("n_bytes"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_bytes").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sketchAgg(col("n_bytes"), k = StorageSketchK).as("sk"))
+      .select(col("kind"), col("n"), col("n_missing"),
+        expr("10000 * n_missing DIV n").as("missing_bp"),
+        nCol(col("sk")).as("n_sized"),
+        quantileCol(col("sk"), lit(0.5)).cast("long").as("p50_bytes"),
+        quantileCol(col("sk"), lit(0.75)).cast("long").as("p75_bytes"),
+        quantileCol(col("sk"), lit(1.0)).cast("long").as("max_bytes"))
+      .orderBy("kind")
+  }
+
+  /** Content-defined chunk fingerprints over the binary payload
+    * ([[MultimodalOps.cdcByteChunks]]) — the byte-level twin of
+    * `q_dedup_cdc_chunks`' token rule, for payloads that have no tokens:
+    * chunk boundaries anchor on local 2-byte windows, so a partial
+    * re-encode or appended header re-fingerprints only the chunks it
+    * touches, and shared-chunk equi-joins then find near-identical blobs
+    * without any pairwise byte comparison. Pure narrow flatMap — the
+    * chunk table (O(bytes/16) rows, each a few dozen bytes) is the only
+    * thing that ever shuffles, never payloads. */
+  private val mmChunks: Q = (s, dir) => {
+    import s.implicits._
+    media(s, dir)
+      .flatMap((r: MediaRecord) => MultimodalOps.cdcByteChunks(r.media_id,
+        Option(r.media).getOrElse(Array.emptyByteArray)))
+      .toDF()
+      .orderBy("media_id", "chunk_idx")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_mm_features" -> mmFeatures,
-    "q_mm_profile"  -> mmProfile)
+    "q_mm_profile"  -> mmProfile,
+    "q_mm_dedup"    -> mmDedup,
+    "q_mm_storage"  -> mmStorage,
+    "q_mm_chunks"   -> mmChunks)
 
   val oracles: Seq[(String, String)] = Seq(
     "q_mm_features" ->
@@ -84,5 +182,68 @@ object MultimodalQueries {
         | count(*) AS n,
         | CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS sum_bytes,
         | CAST(max(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS max_bytes
-        | FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
+        | FROM documents GROUP BY 1 ORDER BY kind""".stripMargin,
+    // md5 over the blob ≡ md5 over the text: the payload IS the utf8
+    // encoding of `text` (same identity q_mm_features already grades on).
+    "q_mm_dedup" ->
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id, coalesce(text, '') AS payload FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $ReingestOffset, coalesce(text, '') FROM documents
+        |  WHERE doc_id % $ReingestMod = 0)
+        | SELECT md5(payload) AS fp, count(*) AS n_copies,
+        |  min(media_id) AS keeper,
+        |  CAST(max(octet_length(encode(payload))) AS BIGINT) AS n_bytes
+        | FROM m GROUP BY fp ORDER BY fp""".stripMargin,
+    // Exact-mode KLL inclusive quantile = sorted value at position
+    // ⌈r·n⌉ — computed here with an explicit row_number selection (NOT
+    // quantile_disc, whose rank rule differs). Ranks 0.5/0.75 are exact
+    // in both decimal and binary arithmetic, so ceil() agrees across
+    // engines.
+    "q_mm_storage" ->
+      s"""WITH m AS (
+        |  SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   CASE WHEN doc_id % $NullMod = 0 THEN NULL
+        |        ELSE octet_length(encode(coalesce(text, ''))) END AS nb
+        |  FROM documents),
+        | s AS (SELECT kind, nb,
+        |   row_number() OVER (PARTITION BY kind ORDER BY nb) AS rn,
+        |   count(*) OVER (PARTITION BY kind) AS cnt
+        |  FROM m WHERE nb IS NOT NULL),
+        | q AS (SELECT kind,
+        |   max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN nb END) AS p50,
+        |   max(CASE WHEN rn = CAST(ceil(0.75 * cnt) AS BIGINT) THEN nb END) AS p75,
+        |   max(nb) AS mx, max(cnt) AS n_sized
+        |  FROM s GROUP BY kind),
+        | tot AS (SELECT kind, count(*) AS n,
+        |   CAST(sum(CASE WHEN nb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |  FROM m GROUP BY kind)
+        | SELECT tot.kind, n, n_missing, 10000 * n_missing // n AS missing_bp,
+        |  CAST(n_sized AS BIGINT) AS n_sized,
+        |  CAST(p50 AS BIGINT) AS p50_bytes, CAST(p75 AS BIGINT) AS p75_bytes,
+        |  CAST(mx AS BIGINT) AS max_bytes
+        | FROM tot JOIN q USING (kind) ORDER BY kind""".stripMargin,
+    // Character-for-character transliteration of cdcByteChunks' 2-byte
+    // window rule. substring-over-text == substring-over-bytes here
+    // because the corpus is pure ASCII (verified: octet_length(encode(x))
+    // == length(x) for every row at every SF) — the same utf8 identity
+    // the other q_mm_* oracles rely on.
+    "q_mm_chunks" ->
+      """WITH chars AS (
+        |  SELECT doc_id AS media_id, coalesce(text, '') AS txt,
+        |   unnest(generate_series(1, length(coalesce(text, '')))) AS i
+        |  FROM documents),
+        | b AS (SELECT media_id, i, substring(txt, i, 1) AS ch,
+        |   CASE WHEN i >= 2 AND substring(md5(substring(txt, i - 1, 2)), 32, 1) = '0'
+        |        THEN 1 ELSE 0 END AS bd
+        |  FROM chars),
+        | c AS (SELECT media_id, i, ch,
+        |   sum(bd) OVER (PARTITION BY media_id ORDER BY i) AS chunk
+        |  FROM b)
+        | SELECT media_id, CAST(chunk AS BIGINT) AS chunk_idx,
+        |  CAST(count(*) AS BIGINT) AS n_bytes,
+        |  CAST(min(i) AS BIGINT) AS byte_start,
+        |  md5(string_agg(ch, '' ORDER BY i)) AS chunk_fp
+        | FROM c GROUP BY media_id, chunk
+        | ORDER BY media_id, chunk_idx""".stripMargin)
 }

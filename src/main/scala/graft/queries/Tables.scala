@@ -2,22 +2,33 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Testdata table loader (TESTDATA.md). All graded queries take the
   * scale-factor directory as a parameter. */
 object Tables {
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark only reads as a long (`nanosAsLong`). Values are µs-aligned,
-    * so the micros conversion below is lossless and matches what DuckDB
-    * sees (TIMESTAMP, µs). */
+  /** Normalizes `ts` to TimestampType whatever the parquet writer chose:
+    *  - TIMESTAMP(NANOS) arrives as a long under `nanosAsLong` (the only
+    *    way Spark reads nanos) — values are µs-aligned, so the micros
+    *    conversion is lossless;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TimestampNTZType, whose numeric casts DON'T EXIST (epoch
+    *    arithmetic downstream would fail analysis) — the cast to
+    *    TimestampType keeps the wall-clock reading under the session's
+    *    UTC timezone, which is exactly how DuckDB's epoch() treats the
+    *    same naive values, so oracle hashes are unchanged.
+    * Queries therefore always see one ts type regardless of which
+    * generator wrote the scale-factor directory. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case None    => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

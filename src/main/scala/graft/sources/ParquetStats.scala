@@ -35,8 +35,11 @@ object ParquetStats {
     * Fails fast on a column the footers don't carry (typo, nested
     * field, or a PARTITION column — those live in directory names, not
     * footers): a silent empty result would read as "no evidence" when
-    * the question itself was malformed. Validated against the first
-    * file's footer — one driver-side metadata read. */
+    * the question itself was malformed. The first file's footer is
+    * checked driver-side (cheap, good error message); EVERY file's
+    * footer is then re-checked in the executor fan-out, so under schema
+    * evolution a column missing from a later file fails the job loudly
+    * instead of silently contributing zero rows for that file. */
   def rowGroupStats(spark: SparkSession, dir: String,
                     columns: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -60,6 +63,12 @@ object ParquetStats {
       .flatMap { uri =>
         val meta = ParquetFileReader.readFooter(
           conf.value, new Path(uri), ParquetMetadataConverter.NO_FILTER)
+        val here = meta.getFileMetaData.getSchema.getColumns.asScala
+          .map(_.getPath.mkString(".")).toSet
+        val absent = wanted -- here
+        require(absent.isEmpty,
+          s"column(s) ${absent.mkString(", ")} missing from $uri's footer " +
+            "(schema evolution?) — stats would silently omit this file")
         meta.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
           case (block, rg) =>
             block.getColumns.asScala.toSeq
@@ -102,6 +111,23 @@ object ParquetStats {
     val s = stats.where(col("column") === column)
       .select(col("min_val").cast("long").as("mn"),
         col("max_val").cast("long").as("mx"), col("n_nulls"))
+    // Guard the two silent-garbage modes: a frame with zero rows for the
+    // column (DIV by 0 → NULL ratio) and a non-LONG column whose min/max
+    // cast to NULL (every row group would read as stats-absent, i.e.
+    // non-prunable). Audit frames are O(files × row-groups) tiny, so one
+    // eager validation pass costs nothing next to the footer reads.
+    val v = stats.where(col("column") === column)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("min_val").isNotNull &&
+            col("min_val").cast("long").isNull, 1L)
+          .otherwise(0L)).as("uncastable")).head()
+    require(v.getLong(0) > 0,
+      s"no row-group stats for column '$column' in the given frame — " +
+        "wrong column name or a pre-filtered frame?")
+    require(v.getLong(1) == 0,
+      s"column '$column' has ${v.getLong(1)} row group(s) whose min/max " +
+        "do not parse as LONG — pointProbeAudit's contract is an " +
+        "integer-typed column")
     s.agg(count(lit(1)).as("n_row_groups"),
         sum(when(
             (col("mn").isNotNull &&

@@ -39,6 +39,20 @@ import graft.functions.{FrequencySketch, QuantileSketch, ThetaSketch}
   * [[rollup]]'s cost is O(store rows), independent of the data volume
   * the sketches summarize.
   *
+  * THE STORE'S ONE DISTINCT LEG IS THETA — deliberately not a second
+  * HLL column beside it. [[graft.ops.SketchOps]]' HLL serves the
+  * union-only batch rollup at ~4 KB per sketch; theta costs up to
+  * ~8·2^lgK bytes (~32 KB at the default lgK=12) but CLOSES OVER
+  * intersection and difference, which is what the store's standing
+  * questions (retention overlap, cross-slice audience sharing) actually
+  * need — an HLL column cannot answer them at any size, and carrying
+  * both would mean two sketches of the same id column per row with
+  * drift risk and no new capability (theta's unions subsume HLL's).
+  * The 8× size ceiling only binds in estimation mode: a compact theta
+  * sketch is ~8 bytes per retained hash, so exact-mode rows (distinct
+  * ids ≤ 2^lgK per slice-batch) pay proportionally to what they saw,
+  * not the ceiling — `SketchIngestSpec` pins both tiers of that trade.
+  *
   * `sliceType` must match the batch's slice column (it shapes the
   * empty-store schema so pre-first-batch consumers see exactly what
   * the first write will produce). */
@@ -72,7 +86,11 @@ final class SketchIngest(
   }
 
   /** The standing store (empty-schema'd before the first batch lands,
-    * with `sliceType` keeping the pre- and post-data schemas identical). */
+    * with `sliceType` keeping the pre- and post-data schemas identical).
+    * `batch_id` is a PARTITION column, so once data lands its type comes
+    * back from directory-name inference (int when values fit) — the cast
+    * pins it to the declared long so the pre- and post-data schema
+    * contract actually holds for every consumer. */
   def store(): DataFrame =
     MicroBatchIngest.storeOrElse(spark, storeDir,
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -83,6 +101,7 @@ final class SketchIngest(
           StructField("metric_sk", BinaryType, nullable = false),
           StructField("freq_sk", BinaryType, nullable = false),
           StructField("batch_id", LongType)))))
+      .withColumn("batch_id", col("batch_id").cast("long"))
 
   /** Merge the per-batch slice rows down to one row per slice — the
     * read path every consumer starts from. Never touches base data. */

@@ -26,10 +26,11 @@ import graft.plans.GraftOps
   *  - streaming-agg state is bounded by the watermark horizon ×
   *    live-key cardinality (the store is RocksDB-backed on a cluster);
   *  - the silver/gold stores are partitioned by window start, so a merge
-  *    prunes to the touched windows (partition pushdown on `ws`) — work
-  *    per batch is O(keys in touched windows), independent of stream age;
-  *  - the driver only ever materializes the touched-window ID list
-  *    (bounded by horizon / window-length), never data rows.
+  *    prunes to the touched windows (a broadcast semi-join on `ws`
+  *    dynamic-partition-prunes the silver scan) — work per batch is
+  *    O(keys in touched windows), independent of stream age;
+  *  - nothing round-trips through the driver: the touched-window set
+  *    rides the semi-join as a broadcast frame, never a collect.
   */
 final class TrendingTopK(
     keyCol: String, k: Int, silverDir: String, goldDir: String,
@@ -62,14 +63,19 @@ final class TrendingTopK(
     // Materialize BEFORE reading the store this write will replace — an
     // overwrite that still has a lazy scan of its own target corrupts it.
     val updates = updates0.localCheckpoint(true)
-    val touched = updates.select("ws").distinct().collect().map(_.getLong(0)).toSeq
+    // Touched windows stay a DataFrame end to end — no driver collect.
+    // The broadcast semi-join against the ws-partitioned silver read
+    // qualifies for dynamic partition pruning, so untouched window
+    // partitions are still skipped at the scan, same as the old
+    // collect-then-isin but without the driver round-trip.
+    val touched = updates.select("ws").distinct()
     val silverPath = new Path(silverDir)
     val fs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged = (if (fs.exists(silverPath)) {
       // Partition values re-infer as int when they fit; normalize to long.
       val existing = spark.read.parquet(silverDir)
         .withColumn("ws", col("ws").cast("long"))
-        .where(col("ws").isin(touched: _*))
+        .join(broadcast(touched), Seq("ws"), "left_semi")
       // Batch rows win (they hold the full running count); silver keys the
       // batch did not touch survive via the anti-join.
       existing.join(updates, Seq("ws", keyCol), "left_anti").unionByName(updates)

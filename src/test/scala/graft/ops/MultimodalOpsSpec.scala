@@ -40,4 +40,41 @@ class MultimodalOpsSpec extends SparkSpec {
     val p = profile(media.toDF()).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(p == Map("image" -> 2L, "audio" -> 1L, "video" -> 1L))
   }
+
+  test("cdcByteChunks: chunks tile the payload exactly, in order") {
+    val bytes = rec(7, "image", 4096).media
+    val chunks = cdcByteChunks(7L, bytes)
+    assert(chunks.nonEmpty)
+    assert(chunks.map(_.chunk_idx) == chunks.indices.map(_.toLong))
+    // 1-based offsets, contiguous, summing to the payload length.
+    assert(chunks.head.byte_start == 1L)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) => assert(b.byte_start == a.byte_start + a.n_bytes)
+      case _         =>
+    }
+    assert(chunks.map(_.n_bytes).sum == bytes.length.toLong)
+    assert(cdcByteChunks(7L, Array.emptyByteArray).isEmpty)
+  }
+
+  test("cdcByteChunks: a one-byte edit re-fingerprints only local chunks") {
+    val bytes = rec(9, "audio", 8192).media
+    val edited = bytes.clone()
+    val at = 4000
+    edited(at) = (edited(at) ^ 0x55).toByte
+    val before = cdcByteChunks(9L, bytes)
+    val after  = cdcByteChunks(9L, edited)
+    // The edit can only disturb anchor windows touching bytes
+    // [at-1, at+1] (0-based); every chunk wholly outside that range must
+    // keep its exact fingerprint — the content-locality the CDC rule
+    // exists to provide (an offset-based chunker would shift everything).
+    def untouched(c: ByteChunk): Boolean = {
+      val lo = c.byte_start - 1          // 0-based inclusive
+      val hi = lo + c.n_bytes - 1
+      hi < at - 1 || lo > at + 1
+    }
+    val fpBefore = before.filter(untouched).map(c => c.byte_start -> c.chunk_fp)
+    val fpAfter  = after.filter(untouched).map(c => c.byte_start -> c.chunk_fp)
+    assert(fpBefore == fpAfter)
+    assert(before.map(_.chunk_fp) != after.map(_.chunk_fp)) // the edit IS visible
+  }
 }

@@ -283,21 +283,26 @@ class DedupQueriesSpec extends SparkSpec {
     assert(out.where(col("decision") === "drop").count() > 0)
   }
 
-  /** The exact-verify kernels now consume prefix-filter candidates
-    * instead of language-blocked all-pairs; the retired all-pairs forms
-    * are kept as spec twins. The DuckDB oracle is the same brute force,
-    * but this comparison closes the loop locally, engine-vs-engine, on
-    * the full sf0.001 corpus (both SIDES of the equality run Spark, so
-    * any candidate the filter missed would surface as a row diff). */
-  test("prefix-routed ngram Jaccard and containment match their all-pairs twins") {
+  /** The exact-verify kernels pick prefix routing or fused all-pairs per
+    * corpus ([[DedupQueries.prefixSelective]]); both branches must be
+    * result-identical. The graded query is compared against BOTH
+    * internals on the full sf0.001 corpus — whichever branch the
+    * selector picked, this closes the loop engine-vs-engine (the prefix
+    * side runs even though the selector rejects it here: any candidate
+    * the filter missed would surface as a row diff). */
+  test("ngram Jaccard and containment: both candidate branches match the graded query") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).toSet
+    val d = DedupQueries.termSets(spark, dir).localCheckpoint(true)
+    val dfreq = DedupQueries.termDf(d).localCheckpoint(true)
     val jac = rows(SamplingSpecHelper.q(spark, "q_dedup_ngram_jaccard", dir))
     assert(jac == rows(DedupQueries.ngramJaccardAllPairs(spark, dir)))
+    assert(jac == rows(DedupQueries.ngramJaccardPrefixRouted(d, dfreq)))
     assert(jac.nonEmpty, "degenerate corpus: no qualifying Jaccard pairs")
     val cont = rows(SamplingSpecHelper.q(spark, "q_dedup_containment", dir))
     assert(cont == rows(DedupQueries.containmentAllPairs(spark, dir)))
+    assert(cont == rows(DedupQueries.containmentPrefixRouted(d, dfreq)))
     assert(cont.nonEmpty, "degenerate corpus: no qualifying containment pairs")
   }
 
@@ -352,6 +357,45 @@ class DedupQueriesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(wantCont.nonEmpty, "degenerate fixture: no qualifying containment pairs")
     assert((wantCont -- gotCont).isEmpty, s"missed: ${wantCont -- gotCont}")
+  }
+
+  /** q_dedup_source_overlap's graded row is exact-mode by construction
+    * (≤250 fps/source). This drives the SHIPPED kernel
+    * ([[DedupQueries.overlapMatrix]]) 10× past the 2^12 exact bound and
+    * asserts the property the query exists for: the matrix still RANKS
+    * source pairs correctly, with estimates inside the compounding
+    * ±1.6%-rse envelope (5σ-style guard bands, deterministic because the
+    * sketch hash is seeded — same discipline as `ThetaSketchSpec`). */
+  test("source-overlap matrix ranks pairs correctly in estimation mode") {
+    // A = [0, 40k), B = [20k, 60k), C = [55k, 95k): every source holds
+    // 40k distinct fps (≈10× the 4096-entry exact bound). True overlaps:
+    // A∩B = 20k (mirror-grade), B∩C = 5k (light sharing), A∩C = 0.
+    val fps = spark.range(0, 40000).select(lit("srcA").as("source"), col("id"))
+      .union(spark.range(20000, 60000).select(lit("srcB").as("source"), col("id")))
+      .union(spark.range(55000, 95000).select(lit("srcC").as("source"), col("id")))
+      .select(col("source"), concat(lit("fp"), col("id")).as("fp"))
+    val m = DedupQueries.overlapMatrix(fps)
+      .select(col("src_a"), col("src_b"), col("docs_a"), col("docs_b"), col("shared"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = m(("srcA", "srcB"))
+    val bc = m(("srcB", "srcC"))
+    val ac = m(("srcA", "srcC"))
+    // Per-source cardinalities: single-sketch rse ≈ 1.6%, 5σ band 8%.
+    for ((est, label) <- Seq((ab._3, "docs_a(A)"), (ab._4, "docs_b(B)"),
+        (bc._4, "docs_b(C)")))
+      assert(math.abs(est - 40000L) <= 3200,
+        s"$label estimate $est vs 40000 exceeds the 8% band")
+    // Intersections compound two estimation-mode sketches, and the rse
+    // of a small overlap scales with √(|A∪B|/|A∩B|): ≈3.9× the base
+    // rse for B∩C — hence the widening bands.
+    assert(math.abs(ab._5 - 20000L) <= 3200, s"A∩B ${ab._5} vs 20000")
+    assert(math.abs(bc._5 - 5000L) <= 1750, s"B∩C ${bc._5} vs 5000")
+    assert(ac._5 <= 500, s"A∩C ${ac._5} vs 0")
+    // The decision the matrix exists for: effort goes to (A,B) first,
+    // then (B,C); (A,C) is clean.
+    assert(ab._5 > bc._5 && bc._5 > ac._5,
+      s"estimation-mode ranking broken: ${ab._5}, ${bc._5}, ${ac._5}")
   }
 }
 

@@ -174,26 +174,59 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "unbroadcast cartesian:\n" + p)
   }
 
-  /** The exact-verify dedup kernels consume prefix-filter candidates:
-    * the candidate generation must be an EQUI-join on the prefix element
-    * hash `h` (+ lang) — the lossless AllPairs/PPJoin shape — and no
-    * cartesian may appear anywhere. The retired all-pairs twin serves as
-    * the negative control: its only join key is the language block, so
-    * the audit genuinely discriminates the two shapes. (Building these
-    * executes their eager sf0.001 localCheckpoints — the header's
-    * documented exception.) */
-  test("exact dedup verify kernels ride the prefix-filter candidate equi-join") {
+  /** The exact-verify dedup kernels choose their candidate strategy per
+    * corpus ([[DedupQueries.prefixSelective]]): the prefix-filter
+    * candidate EQUI-join on `h` (+ lang) when prefixes are selective,
+    * the fused all-pairs block join when the corpus is dense enough that
+    * the result itself is quadratic. This audit pins BOTH regimes:
+    *
+    *  - the graded documents corpus is a ~29-term vocabulary — measured
+    *    candidate volume ≈ the full cross — so the selector must pick
+    *    the fused form there (no h-join, kernel inside the join, no
+    *    cartesian);
+    *  - on a Zipfian fixture (df≈1 tails, like real text) the selector
+    *    must pick prefix routing, and that plan must carry the h-keyed
+    *    candidate equi-join + the verification kernel.
+    *
+    * (Building these executes their eager sf0.001 localCheckpoints —
+    * the header's documented exception.) */
+  test("exact dedup verify kernels pick the right candidate strategy per regime") {
     def hJoinLines(p: String): Seq[String] =
       p.linesIterator.filter(l => l.contains("Join") && l.contains("h#")).toSeq
+
+    // Dense graded corpus → fused all-pairs: kernel present, candidate
+    // machinery absent, and never a cartesian.
+    val d = DedupQueries.termSets(spark, dir).localCheckpoint(true)
+    val dfreq = DedupQueries.termDf(d).localCheckpoint(true)
+    assert(!DedupQueries.prefixSelective(dfreq, d.count(), 4000),
+      "selector thinks the dense 29-term corpus is prefix-selective")
     for (q <- Seq("q_dedup_ngram_jaccard", "q_dedup_containment")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q fell into a cartesian:\n$p")
-      assert(hJoinLines(p).nonEmpty,
-        s"$q lost the prefix-element candidate equi-join:\n$p")
+      assert(hJoinLines(p).isEmpty,
+        s"$q pays candidate-join machinery on the dense corpus:\n$p")
       assert(p.contains("sorted_intersection_size"),
         s"$q lost the exact verification kernel:\n$p")
     }
-    // Negative control: the all-pairs twins have no h-keyed join.
+
+    // Zipfian fixture (every doc mostly-unique vocabulary) → prefix
+    // routing: selector fires and the plan carries the h-keyed
+    // candidate equi-join feeding the same kernel.
+    import spark.implicits._
+    val zipf = (1L to 200L).map { id =>
+      (id, "en", (0 until 10).map(j => id * 100 + j).toSeq, 10)
+    }.toDF("doc_id", "lang", "tset", "n").localCheckpoint(true)
+    val zdf = DedupQueries.termDf(zipf).localCheckpoint(true)
+    assert(DedupQueries.prefixSelective(zdf, zipf.count(), 4000),
+      "selector rejects prefix routing on a df≈1 Zipfian fixture")
+    val zp = DedupQueries.ngramJaccardPrefixRouted(zipf, zdf)
+      .queryExecution.executedPlan.toString
+    assert(hJoinLines(zp).nonEmpty,
+      "prefix-routed plan lost the candidate equi-join:\n" + zp)
+    assert(zp.contains("sorted_intersection_size"), zp)
+
+    // Negative control: the all-pairs twins have no h-keyed join, so the
+    // audit genuinely discriminates the two shapes.
     for (twin <- Seq(
         DedupQueries.ngramJaccardAllPairs(spark, dir),
         DedupQueries.containmentAllPairs(spark, dir))) {

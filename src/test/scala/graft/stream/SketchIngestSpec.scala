@@ -105,6 +105,30 @@ class SketchIngestSpec extends SparkSpec {
     assert(ingest.summary().select("distinct_ids").as[Long].head() == 1L)
   }
 
+  test("theta is the sole distinct leg, and its size trade holds per tier") {
+    val (ingest, dir) = mkIngest()
+    // Slice 1: 10 distinct ids (exact mode, tiny); slice 2: 3× the
+    // nominal capacity 2^12 (estimation mode, pays the ceiling).
+    val small = (1 to 10).map(i => (1L, i.toLong, 1.0))
+    val big = (1 to 3 * 4096).map(i => (2L, i.toLong, 1.0))
+    ingest.processBatch((small ++ big).toDF("day", "user_id", "score"), 0L)
+    // One distinct-sketch column — no parallel HLL leg to drift from it.
+    val skCols = spark.read.parquet(dir).schema.fields
+      .filter(_.name.endsWith("_sk")).map(_.name).toSet
+    assert(skCols == Set("distinct_sk", "metric_sk", "freq_sk"))
+    val bytes = ingest.store()
+      .select(col("day"), length(col("distinct_sk")).as("b"))
+      .as[(Long, Int)].collect().toMap
+    // Exact tier: ~8 B per retained hash + header — pays for what it
+    // saw, nowhere near the ceiling.
+    assert(bytes(1L) < 1024, s"exact-mode sketch unexpectedly big: ${bytes(1L)} B")
+    // Estimation tier: bounded by the ~8·2^lgK compact ceiling (plus
+    // header) no matter how many ids flowed through.
+    assert(bytes(2L) <= 8 * 4096 + 64,
+      s"estimation-mode sketch exceeds its documented ceiling: ${bytes(2L)} B")
+    assert(bytes(2L) > bytes(1L) * 10) // the two tiers are really distinct
+  }
+
   test("drives end to end from a streaming source") {
     val (ingest, _) = mkIngest()
     val ms = MemoryStream[(Long, Long, Double)](spark, numPartitions = 2)
