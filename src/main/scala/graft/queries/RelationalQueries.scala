@@ -57,6 +57,35 @@ object RelationalQueries {
   private val sZorder: Q = (s, dir) =>
     zorderBucketed(s, dir).orderBy("z", "event_id")
 
+  /** Compaction-plan target: small enough that sf0.01 already yields
+    * several bins, large enough that sources merge (multiple units per
+    * bin) — both regimes of the binning rule graded. */
+  private val CompactionTargetBytes = 16384L
+
+  /** SMALL-FILES COMPACTION planning, oracle-graded: the binning rule is
+    * [[graft.sources.ParquetStats.withBin]] — the SAME first-fit
+    * exclusive-prefix DIV target assignment `compactionPlan` applies to
+    * real parquet footers (ScalaTest-graded there; footer bytes are not
+    * visible to the DuckDB oracle) — here driven by deterministic
+    * data-derived units (one per source, byte size = total text length,
+    * path-ordered by source name) so the packing math itself gets a
+    * hash-exact cross-engine check. One O(sources) aggregate + one
+    * window over the O(units) manifest frame — the documented
+    * small-frame exception; the plan is O(bins). */
+  private val sCompaction: Q = (s, dir) => {
+    val units = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(coalesce(col("text"), lit("")))).cast("long").as("n_bytes"))
+    graft.sources.ParquetStats.withBin(units, Seq(col("source")),
+        CompactionTargetBytes)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_units"), sum("n_docs").as("n_docs"),
+        sum("n_bytes").as("n_bytes"),
+        min("source").as("first_source"), max("source").as("last_source"))
+      .orderBy("bin")
+  }
+
   /** P3: null-drop filter (reference `spark/model_training.py:37`).
     * `nullif` manufactures nulls so the filter is observable on testdata. */
   private val p3NullFilter: Q = (s, dir) =>
@@ -1188,6 +1217,7 @@ object RelationalQueries {
   val queries: Seq[(String, Q)] = Seq(
     "q_s1_scan"            -> s1Scan,
     "q_s_zorder"           -> sZorder,
+    "q_s_compaction"       -> sCompaction,
     "q_p3_null_filter"     -> p3NullFilter,
     "q_p4_column_prune"    -> p4ColumnPrune,
     "q_p9_topk"            -> p9TopK,
@@ -1262,6 +1292,21 @@ object RelationalQueries {
          |    ((user_id % 16) + 16) % 16 AS yb
          |   FROM events)
          | ORDER BY z, event_id""".stripMargin,
+    "q_s_compaction" ->
+      s"""WITH units AS (
+         |  SELECT source, count(*) AS n_docs,
+         |   CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS n_bytes
+         |  FROM documents GROUP BY source),
+         | b AS (SELECT *,
+         |   CAST(coalesce(sum(n_bytes) OVER (ORDER BY source
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // $CompactionTargetBytes AS BIGINT) AS bin
+         |  FROM units)
+         | SELECT bin, CAST(count(*) AS BIGINT) AS n_units,
+         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+         |  min(source) AS first_source, max(source) AS last_source
+         | FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "q_p3_null_filter" ->
       """SELECT doc_id, nullif(lang, 'zh') AS lang_alt, n_chars FROM documents
         | WHERE text IS NOT NULL AND nullif(lang, 'zh') IS NOT NULL

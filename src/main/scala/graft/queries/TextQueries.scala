@@ -324,6 +324,64 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Moore–Lewis data selection (Moore & Lewis 2010, "Intelligent
+    * selection of language model training data") — THE classic
+    * domain-targeted curation op: score every document by the
+    * cross-entropy DIFFERENCE between a general LM (all sources) and an
+    * in-domain LM (one chosen source), rank descending, keep the head.
+    * A doc the in-domain model finds much less surprising than the
+    * general model reads like the target domain regardless of which
+    * source it came from — the signal that builds a domain corpus
+    * larger than the in-domain seed.
+    *
+    * Determinism & integer discipline (the LM-family conventions):
+    * in-domain source = min(source) (no config knob to drift from the
+    * oracle); both LMs add-one smooth over the SHARED corpus vocabulary
+    * V, so out-of-domain terms get a finite in-domain surprisal instead
+    * of dropping rows; per-TERM surprisals quantize once to floor
+    * millinats on the vocabulary-sized type table; the per-doc score is
+    * then exact integer arithmetic — sum(k·(s_all − s_in)) DIV sum(k),
+    * safe cross-engine even when negative because Spark's DIV and
+    * DuckDB's // both truncate toward zero.
+    *
+    * Scale shape: one tokenize into a checkpointed tf frame; term
+    * tables are vocabulary-sized (AQE broadcasts them small); the
+    * in-domain filter rides a broadcast scalar; the doc-side join
+    * carries two precomputed narrow columns. No per-doc model state,
+    * no driver loops. */
+  private val mooreLewis: Q = (s, dir) => {
+    val tf = Tables.fanout(
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(TokenOps.terms(col("text"))).as("term"))
+          .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("k")))
+      .localCheckpoint(true)
+    val inDom = tf.select(min("source").as("in_src"))
+    val cAll = tf.groupBy("term").agg(sum("k").as("c_all"))
+    val cIn = tf.crossJoin(broadcast(inDom))
+      .where(col("source") === col("in_src"))
+      .groupBy("term").agg(sum("k").as("c_in"))
+    // One checkpointed (term, c_all, c_in) frame feeds both the totals
+    // aggregate and the type scores — the join runs once.
+    val counts = cAll.join(cIn, Seq("term"), "left_outer")
+      .select(col("term"), col("c_all"),
+        coalesce(col("c_in"), lit(0L)).as("c_in"))
+      .localCheckpoint(true)
+    val consts = counts.agg(sum("c_all").as("t_all"), sum("c_in").as("t_in"),
+      count(lit(1)).as("v"))
+    val typeScores = counts.crossJoin(broadcast(consts))
+      .select(col("term"),
+        expr("""CAST(floor(-1000.0 * ln((CAST(c_all AS DOUBLE) + 1.0)
+               | / (t_all + v))) AS BIGINT)""".stripMargin).as("s_all_mb"),
+        expr("""CAST(floor(-1000.0 * ln((CAST(c_in AS DOUBLE) + 1.0)
+               | / (t_in + v))) AS BIGINT)""".stripMargin).as("s_in_mb"))
+    tf.join(typeScores, Seq("term"))
+      .groupBy("doc_id", "source")
+      .agg(sum("k").as("n_tokens"),
+        expr("sum(k * (s_all_mb - s_in_mb)) DIV sum(k)").as("ml_score_mb"))
+      .orderBy("doc_id")
+  }
+
   /** Interpolation weight for [[bigramLm]]: 0.75·P(w₂|w₁) + 0.25·P(w₂). */
   private val BigramLambdaPct = 75
 
@@ -708,6 +766,7 @@ object TextQueries {
     "q_text_heavyhitters" -> heavyHitters,
     "q_text_unigram_lp"  -> unigramLp,
     "q_text_bigram_lm"   -> bigramLm,
+    "q_text_moore_lewis" -> mooreLewis,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
@@ -960,6 +1019,27 @@ object TextQueries {
          | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
          |  CAST(sum(k * surprisal_mb) // sum(k) AS BIGINT) AS mean_surprisal_mb
          | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Spark DIV and DuckDB // both truncate toward zero, so the possibly
+    // negative per-doc mean is engine-exact.
+    "q_text_moore_lewis" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, unnest(${duckTerms("text")}) AS term FROM documents),
+         | tf AS (SELECT doc_id, source, term, count(*) AS k FROM tok GROUP BY 1, 2, 3),
+         | ind AS (SELECT min(source) AS in_src FROM tf),
+         | counts AS (
+         |  SELECT term, sum(k) AS c_all,
+         |    sum(CASE WHEN source = (SELECT in_src FROM ind) THEN k ELSE 0 END) AS c_in
+         |  FROM tf GROUP BY term),
+         | consts AS (SELECT sum(c_all) AS t_all, sum(c_in) AS t_in,
+         |   count(*) AS v FROM counts),
+         | ts AS (SELECT term,
+         |   CAST(floor(-1000.0 * ln((CAST(c_all AS DOUBLE) + 1.0) / (t_all + v))) AS BIGINT) AS s_all_mb,
+         |   CAST(floor(-1000.0 * ln((CAST(c_in AS DOUBLE) + 1.0) / (t_in + v))) AS BIGINT) AS s_in_mb
+         |  FROM counts CROSS JOIN consts)
+         | SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |  CAST(sum(k * (s_all_mb - s_in_mb)) // sum(k) AS BIGINT) AS ml_score_mb
+         | FROM tf JOIN ts USING (term)
+         | GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     "q_text_pmi" ->
       s"""WITH tk AS (SELECT ${duckTerms("text")} AS toks FROM documents),
          | uc AS (SELECT w, count(*) AS c FROM

@@ -93,4 +93,42 @@ class ParquetStatsSpec extends SparkSpec {
       .select("file").distinct().as[String].collect()
     assert(files.forall(_.contains(dir.stripPrefix("/"))), files.take(2).mkString(", "))
   }
+
+  test("fileSizes reads row counts and on-disk bytes from footers alone") {
+    val dir = writeLayout(sorted = true)
+    val fs = ParquetStats.fileSizes(spark, dir).collect()
+    assert(fs.length == spark.read.parquet(dir).inputFiles.length)
+    assert(fs.map(_.getLong(1)).sum == spark.read.parquet(dir).count())
+    assert(fs.forall(_.getLong(2) > 0), "footer compressed sizes missing")
+  }
+
+  test("compactionPlan: bins tile the file list in order and fill to target") {
+    val dir = writeLayout(sorted = true)
+    val sizes = ParquetStats.fileSizes(spark, dir)
+      .orderBy("file").as[(String, Long, Long)].collect()
+    val total = sizes.map(_._3).sum
+    val target = total / 3  // force multiple bins
+    val plan = ParquetStats.compactionPlan(spark, dir, target)
+      .orderBy("bin").collect()
+    assert(plan.length >= 2, s"degenerate: one bin for total=$total target=$target")
+    // Every file appears in exactly one bin, and bin file-lists are
+    // contiguous runs of the path-ordered manifest.
+    val planned = plan.flatMap(_.getSeq[String](4))
+    assert(planned.toSeq == sizes.map(_._1).toSeq,
+      "bins do not tile the ordered file list")
+    // Totals conserved.
+    assert(plan.map(_.getLong(3)).sum == total)
+    assert(plan.map(_.getLong(2)).sum == sizes.map(_._2).sum)
+    // Closed-bin fill guarantee of the exclusive-prefix rule: a bin
+    // closes only once the running total crosses its next target
+    // multiple, so total(bin) > target − size of the unit that crossed
+    // into it (the exact first-fit bound — a single over-target file can
+    // legitimately leave its successor bin light).
+    val maxFile = sizes.map(_._3).max
+    plan.dropRight(1).foreach { b =>
+      assert(b.getLong(3) > target - maxFile,
+        s"closed bin ${b.getLong(0)} under the fill bound: " +
+          s"${b.getLong(3)} <= $target - $maxFile")
+    }
+  }
 }
