@@ -231,9 +231,44 @@ object CurationQueries {
     parts.reduce(_ unionByName _).orderBy("tbl")
   }
 
+  /** k-anonymity threshold and the n_chars generalization width for
+    * [[kanonReport]]. */
+  private val KAnonK = 5
+  private val KAnonBucket = 64
+
+  /** K-ANONYMITY cell audit — release-governance for a training corpus:
+    * a quasi-identifier combination (lang × source × generalized doc
+    * length) shared by fewer than k documents can single out an
+    * individual contributor, so publishing or retaining those cells
+    * un-generalized is the re-identification risk. Reports, per
+    * (lang, source) slice: cell count, smallest cell, risky-cell count,
+    * and the at-risk document share in basis points — the frame that
+    * tells a release manager where suppression or coarser
+    * generalization buys the most. Integer-exact throughout.
+    *
+    * Scale shape: two partial+final hash aggregates (cells, then
+    * slices); output is O(lang × source); nothing else moves. */
+  private val kanonReport: Q = (s, dir) => {
+    val cells = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"),
+        expr(s"n_chars DIV $KAnonBucket").as("size_bucket"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("n").as("n_docs"),
+        min("n").as("min_cell"),
+        sum(when(col("n") < KAnonK, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("n") < KAnonK, col("n")).otherwise(0L)).as("n_docs_at_risk"))
+      .select(col("lang"), col("source"), col("n_cells"), col("n_docs"),
+        col("min_cell"), col("n_risky_cells"), col("n_docs_at_risk"),
+        expr("10000 * n_docs_at_risk DIV n_docs").as("risk_bp"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
     "q_pipeline_corpus" -> corpusBuild,
+    "q_report_kanon"    -> kanonReport,
     "q_report_sources"  -> sourceReport,
     "q_report_constraints" -> constraintReport,
     "q_report_drift"    -> driftReport,
@@ -287,6 +322,19 @@ object CurationQueries {
          |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
          | FROM documents d JOIN verdicts v ON d.doc_id = v.doc_id
          | GROUP BY source ORDER BY source""".stripMargin,
+    "q_report_kanon" ->
+      s"""WITH cells AS (
+         |  SELECT lang, source, n_chars // $KAnonBucket AS size_bucket,
+         |   count(*) AS n
+         |  FROM documents GROUP BY 1, 2, 3)
+         | SELECT lang, source,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(min(n) AS BIGINT) AS min_cell,
+         |  CAST(sum(CASE WHEN n < $KAnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+         |  CAST(sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) AS BIGINT) AS n_docs_at_risk,
+         |  CAST(10000 * sum(CASE WHEN n < $KAnonK THEN n ELSE 0 END) // sum(n) AS BIGINT) AS risk_bp
+         | FROM cells GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_report_constraints" -> {
       val langList = KnownLangs.map(l => s"'$l'").mkString(", ")
       s"""SELECT count(*) AS n_rows,

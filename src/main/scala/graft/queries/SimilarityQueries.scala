@@ -68,6 +68,44 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Every [[EvalMod]]th vector plays the held-out eval set in
+    * [[simDecontam]] — deterministic, so the oracle rebuilds the same
+    * split. */
+  private val EvalMod = 50
+
+  /** SEMANTIC eval-set decontamination — the embedding-space complement
+    * of the shingle-overlap `q_dedup_decontam`: paraphrased benchmark
+    * leakage shares no n-grams but sits next to the eval point in
+    * embedding space. Every train vector reports its nearest eval
+    * neighbor (exact, argmax by cosine with id tie-break) and a
+    * contaminated verdict at the [[CosDupThreshold]] — one row per
+    * train vector, so the report doubles as the audit trail for the
+    * borderline band a human reviews.
+    *
+    * Scale shape: the eval set is broadcast (small by definition — the
+    * benchmark suite, not the corpus); train streams partition-parallel
+    * through the codegen cosine; the argmax rides the bounded-heap
+    * [[graft.plans.TopKPerKey]] at k=1, so the exchange carries one row
+    * per (train vector × partition), never the train×eval score
+    * stream. At 100 TB the same plan holds — or the eval side drops
+    * into the IVF index ([[graft.sim.IvfIndex]]) unchanged. */
+  private val simDecontam: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val ev = emb.where(pmod(col("vec_id"), lit(EvalMod)) === 0)
+      .select(col("vec_id").as("eid"), col("embedding").as("qe"))
+    val tr = emb.where(pmod(col("vec_id"), lit(EvalMod)) =!= 0)
+      .select(col("vec_id"), col("embedding").as("ce"))
+    val scored = tr.join(broadcast(ev))
+      .select(col("vec_id"), col("eid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    graft.plans.GraftOps.topKPerKey(scored, Seq("vec_id"),
+        Seq("cos" -> false, "eid" -> true), 1)
+      .select(col("vec_id"), col("eid").as("nearest_eval"),
+        round(col("cos"), 4).as("cos4"),
+        (col("cos") >= CosDupThreshold).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Output depth for [[filteredAnn]] (its metadata predicate — even
     * label — lives inline in the candidate filter). */
   private val FilteredTopK = 5
@@ -373,6 +411,7 @@ object SimilarityQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "q_sim_topk_bruteforce" -> bruteForceTopK,
+    "q_sim_decontam"        -> simDecontam,
     "q_sim_filtered_ann"    -> filteredAnn,
     "q_sim_hybrid_rrf"      -> hybridRrf,
     "q_sim_lsh_ann"         -> lshAnn,
@@ -391,6 +430,18 @@ object SimilarityQueries {
     s"CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sim_decontam" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         | ev AS (SELECT vec_id AS eid, emb FROM e WHERE vec_id % $EvalMod = 0),
+         | tr AS (SELECT vec_id, emb FROM e WHERE vec_id % $EvalMod <> 0),
+         | sc AS (SELECT tr.vec_id, ev.eid,
+         |   list_cosine_similarity(tr.emb, ev.emb) AS cos
+         |  FROM tr CROSS JOIN ev),
+         | r AS (SELECT *, row_number() OVER (
+         |   PARTITION BY vec_id ORDER BY cos DESC, eid) AS rnk FROM sc)
+         | SELECT vec_id, eid AS nearest_eval, round(cos, 4) AS cos4,
+         |  cos >= $CosDupThreshold AS contaminated
+         | FROM r WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "q_sim_topk_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
          | c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
