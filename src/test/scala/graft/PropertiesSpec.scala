@@ -92,4 +92,22 @@ class PropertiesSpec extends SparkSpec {
     val b = docs.where($"lang" === "de").select("doc_id")
     assert(a.union(b).distinct().count() == b.union(a).distinct().count())
   }
+
+  /** The discrimination property Moore–Lewis selection exists for: docs
+    * from the in-domain source must on average outscore the rest (their
+    * own counts inflate the in-domain LM, so their in-domain surprisal
+    * is systematically lower). A regression that zeroed the in-domain
+    * leg or flipped the difference's sign would pass the hash oracle on
+    * a wrong-but-consistent formula — this pins the SEMANTICS. */
+  test("q_text_moore_lewis ranks in-domain docs above the rest on average") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = graft.SparkEntry.queries("q_text_moore_lewis")(spark, dir)
+    val inSrc = scored.agg(min("source")).head().getString(0)
+    val Array(inMean, outMean) = Seq(true, false).map { isIn =>
+      scored.where(if (isIn) $"source" === inSrc else $"source" =!= inSrc)
+        .agg(avg($"ml_score_mb")).head().getDouble(0)
+    }.toArray
+    assert(inMean > outMean,
+      s"in-domain mean $inMean does not exceed out-of-domain mean $outMean")
+  }
 }
