@@ -37,11 +37,12 @@ object Scaling {
     "q_pipeline_corpus", "q_pipeline_curate", "q_text_bigram_lm",
     "q_dedup_prefix_join", "q_sample_cluster_split", "q_dedup_components",
     "q_dedup_apply", "q_dedup_lsh_jaccard", "q_dedup_ngram_jaccard",
-    "q_dedup_containment", "q_a2_approx_distinct", "q_a1_quartiles_scale")
+    "q_dedup_containment", "q_a2_approx_distinct", "q_a1_quartiles_scale",
+    "q_text_moore_lewis")
 
   private val IdShift = 1000000000L
 
-  private def shifted(df: DataFrame, k: Int): DataFrame = {
+  private[graft] def shifted(df: DataFrame, k: Int): DataFrame = {
     if (k == 0) return df
     var out = df
     df.schema.fields.foreach { f =>
@@ -56,7 +57,7 @@ object Scaling {
     out
   }
 
-  private def amplify(spark: SparkSession, srcDir: String, dstDir: String,
+  private[graft] def amplify(spark: SparkSession, srcDir: String, dstDir: String,
       factor: Int): Unit =
     AllTables.foreach { t =>
       val base = graft.queries.Tables.t(spark, srcDir, t)
