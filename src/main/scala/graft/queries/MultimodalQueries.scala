@@ -161,12 +161,44 @@ object MultimodalQueries {
       .orderBy("media_id", "chunk_idx")
   }
 
+  /** Resize target (16×16 → 256-byte image payload cap) and frame
+    * stride for [[mmPrep]]. */
+  private val PrepW = 16
+  private val PrepH = 16
+  private val PrepStride = 2
+
+  /** Media PREP pipeline — the transform chain a training job runs
+    * before feature extraction, graded on CONTENT, not just lengths:
+    * images resize to ${PrepW}×${PrepH} (payload capped at w·h bytes),
+    * videos keep every ${PrepStride}nd frame (frame length =
+    * payload DIV nFrames, kept slices concatenated), audio passes
+    * through; the output row carries the byte count AND the md5 of the
+    * TRANSFORMED payload, so the oracle transliterates the exact slice
+    * arithmetic (substring concatenation over the utf8 payload — ASCII
+    * corpus, chars ≡ bytes) and any off-by-one in the frame math
+    * hash-fails. Runs through the REAL typed operators
+    * ([[MultimodalOps.resizeImages]] → [[MultimodalOps.sampleFrames]]):
+    * two narrow maps, the binary payload never crosses a shuffle, and
+    * the metadata (width/height/nFrames) is updated in the same pass. */
+  private val mmPrep: Q = (s, dir) =>
+    MultimodalOps.sampleFrames(
+        MultimodalOps.resizeImages(media(s, dir), PrepW, PrepH,
+          codec = MultimodalOps.PortableCodec),
+        PrepStride, codec = MultimodalOps.PortableCodec)
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        length(col("media")).cast("long").as("n_bytes_out"),
+        md5(col("media")).as("fp_out"),
+        col("width"), col("height"), col("nFrames").as("n_frames"))
+      .orderBy("media_id")
+
   val queries: Seq[(String, Q)] = Seq(
     "q_mm_features" -> mmFeatures,
     "q_mm_profile"  -> mmProfile,
     "q_mm_dedup"    -> mmDedup,
     "q_mm_storage"  -> mmStorage,
-    "q_mm_chunks"   -> mmChunks)
+    "q_mm_chunks"   -> mmChunks,
+    "q_mm_prep"     -> mmPrep)
 
   val oracles: Seq[(String, String)] = Seq(
     "q_mm_features" ->
@@ -228,6 +260,36 @@ object MultimodalQueries {
     // because the corpus is pure ASCII (verified: octet_length(encode(x))
     // == length(x) for every row at every SF) — the same utf8 identity
     // the other q_mm_* oracles rely on.
+    // Transliterates the prep chain's exact slice arithmetic: image =
+    // first w·h bytes; video = concatenation of the kept frames' slices
+    // (frame length = len DIV nFrames, tail-capped exactly like the
+    // codec's slice); audio passes through. chars ≡ bytes on the ASCII
+    // corpus, so substring over text equals the byte slices.
+    "q_mm_prep" -> {
+      val cap = PrepW * PrepH
+      val frames = 0 until 8 by PrepStride
+      val videoConcat = frames.map(f =>
+        s"substring(txt, $f*fl+1, least(fl, greatest(0, len - $f*fl)))")
+        .mkString(" || ")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, CAST(doc_id % 3 AS INTEGER) AS k,
+         |   coalesce(text, '') AS txt, length(coalesce(text, '')) AS len
+         |  FROM documents),
+         | v AS (SELECT *, greatest(1, len // 8) AS fl FROM m),
+         | p AS (SELECT media_id, k,
+         |   CASE k WHEN 0 THEN substring(txt, 1, $cap)
+         |          WHEN 2 THEN $videoConcat
+         |          ELSE txt END AS payload
+         |  FROM v)
+         | SELECT media_id,
+         |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(length(payload) AS BIGINT) AS n_bytes_out,
+         |  md5(payload) AS fp_out,
+         |  CAST(CASE k WHEN 0 THEN $PrepW ELSE 32 END AS INTEGER) AS width,
+         |  CAST(CASE k WHEN 0 THEN $PrepH ELSE 32 END AS INTEGER) AS height,
+         |  CAST(CASE k WHEN 2 THEN 4 ELSE 1 END AS INTEGER) AS n_frames
+         | FROM p ORDER BY media_id""".stripMargin
+    },
     "q_mm_chunks" ->
       """WITH chars AS (
         |  SELECT doc_id AS media_id, coalesce(text, '') AS txt,

@@ -582,6 +582,61 @@ object TextQueries {
         md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp_content"))
       .orderBy("doc_id")
 
+  /** Winnowing k-gram size and window width. */
+  private val WinnowK = 4
+  private val WinnowW = 5
+
+  /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
+    * scheme): hash every k-token gram, then keep the MINIMUM hash of
+    * each w-wide window of consecutive gram positions. The selection is
+    * position-robust where head-anchored schemes are not, and carries
+    * the winnowing GUARANTEE: any shared token run of ≥ w+k−1 tokens
+    * forces at least one shared selected fingerprint (the shared run
+    * contains a full window, and that window's minimum is the same on
+    * both sides) — `PropertiesSpec` pins exactly that. Density is
+    * ~2/(w+1) of grams, so the fingerprint index is a bounded fraction
+    * of the token stream at any scale.
+    *
+    * Emission: per doc, gram count, selected-count, and one md5 over
+    * the sorted distinct selected hashes — the compact row a
+    * plagiarism/contamination index stores per doc. Hashes are the
+    * portable md5-60-bit idiom, the window is per-doc (high-cardinality
+    * partition key), everything else is hash aggregation. */
+  /** The selected-fingerprint stream (doc_id, n, wmin) — factored out so
+    * the guarantee spec can intersect SETS of selected hashes, not just
+    * compare the final digests. Input needs (doc_id, text). */
+  private[graft] def winnowSelected(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = d
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks")) >= WinnowK)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${WinnowK - 1}),
+           |  i -> conv(substring(md5(concat_ws(' ',
+           |    slice(toks, i, $WinnowK))), 1, 15), 16, 10))""".stripMargin))
+        .as(Seq("pos", "hs")))
+      .select(col("doc_id"), col("pos"), col("hs").cast("long").as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinnowW - 1)
+    grams
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .withColumn("wmin", min("h").over(win))
+      .where(col("pos") <= col("n") - WinnowW)  // full windows only (pos is 0-based)
+      .select(col("doc_id"), col("n"), col("wmin"))
+  }
+
+  private val winnow: Q = (s, dir) =>
+    winnowSelected(docs(s, dir))
+      .groupBy("doc_id")
+      .agg(max("n").as("n_grams"),
+        countDistinct(col("wmin")).as("n_selected"),
+        md5(expr("""array_join(transform(array_sort(collect_set(wmin)),
+                   |  x -> CAST(x AS STRING)), ' ')""".stripMargin)).as("fp_winnow"))
+      .select(col("doc_id"), col("n_grams"), col("n_selected"), col("fp_winnow"))
+      .orderBy("doc_id")
+
   /** Repetition-ratio quality signal (the within-document counterpart of
     * cross-document dedup; Gopher-style "repetitious text" filter, Rae et
     * al. 2021 §A1.1): the fraction of word tokens and of word 2-grams that
@@ -758,6 +813,7 @@ object TextQueries {
     "q_text_quality"     -> quality,
     "q_text_tokencount"  -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
+    "q_text_winnow"      -> winnow,
     "q_text_repetition"  -> repetition,
     "q_text_pii"         -> piiScrub,
     "q_text_filter"      -> filterDecision,
@@ -918,6 +974,26 @@ object TextQueries {
       s"""SELECT doc_id, md5(text) AS fp_raw,
          | md5(array_to_string(list_sort(list_distinct(${duckTerms("text")})), ' ')) AS fp_content
          | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_winnow" -> {
+      val gramConcat = (0 until WinnowK).map(j => s"toks[pos + $j]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id, ${duckTerms("text")} AS toks FROM documents),
+         | g AS (SELECT doc_id, CAST(len(toks) - ${WinnowK - 1} AS BIGINT) AS n,
+         |   unnest(generate_series(1, len(toks) - ${WinnowK - 1})) AS pos, toks
+         |  FROM tk WHERE len(toks) >= $WinnowK),
+         | h AS (SELECT doc_id, n, pos,
+         |   CAST('0x' || substr(md5($gramConcat), 1, 15) AS BIGINT) AS hv
+         |  FROM g),
+         | w AS (SELECT doc_id, n, pos,
+         |   min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |     ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+         |  FROM h),
+         | s AS (SELECT doc_id, n, wmin FROM w WHERE pos <= n - ${WinnowW - 1})
+         | SELECT doc_id, max(n) AS n_grams,
+         |  CAST(count(DISTINCT wmin) AS BIGINT) AS n_selected,
+         |  md5(array_to_string(list_sort(list_distinct(list(wmin))), ' ')) AS fp_winnow
+         | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_text_repetition" ->
       s"""SELECT doc_id,
          | CAST(len(toks_all) AS INTEGER) AS n_tokens,

@@ -93,6 +93,29 @@ class PropertiesSpec extends SparkSpec {
     assert(a.union(b).distinct().count() == b.union(a).distinct().count())
   }
 
+  /** The winnowing guarantee (Schleimer–Wilkerson–Aiken 2003, theorem
+    * behind `q_text_winnow`): two documents sharing a token run of at
+    * least w+k−1 tokens MUST share a selected fingerprint — the run
+    * contains a full window of common k-grams and that window's minimum
+    * is picked on both sides. Different surroundings on each side make
+    * the negative control meaningful: docs with NO long shared run need
+    * not (and here do not) intersect. */
+  test("winnowing guarantees a shared fingerprint for a shared long run") {
+    // k=4, w=5 ⇒ guarantee threshold is 8 shared consecutive tokens.
+    val run = "kestrel quartz velvet marmot oboe zephyr tundra cobalt"
+    val a = s"aardvark binnacle chutney $run dromedary eiderdown"
+    val b = s"foxglove gannet hawser ibex jacamar $run knapweed"
+    val c = "lorikeet mandrake nutmeg oarlock pemmican quahog rhubarb sassafras tamarind"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val sel = graft.queries.TextQueries.winnowSelected(d)
+      .select("doc_id", "wmin").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((sel(1L) & sel(2L)).nonEmpty,
+      "docs sharing an 8-token run selected no common fingerprint")
+    assert((sel(1L) & sel(3L)).isEmpty && (sel(2L) & sel(3L)).isEmpty,
+      "unrelated doc shares fingerprints — hash or windowing is degenerate")
+  }
+
   /** The discrimination property Moore–Lewis selection exists for: docs
     * from the in-domain source must on average outscore the rest (their
     * own counts inflate the in-domain LM, so their in-domain surprisal
