@@ -66,22 +66,26 @@ object Bench {
       }
     def jstr(s: String): String =
       "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200) + "\""
+    // Locale-pinned decimals: the default-locale f-interpolator emits
+    // comma decimals (invalid JSON) on e.g. a de_DE JVM.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map {
-      case (k, Right(v)) => "\"" + k + f"""":$v%.3f"""
+      case (k, Right(v)) => "\"" + k + "\":" + d3(v)
       case (k, Left(_))  => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(m)) => jstr(k) + ":" + jstr(m) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Truncation-proof duplicate: the per-query line above grows with the
     // suite (105+ queries > the harvester's tail window), so the headline
     // total is ALSO emitted as a trailing compact line that any tail
     // capture ≥ ~120 bytes picks up intact.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
     // File artifact with the COMPLETE per-query map: the driver's 2 KB
     // stdout tail lost ~half the 137 timings in round 4 — regression
     // detection needs all of them. Default is CWD-relative (the driver

@@ -54,6 +54,13 @@ object Scaling {
       if (f.name == "text")
         out = out.withColumn("text", concat(lit(s"cp$k "), col("text")))
     }
+    // The tag lengthens text, so re-derive n_chars — leaving it stale
+    // would violate the corpus contract n_chars == length(text) that
+    // q_report_constraints treats as broken data, and skew every
+    // n_chars-derived size in the audited queries.
+    if (out.schema.fieldNames.contains("text") &&
+        out.schema.fieldNames.contains("n_chars"))
+      out = out.withColumn("n_chars", length(col("text")).cast("long"))
     out
   }
 
@@ -79,13 +86,16 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dirs: Map[Int, String] = factors.map {
-      case 1 => 1 -> srcDir
-      case f =>
-        val d = s"$scaleRoot/x$f"
-        System.err.println(s"[scaling] amplifying $srcDir -> $d (x$f)")
-        amplify(spark, srcDir, d, f)
-        f -> d
+    // EVERY factor — including ×1 — goes through the same amplify/write
+    // path, so the whole series shares one parquet layout (file count,
+    // row-group size, encoding). Reading the generator's original files
+    // for the ×1 baseline would put layout asymmetry, not plan scaling,
+    // into every g ratio.
+    val dirs: Map[Int, String] = factors.map { f =>
+      val d = s"$scaleRoot/x$f"
+      System.err.println(s"[scaling] amplifying $srcDir -> $d (x$f)")
+      amplify(spark, srcDir, d, f)
+      f -> d
     }.toMap
 
     val results = Audited.map { name =>
@@ -103,11 +113,15 @@ object Scaling {
       name -> ((per, g))
     }
 
+    // Locale-pinned decimal formatting: the default-locale f-interpolator
+    // would emit comma decimals (invalid JSON) on e.g. a de_DE JVM.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val json = results.map { case (name, (per, g)) =>
-      val times = factors.map(f => f"""\"t$f%d\":${per(f)._1}%.3f""").mkString(",")
+      val times = factors.map(f => s""""t$f":${d3(per(f)._1)}""").mkString(",")
       val rows = factors.map(f => s""""rows$f":${per(f)._2}""").mkString(",")
       val growth = g.toSeq.sortBy(_._1)
-        .map { case (f, v) => f"""\"g$f%d\":$v%.3f""" }.mkString(",")
+        .map { case (f, v) => s""""g$f":${d3(v)}""" }.mkString(",")
       s""""$name":{$times,$rows,$growth}"""
     }.mkString("{", ",", s""","sf":"$srcDir","factors":[${factors.mkString(",")}]}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -108,35 +108,38 @@ object ParquetStats {
     * sorted/z-ordered write against a shuffled one on the same data. */
   def pointProbeAudit(stats: DataFrame, column: String,
                       value: Long): DataFrame = {
-    val s = stats.where(col("column") === column)
+    // Validation and the prunable count ride ONE aggregation pass — a
+    // separate validation action would re-execute the caller's
+    // (uncached) rowGroupStats lineage and read every footer twice.
+    // The guarded silent-garbage modes: a frame with zero rows for the
+    // column (DIV by 0 → NULL ratio) and a non-LONG column whose min or
+    // max casts to NULL (every row group would read as stats-absent,
+    // i.e. non-prunable).
+    val r = stats.where(col("column") === column)
       .select(col("min_val").cast("long").as("mn"),
-        col("max_val").cast("long").as("mx"), col("n_nulls"))
-    // Guard the two silent-garbage modes: a frame with zero rows for the
-    // column (DIV by 0 → NULL ratio) and a non-LONG column whose min/max
-    // cast to NULL (every row group would read as stats-absent, i.e.
-    // non-prunable). Audit frames are O(files × row-groups) tiny, so one
-    // eager validation pass costs nothing next to the footer reads.
-    val v = stats.where(col("column") === column)
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("min_val").isNotNull &&
-            col("min_val").cast("long").isNull, 1L)
-          .otherwise(0L)).as("uncastable")).head()
-    require(v.getLong(0) > 0,
-      s"no row-group stats for column '$column' in the given frame — " +
-        "wrong column name or a pre-filtered frame?")
-    require(v.getLong(1) == 0,
-      s"column '$column' has ${v.getLong(1)} row group(s) whose min/max " +
-        "do not parse as LONG — pointProbeAudit's contract is an " +
-        "integer-typed column")
-    s.agg(count(lit(1)).as("n_row_groups"),
+        col("max_val").cast("long").as("mx"), col("n_nulls"),
+        ((col("min_val").isNotNull && col("min_val").cast("long").isNull) ||
+          (col("max_val").isNotNull && col("max_val").cast("long").isNull))
+          .as("uncastable"))
+      .agg(count(lit(1)).as("n_row_groups"),
+        sum(when(col("uncastable"), 1L).otherwise(0L)).as("n_uncastable"),
         sum(when(
             (col("mn").isNotNull &&
               (lit(value) < col("mn") || lit(value) > col("mx"))) ||
             (col("mn").isNull && col("n_nulls") >= 0), 1L)
           .otherwise(0L)).as("n_prunable"))
-      .select(col("n_row_groups"), col("n_prunable"),
-        expr("CAST(10000 * n_prunable DIV n_row_groups AS BIGINT)")
-          .as("prunable_bp"))
+      .head()
+    require(r.getLong(0) > 0,
+      s"no row-group stats for column '$column' in the given frame — " +
+        "wrong column name or a pre-filtered frame?")
+    require(r.getLong(1) == 0,
+      s"column '$column' has ${r.getLong(1)} row group(s) whose min/max " +
+        "do not parse as LONG — pointProbeAudit's contract is an " +
+        "integer-typed column")
+    stats.sparkSession.range(1)
+      .select(lit(r.getLong(0)).as("n_row_groups"),
+        lit(r.getLong(2)).as("n_prunable"),
+        lit(10000L * r.getLong(2) / r.getLong(0)).as("prunable_bp"))
   }
 
   /** Per-file sizes from footers alone: (file, n_rows, n_bytes) with
@@ -162,8 +165,8 @@ object ParquetStats {
       .toDF("file", "n_rows", "n_bytes")
   }
 
-  /** Sequential first-fit bin assignment shared by [[compactionPlan]]
-    * and the oracle-graded `q_s_compaction`: a unit lands in bin
+  /** Sequential first-fit bin assignment ([[withBin]]) shared by
+    * [[compactionPlan]] and the oracle-graded `q_s_compaction`: a unit lands in bin
     * `exclusive-prefix-bytes DIV target` (integer division, exact at any
     * byte count), so bins tile the ordered stream and every bin except
     * possibly the last holds ≥ `target` bytes once closed (a unit larger
@@ -184,7 +187,7 @@ object ParquetStats {
   /** SMALL-FILES COMPACTION PLAN — the operational companion to the
     * stats audit: group the directory's files into rewrite bins of
     * ~`targetBytes` each (first-fit over the path-ordered file list via
-    * [[binByPrefix]]), one output row per bin with the files it merges.
+    * [[withBin]]), one output row per bin with the files it merges.
     * At 100 TB this is the planner a nightly compaction job reads: the
     * input is O(files) footer metadata, the plan is O(bins), and the
     * rewrite itself is embarrassingly parallel per bin. The global

@@ -1,7 +1,7 @@
 package graft.stream
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -25,12 +25,16 @@ import graft.plans.GraftOps
   *    safe), and the silver store never needs a read-side aggregate;
   *  - streaming-agg state is bounded by the watermark horizon ×
   *    live-key cardinality (the store is RocksDB-backed on a cluster);
-  *  - the silver/gold stores are partitioned by window start, so a merge
-  *    prunes to the touched windows (a broadcast semi-join on `ws`
-  *    dynamic-partition-prunes the silver scan) — work per batch is
-  *    O(keys in touched windows), independent of stream age;
-  *  - nothing round-trips through the driver: the touched-window set
-  *    rides the semi-join as a broadcast frame, never a collect.
+  *  - the silver/gold stores are partitioned by window start, and the
+  *    merge prunes its silver read in two tiers: a STATIC partition
+  *    filter on the batch's [min ws, max ws] band (two scalars — the
+  *    watermark horizon bounds the band, so the pruned scan is
+  *    independent of stream age) and a broadcast semi-join for exact
+  *    touched-window membership inside the band — work per batch is
+  *    O(keys in horizon windows), never O(stream age);
+  *  - the only driver-side values are those two band scalars (the same
+  *    class of read as an AQE statistic); the touched-window SET rides
+  *    the semi-join as a broadcast frame, never a collect.
   */
 final class TrendingTopK(
     keyCol: String, k: Int, silverDir: String, goldDir: String,
@@ -63,17 +67,28 @@ final class TrendingTopK(
     // Materialize BEFORE reading the store this write will replace — an
     // overwrite that still has a lazy scan of its own target corrupts it.
     val updates = updates0.localCheckpoint(true)
-    // Touched windows stay a DataFrame end to end — no driver collect.
-    // The broadcast semi-join against the ws-partitioned silver read
-    // qualifies for dynamic partition pruning, so untouched window
-    // partitions are still skipped at the scan, same as the old
-    // collect-then-isin but without the driver round-trip.
+    // Two-tier partition pruning without a data-sized driver transfer:
+    //  - STATIC tier: the touched windows all fall inside the batch's
+    //    [min ws, max ws] band (bounded by the watermark horizon, never
+    //    by stream age), and those two scalars — O(1) driver data, the
+    //    same class of read as an AQE statistic — prune the
+    //    ws-partitioned silver scan with a literal partition filter.
+    //    (A broadcast semi-join alone does NOT dynamic-partition-prune
+    //    here: Spark's DPP rule requires a selective filter on the
+    //    build side, and a distinct over a checkpointed RDD has none —
+    //    so without the band filter every batch would rescan the whole
+    //    store, O(stream age).)
+    //  - EXACT tier: the broadcast semi-join against the in-band rows
+    //    refines membership to exactly the touched windows.
+    val Row(wsLo: Long, wsHi: Long) =
+      updates.agg(min("ws"), max("ws")).head()
     val touched = updates.select("ws").distinct()
     val silverPath = new Path(silverDir)
     val fs = silverPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged = (if (fs.exists(silverPath)) {
       // Partition values re-infer as int when they fit; normalize to long.
       val existing = spark.read.parquet(silverDir)
+        .where(col("ws") >= wsLo && col("ws") <= wsHi)
         .withColumn("ws", col("ws").cast("long"))
         .join(broadcast(touched), Seq("ws"), "left_semi")
       // Batch rows win (they hold the full running count); silver keys the

@@ -39,11 +39,26 @@ final class WinnowIngest(
     indexDir: String,
     flagDir: String) extends MicroBatchIngest with Serializable {
 
+  /** One row per id, deterministically: duplicate ids inside a batch
+    * (ordinary at-least-once duplication upstream) would otherwise
+    * interleave two gram streams under one window partition key —
+    * colliding `pos` values make the min selection order-dependent and
+    * the full-window filter see an inflated gram count. Redelivered
+    * identical rows collapse to themselves; conflicting texts for one id
+    * resolve to the md5-smallest (content-keyed, so any partitioning
+    * picks the same winner). */
+  private def onePerId(batch: DataFrame): DataFrame =
+    batch.select(col(idCol), col(textCol))
+      .groupBy(col(idCol))
+      .agg(min(struct(md5(coalesce(col(textCol), lit(""))).as("__tfp"),
+        col(textCol).as("t"))).as("__rep"))
+      .select(col(idCol), col("__rep.t").as(textCol))
+
   /** Per-doc selected fingerprints, deduplicated — the shipped
     * `q_text_winnow` selection, not a re-derivation. */
   private def fps(batch: DataFrame): DataFrame =
     graft.queries.TextQueries.winnowSelected(
-        batch.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+        onePerId(batch).select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id").as(idCol), col("wmin"))
       .distinct()
 

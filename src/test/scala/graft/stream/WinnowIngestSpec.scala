@@ -53,6 +53,29 @@ class WinnowIngestSpec extends SparkSpec {
       .select("batch_id").distinct().count() == 1)
   }
 
+  test("duplicate ids inside one batch resolve deterministically") {
+    // Same id delivered twice with different texts (and once redundantly
+    // identical): exactly one flag row, fingerprinted from the
+    // md5-smallest text — not an order-dependent interleaving of both
+    // gram streams under one window key.
+    val tA = s"alpha bravo charlie $run delta echo"
+    val tB = "foxtrot golf hotel india juliet kilo lima mike november oscar"
+    val (ingest, base) = mkIngest()
+    val b = Seq((1L, tA), (1L, tB), (1L, tA)).toDF("id", "text")
+    ingest.processBatch(b, 0L)
+    assert(ingest.flagLog().count() == 1)
+    val winner = Seq(tA, tB).minBy(t =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val expected = graft.queries.TextQueries.winnowSelected(
+        Seq((1L, winner)).toDF("doc_id", "text"))
+      .select("wmin").as[Long].collect().toSet
+    val stored = spark.read.parquet(s"$base/index")
+      .select("wmin").as[Long].collect().toSet
+    assert(stored == expected,
+      "index fingerprints are not the deterministic representative's")
+  }
+
   test("short documents (no full window) get a zero-fingerprint flag row") {
     val (ingest, _) = mkIngest()
     val b = Seq((1L, "too short")).toDF("id", "text")
