@@ -262,7 +262,44 @@ object SamplingQueries {
         max(expr("unix_timestamp(ts)")).as("max_s"))
       .orderBy("split")
 
+  /** Curriculum phase count (quality quartiles). */
+  private val CurriculumPhases = 4
+
+  /** Curriculum ordering — the corpus→training-order manifest of
+    * curriculum learning (Bengio et al. 2009, as applied to LM data
+    * curation: cleanest data first, noisier later): docs are quartiled
+    * into phases by a quality signal (alphabetic ratio in exact basis
+    * points — drop-in replaceable by any scored column), then laid out
+    * phase-by-phase with a DETERMINISTIC md5 shuffle within each phase
+    * (a quality-sorted order without within-phase shuffling would
+    * correlate adjacent batches; rand() would not reproduce). Both the
+    * quartile and the global position ride [[graft.ops.PrefixOps]]
+    * two-phase prefix sums — a global ntile/row_number window would
+    * funnel the corpus through ONE task, the round-4 scale-killer; here
+    * parallelism stays at the shuffle-partition count at any corpus
+    * size (the rfm discipline, `PlanAuditSpec`-pinned family). Output
+    * is the (doc_id, phase, train_pos) manifest a data loader consumes
+    * verbatim. */
+  private val sampleCurriculum: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.{col, expr, md5}
+    val scored = t(s, dir, "documents")
+      .withColumn("alpha_bp", expr(
+        "10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text)"))
+      .withColumn("rk", md5(col("doc_id").cast("string")))
+      .select("doc_id", "alpha_bp", "rk")
+    val phased = graft.ops.PrefixOps.withGlobalRowNumber(scored,
+        Seq(col("alpha_bp").desc, col("rk").asc, col("doc_id").asc), "qrn")
+      .withColumn("phase",
+        graft.ops.PrefixOps.ntileFromRowNumber("qrn", "qrn_n", CurriculumPhases)
+          .cast("int"))
+    graft.ops.PrefixOps.withGlobalRowNumber(phased,
+        Seq(col("phase").asc, col("rk").asc, col("doc_id").asc), "train_pos")
+      .select("doc_id", "phase", "train_pos")
+      .orderBy("train_pos")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_sample_curriculum" -> sampleCurriculum,
     "q_sample_temporal" -> sampleTemporal,
     "q_sample_split" -> sampleSplit,
     "q_sample_strat" -> sampleStratified,
@@ -283,6 +320,17 @@ object SamplingQueries {
        |      ELSE 'test' END""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sample_curriculum" ->
+      s"""WITH q AS (SELECT doc_id,
+         |   10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS alpha_bp,
+         |   md5(CAST(doc_id AS VARCHAR)) AS rk
+         |  FROM documents),
+         | r AS (SELECT doc_id, rk,
+         |   CAST(ntile($CurriculumPhases) OVER (ORDER BY alpha_bp DESC, rk, doc_id) AS INTEGER) AS phase
+         |  FROM q)
+         | SELECT doc_id, phase,
+         |  row_number() OVER (ORDER BY phase, rk, doc_id) AS train_pos
+         | FROM r ORDER BY train_pos""".stripMargin,
     "q_sample_temporal" ->
       s"""SELECT CASE WHEN ts < TIMESTAMP '$EmbargoStart' THEN 'train'
          |       WHEN ts < TIMESTAMP '$TestStart' THEN 'embargo'

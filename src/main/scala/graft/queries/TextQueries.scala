@@ -586,6 +586,27 @@ object TextQueries {
   private val WinnowK = 4
   private val WinnowW = 5
 
+  /** DuckDB mirror of [[winnowSelected]] as a CTE chain ending in
+    * `s(doc_id, n, wmin)` — shared by the `q_text_winnow` and
+    * `q_text_winnow_pairs` oracles so the selection rule cannot drift
+    * between the digest and its pair consumer. */
+  private lazy val duckWinnowCtes: String = {
+    val gramConcat = (0 until WinnowK).map(j => s"toks[pos + $j]")
+      .mkString(" || ' ' || ")
+    s"""tk AS (SELECT doc_id, ${duckTerms("text")} AS toks FROM documents),
+       | g AS (SELECT doc_id, CAST(len(toks) - ${WinnowK - 1} AS BIGINT) AS n,
+       |   unnest(generate_series(1, len(toks) - ${WinnowK - 1})) AS pos, toks
+       |  FROM tk WHERE len(toks) >= $WinnowK),
+       | h AS (SELECT doc_id, n, pos,
+       |   CAST('0x' || substr(md5($gramConcat), 1, 15) AS BIGINT) AS hv
+       |  FROM g),
+       | w AS (SELECT doc_id, n, pos,
+       |   min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+       |     ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
+       |  FROM h),
+       | s AS (SELECT doc_id, n, wmin FROM w WHERE pos <= n - ${WinnowW - 1})""".stripMargin
+  }
+
   /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
     * scheme): hash every k-token gram, then keep the MINIMUM hash of
     * each w-wide window of consecutive gram positions. The selection is
@@ -635,6 +656,135 @@ object TextQueries {
         md5(expr("""array_join(transform(array_sort(collect_set(wmin)),
                    |  x -> CAST(x AS STRING)), ' ')""".stripMargin)).as("fp_winnow"))
       .select(col("doc_id"), col("n_grams"), col("n_selected"), col("fp_winnow"))
+      .orderBy("doc_id")
+
+  /** Winnow-pair hub cap: a fingerprint held by more than this many docs
+    * is boilerplate (license headers, templates) — it contributes O(df²)
+    * candidate pairs while signalling nothing about pairwise reuse, the
+    * same quadratic hub blowup [[docsim]] prunes on df·2 > N. Shared with
+    * the generated oracle, so pruning is part of the graded semantics. */
+  private val WinnowPairHubDf = 64
+  /** Minimum shared fingerprints for a reported pair. With density
+    * ~2/(w+1), 3 shared selections ≈ a few dozen shared tokens — below
+    * that, single-gram collisions dominate. */
+  private val WinnowPairMinShared = 3
+
+  /** The winnowing index's PAIR consumer — cross-document reuse detection
+    * (the MOSS report): doc pairs sharing ≥ [[WinnowPairMinShared]]
+    * selected fingerprints, with the shared count. One equi-join on the
+    * fingerprint value over the distinct (doc, fp) index — shuffle ∝ the
+    * index (a ~2/(w+1) fraction of the token stream), never doc pairs;
+    * hub fingerprints (df > [[WinnowPairHubDf]]) are pruned BEFORE the
+    * self-join on both engines. The winnowing guarantee lifts to pairs:
+    * any ≥ w+k−1-token shared run forces ≥ 1 shared fingerprint, so a
+    * long enough plagiarized passage cannot score 0. */
+  private[graft] def winnowPairFrame(d: org.apache.spark.sql.DataFrame,
+      minShared: Int = WinnowPairMinShared): org.apache.spark.sql.DataFrame = {
+    val sel = winnowSelected(d)
+      .select(col("doc_id"), col("wmin")).distinct()
+      .localCheckpoint(true) // df stats + both self-join sides, computed once
+    val dfreq = sel.groupBy("wmin").agg(count(lit(1)).as("df"))
+    val pruned = sel.join(dfreq.where(col("df") <= WinnowPairHubDf), Seq("wmin"))
+      .select("doc_id", "wmin")
+      .localCheckpoint(true)
+    pruned.as("x").join(pruned.as("y"),
+        col("x.wmin") === col("y.wmin") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc1"), col("doc2"))
+  }
+
+  private val winnowPairs: Q = (s, dir) => winnowPairFrame(docs(s, dir))
+
+  /** BM25 constants (Robertson/Lucene form), shared with the oracle:
+    * k1 = 6/5, b = 3/4 — kept as exact rationals so the tf-normalization
+    * denominator clears to integers (see [[bm25]]). */
+  private val Bm25Terms = Seq("hash", "vector", "window")
+  private val Bm25TopK  = 20
+
+  /** BM25 lexical retrieval — the ranked keyword-search baseline every
+    * hybrid stack pairs with dense ANN (this engine fuses the two in
+    * `q_sim_hybrid_rrf`; BM25 is the principled replacement for its raw
+    * overlap leg). Lucene's non-negative idf ln(1 + (N−df+½)/(df+½)) is
+    * quantized once to integer micronats — the ratio is formed as
+    * (2N−2df+1)/(2df+1), so the only double op is one ln + floor (the
+    * tfidf discipline). The tf normalization tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+    * clears to EXACT int64 arithmetic by multiplying through by 10·avgdl_milli:
+    * contribution = idf_un · 22·A·tf DIV (10·A·tf + 3·A + 9000·dl), with
+    * A = avgdl in millitokens. Scale shape: per-doc dl and per-query-term
+    * tfs come from ONE narrow map pass (the corpus text never shuffles);
+    * corpus stats (N, Σdl, per-term df) are a single aggregated row
+    * broadcast back; the top-K rides TakeOrderedAndProject. Per-query
+    * work at 100 TB is one scan + an O(1) exchange. */
+  private val bm25: Q = (s, dir) => {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (term, i) =>
+      expr(s"CAST(size(filter(toks, w -> w = '$term')) AS BIGINT)").as(s"tf_$i")
+    }
+    val base = docs(s, dir)
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfCols: _*)
+      .where(col("dl") > 0)
+      .localCheckpoint(true) // stats row + scoring read the same narrow frame
+    val statAggs =
+      sum("dl").as("dl_sum") +:
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+      .withColumn("a_milli", expr("1000 * dl_sum DIV n_docs"))
+    val contribs = Bm25Terms.indices.map { i =>
+      expr(
+        s"""CASE WHEN tf_$i > 0 THEN
+           |  CAST(floor(1000000.0 * ln(1.0 + (2.0 * n_docs - 2.0 * df_$i + 1.0)
+           |                                   / (2.0 * df_$i + 1.0))) AS BIGINT)
+           |  * (22 * a_milli * tf_$i)
+           |  DIV (10 * a_milli * tf_$i + 3 * a_milli + 9000 * dl)
+           | ELSE CAST(0 AS BIGINT) END""".stripMargin)
+    }
+    val nHit = Bm25Terms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_un", contribs.reduce(_ + _))
+      .withColumn("n_hit", nHit.cast("int"))
+      .where(col("score_un") > 0)
+      .select("doc_id", "dl", "n_hit", "score_un")
+      .orderBy(col("score_un").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  /** Hashed-feature classifier width (the "hashing trick",
+    * Weinberger et al. 2009) — the weight vector is indexed by
+    * hash(term) % B, so the model is a fixed-size array independent of
+    * vocabulary. */
+  private val ClassifyBuckets = 256
+
+  /** Linear text-classifier SERVING over hashed features — the shape of
+    * every fastText-style quality/domain classifier a curation pipeline
+    * applies corpus-wide (CCNet, DCLM): score = Σ_t tf(t)·w(h(t) mod B),
+    * margin = score per 1000 tokens. The weight table is DERIVED
+    * (w = md5-hash of the bucket id mapped to [−1000, 1000] millis), so
+    * the query grades the full serving path — feature hashing, bucket
+    * lookup, margin, decision — with zero model-distribution machinery:
+    * at 100 TB the real weights arrive as one ≤B-row broadcast; here the
+    * lookup is fused into the same codegen pass, which is strictly
+    * harder to get wrong. Everything is integer (md5-60-bit hashes,
+    * milli weights, DIV margins); one explode + one doc-keyed hash
+    * aggregation — no joins, no model state, map-side combine bounds the
+    * shuffle by doc count. */
+  private val classify: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT) % $ClassifyBuckets"))
+      .withColumn("w_milli", expr(
+        "CAST(conv(substring(md5(concat('w#', CAST(bucket AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_milli").as("score_milli"))
+      .withColumn("margin_mpt", expr("1000 * score_milli DIV n_terms"))
+      .withColumn("label",
+        when(col("score_milli") > 0, "keep").otherwise("drop"))
+      .select("doc_id", "n_terms", "score_milli", "margin_mpt", "label")
       .orderBy("doc_id")
 
   /** Repetition-ratio quality signal (the within-document counterpart of
@@ -814,6 +964,9 @@ object TextQueries {
     "q_text_tokencount"  -> tokenCount,
     "q_text_fingerprint" -> fingerprint,
     "q_text_winnow"      -> winnow,
+    "q_text_winnow_pairs" -> winnowPairs,
+    "q_text_bm25"        -> bm25,
+    "q_text_classify"    -> classify,
     "q_text_repetition"  -> repetition,
     "q_text_pii"         -> piiScrub,
     "q_text_filter"      -> filterDecision,
@@ -974,26 +1127,61 @@ object TextQueries {
       s"""SELECT doc_id, md5(text) AS fp_raw,
          | md5(array_to_string(list_sort(list_distinct(${duckTerms("text")})), ' ')) AS fp_content
          | FROM documents ORDER BY doc_id""".stripMargin,
-    "q_text_winnow" -> {
-      val gramConcat = (0 until WinnowK).map(j => s"toks[pos + $j]")
-        .mkString(" || ' ' || ")
-      s"""WITH tk AS (SELECT doc_id, ${duckTerms("text")} AS toks FROM documents),
-         | g AS (SELECT doc_id, CAST(len(toks) - ${WinnowK - 1} AS BIGINT) AS n,
-         |   unnest(generate_series(1, len(toks) - ${WinnowK - 1})) AS pos, toks
-         |  FROM tk WHERE len(toks) >= $WinnowK),
-         | h AS (SELECT doc_id, n, pos,
-         |   CAST('0x' || substr(md5($gramConcat), 1, 15) AS BIGINT) AS hv
-         |  FROM g),
-         | w AS (SELECT doc_id, n, pos,
-         |   min(hv) OVER (PARTITION BY doc_id ORDER BY pos
-         |     ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS wmin
-         |  FROM h),
-         | s AS (SELECT doc_id, n, wmin FROM w WHERE pos <= n - ${WinnowW - 1})
+    "q_text_winnow" ->
+      s"""WITH $duckWinnowCtes
          | SELECT doc_id, max(n) AS n_grams,
          |  CAST(count(DISTINCT wmin) AS BIGINT) AS n_selected,
          |  md5(array_to_string(list_sort(list_distinct(list(wmin))), ' ')) AS fp_winnow
-         | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_winnow_pairs" ->
+      s"""WITH $duckWinnowCtes,
+         | sel AS (SELECT DISTINCT doc_id, wmin FROM s),
+         | kept AS (SELECT doc_id, wmin FROM sel
+         |  WHERE wmin IN (SELECT wmin FROM sel GROUP BY wmin
+         |                 HAVING count(*) <= $WinnowPairHubDf))
+         | SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_shared
+         | FROM kept x JOIN kept y ON x.wmin = y.wmin AND x.doc_id < y.doc_id
+         | GROUP BY 1, 2 HAVING count(*) >= $WinnowPairMinShared
+         | ORDER BY n_shared DESC, doc1, doc2""".stripMargin,
+    "q_text_bm25" -> {
+      val tfDefs = Bm25Terms.zipWithIndex.map { case (term, i) =>
+        s"CAST(len(list_filter(toks, w -> w = '$term')) AS BIGINT) AS tf_$i"
+      }.mkString(",\n |   ")
+      val dfAggs = Bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
+      val contribs = Bm25Terms.indices.map { i =>
+        s"""CASE WHEN tf_$i > 0 THEN
+           |   CAST(floor(1000000.0 * ln(1.0 + (2.0 * n_docs - 2.0 * df_$i + 1.0)
+           |                                    / (2.0 * df_$i + 1.0))) AS BIGINT)
+           |   * (22 * a_milli * tf_$i)
+           |   // (10 * a_milli * tf_$i + 3 * a_milli + 9000 * dl)
+           |  ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+      val nHit = Bm25Terms.indices
+        .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         |   $tfDefs
+         |  FROM (SELECT doc_id, ${duckTerms("text")} AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum, $dfAggs FROM base),
+         | sc AS (SELECT doc_id, dl, CAST(($nHit) AS INTEGER) AS n_hit,
+         |   ($contribs) AS score_un
+         |  FROM base CROSS JOIN (SELECT *, 1000 * dl_sum // n_docs AS a_milli FROM st))
+         | SELECT doc_id, dl, n_hit, score_un FROM sc WHERE score_un > 0
+         | ORDER BY score_un DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
+    "q_text_classify" ->
+      s"""SELECT doc_id, count(*) AS n_terms,
+         | CAST(sum(w_milli) AS BIGINT) AS score_milli,
+         | 1000 * CAST(sum(w_milli) AS BIGINT) // count(*) AS margin_mpt,
+         | CASE WHEN sum(w_milli) > 0 THEN 'keep' ELSE 'drop' END AS label
+         | FROM (SELECT doc_id,
+         |   CAST('0x' || substr(md5('w#' || CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w_milli
+         |  FROM (SELECT doc_id,
+         |    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % $ClassifyBuckets AS bucket
+         |   FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)))
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_repetition" ->
       s"""SELECT doc_id,
          | CAST(len(toks_all) AS INTEGER) AS n_tokens,

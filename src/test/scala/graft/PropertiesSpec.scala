@@ -116,6 +116,28 @@ class PropertiesSpec extends SparkSpec {
       "unrelated doc shares fingerprints — hash or windowing is degenerate")
   }
 
+  /** The pair consumer inherits the winnowing guarantee: a shared run of
+    * ≥ minShared·(w+1)/2-ish tokens forces enough shared selections to
+    * cross the reporting floor, and docs with no shared run report
+    * nothing. The hub-df prune cannot fire here (df = 2 ≤ cap), so a
+    * regression in the prune predicate that over-prunes would also
+    * surface as a missing pair. */
+  test("q_text_winnow_pairs reports a long shared run and stays silent otherwise") {
+    // k=4, w=5: a 40-token shared run holds ≥ 7 full windows ⇒ well past
+    // the minShared=3 floor even after window-minimum dedup.
+    val run = (1 to 40).map(i => s"zq$i").mkString(" ")
+    val a = s"aardvark binnacle chutney $run dromedary eiderdown"
+    val b = s"foxglove gannet hawser $run jacamar knapweed"
+    val c = "lorikeet mandrake nutmeg oarlock pemmican quahog rhubarb sassafras tamarind"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = graft.queries.TextQueries.winnowPairFrame(d)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)),
+      "docs sharing a 40-token run were not reported as a pair")
+    assert(pairs.size == 1,
+      s"unrelated docs reported as pairs: $pairs")
+  }
+
   /** The discrimination property Moore–Lewis selection exists for: docs
     * from the in-domain source must on average outscore the rest (their
     * own counts inflate the in-domain LM, so their in-domain surprisal

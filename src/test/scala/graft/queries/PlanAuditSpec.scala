@@ -88,7 +88,7 @@ class PlanAuditSpec extends SparkSpec {
   test("prefix-sum family: no stream-level window on a low-cardinality key") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
-        "q_w2_top_p", "q_w2_rfm")) {
+        "q_w2_top_p", "q_w2_rfm", "q_sample_curriculum")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       assert(df.queryExecution.optimizedPlan
           .collect { case w: LWindow => w }.nonEmpty,
@@ -124,7 +124,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("global top-K plans as TakeOrderedAndProject, never a global sort (O1/O3)") {
-    for (q <- Seq("q_p9_topk", "q_text_pmi")) {
+    for (q <- Seq("q_p9_topk", "q_text_pmi", "q_text_bm25")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
     }
