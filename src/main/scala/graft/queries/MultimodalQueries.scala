@@ -143,6 +143,79 @@ object MultimodalQueries {
       .orderBy("kind")
   }
 
+  /** Block-hash near-dup knobs: [[BlockBits]] fixed-position blocks give
+    * a [[BlockBits]]-bit signature; candidate recall rides the pigeonhole
+    * over [[NQuarters]] segments (Hamming ≤ [[HamMax]] < NQuarters forces
+    * ≥ 1 identical segment — the `q_dedup_simhash_pairs` guarantee); the
+    * re-encode batch (every [[EditMod]]th asset with a 1-byte in-place
+    * edit under a shifted id) manufactures a guaranteed near-dup
+    * population the same way [[mmDedup]]'s re-crawl batch does. */
+  private val BlockBits  = 48
+  private val NQuarters  = 4
+  private val QuarterBits = BlockBits / NQuarters // 12 → masks 4095
+  private val HamMax     = 3
+  private val EditMod    = 5
+  private val EditOffset = 2000000L
+
+  /** The [[BlockBits]]-term signature sum, generated ONCE for both
+    * engines (only the integer-division token and the payload slicing
+    * function differ): bit i = md5-parity of the payload's i-th
+    * equal-width block (block boundaries are pure integer arithmetic on
+    * the byte length, so both engines slice identically), weighted by
+    * 2^i. The md5-parity bit rides [[SamplingQueries.hexBucketSql]] —
+    * the single cross-engine hex-parse definition. */
+  private def blockSigSql(payload: String, div: String): String =
+    (0 until BlockBits).map { i =>
+      val slice = s"substring($payload, 1 + ($i * n) $div $BlockBits, " +
+        s"(${i + 1} * n) $div $BlockBits - ($i * n) $div $BlockBits)"
+      s"((${SamplingQueries.hexBucketSql(slice, 1)}) % 2) * ${1L << i}"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** Block-hash NEAR-dup detection over binary payloads — the
+    * perceptual-hash shape (aHash/blockhash family) for a media lake:
+    * the payload is split into [[BlockBits]] fixed-position blocks, each
+    * contributing one deterministic bit, so an IN-PLACE edit (re-encode
+    * artifact, metadata patch) disturbs only the bits of the blocks it
+    * touches and the edited copy sits within Hamming ≤ a few bits of the
+    * original — where exact md5 identity ([[mmDedup]]) sees two
+    * unrelated blobs and content-defined chunks ([[mmChunks]]) handle
+    * the complementary SHIFT case. Candidates come from the pigeonhole
+    * segment join (never all-pairs); the exact Hamming verify
+    * (`bit_count(s1 ^ s2)`) runs on candidates only. Scale shape: the
+    * signature pass is one narrow map (payload bytes never shuffle —
+    * only (id, 8-byte sig) moves), the segment join's volume is bounded
+    * by true near-duplication plus 2^-QuarterBits random collisions, and
+    * the verify is O(candidates). The oracle rebuilds signature, join,
+    * and verify from the SAME generated block expression, so a green row
+    * proves the whole chain bit-exact. */
+  private val mmBlockhash: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), coalesce(col("text"), lit("")).as("p"))
+    val edited = base.where(pmod(col("id"), lit(EditMod)) === 0)
+      .select((col("id") + EditOffset).as("id"),
+        concat(lit("x"), expr("substring(p, 2)")).as("p"))
+    val sigs = Tables.fanout(base.unionByName(edited))
+      .withColumn("pb", col("p").cast("binary"))
+      .withColumn("n", length(col("pb")))
+      .where(col("n") >= BlockBits)
+      .select(col("id"), expr(blockSigSql("pb", "DIV")).as("sig"))
+      .localCheckpoint(true) // both pigeonhole self-join sides
+    val quarters = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until NQuarters).map(j =>
+        expr(s"(sig >> ${QuarterBits * j}) & ${(1 << QuarterBits) - 1}")): _*))
+        .as(Seq("qi", "qv")))
+    quarters.as("x").join(quarters.as("y"),
+        col("x.qi") === col("y.qi") && col("x.qv") === col("y.qv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.sig").as("s1"), col("y.sig").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(s1 ^ s2) AS INT)"))
+      .where(col("hamming") <= HamMax)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+  }
+
   /** Content-defined chunk fingerprints over the binary payload
     * ([[MultimodalOps.cdcByteChunks]]) — the byte-level twin of
     * `q_dedup_cdc_chunks`' token rule, for payloads that have no tokens:
@@ -198,6 +271,7 @@ object MultimodalQueries {
     "q_mm_dedup"    -> mmDedup,
     "q_mm_storage"  -> mmStorage,
     "q_mm_chunks"   -> mmChunks,
+    "q_mm_blockhash" -> mmBlockhash,
     "q_mm_prep"     -> mmPrep)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -307,5 +381,20 @@ object MultimodalQueries {
         |  CAST(min(i) AS BIGINT) AS byte_start,
         |  md5(string_agg(ch, '' ORDER BY i)) AS chunk_fp
         | FROM c GROUP BY media_id, chunk
-        | ORDER BY media_id, chunk_idx""".stripMargin)
+        | ORDER BY media_id, chunk_idx""".stripMargin,
+    "q_mm_blockhash" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS id, coalesce(text, '') AS p FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $EditOffset, 'x' || substr(coalesce(text, ''), 2)
+         |  FROM documents WHERE doc_id % $EditMod = 0),
+         | f AS (SELECT id, p, length(p) AS n FROM m WHERE length(p) >= $BlockBits),
+         | s AS (SELECT id, ${blockSigSql("p", "//")} AS sig FROM f),
+         | q AS (SELECT id, sig, j, (sig >> (${QuarterBits} * j)) & ${(1 << QuarterBits) - 1} AS qv
+         |  FROM s CROSS JOIN (SELECT unnest(generate_series(0, ${NQuarters - 1})) AS j)),
+         | c AS (SELECT DISTINCT x.id AS id1, y.id AS id2, x.sig AS s1, y.sig AS s2
+         |  FROM q x JOIN q y ON x.j = y.j AND x.qv = y.qv AND x.id < y.id)
+         | SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hamming
+         | FROM c WHERE bit_count(xor(s1, s2)) <= $HamMax
+         | ORDER BY id1, id2""".stripMargin)
 }

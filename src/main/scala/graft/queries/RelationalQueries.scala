@@ -86,6 +86,29 @@ object RelationalQueries {
       .orderBy("bin")
   }
 
+  /** Metadata-only row counts — aggregate pushdown to parquet FOOTERS
+    * (the scan-elision every warehouse ships as "count(*) from stats"):
+    * per-table totals assembled from row-group counts via
+    * [[graft.sources.ParquetStats.fileSizes]], ZERO data pages read.
+    * The oracle recomputes each count with a full COUNT(*) scan, so a
+    * green row PROVES footer metadata and data agree — the trust
+    * predicate every stats-based shortcut rests on. At 100 TB this is
+    * O(files) footer fetches fanned over executors vs a lake scan. */
+  private val sCountMeta: Q = (s, dir) => {
+    // Footer listing must not trip schema inference on events' nanos ts
+    // (Tables.t sets this conf before any data read; set it here too so
+    // the query is self-sufficient when run first).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("customer", "documents", "events", "lineitem", "orders")
+      .map { tbl =>
+        graft.sources.ParquetStats.fileSizes(s, s"$dir/$tbl.parquet")
+          .agg(sum("n_rows").as("n_rows"))
+          .select(lit(tbl).as("tbl"), col("n_rows"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("tbl")
+  }
+
   /** P3: null-drop filter (reference `spark/model_training.py:37`).
     * `nullif` manufactures nulls so the filter is observable on testdata. */
   private val p3NullFilter: Q = (s, dir) =>
@@ -1218,6 +1241,7 @@ object RelationalQueries {
     "q_s1_scan"            -> s1Scan,
     "q_s_zorder"           -> sZorder,
     "q_s_compaction"       -> sCompaction,
+    "q_s_count_meta"       -> sCountMeta,
     "q_p3_null_filter"     -> p3NullFilter,
     "q_p4_column_prune"    -> p4ColumnPrune,
     "q_p9_topk"            -> p9TopK,
@@ -1307,6 +1331,13 @@ object RelationalQueries {
          |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
          |  min(source) AS first_source, max(source) AS last_source
          | FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_s_count_meta" ->
+      """SELECT 'customer' AS tbl, count(*) AS n_rows FROM customer
+        | UNION ALL SELECT 'documents', count(*) FROM documents
+        | UNION ALL SELECT 'events', count(*) FROM events
+        | UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        | UNION ALL SELECT 'orders', count(*) FROM orders
+        | ORDER BY tbl""".stripMargin,
     "q_p3_null_filter" ->
       """SELECT doc_id, nullif(lang, 'zh') AS lang_alt, n_chars FROM documents
         | WHERE text IS NOT NULL AND nullif(lang, 'zh') IS NOT NULL

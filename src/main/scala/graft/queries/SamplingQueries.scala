@@ -298,8 +298,41 @@ object SamplingQueries {
       .orderBy("train_pos")
   }
 
+  /** Approximate-query-processing estimate — the BlinkDB-shape answer:
+    * totals (row count, revenue cents) estimated from the deterministic
+    * md5 ~10% sample by Horvitz–Thompson inverse-probability scaling
+    * (×256/26, exact integer DIV), next to the exact totals and the
+    * MEASURED estimator error in basis points. The sample predicate is
+    * the same engine-portable md5 bucket as every split here, so the
+    * estimate is reproducible anywhere; emission is ONE row from one
+    * partial+final aggregation pass (both legs fused — the sampled
+    * branch is a conditional sum, not a second scan). At 100 TB the
+    * sample-only variant of this pass is the cheap first answer; this
+    * query grades that the scaling arithmetic and its error accounting
+    * are exact. */
+  private val sampleEstimate: Q = (s, dir) => {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, sum, when}
+    t(s, dir, "lineitem")
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("in_sample",
+        expr(s"${bucketSql("l_orderkey * 10 + l_linenumber")} < $SampleUpper"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum("cents").as("cents_total"),
+        sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sample"),
+        sum(when(col("in_sample"), col("cents")).otherwise(0L)).as("cents_sample"))
+      .withColumn("n_est", expr(s"n_sample * 256 DIV $SampleUpper"))
+      .withColumn("cents_est", expr(s"cents_sample * 256 DIV $SampleUpper"))
+      .withColumn("n_err_bp", expr("10000 * abs(n_est - n_total) DIV n_total"))
+      .withColumn("cents_err_bp",
+        expr("10000 * abs(cents_est - cents_total) DIV cents_total"))
+      .select("n_total", "n_sample", "n_est", "n_err_bp",
+        "cents_total", "cents_sample", "cents_est", "cents_err_bp")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sample_curriculum" -> sampleCurriculum,
+    "q_sample_estimate" -> sampleEstimate,
     "q_sample_temporal" -> sampleTemporal,
     "q_sample_split" -> sampleSplit,
     "q_sample_strat" -> sampleStratified,
@@ -320,6 +353,23 @@ object SamplingQueries {
        |      ELSE 'test' END""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sample_estimate" ->
+      s"""WITH b AS (SELECT
+         |   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         |   ${bucketSql("l_orderkey * 10 + l_linenumber")} < $SampleUpper AS in_sample
+         |  FROM lineitem),
+         | a AS (SELECT count(*) AS n_total,
+         |   CAST(sum(cents) AS BIGINT) AS cents_total,
+         |   CAST(sum(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+         |   CAST(sum(CASE WHEN in_sample THEN cents ELSE 0 END) AS BIGINT) AS cents_sample
+         |  FROM b)
+         | SELECT n_total, n_sample,
+         |  n_sample * 256 // $SampleUpper AS n_est,
+         |  10000 * abs(n_sample * 256 // $SampleUpper - n_total) // n_total AS n_err_bp,
+         |  cents_total, cents_sample,
+         |  cents_sample * 256 // $SampleUpper AS cents_est,
+         |  10000 * abs(cents_sample * 256 // $SampleUpper - cents_total) // cents_total AS cents_err_bp
+         | FROM a""".stripMargin,
     "q_sample_curriculum" ->
       s"""WITH q AS (SELECT doc_id,
          |   10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS alpha_bp,

@@ -787,6 +787,40 @@ object TextQueries {
       .select("doc_id", "n_terms", "score_milli", "margin_mpt", "label")
       .orderBy("doc_id")
 
+  /** Per-source corpus-mixture divergence — KL(source ‖ corpus) over
+    * unigram distributions, the domain-shift diagnostic that ranks which
+    * sources differ most from the blend (the corpus-composition
+    * companion of Moore–Lewis doc selection and the PSI drift report,
+    * which compares time slices instead of sources). Per-(source, term)
+    * log-ratios are quantized once to floor millinats on the
+    * vocabulary×sources-bounded type table — the ln argument is formed
+    * as one division of two exact integer products (k·CT, Tₛ·ck, both
+    * < 2⁵³) so the only FP surface is the single ln+floor (the tfidf
+    * discipline); the per-source aggregation is exact integer
+    * arithmetic. Scale shape: tokenize once into a checkpointed
+    * (source, term) tf frame; corpus/term totals are vocabulary-sized
+    * and source totals O(sources); output is O(sources). */
+  private val sourceKl: Q = (s, dir) => {
+    val tf = Tables.fanout(
+        docs(s, dir)
+          .select(col("source"), explode(TokenOps.terms(col("text"))).as("term"))
+          .groupBy("source", "term").agg(count(lit(1)).as("k")))
+      .localCheckpoint(true) // term totals, source totals, corpus total, join
+    val byTerm = tf.groupBy("term").agg(sum("k").as("ck"))
+    val bySrc = tf.groupBy("source").agg(sum("k").as("tsrc"))
+    val total = tf.agg(sum("k").as("ct"))
+    tf.join(byTerm, Seq("term")).join(bySrc, Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("mln", expr(
+        """CAST(floor(1000.0 * ln((CAST(k AS DOUBLE) * ct)
+          |                       / (CAST(tsrc AS DOUBLE) * ck))) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"), sum("k").as("n_tokens"),
+        expr("sum(k * mln) DIV sum(k)").as("kl_mln"))
+      .orderBy("source")
+  }
+
   /** Repetition-ratio quality signal (the within-document counterpart of
     * cross-document dedup; Gopher-style "repetitious text" filter, Rae et
     * al. 2021 §A1.1): the fraction of word tokens and of word 2-grams that
@@ -967,6 +1001,7 @@ object TextQueries {
     "q_text_winnow_pairs" -> winnowPairs,
     "q_text_bm25"        -> bm25,
     "q_text_classify"    -> classify,
+    "q_text_source_kl"   -> sourceKl,
     "q_text_repetition"  -> repetition,
     "q_text_pii"         -> piiScrub,
     "q_text_filter"      -> filterDecision,
@@ -1171,6 +1206,21 @@ object TextQueries {
          | SELECT doc_id, dl, n_hit, score_un FROM sc WHERE score_un > 0
          | ORDER BY score_un DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },
+    "q_text_source_kl" ->
+      s"""WITH tf AS (SELECT source, t AS term, count(*) AS k
+         |  FROM (SELECT source, unnest(${duckTerms("text")}) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         | c AS (SELECT term, CAST(sum(k) AS BIGINT) AS ck FROM tf GROUP BY 1),
+         | st AS (SELECT source, CAST(sum(k) AS BIGINT) AS tsrc FROM tf GROUP BY 1),
+         | tot AS (SELECT CAST(sum(k) AS BIGINT) AS ct FROM tf),
+         | m AS (SELECT tf.source, tf.k,
+         |   CAST(floor(1000.0 * ln((CAST(k AS DOUBLE) * ct)
+         |                          / (CAST(tsrc AS DOUBLE) * ck))) AS BIGINT) AS mln
+         |  FROM tf JOIN c USING (term) JOIN st USING (source) CROSS JOIN tot)
+         | SELECT source, count(*) AS n_terms,
+         |  CAST(sum(k) AS BIGINT) AS n_tokens,
+         |  CAST(sum(k * mln) AS BIGINT) // CAST(sum(k) AS BIGINT) AS kl_mln
+         | FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_text_classify" ->
       s"""SELECT doc_id, count(*) AS n_terms,
          | CAST(sum(w_milli) AS BIGINT) AS score_milli,
