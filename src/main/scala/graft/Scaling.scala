@@ -75,6 +75,19 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = if (args.nonEmpty) args(0) else "SCALING_r6.json"
+    // Optional second arg: comma-separated query names to RE-MEASURE.
+    // The re-run queries' blocks replace their entries in the existing
+    // artifact; everything else is preserved verbatim — so a transient
+    // I/O hiccup on one query is repaired by re-measurement through the
+    // same tool, never by hand-editing the artifact.
+    val only: Option[Set[String]] =
+      if (args.length > 1)
+        Some(args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    only.foreach { qs =>
+      val unknown = qs -- Audited.toSet
+      require(unknown.isEmpty, s"not in the audited set: $unknown")
+    }
     val factors = Seq(1, 4, 8)
     val scaleRoot = "/tmp/graft_scale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,7 +111,7 @@ object Scaling {
       f -> d
     }.toMap
 
-    val results = Audited.map { name =>
+    val results = Audited.filter(n => only.forall(_.contains(n))).map { name =>
       val per = factors.map { f =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, dirs(f)).count()
@@ -117,13 +130,29 @@ object Scaling {
     // would emit comma decimals (invalid JSON) on e.g. a de_DE JVM.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val json = results.map { case (name, (per, g)) =>
+    val fresh: Map[String, String] = results.map { case (name, (per, g)) =>
       val times = factors.map(f => s""""t$f":${d3(per(f)._1)}""").mkString(",")
       val rows = factors.map(f => s""""rows$f":${per(f)._2}""").mkString(",")
       val growth = g.toSeq.sortBy(_._1)
         .map { case (f, v) => s""""g$f":${d3(v)}""" }.mkString(",")
-      s""""$name":{$times,$rows,$growth}"""
-    }.mkString("{", ",", s""","sf":"$srcDir","factors":[${factors.mkString(",")}]}""")
+      name -> s""""$name":{$times,$rows,$growth}"""
+    }.toMap
+    // Merge with the existing artifact on a partial re-measure: blocks
+    // for re-run queries come from this run, everything else (including
+    // queries later additions haven't re-run) survives verbatim.
+    val existing: Map[String, String] =
+      if (only.isDefined && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(outPath))) {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        """"(q_[a-z0-9_]+)":\{[^}]*\}""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.matched).toMap
+      } else Map.empty
+    val merged = (existing ++ fresh)
+    val json = Audited.flatMap(merged.get)
+      .mkString("{", ",",
+        s""","sf":"$srcDir","factors":[${factors.mkString(",")}]}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

@@ -36,6 +36,34 @@ object VersionedPaths {
       })
   }
 
+  /** Atomically publish a fully-staged version dir as `prefix`+N (the
+    * `IvfIndex` discipline, now shared with every versioned index):
+    * rename is atomic on HDFS/local; an existing destination makes it
+    * fail — and on the local filesystem, where a rename onto an
+    * existing directory can instead degrade to a move INTO it, the
+    * misplaced staging dir is detected and removed — so the loser of a
+    * publication race throws instead of mixing its files into the
+    * winner's version, and readers only ever see a version that was
+    * completely written before the rename. */
+  def publish(fs: FileSystem, indexDir: Path, staging: Path, prefix: String,
+      v: Long): Long = {
+    val target = new Path(indexDir, s"$prefix$v")
+    def lose(detail: String): Nothing = {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"concurrent index build lost the publication race ($detail); " +
+          s"staging discarded, $prefix$v left exactly as its writer published it")
+    }
+    if (fs.exists(target)) lose(s"$prefix$v already exists")
+    if (!fs.rename(staging, target)) lose(s"rename to $prefix$v failed")
+    val misplaced = new Path(target, staging.getName)
+    if (fs.exists(misplaced)) {
+      fs.delete(misplaced, true)
+      lose(s"rename landed inside existing $prefix$v; reverted")
+    }
+    v
+  }
+
   /** Best-effort deletion of numbered entries with N ≤ latest − keep
     * (directories recursively when `dirsOnly`). A failure never
     * propagates — retention retries at the next call; `label` tags the

@@ -731,15 +731,13 @@ object TextQueries {
         Bm25Terms.indices.map(i =>
           sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = base.agg(count(lit(1)).as("n_docs"), statAggs: _*)
-      .withColumn("a_milli", expr("1000 * dl_sum DIV n_docs"))
+      .withColumn("a_milli",
+        expr(graft.ops.Bm25.aMilliSql("dl_sum", "n_docs", "DIV")))
     val contribs = Bm25Terms.indices.map { i =>
-      expr(
-        s"""CASE WHEN tf_$i > 0 THEN
-           |  CAST(floor(1000000.0 * ln(1.0 + (2.0 * n_docs - 2.0 * df_$i + 1.0)
-           |                                   / (2.0 * df_$i + 1.0))) AS BIGINT)
-           |  * (22 * a_milli * tf_$i)
-           |  DIV (10 * a_milli * tf_$i + 3 * a_milli + 9000 * dl)
-           | ELSE CAST(0 AS BIGINT) END""".stripMargin)
+      val c = graft.ops.Bm25.contribSql(
+        graft.ops.Bm25.idfUnSql("n_docs", s"df_$i"),
+        "a_milli", s"tf_$i", "dl", "DIV")
+      expr(s"CASE WHEN tf_$i > 0 THEN $c ELSE CAST(0 AS BIGINT) END")
     }
     val nHit = Bm25Terms.indices
       .map(i => when(col(s"tf_$i") > 0, 1).otherwise(0))
@@ -1185,12 +1183,10 @@ object TextQueries {
       val dfAggs = Bm25Terms.indices.map(i =>
         s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(", ")
       val contribs = Bm25Terms.indices.map { i =>
-        s"""CASE WHEN tf_$i > 0 THEN
-           |   CAST(floor(1000000.0 * ln(1.0 + (2.0 * n_docs - 2.0 * df_$i + 1.0)
-           |                                    / (2.0 * df_$i + 1.0))) AS BIGINT)
-           |   * (22 * a_milli * tf_$i)
-           |   // (10 * a_milli * tf_$i + 3 * a_milli + 9000 * dl)
-           |  ELSE 0 END""".stripMargin
+        val c = graft.ops.Bm25.contribSql(
+          graft.ops.Bm25.idfUnSql("n_docs", s"df_$i"),
+          "a_milli", s"tf_$i", "dl", "//")
+        s"CASE WHEN tf_$i > 0 THEN $c ELSE 0 END"
       }.mkString(" + ")
       val nHit = Bm25Terms.indices
         .map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END").mkString(" + ")
@@ -1202,7 +1198,7 @@ object TextQueries {
          | st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS dl_sum, $dfAggs FROM base),
          | sc AS (SELECT doc_id, dl, CAST(($nHit) AS INTEGER) AS n_hit,
          |   ($contribs) AS score_un
-         |  FROM base CROSS JOIN (SELECT *, 1000 * dl_sum // n_docs AS a_milli FROM st))
+         |  FROM base CROSS JOIN (SELECT *, ${graft.ops.Bm25.aMilliSql("dl_sum", "n_docs", "//")} AS a_milli FROM st))
          | SELECT doc_id, dl, n_hit, score_un FROM sc WHERE score_un > 0
          | ORDER BY score_un DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     },

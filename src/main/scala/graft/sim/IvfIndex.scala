@@ -95,32 +95,14 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     publish(staging, currentVersion().map(_ + 1).getOrElse(0L))
   }
 
-  /** Atomically publish a fully-staged version dir as `v=N`. Rename is
-    * atomic on HDFS/local; an existing destination makes it fail — and
-    * on the local filesystem, where a rename onto an existing directory
-    * can instead degrade to a move INTO it, the misplaced staging dir is
-    * detected and removed — so the loser of a publication race throws
-    * instead of mixing its files into the winner's version, and readers
-    * only ever see a version that was completely written before the
-    * rename. */
-  private[sim] def publish(staging: Path, v: Long): Long = {
-    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(indexDir, s"v=$v")
-    def lose(detail: String): Nothing = {
-      fs.delete(staging, true)
-      throw new IllegalStateException(
-        s"concurrent index build lost the publication race ($detail); " +
-          s"staging discarded, v=$v left exactly as its writer published it")
-    }
-    if (fs.exists(target)) lose(s"v=$v already exists")
-    if (!fs.rename(staging, target)) lose(s"rename to v=$v failed")
-    val misplaced = new Path(target, staging.getName)
-    if (fs.exists(misplaced)) {
-      fs.delete(misplaced, true)
-      lose(s"rename landed inside existing v=$v; reverted")
-    }
-    v
-  }
+  /** Atomic staged publication — the shared
+    * [[graft.ops.VersionedPaths.publish]] rule (one definition for every
+    * versioned index; the race/degraded-rename guarantees are documented
+    * there and pinned by `IvfIndexSpec`). */
+  private[sim] def publish(staging: Path, v: Long): Long =
+    graft.ops.VersionedPaths.publish(
+      staging.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(indexDir), staging, "v=", v)
 
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
