@@ -1,120 +1,188 @@
 package graft.sim
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted LEXICAL (BM25) index — the build-once / query-many twin of
-  * [[IvfIndex]] on the sparse-retrieval side: the inline `q_text_bm25`
-  * re-derives corpus statistics per query; this index pays tokenization,
-  * document frequencies, and length statistics ONCE and answers every
-  * future keyword query from disk.
+  * [[IvfIndex]] on the sparse-retrieval side, with Lucene's SEGMENT
+  * economics: the inline `q_text_bm25` re-derives corpus statistics per
+  * query; this index pays tokenization, document frequencies, and length
+  * statistics once per INGESTED BATCH, and an append writes only its
+  * delta — never re-reading the standing corpus (the `DedupIngest` /
+  * `CdcIngest` incremental discipline, applied to retrieval).
   *
-  * Layout per version (`indexDir/v=N/`, staged-atomic publication via
-  * the shared [[graft.ops.VersionedPaths.publish]], `_SUCCESS`-gated
-  * reads — the [[IvfIndex]] discipline verbatim):
-  *   - `postings/` — (term, doc_id, tf, dl), PARTITIONED BY `b`
-  *     (term-hash bucket 0..[[LexIndex.Buckets]]−1 from the md5-60-bit
-  *     idiom) so a probe reads only its terms' buckets — directory-level
-  *     partition pruning, the lexical analogue of IVF's cell pruning;
-  *     `dl` is denormalized onto every posting so scoring never joins a
-  *     doc-length table.
-  *   - `stats/`    — (term, df, n_docs, dl_sum), vocabulary-sized; the
-  *     global (n_docs, Σdl) pair rides every row so one broadcast-sized
-  *     read carries all scoring inputs.
+  * Layout:
+  *   - `segments/seg-<uuid>/postings/` — (term, doc_id, tf, dl),
+  *     PARTITIONED BY `b` (term-hash bucket 0..[[LexIndex.Buckets]]−1,
+  *     md5-60-bit idiom) so a probe reads only its terms' buckets —
+  *     directory-level partition pruning, the lexical analogue of IVF's
+  *     cell pruning; `dl` is denormalized onto every posting so scoring
+  *     never joins a doc-length table.
+  *   - `segments/seg-<uuid>/stats/` — (term, df), vocabulary-sized.
+  *   - `segments/seg-<uuid>/meta/`  — ONE row (n_docs, dl_sum).
+  *   - `m=N` — the MANIFEST file: the live segment names, one per line.
+  *     Publication is a temp-write + ONE atomic rename (the shared
+  *     [[graft.ops.VersionedPaths.publish]] race rules), so readers see
+  *     either the old segment set or the new one, never a torn mix, and
+  *     segments never referenced by the newest manifest are invisible.
   *
-  * Search probes the query terms' buckets, joins the broadcast
-  * term-stats slice, and scores with the EXACT integer BM25 kernel
-  * shared with the oracle-graded inline query ([[graft.ops.Bm25]] —
-  * one definition, so index and query cannot drift); the top-k rides
-  * `TakeOrderedAndProject`. At 100 TB a query reads
-  * ~|terms|/[[LexIndex.Buckets]] of the postings from disk and shuffles
-  * only the per-doc contribution rows. */
+  * BM25 statistics are ADDITIVE (N = Σ segment n_docs, Σdl likewise,
+  * df(t) = Σ segment df(t)), so an append is exact — index-served scores
+  * after any append sequence equal a from-scratch build bit-for-bit
+  * ([[graft.ops.Bm25]] is the same exact-integer kernel the
+  * oracle-graded inline query uses; `LexIndexSpec` pins the equality).
+  * [[compact]] merges the live segments into one (same additive algebra,
+  * O(index) not O(corpus-text)) and publishes a one-segment manifest —
+  * the maintenance pass that bounds per-query segment fan-out. */
 final class LexIndex(spark: SparkSession, val indexDir: String)
     extends Serializable {
   import LexIndex._
 
-  /** Newest version whose postings AND stats are complete (name filter
-    * before `_SUCCESS` probes — [[graft.ops.VersionedPaths]] rule 1). */
-  def currentVersion(): Option[Long] = {
-    val dir = new Path(indexDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.ops.VersionedPaths.listNumbered(fs, dir, "v=", dirsOnly = true)
-      .filter { case (p, _) =>
-        fs.exists(new Path(p, "postings/_SUCCESS")) &&
-          fs.exists(new Path(p, "stats/_SUCCESS")) }
-      .map(_._2)
-      .sorted.lastOption
+  private def fs = new Path(indexDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest manifest version (name filter first — zero probes on stray
+    * entries; the manifest file is atomic by rename, so existence is
+    * completeness). */
+  def currentVersion(): Option[Long] =
+    graft.ops.VersionedPaths.listNumbered(fs, new Path(indexDir), "m=",
+        dirsOnly = false)
+      .map(_._2).sorted.lastOption
+
+  /** The live segment names at version `v`. */
+  private def segmentsAt(v: Long): Seq[String] = {
+    val in = fs.open(new Path(indexDir, s"m=$v"))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+    } finally in.close()
   }
 
-  /** Build and publish the next index version from a (id, text) corpus.
-    * One tokenize pass feeds postings, document lengths, document
-    * frequencies, and the global stats; zero-term docs contribute no
-    * postings and are excluded from N and Σdl — exactly the inline
-    * query's `dl > 0` population, so scores agree by construction. */
-  def build(docs: DataFrame, idCol: String, textCol: String): Long = {
-    val staging = new Path(indexDir, s".staging-${java.util.UUID.randomUUID()}")
-    val out = staging.toString
-    try {
-      val tf = graft.queries.Tables.fanout(docs)
-        .select(col(idCol).as("doc_id"),
-          explode(graft.ops.TokenOps.terms(col(textCol))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // postings, dl, df, and globals read it once
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      tf.join(dl, Seq("doc_id"))
-        .withColumn("b", expr(bucketSql("term")))
-        .select("b", "term", "doc_id", "tf", "dl")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("b").parquet(s"$out/postings")
-      val globals = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
-      tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(globals))
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
-    } catch {
-      case e: Throwable =>
-        try staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(staging, true)
-        catch { case scala.util.control.NonFatal(_) => () }
-        throw e
-    }
-    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.ops.VersionedPaths.publish(fs, new Path(indexDir), staging, "v=",
-      currentVersion().map(_ + 1).getOrElse(0L))
-  }
+  /** Live segment names at the newest version, or fail loudly. */
+  def liveSegments(): Seq[String] = segmentsAt(resolvedOrFail())
 
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
 
-  private def read(v: Long, table: String): DataFrame =
-    spark.read.parquet(s"$indexDir/v=$v/$table")
+  /** Write one segment (postings + stats + meta) from a (id, text)
+    * batch and return its name. Zero-term docs contribute no postings
+    * and are excluded from n_docs and Σdl — exactly the inline query's
+    * `dl > 0` population, so scores agree by construction. */
+  private def writeSegment(docs: DataFrame, idCol: String,
+      textCol: String): String = {
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = s"$indexDir/segments/$seg"
+    val tf = graft.queries.Tables.fanout(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.ops.TokenOps.terms(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // postings, dl, df, and meta read it once
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .withColumn("b", expr(bucketSql("term")))
+      .select("b", "term", "doc_id", "tf", "dl")
+      .write.mode(SaveMode.Overwrite).partitionBy("b").parquet(s"$out/postings")
+    tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+    seg
+  }
 
-  def postings(): DataFrame = read(resolvedOrFail(), "postings")
-  def stats(): DataFrame = read(resolvedOrFail(), "stats")
+  /** Publish `segs` as the next manifest version: temp write + one
+    * atomic rename (shared [[graft.ops.VersionedPaths.publish]] rules —
+    * a racing publisher loses loudly, readers never see a torn set). */
+  private def publishManifest(segs: Seq[String]): Long = {
+    val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
+    val outStream = fs.create(tmp, false)
+    try outStream.write(
+      (segs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally outStream.close()
+    graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
+      currentVersion().map(_ + 1).getOrElse(0L))
+  }
+
+  /** First build: one segment, manifest version 0 (or the next version
+    * when rebuilding over an existing index — older manifests keep
+    * working until pruned). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Long =
+    publishManifest(Seq(writeSegment(docs, idCol, textCol)))
+
+  /** Incremental APPEND: index only the delta batch, publish the
+    * manifest referencing old segments + the new one. Cost ∝ delta —
+    * the standing corpus is never re-read (at 100 TB the difference
+    * between an ingest step and a rebuild). Additive BM25 statistics
+    * make the result exact, not approximate. Batches must be
+    * doc-disjoint (the `DedupIngest` screen's contract): a doc_id
+    * re-ingested into a second segment would double-count in N/df and
+    * merge its postings at query time — put the dedup ingest in front,
+    * as the streaming pipeline here already does. */
+  def append(docs: DataFrame, idCol: String, textCol: String): Long = {
+    val live = liveSegments() // resolve BEFORE the heavy write
+    publishManifest(live :+ writeSegment(docs, idCol, textCol))
+  }
+
+  /** MAINTENANCE compaction: merge the live segments into one (postings
+    * unioned per bucket, df summed per term, meta summed — the same
+    * additive algebra search uses) and publish a one-segment manifest.
+    * O(index size), never re-tokenizes; bounds per-query fan-out after
+    * many appends. */
+  def compact(): Long = {
+    val live = liveSegments()
+    if (live.size <= 1) return resolvedOrFail()
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = s"$indexDir/segments/$seg"
+    readUnion(live, "postings")
+      .write.mode(SaveMode.Overwrite).partitionBy("b").parquet(s"$out/postings")
+    readUnion(live, "stats")
+      .groupBy("term").agg(sum("df").as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
+    readUnion(live, "meta")
+      .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+    publishManifest(Seq(seg))
+  }
+
+  private def readSeg(seg: String, table: String): DataFrame =
+    spark.read.parquet(s"$indexDir/segments/$seg/$table")
+
+  private def readUnion(segs: Seq[String], table: String): DataFrame =
+    segs.map(readSeg(_, table)).reduce(_ unionByName _)
+
+  def postings(): DataFrame = readUnion(liveSegments(), "postings")
 
   /** Top-k BM25 docs for a bag of query terms, from the persisted index
-    * only. The version is resolved ONCE for both tables (the torn-read
-    * rule, as in [[IvfIndex.search]]); probed buckets are computed with
-    * the SAME Spark expression the build used (a driver-side O(|terms|)
-    * evaluation — not a collect of data), so the probe can never hash
-    * differently from the layout. Output schema matches `q_text_bm25`:
-    * (doc_id, dl, n_hit, score_un). */
+    * only. The manifest is resolved ONCE (the torn-read rule); probed
+    * buckets are computed with the SAME Spark expression the build used
+    * (a driver-side O(|terms|) evaluation — not a collect of data), so
+    * the probe can never hash differently from the layout. Global stats
+    * are summed across segments (one O(segments)+O(|terms|·segments)
+    * broadcast-sized read); per-segment postings reads carry the bucket
+    * filter, so each segment contributes only its probed partitions.
+    * Output schema matches `q_text_bm25`: (doc_id, dl, n_hit, score_un). */
   def search(terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "empty query")
-    val v = resolvedOrFail()
+    val live = liveSegments()
     import spark.implicits._
-    val probe = spark.createDataset(terms).toDF("term")
+    val buckets = spark.createDataset(terms).toDF("term")
       .withColumn("b", expr(bucketSql("term")))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val buckets = probe.map(_._2).distinct
-    val termStats = read(v, "stats")
+      .collect().map(_.getLong(1)).distinct.toSeq
+    val globals = readUnion(live, "meta")
+      .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
+    val termStats = readUnion(live, "stats")
       .where(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum("df").as("df"))
+      .crossJoin(broadcast(globals))
       .withColumn("a_milli",
         expr(graft.ops.Bm25.aMilliSql("dl_sum", "n_docs", "DIV")))
       .withColumn("idf_un", expr(graft.ops.Bm25.idfUnSql("n_docs", "df")))
       .select("term", "idf_un", "a_milli")
-    read(v, "postings")
-      .where(col("b").isin(buckets: _*) && col("term").isin(terms: _*))
+    live.map(readSeg(_, "postings"))
+      .map(_.where(col("b").isin(buckets: _*) && col("term").isin(terms: _*)))
+      .reduce(_ unionByName _)
       .join(broadcast(termStats), Seq("term"))
       .withColumn("contrib",
         expr(graft.ops.Bm25.contribSql("idf_un", "a_milli", "tf", "dl", "DIV")))
@@ -129,7 +197,8 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
 
 object LexIndex {
   /** Term-hash partition count. At corpus scale each bucket holds
-    * ~vocab/Buckets terms' postings; a query touches |terms| buckets. */
+    * ~vocab/Buckets terms' postings; a query touches |terms| buckets per
+    * segment. */
   val Buckets = 64
 
   /** The build/probe bucket rule — ONE definition (the md5-60-bit hex

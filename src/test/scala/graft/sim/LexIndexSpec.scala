@@ -2,34 +2,60 @@ package graft.sim
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** The persisted lexical index's contract: index-served BM25 equals the
-  * oracle-graded inline query bit-for-bit, probes prune to the query
-  * terms' partitions, and versioned publication behaves like IvfIndex's
-  * (the shared VersionedPaths.publish). */
+  * oracle-graded inline query bit-for-bit, incremental appends are
+  * EXACT (additive statistics), compaction preserves answers, probes
+  * prune to the query terms' partitions, and manifest publication is
+  * versioned and atomic. */
 class LexIndexSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
   /** Must match TextQueries' Bm25Terms/Bm25TopK (the inline query's
-    * constants) — the parity test below fails loudly if either drifts. */
+    * constants) — the parity tests below fail loudly if either drifts. */
   private val terms = Seq("hash", "vector", "window")
   private val topK = 20
+
+  private def docs = graft.queries.Tables.t(spark, dir, "documents")
+
+  private def inline = graft.SparkEntry.queries("q_text_bm25")(spark, dir)
+    .collect().toSeq
 
   private lazy val idx: LexIndex = {
     val i = new LexIndex(spark,
       Files.createTempDirectory("lex").toString + "/index")
-    i.build(graft.queries.Tables.t(spark, dir, "documents"),
-      "doc_id", "text")
+    i.build(docs, "doc_id", "text")
     i
   }
 
   test("index-served BM25 equals the inline oracle-graded query exactly") {
-    val fromIndex = idx.search(terms, topK).collect().toSeq
-    val inline = graft.SparkEntry.queries("q_text_bm25")(spark, dir)
-      .collect().toSeq
-    assert(fromIndex == inline,
-      s"index search diverged from q_text_bm25:\n$fromIndex\nvs\n$inline")
+    assert(idx.search(terms, topK).collect().toSeq == inline)
+  }
+
+  test("incremental appends are exact: base+delta == from-scratch build") {
+    val i = new LexIndex(spark,
+      Files.createTempDirectory("lex-app").toString + "/index")
+    val v0 = i.build(docs.where(col("doc_id") < 250), "doc_id", "text")
+    val v1 = i.append(docs.where(col("doc_id") >= 250), "doc_id", "text")
+    assert(v1 == v0 + 1 && i.liveSegments().size == 2)
+    // Appended index == full rebuild == the inline query on the whole
+    // corpus: additive N/Σdl/df make the segment split invisible.
+    assert(i.search(terms, topK).collect().toSeq == inline)
+  }
+
+  test("compaction merges to one segment and preserves answers") {
+    val i = new LexIndex(spark,
+      Files.createTempDirectory("lex-cpt").toString + "/index")
+    i.build(docs.where(col("doc_id") < 250), "doc_id", "text")
+    i.append(docs.where(col("doc_id") >= 250), "doc_id", "text")
+    val before = i.search(terms, topK).collect().toSeq
+    val v = i.compact()
+    assert(i.currentVersion().contains(v) && i.liveSegments().size == 1)
+    assert(i.search(terms, topK).collect().toSeq == before)
+    assert(before == inline)
   }
 
   test("a probe reads only the query terms' postings partitions") {
@@ -50,19 +76,6 @@ class LexIndexSpec extends SparkSpec {
     val a = idx.search(terms, topK).collect().toSeq
     val b = idx.search(terms, topK).collect().toSeq
     assert(a == b)
-  }
-
-  test("rebuild publishes the next version and reads stay _SUCCESS-gated") {
-    val v0 = idx.currentVersion().get
-    val v1 = idx.build(graft.queries.Tables.t(spark, dir, "documents"),
-      "doc_id", "text")
-    assert(v1 == v0 + 1)
-    assert(idx.currentVersion().contains(v1))
-    // Identical corpus => identical answers from the new version.
-    val fromIndex = idx.search(terms, topK).collect().toSeq
-    val inline = graft.SparkEntry.queries("q_text_bm25")(spark, dir)
-      .collect().toSeq
-    assert(fromIndex == inline)
   }
 
   test("search fails loudly when no complete version exists") {
