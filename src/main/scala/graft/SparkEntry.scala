@@ -43,7 +43,8 @@ object SparkEntry {
     (RelationalQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimilarityQueries.queries ++
       MultimodalQueries.queries ++ SamplingQueries.queries ++
-      CurationQueries.queries ++ CdcQueries.queries).toMap
+      CurationQueries.queries ++ CdcQueries.queries ++
+      MlEvalQueries.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
     (RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++
       MultimodalQueries.oracles ++ SamplingQueries.oracles ++
-      CurationQueries.oracles ++ CdcQueries.oracles).toMap
+      CurationQueries.oracles ++ CdcQueries.oracles ++
+      MlEvalQueries.oracles).toMap
 }

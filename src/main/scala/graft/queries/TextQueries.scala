@@ -22,7 +22,7 @@ object TextQueries {
   // ---- shared SQL fragments (DuckDB side), generated from the constants --
 
   /** DuckDB mirror of TextOps.cleanText. */
-  private def duckClean(c: String): String =
+  private[queries] def duckClean(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower($c), '${TextOps.CleanPattern}', '', 'g'), '\\s+', ' ', 'g'))"
 
   private val stopListSql: String =
