@@ -330,7 +330,72 @@ object SamplingQueries {
         "cents_total", "cents_sample", "cents_est", "cents_err_bp")
   }
 
+  /** DSIR feature-hash width (unigram buckets) and the resample budget. */
+  private val DsirBuckets = 256
+  private val DsirKeep    = 100
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023),
+    * the hashed-feature complement of `q_text_moore_lewis`: instead of
+    * two explicit LMs over the vocabulary, both the target (in-domain =
+    * min(source), the Moore–Lewis convention) and raw distributions live
+    * in a FIXED [[DsirBuckets]]-wide hashed unigram space, so the model
+    * side is corpus-size-independent by construction. Per-doc log
+    * importance = Σ_tokens ln(p_tgt/p_raw) over the token's bucket
+    * (add-one smoothed, quantized once per BUCKET to floor millinats on
+    * the O(B) table — the ln argument is one ratio of exact integer
+    * products, the `source_kl` discipline). Selection is GUMBEL TOP-K —
+    * the exact weighted-sampling-without-replacement trick: key =
+    * logw + g where g = −ln(−ln(u)) and u is the doc's md5 draw, so the
+    * kept set is a true importance-resample yet fully deterministic and
+    * engine-portable. Scale shape: one tokenize → (doc, bucket) tf;
+    * bucket tables are O(B) broadcasts; per-doc score is one hash
+    * aggregation; the keep rides TakeOrderedAndProject — no global
+    * sort, no per-doc model state. */
+  /** The per-doc scored frame before Gumbel keys and the keep limit —
+    * exposed so the spec can check the importance-weight property over
+    * ALL docs (the kept subset alone is Gumbel-biased). */
+  private[graft] def dsirScoredFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val tf = Tables.fanout(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(graft.ops.TokenOps.terms(col("text"))).as("term"))
+          .withColumn("b",
+            expr(s"CAST((${hexBucketSql("term", 2)}) AS BIGINT)"))
+          .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("k")))
+      .localCheckpoint(true) // raw counts, target counts, doc scoring
+    val inDom = tf.select(min("source").as("in_src"))
+    val raw = tf.groupBy("b").agg(sum("k").as("kr"))
+    val tgt = tf.crossJoin(broadcast(inDom))
+      .where(col("source") === col("in_src"))
+      .groupBy("b").agg(sum("k").as("kt"))
+    val counts = raw.join(tgt, Seq("b"), "left_outer")
+      .select(col("b"), col("kr"), coalesce(col("kt"), lit(0L)).as("kt"))
+      .localCheckpoint(true) // totals aggregate + bucket weights
+    val consts = counts.agg(sum("kr").as("tr"), sum("kt").as("tt"))
+    val lw = counts.crossJoin(broadcast(consts))
+      .select(col("b"), expr(
+        s"""CAST(floor(1000.0 * ln((CAST(kt + 1 AS DOUBLE) * (tr + $DsirBuckets))
+           |  / (CAST(kr + 1 AS DOUBLE) * (tt + $DsirBuckets)))) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("lw_mln"))
+    tf.join(broadcast(lw), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum("k").as("n_tokens"), sum(expr("k * lw_mln")).as("logw_mln"))
+  }
+
+  private val sampleDsir: Q = (s, dir) =>
+    dsirScoredFrame(s, dir)
+      .withColumn("u_num",
+        expr(s"CAST(${hexBucketSql("doc_id", 6)} AS BIGINT)"))
+      .withColumn("g_mln", expr(
+        "CAST(floor(-1000.0 * ln(-ln((CAST(u_num AS DOUBLE) + 0.5) / 16777216.0))) AS BIGINT)"))
+      .withColumn("key_mln", col("logw_mln") + col("g_mln"))
+      .select("doc_id", "source", "n_tokens", "logw_mln", "key_mln")
+      .orderBy(col("key_mln").desc, col("doc_id"))
+      .limit(DsirKeep)
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_sample_dsir" -> sampleDsir,
     "q_sample_curriculum" -> sampleCurriculum,
     "q_sample_estimate" -> sampleEstimate,
     "q_sample_temporal" -> sampleTemporal,
@@ -353,6 +418,33 @@ object SamplingQueries {
        |      ELSE 'test' END""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sample_dsir" ->
+      s"""WITH tf AS (SELECT doc_id, source, b, count(*) AS k
+         |  FROM (SELECT doc_id, source,
+         |    CAST((${hexBucketSql("term", 2)}) AS BIGINT) AS b
+         |   FROM (SELECT doc_id, source,
+         |     unnest(${TextQueries.duckTerms("text")}) AS term FROM documents))
+         |  GROUP BY 1, 2, 3),
+         | ind AS (SELECT min(source) AS in_src FROM tf),
+         | raw AS (SELECT b, CAST(sum(k) AS BIGINT) AS kr FROM tf GROUP BY 1),
+         | tgt AS (SELECT b, CAST(sum(k) AS BIGINT) AS kt
+         |  FROM tf CROSS JOIN ind WHERE source = in_src GROUP BY 1),
+         | cnt AS (SELECT raw.b AS b, kr, coalesce(kt, 0) AS kt
+         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+         | cst AS (SELECT CAST(sum(kr) AS BIGINT) AS tr,
+         |   CAST(sum(kt) AS BIGINT) AS tt FROM cnt),
+         | lw AS (SELECT b,
+         |   CAST(floor(1000.0 * ln((CAST(kt + 1 AS DOUBLE) * (tr + $DsirBuckets))
+         |     / (CAST(kr + 1 AS DOUBLE) * (tt + $DsirBuckets)))) AS BIGINT) AS lw_mln
+         |  FROM cnt CROSS JOIN cst),
+         | d AS (SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |   CAST(sum(k * lw_mln) AS BIGINT) AS logw_mln
+         |  FROM tf JOIN lw USING (b) GROUP BY 1, 2)
+         | SELECT doc_id, source, n_tokens, logw_mln,
+         |  logw_mln + CAST(floor(-1000.0 * ln(-ln(
+         |    (CAST((${hexBucketSql("doc_id", 6)}) AS DOUBLE) + 0.5) / 16777216.0)))
+         |   AS BIGINT) AS key_mln
+         | FROM d ORDER BY key_mln DESC, doc_id LIMIT $DsirKeep""".stripMargin,
     "q_sample_estimate" ->
       s"""WITH b AS (SELECT
          |   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,

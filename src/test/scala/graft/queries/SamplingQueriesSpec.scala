@@ -76,4 +76,33 @@ class SamplingQueriesSpec extends SparkSpec {
         s"stratum $lang sampled at $rate")
     }
   }
+
+  test("DSIR keep-set is deterministic and partitioning-invariant") {
+    val q = graft.SparkEntry.queries("q_sample_dsir")
+    val a = q(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = q(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same corpus must select the same docs, run to run")
+    assert(a.length == 100)
+    assert(a.distinct.length == a.length, "sampling is without replacement")
+  }
+
+  test("DSIR importance weights favor the in-domain source's distribution") {
+    // Gibbs' inequality applied to the hashed space: the target empirical
+    // distribution maximizes Σ p̂_t(b)·ln(q(b)/p̂_r(b)) at q = p̂_t, so
+    // the TOKEN-weighted mean per-token log-weight of in-domain docs must
+    // exceed that of the rest (equality only if the hashed distributions
+    // coincide exactly — they differ by sampling noise even on a shared
+    // vocabulary).
+    val rows = SamplingQueries.dsirScoredFrame(spark, dir).collect()
+    val inSrc = rows.map(_.getAs[String]("source")).min
+    def perTok(rs: Array[org.apache.spark.sql.Row]) = {
+      val tok = rs.map(_.getAs[Long]("n_tokens")).sum.toDouble
+      val lw = rs.map(_.getAs[Long]("logw_mln")).sum.toDouble
+      lw / tok
+    }
+    val (tgt, rest) = rows.partition(_.getAs[String]("source") == inSrc)
+    assert(tgt.nonEmpty && rest.nonEmpty, "both classes should survive")
+    assert(perTok(tgt) > perTok(rest),
+      s"in-domain per-token logw ${perTok(tgt)} should exceed ${perTok(rest)}")
+  }
 }
