@@ -1,133 +1,210 @@
 package graft.sim
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — the build-once / query-many shape a production
   * vector store actually runs (the inline `q_sim_ivf_ann` rebuilds its
-  * cells per query; an index amortizes that over every future search,
-  * the same economics `ops/SketchOps` gives cardinality rollups).
+  * cells per query; an index amortizes that over every future search),
+  * with the same SEGMENT economics as [[LexIndex]] on the sparse side:
   *
-  * Storage is VERSIONED like `stream/CdcIngest`'s snapshots — builds are
-  * atomic-by-publication, never in-place: build N writes
-  * `indexDir/v=N/centroids` then `indexDir/v=N/postings`, and readers
-  * use the newest version whose BOTH tables carry `_SUCCESS`. A reader
-  * can therefore never join new centroids against old postings (the
-  * failure mode of overwrite-in-place), and an interrupted build leaves
-  * only an ignored incomplete version.
+  *   - `codebooks/cb-<uuid>/` — ONE (cell, centroid) table per trained
+  *     codebook, O(cells) rows. The codebook is FROZEN between builds —
+  *     exactly Faiss's `add` semantics: appends assign new vectors to
+  *     the existing centroids without retraining, so an append costs
+  *     O(delta · cells), never O(corpus).
+  *   - `segments/seg-<uuid>/` — (cell, id, vector) postings assigned
+  *     against the manifest's codebook, PARTITIONED BY cell on disk, so
+  *     a probe reads `probes/cells` of each segment — the scan pruning
+  *     this index exists for.
+  *   - `m=N` — the MANIFEST file: codebook name on the first line, live
+  *     segment names after. Publication is a temp write + ONE atomic
+  *     rename (shared [[graft.ops.VersionedPaths.publish]] race rules),
+  *     so readers see either the old segment set or the new one, never
+  *     a torn mix; data dirs unreferenced by the newest manifest are
+  *     invisible.
   *
-  * Layout per version:
-  *   - `centroids/` — (cell, centroid array<double>), O(cells) rows
-  *   - `postings/`  — (cell, id, vector), every corpus vector assigned
-  *     to its single nearest cell, PARTITIONED BY cell on disk
+  * [[build]] trains a fresh codebook and one full segment. [[append]]
+  * writes only its delta segment under the LIVE codebook — the standing
+  * corpus is never re-read or re-assigned (at 100 TB the difference
+  * between an ingest step and a rebuild; the price is that cell balance
+  * degrades as the corpus drifts from the codebook's training set —
+  * when it does, [[build]] again). [[compact]] merges the live segments
+  * into one (same cell layout, a pure per-cell file union — O(index),
+  * no distance math) to bound per-query segment fan-out. Batches must
+  * be id-disjoint (the `DedupIngest` screen's contract, same as
+  * [[LexIndex]]): a re-ingested id would surface twice in search.
   *
-  * Search probes the top-`probes` cells per query against the broadcast
-  * centroids, joins ONLY those cells' postings, scores exact cosine,
-  * and keeps top-k per query. At 100 TB the cell-partitioned postings
-  * mean a probe reads `probes/cells` of the corpus — the scan pruning
-  * this index exists for. The nearest-cell rule is the shared
-  * [[Similarity.rankedCellAffinity]], so the persisted index and the
-  * oracle-checked inline query cannot drift. */
+  * The nearest-cell rule is the shared [[Similarity.rankedCellAffinity]],
+  * so the persisted index and the oracle-checked inline query cannot
+  * drift. `IvfIndexSpec` pins: exact single assignment, frozen-codebook
+  * append equivalence, compaction invariance of search results, the
+  * publication race, and recall floors. */
 final class IvfIndex(spark: SparkSession, val indexDir: String)
     extends Serializable {
 
-  /** Newest version whose centroids AND postings are complete — the
-    * shared [[graft.ops.VersionedPaths]] listing: the `v=N` name filter
-    * runs BEFORE the `_SUCCESS` probes, so unrelated or stale
-    * directories under `indexDir` (including `.staging-*`) cost zero
-    * existence RPCs (they matter on object stores, where every probe is
-    * a round trip). */
-  def currentVersion(): Option[Long] = {
-    val dir = new Path(indexDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.ops.VersionedPaths.listNumbered(fs, dir, "v=", dirsOnly = true)
-      .filter { case (p, _) =>
-        fs.exists(new Path(p, "centroids/_SUCCESS")) &&
-          fs.exists(new Path(p, "postings/_SUCCESS")) }
-      .map(_._2)
-      .sorted.lastOption
-  }
+  private def fs = new Path(indexDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Build and PUBLISH the next index version from an embedding table.
-    * `seedCol` seeds the cells (any rough partition — a label, a hash
-    * bucket, a first-round k-means assignment); vectors are then
-    * assigned to their NEAREST seeded centroid, which repairs a
-    * mediocre seed. Returns the published version.
-    *
-    * Concurrent-builder safe: both tables are written into a hidden
-    * `.staging-<uuid>` dir under `indexDir` (same filesystem, invisible
-    * to [[currentVersion]]'s `v=` filter), and publication is ONE
-    * atomic rename to `v=N` via [[publish]] — of two interleaved
-    * builders exactly one renames first; the loser's publication fails
-    * loudly and its staging is discarded, never interleaved into the
-    * winner's version. The target version is resolved AFTER the heavy
-    * writes, so the collision window is the rename itself. */
-  def build(emb: DataFrame, idCol: String, vecCol: String,
-            seedCol: String): Long = {
-    val staging = new Path(indexDir, s".staging-${java.util.UUID.randomUUID()}")
-    val out = staging.toString
-    // A failed build must not leak its corpus-sized staging dir (the
-    // uuid name means no later build would ever reclaim it): delete on
-    // any write failure, then rethrow. publish() owns cleanup on the
-    // lose() paths past this point.
-    try {
-      val cents = Similarity.centroids(emb, vecCol, seedCol)
-      cents.write.mode(SaveMode.Overwrite).parquet(s"$out/centroids")
-      // Fan out first: the assignment pass (a cosine against every
-      // centroid per vector) is the expensive stage, and a single-file
-      // parquet input would otherwise run it all on one task — same
-      // rationale as the inline query's fanout.
-      Similarity.rankedCellAffinity(
-          graft.queries.Tables.fanout(emb.select(col(idCol), col(vecCol))),
-          idCol, vecCol, spark.read.parquet(s"$out/centroids"))
-        .where(col("rnk") === 1)
-        .select("cell", "id", "vector")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("cell").parquet(s"$out/postings")
-    } catch {
-      case e: Throwable =>
-        try staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(staging, true)
-        catch { case scala.util.control.NonFatal(_) => () }
-        throw e
-    }
-    publish(staging, currentVersion().map(_ + 1).getOrElse(0L))
-  }
+  /** Newest manifest version (name filter first — zero probes on stray
+    * entries; the manifest file is atomic by rename, so existence is
+    * completeness: every dir it references was fully written before the
+    * manifest was published). */
+  def currentVersion(): Option[Long] =
+    graft.ops.VersionedPaths.listNumbered(fs, new Path(indexDir), "m=",
+        dirsOnly = false)
+      .map(_._2).sorted.lastOption
 
-  /** Atomic staged publication — the shared
-    * [[graft.ops.VersionedPaths.publish]] rule (one definition for every
-    * versioned index; the race/degraded-rename guarantees are documented
-    * there and pinned by `IvfIndexSpec`). */
-  private[sim] def publish(staging: Path, v: Long): Long =
-    graft.ops.VersionedPaths.publish(
-      staging.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      new Path(indexDir), staging, "v=", v)
+  /** (codebook, segments) recorded at manifest version `v`. */
+  private[sim] def manifestAt(v: Long): (String, Seq[String]) = {
+    val in = fs.open(new Path(indexDir, s"m=$v"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    require(lines.nonEmpty, s"empty manifest m=$v under $indexDir")
+    (lines.head, lines.tail)
+  }
 
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
 
-  private def read(v: Long, table: String): DataFrame =
-    spark.read.parquet(s"$indexDir/v=$v/$table")
+  /** Atomic manifest publication via the shared
+    * [[graft.ops.VersionedPaths.publish]] rules — a racing publisher
+    * loses loudly and its temp file is discarded. */
+  private[sim] def publish(tmp: Path, v: Long): Long =
+    graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=", v)
 
-  def centroids(): DataFrame = read(resolvedOrFail(), "centroids")
-  def postings(): DataFrame = read(resolvedOrFail(), "postings")
+  private def publishManifest(codebook: String, segs: Seq[String]): Long = {
+    val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(((codebook +: segs).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    publish(tmp, currentVersion().map(_ + 1).getOrElse(0L))
+  }
+
+  /** Delete `paths` recursively, swallowing cleanup failures (the
+    * original error is the one worth throwing). */
+  private def bestEffortDelete(paths: Path*): Unit =
+    paths.foreach { p =>
+      try fs.delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Write one postings segment: `emb` assigned to each vector's single
+    * nearest centroid of `cents`. Fan out first: the assignment pass (a
+    * cosine against every centroid per vector) is the expensive stage,
+    * and a single-file parquet input would otherwise run it on one task
+    * — same rationale as the inline query's fanout. The segment dir is
+    * uuid-named and unreferenced until a manifest lists it, so the
+    * write needs no staging rename of its own. */
+  private def writeSegment(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): String = {
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = new Path(indexDir, s"segments/$seg")
+    try {
+      Similarity.rankedCellAffinity(
+          graft.queries.Tables.fanout(emb.select(col(idCol), col(vecCol))),
+          idCol, vecCol, cents)
+        .where(col("rnk") === 1)
+        .select("cell", "id", "vector")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(out.toString)
+    } catch {
+      case e: Throwable => bestEffortDelete(out); throw e
+    }
+    seg
+  }
+
+  /** Full (re)build: train a fresh codebook from `seedCol` (any rough
+    * partition — a label, a hash bucket, a first-round k-means
+    * assignment; nearest-centroid assignment then repairs a mediocre
+    * seed), assign the whole corpus into one segment, publish. Returns
+    * the published manifest version. A failed build deletes its
+    * uuid-named dirs (no later build would ever reclaim them). */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            seedCol: String): Long = {
+    val cb = s"cb-${java.util.UUID.randomUUID()}"
+    val cbPath = new Path(indexDir, s"codebooks/$cb")
+    val seg =
+      try {
+        Similarity.centroids(emb, vecCol, seedCol)
+          .write.mode(SaveMode.Overwrite).parquet(cbPath.toString)
+        writeSegment(emb, idCol, vecCol,
+          spark.read.parquet(cbPath.toString))
+      } catch {
+        case e: Throwable => bestEffortDelete(cbPath); throw e
+      }
+    publishManifest(cb, Seq(seg))
+  }
+
+  /** Incremental APPEND under the live FROZEN codebook: assign only the
+    * delta batch, publish the manifest referencing old segments + the
+    * new one. Cost ∝ delta·cells; the standing postings are never
+    * re-read. Search after any append sequence equals a single
+    * assignment of the full corpus against the same codebook —
+    * assignment is per-vector, so segment boundaries are invisible to
+    * it (pinned in `IvfIndexSpec`). */
+  def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
+    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val seg = writeSegment(emb, idCol, vecCol, codebook(cb))
+    publishManifest(cb, segs :+ seg)
+  }
+
+  /** MAINTENANCE compaction: merge the live segments into one — a pure
+    * per-cell union (no distance math, no re-assignment; O(index) IO)
+    * — and publish a one-segment manifest under the same codebook.
+    * Bounds per-query segment fan-out after many appends; search
+    * results are bit-identical before and after. */
+  def compact(): Long = {
+    val (cb, segs) = manifestAt(resolvedOrFail())
+    if (segs.size <= 1) return resolvedOrFail()
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = new Path(indexDir, s"segments/$seg")
+    try readUnion(segs)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(out.toString)
+    catch { case e: Throwable => bestEffortDelete(out); throw e }
+    publishManifest(cb, Seq(seg))
+  }
+
+  private def codebook(cb: String): DataFrame =
+    spark.read.parquet(s"$indexDir/codebooks/$cb")
+
+  private def readSeg(seg: String): DataFrame =
+    spark.read.parquet(s"$indexDir/segments/$seg")
+
+  private def readUnion(segs: Seq[String]): DataFrame =
+    segs.map(readSeg).reduce(_ unionByName _)
+
+  def centroids(): DataFrame = codebook(manifestAt(resolvedOrFail())._1)
+  def postings(): DataFrame = readUnion(manifestAt(resolvedOrFail())._2)
+
+  /** Postings as recorded at manifest version `v` — old versions stay
+    * readable until their segments are vacuumed (publication never
+    * rewrites in place). */
+  private[sim] def postingsAt(v: Long): DataFrame =
+    readUnion(manifestAt(v)._2)
 
   /** Top-k cosine neighbors per query over the persisted index. The
-    * version is resolved ONCE and both tables read at it — resolving
-    * per-table would let a build publishing mid-search pair version-N
-    * centroids with version-N+1 postings (cell assignments from
-    * different centroids: the torn read the versioning exists to
+    * manifest is resolved ONCE and codebook + segments read from it —
+    * resolving per-table would let a build publishing mid-search pair
+    * one manifest's codebook with another's postings (cell assignments
+    * from different centroids: the torn read the manifest exists to
     * prevent). */
   def search(queries: DataFrame, idCol: String, vecCol: String,
              k: Int, probes: Int): DataFrame = {
-    val v = resolvedOrFail()
+    val (cb, segs) = manifestAt(resolvedOrFail())
     val probed = Similarity
       .rankedCellAffinity(queries.select(col(idCol), col(vecCol)),
-        idCol, vecCol, read(v, "centroids"))
+        idCol, vecCol, codebook(cb))
       .where(col("rnk") <= probes)
       .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
-    read(v, "postings").join(broadcast(probed), Seq("cell"))
+    readUnion(segs).join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id").as("cid"),
         Similarity.cosine(col("qe"), col("vector")).as("cos"))
       .withColumn("rnk", row_number().over(

@@ -46,49 +46,82 @@ class IvfIndexSpec extends SparkSpec {
     assert(idx.currentVersion().contains(0L))
     assert(idx.build(corpus, "vec_id", "embedding", "label") == 1L)
     assert(idx.currentVersion().contains(1L))
-    // The OLD version must remain intact on disk (publication, not
-    // overwrite-in-place) — read v=0 directly, not through the index
-    // (which resolves to the new version).
-    assert(spark.read.parquet(s"${idx.indexDir}/v=0/postings").count() ==
-      corpus.count())
+    // The OLD version must remain readable (manifest publication never
+    // rewrites data in place; old segments stay until vacuumed).
+    assert(idx.postingsAt(0L).count() == corpus.count())
     // And the resolver serves the new complete version.
     assert(idx.postings().count() == corpus.count())
   }
 
   /** Regression (publication race): two interleaved builders both
-    * resolve the same target version; exactly ONE may publish. The loser
-    * must fail loudly, discard its staging, and leave the winner's
-    * version byte-identical — never interleave files into it. Driven
-    * deterministically: a separate index dir gets a winner via build(),
-    * then a fabricated fully-staged loser attempts publication of the
-    * same version through the same [[IvfIndex.publish]] path build()
-    * uses. */
+    * resolve the same target manifest version; exactly ONE may publish.
+    * The loser must fail loudly, discard its temp manifest, and leave
+    * the winner's manifest byte-identical. Driven deterministically: a
+    * separate index dir gets a winner via build(), then a fabricated
+    * temp-manifest loser attempts publication of the same version
+    * through the same [[IvfIndex.publish]] path build() uses. */
   test("of two interleaved builds exactly one publishes; the loser never corrupts") {
     val raceIdx = new IvfIndex(spark,
       Files.createTempDirectory("ivf-race").toString + "/index")
-    // Builder A wins: publishes v=0.
+    // Builder A wins: publishes m=0.
     assert(raceIdx.build(corpus, "vec_id", "embedding", "label") == 0L)
-    val winnerFiles = new java.io.File(s"${raceIdx.indexDir}/v=0")
-      .listFiles().map(_.getName).toSet
+    val winnerManifest = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${raceIdx.indexDir}/m=0")).toSeq
     // Builder B staged concurrently (before A published, it also
-    // resolved v=0) and now tries to publish the same version.
+    // resolved version 0) and now tries to publish the same version.
     val staging = new org.apache.hadoop.fs.Path(
-      raceIdx.indexDir, ".staging-loser")
+      raceIdx.indexDir, ".manifest-loser")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (t <- Seq("centroids", "postings")) {
-      fs.mkdirs(new org.apache.hadoop.fs.Path(staging, t))
-      fs.create(new org.apache.hadoop.fs.Path(staging, s"$t/_SUCCESS"), true).close()
-    }
+    val out = fs.create(staging, false)
+    out.write("cb-loser\nseg-loser\n".getBytes("UTF-8")); out.close()
     val e = intercept[IllegalStateException] { raceIdx.publish(staging, 0L) }
     assert(e.getMessage.contains("publication race"), e.getMessage)
-    // Loser's staging is gone; the winner's version is untouched — same
-    // file set, no nested staging remnant; the reader still serves v=0.
-    assert(!fs.exists(staging), "loser staging must be discarded")
-    val after = new java.io.File(s"${raceIdx.indexDir}/v=0")
-      .listFiles().map(_.getName).toSet
-    assert(after == winnerFiles, s"winner's version corrupted: $after")
+    // Loser's temp manifest is gone; the winner's manifest is untouched;
+    // the reader still serves the winner's index.
+    assert(!fs.exists(staging), "loser temp manifest must be discarded")
+    val after = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${raceIdx.indexDir}/m=0")).toSeq
+    assert(after == winnerManifest, "winner's manifest corrupted")
     assert(raceIdx.currentVersion().contains(0L))
     assert(raceIdx.postings().count() == corpus.count())
+  }
+
+  test("append under the frozen codebook equals one-shot assignment") {
+    val appIdx = new IvfIndex(spark,
+      Files.createTempDirectory("ivf-append").toString + "/index")
+    val half = corpus.where(col("vec_id") % 2 === 0)
+    val rest = corpus.where(col("vec_id") % 2 =!= 0)
+    appIdx.build(half, "vec_id", "embedding", "label")
+    val cb = appIdx.centroids().collect()
+      .map(r => r.getAs[Number]("cell").longValue).toSet
+    appIdx.append(rest, "vec_id", "embedding")
+    // Codebook unchanged (Faiss add semantics: no retraining).
+    assert(appIdx.centroids().collect()
+      .map(r => r.getAs[Number]("cell").longValue).toSet == cb)
+    // Every corpus vector present exactly once across segments.
+    assert(appIdx.postings().count() == corpus.count())
+    assert(appIdx.postings().groupBy("id").count()
+      .where(col("count") > 1).isEmpty, "a vector landed twice")
+    // Appended vectors sit in the SAME cell a one-shot assignment
+    // against the frozen codebook would pick — segment boundaries are
+    // invisible to assignment.
+    val oneShot = Similarity.rankedCellAffinity(
+        corpus, "vec_id", "embedding", appIdx.centroids())
+      .where(col("rnk") === 1)
+      .select(col("id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val fromIndex = appIdx.postings()
+      .select(col("id").cast("long"), col("cell").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(fromIndex == oneShot, "append drifted from one-shot assignment")
+    // Compaction: one segment after, search results bit-identical.
+    val before = appIdx.search(queries, "vec_id", "embedding", K, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    appIdx.compact()
+    assert(appIdx.manifestAt(appIdx.currentVersion().get)._2.size == 1)
+    val after = appIdx.search(queries, "vec_id", "embedding", K, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after == before, "compaction changed search results")
   }
 
   test("search is deterministic and probes prune cells") {
