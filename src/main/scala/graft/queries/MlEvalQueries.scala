@@ -139,10 +139,113 @@ object MlEvalQueries {
 
   private val calibration: Q = (s, dir) => calibrationOf(scored(s, dir))
 
+  // ---- ranked-retrieval eval (NDCG@K / RR@K) ------------------------------
+
+  /** The evaluated query set — mirrors the `q_text_bm25` keyword set, so
+    * the eval grades the ranking family the engine actually serves. */
+  private val NdcgTerms = Seq("hash", "vector", "window")
+  private val NdcgK     = 10
+
+  /** Rank discounts 1/log₂(1+r), r = 1..K, pre-quantized ONCE in Scala
+    * to floor micro-units and embedded as the same literals in both
+    * engines — the metric's only irrational constants never touch
+    * either engine's floating point. dm(1) = 10⁶ exactly. */
+  private val DiscountMicro: Seq[Long] =
+    (1 to NdcgK).map(r =>
+      math.floor(1e6 * math.log(2) / math.log(r + 1.0)).toLong)
+
+  /** Shared SQL fragments (valid verbatim in Spark SQL and DuckDB). */
+  private def dmSql(rank: String): String =
+    s"CASE $rank " + DiscountMicro.zipWithIndex.map { case (d, i) =>
+      s"WHEN ${i + 1} THEN $d" }.mkString(" ") + " ELSE 0 END"
+  private def gainSql(rel: String): String =
+    s"CASE $rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
+  /** Graded relevance from the term's FIRST occurrence position: rel 3 if
+    * it appears in the first quarter of the doc, 2 in the first half, 1
+    * in the third quarter, 0 if only in the tail or absent — a
+    * deterministic qrel that is NOT the ranking signal (tf), so ranked
+    * docs can be irrelevant (tail-only mention): NDCG < ideal and MRR
+    * measure real disagreement instead of degenerating to 1. */
+  private def relSql(tf: String, fpos: String, dl: String): String =
+    s"""CASE WHEN $tf = 0 THEN 0 WHEN 4 * $fpos <= $dl THEN 3
+       | WHEN 2 * $fpos <= $dl THEN 2
+       | WHEN 4 * $fpos <= 3 * $dl THEN 1 ELSE 0 END""".stripMargin
+      .replace("\n", "")
+
+  /** NDCG@K + reciprocal rank@K per query — the ranked-retrieval eval
+    * (the metric pair behind every retrieval/RAG quality gate; Järvelin
+    * & Kekäläinen 2002). Ranking: tf desc (dl, doc_id tie-break);
+    * qrels: [[relSql]]. DCG and the ideal DCG are exact integer sums of
+    * gain·[[DiscountMicro]]; NDCG is one integral divide at the end.
+    *
+    * Scale shape: per-(query, doc) scores come from one narrow map pass
+    * (corpus text never shuffles; the query dimension is a size-|Q|
+    * in-row explode); BOTH rankings — actual (by score) and ideal (by
+    * rel) — go through the bounded-heap [[graft.plans.TopKPerKey]]
+    * operator, never a per-query sort of the corpus; the rank windows
+    * then run over the ≤ |Q|·K survivor frame (grouped-exempt). Output
+    * is O(|Q|). */
+  private[graft] def ndcgOf(perQ: DataFrame): DataFrame = {
+    // Materialized once: the judged counts, the score ranking, and the
+    // ideal ranking all read this narrow O(|Q|·docs) frame — unshared,
+    // the tokenize pass would run three times.
+    val rel = perQ.withColumn("rel",
+      expr(relSql("tf", "fpos", "dl")).cast("int"))
+      .localCheckpoint(true)
+    val judged = rel.where(col("rel") > 0)
+      .groupBy("qterm").agg(count(lit(1L)).as("n_judged"))
+    def ranksOf(in: DataFrame, order: Seq[(String, Boolean)]): DataFrame = {
+      val sortCols = order.map { case (c, asc) =>
+        if (asc) col(c).asc else col(c).desc }
+      graft.plans.GraftOps.topKPerKey(in, keyCols = Seq("qterm"),
+          orderBy = order, k = NdcgK)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qterm").orderBy(sortCols: _*)))
+    }
+    val ranked = ranksOf(rel.where(col("tf") > 0),
+      Seq("tf" -> false, "dl" -> true, "doc_id" -> true))
+    val ideal = ranksOf(rel.where(col("rel") > 0),
+      Seq("rel" -> false, "doc_id" -> true))
+    val dcg = ranked.groupBy("qterm").agg(
+      sum(expr(s"CAST((${gainSql("rel")}) * (${dmSql("rank")}) AS BIGINT)"))
+        .as("dcg_micro"),
+      min(when(col("rel") > 0, col("rank"))).cast("long").as("first_rel"))
+    val idcg = ideal.groupBy("qterm").agg(
+      sum(expr(s"CAST((${gainSql("rel")}) * (${dmSql("rank")}) AS BIGINT)"))
+        .as("idcg_micro"))
+    judged.join(dcg, Seq("qterm")).join(idcg, Seq("qterm"))
+      .select(col("qterm"), col("n_judged"),
+        col("dcg_micro"), col("idcg_micro"),
+        expr("10000 * dcg_micro DIV idcg_micro").as("ndcg_bp"),
+        expr("CAST(coalesce(1000000 DIV first_rel, 0) AS BIGINT)")
+          .as("rr_micro"))
+      .orderBy("qterm")
+  }
+
+  /** Per-(query, doc) scoring frame: dl, tf, first-occurrence position —
+    * one tokenize pass, the query dimension an in-row array explode. */
+  private def ndcgScored(s: SparkSession, dir: String): DataFrame = {
+    val termStructs = NdcgTerms.map(t =>
+      s"""struct('$t' AS qterm,
+         | CAST(size(filter(toks, w -> w = '$t')) AS BIGINT) AS tf,
+         | CAST(array_position(toks, '$t') AS BIGINT) AS fpos)"""
+        .stripMargin.replace("\n", "")).mkString(", ")
+    Tables.fanout(Tables.t(s, dir, "documents"))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(expr(s"array($termStructs)")).as("q"))
+      .select(col("doc_id"), col("dl"), col("q.qterm").as("qterm"),
+        col("q.tf").as("tf"), col("q.fpos").as("fpos"))
+  }
+
+  private val ndcg: Q = (s, dir) => ndcgOf(ndcgScored(s, dir))
+
   val queries: Seq[(String, Q)] = Seq(
     "q_ml_auc" -> auc,
     "q_ml_pr_curve" -> prCurve,
-    "q_ml_calibration" -> calibration
+    "q_ml_calibration" -> calibration,
+    "q_ml_ndcg" -> ndcg
   )
 
   /** DuckDB-side (score, y) frame, generated from the same clean/stop
@@ -196,6 +299,39 @@ object MlEvalQueries {
          | SELECT bin, n, 10000 * n // n_all AS share_bp,
          |  score_sum // n AS pred_bp, 10000 * pos // n AS obs_bp,
          |  abs(score_sum // n - 10000 * pos // n) AS gap_bp
-         | FROM t ORDER BY bin""".stripMargin
+         | FROM t ORDER BY bin""".stripMargin,
+    "q_ml_ndcg" -> {
+      val termRows = NdcgTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+         |  FROM (SELECT doc_id, ${TextQueries.duckTerms("text")} AS toks FROM documents)
+         |  WHERE len(toks) > 0),
+         | pq AS (SELECT doc_id, dl, q.qterm,
+         |   CAST(len(list_filter(toks, w -> w = q.qterm)) AS BIGINT) AS tf,
+         |   CAST(coalesce(list_position(toks, q.qterm), 0) AS BIGINT) AS fpos
+         |  FROM base CROSS JOIN (VALUES $termRows) AS q(qterm)),
+         | rl AS (SELECT *, ${relSql("tf", "fpos", "dl")} AS rel FROM pq),
+         | rk AS (SELECT * FROM (SELECT qterm, rel,
+         |    row_number() OVER (PARTITION BY qterm
+         |      ORDER BY tf DESC, dl ASC, doc_id ASC) AS rank
+         |   FROM rl WHERE tf > 0) WHERE rank <= $NdcgK),
+         | ik AS (SELECT * FROM (SELECT qterm, rel,
+         |    row_number() OVER (PARTITION BY qterm
+         |      ORDER BY rel DESC, doc_id ASC) AS rank
+         |   FROM rl WHERE rel > 0) WHERE rank <= $NdcgK),
+         | j AS (SELECT qterm, CAST(count(*) AS BIGINT) AS n_judged
+         |  FROM rl WHERE rel > 0 GROUP BY qterm),
+         | d AS (SELECT qterm,
+         |   CAST(sum((${gainSql("rel")}) * (${dmSql("rank")})) AS BIGINT) AS dcg_micro,
+         |   CAST(min(CASE WHEN rel > 0 THEN rank END) AS BIGINT) AS first_rel
+         |  FROM rk GROUP BY qterm),
+         | i AS (SELECT qterm,
+         |   CAST(sum((${gainSql("rel")}) * (${dmSql("rank")})) AS BIGINT) AS idcg_micro
+         |  FROM ik GROUP BY qterm)
+         | SELECT j.qterm, n_judged, dcg_micro, idcg_micro,
+         |  10000 * dcg_micro // idcg_micro AS ndcg_bp,
+         |  CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS rr_micro
+         | FROM j JOIN d USING (qterm) JOIN i USING (qterm)
+         | ORDER BY qterm""".stripMargin
+    }
   )
 }

@@ -626,9 +626,13 @@ object TextQueries {
   /** The selected-fingerprint stream (doc_id, n, wmin) — factored out so
     * the guarantee spec can intersect SETS of selected hashes, not just
     * compare the final digests. Input needs (doc_id, text). */
-  private[graft] def winnowSelected(d: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val grams = d
+  /** The k-gram hash stream (doc_id, pos, h), pos 0-based — the frame
+    * both the winnow selection and the span merge ([[spanFrame]]) read,
+    * factored so the two consumers share one gram construction (and one
+    * oracle CTE) and cannot drift. */
+  private[graft] def gramFrame(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d
       .withColumn("toks", TokenOps.terms(col("text")))
       .where(size(col("toks")) >= WinnowK)
       .select(col("doc_id"), posexplode(expr(
@@ -637,6 +641,10 @@ object TextQueries {
            |    slice(toks, i, $WinnowK))), 1, 15), 16, 10))""".stripMargin))
         .as(Seq("pos", "hs")))
       .select(col("doc_id"), col("pos"), col("hs").cast("long").as("h"))
+
+  private[graft] def winnowSelected(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = gramFrame(d)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinnowW - 1)
@@ -696,6 +704,64 @@ object TextQueries {
   }
 
   private val winnowPairs: Q = (s, dir) => winnowPairFrame(docs(s, dir))
+
+  /** Span floor: a reported span must be at least w+k−1 tokens — exactly
+    * the winnowing guarantee threshold, so the candidate generator
+    * (winnow pairs at minShared = 1) provably surfaces every pair
+    * holding a reportable span: a shared run of ≥ [[MinSpanToks]] tokens
+    * forces a shared selected fingerprint, which forces the pair into
+    * the candidate set (hub-pruned fingerprints excepted — boilerplate
+    * carve-out shared with the oracle, part of the graded semantics). */
+  private val MinSpanToks = WinnowW + WinnowK - 1
+
+  /** MAXIMAL SHARED TOKEN SPANS per candidate pair — token-granular
+    * exact-substring dedup (the operation behind "Deduplicating Training
+    * Data Makes Language Models Better", Lee et al. 2022: find the
+    * copied PASSAGES, not just flag near-dup documents; chunk-level
+    * [[graft.queries.DedupQueries]] `q_dedup_shared_passages` reports
+    * shared CDC chunks, this reports exact maximal runs with their
+    * positions, the rows a span-removal pass consumes).
+    *
+    * Construction: equal k-gram hashes between the two docs are points
+    * (p1, p2); a shared token run of length L is exactly a maximal chain
+    * of L−k+1 consecutive points on one DIAGONAL d = p2−p1. Chains fall
+    * out without any sequential scan: group by (pair, d) and island-id
+    * `p1 − row_number() OVER (pair, d ORDER BY p1)` — consecutive p1
+    * values share the id (the gaps-and-islands identity), so one hash
+    * aggregate per island yields start positions and exact token length
+    * L = grams + k − 1.
+    *
+    * Scale shape: pair enumeration never touches the corpus — candidates
+    * come from [[winnowPairFrame]] (index equi-join, shuffle ∝ the
+    * ~2/(w+1)-dense fingerprint index), and the gram join fans each
+    * candidate doc's gram stream out by its PAIR DEGREE, which the hub
+    * cap bounds (a fingerprint links ≤ [[WinnowPairHubDf]] docs). The
+    * diagonal window partitions on (doc1, doc2, d) — high-cardinality
+    * keys, parallel at any corpus size. Output ∝ actual duplication. */
+  private[graft] def spanFrame(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // Checkpointed once: both gram-attach joins read the same stream.
+    val grams = gramFrame(d).localCheckpoint(true)
+    val cand = winnowPairFrame(d, minShared = 1).select("doc1", "doc2")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc1", "doc2", "d").orderBy(col("p1").asc)
+    cand
+      .join(grams.select(col("doc_id").as("doc1"), col("pos").as("p1"),
+        col("h")), Seq("doc1"))
+      .join(grams.select(col("doc_id").as("doc2"), col("pos").as("p2"),
+        col("h")), Seq("doc2", "h"))
+      .withColumn("d", col("p2") - col("p1"))
+      .withColumn("iid", col("p1") - row_number().over(win))
+      .groupBy("doc1", "doc2", "d", "iid")
+      .agg((min("p1") + 1).cast("long").as("start1"),
+        (min("p2") + 1).cast("long").as("start2"),
+        (count(lit(1)) + (WinnowK - 1)).cast("long").as("span_toks"))
+      .where(col("span_toks") >= MinSpanToks)
+      .select("doc1", "doc2", "start1", "start2", "span_toks")
+      .orderBy("doc1", "doc2", "start1", "start2")
+  }
+
+  private val dedupSpans: Q = (s, dir) => spanFrame(docs(s, dir))
 
   /** BM25 constants (Robertson/Lucene form), shared with the oracle:
     * k1 = 6/5, b = 3/4 — kept as exact rationals so the tf-normalization
@@ -997,6 +1063,7 @@ object TextQueries {
     "q_text_fingerprint" -> fingerprint,
     "q_text_winnow"      -> winnow,
     "q_text_winnow_pairs" -> winnowPairs,
+    "q_dedup_spans" -> dedupSpans,
     "q_text_bm25"        -> bm25,
     "q_text_classify"    -> classify,
     "q_text_source_kl"   -> sourceKl,
@@ -1176,6 +1243,28 @@ object TextQueries {
          | FROM kept x JOIN kept y ON x.wmin = y.wmin AND x.doc_id < y.doc_id
          | GROUP BY 1, 2 HAVING count(*) >= $WinnowPairMinShared
          | ORDER BY n_shared DESC, doc1, doc2""".stripMargin,
+    "q_dedup_spans" ->
+      s"""WITH $duckWinnowCtes,
+         | sel AS (SELECT DISTINCT doc_id, wmin FROM s),
+         | kept AS (SELECT doc_id, wmin FROM sel
+         |  WHERE wmin IN (SELECT wmin FROM sel GROUP BY wmin
+         |                 HAVING count(*) <= $WinnowPairHubDf)),
+         | cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM kept x JOIN kept y ON x.wmin = y.wmin AND x.doc_id < y.doc_id),
+         | m AS (SELECT c.doc1, c.doc2, g1.pos AS p1, g2.pos AS p2,
+         |   g2.pos - g1.pos AS dg
+         |  FROM cand c
+         |  JOIN h g1 ON g1.doc_id = c.doc1
+         |  JOIN h g2 ON g2.doc_id = c.doc2 AND g2.hv = g1.hv),
+         | isl AS (SELECT doc1, doc2, dg, p1, p2,
+         |   p1 - row_number() OVER (PARTITION BY doc1, doc2, dg ORDER BY p1) AS iid
+         |  FROM m)
+         | SELECT doc1, doc2, CAST(min(p1) AS BIGINT) AS start1,
+         |  CAST(min(p2) AS BIGINT) AS start2,
+         |  CAST(count(*) + ${WinnowK - 1} AS BIGINT) AS span_toks
+         | FROM isl GROUP BY doc1, doc2, dg, iid
+         | HAVING count(*) + ${WinnowK - 1} >= $MinSpanToks
+         | ORDER BY doc1, doc2, start1, start2""".stripMargin,
     "q_text_bm25" -> {
       val tfDefs = Bm25Terms.zipWithIndex.map { case (term, i) =>
         s"CAST(len(list_filter(toks, w -> w = '$term')) AS BIGINT) AS tf_$i"

@@ -138,6 +138,26 @@ class PropertiesSpec extends SparkSpec {
       s"unrelated docs reported as pairs: $pairs")
   }
 
+  /** The span merge is EXACT, not just guaranteed-nonempty: a planted
+    * shared run must come back as one span with the run's precise
+    * 1-based start position in each doc's de-stopped token stream and
+    * its exact token length — the rows a span-removal pass would cut.
+    * Below-floor runs (< w+k−1 = 8 tokens) stay silent, as does an
+    * unrelated doc. */
+  test("q_dedup_spans recovers a planted run with exact positions and length") {
+    val run = (1 to 12).map(i => s"zq$i").mkString(" ")
+    val short = (1 to 6).map(i => s"yx$i").mkString(" ")
+    // doc 1: run at de-stopped positions 4..15; doc 2: at 3..14.
+    val a = s"aardvark binnacle chutney $run dromedary $short"
+    val b = s"foxglove gannet $run jacamar $short"
+    val c = "lorikeet mandrake nutmeg oarlock pemmican quahog rhubarb sassafras tamarind"
+    val d = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val spans = graft.queries.TextQueries.spanFrame(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 2L, 4L, 3L, 12L)),
+      s"expected exactly the planted 12-token span (1,2,4,3,12); got $spans")
+  }
+
   /** The discrimination property Moore–Lewis selection exists for: docs
     * from the in-domain source must on average outscore the rest (their
     * own counts inflate the in-domain LM, so their in-domain surprisal

@@ -65,6 +65,44 @@ class MlEvalQueriesSpec extends SparkSpec {
     assert(b9.getAs[Long]("n") == 1L && b9.getAs[Long]("gap_bp") == 0L)
   }
 
+  test("NDCG/MRR match the hand-computed toy, rel-0-at-rank-1 included") {
+    // One query. Ranking is tf desc (dl, doc_id break ties); rel comes
+    // from the first-occurrence position. doc 1 ranks FIRST but its only
+    // mentions sit in the tail (rel 0) — so MRR must be 1/2, not 1, and
+    // DCG loses rank 1 entirely.
+    //   doc 1: tf 3, fpos 8, dl 8 -> rel 0   (rank 1, gain 0)
+    //   doc 2: tf 2, fpos 2, dl 8 -> rel 3   (rank 2, gain 7)
+    //   doc 3: tf 1, fpos 4, dl 8 -> rel 2   (rank 3, gain 3)
+    //   doc 5: tf 1, fpos 5, dl 8 -> rel 1   (rank 4, gain 1)
+    //   doc 4: tf 0            -> unranked, unjudged
+    // Discounts (floor micro): 1000000, 630929, 500000, 430676.
+    // DCG  = 7·630929 + 3·500000 + 1·430676          = 6347179
+    // IDCG = 7·1000000 + 3·630929 + 1·500000         = 9392787
+    // NDCG = 10000·6347179 div 9392787               = 6757 bp
+    val perQ = Seq(
+      (1L, 8L, "q", 3L, 8L), (2L, 8L, "q", 2L, 2L),
+      (3L, 8L, "q", 1L, 4L), (5L, 8L, "q", 1L, 5L),
+      (4L, 8L, "q", 0L, 0L))
+      .toDF("doc_id", "dl", "qterm", "tf", "fpos")
+    val r = MlEvalQueries.ndcgOf(perQ).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_judged") == 3L, row)
+    assert(row.getAs[Long]("dcg_micro") == 6347179L, row)
+    assert(row.getAs[Long]("idcg_micro") == 9392787L, row)
+    assert(row.getAs[Long]("ndcg_bp") == 6757L, row)
+    assert(row.getAs[Long]("rr_micro") == 500000L, row)
+  }
+
+  test("NDCG is 10000 bp when the ranking equals the ideal ordering") {
+    val perQ = Seq((1L, 8L, "q", 3L, 1L), (2L, 8L, "q", 2L, 3L),
+      (3L, 8L, "q", 1L, 5L))
+      .toDF("doc_id", "dl", "qterm", "tf", "fpos")
+    val row = MlEvalQueries.ndcgOf(perQ).collect().head
+    assert(row.getAs[Long]("ndcg_bp") == 10000L, row)
+    assert(row.getAs[Long]("rr_micro") == 1000000L, row)
+  }
+
   test("corpus AUC sits at chance — the harness detects a no-signal pair") {
     // TESTDATA's `lang` label is drawn independently of the text (every
     // language shares one vocabulary), so the TRUE AUC of any text-derived
