@@ -607,6 +607,34 @@ object TextQueries {
        | s AS (SELECT doc_id, n, wmin FROM w WHERE pos <= n - ${WinnowW - 1})""".stripMargin
   }
 
+  /** DuckDB mirror of [[spanFrame]] as a CTE chain ending in
+    * `sp(doc1, doc2, start1, start2, span_toks)` — shared by the
+    * `q_dedup_spans` and `q_dedup_span_apply` oracles so the span rule
+    * cannot drift between the report and its removal consumer. Extends
+    * [[duckWinnowCtes]] (whose `h` CTE is the gram table and `s` the
+    * selected fingerprints). */
+  private lazy val duckSpanCtes: String =
+    s"""$duckWinnowCtes,
+       | sel AS (SELECT DISTINCT doc_id, wmin FROM s),
+       | kept AS (SELECT doc_id, wmin FROM sel
+       |  WHERE wmin IN (SELECT wmin FROM sel GROUP BY wmin
+       |                 HAVING count(*) <= $WinnowPairHubDf)),
+       | cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |  FROM kept x JOIN kept y ON x.wmin = y.wmin AND x.doc_id < y.doc_id),
+       | m AS (SELECT c.doc1, c.doc2, g1.pos AS p1, g2.pos AS p2,
+       |   g2.pos - g1.pos AS dg
+       |  FROM cand c
+       |  JOIN h g1 ON g1.doc_id = c.doc1
+       |  JOIN h g2 ON g2.doc_id = c.doc2 AND g2.hv = g1.hv),
+       | isl AS (SELECT doc1, doc2, dg, p1, p2,
+       |   p1 - row_number() OVER (PARTITION BY doc1, doc2, dg ORDER BY p1) AS iid
+       |  FROM m),
+       | sp AS (SELECT doc1, doc2, CAST(min(p1) AS BIGINT) AS start1,
+       |   CAST(min(p2) AS BIGINT) AS start2,
+       |   CAST(count(*) + ${WinnowK - 1} AS BIGINT) AS span_toks
+       |  FROM isl GROUP BY doc1, doc2, dg, iid
+       |  HAVING count(*) + ${WinnowK - 1} >= $MinSpanToks)""".stripMargin
+
   /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken 2003, the MOSS
     * scheme): hash every k-token gram, then keep the MINIMUM hash of
     * each w-wide window of consecutive gram positions. The selection is
@@ -758,10 +786,59 @@ object TextQueries {
         (count(lit(1)) + (WinnowK - 1)).cast("long").as("span_toks"))
       .where(col("span_toks") >= MinSpanToks)
       .select("doc1", "doc2", "start1", "start2", "span_toks")
-      .orderBy("doc1", "doc2", "start1", "start2")
   }
 
-  private val dedupSpans: Q = (s, dir) => spanFrame(docs(s, dir))
+  private val dedupSpans: Q = (s, dir) =>
+    spanFrame(docs(s, dir)).orderBy("doc1", "doc2", "start1", "start2")
+
+  /** SPAN-REMOVAL accounting — the APPLY step of span-level dedup: the
+    * smallest doc id holding a span keeps it (the min-id representative
+    * convention of `q_dedup_exact`), every other holder marks its copy
+    * for removal, and per victim the marked intervals are MERGED
+    * (overlaps collapse — a doc sharing overlapping runs with several
+    * partners must not double-count tokens) into the per-doc removal
+    * manifest: token count, duplicated tokens, kept tokens, merged-span
+    * count. Multi-doc chains converge to one surviving copy: in a
+    * 3-way duplicate {1,2,3}, pairs (1,2),(1,3),(2,3) mark docs 2 and 3
+    * and doc 1 keeps.
+    *
+    * Interval merge is the same gaps-and-islands discipline as the span
+    * build, per victim doc: previous-max-end window → new-group flag →
+    * running-sum group id → one aggregate per merged interval. The
+    * group assignment is ORDER-INVARIANT under duplicate (start, end)
+    * rows (a twin's flag is 0 because start ≤ its own end), so window
+    * tie order cannot leak into results. All windows partition on the
+    * high-cardinality doc key. */
+  private[graft] def spanApplyFrame(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v = spanFrame(d).select(col("doc2").as("doc_id"),
+      col("start2").as("s"),
+      (col("start2") + col("span_toks") - 1).as("e"))
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s"), col("e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("s"), col("e"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val agg = v
+      .withColumn("pme", max("e").over(wPrev))
+      .withColumn("grp", sum(when(col("pme").isNull || col("s") > col("pme"),
+        1L).otherwise(0L)).over(wRun))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("ms"), max("e").as("me"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("me") - col("ms") + 1).as("dup_toks"))
+    val toks = d.select(col("doc_id"),
+      size(TokenOps.terms(col("text"))).cast("long").as("n_toks"))
+    agg.join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"), col("dup_toks"),
+        (col("n_toks") - col("dup_toks")).as("kept_toks"), col("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSpanApply: Q = (s, dir) => spanApplyFrame(docs(s, dir))
 
   /** BM25 constants (Robertson/Lucene form), shared with the oracle:
     * k1 = 6/5, b = 3/4 — kept as exact rationals so the tf-normalization
@@ -1064,6 +1141,7 @@ object TextQueries {
     "q_text_winnow"      -> winnow,
     "q_text_winnow_pairs" -> winnowPairs,
     "q_dedup_spans" -> dedupSpans,
+    "q_dedup_span_apply" -> dedupSpanApply,
     "q_text_bm25"        -> bm25,
     "q_text_classify"    -> classify,
     "q_text_source_kl"   -> sourceKl,
@@ -1244,27 +1322,32 @@ object TextQueries {
          | GROUP BY 1, 2 HAVING count(*) >= $WinnowPairMinShared
          | ORDER BY n_shared DESC, doc1, doc2""".stripMargin,
     "q_dedup_spans" ->
-      s"""WITH $duckWinnowCtes,
-         | sel AS (SELECT DISTINCT doc_id, wmin FROM s),
-         | kept AS (SELECT doc_id, wmin FROM sel
-         |  WHERE wmin IN (SELECT wmin FROM sel GROUP BY wmin
-         |                 HAVING count(*) <= $WinnowPairHubDf)),
-         | cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-         |  FROM kept x JOIN kept y ON x.wmin = y.wmin AND x.doc_id < y.doc_id),
-         | m AS (SELECT c.doc1, c.doc2, g1.pos AS p1, g2.pos AS p2,
-         |   g2.pos - g1.pos AS dg
-         |  FROM cand c
-         |  JOIN h g1 ON g1.doc_id = c.doc1
-         |  JOIN h g2 ON g2.doc_id = c.doc2 AND g2.hv = g1.hv),
-         | isl AS (SELECT doc1, doc2, dg, p1, p2,
-         |   p1 - row_number() OVER (PARTITION BY doc1, doc2, dg ORDER BY p1) AS iid
-         |  FROM m)
-         | SELECT doc1, doc2, CAST(min(p1) AS BIGINT) AS start1,
-         |  CAST(min(p2) AS BIGINT) AS start2,
-         |  CAST(count(*) + ${WinnowK - 1} AS BIGINT) AS span_toks
-         | FROM isl GROUP BY doc1, doc2, dg, iid
-         | HAVING count(*) + ${WinnowK - 1} >= $MinSpanToks
+      s"""WITH $duckSpanCtes
+         | SELECT doc1, doc2, start1, start2, span_toks FROM sp
          | ORDER BY doc1, doc2, start1, start2""".stripMargin,
+    "q_dedup_span_apply" ->
+      s"""WITH $duckSpanCtes,
+         | v AS (SELECT doc2 AS doc_id, start2 AS s,
+         |   start2 + span_toks - 1 AS e FROM sp),
+         | pw AS (SELECT doc_id, s, e,
+         |   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM v),
+         | gi AS (SELECT doc_id, s, e,
+         |   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY doc_id ORDER BY s, e
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM pw),
+         | mg AS (SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+         |  FROM gi GROUP BY doc_id, grp),
+         | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |   CAST(sum(me - ms + 1) AS BIGINT) AS dup_toks
+         |  FROM mg GROUP BY doc_id)
+         | SELECT a.doc_id AS doc_id, CAST(len(tk.toks) AS BIGINT) AS n_toks,
+         |  dup_toks, CAST(len(tk.toks) AS BIGINT) - dup_toks AS kept_toks,
+         |  n_spans
+         | FROM agg a JOIN tk ON a.doc_id = tk.doc_id
+         | ORDER BY a.doc_id""".stripMargin,
     "q_text_bm25" -> {
       val tfDefs = Bm25Terms.zipWithIndex.map { case (term, i) =>
         s"CAST(len(list_filter(toks, w -> w = '$term')) AS BIGINT) AS tf_$i"

@@ -158,6 +158,26 @@ class PropertiesSpec extends SparkSpec {
       s"expected exactly the planted 12-token span (1,2,4,3,12); got $spans")
   }
 
+  /** The apply step must merge OVERLAPPING victim intervals before
+    * counting: doc 9 shares run t1..t12 with doc 1 and run t7..t18 with
+    * doc 2 — two spans overlapping on t7..t12. Counting both would claim
+    * 30 duplicated tokens of an 18-token overlap; the merge must report
+    * one [1,18] interval. Docs 1 and 2 are min-id keepers (their mutual
+    * 6-token overlap sits below the span floor), so the manifest is
+    * exactly one row. */
+  test("q_dedup_span_apply merges overlapping spans and keeps min-id copies") {
+    val t = (1 to 18).map(i => s"zq$i")
+    val d = Seq(
+      (1L, t.take(12).mkString(" ")),
+      (2L, t.drop(6).mkString(" ")),
+      (9L, t.mkString(" ") + " aardvark binnacle chutney"))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.TextQueries.spanApplyFrame(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set((9L, 21L, 18L, 3L, 1L)),
+      s"expected the merged single-interval manifest (9,21,18,3,1); got $rows")
+  }
+
   /** The discrimination property Moore–Lewis selection exists for: docs
     * from the in-domain source must on average outscore the rest (their
     * own counts inflate the in-domain LM, so their in-domain surprisal
