@@ -38,6 +38,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // HARDWARE CALIBRATION: a fixed single-thread integer-mixing loop
+    // (2^26 splitmix64 rounds), timed before any Spark work. Rounds run
+    // on whatever VM the harness allocates, and a cross-round comparison
+    // of per-query times is meaningless without a hardware baseline — a
+    // uniform shift on this constant workload separates "the machine is
+    // slower" from "a plan regressed" (observed: ~2× on trivial scans
+    // between rounds, tracking exactly this number).
+    val calibSec = {
+      var acc = 0L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < (1L << 26)) {
+        var x = i * 0x9E3779B97F4A7C15L
+        x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
+        acc ^= x
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (acc == 42L) System.err.println("[bench] calib sentinel") // keep live
+      sec
+    }
     // JIT + parquet-footer warmup, not timed: one untimed pass over the
     // FULL suite, so every codegen family (JSON paths, decimal aggregates,
     // window frames, the pair-join kernels) is C2-compiled before the
@@ -55,6 +76,17 @@ object Bench {
     // as a fast query.
     val results: Seq[(String, Either[String, Double])] =
       selected.map { case (name, fn) =>
+        // Storage hygiene BEFORE the clock, never inside it: many query
+        // builders localCheckpoint their shared frames, and those blocks
+        // outlive the query (the async ContextCleaner only reclaims them
+        // after a driver GC notices the dropped references — rare under a
+        // large heap). 170 queries into a single-JVM suite the executor
+        // store is full of dead checkpoints and late queries pay
+        // eviction + GC instead of their own plan (measured: 25.9 s for
+        // a 2.2 s-in-isolation query at the suite tail). Between queries
+        // nothing references the previous frames, so drop them all.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -78,14 +110,14 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","calib_sec":${d3(calibSec)},"queries":$qs$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Truncation-proof duplicate: the per-query line above grows with the
     // suite (105+ queries > the harvester's tail window), so the headline
     // total is ALSO emitted as a trailing compact line that any tail
     // capture ≥ ~120 bytes picks up intact.
     println(
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"calib_sec":${d3(calibSec)},"sf":"$sfDir"}""")
     // File artifact with the COMPLETE per-query map: the driver's 2 KB
     // stdout tail lost ~half the 137 timings in round 4 — regression
     // detection needs all of them. Default is CWD-relative (the driver

@@ -38,7 +38,8 @@ object Scaling {
     "q_dedup_prefix_join", "q_sample_cluster_split", "q_dedup_components",
     "q_dedup_apply", "q_dedup_lsh_jaccard", "q_dedup_ngram_jaccard",
     "q_dedup_containment", "q_a2_approx_distinct", "q_a1_quartiles_scale",
-    "q_text_moore_lewis", "q_text_winnow", "q_text_winnow_pairs")
+    "q_text_moore_lewis", "q_text_winnow", "q_text_winnow_pairs",
+    "q_dedup_spans", "q_dedup_span_apply")
 
   private val IdShift = 1000000000L
 

@@ -265,12 +265,83 @@ object CurationQueries {
       .orderBy("lang", "source")
   }
 
+  /** The schema's FK edges (child, fk, parent, pk) — one audit row each,
+    * shared with the generated oracle so the edge list cannot drift. */
+  private val FkEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** REFERENTIAL-INTEGRITY audit (the Deequ-style constraint suite's
+    * join-key leg, next to [[constraintReport]]'s column rules): per FK
+    * edge, child rows, NULL keys, ORPHAN rows/keys (child keys with no
+    * parent — the rows every downstream inner join silently drops, the
+    * way fact tables lose revenue unnoticed), the orphan share in basis
+    * points, and UNUSED parents (dimension rows no child references —
+    * the dead-dimension signal). Zero everywhere is the healthy reading;
+    * the audit exists so "zero" is measured, not assumed.
+    *
+    * Scale shape per edge: the child collapses to its per-KEY count
+    * frame first (one hash aggregate — the fact table's key space, not
+    * its rows), then ONE full-outer join against the parent's distinct
+    * key set classifies every key as matched / orphan / unused and a
+    * single aggregate reads off all three counts — the join lands on
+    * the child aggregate's existing key partitioning, so each edge
+    * costs the child aggregate's shuffle plus the dimension's. All
+    * edges compose into one union plan (no per-edge materialization
+    * barriers — ~21 sequential jobs collapse into one); output is
+    * O(edges). */
+  private val refIntegrity: Q = (s, dir) => {
+    import s.implicits._
+    // ALL edges ride one (eid, key) keyspace: union the tagged child
+    // keys and tagged parent keys FIRST, then one hash aggregate each
+    // and ONE full-outer join classify every edge's keys together —
+    // per-edge plans would each end in their own single-row aggregate
+    // stage and broadcast job, ~30 stages of pure scheduling latency
+    // for O(edges) rows of output. The classify join lands on the child
+    // aggregate's (eid, k) partitioning, so the whole audit is four
+    // exchanges regardless of edge count.
+    val childKeys = FkEdges.zipWithIndex.map { case ((child, fk, _, _), i) =>
+      t(s, dir, child).select(lit(i).as("eid"), col(fk).as("k"))
+    }.reduce(_ unionByName _)
+    val parentKeys = FkEdges.zipWithIndex.map { case ((_, _, parent, pk), i) =>
+      t(s, dir, parent).select(lit(i).as("eid"), col(pk).as("k"))
+    }.reduce(_ unionByName _)
+    val cagg = childKeys.where(col("k").isNotNull)
+      .groupBy("eid", "k").agg(count(lit(1)).as("cnt"))
+    val p = parentKeys.distinct().withColumn("inp", lit(1L))
+    val classified = cagg.join(p, Seq("eid", "k"), "full_outer")
+      .groupBy("eid").agg(
+        sum(when(col("inp").isNull, col("cnt")).otherwise(0L))
+          .as("orphan_rows"),
+        sum(when(col("inp").isNull, 1L).otherwise(0L)).as("orphan_keys"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("unused_parents"))
+    val totals = childKeys
+      .groupBy("eid").agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_keys"))
+    val names = FkEdges.zipWithIndex
+      .map { case ((child, fk, parent, _), i) => (i, child, fk, parent) }
+      .toDF("eid", "child_tbl", "fk_col", "parent_tbl")
+    totals.join(classified, Seq("eid")).join(broadcast(names), Seq("eid"))
+      .select(col("child_tbl"), col("fk_col"), col("parent_tbl"),
+        col("n_rows"), col("null_keys"),
+        col("orphan_rows"), col("orphan_keys"),
+        expr("10000 * orphan_rows DIV n_rows").as("orphan_bp"),
+        col("unused_parents"))
+      .orderBy("child_tbl", "fk_col")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
     "q_pipeline_corpus" -> corpusBuild,
     "q_report_kanon"    -> kanonReport,
     "q_report_sources"  -> sourceReport,
     "q_report_constraints" -> constraintReport,
+    "q_report_ref_integrity" -> refIntegrity,
     "q_report_drift"    -> driftReport,
     "q_report_freshness" -> freshnessReport,
     "q_report_skew"     -> skewReport
@@ -368,6 +439,28 @@ object CurationQueries {
         |  (global_s - last_s) // 60 AS lag_min
         | FROM per_feed CROSS JOIN hwm
         | ORDER BY event_type""".stripMargin,
+    "q_report_ref_integrity" ->
+      (FkEdges.map { case (child, fk, parent, pk) =>
+        s"""(SELECT '$child' AS child_tbl, '$fk' AS fk_col,
+           |  '$parent' AS parent_tbl,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |    WHERE $fk IS NULL) AS null_keys,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+           |    WHERE c.$fk IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS orphan_rows,
+           |  (SELECT CAST(count(DISTINCT c.$fk) AS BIGINT) FROM $child c
+           |    WHERE c.$fk IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS orphan_keys,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+           |    WHERE c.$fk IS NOT NULL AND NOT EXISTS
+           |     (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk))
+           |   * 10000 // (SELECT count(*) FROM $child) AS orphan_bp,
+           |  (SELECT CAST(count(DISTINCT p.$pk) AS BIGINT) FROM $parent p
+           |    WHERE NOT EXISTS
+           |     (SELECT 1 FROM $child c WHERE c.$fk = p.$pk)) AS unused_parents)"""
+          .stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY child_tbl, fk_col")),
     "q_report_skew" ->
       (SkewKeys.map { case (tbl, key) =>
         s"""(WITH c AS (SELECT $key AS k, count(*) AS cnt FROM $tbl GROUP BY 1),

@@ -91,6 +91,56 @@ object MlEvalQueries {
 
   private val auc: Q = (s, dir) => aucOf(scored(s, dir))
 
+  /** PER-SLICE AUC — the fairness/robustness cut every eval harness
+    * needs next to the corpus number ("the scorer is 0.71 overall but
+    * 0.55 on source 3"): the same Mann-Whitney identity, with the slice
+    * key carried through every stage. The per-value frame groups by
+    * (slice, score); the cumulative negatives-below ride the SAME
+    * [[PrefixOps]] machinery in its GROUPED form (range partitioning on
+    * (slice, score) keeps slices contiguous, subtotal frame ≤ parts +
+    * slices rows) — so a 10 TB slice is still processed at full
+    * parallelism, where `Window.partitionBy(slice)` would funnel it
+    * through one task. Degenerate slices (a single class present — AUC
+    * undefined) are dropped by the same guard in both engines. */
+  private[graft] def aucBy(sc: DataFrame, slice: String): DataFrame = {
+    val pv = sc.groupBy(slice, "score")
+      .agg(sum("y").as("pos"), sum(expr("1L - y")).as("neg"))
+    val pref = PrefixOps.withPrefixOffsets(
+      pv, Seq(slice), Seq(col("score")), Seq("negb" -> col("neg")))
+    val wLoc = Window.partitionBy(col(slice), col(PrefixOps.PidCol))
+      .orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pref
+      .withColumn("negb",
+        col("negb_off") + coalesce(sum("neg").over(wLoc), lit(0L)))
+      .groupBy(slice)
+      .agg(
+        sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+        sum((col("pos") * (lit(2L) * col("negb") + col("neg")))
+          .cast("decimal(38,0)")).as("num2"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col(slice), col("n_pos"), col("n_neg"),
+        expr("""CAST((CAST(10000 AS DECIMAL(38,0)) * num2)
+               |  div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"""
+          .stripMargin).as("auc_bp"))
+      .orderBy(slice)
+  }
+
+  /** The graded slice: per-source AUC of the same stopword-ratio /
+    * lang=en pair as [[auc]] — one extra carried column. */
+  private def scoredBySource(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.t(s, dir, "documents"))
+      .withColumn("toks_all",
+        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks_all")) > 0)
+      .select(col("source"),
+        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)")
+          .as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+
+  private val aucSliced: Q = (s, dir) => aucBy(scoredBySource(s, dir), "source")
+
   /** Precision/recall/F1 at EVERY distinct score threshold (predict
     * positive when score ≥ t): cumulative tp/fp from a desc-ordered
     * prefix sum over the per-value frame; recall's denominator rides the
@@ -245,6 +295,7 @@ object MlEvalQueries {
     "q_ml_auc" -> auc,
     "q_ml_pr_curve" -> prCurve,
     "q_ml_calibration" -> calibration,
+    "q_ml_auc_sliced" -> aucSliced,
     "q_ml_ndcg" -> ndcg
   )
 
@@ -275,6 +326,30 @@ object MlEvalQueries {
          |  CAST(10000 * sum(pos * (2 * negb + neg))
          |    // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_bp
          | FROM c""".stripMargin,
+    "q_ml_auc_sliced" ->
+      s"""WITH sc AS (
+         |  SELECT source,
+         |   CAST(10000 * (len(toks_all) - len(toks)) // len(toks_all) AS BIGINT) AS score,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM (SELECT source, lang,
+         |    list_filter(string_split(${TextQueries.duckClean("text")}, ' '), w -> w <> '') AS toks_all,
+         |    ${TextQueries.duckTerms("text")} AS toks
+         |   FROM documents)
+         |  WHERE len(toks_all) > 0),
+         | v AS (SELECT source, score, CAST(sum(y) AS BIGINT) AS pos,
+         |   CAST(sum(1 - y) AS BIGINT) AS neg
+         |  FROM sc GROUP BY source, score),
+         | c AS (SELECT *, CAST(coalesce(sum(neg) OVER (PARTITION BY source
+         |    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS negb
+         |  FROM v)
+         | SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg) AS BIGINT) AS n_neg,
+         |  CAST(10000 * sum(pos * (2 * negb + neg))
+         |    // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_bp
+         | FROM c GROUP BY source
+         | HAVING sum(pos) > 0 AND sum(neg) > 0
+         | ORDER BY source""".stripMargin,
     "q_ml_pr_curve" ->
       s"""WITH v AS ($duckPerValue),
          | c AS (SELECT score,

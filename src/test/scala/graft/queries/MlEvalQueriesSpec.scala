@@ -65,6 +65,27 @@ class MlEvalQueriesSpec extends SparkSpec {
     assert(b9.getAs[Long]("n") == 1L && b9.getAs[Long]("gap_bp") == 0L)
   }
 
+  test("sliced AUC: per-slice values match aucOf per slice; degenerate dropped") {
+    // Slice a = the tied toy (0.625), slice b = perfectly separated
+    // (1.0), slice c = all-positive (AUC undefined, must be DROPPED).
+    val sc = (toy.collect().map(r => ("a", r.getLong(0), r.getLong(1))) ++
+      Seq(("b", 1L, 0L), ("b", 2L, 0L), ("b", 9L, 1L), ("b", 10L, 1L)) ++
+      Seq(("c", 5L, 1L), ("c", 6L, 1L))).toSeq
+      .toDF("slice", "score", "y")
+    val rows = MlEvalQueries.aucBy(sc, "slice").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("auc_bp")).toMap
+    assert(rows == Map("a" -> 6250L, "b" -> 10000L),
+      s"per-slice AUC wrong or degenerate slice not dropped: $rows")
+    // Engine-vs-engine: each surviving slice must equal the global
+    // estimator run on that slice alone — the sliced plan may not
+    // change the statistic, only the keying.
+    for (s <- Seq("a", "b")) {
+      val solo = MlEvalQueries.aucOf(sc.where($"slice" === s)
+        .select("score", "y")).collect().head.getAs[Long]("auc_bp")
+      assert(solo == rows(s), s"slice $s: $solo vs ${rows(s)}")
+    }
+  }
+
   test("NDCG/MRR match the hand-computed toy, rel-0-at-rank-1 included") {
     // One query. Ranking is tf desc (dl, doc_id break ties); rel comes
     // from the first-occurrence position. doc 1 ranks FIRST but its only
