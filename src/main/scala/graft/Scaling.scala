@@ -113,7 +113,19 @@ object Scaling {
     }.toMap
 
     val results = Audited.filter(n => only.forall(_.contains(n))).map { name =>
+      // Untimed ×1 warmup (the Bench discipline): the growth ratios
+      // compare factors WITHIN one query, and a cold first factor would
+      // fold this query's codegen JIT into whichever factor runs first.
+      try SparkEntry.queries(name)(spark, dirs(factors.head)).count()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scaling] warmup $name failed: ${e.getMessage}")
+      }
       val per = factors.map { f =>
+        // Same storage hygiene as Bench: drop dead localCheckpoint
+        // blocks from the previous measurement before the clock starts,
+        // or a ×1 run pays eviction for its predecessor's ×8 leftovers.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(name)(spark, dirs(f)).count()
         val sec = (System.nanoTime() - t0) / 1e9
