@@ -189,6 +189,52 @@ object MlEvalQueries {
 
   private val calibration: Q = (s, dir) => calibrationOf(scored(s, dir))
 
+  // ---- rank correlation ---------------------------------------------------
+
+  /** SPEARMAN rank correlation between two scorers — the "do my two
+    * quality signals agree" diagnostic run before swapping one filter
+    * for a cheaper one. Both rankings are TOTAL orders (score, then
+    * doc_id — the deterministic tie-break is the grading convention;
+    * with distinct ranks 1..n the classic 1 − 6Σd²/(n(n²−1)) identity
+    * is EXACT, where the average-rank variant would put fractional
+    * arithmetic on both engines). Each global rank rides
+    * [[PrefixOps.withGlobalRowNumber]] — two range exchanges, never a
+    * single-partition ORDER BY window; Σd² is summed as DECIMAL(38,0)
+    * (Σd² ≤ n³/3 outgrows int64 near n ≈ 3M) and ρ is one integral
+    * divide in micro-units at the end. Output is one row. */
+  private[graft] def rankCorrOf(sc: DataFrame, c1: String, c2: String)
+      : DataFrame = {
+    val r1 = PrefixOps.withGlobalRowNumber(sc,
+      Seq(col(c1).asc, col("doc_id").asc), "r1")
+    val r2 = PrefixOps.withGlobalRowNumber(r1,
+      Seq(col(c2).asc, col("doc_id").asc), "r2")
+    r2.agg(count(lit(1)).as("n"),
+        sum(((col("r1") - col("r2")) * (col("r1") - col("r2")))
+          .cast("decimal(38,0)")).as("d2"))
+      .select(col("n"),
+        col("d2").cast("long").as("sum_d2"),
+        expr("""CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0)) * d2)
+               |  div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"""
+          .stripMargin).as("rho_ppm"))
+  }
+
+  /** The graded pair: alpha-character ratio vs stop-word ratio — two
+    * independent quality-family signals over the same docs. */
+  private def twoScores(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.t(s, dir, "documents"))
+      .withColumn("toks_all",
+        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks_all")) > 0 && length(col("text")) > 0)
+      .select(col("doc_id"),
+        expr("CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text) AS BIGINT)")
+          .as("alpha_bp"),
+        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)")
+          .as("stop_bp"))
+
+  private val rankCorr: Q = (s, dir) =>
+    rankCorrOf(twoScores(s, dir), "alpha_bp", "stop_bp")
+
   // ---- ranked-retrieval eval (NDCG@K / RR@K) ------------------------------
 
   /** The evaluated query set — mirrors the `q_text_bm25` keyword set, so
@@ -296,6 +342,7 @@ object MlEvalQueries {
     "q_ml_pr_curve" -> prCurve,
     "q_ml_calibration" -> calibration,
     "q_ml_auc_sliced" -> aucSliced,
+    "q_ml_rankcorr" -> rankCorr,
     "q_ml_ndcg" -> ndcg
   )
 
@@ -375,6 +422,26 @@ object MlEvalQueries {
          |  score_sum // n AS pred_bp, 10000 * pos // n AS obs_bp,
          |  abs(score_sum // n - 10000 * pos // n) AS gap_bp
          | FROM t ORDER BY bin""".stripMargin,
+    "q_ml_rankcorr" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |   CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS BIGINT) AS alpha_bp,
+         |   CAST(10000 * (len(toks_all) - len(toks)) // len(toks_all) AS BIGINT) AS stop_bp
+         |  FROM (SELECT doc_id, text,
+         |    list_filter(string_split(${TextQueries.duckClean("text")}, ' '), w -> w <> '') AS toks_all,
+         |    ${TextQueries.duckTerms("text")} AS toks
+         |   FROM documents)
+         |  WHERE len(toks_all) > 0 AND length(text) > 0),
+         | r AS (SELECT doc_id,
+         |   row_number() OVER (ORDER BY alpha_bp, doc_id) AS r1,
+         |   row_number() OVER (ORDER BY stop_bp, doc_id) AS r2
+         |  FROM sc)
+         | SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
+         |  CAST(1000000 - 6000000 * sum((r1 - r2) * (r1 - r2))
+         |    // (CAST(count(*) AS HUGEINT) * count(*) * count(*) - count(*))
+         |   AS BIGINT) AS rho_ppm
+         | FROM r""".stripMargin,
     "q_ml_ndcg" -> {
       val termRows = NdcgTerms.map(t => s"('$t')").mkString(", ")
       s"""WITH base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks

@@ -86,6 +86,20 @@ class MlEvalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("Spearman: +1e6 on agreement, -1e6 on reversal, hand value on a swap") {
+    def sc(rows: (Long, Long, Long)*) = rows.toSeq.toDF("doc_id", "s1", "s2")
+    def rho(d: org.apache.spark.sql.DataFrame) =
+      MlEvalQueries.rankCorrOf(d, "s1", "s2").collect().head.getAs[Long]("rho_ppm")
+    assert(rho(sc((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))) == 1000000L)
+    assert(rho(sc((1L, 10L, 300L), (2L, 20L, 200L), (3L, 30L, 100L))) == -1000000L)
+    // Ranks (1,2,3) vs (2,1,3): sum_d2 = 2, rho = 1e6 - 6e6·2/24 = 500000.
+    val swap = MlEvalQueries.rankCorrOf(
+      sc((1L, 10L, 200L), (2L, 20L, 100L), (3L, 30L, 300L)), "s1", "s2")
+      .collect().head
+    assert(swap.getAs[Long]("sum_d2") == 2L, swap)
+    assert(swap.getAs[Long]("rho_ppm") == 500000L, swap)
+  }
+
   test("NDCG/MRR match the hand-computed toy, rel-0-at-rank-1 included") {
     // One query. Ranking is tf desc (dl, doc_id break ties); rel comes
     // from the first-occurrence position. doc 1 ranks FIRST but its only
