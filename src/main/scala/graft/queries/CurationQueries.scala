@@ -335,6 +335,51 @@ object CurationQueries {
       .orderBy("child_tbl", "fk_col")
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN impact analysis — the deletion-cascade dry
+    * run a governance request triggers before any data moves: given a
+    * victim set of customers (deterministic md5 bucket = 0, ~0.4%, the
+    * house split idiom so both engines pick the identical set), walk
+    * the FK graph ([[FkEdges]] direction: customer → orders → lineitem)
+    * and report, per table, total rows, rows the cascade would delete,
+    * and the share in basis points — the blast-radius estimate that
+    * decides whether the deletion runs online or as a rewrite.
+    *
+    * Scale shape: the victim key set is dimension-sized (broadcast);
+    * affected orders are ONE flagged broadcast join counted in the same
+    * pass as the total (no separate semi-join scan); their keys
+    * (aggregated, key-only) drive the lineitem flag join — each level
+    * of the cascade is one keyed join + one count aggregate, and the
+    * output is O(tables). */
+  private val forgetImpact: Q = (s, dir) => {
+    val victimPred = expr(
+      s"(${SamplingQueries.bucketSql("c_custkey")}) = 0")
+    val cust = t(s, dir, "customer")
+    val custRow = cust
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(victimPred, 1L).otherwise(0L)).as("n_affected"))
+      .select(lit("customer").as("tbl"), col("n_rows"), col("n_affected"))
+    val victims = cust.where(victimPred).select(col("c_custkey").as("vk"))
+    val orders = t(s, dir, "orders")
+      .join(broadcast(victims), col("o_custkey") === col("vk"), "left_outer")
+      .select(col("o_orderkey"), col("vk").isNotNull.as("hit"))
+    val orderRow = orders
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_affected"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("n_affected"))
+    val affOrderKeys = orders.where(col("hit"))
+      .select(col("o_orderkey").as("ok"))
+    val lineRow = t(s, dir, "lineitem")
+      .join(broadcast(affOrderKeys), col("l_orderkey") === col("ok"),
+        "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("ok").isNotNull, 1L).otherwise(0L)).as("n_affected"))
+      .select(lit("lineitem").as("tbl"), col("n_rows"), col("n_affected"))
+    Seq(custRow, orderRow, lineRow).reduce(_ unionByName _)
+      .select(col("tbl"), col("n_rows"), col("n_affected"),
+        expr("10000 * n_affected DIV n_rows").as("affected_bp"))
+      .orderBy("tbl")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
     "q_pipeline_corpus" -> corpusBuild,
@@ -342,6 +387,7 @@ object CurationQueries {
     "q_report_sources"  -> sourceReport,
     "q_report_constraints" -> constraintReport,
     "q_report_ref_integrity" -> refIntegrity,
+    "q_report_forget_impact" -> forgetImpact,
     "q_report_drift"    -> driftReport,
     "q_report_freshness" -> freshnessReport,
     "q_report_skew"     -> skewReport
@@ -439,6 +485,28 @@ object CurationQueries {
         |  (global_s - last_s) // 60 AS lag_min
         | FROM per_feed CROSS JOIN hwm
         | ORDER BY event_type""".stripMargin,
+    "q_report_forget_impact" -> {
+      val victim = s"(${SamplingQueries.bucketSql("c_custkey")}) = 0"
+      s"""WITH victims AS (SELECT c_custkey AS k FROM customer WHERE $victim),
+         | ao AS (SELECT o_orderkey FROM orders
+         |        WHERE o_custkey IN (SELECT k FROM victims))
+         | SELECT tbl, n_rows, n_affected,
+         |  10000 * n_affected // n_rows AS affected_bp
+         | FROM (
+         |  SELECT 'customer' AS tbl,
+         |   (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_rows,
+         |   (SELECT CAST(count(*) AS BIGINT) FROM victims) AS n_affected
+         |  UNION ALL
+         |  SELECT 'orders',
+         |   (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         |   (SELECT CAST(count(*) AS BIGINT) FROM ao)
+         |  UNION ALL
+         |  SELECT 'lineitem',
+         |   (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         |   (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+         |     WHERE l_orderkey IN (SELECT o_orderkey FROM ao))) u
+         | ORDER BY tbl""".stripMargin
+    },
     "q_report_ref_integrity" ->
       (FkEdges.map { case (child, fk, parent, pk) =>
         s"""(SELECT '$child' AS child_tbl, '$fk' AS fk_col,
