@@ -65,6 +65,38 @@ object QuantileSketch {
     * compaction randomness (the store's consistency check). */
   def n(b: Array[Byte]): Long = heapify(b).getN
 
+  /** Integration grid for [[aucEstimate]]: equal-mass slices of the
+    * negative distribution. Discretization error ≲ 1/grid, far under
+    * the sketches' own ~1.65% rank error at [[DefaultK]]. */
+  val AucGrid = 256
+
+  /** AUC of a detector FROM THE STORE — no corpus rescan: with the two
+    * per-class score sketches, AUC = P(S⁺ > S⁻) ≈ ∫ (1 − F⁺(x)) dF⁻(x),
+    * midpoint rule over [[AucGrid]] equal-mass slices of the negative
+    * distribution (x = the j+½ quantile of F⁻). This is what makes the
+    * streaming slice store ([[graft.stream.SketchIngest]]) an EVAL
+    * substrate: keep one KLL per (slice, label) and every slice's AUC
+    * is answerable in O(grid) sketch probes at any corpus size.
+    *
+    * INCLUSIVE ranks give score ties zero credit where the exact
+    * Mann-Whitney estimator gives half — negligible for near-continuous
+    * scores, a known downward bias on heavily-tied integer scores (use
+    * the exact `q_ml_auc` plan when ties dominate). Total error ≲
+    * 1/grid + 2·(KLL rank error); spec-pinned against the exact
+    * estimator. */
+  def aucEstimate(pos: Array[Byte], neg: Array[Byte],
+      grid: Int = AucGrid): Double = {
+    require(n(pos) > 0 && n(neg) > 0,
+      s"empty class sketch: n_pos=${n(pos)} n_neg=${n(neg)}")
+    var s = 0.0
+    var j = 0
+    while (j < grid) {
+      s += 1.0 - rank(pos, quantile(neg, (j + 0.5) / grid))
+      j += 1
+    }
+    s / grid
+  }
+
   // Column API.
 
   def sketchAgg(c: Column, k: Int = DefaultK): Column =
@@ -85,6 +117,10 @@ object QuantileSketch {
 
   def nCol(sketch: Column): Column =
     ColumnShim.toColumn(KllN(ColumnShim.toExpression(sketch)))
+
+  def aucCol(posSketch: Column, negSketch: Column): Column =
+    ColumnShim.toColumn(KllAuc(
+      ColumnShim.toExpression(posSketch), ColumnShim.toExpression(negSketch)))
 }
 
 sealed trait KllAggBase extends TypedImperativeAggregate[KllDoublesSketch]
@@ -239,4 +275,33 @@ case class KllN(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): KllN =
     copy(child = c)
   override def prettyName: String = "kll_n"
+}
+
+/** `kll_auc(pos_sketch, neg_sketch)` → sketch-served AUC estimate
+  * (DOUBLE) — see [[QuantileSketch.aucEstimate]] for the integration
+  * and its error/ties contract. */
+case class KllAuc(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_auc expects two binary sketch columns, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(p: Any, n: Any): Any =
+    QuantileSketch.aucEstimate(p.asInstanceOf[Array[Byte]],
+      n.asInstanceOf[Array[Byte]], QuantileSketch.AucGrid)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, n) =>
+      s"graft.functions.QuantileSketch.aucEstimate($p, $n, " +
+        s"graft.functions.QuantileSketch.AucGrid())")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KllAuc = copy(left = l, right = r)
+  override def prettyName: String = "kll_auc"
 }

@@ -77,6 +77,32 @@ class QuantileSketchSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getDouble(1).isNaN)
   }
 
+  test("sketch-served AUC tracks the exact Mann-Whitney estimator") {
+    // Near-continuous scores (ties negligible): positives ~ i%1000 + 300
+    // shifted above negatives ~ i%1000 — a genuinely overlapping pair
+    // whose exact AUC sits strictly inside (0.5, 1).
+    val scored = spark.range(60000).toDF("i")
+      .select((col("i") % 2).cast("long").as("y"),
+        when(col("i") % 2 === 1, (col("i") % 1000) + lit(300))
+          .otherwise(col("i") % 1000).cast("long").as("score"))
+      .localCheckpoint(true)
+    val exact = graft.queries.MlEvalQueries.aucOf(scored)
+      .head().getAs[Long]("auc_bp") / 10000.0
+    // The store path: one KLL per class, AUC from the two sketches —
+    // exercising BOTH the scalar kernel and the codegen kll_auc column.
+    val sk = scored
+      .groupBy("y")
+      .agg(QuantileSketch.sketchAgg(col("score").cast("double")).as("sk"))
+    val est = sk.where(col("y") === 1).select(col("sk").as("pos"))
+      .crossJoin(sk.where(col("y") === 0).select(col("sk").as("neg")))
+      .select(QuantileSketch.aucCol(col("pos"), col("neg")).as("auc"))
+      .head().getDouble(0)
+    assert(math.abs(est - exact) < 0.03,
+      s"sketch AUC $est vs exact $exact — outside the 3% envelope")
+    assert(exact > 0.55 && exact < 0.95,
+      s"fixture degenerate (exact AUC $exact); the comparison proves nothing")
+  }
+
   test("per-group sketches: distribution shift is visible across groups") {
     // two groups with disjoint ranges — the per-slice store must keep
     // them distinguishable (the drift-monitor use case)
