@@ -123,6 +123,26 @@ final class SketchIngest(
       .select(col(sliceCol), col("it.item").as("id"),
         col("it.est").as("n"))
 
+  /** Pairwise slice SEPARABILITY from the merged metric sketches:
+    * auc_ab = P(metric_a > metric_b) per slice pair, served by
+    * [[graft.functions.QuantileSketch.aucEstimate]] — the store's EVAL
+    * leg. When slices are (label, …) cells this IS the detector-AUC
+    * read; when they are sources or days it ranks which pairs' metric
+    * distributions have drifted apart (0.5 = indistinguishable). Cost:
+    * O(slices²) sketch probes over the O(slices) rollup frame — zero
+    * base-data reads, the same economics as the theta overlap matrix. */
+  def separability(): DataFrame = {
+    // Checkpointed once: both sides of the pairwise self-join read it.
+    val r = rollup().select(col(sliceCol), col("metric_sk"))
+      .localCheckpoint(true)
+    r.select(col(sliceCol).as("slice_a"), col("metric_sk").as("sk_a"))
+      .join(r.select(col(sliceCol).as("slice_b"), col("metric_sk").as("sk_b")),
+        col("slice_a") < col("slice_b"))
+      .select(col("slice_a"), col("slice_b"),
+        QuantileSketch.aucCol(col("sk_a"), col("sk_b")).as("auc_ab"))
+      .orderBy("slice_a", "slice_b")
+  }
+
   /** Rolled-up store with the sketches opened into human answers:
     * distinct-id estimate and metric quantiles per slice. */
   def summary(): DataFrame =

@@ -85,6 +85,25 @@ class SketchIngestSpec extends SparkSpec {
     assert(p50 == 3.0, s"median of {1,3,5} from merged sketches was $p50")
   }
 
+  test("separability answers from the store: shifted pair ≫ 0.5, like pair ≈ 0.5") {
+    val (ingest, _) = mkIngest()
+    // Slices 1 and 2 draw the same score range; slice 3 sits far above.
+    // Enough mass per slice that the sketch error bars can't blur the
+    // contrast (deterministic values, no RNG).
+    def rows(day: Long, base: Double) =
+      (0 until 2000).map(i => (day, i.toLong, base + (i % 100)))
+    ingest.processBatch(
+      (rows(1L, 0.0) ++ rows(2L, 0.0) ++ rows(3L, 1000.0))
+        .toDF("day", "user_id", "score"), 0L)
+    val m = ingest.separability().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(math.abs(m((1L, 2L)) - 0.5) < 0.05,
+      s"identically distributed slices must read ~0.5: ${m((1L, 2L))}")
+    assert(m((1L, 3L)) < 0.02 && m((2L, 3L)) < 0.02,
+      s"slice 3 dominates, so P(a > b) for (1,3)/(2,3) must be ~0: $m")
+  }
+
   test("empty store rolls up empty; empty batch writes nothing") {
     val (ingest, _) = mkIngest()
     assert(ingest.summary().count() == 0)
