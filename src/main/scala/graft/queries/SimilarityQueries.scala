@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -390,6 +391,49 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
+  /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
+    * storage/compute cut an MRL deployment serves hot. */
+  private val MrlDims = 16
+
+  /** MATRYOSHKA-truncation retrieval audit (the MRL serving question,
+    * Kusupati et al. 2022: embeddings trained so PREFIXES of the vector
+    * are usable embeddings — serve the first [[MrlDims]] dims, keep the
+    * tail cold): recall@K of prefix-truncated brute-force retrieval
+    * against the full-dimension truth, per query. The decision number
+    * for "can we serve 4×-cheaper vectors": recall near 10000 bp says
+    * yes, and the per-query rows show exactly which queries degrade.
+    * Both rankings ride the bounded-heap TopKPerKey; the truncation is
+    * a zero-copy `slice()` — at scale the truncated pass reads a
+    * prefix-dim column ([[quantizeInt8]]'s storage discipline), a 4×
+    * scan cut this audit prices. Note TESTDATA embeddings are random
+    * (not MRL-trained), so measured recall is the honest no-structure
+    * floor, not a vendor number. */
+  private val matryoshka: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def topk(scored: DataFrame) =
+      graft.plans.GraftOps.topKPerKey(scored, Seq("qid"),
+        Seq("cos" -> false, "cid" -> true), LshTopK)
+    val joined = c.join(broadcast(q)).localCheckpoint(true) // both rankings
+    val truth = topk(joined.select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos")))
+      .select("qid", "cid")
+    val approx = topk(joined.select(col("qid"), col("cid"),
+        Similarity.cosine(slice(col("qe"), 1, MrlDims),
+          slice(col("ce"), 1, MrlDims)).as("cos")))
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    truth.join(approx,
+        truth("qid") === col("aqid") && truth("cid") === col("acid"), "left")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hits"))
+      .withColumn("recall_bp",
+        expr(s"CAST(10000 * n_hits DIV $LshTopK AS BIGINT)"))
+      .orderBy("qid")
+  }
+
   /** Semantic dedup apply (SemDeDup, Abbas et al. 2023 — dedup in
     * EMBEDDING space, which catches paraphrases that share no n-grams):
     * the verified cosine pair graph is clustered by the same distributed
@@ -420,6 +464,7 @@ object SimilarityQueries {
     "q_sim_sq_adc"          -> sqAdc,
     "q_sim_hard_negatives"  -> hardNegatives,
     "q_sim_recall"          -> annRecall,
+    "q_sim_matryoshka"      -> matryoshka,
     "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
     "q_dedup_semantic_apply" -> semanticApply
@@ -557,6 +602,24 @@ object SimilarityQueries {
          |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
          | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
          | GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+    "q_sim_matryoshka" -> {
+      val duckCosTrunc =
+        s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | bc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | fr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCos DESC, cid) AS rnk
+         |  FROM bq CROSS JOIN bc),
+         | truth AS (SELECT qid, cid FROM fr WHERE rnk <= $LshTopK),
+         | tr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCosTrunc DESC, cid) AS rnk
+         |  FROM bq CROSS JOIN bc),
+         | approx AS (SELECT qid, cid FROM tr WHERE rnk <= $LshTopK)
+         | SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
+         |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
+         | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+         | GROUP BY t.qid ORDER BY t.qid""".stripMargin
+    },
     // Sequential left-fold sums on both sides (Spark `aggregate`, DuckDB
     // list_sum over a 16-element list) — same FP addition order.
     "q_sim_hof_math" ->
