@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkSpec {
   test("prefix-sum family: no stream-level window on a low-cardinality key") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
-        "q_w2_top_p", "q_w2_rfm", "q_sample_curriculum")) {
+        "q_w2_top_p", "q_w2_rfm", "q_sample_curriculum",
+        "q_ml_auc", "q_ml_pr_curve", "q_ml_auc_sliced", "q_ml_rankcorr")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       assert(df.queryExecution.optimizedPlan
           .collect { case w: LWindow => w }.nonEmpty,
@@ -121,6 +122,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(offendingWindows(regressed).nonEmpty,
       "a global ntile above prefix-sum machinery must be flagged — the " +
         "whole-subtree exemption would have let it through")
+  }
+
+  /** The span family's scale claim is "candidates from the winnow index
+    * equi-join, never pair enumeration": a regression to any loop-join
+    * shape (cartesian, nested-loop) would be quadratic in docs. NOTE:
+    * these two builders carry eager localCheckpoints, so this executes
+    * their small sf0.001 build frames. */
+  test("span dedup joins are equi-joins — no cartesian/BNLJ anywhere") {
+    for (q <- Seq("q_dedup_spans", "q_dedup_span_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: loop join in the span chain:\n$p")
+    }
+  }
+
+  /** Both NDCG rankings (actual + ideal) must ride the bounded-heap
+    * operator — partial + final per ranking = 4 TopKPerKey nodes; a
+    * refactor to rank-window-then-filter would put a per-query sort of
+    * the corpus back into the plan. */
+  test("q_ml_ndcg ranks through TopKPerKey on both rankings") {
+    val p = plan("q_ml_ndcg")
+    assert("TopKPerKey".r.findAllIn(p).length == 4, p)
   }
 
   test("global top-K plans as TakeOrderedAndProject, never a global sort (O1/O3)") {
