@@ -176,7 +176,12 @@ case class FreqMergeAgg(
 
 /** `freq_estimate(sketch, item)` → BIGINT (exact if no purge occurred). */
 case class FreqEstimate(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // SQL surface: integer literals arrive as INT — let the analyzer
+  // widen them to the declared BIGINT instead of failing the check.
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ColumnShim.ADT] =
+    Seq(BinaryType, LongType)
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -247,7 +252,10 @@ case class FreqMaxError(child: Expression) extends UnaryExpression {
   * positives), ordered (est DESC, item ASC). Runs over the O(groups)
   * sketch frame, so [[CodegenFallback]] costs nothing measurable. */
 case class FreqItemsOver(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graftshim.ColumnShim.ADT] =
+    Seq(BinaryType, LongType)
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", LongType, nullable = false),

@@ -214,8 +214,15 @@ case class KllMergeAgg(
   override def prettyName: String = "kll_merge_agg"
 }
 
-sealed trait KllScalarBase extends BinaryExpression {
+sealed trait KllScalarBase extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   final override def dataType: DataType = DoubleType
+
+  // ImplicitCastInputTypes so SQL-surface callers can pass any numeric
+  // literal (`kll_quantile(sk, 0.5)` — a DECIMAL(1,1) literal in SQL):
+  // the analyzer inserts the double cast instead of failing the check.
+  final override def inputTypes: Seq[ColumnShim.ADT] =
+    Seq(BinaryType, DoubleType)
 
   final override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

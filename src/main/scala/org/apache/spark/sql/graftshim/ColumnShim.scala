@@ -29,4 +29,10 @@ object ColumnShim {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
+
+  /** `AbstractDataType` is `private[sql]`, which makes
+    * `ExpectsInputTypes.inputTypes` unimplementable from outside the
+    * sql package BY NAME — this transparent alias (legal here, usable
+    * anywhere) is the standard bridge. */
+  type ADT = org.apache.spark.sql.types.AbstractDataType
 }
