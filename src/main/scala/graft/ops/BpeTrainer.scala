@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE tokenizer training (Sennrich et al. 2016) — the
+  * tokenizer-induction step of a training-data pipeline, distributed
+  * the way it actually scales: the corpus is read ONCE into the
+  * (distinct word, frequency) table, and every merge iteration runs on
+  * that vocabulary-sized frame — pair counting is one explode + one
+  * hash aggregate with map-side combine, the argmax is a 1-row
+  * TakeOrderedAndProject, and the merge rewrite is a native
+  * `aggregate` fold over each word's symbol array. The per-iteration
+  * driver round-trip is ONE ROW (the chosen pair) — the
+  * connectedComponents fixpoint convention, not a data collect; N
+  * merges cost N vocabulary-sized jobs regardless of corpus size.
+  * `q_text_bpe_pairs` grades the first iteration's pair table against
+  * DuckDB; this carries the loop to a full merge list (iterative ⇒
+  * ScalaTest tier, like the other fixpoints).
+  *
+  * Determinism: the argmax tie-break is (freq DESC, left ASC,
+  * right ASC), so the merge sequence is a pure function of the corpus.
+  * Merging is greedy left-to-right within a word (the reference BPE
+  * behavior): "aaa" under pair (a,a) becomes [aa, a]. */
+object BpeTrainer {
+
+  /** One learned merge: at `step`, `left`+`right` (the two most frequent
+    * adjacent symbols, `freq` weighted occurrences) fuse into one. */
+  final case class Merge(step: Int, left: String, right: String, freq: Long)
+
+  /** Corpus → (w, freq) vocabulary table — the only corpus-sized pass. */
+  def wordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(TokenOps.terms(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Split into single-character symbols. */
+  private def charSplit(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Greedy left-to-right fuse of adjacent (left, right) into one symbol
+    * — a native fold, no UDF: append each symbol unless it completes the
+    * pair with the accumulator's last element, in which case the last
+    * element is replaced by the fused symbol. */
+  private[graft] def mergeAdjacent(syms: Column, left: String,
+      right: String): Column = {
+    val fused = left + right
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(left) &&
+            x === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(fused))))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** Adjacent-pair frequencies of the current symbolization, weighted by
+    * word frequency (overlapping occurrences counted, the standard
+    * convention). */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .where(size(col("syms")) > 1)
+      .select(col("freq"), explode(expr(
+        """transform(sequence(1, size(syms) - 1),
+          |  i -> struct(syms[i - 1] AS l, syms[i] AS r))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum("freq").as("pf"))
+
+  /** Train `nMerges` merges over a (w, freq) vocabulary. Returns the
+    * merge list (possibly shorter if the corpus runs dry: no adjacent
+    * pair with freq ≥ `minFreq` remains) and the final symbolization
+    * frame (w, freq, syms). */
+  def train(wordFreq: DataFrame, nMerges: Int, minFreq: Long = 2L)
+      : (Seq[Merge], DataFrame) = {
+    var words = wordFreq.withColumn("syms", charSplit(col("w")))
+      .select("w", "freq", "syms")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var step = 0
+    var dry = false
+    while (step < nMerges && !dry) {
+      val top = pairCounts(words)
+        .orderBy(col("pf").desc, col("l").asc, col("r").asc)
+        .limit(1).collect() // 1 row — the fixpoint-driver convention
+      top.headOption.filter(_.getLong(2) >= minFreq) match {
+        case None => dry = true
+        case Some(row) =>
+          val (l, r, f) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(step, l, r, f)
+          words = words.withColumn("syms", mergeAdjacent(col("syms"), l, r))
+          // Pin the plan every iteration: the rewrite is cheap on the
+          // vocabulary frame, and an unpinned N-deep fold chain would
+          // re-run every earlier merge per pass (and grow the plan
+          // unboundedly — the components-fixpoint discipline).
+          words = words.localCheckpoint(true)
+          step += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** Apply a learned merge list to new text-side words — the serving
+    * path: the same fold per merge, in training order. */
+  def segment(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(charSplit(word)) { (c, m) =>
+      mergeAdjacent(c, m.left, m.right)
+    }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The classic worked example (hug/pug/pun/bun/hugs with these
+    * frequencies): pair counts are (u,g)=20, (p,u)=17, (u,n)=16,
+    * (h,u)=15, …, so the merge sequence is hand-derivable:
+    * ug(20) → un(16) → hug(15). */
+  private def toyVocab = Seq(
+    ("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L), ("hugs", 5L))
+    .toDF("w", "freq")
+
+  test("merge sequence matches the hand-derived classic example") {
+    val (merges, words) = BpeTrainer.train(toyVocab, nMerges = 3)
+    assert(merges.map(m => (m.left, m.right, m.freq)) ==
+      Seq(("u", "g", 20L), ("u", "n", 16L), ("h", "ug", 15L)), merges)
+    val syms = words.select("w", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(syms("hug") == Seq("hug"))
+    assert(syms("hugs") == Seq("hug", "s"))
+    assert(syms("pun") == Seq("p", "un"))
+    assert(syms("pug") == Seq("p", "ug"))
+  }
+
+  test("argmax ties break lexicographically — the sequence is deterministic") {
+    val v = Seq(("ab", 2L), ("cd", 2L)).toDF("w", "freq")
+    val (merges, _) = BpeTrainer.train(v, nMerges = 1)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "b")), merges)
+  }
+
+  test("training stops when no pair reaches minFreq; singletons untouched") {
+    val v = Seq(("ab", 1L), ("c", 9L)).toDF("w", "freq")
+    val (merges, words) = BpeTrainer.train(v, nMerges = 5)
+    assert(merges.isEmpty, merges)
+    assert(words.where($"w" === "c").select("syms")
+      .as[Seq[String]].head() == Seq("c"))
+  }
+
+  test("greedy left-to-right merging: overlapping pairs fuse non-overlapping") {
+    val v = Seq(("aaa", 3L)).toDF("w", "freq")
+    val (merges, words) = BpeTrainer.train(v, nMerges = 1)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == Seq(("a", "a", 6L)))
+    assert(words.select("syms").as[Seq[String]].head() == Seq("aa", "a"))
+  }
+
+  test("segment applies the learned merges to unseen words in order") {
+    val (merges, _) = BpeTrainer.train(toyVocab, nMerges = 3)
+    val seg = Seq("hugging", "unhug").toDF("w")
+      .select(BpeTrainer.segment(col("w"), merges).as("s"))
+      .as[Seq[String]].collect()
+    assert(seg(0) == Seq("hug", "g", "i", "n", "g"), seg(0).toString)
+    assert(seg(1) == Seq("un", "hug"), seg(1).toString)
+  }
+
+  test("corpus-scale training is deterministic and vocabulary-bounded") {
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val wf = BpeTrainer.wordFreqs(docs).localCheckpoint(true)
+    val (m1, _) = BpeTrainer.train(wf, nMerges = 6)
+    val (m2, _) = BpeTrainer.train(wf, nMerges = 6)
+    assert(m1 == m2, "two runs over the same corpus must agree exactly")
+    assert(m1.length == 6 && m1.forall(_.freq >= 2), m1)
+    // Each merge can only fuse: the chosen pair's weighted count is
+    // non-increasing in expectation but NOT monotone in general — the
+    // exact invariant worth pinning is that later steps never exceed
+    // the FIRST (global argmax over the raw corpus).
+    assert(m1.forall(_.freq <= m1.head.freq), m1)
+  }
+}
