@@ -324,6 +324,53 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** HELD-OUT perplexity eval — the train/val discipline `unigramLp`
+    * lacks (scoring docs under an LM trained on the SAME docs
+    * systematically understates surprisal; a data-quality gate tuned on
+    * that leaks): the LM's counts come ONLY from the deterministic
+    * train split ([[SamplingQueries.withSplit]], the shipped 80/10/10),
+    * and only val docs are scored. Add-one smoothing over the TRAIN
+    * vocabulary V with a single OOV surprisal for unseen terms:
+    * p(term) = (k+1)/(T+V+1), OOV p = 1/(T+V+1) — every per-term value
+    * quantized once to floor millinats on the vocabulary-sized type
+    * table (ln of a ratio of exact integers, the LM-family discipline),
+    * the per-doc mean exact integer arithmetic. Scale shape: one
+    * tokenize pass split-tagged at the scan; LM tables vocabulary-
+    * bounded; val scoring one left join + doc-keyed aggregation. */
+  /** The kernel over any (doc_id, split, term, k) frame — exposed so the
+    * spec can drive the OOV branch (a val-only term must score the
+    * single unseen-term surprisal, not drop or NaN). */
+  private[graft] def heldoutOf(tf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val lm = tf.where(col("split") === "train")
+      .groupBy("term").agg(sum("k").as("cnt"))
+    val stats = lm.agg(sum("cnt").as("t_total"),
+      count(lit(1)).as("v_size"))
+    val lmQ = lm.crossJoin(broadcast(stats))
+      .select(col("term"),
+        expr("""CAST(floor(1000.0 * ln((t_total + v_size + 1.0) / (cnt + 1)))
+               |  AS BIGINT)""".stripMargin.replace("\n", " ")).as("mln"))
+    tf.where(col("split") === "val")
+      .join(lmQ, Seq("term"), "left_outer")
+      .crossJoin(broadcast(stats))
+      .withColumn("mln_eff", coalesce(col("mln"), expr(
+        "CAST(floor(1000.0 * ln(t_total + v_size + 1.0)) AS BIGINT)")))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_tokens"),
+        sum(when(col("mln").isNull, col("k")).otherwise(0L)).as("n_oov"),
+        expr("sum(k * mln_eff) DIV sum(k)").as("heldout_mb"))
+      .orderBy("doc_id")
+  }
+
+  private val heldoutPpl: Q = (s, dir) => {
+    val tagged = SamplingQueries.withSplit(docs(s, dir), "doc_id")
+      .select(col("doc_id"), col("split"),
+        explode(TokenOps.terms(col("text"))).as("term"))
+    heldoutOf(Tables.fanout(
+        tagged.groupBy("doc_id", "split", "term").agg(count(lit(1)).as("k")))
+      .localCheckpoint(true)) // train LM + val scoring read one pass
+  }
+
   /** Moore–Lewis data selection (Moore & Lewis 2010, "Intelligent
     * selection of language model training data") — THE classic
     * domain-targeted curation op: score every document by the
@@ -1154,6 +1201,7 @@ object TextQueries {
     "q_text_unigram_lp"  -> unigramLp,
     "q_text_bigram_lm"   -> bigramLm,
     "q_text_moore_lewis" -> mooreLewis,
+    "q_text_heldout_ppl" -> heldoutPpl,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
@@ -1503,6 +1551,26 @@ object TextQueries {
          | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Spark DIV and DuckDB // both truncate toward zero, so the possibly
     // negative per-doc mean is engine-exact.
+    "q_text_heldout_ppl" ->
+      s"""WITH tf AS (SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split,
+         |   term, CAST(count(*) AS BIGINT) AS k
+         |  FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)
+         |  GROUP BY 1, 2, 3),
+         | lm AS (SELECT term, sum(k) AS cnt FROM tf WHERE split = 'train' GROUP BY 1),
+         | st AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total,
+         |   CAST(count(*) AS BIGINT) AS v_size FROM lm),
+         | lq AS (SELECT term,
+         |   CAST(floor(1000.0 * ln((t_total + v_size + 1.0) / (cnt + 1))) AS BIGINT) AS mln
+         |  FROM lm CROSS JOIN st),
+         | sc AS (SELECT tf.doc_id, tf.k, lq.mln,
+         |   coalesce(lq.mln,
+         |     CAST(floor(1000.0 * ln(st.t_total + st.v_size + 1.0)) AS BIGINT)) AS mln_eff
+         |  FROM tf LEFT JOIN lq ON tf.term = lq.term CROSS JOIN st
+         |  WHERE tf.split = 'val')
+         | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN mln IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(k * mln_eff) // sum(k) AS BIGINT) AS heldout_mb
+         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_moore_lewis" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source, unnest(${duckTerms("text")}) AS term FROM documents),

@@ -138,6 +138,23 @@ class MlEvalQueriesSpec extends SparkSpec {
     assert(row.getAs[Long]("rr_micro") == 1000000L, row)
   }
 
+  test("held-out LM: hand-graded surprisals, OOV scored not dropped") {
+    // Train: one doc, terms a×3, b×1 → T=4, V=2.
+    //   mln(a) = floor(1000·ln(7/4)) = 559 ; mln(b) = floor(1000·ln(7/2)) = 1252
+    //   OOV    = floor(1000·ln(7))   = 1945
+    val tf = Seq(
+      (1L, "train", "a", 3L), (1L, "train", "b", 1L),
+      (9L, "val", "a", 2L), (9L, "val", "z", 1L))
+      .toDF("doc_id", "split", "term", "k")
+    val r = graft.queries.TextQueries.heldoutOf(tf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_tokens") == 3L, row)
+    assert(row.getAs[Long]("n_oov") == 1L, row)
+    // (2·559 + 1·1945) DIV 3 = 3063 DIV 3 = 1021
+    assert(row.getAs[Long]("heldout_mb") == 1021L, row)
+  }
+
   test("corpus AUC sits at chance — the harness detects a no-signal pair") {
     // TESTDATA's `lang` label is drawn independently of the text (every
     // language shares one vocabulary), so the TRUE AUC of any text-derived
