@@ -1,0 +1,107 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic-regression TRAINING over hashed text features —
+  * the learning half of the fastText/CCNet/DCLM quality-classifier loop
+  * whose serving half `q_text_classify` grades: score docs with a
+  * B-bucket hashed unigram model, decide keep/drop. Spark ML ships an
+  * LR, but the engine needs the loop in its own operator vocabulary so
+  * the whole train→eval→serve path stays inside the declared plans
+  * (and the spec can pin each stage).
+  *
+  * Shape: full-batch gradient descent. Features live as the sparse
+  * (doc_id, bucket, x) frame with x = tf/dl (per-token rate, so feature
+  * scale is corpus-independent); the model is a dense B+1 vector that
+  * BROADCASTS into each iteration as a literal array column — the
+  * per-doc margin is one join-free `element_at` lookup fused into
+  * codegen, the per-bucket gradient is one hash aggregate of O(B) rows,
+  * and the driver round-trip per iteration is that O(B) gradient (the
+  * fixpoint convention: bounded model state, never data). N iterations
+  * cost N aggregation passes over the feature frame — checkpointed
+  * once — regardless of corpus size.
+  *
+  * Determinism: full-batch (no sampling, no shuffling sensitivity),
+  * fixed initialization at zero, and FP sums over doubles — parallel
+  * reduction order can perturb last-ulp bits, so run-to-run equality is
+  * pinned at a tolerance in the spec, not bit-exactness (the documented
+  * FP-tier contract, unlike the integer-exact graded queries). */
+object HashedLogReg {
+
+  final case class Model(buckets: Int, bias: Double, w: Array[Double]) {
+    require(w.length == buckets)
+  }
+
+  /** Per-iteration training record: mean log-loss BEFORE the step. */
+  final case class Step(iter: Int, loss: Double)
+
+  /** Corpus → sparse hashed features (doc_id, bucket, x), x = tf/dl,
+    * PLUS one dense length feature at bucket index `buckets` (so pass
+    * `buckets + 1` as the model width): rate features normalize length
+    * away entirely, yet length is the dominant signal of every
+    * too-short/boilerplate rule a quality gate applies — without this
+    * row the model provably cannot express those rules. The bucket hash
+    * is the `q_text_classify` convention (md5-60-bit mod B) so a model
+    * trained here serves through the same lookup. */
+  def featurize(docs: DataFrame, buckets: Int): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.ops.TokenOps.terms(col("text"))).as("term"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT) % $buckets"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    tf.join(dl, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+        (col("tf").cast("double") / col("dl")).as("x"))
+      .unionByName(dl.select(col("doc_id"), lit(buckets.toLong).as("bucket"),
+        (log(lit(1.0) + col("dl")) / lit(10.0)).as("x")))
+  }
+
+  /** Per-doc margin + probability under a model — the serving path the
+    * trainer shares with eval: bias + Σ x·w[bucket], one codegen pass
+    * against the literal weight array. */
+  def predict(feats: DataFrame, m: Model): DataFrame = {
+    val wCol = array(m.w.map(lit(_)).toIndexedSeq: _*)
+    feats
+      .withColumn("wx", col("x") * element_at(wCol, col("bucket").cast("int") + 1))
+      .groupBy("doc_id")
+      .agg((sum("wx") + lit(m.bias)).as("margin"))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+  }
+
+  /** Full-batch GD for `iters` steps at rate `lr` on (doc_id, y ∈ {0,1})
+    * labels. Returns the model and the per-iteration loss curve. */
+  def train(feats: DataFrame, labels: DataFrame, buckets: Int,
+      iters: Int, lr: Double): (Model, Seq[Step]) = {
+    // One materialization serves every iteration (featurize tokenizes
+    // the corpus — unpinned, each pass would redo it).
+    val f = feats.join(labels, Seq("doc_id")).localCheckpoint(true)
+    val nDocs = f.select(countDistinct("doc_id")).head().getLong(0).toDouble
+    var model = Model(buckets, 0.0, Array.fill(buckets)(0.0))
+    val steps = Seq.newBuilder[Step]
+    for (it <- 0 until iters) {
+      val scored = predict(f, model)
+        .join(labels, Seq("doc_id"))
+        .withColumn("err", col("p") - col("y"))
+        // Clamped log-loss: p is sigmoid output, strictly in (0,1), but
+        // guard the log against FP underflow at extreme margins.
+        .withColumn("ll", -(col("y") * log(greatest(col("p"), lit(1e-12))) +
+          (lit(1.0) - col("y")) *
+            log(greatest(lit(1.0) - col("p"), lit(1e-12)))))
+        .localCheckpoint(true) // loss row + gradient aggregate both read it
+      val loss = scored.agg(avg("ll")).head().getDouble(0)
+      steps += Step(it, loss)
+      // O(buckets)+1 driver rows: the gradient, never the data.
+      val gBias = scored.agg(sum("err")).head().getDouble(0) / nDocs
+      val grads = f.join(scored.select("doc_id", "err"), Seq("doc_id"))
+        .groupBy("bucket").agg(sum(col("x") * col("err")).as("g"))
+        .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+      val w = model.w.clone()
+      grads.foreach { case (b, g) => w(b) -= lr * g / nDocs }
+      model = Model(buckets, model.bias - lr * gBias, w)
+    }
+    (model, steps.result())
+  }
+}

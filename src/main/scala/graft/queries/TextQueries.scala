@@ -1052,7 +1052,7 @@ object TextQueries {
     * rule as the verdict (so drop reasons are auditable). All integer
     * basis points; the CASE short-circuits in both engines, so the ratio
     * divisions only run once the length guard has passed. */
-  private[queries] def filterVerdicts(s: org.apache.spark.sql.SparkSession,
+  private[graft] def filterVerdicts(s: org.apache.spark.sql.SparkSession,
                                       dir: String): org.apache.spark.sql.DataFrame =
     docs(s, dir)
       .withColumn("toks_all",
