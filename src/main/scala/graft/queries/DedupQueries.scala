@@ -195,6 +195,25 @@ object DedupQueries {
   private val dedupComponents: Q = (s, dir) =>
     connectedComponents(s, minhashCandidates(s, dir)).orderBy("doc_id")
 
+  /** Near-dup CLUSTER-SIZE histogram — the dedup savings estimator read
+    * off the component structure before any removal runs: for each
+    * cluster size ≥ 2, how many clusters, how many docs they hold, and
+    * how many a min-id keep would delete (size − 1 each). The headline
+    * Σ removable is the capacity win dedup buys; the size profile says
+    * whether duplication is a few huge mirrors (big-size rows) or broad
+    * low-grade copying (size-2 mass) — different remediation. Two
+    * O(components)-sized hash aggregates over the fixpoint output;
+    * output is O(distinct sizes). */
+  private val clusterSizes: Q = (s, dir) =>
+    connectedComponents(s, minhashCandidates(s, dir))
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+      .where(col("sz") >= 2)
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        sum(col("sz") - 1).as("removable_docs"))
+      .orderBy("cluster_size")
+
   /** The fixpoint itself, over any (doc1, doc2) pair frame. The candidate
     * graph is orders of magnitude smaller than the corpus (pairs, not
     * docs×docs): the loop runs on a reduced shuffle-partition count —
@@ -1149,6 +1168,7 @@ object DedupQueries {
     "q_dedup_minhash_sig" -> minhashSignatures,
     "q_dedup_minhash_pairs" -> minhashPairs,
     "q_dedup_components"  -> dedupComponents,
+    "q_dedup_cluster_sizes" -> clusterSizes,
     "q_dedup_simhash_sig" -> simhashFingerprints,
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
@@ -1275,6 +1295,14 @@ object DedupQueries {
       s"""WITH RECURSIVE ${duckComponentsCte()}
          | SELECT doc_id, component FROM comp
          | ORDER BY doc_id""".stripMargin,
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${duckComponentsCte()},
+         | cs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+         |  FROM comp GROUP BY component HAVING count(*) >= 2)
+         | SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS removable_docs
+         | FROM cs GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "q_dedup_triangles" ->
       s"""WITH ${duckPairsCte()},
          | tri AS (

@@ -391,6 +391,74 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
+  /** PQ geometry: 64 dims → 8 subspaces × 8 dims, 16 centroids each ⇒
+    * an 8-nibble (4-byte) code per vector — 64× smaller than the float
+    * vector, the compression regime ADC search exists for. */
+  private val PqM    = 8
+  private val PqDsub = 8
+  private val PqK    = 16
+
+  /** PRODUCT-QUANTIZATION ADC search (Jégou et al. 2011, the FAISS-PQ
+    * shape) — the subspace generalization of [[sqAdc]]'s scalar lattice:
+    * each candidate is stored as [[PqM]] codebook indices (argmin
+    * centroid per subspace), and a query scores candidates WITHOUT
+    * decompressing — one distance table per (query, subspace, centroid),
+    * then the approximate distance is a table-lookup SUM over the
+    * code bytes. Codebooks derive deterministically from the data
+    * (seed cell = vec_id mod [[PqK]] per subspace, elementwise-mean
+    * centroids — the [[graft.sim.Similarity.centroids]] convention, no
+    * iterative training to drift from the oracle).
+    *
+    * Integer discipline where it matters: per-subspace distances
+    * quantize to floor ppm BEFORE any cross-subspace reduction, so the
+    * encode argmin compares integers (ties → smallest cell) and the ADC
+    * total is an EXACT integer sum of 8 table entries — the only FP is
+    * the per-subspace left-fold square distance, same class as
+    * `q_sim_hof_math`. Scale shape: codebooks are O(M·K) rows broadcast
+    * everywhere; encoding is one broadcast join + bounded-heap argmin
+    * (TopKPerKey k=1); the query side touches only the O(M·K) table;
+    * the ADC join carries (cid, s, code) — 3 small ints per subspace,
+    * never vectors. */
+  private val pqAdc: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val sub = emb.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+         |  si -> transform(slice(embedding, si * $PqDsub + 1, $PqDsub),
+         |    x -> CAST(x AS DOUBLE)))""".stripMargin))
+      .as(Seq("s", "subvec")))
+    val cand = sub.where(col("vec_id") >= NumQueries)
+    val cent = cand
+      .select((col("vec_id") % PqK).as("cell"), col("s"),
+        posexplode(col("subvec")).as(Seq("pos", "v")))
+      .groupBy("s", "cell", "pos").agg(avg("v").as("m"))
+      .groupBy("s", "cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .as("centroid"))
+    def d2ppm = expr(
+      """CAST(floor(1000000.0 * aggregate(
+        |  zip_with(subvec, centroid, (x, y) -> (x - y) * (x - y)),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS BIGINT)""".stripMargin)
+    val codes = graft.plans.GraftOps.topKPerKey(
+        cand.join(broadcast(cent), Seq("s")).withColumn("d2_ppm", d2ppm)
+          .select(col("vec_id").as("cid"), col("s"), col("cell"),
+            col("d2_ppm")),
+        keyCols = Seq("cid", "s"),
+        orderBy = Seq("d2_ppm" -> true, "cell" -> true), k = 1)
+      .select(col("cid"), col("s"), col("cell").as("code"))
+    val qtab = sub.where(col("vec_id") < NumQueries)
+      .join(broadcast(cent), Seq("s")).withColumn("d2q_ppm", d2ppm)
+      .select(col("vec_id").as("qid"), col("s"), col("cell").as("code"),
+        col("d2q_ppm"))
+    codes.join(broadcast(qtab), Seq("s", "code"))
+      .groupBy("qid", "cid").agg(sum("d2q_ppm").as("adc_ppm"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_ppm").asc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        col("adc_ppm"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
     * storage/compute cut an MRL deployment serves hot. */
   private val MrlDims = 16
@@ -465,6 +533,7 @@ object SimilarityQueries {
     "q_sim_hard_negatives"  -> hardNegatives,
     "q_sim_recall"          -> annRecall,
     "q_sim_matryoshka"      -> matryoshka,
+    "q_sim_pq_adc"          -> pqAdc,
     "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
     "q_dedup_semantic_apply" -> semanticApply
@@ -602,6 +671,45 @@ object SimilarityQueries {
          |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
          | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
          | GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+    "q_sim_pq_adc" -> {
+      val d2 = (a: String, b: String) =>
+        s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $PqDsub),
+           |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
+      s"""WITH sub AS (
+         |  SELECT vec_id, si AS s,
+         |   list_transform(embedding[si * $PqDsub + 1 : si * $PqDsub + $PqDsub],
+         |     x -> CAST(x AS DOUBLE)) AS subvec
+         |  FROM embeddings CROSS JOIN
+         |   (SELECT unnest(generate_series(0, ${PqM - 1})) AS si)),
+         | cexp AS (SELECT vec_id % $PqK AS cell, s, unnest(subvec) AS v,
+         |   unnest(generate_series(1, $PqDsub)) AS pos
+         |  FROM sub WHERE vec_id >= $NumQueries),
+         | cm AS (SELECT s, cell, pos, avg(v) AS m FROM cexp GROUP BY 1, 2, 3),
+         | cen AS (SELECT s, cell, list(m ORDER BY pos) AS centroid
+         |  FROM cm GROUP BY 1, 2),
+         | dc AS (SELECT sub.vec_id, sub.s, cen.cell,
+         |   ${d2("subvec", "centroid")} AS d2_ppm
+         |  FROM sub JOIN cen ON sub.s = cen.s
+         |  WHERE sub.vec_id >= $NumQueries),
+         | codes AS (SELECT vec_id AS cid, s, cell AS code FROM (
+         |   SELECT vec_id, s, cell,
+         |    row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY d2_ppm, cell) AS rn
+         |   FROM dc) WHERE rn = 1),
+         | qt AS (SELECT sub.vec_id AS qid, sub.s, cen.cell AS code,
+         |   ${d2("subvec", "centroid")} AS d2q_ppm
+         |  FROM sub JOIN cen ON sub.s = cen.s
+         |  WHERE sub.vec_id < $NumQueries),
+         | adc AS (SELECT qt.qid, codes.cid,
+         |   CAST(sum(qt.d2q_ppm) AS BIGINT) AS adc_ppm
+         |  FROM codes JOIN qt ON codes.s = qt.s AND codes.code = qt.code
+         |  GROUP BY 1, 2)
+         | SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, adc_ppm FROM (
+         |  SELECT qid, cid, adc_ppm,
+         |   row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS rnk
+         |  FROM adc) WHERE rnk <= $LshTopK
+         | ORDER BY qid, rnk""".stripMargin
+    },
     "q_sim_matryoshka" -> {
       val duckCosTrunc =
         s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
