@@ -39,7 +39,9 @@ object Scaling {
     "q_dedup_apply", "q_dedup_lsh_jaccard", "q_dedup_ngram_jaccard",
     "q_dedup_containment", "q_a2_approx_distinct", "q_a1_quartiles_scale",
     "q_text_moore_lewis", "q_text_winnow", "q_text_winnow_pairs",
-    "q_dedup_spans", "q_dedup_span_apply")
+    "q_dedup_spans", "q_dedup_span_apply",
+    "q_sample_dsir", "q_dedup_simhash_pairs", "q_text_tfidf",
+    "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes")
 
   private val IdShift = 1000000000L
 
@@ -121,14 +123,21 @@ object Scaling {
         System.err.println(s"[scaling] warmup $name failed: ${e.getMessage}")
       }
       val per = factors.map { f =>
-        // Same storage hygiene as Bench: drop dead localCheckpoint
-        // blocks from the previous measurement before the clock starts,
-        // or a ×1 run pays eviction for its predecessor's ×8 leftovers.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        val t0 = System.nanoTime()
-        val rows = SparkEntry.queries(name)(spark, dirs(f)).count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        // MIN of two timed runs: a growth ratio built from single shots
+        // folds one GC pause or page-cache miss straight into the g
+        // column (observed: non-monotone series, a ×1 slower than its
+        // ×8). The minimum is the steady-state the plan actually costs;
+        // both runs get the same storage hygiene — drop dead checkpoint
+        // blocks before each clock, or a measurement pays eviction for
+        // its predecessor's leftovers.
+        val runs = (1 to 2).map { _ =>
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          val t0 = System.nanoTime()
+          val rows = SparkEntry.queries(name)(spark, dirs(f)).count()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (sec, rows) = runs.minBy(_._1)
         System.err.println(f"[scaling] $name x$f: $sec%.2f s, $rows rows")
         f -> ((sec, rows))
       }.toMap

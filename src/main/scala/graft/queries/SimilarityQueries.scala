@@ -421,7 +421,10 @@ object SimilarityQueries {
     * never vectors. */
   private val pqAdc: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val sub = emb.select(col("vec_id"), posexplode(expr(
+    // fanout: the subvector explode, centroid join, and encode argmin
+    // are the hot stages — a single-split parquet layout would run them
+    // on one task (near-no-op on an already-split cluster scan).
+    val sub = Tables.fanout(emb).select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, ${PqM - 1}),
          |  si -> transform(slice(embedding, si * $PqDsub + 1, $PqDsub),
          |    x -> CAST(x AS DOUBLE)))""".stripMargin))
