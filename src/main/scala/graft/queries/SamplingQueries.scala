@@ -394,7 +394,44 @@ object SamplingQueries {
       .orderBy(col("key_mln").desc, col("doc_id"))
       .limit(DsirKeep)
 
+  /** BUDGET-CONSTRAINED corpus assembly — "the best docs that fit in B
+    * tokens", the greedy knapsack every compute-budgeted training run
+    * executes: rank by quality (alpha-ratio bp, doc_id tie-break), take
+    * whole docs while the running token total stays within the budget
+    * (10% of corpus tokens here — budget ∝ corpus so the query is
+    * scale-free). The running total is the [[graft.ops.PrefixOps]]
+    * two-phase prefix sum over the quality order — one range exchange
+    * at full parallelism, never a global ORDER BY window — and the
+    * corpus total rides a broadcast row. Token counts use the
+    * `q_sample_pack` convention (n_chars DIV 4). Output is the kept
+    * manifest with each doc's cumulative position. */
+  private val sampleBudget: Q = (s, dir) => {
+    val base = Tables.fanout(t(s, dir, "documents"))
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), expr("n_chars DIV 4").as("tok"),
+        expr("CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text) AS BIGINT)")
+          .as("quality_bp"))
+      .localCheckpoint(true) // prefix pass + corpus total read it once
+    val total = base.agg(sum("tok").as("t_total"))
+    val pref = graft.ops.PrefixOps.withPrefixOffsets(base, Nil,
+      Seq(col("quality_bp").desc, col("doc_id").asc),
+      Seq("cum" -> col("tok")))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(graft.ops.PrefixOps.PidCol))
+      .orderBy(col("quality_bp").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pref
+      .withColumn("cum_tokens", col("cum_off") + sum("tok").over(wLoc))
+      .crossJoin(broadcast(total))
+      .where(col("cum_tokens") <= expr("t_total DIV 10"))
+      .select(col("doc_id"), col("tok").as("n_tokens"),
+        col("quality_bp"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_sample_budget" -> sampleBudget,
     "q_sample_dsir" -> sampleDsir,
     "q_sample_curriculum" -> sampleCurriculum,
     "q_sample_estimate" -> sampleEstimate,
@@ -418,6 +455,18 @@ object SamplingQueries {
        |      ELSE 'test' END""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sample_budget" ->
+      s"""WITH b AS (SELECT doc_id, n_chars // 4 AS tok,
+         |   CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS BIGINT) AS quality_bp
+         |  FROM documents WHERE length(text) > 0),
+         | t AS (SELECT CAST(sum(tok) AS BIGINT) AS t_total FROM b),
+         | c AS (SELECT doc_id, tok, quality_bp,
+         |   CAST(sum(tok) OVER (ORDER BY quality_bp DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM b)
+         | SELECT doc_id, CAST(tok AS BIGINT) AS n_tokens, quality_bp, cum_tokens
+         | FROM c CROSS JOIN t WHERE cum_tokens <= t_total // 10
+         | ORDER BY doc_id""".stripMargin,
     "q_sample_dsir" ->
       s"""WITH tf AS (SELECT doc_id, source, b, count(*) AS k
          |  FROM (SELECT doc_id, source,
