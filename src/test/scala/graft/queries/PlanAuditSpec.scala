@@ -89,7 +89,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
         "q_w2_top_p", "q_w2_rfm", "q_sample_curriculum",
-        "q_ml_auc", "q_ml_pr_curve", "q_ml_auc_sliced", "q_ml_rankcorr")) {
+        "q_ml_auc", "q_ml_pr_curve", "q_ml_auc_sliced", "q_ml_rankcorr",
+        "q_sample_budget")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       assert(df.queryExecution.optimizedPlan
           .collect { case w: LWindow => w }.nonEmpty,
