@@ -189,6 +189,42 @@ object MlEvalQueries {
 
   private val calibration: Q = (s, dir) => calibrationOf(scored(s, dir))
 
+  // ---- gate agreement (Cohen's kappa) -------------------------------------
+
+  /** COHEN'S KAPPA between the two shipped quality gates — the heuristic
+    * rule set (`q_text_filter`) and the hashed linear classifier
+    * (`q_text_classify`): agreement beyond chance, the number that says
+    * whether the cheap gate can stand in for the expensive one (raw
+    * agreement alone flatters any pair when one class dominates). The
+    * 2×2 confusion cells are one aggregate over an inner join of the
+    * two verdict frames; kappa clears to EXACT integer arithmetic —
+    * kappa_bp = 10⁴·(n·(a+d) − (a+b)(a+c) − (c+d)(b+d))
+    *                 DIV (n² − (a+b)(a+c) − (c+d)(b+d)),
+    * both engines truncating toward zero (negative kappa safe). The
+    * products stay inside int64 to n ≈ 10⁵ per this corpus; at corpus
+    * scale widen to DECIMAL(38,0) like the AUC sums. Undefined when the
+    * chance term saturates (both gates constant) — that degenerate case
+    * raises loudly under ANSI instead of emitting a silent 0. */
+  private val kappa: Q = (s, dir) => {
+    val f = TextQueries.filterVerdicts(s, dir).select(col("doc_id"),
+      (col("verdict") === "keep").as("k1"))
+    val c = TextQueries.classifyFrame(s, dir).select(col("doc_id"),
+      (col("label") === "keep").as("k2"))
+    f.join(c, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("k1") && !col("k2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("k1") && col("k2"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("k1") && !col("k2"), 1L).otherwise(0L)).as("d"))
+      .select(col("n"),
+        col("a").as("n_both_keep"), col("b").as("n_filter_only"),
+        col("c").as("n_clf_only"), col("d").as("n_both_drop"),
+        expr("10000 * (a + d) DIV n").as("agree_bp"),
+        expr("""CAST(10000 * (n * (a + d) - (a + b) * (a + c) - (c + d) * (b + d))
+               |  DIV (n * n - (a + b) * (a + c) - (c + d) * (b + d)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("kappa_bp"))
+  }
+
   // ---- rank correlation ---------------------------------------------------
 
   /** SPEARMAN rank correlation between two scorers — the "do my two
@@ -343,6 +379,7 @@ object MlEvalQueries {
     "q_ml_calibration" -> calibration,
     "q_ml_auc_sliced" -> aucSliced,
     "q_ml_rankcorr" -> rankCorr,
+    "q_ml_kappa" -> kappa,
     "q_ml_ndcg" -> ndcg
   )
 
@@ -422,6 +459,29 @@ object MlEvalQueries {
          |  score_sum // n AS pred_bp, 10000 * pos // n AS obs_bp,
          |  abs(score_sum // n - 10000 * pos // n) AS gap_bp
          | FROM t ORDER BY bin""".stripMargin,
+    "q_ml_kappa" ->
+      s"""WITH fv AS (${TextQueries.duckFilterVerdicts}),
+         | cl AS (SELECT doc_id,
+         |   CASE WHEN sum(w_milli) > 0 THEN 'keep' ELSE 'drop' END AS label
+         |  FROM (SELECT doc_id,
+         |    CAST('0x' || substr(md5('w#' || CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w_milli
+         |   FROM (SELECT doc_id,
+         |     CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % ${TextQueries.ClassifyBuckets} AS bucket
+         |    FROM (SELECT doc_id, unnest(${TextQueries.duckTerms("text")}) AS term FROM documents)))
+         |  GROUP BY doc_id),
+         | j AS (SELECT (fv.verdict = 'keep') AS k1, (cl.label = 'keep') AS k2
+         |  FROM fv JOIN cl ON fv.doc_id = cl.doc_id),
+         | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |   CAST(sum(CASE WHEN k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |   CAST(sum(CASE WHEN NOT k1 AND k2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |   CAST(sum(CASE WHEN NOT k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         |  FROM j)
+         | SELECT n, a AS n_both_keep, b AS n_filter_only, c AS n_clf_only,
+         |  d AS n_both_drop, 10000 * (a + d) // n AS agree_bp,
+         |  CAST(10000 * (n * (a + d) - (a + b) * (a + c) - (c + d) * (b + d))
+         |    // (n * n - (a + b) * (a + c) - (c + d) * (b + d)) AS BIGINT) AS kappa_bp
+         | FROM m""".stripMargin,
     "q_ml_rankcorr" ->
       s"""WITH sc AS (
          |  SELECT doc_id,

@@ -945,7 +945,7 @@ object TextQueries {
     * Weinberger et al. 2009) — the weight vector is indexed by
     * hash(term) % B, so the model is a fixed-size array independent of
     * vocabulary. */
-  private val ClassifyBuckets = 256
+  private[queries] val ClassifyBuckets = 256
 
   /** Linear text-classifier SERVING over hashed features — the shape of
     * every fastText-style quality/domain classifier a curation pipeline
@@ -960,6 +960,9 @@ object TextQueries {
     * milli weights, DIV margins); one explode + one doc-keyed hash
     * aggregation — no joins, no model state, map-side combine bounds the
     * shuffle by doc count. */
+  private[graft] def classifyFrame(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = classify(s, dir)
+
   private val classify: Q = (s, dir) =>
     docs(s, dir)
       .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
