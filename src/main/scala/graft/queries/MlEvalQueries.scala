@@ -189,6 +189,19 @@ object MlEvalQueries {
 
   private val calibration: Q = (s, dir) => calibrationOf(scored(s, dir))
 
+  /** EXPECTED CALIBRATION ERROR — the reliability table collapsed to the
+    * one number a model card quotes: ECE = Σ_b (n_b/n)·|gap_b|, the
+    * doc-weighted mean absolute predicted-vs-observed gap. Rides the
+    * SAME [[calibrationOf]] frame as the graded table (composed, not
+    * re-derived, so the two cannot disagree), and the weighted mean
+    * clears to one integral divide over exact integer bin counts. */
+  private val ece: Q = (s, dir) =>
+    calibrationOf(scored(s, dir))
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_bins"),
+        sum(col("n") * col("gap_bp")).as("wgap"))
+      .select(col("n_docs"), col("n_bins"),
+        expr("wgap DIV n_docs").as("ece_bp"))
+
   // ---- gate agreement (Cohen's kappa) -------------------------------------
 
   /** COHEN'S KAPPA between the two shipped quality gates — the heuristic
@@ -380,6 +393,7 @@ object MlEvalQueries {
     "q_ml_auc_sliced" -> aucSliced,
     "q_ml_rankcorr" -> rankCorr,
     "q_ml_kappa" -> kappa,
+    "q_ml_ece" -> ece,
     "q_ml_ndcg" -> ndcg
   )
 
@@ -459,6 +473,18 @@ object MlEvalQueries {
          |  score_sum // n AS pred_bp, 10000 * pos // n AS obs_bp,
          |  abs(score_sum // n - 10000 * pos // n) AS gap_bp
          | FROM t ORDER BY bin""".stripMargin,
+    "q_ml_ece" ->
+      s"""WITH b AS (SELECT least(score // 1000, ${CalibBins - 1}) AS bin, score, y
+         |  FROM ($duckScored)),
+         | g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(score) AS BIGINT) AS score_sum,
+         |   CAST(sum(y) AS BIGINT) AS pos FROM b GROUP BY bin),
+         | t AS (SELECT bin, n,
+         |   abs(score_sum // n - 10000 * pos // n) AS gap_bp FROM g)
+         | SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(n * gap_bp) // sum(n) AS BIGINT) AS ece_bp
+         | FROM t""".stripMargin,
     "q_ml_kappa" ->
       s"""WITH fv AS (${TextQueries.duckFilterVerdicts}),
          | cl AS (SELECT doc_id,
