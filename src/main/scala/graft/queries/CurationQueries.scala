@@ -347,9 +347,13 @@ object CurationQueries {
     * Scale shape: the victim key set is dimension-sized (broadcast);
     * affected orders are ONE flagged broadcast join counted in the same
     * pass as the total (no separate semi-join scan); their keys
-    * (aggregated, key-only) drive the lineitem flag join — each level
-    * of the cascade is one keyed join + one count aggregate, and the
-    * output is O(tables). */
+    * (key-only) drive the lineitem flag join WITHOUT a static broadcast
+    * hint — the level-2 victim set is data-dependent (here ~0.4% of
+    * orders, but a wide forget request could make it fact-sized), and a
+    * pinned `broadcast()` would force a driver-side OOM where AQE left
+    * to its own statistics broadcasts when small and falls back to a
+    * shuffled join when not. Each level of the cascade is one keyed
+    * join + one count aggregate, and the output is O(tables). */
   private val forgetImpact: Q = (s, dir) => {
     val victimPred = expr(
       s"(${SamplingQueries.bucketSql("c_custkey")}) = 0")
@@ -369,8 +373,7 @@ object CurationQueries {
     val affOrderKeys = orders.where(col("hit"))
       .select(col("o_orderkey").as("ok"))
     val lineRow = t(s, dir, "lineitem")
-      .join(broadcast(affOrderKeys), col("l_orderkey") === col("ok"),
-        "left_outer")
+      .join(affOrderKeys, col("l_orderkey") === col("ok"), "left_outer")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("ok").isNotNull, 1L).otherwise(0L)).as("n_affected"))
       .select(lit("lineitem").as("tbl"), col("n_rows"), col("n_affected"))

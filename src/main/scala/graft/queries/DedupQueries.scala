@@ -805,6 +805,51 @@ object DedupQueries {
       .orderBy("doc1", "doc2")
   }
 
+  /** ROUGE-2 qualification of the MinHash-LSH candidate pairs — the
+    * n-gram-overlap evidence a near-dup adjudication wants NEXT TO the
+    * set-based Jaccard (multiset bigram overlap penalizes repetition
+    * and word-order divergence that term-set Jaccard is blind to; it is
+    * also the summarization-eval statistic, so the same kernel serves
+    * reference-vs-candidate scoring). Per candidate pair: bigram
+    * MULTISET intersection Σ min(tf₁, tf₂) and the symmetric F-measure
+    * 2·overlap/(n₁+n₂) in basis points — all integer-exact.
+    *
+    * Scale shape: the per-doc bigram tf frame is built once
+    * (checkpointed — it feeds the overlap join twice and the totals),
+    * and the overlap join carries (pair, bigram, tf) keyed by
+    * (doc, bigram) — shuffle ∝ candidate pairs × doc bigram lists,
+    * never corpus². Pairs with no shared bigram (pure band-hash
+    * collisions) survive with overlap 0 via the left join — silently
+    * dropping them would hide exactly the false-positive rate this
+    * report exists to expose. */
+  private val pairRouge: Q = (s, dir) => {
+    val bg = tokenized(s, dir)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val tot = bg.groupBy("doc_id").agg(sum("tf").as("nb"))
+    val pairs = minhashCandidates(s, dir)
+    val overlap = pairs
+      .join(bg.select(col("doc_id").as("doc1"), col("bg"),
+        col("tf").as("tf1")), Seq("doc1"))
+      .join(bg.select(col("doc_id").as("doc2"), col("bg"),
+        col("tf").as("tf2")), Seq("doc2", "bg"))
+      .groupBy("doc1", "doc2")
+      .agg(sum(least(col("tf1"), col("tf2"))).as("overlap2"))
+    pairs
+      .join(tot.select(col("doc_id").as("doc1"), col("nb").as("nb1")), Seq("doc1"))
+      .join(tot.select(col("doc_id").as("doc2"), col("nb").as("nb2")), Seq("doc2"))
+      .join(overlap, Seq("doc1", "doc2"), "left_outer")
+      .select(col("doc1"), col("doc2"), col("nb1"), col("nb2"),
+        coalesce(col("overlap2"), lit(0L)).as("overlap2"))
+      .withColumn("rouge2_f_bp",
+        expr("CAST(10000 * 2 * overlap2 DIV (nb1 + nb2) AS BIGINT)"))
+      .orderBy("doc1", "doc2")
+  }
+
   /** Containment (overlap-coefficient) threshold, basis points. */
   private val ContainmentBpThreshold = 8000
 
@@ -1177,6 +1222,7 @@ object DedupQueries {
     "q_dedup_shared_passages" -> sharedPassages,
     "q_dedup_source_overlap" -> sourceOverlap,
     "q_dedup_lsh_jaccard" -> lshJaccard,
+    "q_dedup_pair_rouge"  -> pairRouge,
     "q_dedup_containment" -> containment,
     "q_dedup_decontam"    -> decontaminate,
     "q_dedup_incremental" -> incrementalDedup,
@@ -1384,6 +1430,27 @@ object DedupQueries {
          |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset))) AS BIGINT) AS jac_bp
          | FROM pairs p JOIN d x ON p.doc1 = x.doc_id JOIN d y ON p.doc2 = y.doc_id
          | ORDER BY doc1, doc2""".stripMargin,
+    "q_dedup_pair_rouge" ->
+      s"""WITH ${duckPairsCte()},
+         | bg AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf FROM (
+         |   SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |     i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |   FROM ($duckToks) WHERE len(toks) >= 3)
+         |  GROUP BY doc_id, bg),
+         | tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nb FROM bg GROUP BY doc_id),
+         | ov AS (SELECT p.doc1, p.doc2, CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS overlap2
+         |  FROM pairs p
+         |   JOIN bg a ON a.doc_id = p.doc1
+         |   JOIN bg b ON b.doc_id = p.doc2 AND b.bg = a.bg
+         |  GROUP BY 1, 2)
+         | SELECT p.doc1, p.doc2, t1.nb AS nb1, t2.nb AS nb2,
+         |  coalesce(o.overlap2, 0) AS overlap2,
+         |  CAST(10000 * 2 * coalesce(o.overlap2, 0) // (t1.nb + t2.nb) AS BIGINT) AS rouge2_f_bp
+         | FROM pairs p
+         |  JOIN tot t1 ON t1.doc_id = p.doc1
+         |  JOIN tot t2 ON t2.doc_id = p.doc2
+         |  LEFT JOIN ov o ON o.doc1 = p.doc1 AND o.doc2 = p.doc2
+         | ORDER BY p.doc1, p.doc2""".stripMargin,
     "q_dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, lang, list_slice(list_sort(list_distinct(${duckTerms("text")})), 1, $MaxTermsPerDoc) AS tset FROM documents)
          | SELECT x.doc_id AS doc1, y.doc_id AS doc2,

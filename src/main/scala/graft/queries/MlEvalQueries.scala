@@ -214,29 +214,86 @@ object MlEvalQueries {
     * kappa_bp = 10⁴·(n·(a+d) − (a+b)(a+c) − (c+d)(b+d))
     *                 DIV (n² − (a+b)(a+c) − (c+d)(b+d)),
     * both engines truncating toward zero (negative kappa safe). The
-    * products stay inside int64 to n ≈ 10⁵ per this corpus; at corpus
-    * scale widen to DECIMAL(38,0) like the AUC sums. Undefined when the
-    * chance term saturates (both gates constant) — that degenerate case
-    * raises loudly under ANSI instead of emitting a silent 0. */
+    * products run as DECIMAL(38,0) (the AUC-sums convention): n² and the
+    * marginal products outgrow int64 past n ≈ 3×10⁹ — at corpus scale
+    * the BIGINT form would wrap (non-ANSI) or raise (ANSI). Undefined
+    * when the chance term saturates (both gates constant) — that
+    * degenerate case raises loudly under ANSI instead of emitting a
+    * silent 0. */
   private val kappa: Q = (s, dir) => {
     val f = TextQueries.filterVerdicts(s, dir).select(col("doc_id"),
       (col("verdict") === "keep").as("k1"))
     val c = TextQueries.classifyFrame(s, dir).select(col("doc_id"),
       (col("label") === "keep").as("k2"))
-    f.join(c, Seq("doc_id"))
+    kappaFromCounts(f.join(c, Seq("doc_id"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("a"),
         sum(when(col("k1") && !col("k2"), 1L).otherwise(0L)).as("b"),
         sum(when(!col("k1") && col("k2"), 1L).otherwise(0L)).as("c"),
-        sum(when(!col("k1") && !col("k2"), 1L).otherwise(0L)).as("d"))
-      .select(col("n"),
-        col("a").as("n_both_keep"), col("b").as("n_filter_only"),
-        col("c").as("n_clf_only"), col("d").as("n_both_drop"),
-        expr("10000 * (a + d) DIV n").as("agree_bp"),
-        expr("""CAST(10000 * (n * (a + d) - (a + b) * (a + c) - (c + d) * (b + d))
-               |  DIV (n * n - (a + b) * (a + c) - (c + d) * (b + d)) AS BIGINT)"""
-          .stripMargin.replace("\n", " ")).as("kappa_bp"))
+        sum(when(!col("k1") && !col("k2"), 1L).otherwise(0L)).as("d")))
   }
+
+  /** Kappa arithmetic over a (n, a, b, c, d) confusion frame — split out
+    * so the spec can drive it with counts past the int64 product ceiling
+    * (n > 3×10⁷ makes n·(a+d) alone exceed 2⁶³ when widened naively). */
+  private[graft] def kappaFromCounts(cells: DataFrame): DataFrame =
+    cells.select(col("n"),
+      col("a").as("n_both_keep"), col("b").as("n_filter_only"),
+      col("c").as("n_clf_only"), col("d").as("n_both_drop"),
+      expr("CAST(10000 * (CAST(a AS DECIMAL(38,0)) + d) DIV n AS BIGINT)")
+        .as("agree_bp"),
+      expr("""CAST((CAST(10000 AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * (a + d)
+             |    - (CAST(a AS DECIMAL(38,0)) + b) * (CAST(a AS DECIMAL(38,0)) + c)
+             |    - (CAST(c AS DECIMAL(38,0)) + d) * (CAST(b AS DECIMAL(38,0)) + d)))
+             |  DIV (CAST(n AS DECIMAL(38,0)) * n
+             |    - (CAST(a AS DECIMAL(38,0)) + b) * (CAST(a AS DECIMAL(38,0)) + c)
+             |    - (CAST(c AS DECIMAL(38,0)) + d) * (CAST(b AS DECIMAL(38,0)) + d)) AS BIGINT)"""
+        .stripMargin.replace("\n", " ")).as("kappa_bp"))
+
+  /** FLEISS' KAPPA across the three binary "keep" raters the engine
+    * ships — heuristic gate, hashed classifier, language gate
+    * (lang = 'en') — the multi-rater generalization of [[kappa]]: one
+    * number for "do the gates constitute a consistent labeling policy",
+    * where the three pairwise kappas can disagree. With n = 3 raters and
+    * 2 categories the statistic clears to EXACT integers: per doc,
+    * k ∈ {0..3} keep votes; over N docs with K = Σk and
+    * S = Σ(k² + (3−k)²),
+    *   κ_F = (3N·(S−3N) − 2·(K² + D²)) / (2·(9N² − K² − D²)),  D = 3N−K
+    * (both engines truncating toward zero via DIV; DECIMAL(38,0) /
+    * HUGEINT arithmetic since N² products outgrow int64 at corpus
+    * scale). One aggregate pass over the joined verdict frames; output
+    * is one row. Undefined when every doc is unanimous in the SAME
+    * direction (chance saturates) — raises loudly, never a silent 0. */
+  private val fleiss: Q = (s, dir) => {
+    val f = TextQueries.filterVerdicts(s, dir).select(col("doc_id"),
+      when(col("verdict") === "keep", 1L).otherwise(0L).as("v1"))
+    val c = TextQueries.classifyFrame(s, dir).select(col("doc_id"),
+      when(col("label") === "keep", 1L).otherwise(0L).as("v2"))
+    val l = Tables.t(s, dir, "documents").select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("v3"))
+    fleissFromVotes(f.join(c, Seq("doc_id")).join(l, Seq("doc_id"))
+      .select((col("v1") + col("v2") + col("v3")).as("k")))
+  }
+
+  /** κ_F arithmetic over a (k = keep votes of 3) frame — split out so
+    * the spec can feed hand-voted toys and ceiling-scale counts. */
+  private[graft] def fleissFromVotes(votes: DataFrame): DataFrame =
+    votes
+      .agg(count(lit(1)).as("n_docs"), sum("k").as("votes_keep"),
+        sum(col("k") * col("k") +
+          (lit(3L) - col("k")) * (lit(3L) - col("k"))).as("ss"))
+      .select(col("n_docs"), col("votes_keep"),
+        expr("""CAST((CAST(10000 AS DECIMAL(38,0)) *
+               |   (CAST(3 AS DECIMAL(38,0)) * n_docs * (ss - 3 * n_docs)
+               |    - 2 * (CAST(votes_keep AS DECIMAL(38,0)) * votes_keep
+               |      + (CAST(3 AS DECIMAL(38,0)) * n_docs - votes_keep)
+               |        * (CAST(3 AS DECIMAL(38,0)) * n_docs - votes_keep))))
+               | DIV (CAST(2 AS DECIMAL(38,0)) *
+               |   (CAST(9 AS DECIMAL(38,0)) * n_docs * n_docs
+               |    - CAST(votes_keep AS DECIMAL(38,0)) * votes_keep
+               |    - (CAST(3 AS DECIMAL(38,0)) * n_docs - votes_keep)
+               |      * (CAST(3 AS DECIMAL(38,0)) * n_docs - votes_keep))) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("fleiss_bp"))
 
   // ---- rank correlation ---------------------------------------------------
 
@@ -249,8 +306,11 @@ object MlEvalQueries {
     * arithmetic on both engines). Each global rank rides
     * [[PrefixOps.withGlobalRowNumber]] — two range exchanges, never a
     * single-partition ORDER BY window; Σd² is summed as DECIMAL(38,0)
-    * (Σd² ≤ n³/3 outgrows int64 near n ≈ 3M) and ρ is one integral
-    * divide in micro-units at the end. Output is one row. */
+    * (Σd² ≤ n³/3 outgrows int64 near n ≈ 3M — which is also why the raw
+    * sum is NOT an output column: a BIGINT surface would go null/raise
+    * past that, and a DECIMAL surface would put engine-specific decimal
+    * rendering into the graded hash; ρ carries the information) and ρ is
+    * one integral divide in micro-units at the end. Output is one row. */
   private[graft] def rankCorrOf(sc: DataFrame, c1: String, c2: String)
       : DataFrame = {
     val r1 = PrefixOps.withGlobalRowNumber(sc,
@@ -261,7 +321,6 @@ object MlEvalQueries {
         sum(((col("r1") - col("r2")) * (col("r1") - col("r2")))
           .cast("decimal(38,0)")).as("d2"))
       .select(col("n"),
-        col("d2").cast("long").as("sum_d2"),
         expr("""CAST(1000000 - (CAST(6000000 AS DECIMAL(38,0)) * d2)
                |  div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)"""
           .stripMargin).as("rho_ppm"))
@@ -393,6 +452,7 @@ object MlEvalQueries {
     "q_ml_auc_sliced" -> aucSliced,
     "q_ml_rankcorr" -> rankCorr,
     "q_ml_kappa" -> kappa,
+    "q_ml_fleiss" -> fleiss,
     "q_ml_ece" -> ece,
     "q_ml_ndcg" -> ndcg
   )
@@ -504,9 +564,39 @@ object MlEvalQueries {
          |   CAST(sum(CASE WHEN NOT k1 AND NOT k2 THEN 1 ELSE 0 END) AS BIGINT) AS d
          |  FROM j)
          | SELECT n, a AS n_both_keep, b AS n_filter_only, c AS n_clf_only,
-         |  d AS n_both_drop, 10000 * (a + d) // n AS agree_bp,
-         |  CAST(10000 * (n * (a + d) - (a + b) * (a + c) - (c + d) * (b + d))
-         |    // (n * n - (a + b) * (a + c) - (c + d) * (b + d)) AS BIGINT) AS kappa_bp
+         |  d AS n_both_drop,
+         |  CAST(10000 * (CAST(a AS HUGEINT) + d) // n AS BIGINT) AS agree_bp,
+         |  CAST(10000 * (CAST(n AS HUGEINT) * (a + d)
+         |      - (CAST(a AS HUGEINT) + b) * (CAST(a AS HUGEINT) + c)
+         |      - (CAST(c AS HUGEINT) + d) * (CAST(b AS HUGEINT) + d))
+         |    // (CAST(n AS HUGEINT) * n
+         |      - (CAST(a AS HUGEINT) + b) * (CAST(a AS HUGEINT) + c)
+         |      - (CAST(c AS HUGEINT) + d) * (CAST(b AS HUGEINT) + d)) AS BIGINT) AS kappa_bp
+         | FROM m""".stripMargin,
+    "q_ml_fleiss" ->
+      s"""WITH fv AS (${TextQueries.duckFilterVerdicts}),
+         | cl AS (SELECT doc_id,
+         |   CASE WHEN sum(w_milli) > 0 THEN 'keep' ELSE 'drop' END AS label
+         |  FROM (SELECT doc_id,
+         |    CAST('0x' || substr(md5('w#' || CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w_milli
+         |   FROM (SELECT doc_id,
+         |     CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % ${TextQueries.ClassifyBuckets} AS bucket
+         |    FROM (SELECT doc_id, unnest(${TextQueries.duckTerms("text")}) AS term FROM documents)))
+         |  GROUP BY doc_id),
+         | j AS (SELECT
+         |   (CASE WHEN fv.verdict = 'keep' THEN 1 ELSE 0 END)
+         |   + (CASE WHEN cl.label = 'keep' THEN 1 ELSE 0 END)
+         |   + (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS k
+         |  FROM fv JOIN cl ON fv.doc_id = cl.doc_id
+         |   JOIN documents d ON d.doc_id = fv.doc_id),
+         | m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |   CAST(sum(k) AS HUGEINT) AS kk,
+         |   CAST(sum(k * k + (3 - k) * (3 - k)) AS HUGEINT) AS ss FROM j)
+         | SELECT CAST(n AS BIGINT) AS n_docs, CAST(kk AS BIGINT) AS votes_keep,
+         |  CAST(10000 * (3 * n * (ss - 3 * n)
+         |      - 2 * (kk * kk + (3 * n - kk) * (3 * n - kk)))
+         |    // (2 * (9 * n * n - kk * kk - (3 * n - kk) * (3 * n - kk)))
+         |   AS BIGINT) AS fleiss_bp
          | FROM m""".stripMargin,
     "q_ml_rankcorr" ->
       s"""WITH sc AS (
@@ -523,8 +613,7 @@ object MlEvalQueries {
          |   row_number() OVER (ORDER BY stop_bp, doc_id) AS r2
          |  FROM sc)
          | SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2,
-         |  CAST(1000000 - 6000000 * sum((r1 - r2) * (r1 - r2))
+         |  CAST(1000000 - 6000000 * sum(CAST((r1 - r2) AS HUGEINT) * (r1 - r2))
          |    // (CAST(count(*) AS HUGEINT) * count(*) * count(*) - count(*))
          |   AS BIGINT) AS rho_ppm
          | FROM r""".stripMargin,

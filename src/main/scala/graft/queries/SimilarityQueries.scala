@@ -430,10 +430,21 @@ object SimilarityQueries {
          |    x -> CAST(x AS DOUBLE)))""".stripMargin))
       .as(Seq("s", "subvec")))
     val cand = sub.where(col("vec_id") >= NumQueries)
+    // Centroid mean via an ORDER-PINNED fold (the q_sim_hof_math
+    // discipline), not a distributed avg(): a parallel FP reduction's
+    // last-ulp wobble vs the oracle's own reduction order can cross a
+    // floor-ppm boundary below, flip an encode argmin, and change graded
+    // rows. Both engines sum members sorted by vec_id, left-to-right,
+    // then divide once — bit-identical inputs to the distance fold.
     val cent = cand
-      .select((col("vec_id") % PqK).as("cell"), col("s"),
-        posexplode(col("subvec")).as(Seq("pos", "v")))
-      .groupBy("s", "cell", "pos").agg(avg("v").as("m"))
+      .select(col("vec_id").as("vid"), (col("vec_id") % PqK).as("cell"),
+        col("s"), posexplode(col("subvec")).as(Seq("pos", "v")))
+      .groupBy("s", "cell", "pos")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(vid, v))), x -> x.v),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("sv"),
+        count(lit(1)).as("cnt"))
+      .withColumn("m", col("sv") / col("cnt"))
       .groupBy("s", "cell")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
         .as("centroid"))
@@ -684,10 +695,12 @@ object SimilarityQueries {
          |     x -> CAST(x AS DOUBLE)) AS subvec
          |  FROM embeddings CROSS JOIN
          |   (SELECT unnest(generate_series(0, ${PqM - 1})) AS si)),
-         | cexp AS (SELECT vec_id % $PqK AS cell, s, unnest(subvec) AS v,
+         | cexp AS (SELECT vec_id, vec_id % $PqK AS cell, s, unnest(subvec) AS v,
          |   unnest(generate_series(1, $PqDsub)) AS pos
          |  FROM sub WHERE vec_id >= $NumQueries),
-         | cm AS (SELECT s, cell, pos, avg(v) AS m FROM cexp GROUP BY 1, 2, 3),
+         | cm AS (SELECT s, cell, pos,
+         |   list_sum(list(v ORDER BY vec_id)) / count(*) AS m
+         |  FROM cexp GROUP BY 1, 2, 3),
          | cen AS (SELECT s, cell, list(m ORDER BY pos) AS centroid
          |  FROM cm GROUP BY 1, 2),
          | dc AS (SELECT sub.vec_id, sub.s, cen.cell,

@@ -86,17 +86,55 @@ class MlEvalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("Fleiss kappa: perfect mixed agreement reads 1.0; toy matches BigInt math") {
+    def votes(ks: Long*) = ks.toSeq.toDF("k")
+    // Unanimous but MIXED direction (3-0 and 0-3 docs): P̄ = 1, chance < 1
+    // → κ_F must be exactly 1.0.
+    assert(MlEvalQueries.fleissFromVotes(votes(3L, 0L, 3L, 0L))
+      .head().getAs[Long]("fleiss_bp") == 10000L)
+    // Toy with split votes, against an independent BigInt derivation.
+    val ks = Seq(3L, 2L, 1L, 0L, 2L, 2L, 1L, 3L)
+    val row = MlEvalQueries.fleissFromVotes(votes(ks: _*)).head()
+    val n = BigInt(ks.size); val kk = BigInt(ks.sum)
+    val ss = BigInt(ks.map(k => k * k + (3 - k) * (3 - k)).sum)
+    val d = 3 * n - kk
+    val num = BigInt(10000) * (3 * n * (ss - 3 * n) - 2 * (kk * kk + d * d))
+    val den = 2 * (9 * n * n - kk * kk - d * d)
+    assert(row.getAs[Long]("fleiss_bp") == (num / den).toLong,
+      s"$row vs ${num / den}")
+    assert(row.getAs[Long]("n_docs") == 8L &&
+      row.getAs[Long]("votes_keep") == ks.sum)
+  }
+
+  test("kappa arithmetic survives counts past the int64 product ceiling") {
+    // n = 5×10⁹ puts n² ≈ 2.5×10¹⁹ past 2⁶³−1 ≈ 9.2×10¹⁸ — the
+    // pre-widened BIGINT form wraps (non-ANSI) or raises (ANSI) here;
+    // the DECIMAL(38,0) form must return the BigInt-exact value.
+    val (a, b, c, d) = (2000000000L, 1500000000L, 1000000000L, 500000000L)
+    val n = a + b + c + d
+    val cells = Seq((n, a, b, c, d)).toDF("n", "a", "b", "c", "d")
+    val row = MlEvalQueries.kappaFromCounts(cells).collect().head
+    def big(x: Long) = BigInt(x)
+    val chance =
+      (big(a) + big(b)) * (big(a) + big(c)) + (big(c) + big(d)) * (big(b) + big(d))
+    val expected =
+      (BigInt(10000) * (big(n) * (big(a) + big(d)) - chance) /
+        (big(n) * big(n) - chance)).toLong
+    assert(row.getAs[Long]("agree_bp") ==
+      (BigInt(10000) * (big(a) + big(d)) / big(n)).toLong, row)
+    assert(row.getAs[Long]("kappa_bp") == expected, row)
+  }
+
   test("Spearman: +1e6 on agreement, -1e6 on reversal, hand value on a swap") {
     def sc(rows: (Long, Long, Long)*) = rows.toSeq.toDF("doc_id", "s1", "s2")
     def rho(d: org.apache.spark.sql.DataFrame) =
       MlEvalQueries.rankCorrOf(d, "s1", "s2").collect().head.getAs[Long]("rho_ppm")
     assert(rho(sc((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))) == 1000000L)
     assert(rho(sc((1L, 10L, 300L), (2L, 20L, 200L), (3L, 30L, 100L))) == -1000000L)
-    // Ranks (1,2,3) vs (2,1,3): sum_d2 = 2, rho = 1e6 - 6e6·2/24 = 500000.
+    // Ranks (1,2,3) vs (2,1,3): Σd² = 2, rho = 1e6 - 6e6·2/24 = 500000.
     val swap = MlEvalQueries.rankCorrOf(
       sc((1L, 10L, 200L), (2L, 20L, 100L), (3L, 30L, 300L)), "s1", "s2")
       .collect().head
-    assert(swap.getAs[Long]("sum_d2") == 2L, swap)
     assert(swap.getAs[Long]("rho_ppm") == 500000L, swap)
   }
 

@@ -333,4 +333,20 @@ class PlanAuditSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS graft_bkt_b")
     }
   }
+
+  /** The forget cascade may hint ONLY its dimension-sized level-1 victim
+    * key set. The level-2 set (affected o_orderkeys) is data-dependent —
+    * a wide forget request makes it fact-sized, and a static
+    * `broadcast()` there would pin a driver OOM that AQE, left to its
+    * runtime statistics, avoids by falling back to a shuffled join. */
+  test("forget cascade: no statically-forced broadcast on the level-2 key set") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = graft.SparkEntry.queries("q_report_forget_impact")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.nonEmpty, "the dimension-sized victim-key hint disappeared")
+    hints.foreach { h =>
+      assert(h.output.map(_.name) == Seq("vk"),
+        s"statically-forced broadcast on a non-victim-key set: ${h.output}")
+    }
+  }
 }
