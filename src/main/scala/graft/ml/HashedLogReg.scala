@@ -59,13 +59,50 @@ object HashedLogReg {
         (log(lit(1.0) + col("dl")) / lit(10.0)).as("x")))
   }
 
+  /** Above this model width the literal-array weight column stops being
+    * viable: a 10⁵–10⁶-element `array(lit…)` bloats every serialized
+    * plan, and whole-stage codegen on a method-sized literal either
+    * splinters or falls back to interpreted — so fastText-scale bucket
+    * counts ride a broadcast join instead. */
+  private[graft] val LiteralMaxBuckets = 4096
+
   /** Per-doc margin + probability under a model — the serving path the
-    * trainer shares with eval: bias + Σ x·w[bucket], one codegen pass
-    * against the literal weight array. */
-  def predict(feats: DataFrame, m: Model): DataFrame = {
-    val wCol = array(m.w.map(lit(_)).toIndexedSeq: _*)
-    feats
-      .withColumn("wx", col("x") * element_at(wCol, col("bucket").cast("int") + 1))
+    * trainer shares with eval: bias + Σ x·w[bucket]. Two physically
+    * different, value-identical lookups by model width: small models
+    * fuse as one codegen `element_at` against a literal array; large
+    * models broadcast a (bucket, w) frame once per executor and probe it
+    * with a BroadcastHashJoin — which preserves streamed-side row order,
+    * so the downstream per-doc sum folds the identical value sequence
+    * either way (pinned byte-identical in the spec). */
+  def predict(feats: DataFrame, m: Model): DataFrame =
+    predictWith(feats, m, useBroadcast = m.w.length > LiteralMaxBuckets)
+
+  /** Path-forced form, exposed so the spec can run BOTH lookups on one
+    * model and pin them byte-identical. */
+  private[graft] def predictWith(feats: DataFrame, m: Model,
+      useBroadcast: Boolean): DataFrame = {
+    val withWx =
+      if (!useBroadcast) {
+        val wCol = array(m.w.map(lit(_)).toIndexedSeq: _*)
+        feats.withColumn("wx",
+          col("x") * element_at(wCol, col("bucket").cast("int") + 1))
+      } else {
+        val s = feats.sparkSession
+        val wdf = s.createDataFrame(
+          s.sparkContext.parallelize(
+            m.w.toIndexedSeq.zipWithIndex
+              .map { case (w, b) => org.apache.spark.sql.Row(b.toLong, w) }, 4),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bucket",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("w_b",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+        // Inner join is safe: featurize only emits buckets in [0, B],
+        // every one of which has a weight row.
+        feats.join(broadcast(wdf), Seq("bucket"))
+          .withColumn("wx", col("x") * col("w_b"))
+      }
+    withWx
       .groupBy("doc_id")
       .agg((sum("wx") + lit(m.bias)).as("margin"))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
@@ -75,13 +112,24 @@ object HashedLogReg {
     * labels. Returns the model and the per-iteration loss curve. */
   def train(feats: DataFrame, labels: DataFrame, buckets: Int,
       iters: Int, lr: Double): (Model, Seq[Step]) = {
+    val sc = feats.sparkSession.sparkContext
+    // Storage discipline (the fixpoint convention): each iteration's
+    // checkpoint blocks are released once its collects land — N
+    // iterations must hold ONE live iteration set plus `f`, never N dead
+    // ones slowly bloating executor storage into eviction/GC territory.
+    // Ownership is tracked by diffing persistent-RDD ids around each
+    // checkpoint, so frames the CALLER persisted are never touched.
+    def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    val preExisting = persistedIds
     // One materialization serves every iteration (featurize tokenizes
     // the corpus — unpinned, each pass would redo it).
     val f = feats.join(labels, Seq("doc_id")).localCheckpoint(true)
+    val fIds = persistedIds -- preExisting
     val nDocs = f.select(countDistinct("doc_id")).head().getLong(0).toDouble
     var model = Model(buckets, 0.0, Array.fill(buckets)(0.0))
     val steps = Seq.newBuilder[Step]
     for (it <- 0 until iters) {
+      val beforeIter = persistedIds
       val scored = predict(f, model)
         .join(labels, Seq("doc_id"))
         .withColumn("err", col("p") - col("y"))
@@ -101,7 +149,14 @@ object HashedLogReg {
       val w = model.w.clone()
       grads.foreach { case (b, g) => w(b) -= lr * g / nDocs }
       model = Model(buckets, model.bias - lr * gBias, w)
+      // All of scored's readers have collected — drop its blocks now.
+      sc.getPersistentRDDs
+        .filter { case (id, _) => !beforeIter(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
+    // The model is driver state; nothing returned references f.
+    sc.getPersistentRDDs.filter { case (id, _) => fIds(id) }
+      .values.foreach(_.unpersist(blocking = false))
     (model, steps.result())
   }
 }

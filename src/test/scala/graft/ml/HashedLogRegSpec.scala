@@ -55,4 +55,43 @@ class HashedLogRegSpec extends SparkSpec {
     assert(auc > 6000L,
       s"held-out AUC $auc bp — no signal learned on learnable labels")
   }
+
+  test("broadcast weight path is byte-identical to the literal path") {
+    // Single input partition: a BroadcastHashJoin preserves streamed-side
+    // row order and the partial aggregate folds one deterministic value
+    // sequence, so the two lookups must agree to the BIT, not a tolerance.
+    val feats = (0 until 200).map { i =>
+      (i.toLong, (i % 13).toLong, 1.0 / (1 + i % 7))
+    }.toDF("doc_id", "bucket", "x").repartition(1).localCheckpoint(true)
+    val w = Array.tabulate(16)(b => math.sin(b.toDouble) / 3)
+    val m = HashedLogReg.Model(16, bias = 0.125, w = w)
+    def rows(useBroadcast: Boolean) =
+      HashedLogReg.predictWith(feats, m, useBroadcast)
+        .collect().map(r => (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)))).toSet
+    assert(rows(useBroadcast = false) == rows(useBroadcast = true))
+  }
+
+  test("training at fastText-scale B=65,536 converges via the broadcast path") {
+    assert(65537 > HashedLogReg.LiteralMaxBuckets) // width routes to broadcast
+    val feats = (0 until 120).map { i =>
+      // Class signal on two far-apart buckets, plus per-doc noise buckets.
+      (i.toLong, if (i % 2 == 1) 60001L else 2L, 1.0)
+    }.toDF("doc_id", "bucket", "x")
+      .unionByName((0 until 120).map(i =>
+        (i.toLong, (1000 + i % 50).toLong, 0.25)).toDF("doc_id", "bucket", "x"))
+    val labels = (0 until 120).map(i => (i.toLong, (i % 2).toLong))
+      .toDF("doc_id", "y")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (model, steps) = HashedLogReg.train(feats, labels,
+      buckets = 65537, iters = 8, lr = 2.0)
+    assert(steps.head.loss > steps.last.loss && steps.last.loss < 0.5,
+      s"loss did not fall: ${steps.head.loss} -> ${steps.last.loss}")
+    assert(model.w(60001) > 0 && model.w(2) < 0,
+      s"signs wrong: ${model.w(60001)} / ${model.w(2)}")
+    // The iteration-checkpoint discipline: train leaves NO blocks behind.
+    assert(spark.sparkContext.getPersistentRDDs.size == persistedBefore,
+      "train leaked checkpoint blocks")
+  }
 }

@@ -15,7 +15,12 @@ class BpeTrainerSpec extends SparkSpec {
     .toDF("w", "freq")
 
   test("merge sequence matches the hand-derived classic example") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val (merges, words) = BpeTrainer.train(toyVocab, nMerges = 3)
+    // Storage discipline: N merges hold ONE live checkpoint (the
+    // returned frame), never N dead predecessors.
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore + 1,
+      "train leaked per-merge checkpoint blocks")
     assert(merges.map(m => (m.left, m.right, m.freq)) ==
       Seq(("u", "g", 20L), ("u", "n", 16L), ("h", "ug", 15L)), merges)
     val syms = words.select("w", "syms").as[(String, Seq[String])]
