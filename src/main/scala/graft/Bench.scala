@@ -45,20 +45,55 @@ object Bench {
     // uniform shift on this constant workload separates "the machine is
     // slower" from "a plan regressed" (observed: ~2× on trivial scans
     // between rounds, tracking exactly this number).
-    val calibSec = {
+    def splitmixLoop(): Long = {
       var acc = 0L
       var i = 0L
-      val t0 = System.nanoTime()
       while (i < (1L << 26)) {
         var x = i * 0x9E3779B97F4A7C15L
         x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
         acc ^= x
         i += 1
       }
+      acc
+    }
+    val calibSec = {
+      val t0 = System.nanoTime()
+      val acc = splitmixLoop()
       val sec = (System.nanoTime() - t0) / 1e9
       if (acc == 42L) System.err.println("[bench] calib sentinel") // keep live
       sec
     }
+    // PARALLEL CALIBRATION: the same loop fanned over one Spark task per
+    // core. The single-thread number is blind to exactly what skews a
+    // co-tenanted sandbox — MULTI-core contention: r6's driver run read
+    // a flat calib_sec (0.075–0.080 s) while the same queries swung
+    // 4–8×, because the other tenant stole cores, not single-thread
+    // speed. Wall time for all `cpus` tasks at once ≈ calib_sec on an
+    // idle box and inflates in proportion to stolen cores under load;
+    // the per-round ratio calib_par_sec/calib_sec is the honest
+    // "how contended was this run" divisor for cross-round reads.
+    // Min of two passes, so per-thread JIT warms on the first.
+    def calibPar(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      // Self-contained closure (no reference to the enclosing module —
+      // `object Bench` is not Serializable).
+      val acc = spark.sparkContext.parallelize(0 until n, n)
+        .map { _ =>
+          var acc = 0L
+          var i = 0L
+          while (i < (1L << 26)) {
+            var x = i * 0x9E3779B97F4A7C15L
+            x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
+            acc ^= x
+            i += 1
+          }
+          acc
+        }.reduce(_ ^ _)
+      if (acc == 42L) System.err.println("[bench] par calib sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibParSec = math.min(calibPar(), calibPar())
     // JIT + parquet-footer warmup, not timed: one untimed pass over the
     // FULL suite, so every codegen family (JSON paths, decimal aggregates,
     // window frames, the pair-join kernels) is C2-compiled before the
@@ -73,28 +108,41 @@ object Bench {
       }
     // Failure-honest timing: a failed query reports -1 (and its message in
     // "errors"), never a plausible wall time — a regression must not read
-    // as a fast query.
+    // as a fast query. Each query is timed as the MIN OF TWO back-to-back
+    // passes: a single shot folds one co-tenant burst, GC pause, or page-
+    // cache miss straight into the artifact (r6: untouched queries read
+    // 0.7 s in three committed runs and 5.4 s in the driver's — pure
+    // load), and the min of two is the cheapest estimator that a single
+    // noisy pass cannot stamp. The plan cost is the LOWER envelope; the
+    // calibration pair above records how contended the box was.
     val results: Seq[(String, Either[String, Double])] =
       selected.map { case (name, fn) =>
-        // Storage hygiene BEFORE the clock, never inside it: many query
-        // builders localCheckpoint their shared frames, and those blocks
-        // outlive the query (the async ContextCleaner only reclaims them
-        // after a driver GC notices the dropped references — rare under a
-        // large heap). 170 queries into a single-JVM suite the executor
-        // store is full of dead checkpoints and late queries pay
-        // eviction + GC instead of their own plan (measured: 25.9 s for
-        // a 2.2 s-in-isolation query at the suite tail). Between queries
-        // nothing references the previous frames, so drop them all.
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          name -> Right((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> Left(String.valueOf(e.getMessage))
+        def onePass(): Either[String, Double] = {
+          // Storage hygiene BEFORE the clock, never inside it: many query
+          // builders localCheckpoint their shared frames, and those blocks
+          // outlive the query (the async ContextCleaner only reclaims them
+          // after a driver GC notices the dropped references — rare under a
+          // large heap). 170 queries into a single-JVM suite the executor
+          // store is full of dead checkpoints and late queries pay
+          // eviction + GC instead of their own plan (measured: 25.9 s for
+          // a 2.2 s-in-isolation query at the suite tail). Between queries
+          // nothing references the previous frames, so drop them all.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Right((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Left(String.valueOf(e.getMessage))
+          }
         }
+        val two = Seq(onePass(), onePass())
+        // A pass that fails poisons the query (never "the fast run was
+        // fine"); otherwise take the min.
+        name -> two.collectFirst { case Left(m) => Left(m) }
+          .getOrElse(Right(two.collect { case Right(v) => v }.min))
       }
     def jstr(s: String): String =
       "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(200) + "\""
@@ -110,14 +158,14 @@ object Bench {
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","calib_sec":${d3(calibSec)},"queries":$qs$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","calib_sec":${d3(calibSec)},"calib_par_sec":${d3(calibParSec)},"timing":"min_of_2","queries":$qs$errJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Truncation-proof duplicate: the per-query line above grows with the
     // suite (105+ queries > the harvester's tail window), so the headline
     // total is ALSO emitted as a trailing compact line that any tail
     // capture ≥ ~120 bytes picks up intact.
     println(
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"calib_sec":${d3(calibSec)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errs.size},"calib_sec":${d3(calibSec)},"calib_par_sec":${d3(calibParSec)},"sf":"$sfDir"}""")
     // File artifact with the COMPLETE per-query map: the driver's 2 KB
     // stdout tail lost ~half the 137 timings in round 4 — regression
     // detection needs all of them. Default is CWD-relative (the driver

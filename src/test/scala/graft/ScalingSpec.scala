@@ -48,4 +48,36 @@ class ScalingSpec extends SparkSpec {
     val base = graft.queries.Tables.t(spark, src, "documents")
     assert(Scaling.shifted(base, 0).collect().toSet == base.collect().toSet)
   }
+
+  /** The per-regime scale bars, re-asserted on the COMMITTED artifact —
+    * so the prose claim ("output-linear queries stay sub-linear; pair
+    * families' time grows no faster than their result") can never again
+    * drift from the measured numbers without a red test. */
+  test("committed scaling artifact honors the per-regime bars") {
+    val p = java.nio.file.Paths.get("SCALING_r7.json")
+    assume(Files.exists(p), "SCALING_r7.json not generated yet this round")
+    val txt = new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val block = """"(q_[a-z0-9_]+)":\{([^}]*)\}""".r
+    def num(body: String, k: String): Option[Double] =
+      ("\"" + k + "\":(-?[0-9.E+]+)").r.findFirstMatchIn(body)
+        .map(_.group(1).toDouble)
+    var checked = 0
+    for (m <- block.findAllMatchIn(txt)) {
+      val (name, body) = (m.group(1), m.group(2))
+      for (t1 <- num(body, "t1"); t8 <- num(body, "t8");
+           r1 <- num(body, "rows1"); r8 <- num(body, "rows8")) {
+        checked += 1
+        if (Scaling.OutputBound(name))
+          assert(t8 / t1 <= r8 / math.max(1.0, r1),
+            f"$name [output_bound]: t8/t1 ${t8 / t1}%.2f outgrew rows8/rows1 ${r8 / r1}%.2f")
+        else
+          num(body, "g8").foreach { g8 =>
+            assert(g8 <= Scaling.GBar,
+              f"$name [output_linear]: g8 $g8%.3f > ${Scaling.GBar}")
+          }
+      }
+    }
+    assert(checked >= 10, s"artifact parsed only $checked audited blocks")
+  }
 }
