@@ -473,6 +473,65 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  private val KmeansK = 8
+  private val EmbDim  = 64
+
+  /** K-MEANS over the corpus embeddings (deterministic Lloyd, 2
+    * assignment rounds with 1 centroid update between) — the semantic
+    * clustering primitive under SemDeDup-style dedup, IVF coarse
+    * quantizer training, and cluster-balanced sampling. No RNG anywhere:
+    * seeds are the K smallest corpus vec_ids; distances quantize to
+    * floor ppm BEFORE the argmin (ties → smallest cluster id, the
+    * pq_adc discipline); centroid means are order-pinned folds (members
+    * sorted by vec_id, summed left-to-right, divided once) so both
+    * engines carry bit-identical centroids into round 2.
+    *
+    * Scale shape: centroids are O(K·dim) model state broadcast to every
+    * assignment pass (the k-means invariant); each round is one
+    * broadcast join + bounded-heap argmin (TopKPerKey k=1) + one
+    * (cluster, dim)-keyed aggregate — corpus rows shuffle only as
+    * (cid, pos, x) triples for the update, never as pairs. Output is
+    * O(K): member counts + within-cluster inertia. */
+  private val kmeans: Q = (s, dir) => {
+    val base = Tables.fanout(t(s, dir, "embeddings"))
+      .where(col("vec_id") >= NumQueries)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .localCheckpoint(true) // read by every assignment + update pass
+    // Deterministic seeds; the rank window runs on K rows by definition.
+    val init = base.orderBy("vec_id").limit(KmeansK)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
+      .select(col("cid"), col("v").as("centroid"))
+    def d2ppm = expr(
+      """CAST(floor(1000000.0 * aggregate(
+        |  zip_with(v, centroid, (x, y) -> (x - y) * (x - y)),
+        |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)) AS BIGINT)""".stripMargin)
+    def assign(cent: DataFrame): DataFrame =
+      graft.plans.GraftOps.topKPerKey(
+        base.crossJoin(broadcast(cent)).withColumn("d2_ppm", d2ppm)
+          .select(col("vec_id"), col("cid"), col("d2_ppm")),
+        keyCols = Seq("vec_id"),
+        orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = 1)
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(base, Seq("vec_id"))
+        .select(col("cid"), col("vec_id").as("vid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(expr(
+          """aggregate(transform(array_sort(collect_list(struct(vid, x))), q -> q.x),
+            |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)""".stripMargin).as("sv"),
+          count(lit(1)).as("cnt"))
+        .withColumn("m", col("sv") / col("cnt"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), q -> q.m)")
+          .as("centroid"))
+    val a2 = assign(update(assign(init)))
+    a2.groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("d2_ppm").as("inertia_ppm"))
+      .orderBy("cid")
+  }
+
   /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
     * storage/compute cut an MRL deployment serves hot. */
   private val MrlDims = 16
@@ -548,6 +607,7 @@ object SimilarityQueries {
     "q_sim_recall"          -> annRecall,
     "q_sim_matryoshka"      -> matryoshka,
     "q_sim_pq_adc"          -> pqAdc,
+    "q_sim_kmeans"          -> kmeans,
     "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
     "q_dedup_semantic_apply" -> semanticApply
@@ -725,6 +785,38 @@ object SimilarityQueries {
          |   row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS rnk
          |  FROM adc) WHERE rnk <= $LshTopK
          | ORDER BY qid, rnk""".stripMargin
+    },
+    "q_sim_kmeans" -> {
+      val d2 = (a: String, b: String) =>
+        s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
+           |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
+      s"""WITH base AS (SELECT vec_id,
+         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id >= $NumQueries),
+         | init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |   v AS centroid
+         |  FROM base ORDER BY vec_id LIMIT $KmeansK),
+         | dx1 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
+         |  FROM base b CROSS JOIN init c),
+         | a1 AS (SELECT vec_id, cid FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM dx1) WHERE rn = 1),
+         | e1 AS (SELECT a.cid, b.vec_id, unnest(b.v) AS x,
+         |   unnest(generate_series(1, $EmbDim)) AS pos
+         |  FROM a1 a JOIN base b ON a.vec_id = b.vec_id),
+         | m1 AS (SELECT cid, pos,
+         |   list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+         |  FROM e1 GROUP BY cid, pos),
+         | c1 AS (SELECT cid, list(m ORDER BY pos) AS centroid
+         |  FROM m1 GROUP BY cid),
+         | dx2 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
+         |  FROM base b CROSS JOIN c1 c),
+         | a2 AS (SELECT vec_id, cid, d2 FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |  FROM dx2) WHERE rn = 1)
+         | SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(d2) AS BIGINT) AS inertia_ppm
+         | FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
     },
     "q_sim_matryoshka" -> {
       val duckCosTrunc =
