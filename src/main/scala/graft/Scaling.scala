@@ -55,10 +55,15 @@ object Scaling {
     "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes")
 
   /** The output-bound regime (see object doc): exact-verify pair/span
-    * queries whose RESULT grows as the square of corpus duplication. */
+    * queries whose RESULT grows as the square of corpus duplication.
+    * Membership is determined by the result, not the operator:
+    * ngram_jaccard emits the same quadratic-dense pair set as
+    * containment (1.8 M → 105 M rows across ×1→×8 on the amplified
+    * corpus — 59×, vs ~5× wall), so it sits here even though its g8
+    * happened to squeak under the linear bar in earlier rounds. */
   private[graft] val OutputBound = Set(
     "q_dedup_simhash_pairs", "q_dedup_spans", "q_dedup_span_apply",
-    "q_text_winnow_pairs", "q_dedup_containment")
+    "q_text_winnow_pairs", "q_dedup_containment", "q_dedup_ngram_jaccard")
 
   /** g-bar for the output-linear regime (measured fleet ≤ 0.35). */
   private[graft] val GBar = 0.57
