@@ -52,18 +52,22 @@ object Scaling {
     "q_text_moore_lewis", "q_text_winnow", "q_text_winnow_pairs",
     "q_dedup_spans", "q_dedup_span_apply",
     "q_sample_dsir", "q_dedup_simhash_pairs", "q_text_tfidf",
-    "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes")
+    "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes",
+    "q_a3_vocabulary", "q_sim_hybrid_rrf")
 
   /** The output-bound regime (see object doc): exact-verify pair/span
     * queries whose RESULT grows as the square of corpus duplication.
     * Membership is determined by the result, not the operator:
     * ngram_jaccard emits the same quadratic-dense pair set as
     * containment (1.8 M → 105 M rows across ×1→×8 on the amplified
-    * corpus — 59×, vs ~5× wall), so it sits here even though its g8
-    * happened to squeak under the linear bar in earlier rounds. */
+    * corpus — 59×, vs ~5× wall), and prefix_join's qualifying-pair
+    * output grows 611× at ×8 / 979× at ×10 (the spans family it
+    * feeds), so both sit here even when their g8 happens to squeak
+    * under the linear bar on a given run. */
   private[graft] val OutputBound = Set(
     "q_dedup_simhash_pairs", "q_dedup_spans", "q_dedup_span_apply",
-    "q_text_winnow_pairs", "q_dedup_containment", "q_dedup_ngram_jaccard")
+    "q_text_winnow_pairs", "q_dedup_containment", "q_dedup_ngram_jaccard",
+    "q_dedup_prefix_join")
 
   /** g-bar for the output-linear regime (measured fleet ≤ 0.35). */
   private[graft] val GBar = 0.57

@@ -334,6 +334,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** K-means: centroids are the ONLY broadcast state (K·dim rows through
+    * a BroadcastNestedLoopJoin — the deliberate corpus×K scoring shape),
+    * the argmin rides the bounded-heap TopKPerKey, and nothing plans as
+    * an unhinted CartesianProduct. The update aggregate must shuffle
+    * (cid, pos, x) triples, never vectors-by-pair. */
+  test("q_sim_kmeans: broadcast centroids + TopKPerKey argmin, no cartesian") {
+    // The builder localCheckpoints the sf0.001 base frame (tiny).
+    val p = plan("q_sim_kmeans")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), "unhinted cartesian:\n" + p)
+  }
+
+  /** Pair ROUGE-2: every join is an equi-join — the overlap join is
+    * keyed (doc, bigram) and candidate-bounded; an accidental cross or
+    * BNLJ here would be the corpus² shape the LSH bands exist to avoid. */
+  test("q_dedup_pair_rouge: equi-joins only, no cartesian/BNLJ") {
+    val p = plan("q_dedup_pair_rouge")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "non-equi join in the ROUGE pair plan:\n" + p)
+  }
+
   /** The forget cascade may hint ONLY its dimension-sized level-1 victim
     * key set. The level-2 set (affected o_orderkeys) is data-dependent —
     * a wide forget request makes it fact-sized, and a static
