@@ -102,9 +102,17 @@ object MlEvalQueries {
     * parallelism, where `Window.partitionBy(slice)` would funnel it
     * through one task. Degenerate slices (a single class present — AUC
     * undefined) are dropped by the same guard in both engines. */
-  private[graft] def aucBy(sc: DataFrame, slice: String): DataFrame = {
-    val pv = sc.groupBy(slice, "score")
-      .agg(sum("y").as("pos"), sum(expr("1L - y")).as("neg"))
+  private[graft] def aucBy(sc: DataFrame, slice: String): DataFrame =
+    aucByFromPerValue(
+      sc.groupBy(slice, "score")
+        .agg(sum("y").as("pos"), sum(expr("1L - y")).as("neg")), slice)
+
+  /** The per-slice estimator over an ALREADY-AGGREGATED
+    * (slice, score, pos, neg) frame — split out so consumers that
+    * derive per-value counts arithmetically (the jackknife complements)
+    * skip the doc-level pass. */
+  private[graft] def aucByFromPerValue(pv: DataFrame, slice: String)
+      : DataFrame = {
     val pref = PrefixOps.withPrefixOffsets(
       pv, Seq(slice), Seq(col("score")), Seq("negb" -> col("neg")))
     val wLoc = Window.partitionBy(col(slice), col(PrefixOps.PidCol))
@@ -125,6 +133,67 @@ object MlEvalQueries {
           .stripMargin).as("auc_bp"))
       .orderBy(slice)
   }
+
+  private val JkGroups = 20
+
+  /** JACKKNIFE confidence interval for the corpus AUC — the error bar a
+    * model card needs next to the point estimate (is 0.71-vs-0.69 a
+    * real improvement or noise?): delete-one-GROUP jackknife over
+    * [[JkGroups]] deterministic hash groups (Efron & Stein 1981's
+    * grouped form — the resampling scheme that works distributed,
+    * because each leave-one-out estimate is pure ARITHMETIC on
+    * per-group per-value counts: complement = total − group, never a
+    * data re-shuffle, never RNG). All G estimates ride ONE grouped
+    * prefix-sum pass (the [[aucBy]] machinery on a G×V-row frame);
+    * variance is the closed form (G−1)·(G·Σθ² − (Σθ)²)/G² in
+    * DECIMAL(38,0); the only non-integer step is floor(sqrt) for the
+    * SE, safe in both engines (integers ≪ 2⁵², and a non-square's root
+    * is ≥ ~1e−4 from the nearest integer while double error is ~1e−16).
+    * Degenerate leave-one-out estimates (single-class complement) drop
+    * under the same guard in both engines and G_n records the survivor
+    * count. Output is one row. */
+  private[graft] def aucJackknifeOf(sc: DataFrame): DataFrame = {
+    val pvTot = sc.groupBy("score")
+      .agg(sum("y").as("pos"), sum(expr("1L - y")).as("neg"))
+    val pvG = sc.groupBy("g", "score")
+      .agg(sum("y").as("posg"), sum(expr("1L - y")).as("negg"))
+    val compl = pvG.select("g").distinct()
+      .crossJoin(pvTot)
+      .join(pvG, Seq("g", "score"), "left_outer")
+      .select(col("g"), col("score"),
+        (col("pos") - coalesce(col("posg"), lit(0L))).as("pos"),
+        (col("neg") - coalesce(col("negg"), lit(0L))).as("neg"))
+    val perG = aucByFromPerValue(compl, "g")
+    val stats = perG.agg(count(lit(1)).as("g_n"),
+      sum("auc_bp").as("s1"),
+      sum((col("auc_bp") * col("auc_bp")).cast("decimal(38,0)")).as("s2"))
+    aucOf(sc.select("score", "y"))
+      .crossJoin(stats)
+      .withColumn("jk_var_bp2", expr(
+        """CAST((CAST(g_n AS DECIMAL(38,0)) - 1)
+          |  * (CAST(g_n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)
+          |  DIV (CAST(g_n AS DECIMAL(38,0)) * g_n) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("jk_se_bp",
+        expr("CAST(floor(sqrt(CAST(jk_var_bp2 AS DOUBLE))) AS BIGINT)"))
+      .select(col("n_pos"), col("n_neg"), col("auc_bp"), col("g_n"),
+        col("jk_var_bp2"), col("jk_se_bp"),
+        expr("auc_bp - (196 * jk_se_bp) DIV 100").as("ci_lo_bp"),
+        expr("auc_bp + (196 * jk_se_bp) DIV 100").as("ci_hi_bp"))
+  }
+
+  private val aucJackknife: Q = (s, dir) =>
+    aucJackknifeOf(Tables.fanout(Tables.t(s, dir, "documents"))
+      .withColumn("toks_all",
+        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks_all")) > 0)
+      .select(col("doc_id"),
+        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)")
+          .as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("g", expr(
+        s"CAST(conv(substring(md5(concat('jk#', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % $JkGroups")))
 
   /** The graded slice: per-source AUC of the same stopword-ratio /
     * lang=en pair as [[auc]] — one extra carried column. */
@@ -454,7 +523,8 @@ object MlEvalQueries {
     "q_ml_kappa" -> kappa,
     "q_ml_fleiss" -> fleiss,
     "q_ml_ece" -> ece,
-    "q_ml_ndcg" -> ndcg
+    "q_ml_ndcg" -> ndcg,
+    "q_ml_auc_jackknife" -> aucJackknife
   )
 
   /** DuckDB-side (score, y) frame, generated from the same clean/stop
@@ -573,6 +643,53 @@ object MlEvalQueries {
          |      - (CAST(a AS HUGEINT) + b) * (CAST(a AS HUGEINT) + c)
          |      - (CAST(c AS HUGEINT) + d) * (CAST(b AS HUGEINT) + d)) AS BIGINT) AS kappa_bp
          | FROM m""".stripMargin,
+    "q_ml_auc_jackknife" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |   CAST(10000 * (len(toks_all) - len(toks)) // len(toks_all) AS BIGINT) AS score,
+         |   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |   CAST('0x' || substr(md5('jk#' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % $JkGroups AS g
+         |  FROM (SELECT doc_id, lang,
+         |    list_filter(string_split(${TextQueries.duckClean("text")}, ' '), w -> w <> '') AS toks_all,
+         |    ${TextQueries.duckTerms("text")} AS toks
+         |   FROM documents)
+         |  WHERE len(toks_all) > 0),
+         | pvt AS (SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+         |   CAST(sum(1 - y) AS BIGINT) AS neg FROM sc GROUP BY score),
+         | pvg AS (SELECT g, score, CAST(sum(y) AS BIGINT) AS posg,
+         |   CAST(sum(1 - y) AS BIGINT) AS negg FROM sc GROUP BY g, score),
+         | gs AS (SELECT DISTINCT g FROM pvg),
+         | compl AS (SELECT gs.g, pvt.score,
+         |   pvt.pos - coalesce(pvg.posg, 0) AS pos,
+         |   pvt.neg - coalesce(pvg.negg, 0) AS neg
+         |  FROM gs CROSS JOIN pvt
+         |   LEFT JOIN pvg ON pvg.g = gs.g AND pvg.score = pvt.score),
+         | cc AS (SELECT *, CAST(coalesce(sum(neg) OVER (PARTITION BY g
+         |    ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS negb
+         |  FROM compl),
+         | pg AS (SELECT g,
+         |   CAST(10000 * sum(pos * (2 * negb + neg))
+         |     // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_bp
+         |  FROM cc GROUP BY g HAVING sum(pos) > 0 AND sum(neg) > 0),
+         | st AS (SELECT CAST(count(*) AS HUGEINT) AS gn,
+         |   CAST(sum(auc_bp) AS HUGEINT) AS s1,
+         |   CAST(sum(CAST(auc_bp AS HUGEINT) * auc_bp) AS HUGEINT) AS s2 FROM pg),
+         | v AS (SELECT CAST(gn AS BIGINT) AS g_n,
+         |   CAST((gn - 1) * (gn * s2 - s1 * s1) // (gn * gn) AS BIGINT) AS jk_var_bp2
+         |  FROM st),
+         | v2 AS (SELECT *, CAST(floor(sqrt(CAST(jk_var_bp2 AS DOUBLE))) AS BIGINT) AS jk_se_bp FROM v),
+         | c0 AS (SELECT *, CAST(coalesce(sum(neg) OVER (ORDER BY score
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS negb
+         |  FROM pvt),
+         | f AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |   CAST(sum(neg) AS BIGINT) AS n_neg,
+         |   CAST(10000 * sum(pos * (2 * negb + neg))
+         |     // (2 * sum(pos) * sum(neg)) AS BIGINT) AS auc_bp
+         |  FROM c0)
+         | SELECT f.n_pos, f.n_neg, f.auc_bp, v2.g_n, v2.jk_var_bp2, v2.jk_se_bp,
+         |  f.auc_bp - (196 * v2.jk_se_bp) // 100 AS ci_lo_bp,
+         |  f.auc_bp + (196 * v2.jk_se_bp) // 100 AS ci_hi_bp
+         | FROM f CROSS JOIN v2""".stripMargin,
     "q_ml_fleiss" ->
       s"""WITH fv AS (${TextQueries.duckFilterVerdicts}),
          | cl AS (SELECT doc_id,

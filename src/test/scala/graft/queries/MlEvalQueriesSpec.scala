@@ -86,6 +86,37 @@ class MlEvalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("jackknife AUC: complement arithmetic equals direct leave-one-out") {
+    val sc = Seq(
+      (1L, 10L, 0L, 0L), (2L, 20L, 0L, 0L), (3L, 30L, 1L, 0L),
+      (4L, 15L, 0L, 1L), (5L, 25L, 1L, 1L), (6L, 35L, 1L, 1L),
+      (7L, 12L, 0L, 2L), (8L, 22L, 1L, 2L), (9L, 18L, 0L, 2L))
+      .toDF("doc_id", "score", "y", "g")
+    val row = MlEvalQueries.aucJackknifeOf(sc).collect().head
+    // The graded path derives each leave-one-out estimate ARITHMETICALLY
+    // (total − group per-value counts); it must equal the direct form —
+    // the global estimator run on the physically filtered complement.
+    val thetas = (0L to 2L).flatMap { g =>
+      val r = MlEvalQueries.aucOf(
+        sc.where($"g" =!= g).select("score", "y")).collect().head
+      if (r.getAs[Long]("n_pos") > 0 && r.getAs[Long]("n_neg") > 0)
+        Some(BigInt(r.getAs[Long]("auc_bp")))
+      else None
+    }
+    val gn = BigInt(thetas.size)
+    val s1 = thetas.sum
+    val s2 = thetas.map(t => t * t).sum
+    val varExp = ((gn - 1) * (gn * s2 - s1 * s1) / (gn * gn)).toLong
+    assert(row.getAs[Long]("g_n") == gn.toLong, row)
+    assert(row.getAs[Long]("jk_var_bp2") == varExp, row)
+    val se = math.floor(math.sqrt(varExp.toDouble)).toLong
+    assert(row.getAs[Long]("jk_se_bp") == se, row)
+    assert(row.getAs[Long]("ci_lo_bp") ==
+      row.getAs[Long]("auc_bp") - 196 * se / 100, row)
+    assert(row.getAs[Long]("ci_hi_bp") ==
+      row.getAs[Long]("auc_bp") + 196 * se / 100, row)
+  }
+
   test("Fleiss kappa: perfect mixed agreement reads 1.0; toy matches BigInt math") {
     def votes(ks: Long*) = ks.toSeq.toDF("k")
     // Unanimous but MIXED direction (3-0 and 0-3 docs): P̄ = 1, chance < 1
