@@ -492,7 +492,16 @@ object SimilarityQueries {
     * (cluster, dim)-keyed aggregate — corpus rows shuffle only as
     * (cid, pos, x) triples for the update, never as pairs. Output is
     * O(K): member counts + within-cluster inertia. */
-  private val kmeans: Q = (s, dir) => {
+  private val kmeans: Q = (s, dir) =>
+    kmeansAssign(s, dir)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum("d2_ppm").as("inertia_ppm"))
+      .orderBy("cid")
+
+  /** The final-round assignment frame (vec_id, cid, d2_ppm) — shared by
+    * the graded cluster report and the topic-labeling consumer. */
+  private[queries] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val base = Tables.fanout(t(s, dir, "embeddings"))
       .where(col("vec_id") >= NumQueries)
       .select(col("vec_id"),
@@ -526,10 +535,34 @@ object SimilarityQueries {
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), q -> q.m)")
           .as("centroid"))
-    val a2 = assign(update(assign(init)))
-    a2.groupBy("cid")
-      .agg(count(lit(1)).as("n_members"), sum("d2_ppm").as("inertia_ppm"))
-      .orderBy("cid")
+    assign(update(assign(init)))
+  }
+
+  /** CLUSTER TOPIC LABELING — the "what did k-means find" report a
+    * corpus-exploration pass reads next to the size/inertia table: the
+    * top-5 terms per cluster by member-document term count. Composes
+    * [[kmeansAssign]] (vec_id ≡ doc_id in the star schema) with one
+    * tokenize pass; per-cluster counts are one hash aggregate with
+    * map-side combine, and the top-5 rides the bounded-heap TopKPerKey
+    * — the rank window runs on the ≤5-rows-per-cluster survivor frame,
+    * never the term table (the hybrid-RRF discipline). Output is
+    * O(K·5). */
+  private val clusterTopics: Q = (s, dir) => {
+    val assign = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+    val terms = Tables.fanout(t(s, dir, "documents"))
+      .select(col("doc_id"), explode(graft.ops.TokenOps.terms(col("text")))
+        .as("term"))
+    val top = graft.plans.GraftOps.topKPerKey(
+      assign.join(terms, col("vec_id") === col("doc_id"))
+        .groupBy("cid", "term").agg(count(lit(1)).as("cnt")),
+      keyCols = Seq("cid"),
+      orderBy = Seq("cnt" -> false, "term" -> true), k = 5)
+    top
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cid").orderBy(col("cnt").desc, col("term").asc))
+        .cast("int"))
+      .select(col("cid"), col("rnk"), col("term"), col("cnt"))
+      .orderBy("cid", "rnk")
   }
 
   /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
@@ -608,6 +641,7 @@ object SimilarityQueries {
     "q_sim_matryoshka"      -> matryoshka,
     "q_sim_pq_adc"          -> pqAdc,
     "q_sim_kmeans"          -> kmeans,
+    "q_sim_cluster_topics"  -> clusterTopics,
     "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
     "q_dedup_semantic_apply" -> semanticApply
@@ -616,6 +650,39 @@ object SimilarityQueries {
   private val duckCos = "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))"
   private val duckBucket = (1 to LshBits).map(d =>
     s"CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** Shared 2-round Lloyd CTE chain ending in `a2(vec_id, cid, d2)` —
+    * one definition for the cluster report and the topic labeling, so
+    * the assignment cannot drift between their oracles. */
+  private lazy val duckKmeansCtes: String = {
+    val d2 = (a: String, b: String) =>
+      s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
+         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
+    s"""kbase AS (SELECT vec_id,
+       |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id >= $NumQueries),
+       | init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       |   v AS centroid
+       |  FROM kbase ORDER BY vec_id LIMIT $KmeansK),
+       | dx1 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
+       |  FROM kbase b CROSS JOIN init c),
+       | a1 AS (SELECT vec_id, cid FROM (SELECT *,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM dx1) WHERE rn = 1),
+       | e1 AS (SELECT a.cid, b.vec_id, unnest(b.v) AS x,
+       |   unnest(generate_series(1, $EmbDim)) AS pos
+       |  FROM a1 a JOIN kbase b ON a.vec_id = b.vec_id),
+       | m1 AS (SELECT cid, pos,
+       |   list_sum(list(x ORDER BY vec_id)) / count(*) AS m
+       |  FROM e1 GROUP BY cid, pos),
+       | c1 AS (SELECT cid, list(m ORDER BY pos) AS centroid
+       |  FROM m1 GROUP BY cid),
+       | dx2 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
+       |  FROM kbase b CROSS JOIN c1 c),
+       | a2 AS (SELECT vec_id, cid, d2 FROM (SELECT *,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM dx2) WHERE rn = 1)""".stripMargin
+  }
 
   val oracles: Seq[(String, String)] = Seq(
     "q_sim_decontam" ->
@@ -786,38 +853,23 @@ object SimilarityQueries {
          |  FROM adc) WHERE rnk <= $LshTopK
          | ORDER BY qid, rnk""".stripMargin
     },
-    "q_sim_kmeans" -> {
-      val d2 = (a: String, b: String) =>
-        s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
-           |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
-      s"""WITH base AS (SELECT vec_id,
-         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings WHERE vec_id >= $NumQueries),
-         | init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-         |   v AS centroid
-         |  FROM base ORDER BY vec_id LIMIT $KmeansK),
-         | dx1 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
-         |  FROM base b CROSS JOIN init c),
-         | a1 AS (SELECT vec_id, cid FROM (SELECT *,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |  FROM dx1) WHERE rn = 1),
-         | e1 AS (SELECT a.cid, b.vec_id, unnest(b.v) AS x,
-         |   unnest(generate_series(1, $EmbDim)) AS pos
-         |  FROM a1 a JOIN base b ON a.vec_id = b.vec_id),
-         | m1 AS (SELECT cid, pos,
-         |   list_sum(list(x ORDER BY vec_id)) / count(*) AS m
-         |  FROM e1 GROUP BY cid, pos),
-         | c1 AS (SELECT cid, list(m ORDER BY pos) AS centroid
-         |  FROM m1 GROUP BY cid),
-         | dx2 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
-         |  FROM base b CROSS JOIN c1 c),
-         | a2 AS (SELECT vec_id, cid, d2 FROM (SELECT *,
-         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-         |  FROM dx2) WHERE rn = 1)
+    "q_sim_kmeans" ->
+      s"""WITH $duckKmeansCtes
          | SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(d2) AS BIGINT) AS inertia_ppm
-         | FROM a2 GROUP BY cid ORDER BY cid""".stripMargin
-    },
+         | FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_sim_cluster_topics" ->
+      s"""WITH $duckKmeansCtes,
+         | tt AS (SELECT a.cid, t.term, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM a2 a JOIN (SELECT doc_id,
+         |    unnest(${TextQueries.duckTerms("text")}) AS term FROM documents) t
+         |   ON t.doc_id = a.vec_id
+         |  GROUP BY a.cid, t.term),
+         | rk AS (SELECT cid, term, cnt,
+         |   row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, term) AS rnk
+         |  FROM tt)
+         | SELECT cid, CAST(rnk AS INTEGER) AS rnk, term, cnt
+         | FROM rk WHERE rnk <= 5 ORDER BY cid, rnk""".stripMargin,
     "q_sim_matryoshka" -> {
       val duckCosTrunc =
         s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
