@@ -132,6 +132,45 @@ object SamplingQueries {
       .orderBy("lang")
   }
 
+  /** TEMPERATURE-scaled mixture weights from per-source token counts —
+    * the α-sampling standard (multilingual BERT / XLM-R / mT5 lineage)
+    * that DERIVES the targets [[sampleMixture]] consumes: w_d ∝ n_d^α,
+    * α < 1 upweighting low-resource domains. α is restricted to
+    * {1, 1/2, 1/4} ON PURPOSE: those powers compute via IEEE-754 sqrt
+    * (correctly rounded, bit-identical across engines), where a general
+    * pow/exp/ln chain would put libm last-ulp divergence under the
+    * floor and flip graded ppm digits. The per-α normalizer is an
+    * ORDER-PINNED fold over the O(sources) frame (the pq_adc
+    * discipline), and every ratio is floored ppm with the identical
+    * expression tree in both engines. Also reports the oversampling
+    * factor (epochs_ppm = w_d·N/n_d — how many times a low-resource
+    * domain repeats per corpus epoch), the number a data
+    * curator actually sanity-checks before training. Scale shape: one
+    * tokenize aggregate (O(sources) rows out), then O(sources × 3)
+    * arithmetic — the corpus is scanned once. */
+  private val sampleTemperature: Q = (s, dir) => {
+    val nTok = Tables.fanout(t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(sum(size(graft.ops.TokenOps.terms(col("text")))).as("n_tok"))
+    val f = nTok
+      .withColumn("alpha_pct", explode(array(lit(100L), lit(50L), lit(25L))))
+      .withColumn("fn", expr(
+        """CASE alpha_pct WHEN 100 THEN CAST(n_tok AS DOUBLE)
+          | WHEN 50 THEN sqrt(CAST(n_tok AS DOUBLE))
+          | ELSE sqrt(sqrt(CAST(n_tok AS DOUBLE))) END""".stripMargin))
+    val tot = f.groupBy("alpha_pct")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(source, fn))), x -> x.fn),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("fsum"),
+        sum("n_tok").as("n_total"))
+    f.join(tot, Seq("alpha_pct"))
+      .select(col("alpha_pct"), col("source"), col("n_tok"),
+        expr("CAST(floor(1000000.0 * fn / fsum) AS BIGINT)").as("w_ppm"),
+        expr("CAST(floor(1000000.0 * fn * n_total / (fsum * n_tok)) AS BIGINT)")
+          .as("epochs_ppm"))
+      .orderBy("alpha_pct", "source")
+  }
+
   /** Leakage-safe split — split assignment BY NEAR-DUP CLUSTER, not by
     * doc: with per-doc hashing, the two halves of a near-duplicate pair
     * can land in train and test and leak supervision across the
@@ -440,6 +479,7 @@ object SamplingQueries {
     "q_sample_strat" -> sampleStratified,
     "q_sample_weighted" -> sampleWeighted,
     "q_sample_mixture" -> sampleMixture,
+    "q_sample_temperature" -> sampleTemperature,
     "q_sample_kfold" -> sampleKfold,
     "q_sample_cluster_split" -> sampleClusterSplit,
     "q_sample_pack" -> samplePack,
@@ -455,6 +495,24 @@ object SamplingQueries {
        |      ELSE 'test' END""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sample_temperature" ->
+      s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
+         |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)
+         |  GROUP BY source),
+         | f AS (SELECT source, n_tok, a.alpha_pct,
+         |   CASE a.alpha_pct WHEN 100 THEN CAST(n_tok AS DOUBLE)
+         |    WHEN 50 THEN sqrt(CAST(n_tok AS DOUBLE))
+         |    ELSE sqrt(sqrt(CAST(n_tok AS DOUBLE))) END AS fn
+         |  FROM nt CROSS JOIN (VALUES (100), (50), (25)) AS a(alpha_pct)),
+         | tot AS (SELECT alpha_pct,
+         |   list_sum(list(fn ORDER BY source)) AS fsum,
+         |   CAST(sum(n_tok) AS BIGINT) AS n_total
+         |  FROM f GROUP BY alpha_pct)
+         | SELECT CAST(f.alpha_pct AS BIGINT) AS alpha_pct, f.source, f.n_tok,
+         |  CAST(floor(1000000.0 * fn / fsum) AS BIGINT) AS w_ppm,
+         |  CAST(floor(1000000.0 * fn * n_total / (fsum * n_tok)) AS BIGINT) AS epochs_ppm
+         | FROM f JOIN tot ON f.alpha_pct = tot.alpha_pct
+         | ORDER BY alpha_pct, source""".stripMargin,
     "q_sample_budget" ->
       s"""WITH b AS (SELECT doc_id, n_chars // 4 AS tok,
          |   CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS BIGINT) AS quality_bp
