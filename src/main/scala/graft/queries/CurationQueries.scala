@@ -161,6 +161,53 @@ object CurationQueries {
        | ln(((c_cur + 1.0) * (t_ref + $DriftBins.0)) / ((c_ref + 1.0) * (t_cur + $DriftBins.0)))
        |) AS BIGINT)""".stripMargin.replace("\n", " ")
 
+  /** Exact two-sample KOLMOGOROV-SMIRNOV statistic between the pre- and
+    * post-cutoff event slices — the distribution-level companion of
+    * [[driftReport]]'s binned PSI: PSI answers "how much did the shape
+    * move per bin" under a chosen binning; KS answers "what is the
+    * LARGEST CDF gap and where" with NO binning to tune (the statistic
+    * whose null distribution the DKW inequality bounds, so the ppm
+    * value converts directly to a significance call). Everything is
+    * exact integers: per distinct value, (ref, cur) counts; inclusive
+    * cumulative counts ride the [[PrefixOps]] two-phase prefix sums
+    * (never a single-partition window over the value stream); the gap
+    * clears denominators as |R·t_cur − C·t_ref| in DECIMAL(38,0)
+    * (R·t_cur ≈ 10²² at corpus scale), and the max + its argmin
+    * location are two aggregates over the O(distinct values) frame.
+    * Output: one row — totals, KS in floor ppm, and the value where
+    * the CDFs diverge most (ties → smallest value), which is the
+    * actionable part of the report. */
+  private val ksReport: Q = (s, dir) => {
+    val cutoff = lit(CdcQueries.Cutoff).cast("timestamp")
+    val pv = t(s, dir, "events")
+      .select(col("value"), (col("ts") >= cutoff).as("is_cur"))
+      .groupBy("value")
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_cur"))
+    val pref = graft.ops.PrefixOps.withPrefixOffsets(pv, Nil,
+      Seq(col("value")), Seq("rb" -> col("c_ref"), "cb" -> col("c_cur")))
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(graft.ops.PrefixOps.PidCol)).orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = pref
+      .withColumn("r", col("rb_off") + sum("c_ref").over(wLoc))
+      .withColumn("c", col("cb_off") + sum("c_cur").over(wLoc))
+    val tot = pv.agg(sum("c_ref").as("t_ref"), sum("c_cur").as("t_cur"))
+    val d = cum.crossJoin(broadcast(tot))
+      .withColumn("d", expr(
+        "abs(CAST(r AS DECIMAL(38,0)) * t_cur - CAST(c AS DECIMAL(38,0)) * t_ref)"))
+      .localCheckpoint(true) // max pass + argmax pass read it
+    val maxd = d.agg(max("d").as("maxd"))
+    d.join(broadcast(maxd), col("d") === col("maxd"))
+      .agg(max("t_ref").as("t_ref"), max("t_cur").as("t_cur"),
+        max("maxd").as("maxd"), min("value").as("ks_at_value"))
+      .select(col("t_ref"), col("t_cur"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * maxd)
+               |  DIV (CAST(t_ref AS DECIMAL(38,0)) * t_cur) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("ks_ppm"),
+        col("ks_at_value"))
+  }
+
   /** Ingestion freshness report — the lag monitor an on-call rotation
     * actually pages on: per feed (event_type here), last-seen event time
     * and its lag in whole minutes behind the freshest feed. One
@@ -392,6 +439,7 @@ object CurationQueries {
     "q_report_ref_integrity" -> refIntegrity,
     "q_report_forget_impact" -> forgetImpact,
     "q_report_drift"    -> driftReport,
+    "q_report_ks"       -> ksReport,
     "q_report_freshness" -> freshnessReport,
     "q_report_skew"     -> skewReport
   )
@@ -477,6 +525,27 @@ object CurationQueries {
          | SELECT bin, c_ref, c_cur, $driftPsiExpr AS psi_unat
          | FROM counts CROSS JOIN totals
          | ORDER BY bin""".stripMargin,
+    "q_report_ks" ->
+      s"""WITH pv AS (
+         |  SELECT value,
+         |   CAST(sum(CASE WHEN ts <  TIMESTAMP '${CdcQueries.Cutoff}' THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         |   CAST(sum(CASE WHEN ts >= TIMESTAMP '${CdcQueries.Cutoff}' THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+         |  FROM events GROUP BY value),
+         | cum AS (SELECT value,
+         |   CAST(sum(c_ref) OVER w AS BIGINT) AS r,
+         |   CAST(sum(c_cur) OVER w AS BIGINT) AS c
+         |  FROM pv WINDOW w AS (ORDER BY value
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         | tt AS (SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+         |   CAST(sum(c_cur) AS BIGINT) AS t_cur FROM pv),
+         | dd AS (SELECT value,
+         |   abs(CAST(r AS HUGEINT) * t_cur - CAST(c AS HUGEINT) * t_ref) AS d
+         |  FROM cum CROSS JOIN tt),
+         | mx AS (SELECT max(d) AS maxd FROM dd)
+         | SELECT tt.t_ref, tt.t_cur,
+         |  CAST(1000000 * mx.maxd // (CAST(tt.t_ref AS HUGEINT) * tt.t_cur) AS BIGINT) AS ks_ppm,
+         |  (SELECT min(value) FROM dd WHERE d = (SELECT maxd FROM mx)) AS ks_at_value
+         | FROM tt CROSS JOIN mx""".stripMargin,
     "q_report_freshness" ->
       """WITH per_feed AS (
         |  SELECT event_type,
