@@ -153,10 +153,15 @@ object MlEvalQueries {
     * under the same guard in both engines and G_n records the survivor
     * count. Output is one row. */
   private[graft] def aucJackknifeOf(sc: DataFrame): DataFrame = {
-    val pvTot = sc.groupBy("score")
-      .agg(sum("y").as("pos"), sum(expr("1L - y")).as("neg"))
+    // ONE corpus-level aggregate (G×V rows out, checkpointed for its
+    // three consumers); totals, complements, and the full-corpus
+    // estimate all derive ARITHMETICALLY from it — the tokenize/score
+    // pass never reruns.
     val pvG = sc.groupBy("g", "score")
       .agg(sum("y").as("posg"), sum(expr("1L - y")).as("negg"))
+      .localCheckpoint(true)
+    val pvTot = pvG.groupBy("score")
+      .agg(sum("posg").as("pos"), sum("negg").as("neg"))
     val compl = pvG.select("g").distinct()
       .crossJoin(pvTot)
       .join(pvG, Seq("g", "score"), "left_outer")
@@ -167,7 +172,7 @@ object MlEvalQueries {
     val stats = perG.agg(count(lit(1)).as("g_n"),
       sum("auc_bp").as("s1"),
       sum((col("auc_bp") * col("auc_bp")).cast("decimal(38,0)")).as("s2"))
-    aucOf(sc.select("score", "y"))
+    aucByFromPerValue(pvTot.withColumn("all", lit(0L)), "all").drop("all")
       .crossJoin(stats)
       .withColumn("jk_var_bp2", expr(
         """CAST((CAST(g_n AS DECIMAL(38,0)) - 1)
