@@ -240,6 +240,53 @@ object MlEvalQueries {
 
   private val prCurve: Q = (s, dir) => prCurveOf(scored(s, dir))
 
+  /** AVERAGE PRECISION (the PR-AUC scalar) — the single number the PR
+    * curve collapses to when positives are rare and ROC AUC flatters:
+    * AP = Σ_thresholds ΔR_k·P_k over the same desc-ordered per-value
+    * prefix frame as [[prCurveOf]] — one more aggregate, no extra scan.
+    * Each term pos_k·tp_k/((tp_k+fp_k)·n_pos) is quantized to floor ppm
+    * PER TERM (the defined statistic — terms have coprime denominators,
+    * so a global clearing does not exist; both engines floor the same
+    * integers so the sum is engine-exact), with DECIMAL(38,0)/HUGEINT
+    * products since pos·tp ≈ 10²² at corpus scale. */
+  private[graft] def apOf(sc: DataFrame): DataFrame = {
+    val pref = PrefixOps.withPrefixOffsets(
+      perValue(sc), Nil, Seq(col("score").desc),
+      Seq("tp" -> col("pos"), "fp" -> col("neg")))
+    val wLoc = Window.partitionBy(col(PrefixOps.PidCol))
+      .orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref
+      .withColumn("tp", col("tp_off") + sum("pos").over(wLoc))
+      .withColumn("fp", col("fp_off") + sum("neg").over(wLoc))
+      .agg(max("tp_tot").as("n_pos"),
+        sum(expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * pos * tp)
+            | DIV ((CAST(tp AS DECIMAL(38,0)) + fp) * tp_tot) AS BIGINT)"""
+            .stripMargin.replace("\n", " "))).as("ap_ppm"))
+      .select(col("n_pos"), col("ap_ppm"))
+  }
+
+  private val ap: Q = (s, dir) => apOf(scored(s, dir))
+
+  /** BRIER SCORE — the calibration family's proper scoring rule (the
+    * mean squared error of the bp-scale predicted probability against
+    * the outcome), EXACT integers end to end: Σ(score − 10⁴·y)² in
+    * DECIMAL(38,0), one integral divide to floor ppm of the [0,1]
+    * Brier. Lower is better; 250000 ppm (=0.25) is the uninformative
+    * coin. One aggregate, one row. */
+  private[graft] def brierOf(sc: DataFrame): DataFrame =
+    sc.agg(count(lit(1)).as("n"),
+        sum(((col("score") - lit(10000L) * col("y")) *
+          (col("score") - lit(10000L) * col("y"))).cast("decimal(38,0)"))
+          .as("se"))
+      .select(col("n"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * se)
+               |  DIV (CAST(n AS DECIMAL(38,0)) * 100000000) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("brier_ppm"))
+
+  private val brier: Q = (s, dir) => brierOf(scored(s, dir))
+
   /** Reliability table: [[CalibBins]] fixed-width bins over the bp score
     * — per-bin count, corpus share, mean predicted bp, observed positive
     * rate bp, |gap|. The per-bin frame is O(bins); its total-count
@@ -529,7 +576,9 @@ object MlEvalQueries {
     "q_ml_fleiss" -> fleiss,
     "q_ml_ece" -> ece,
     "q_ml_ndcg" -> ndcg,
-    "q_ml_auc_jackknife" -> aucJackknife
+    "q_ml_auc_jackknife" -> aucJackknife,
+    "q_ml_ap" -> ap,
+    "q_ml_brier" -> brier
   )
 
   /** DuckDB-side (score, y) frame, generated from the same clean/stop
@@ -648,6 +697,23 @@ object MlEvalQueries {
          |      - (CAST(a AS HUGEINT) + b) * (CAST(a AS HUGEINT) + c)
          |      - (CAST(c AS HUGEINT) + d) * (CAST(b AS HUGEINT) + d)) AS BIGINT) AS kappa_bp
          | FROM m""".stripMargin,
+    "q_ml_ap" ->
+      s"""WITH v AS ($duckPerValue),
+         | c AS (SELECT *,
+         |   CAST(sum(pos) OVER wd AS BIGINT) AS tp,
+         |   CAST(sum(neg) OVER wd AS BIGINT) AS fp,
+         |   CAST(sum(pos) OVER () AS BIGINT) AS tp_tot
+         |  FROM v WINDOW wd AS (ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         | SELECT CAST(max(tp_tot) AS BIGINT) AS n_pos,
+         |  CAST(sum(1000000 * CAST(pos AS HUGEINT) * tp
+         |    // ((CAST(tp AS HUGEINT) + fp) * tp_tot)) AS BIGINT) AS ap_ppm
+         | FROM c""".stripMargin,
+    "q_ml_brier" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(1000000 * sum(CAST((score - 10000 * y) AS HUGEINT) * (score - 10000 * y))
+         |    // (CAST(count(*) AS HUGEINT) * 100000000) AS BIGINT) AS brier_ppm
+         | FROM ($duckScored)""".stripMargin,
     "q_ml_auc_jackknife" ->
       s"""WITH sc AS (
          |  SELECT doc_id,

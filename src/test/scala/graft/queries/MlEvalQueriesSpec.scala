@@ -86,6 +86,32 @@ class MlEvalQueriesSpec extends SparkSpec {
     }
   }
 
+  test("average precision: 1.0 on perfect ranking; interleaved toy by hand") {
+    def ap(rows: (Long, Long)*) =
+      MlEvalQueries.apOf(rows.toSeq.toDF("score", "y"))
+        .collect().head.getAs[Long]("ap_ppm")
+    // Perfect separation: every positive above every negative → AP = 1.
+    assert(ap((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L)) == 1000000L)
+    // Interleaved pos@1, neg@2, pos@3, neg@4 (desc): terms are
+    // floor(1e6·pos·tp/((tp+fp)·n_pos)) per distinct threshold:
+    //   t=40: tp=1 fp=0 → 1e6·1·1/(1·2) = 500000
+    //   t=30: tp=1 fp=1 → 0 (pos=0)
+    //   t=20: tp=2 fp=1 → 1e6·1·2/(3·2) = 333333
+    //   t=10: tp=2 fp=2 → 0 (pos=0)
+    assert(ap((40L, 1L), (30L, 0L), (20L, 1L), (10L, 0L)) == 833333L)
+  }
+
+  test("Brier: exact hand values at the bp scale") {
+    def brier(rows: (Long, Long)*) =
+      MlEvalQueries.brierOf(rows.toSeq.toDF("score", "y"))
+        .collect().head.getAs[Long]("brier_ppm")
+    // Perfect confident predictions → 0; the 0.5 coin → 0.25 = 250000.
+    assert(brier((10000L, 1L), (0L, 0L)) == 0L)
+    assert(brier((5000L, 1L), (5000L, 0L)) == 250000L)
+    // (0.8, 1) and (0.3, 0): ((0.2)² + (0.3)²)/2 = 0.065 → 65000 ppm.
+    assert(brier((8000L, 1L), (3000L, 0L)) == 65000L)
+  }
+
   test("jackknife AUC: complement arithmetic equals direct leave-one-out") {
     val sc = Seq(
       (1L, 10L, 0L, 0L), (2L, 20L, 0L, 0L), (3L, 30L, 1L, 0L),
