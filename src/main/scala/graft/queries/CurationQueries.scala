@@ -154,12 +154,17 @@ object CurationQueries {
   }
 
   /** The PSI micronat emission — ONE string, parsed by both engines, so
-    * the double arithmetic is structurally identical on each side. */
-  private val driftPsiExpr =
+    * the double arithmetic is structurally identical on each side.
+    * Shared (parameterized by bin count) with the streaming
+    * [[graft.stream.DriftIngest]], so the batch report and the standing
+    * monitor can never disagree on the statistic. */
+  private[graft] def psiMicronatExpr(bins: Int): String =
     s"""CAST(floor(1000000.0 *
-       | ((c_cur + 1.0) / (t_cur + $DriftBins.0) - (c_ref + 1.0) / (t_ref + $DriftBins.0)) *
-       | ln(((c_cur + 1.0) * (t_ref + $DriftBins.0)) / ((c_ref + 1.0) * (t_cur + $DriftBins.0)))
+       | ((c_cur + 1.0) / (t_cur + $bins.0) - (c_ref + 1.0) / (t_ref + $bins.0)) *
+       | ln(((c_cur + 1.0) * (t_ref + $bins.0)) / ((c_ref + 1.0) * (t_cur + $bins.0)))
        |) AS BIGINT)""".stripMargin.replace("\n", " ")
+
+  private val driftPsiExpr = psiMicronatExpr(DriftBins)
 
   /** Exact two-sample KOLMOGOROV-SMIRNOV statistic between the pre- and
     * post-cutoff event slices — the distribution-level companion of

@@ -1,0 +1,71 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DriftIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def values(vs: Double*) = vs.toDF("value")
+
+  /** Reference: uniform mass over bins 0..4 (values 0,50,…,200 ×4). */
+  private def refFrame = values(
+    (0 until 5).flatMap(b => Seq.fill(4)(b * 50.0 + 1)): _*)
+
+  private def mkIngest() = {
+    val dir = Files.createTempDirectory("drift-ingest").toString + "/store"
+    (new DriftIngest(spark, "value", refFrame, dir), dir)
+  }
+
+  test("in-distribution batch scores ~0; shifted batch pages, stable does not") {
+    val (ingest, _) = mkIngest()
+    // Batch 0: same shape as the reference → PSI ≈ 0 (smoothing only).
+    assert(ingest.processBatch(refFrame, 0L) == 20L)
+    // Batch 1: all mass in the top bin → large PSI.
+    assert(ingest.processBatch(values(Seq.fill(20)(480.0): _*), 1L) == 20L)
+    val psi = ingest.psiPerBatch().orderBy("batch_id")
+      .select("batch_id", "psi_unat").as[(Long, Long)].collect().toSeq
+    assert(psi.size == 2)
+    val byId = psi.toMap
+    assert(byId(0L) < 10000L, s"identical batch drifted: ${byId(0L)}")
+    assert(byId(1L) > 1000000L, s"full shift not flagged: ${byId(1L)}")
+    // The page fires for exactly the shifted batch at the 0.25 folk bar.
+    assert(ingest.alerts(250000L).select("batch_id").as[Long].collect()
+      .toSeq == Seq(1L))
+  }
+
+  test("monitor PSI kernel == the batch report's kernel on equal inputs") {
+    val (ingest, _) = mkIngest()
+    ingest.processBatch(values(1.0, 1.0, 60.0, 480.0), 7L)
+    val got = ingest.psiPerBatch().where(col("batch_id") === 7L)
+      .select("psi_unat").as[Long].head()
+    // Hand evaluation of the SHARED expression over (c_cur, c_ref) bins:
+    // ref = [4,4,4,4,4,0,0,0,0,0] (t=20), cur = [2,1,0,0,0,0,0,0,0,1] (t=4).
+    val ref = Array(4L, 4L, 4L, 4L, 4L, 0L, 0L, 0L, 0L, 0L)
+    val cur = Array(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)
+    val expected = (0 until 10).map { b =>
+      val pc = (cur(b) + 1.0) / (4 + 10.0)
+      val pr = (ref(b) + 1.0) / (20 + 10.0)
+      math.floor(1000000.0 * (pc - pr) * math.log(
+        ((cur(b) + 1.0) * (20 + 10.0)) / ((ref(b) + 1.0) * (4 + 10.0)))).toLong
+    }.sum
+    assert(got == expected, s"$got vs $expected")
+  }
+
+  test("at-least-once replay converges; missing bins read as zero") {
+    val (ingest, _) = mkIngest()
+    val b = values(480.0, 480.0)
+    ingest.processBatch(b, 3L)
+    ingest.processBatch(b, 3L) // redelivery, same checkpointed id
+    val r = ingest.psiPerBatch().collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_rows") == 2L, "replay double-counted")
+    // Empty batch writes nothing, alerts stay quiet on an empty store.
+    val (fresh, _) = mkIngest()
+    assert(fresh.processBatch(values(), 0L) == 0L)
+    assert(fresh.alerts(0L).count() == 0L)
+  }
+}
