@@ -416,6 +416,41 @@ object MlEvalQueries {
                |      * (CAST(3 AS DECIMAL(38,0)) * n_docs - votes_keep))) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("fleiss_bp"))
 
+  /** McNEMAR'S PAIRED TEST between the two quality gates against the
+    * language label as ground truth — the question [[kappa]] does NOT
+    * answer: kappa says whether the gates AGREE; McNemar says whether
+    * their ACCURACIES differ (a gate pair can agree at chance yet be
+    * equally accurate, or agree often while one is strictly better).
+    * Only the discordant cells matter: b = heuristic right ∧ classifier
+    * wrong, c = the reverse; the χ² statistic (b−c)²/(b+c) is exact
+    * integer ppm (3.841·10⁶/10⁶ is the 95% line for 1 df), and the
+    * continuity-corrected form (|b−c|−1)² is emitted next to it.
+    * One aggregate over the joined verdict frames; one row out;
+    * DECIMAL(38,0) products for corpus scale. Degenerate b+c = 0
+    * (gates never disagree) raises loudly under ANSI. */
+  private val mcnemar: Q = (s, dir) => {
+    val gold = Tables.t(s, dir, "documents").select(col("doc_id"),
+      (col("lang") === "en").as("truth"))
+    val f = TextQueries.filterVerdicts(s, dir).select(col("doc_id"),
+      (col("verdict") === "keep").as("k1"))
+    val c = TextQueries.classifyFrame(s, dir).select(col("doc_id"),
+      (col("label") === "keep").as("k2"))
+    f.join(c, Seq("doc_id")).join(gold, Seq("doc_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k1") === col("truth") && col("k2") =!= col("truth"), 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("k1") =!= col("truth") && col("k2") === col("truth"), 1L)
+          .otherwise(0L)).as("c"))
+      .select(col("n"), col("b").as("n_h_only_right"),
+        col("c").as("n_clf_only_right"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (b - c) * (b - c))
+               |  DIV (CAST(b AS DECIMAL(38,0)) + c) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("chi2_ppm"),
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (abs(b - c) - 1) * (abs(b - c) - 1))
+               |  DIV (CAST(b AS DECIMAL(38,0)) + c) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("chi2_cc_ppm"))
+  }
+
   // ---- rank correlation ---------------------------------------------------
 
   /** SPEARMAN rank correlation between two scorers — the "do my two
@@ -578,7 +613,8 @@ object MlEvalQueries {
     "q_ml_ndcg" -> ndcg,
     "q_ml_auc_jackknife" -> aucJackknife,
     "q_ml_ap" -> ap,
-    "q_ml_brier" -> brier
+    "q_ml_brier" -> brier,
+    "q_ml_mcnemar" -> mcnemar
   )
 
   /** DuckDB-side (score, y) frame, generated from the same clean/stop
@@ -761,6 +797,30 @@ object MlEvalQueries {
          |  f.auc_bp - (196 * v2.jk_se_bp) // 100 AS ci_lo_bp,
          |  f.auc_bp + (196 * v2.jk_se_bp) // 100 AS ci_hi_bp
          | FROM f CROSS JOIN v2""".stripMargin,
+    "q_ml_mcnemar" ->
+      s"""WITH fv AS (${TextQueries.duckFilterVerdicts}),
+         | cl AS (SELECT doc_id,
+         |   CASE WHEN sum(w_milli) > 0 THEN 'keep' ELSE 'drop' END AS label
+         |  FROM (SELECT doc_id,
+         |    CAST('0x' || substr(md5('w#' || CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w_milli
+         |   FROM (SELECT doc_id,
+         |     CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % ${TextQueries.ClassifyBuckets} AS bucket
+         |    FROM (SELECT doc_id, unnest(${TextQueries.duckTerms("text")}) AS term FROM documents)))
+         |  GROUP BY doc_id),
+         | j AS (SELECT (fv.verdict = 'keep') AS k1, (cl.label = 'keep') AS k2,
+         |   (d.lang = 'en') AS truth
+         |  FROM fv JOIN cl ON fv.doc_id = cl.doc_id
+         |   JOIN documents d ON d.doc_id = fv.doc_id),
+         | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(CASE WHEN k1 = truth AND k2 <> truth THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |   CAST(sum(CASE WHEN k1 <> truth AND k2 = truth THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM j)
+         | SELECT n, b AS n_h_only_right, c AS n_clf_only_right,
+         |  CAST(1000000 * (CAST(b AS HUGEINT) - c) * (CAST(b AS HUGEINT) - c)
+         |    // (CAST(b AS HUGEINT) + c) AS BIGINT) AS chi2_ppm,
+         |  CAST(1000000 * (abs(CAST(b AS HUGEINT) - c) - 1) * (abs(CAST(b AS HUGEINT) - c) - 1)
+         |    // (CAST(b AS HUGEINT) + c) AS BIGINT) AS chi2_cc_ppm
+         | FROM m""".stripMargin,
     "q_ml_fleiss" ->
       s"""WITH fv AS (${TextQueries.duckFilterVerdicts}),
          | cl AS (SELECT doc_id,

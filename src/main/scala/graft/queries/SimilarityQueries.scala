@@ -565,6 +565,42 @@ object SimilarityQueries {
       .orderBy("cid", "rnk")
   }
 
+  /** SEMDEDUP proper (Abbas et al. 2023) — semantic dedup bounded by the
+    * K-MEANS PARTITION, the shape that actually scales: where
+    * `q_dedup_semantic_apply` forms a global cosine pair graph inside
+    * given label blocks, this runs the paper's pipeline — cluster the
+    * corpus, then compare ONLY within clusters with the greedy
+    * keep-first-id rule (v is removed iff some lower-id cluster-mate
+    * matches at ≥ τ; no transitive chaining, the paper's screen). Pair
+    * candidates are bounded by Σ cluster² instead of Σ label-block², and
+    * the cluster structure is DERIVED from the data by the shared
+    * [[kmeansAssign]] — no label column needed at 100 TB. Per removed
+    * vector the manifest reports its strongest earlier match (floor-ppm
+    * cosine, ties → smallest id — quantized BEFORE the argmax so the
+    * selection compares integers in both engines). */
+  private val semDedup: Q = (s, dir) => {
+    val assign = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // One checkpointed (vec, cluster, embedding) frame feeds both ends
+    // of the within-cluster join.
+    val m = Tables.fanout(assign.join(e, Seq("vec_id"))).localCheckpoint(true)
+    val pairs = m.as("x").join(m.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("v"), col("x.vec_id").as("u"),
+        col("y.cid").as("cid"),
+        Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos"))
+      .where(col("cos") >= CosDupThreshold)
+      .withColumn("cos_ppm",
+        expr("CAST(floor(1000000.0 * cos) AS BIGINT)"))
+    graft.plans.GraftOps.topKPerKey(
+        pairs.select(col("v"), col("cid"), col("u"), col("cos_ppm")),
+        keyCols = Seq("v"),
+        orderBy = Seq("cos_ppm" -> false, "u" -> true), k = 1)
+      .select(col("cid"), col("v").as("vec_id"), col("u").as("nn_vec"),
+        col("cos_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
     * storage/compute cut an MRL deployment serves hot. */
   private val MrlDims = 16
@@ -642,6 +678,7 @@ object SimilarityQueries {
     "q_sim_pq_adc"          -> pqAdc,
     "q_sim_kmeans"          -> kmeans,
     "q_sim_cluster_topics"  -> clusterTopics,
+    "q_sim_semdedup"        -> semDedup,
     "q_sim_hof_math"        -> hofVectorMath,
     "q_dedup_embedding_cos" -> embeddingCosineDedup,
     "q_dedup_semantic_apply" -> semanticApply
@@ -870,6 +907,19 @@ object SimilarityQueries {
          |  FROM tt)
          | SELECT cid, CAST(rnk AS INTEGER) AS rnk, term, cnt
          | FROM rk WHERE rnk <= 5 ORDER BY cid, rnk""".stripMargin,
+    "q_sim_semdedup" ->
+      s"""WITH $duckKmeansCtes,
+         | m AS (SELECT a2.vec_id, a2.cid, CAST(e.embedding AS DOUBLE[]) AS emb
+         |  FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id),
+         | p AS (SELECT y.vec_id AS v, x.vec_id AS u, y.cid,
+         |   CAST(floor(1000000.0 * list_cosine_similarity(x.emb, y.emb)) AS BIGINT) AS cos_ppm
+         |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE list_cosine_similarity(x.emb, y.emb) >= $CosDupThreshold)
+         | SELECT cid, vec_id, nn_vec, cos_ppm FROM (
+         |  SELECT v AS vec_id, cid, u AS nn_vec, cos_ppm,
+         |   row_number() OVER (PARTITION BY v ORDER BY cos_ppm DESC, u) AS rn
+         |  FROM p) WHERE rn = 1
+         | ORDER BY vec_id""".stripMargin,
     "q_sim_matryoshka" -> {
       val duckCosTrunc =
         s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
