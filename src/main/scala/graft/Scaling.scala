@@ -53,7 +53,8 @@ object Scaling {
     "q_dedup_spans", "q_dedup_span_apply",
     "q_sample_dsir", "q_dedup_simhash_pairs", "q_text_tfidf",
     "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes",
-    "q_a3_vocabulary", "q_sim_hybrid_rrf")
+    "q_a3_vocabulary", "q_sim_hybrid_rrf", "q_dedup_pair_rouge",
+    "q_ml_auc_jackknife")
 
   /** The output-bound regime (see object doc): exact-verify pair/span
     * queries whose RESULT grows as the square of corpus duplication.
@@ -67,7 +68,7 @@ object Scaling {
   private[graft] val OutputBound = Set(
     "q_dedup_simhash_pairs", "q_dedup_spans", "q_dedup_span_apply",
     "q_text_winnow_pairs", "q_dedup_containment", "q_dedup_ngram_jaccard",
-    "q_dedup_prefix_join")
+    "q_dedup_prefix_join", "q_dedup_pair_rouge")
 
   /** g-bar for the output-linear regime (measured fleet ≤ 0.35). */
   private[graft] val GBar = 0.57

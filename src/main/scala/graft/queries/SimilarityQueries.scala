@@ -574,7 +574,13 @@ object SimilarityQueries {
     * matches at ≥ τ; no transitive chaining, the paper's screen). Pair
     * candidates are bounded by Σ cluster² instead of Σ label-block², and
     * the cluster structure is DERIVED from the data by the shared
-    * [[kmeansAssign]] — no label column needed at 100 TB. Per removed
+    * [[kmeansAssign]] — no label column needed at 100 TB. The paper's
+    * economics require K ∝ corpus / target-cluster-size (bounded
+    * cluster sizes ⇒ bounded Σ cluster²); [[KmeansK]] = 8 is a TESTDATA
+    * constant, which is also why this query sits outside the amplified
+    * scaling audit: amplifying the corpus under a frozen K grows
+    * cluster sizes linearly and pair work quadratically — that measures
+    * the fixture's K, not the operator. Per removed
     * vector the manifest reports its strongest earlier match (floor-ppm
     * cosine, ties → smallest id — quantized BEFORE the argmax so the
     * selection compares integers in both engines). */
