@@ -317,6 +317,41 @@ object CurationQueries {
       .orderBy("lang", "source")
   }
 
+  /** l-diversity floor: a cell whose events trace to fewer distinct
+    * users can single contributors out even when k-anonymity's SIZE
+    * floor passes. */
+  private val LDiversity = 3L
+
+  /** L-DIVERSITY audit over the event stream — the release-governance
+    * companion k-anonymity alone cannot provide (Machanavajjhala et al.
+    * 2007): a quasi-identifier cell can hold MANY rows (k-anon happy)
+    * that all belong to the same few users, so publishing the cell
+    * still attributes behavior. QI cells are (event_type, value bucket,
+    * day); the sensitive attribute is user_id; a cell is risky when its
+    * distinct-user count is below [[LDiversity]]. Per event_type:
+    * cells, rows, worst cell diversity, risky cells, rows at risk, and
+    * the at-risk share in basis points. Scale shape: one exact
+    * distinct aggregate per cell (two-phase, the count-distinct
+    * machinery) then an O(cells) rollup — output is O(event types);
+    * all integer arithmetic, day = epoch DIV 86400 so neither engine
+    * touches calendar types. */
+  private val ldivReport: Q = (s, dir) => {
+    val cells = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        expr("CAST(floor(value / 50) AS BIGINT)").as("vbucket"),
+        expr("unix_timestamp(ts) DIV 86400").as("dayn"))
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("ldiv"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_rows"),
+        min("ldiv").as("min_l"),
+        sum(when(col("ldiv") < LDiversity, 1L).otherwise(0L)).as("n_risky_cells"),
+        sum(when(col("ldiv") < LDiversity, col("n")).otherwise(0L)).as("n_rows_at_risk"))
+      .select(col("event_type"), col("n_cells"), col("n_rows"), col("min_l"),
+        col("n_risky_cells"), col("n_rows_at_risk"),
+        expr("10000 * n_rows_at_risk DIV n_rows").as("risk_bp"))
+      .orderBy("event_type")
+  }
+
   /** The schema's FK edges (child, fk, parent, pk) — one audit row each,
     * shared with the generated oracle so the edge list cannot drift. */
   private val FkEdges = Seq(
@@ -445,6 +480,7 @@ object CurationQueries {
     "q_report_forget_impact" -> forgetImpact,
     "q_report_drift"    -> driftReport,
     "q_report_ks"       -> ksReport,
+    "q_report_ldiversity" -> ldivReport,
     "q_report_freshness" -> freshnessReport,
     "q_report_skew"     -> skewReport
   )
@@ -530,6 +566,24 @@ object CurationQueries {
          | SELECT bin, c_ref, c_cur, $driftPsiExpr AS psi_unat
          | FROM counts CROSS JOIN totals
          | ORDER BY bin""".stripMargin,
+    "q_report_ldiversity" ->
+      s"""WITH cells AS (
+         |  SELECT event_type,
+         |   CAST(floor(value / 50) AS BIGINT) AS vbucket,
+         |   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS dayn,
+         |   CAST(count(*) AS BIGINT) AS n,
+         |   CAST(count(DISTINCT user_id) AS BIGINT) AS ldiv
+         |  FROM events GROUP BY 1, 2, 3)
+         | SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  CAST(min(ldiv) AS BIGINT) AS min_l,
+         |  CAST(sum(CASE WHEN ldiv < $LDiversity THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+         |  CAST(sum(CASE WHEN ldiv < $LDiversity THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+         |  CAST(10000 * sum(CASE WHEN ldiv < $LDiversity THEN n ELSE 0 END)
+         |    // sum(n) AS BIGINT) AS risk_bp
+         | FROM cells GROUP BY event_type
+         | ORDER BY event_type""".stripMargin,
     "q_report_ks" ->
       s"""WITH pv AS (
          |  SELECT value,
