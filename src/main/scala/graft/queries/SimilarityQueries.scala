@@ -499,9 +499,12 @@ object SimilarityQueries {
       .orderBy("cid")
 
   /** The final-round assignment frame (vec_id, cid, d2_ppm) — shared by
-    * the graded cluster report and the topic-labeling consumer. */
+    * the graded cluster report and the topic-labeling consumer.
+    * `rounds` = number of ASSIGNMENT passes (updates run between);
+    * the graded queries use the default 2, and the spec compares
+    * rounds to pin Lloyd's descent property. */
   private[queries] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, rounds: Int = 2): DataFrame = {
     val base = Tables.fanout(t(s, dir, "embeddings"))
       .where(col("vec_id") >= NumQueries)
       .select(col("vec_id"),
@@ -535,7 +538,9 @@ object SimilarityQueries {
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), q -> q.m)")
           .as("centroid"))
-    assign(update(assign(init)))
+    var a = assign(init)
+    for (_ <- 1 until rounds) a = assign(update(a))
+    a
   }
 
   /** CLUSTER TOPIC LABELING — the "what did k-means find" report a

@@ -24,6 +24,19 @@ class CorpusOpsPropsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("inertia_ppm") >= 0L))
   }
 
+  test("kmeans: the Lloyd step does not increase total inertia") {
+    def inertia(rounds: Int): Long =
+      SimilarityQueries.kmeansAssign(spark, dir, rounds)
+        .agg(sum("d2_ppm")).as[Long].head()
+    val (i1, i2) = (inertia(1), inertia(2))
+    // Slack = corpus size: each per-vector distance floors to ppm, so
+    // the SUMS can disagree with the true (monotone) inertias by up to
+    // one ppm per vector on each side.
+    val corpus = Tables.t(spark, dir, "embeddings")
+      .where(col("vec_id") >= 5).count()
+    assert(i2 <= i1 + corpus, s"Lloyd ascent: round1 $i1 -> round2 $i2")
+  }
+
   test("cluster topics: at most 5 terms per cluster, counts descending") {
     val byCid = q("q_sim_cluster_topics").collect()
       .groupBy(_.getAs[Long]("cid"))
