@@ -612,6 +612,45 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** RECALL@K audit of the PQ-ADC search against the EXACT full-vector
+    * L2 truth — the quality gate a compressed index ships with (the
+    * FAISS user's first question: what did 64× compression cost?), and
+    * the metric-matched companion of [[recallAudit]]'s LSH leg: the
+    * truth side ranks by the same squared distance the ADC
+    * approximates, floor-ppm-quantized with the same tie rule, through
+    * the same bounded-heap TopKPerKey — so every miss in the report is
+    * QUANTIZATION error, not metric mismatch. Per query: hits and
+    * recall bp; brute-force truth is the declared exact baseline
+    * (queries broadcast, corpus streams — the `q_sim_topk_bruteforce`
+    * economics); the serving-scale candidate side reuses the graded
+    * [[pqAdc]] frame unchanged. */
+  private val pqRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = Tables.fanout(emb.where(col("vec_id") >= NumQueries))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d2full = expr(
+      """CAST(floor(1000000.0 * aggregate(
+        |  zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),
+        |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)) AS BIGINT)""".stripMargin)
+    val truth = graft.plans.GraftOps.topKPerKey(
+      c.crossJoin(broadcast(q)).withColumn("d2_ppm", d2full)
+        .select(col("qid"), col("cid"), col("d2_ppm")),
+      keyCols = Seq("qid"),
+      orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = LshTopK)
+    truth.select(col("qid"), col("cid"))
+      .join(pqAdc(s, dir).select(col("qid"), col("cid"))
+        .withColumn("hit", lit(1L)), Seq("qid", "cid"), "left_outer")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_bp",
+        expr(s"CAST(10000 * n_hits DIV $LshTopK AS BIGINT)"))
+      .orderBy("qid")
+  }
+
   /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
     * storage/compute cut an MRL deployment serves hot. */
   private val MrlDims = 16
@@ -688,6 +727,7 @@ object SimilarityQueries {
     "q_sim_matryoshka"      -> matryoshka,
     "q_sim_pq_adc"          -> pqAdc,
     "q_sim_kmeans"          -> kmeans,
+    "q_sim_pq_recall"       -> pqRecall,
     "q_sim_cluster_topics"  -> clusterTopics,
     "q_sim_semdedup"        -> semDedup,
     "q_sim_hof_math"        -> hofVectorMath,
@@ -698,6 +738,49 @@ object SimilarityQueries {
   private val duckCos = "list_cosine_similarity(CAST(qe AS DOUBLE[]), CAST(ce AS DOUBLE[]))"
   private val duckBucket = (1 to LshBits).map(d =>
     s"CASE WHEN embedding[$d] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** Shared PQ-ADC CTE chain ending in `adcrank(qid, cid, adc_ppm, rnk)`
+    * — one definition for the graded search and its recall audit, so
+    * codebooks/codes/tables cannot drift between them. */
+  private lazy val duckPqCtes: String = {
+    val d2 = (a: String, b: String) =>
+      s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $PqDsub),
+         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
+    s"""sub AS (
+       |  SELECT vec_id, si AS s,
+       |   list_transform(embedding[si * $PqDsub + 1 : si * $PqDsub + $PqDsub],
+       |     x -> CAST(x AS DOUBLE)) AS subvec
+       |  FROM embeddings CROSS JOIN
+       |   (SELECT unnest(generate_series(0, ${PqM - 1})) AS si)),
+       | cexp AS (SELECT vec_id, vec_id % $PqK AS cell, s, unnest(subvec) AS v,
+       |   unnest(generate_series(1, $PqDsub)) AS pos
+       |  FROM sub WHERE vec_id >= $NumQueries),
+       | cm AS (SELECT s, cell, pos,
+       |   list_sum(list(v ORDER BY vec_id)) / count(*) AS m
+       |  FROM cexp GROUP BY 1, 2, 3),
+       | cen AS (SELECT s, cell, list(m ORDER BY pos) AS centroid
+       |  FROM cm GROUP BY 1, 2),
+       | dc AS (SELECT sub.vec_id, sub.s, cen.cell,
+       |   ${d2("subvec", "centroid")} AS d2_ppm
+       |  FROM sub JOIN cen ON sub.s = cen.s
+       |  WHERE sub.vec_id >= $NumQueries),
+       | codes AS (SELECT vec_id AS cid, s, cell AS code FROM (
+       |   SELECT vec_id, s, cell,
+       |    row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY d2_ppm, cell) AS rn
+       |   FROM dc) WHERE rn = 1),
+       | qt AS (SELECT sub.vec_id AS qid, sub.s, cen.cell AS code,
+       |   ${d2("subvec", "centroid")} AS d2q_ppm
+       |  FROM sub JOIN cen ON sub.s = cen.s
+       |  WHERE sub.vec_id < $NumQueries),
+       | adc AS (SELECT qt.qid, codes.cid,
+       |   CAST(sum(qt.d2q_ppm) AS BIGINT) AS adc_ppm
+       |  FROM codes JOIN qt ON codes.s = qt.s AND codes.code = qt.code
+       |  GROUP BY 1, 2),
+       | adcrank AS (SELECT qid, cid, adc_ppm,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS rnk
+       |  FROM adc)""".stripMargin
+  }
 
   /** Shared 2-round Lloyd CTE chain ending in `a2(vec_id, cid, d2)` —
     * one definition for the cluster report and the topic labeling, so
@@ -860,47 +943,26 @@ object SimilarityQueries {
          |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
          | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
          | GROUP BY t.qid ORDER BY t.qid""".stripMargin,
-    "q_sim_pq_adc" -> {
-      val d2 = (a: String, b: String) =>
-        s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $PqDsub),
-           |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
-      s"""WITH sub AS (
-         |  SELECT vec_id, si AS s,
-         |   list_transform(embedding[si * $PqDsub + 1 : si * $PqDsub + $PqDsub],
-         |     x -> CAST(x AS DOUBLE)) AS subvec
-         |  FROM embeddings CROSS JOIN
-         |   (SELECT unnest(generate_series(0, ${PqM - 1})) AS si)),
-         | cexp AS (SELECT vec_id, vec_id % $PqK AS cell, s, unnest(subvec) AS v,
-         |   unnest(generate_series(1, $PqDsub)) AS pos
-         |  FROM sub WHERE vec_id >= $NumQueries),
-         | cm AS (SELECT s, cell, pos,
-         |   list_sum(list(v ORDER BY vec_id)) / count(*) AS m
-         |  FROM cexp GROUP BY 1, 2, 3),
-         | cen AS (SELECT s, cell, list(m ORDER BY pos) AS centroid
-         |  FROM cm GROUP BY 1, 2),
-         | dc AS (SELECT sub.vec_id, sub.s, cen.cell,
-         |   ${d2("subvec", "centroid")} AS d2_ppm
-         |  FROM sub JOIN cen ON sub.s = cen.s
-         |  WHERE sub.vec_id >= $NumQueries),
-         | codes AS (SELECT vec_id AS cid, s, cell AS code FROM (
-         |   SELECT vec_id, s, cell,
-         |    row_number() OVER (PARTITION BY vec_id, s
-         |      ORDER BY d2_ppm, cell) AS rn
-         |   FROM dc) WHERE rn = 1),
-         | qt AS (SELECT sub.vec_id AS qid, sub.s, cen.cell AS code,
-         |   ${d2("subvec", "centroid")} AS d2q_ppm
-         |  FROM sub JOIN cen ON sub.s = cen.s
-         |  WHERE sub.vec_id < $NumQueries),
-         | adc AS (SELECT qt.qid, codes.cid,
-         |   CAST(sum(qt.d2q_ppm) AS BIGINT) AS adc_ppm
-         |  FROM codes JOIN qt ON codes.s = qt.s AND codes.code = qt.code
-         |  GROUP BY 1, 2)
-         | SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, adc_ppm FROM (
-         |  SELECT qid, cid, adc_ppm,
-         |   row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS rnk
-         |  FROM adc) WHERE rnk <= $LshTopK
-         | ORDER BY qid, rnk""".stripMargin
-    },
+    "q_sim_pq_adc" ->
+      s"""WITH $duckPqCtes
+         | SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, adc_ppm
+         | FROM adcrank WHERE rnk <= $LshTopK
+         | ORDER BY qid, rnk""".stripMargin,
+    "q_sim_pq_recall" ->
+      s"""WITH $duckPqCtes,
+         | fe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         | tr AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |    CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
+         |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))) AS BIGINT), c.vec_id) AS rnk
+         |  FROM fe q JOIN fe c ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries),
+         | truth AS (SELECT qid, cid FROM tr WHERE rnk <= $LshTopK),
+         | approx AS (SELECT qid, cid FROM adcrank WHERE rnk <= $LshTopK)
+         | SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
+         |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
+         | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+         | GROUP BY t.qid ORDER BY t.qid""".stripMargin,
     "q_sim_kmeans" ->
       s"""WITH $duckKmeansCtes
          | SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
