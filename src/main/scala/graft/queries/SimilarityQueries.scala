@@ -624,7 +624,10 @@ object SimilarityQueries {
     * (queries broadcast, corpus streams — the `q_sim_topk_bruteforce`
     * economics); the serving-scale candidate side reuses the graded
     * [[pqAdc]] frame unchanged. */
-  private val pqRecall: Q = (s, dir) => {
+  /** Exact full-vector L2 top-K — the shared metric-matched truth of
+    * both compressed-search recall audits. */
+  private def exactL2TruthTopK(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -636,20 +639,33 @@ object SimilarityQueries {
       """CAST(floor(1000000.0 * aggregate(
         |  zip_with(qv, cv, (x, y) -> (x - y) * (x - y)),
         |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)) AS BIGINT)""".stripMargin)
-    val truth = graft.plans.GraftOps.topKPerKey(
+    graft.plans.GraftOps.topKPerKey(
       c.crossJoin(broadcast(q)).withColumn("d2_ppm", d2full)
         .select(col("qid"), col("cid"), col("d2_ppm")),
       keyCols = Seq("qid"),
       orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = LshTopK)
+  }
+
+  /** Per-query hits + recall bp of `approx(qid, cid)` vs the truth. */
+  private def recallVsTruth(truth: DataFrame, approx: DataFrame): DataFrame =
     truth.select(col("qid"), col("cid"))
-      .join(pqAdc(s, dir).select(col("qid"), col("cid"))
+      .join(approx.select(col("qid"), col("cid"))
         .withColumn("hit", lit(1L)), Seq("qid", "cid"), "left_outer")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .withColumn("recall_bp",
         expr(s"CAST(10000 * n_hits DIV $LshTopK AS BIGINT)"))
       .orderBy("qid")
-  }
+
+  private val pqRecall: Q = (s, dir) =>
+    recallVsTruth(exactL2TruthTopK(s, dir), pqAdc(s, dir))
+
+  /** The same audit for the scalar-quantized search — 3-bit/dim lattice
+    * codes are cheaper and coarser than PQ's trained subspace cells, and
+    * this pair of reports is how that trade is read: same truth, same
+    * tie rules, recall difference = quantizer quality difference. */
+  private val sqRecall: Q = (s, dir) =>
+    recallVsTruth(exactL2TruthTopK(s, dir), sqAdc(s, dir))
 
   /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
     * storage/compute cut an MRL deployment serves hot. */
@@ -728,6 +744,7 @@ object SimilarityQueries {
     "q_sim_pq_adc"          -> pqAdc,
     "q_sim_kmeans"          -> kmeans,
     "q_sim_pq_recall"       -> pqRecall,
+    "q_sim_sq_recall"       -> sqRecall,
     "q_sim_cluster_topics"  -> clusterTopics,
     "q_sim_semdedup"        -> semDedup,
     "q_sim_hof_math"        -> hofVectorMath,
@@ -781,6 +798,43 @@ object SimilarityQueries {
        |   row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS rnk
        |  FROM adc)""".stripMargin
   }
+
+  /** Shared exact-L2 truth CTE chain ending in `truth(qid, cid)` — the
+    * metric-matched baseline both compressed-search recall audits read. */
+  private lazy val duckL2TruthCtes: String =
+    s"""fe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       | tr AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |    CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
+       |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))) AS BIGINT), c.vec_id) AS rnk
+       |  FROM fe q JOIN fe c ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries),
+       | truth AS (SELECT qid, cid FROM tr WHERE rnk <= $LshTopK)""".stripMargin
+
+  /** Shared final SELECT of the recall audits (reads `truth`/`approx`). */
+  private lazy val duckRecallSelect: String =
+    s"""SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
+       |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
+       | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+       | GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
+  /** Shared SQ-ADC CTE chain ending in `sqrank(qid, cid, adc_ppm, rnk)`
+    * — one definition for the graded search and its recall audit. */
+  private lazy val duckSqCtes: String =
+    s"""sq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+       | sc AS (SELECT vec_id AS cid,
+       |   list_transform(embedding, x -> least(${SqCells - 1}, greatest(0,
+       |     CAST(floor((CAST(x AS DOUBLE) + 1.0) * ${SqCells / 2}.0) AS INTEGER)))) AS codes
+       |  FROM embeddings WHERE vec_id >= $NumQueries),
+       | sr AS (SELECT cid,
+       |   list_transform(codes, c -> (CAST(c AS DOUBLE) + 0.5) / ${SqCells / 2}.0 - 1.0) AS rc
+       |  FROM sc),
+       | ss AS (SELECT qid, cid,
+       |   CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, len(rc)),
+       |     i -> (CAST(qe[i] AS DOUBLE) - rc[i]) * (CAST(qe[i] AS DOUBLE) - rc[i])))) AS BIGINT) AS adc_ppm
+       |  FROM sq CROSS JOIN sr),
+       | sqrank AS (SELECT qid, cid, adc_ppm,
+       |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS INTEGER) AS rnk FROM ss)""".stripMargin
 
   /** Shared 2-round Lloyd CTE chain ending in `a2(vec_id, cid, d2)` —
     * one definition for the cluster report and the topic labeling, so
@@ -950,19 +1004,14 @@ object SimilarityQueries {
          | ORDER BY qid, rnk""".stripMargin,
     "q_sim_pq_recall" ->
       s"""WITH $duckPqCtes,
-         | fe AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         | tr AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-         |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |    CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
-         |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])))) AS BIGINT), c.vec_id) AS rnk
-         |  FROM fe q JOIN fe c ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries),
-         | truth AS (SELECT qid, cid FROM tr WHERE rnk <= $LshTopK),
+         | $duckL2TruthCtes,
          | approx AS (SELECT qid, cid FROM adcrank WHERE rnk <= $LshTopK)
-         | SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
-         |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
-         | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
-         | GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+         | $duckRecallSelect""".stripMargin,
+    "q_sim_sq_recall" ->
+      s"""WITH $duckSqCtes,
+         | $duckL2TruthCtes,
+         | approx AS (SELECT qid, cid FROM sqrank WHERE rnk <= $LshTopK)
+         | $duckRecallSelect""".stripMargin,
     "q_sim_kmeans" ->
       s"""WITH $duckKmeansCtes
          | SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
@@ -1048,21 +1097,8 @@ object SimilarityQueries {
          | SELECT qid, rnk, cid, clabel, round(cos, 4) AS cos4
          | FROM r WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
     "q_sim_sq_adc" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
-         | c AS (SELECT vec_id AS cid,
-         |   list_transform(embedding, x -> least(${SqCells - 1}, greatest(0,
-         |     CAST(floor((CAST(x AS DOUBLE) + 1.0) * ${SqCells / 2}.0) AS INTEGER)))) AS codes
-         |  FROM embeddings WHERE vec_id >= $NumQueries),
-         | r AS (SELECT cid,
-         |   list_transform(codes, c -> (CAST(c AS DOUBLE) + 0.5) / ${SqCells / 2}.0 - 1.0) AS rc
-         |  FROM c),
-         | s AS (SELECT qid, cid,
-         |   CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, len(rc)),
-         |     i -> (CAST(qe[i] AS DOUBLE) - rc[i]) * (CAST(qe[i] AS DOUBLE) - rc[i])))) AS BIGINT) AS adc_ppm
-         |  FROM q CROSS JOIN r),
-         | t AS (SELECT qid, cid, adc_ppm,
-         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS INTEGER) AS rnk FROM s)
-         | SELECT qid, rnk, cid, adc_ppm FROM t WHERE rnk <= $LshTopK
+      s"""WITH $duckSqCtes
+         | SELECT qid, rnk, cid, adc_ppm FROM sqrank WHERE rnk <= $LshTopK
          | ORDER BY qid, rnk""".stripMargin,
     "q_dedup_embedding_cos" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)

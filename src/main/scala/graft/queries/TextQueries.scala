@@ -1167,7 +1167,28 @@ object TextQueries {
       .limit(BpeTopPairs)
   }
 
+  /** LEXICAL-RICHNESS report per source — the Heaps/Zipf-side corpus
+    * diagnostic the quality gates don't see: type/token ratio (low TTR
+    * flags template/boilerplate-heavy sources long before a dedup pass
+    * runs) and hapax share (high hapax flags OCR noise / tokenizer
+    * damage — vocabulary that never repeats). Exact integers: one
+    * (source, term) aggregate — vocabulary-sized output per source,
+    * sublinear in the corpus by Heaps' law — then an O(vocab) rollup to
+    * O(sources) rows. */
+  private val lexicalRichness: Q = (s, dir) =>
+    docs(s, dir)
+      .select(col("source"), explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(sum("tf").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("1000000 * n_types DIV n_tokens").as("ttr_ppm"),
+        expr("1000000 * n_hapax DIV n_types").as("hapax_ppm"))
+      .orderBy("source")
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_text_lexical"     -> lexicalRichness,
     "q_text_bpe_pairs"   -> bpePairs,
     "q_text_chunks"      -> chunkDocs,
     "q_text_editdist"    -> editDistance,
@@ -1210,6 +1231,19 @@ object TextQueries {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_text_lexical" ->
+      s"""WITH tf AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT source, unnest(${duckTerms("text")}) AS term FROM documents)
+         |  GROUP BY source, term)
+         | SELECT source,
+         |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_types,
+         |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(1000000 * count(*) // sum(tf) AS BIGINT) AS ttr_ppm,
+         |  CAST(1000000 * sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS hapax_ppm
+         | FROM tf GROUP BY source
+         | ORDER BY source""".stripMargin,
     "q_text_bpe_pairs" ->
       s"""WITH wf AS (
          |  SELECT t AS term, count(*) AS freq
