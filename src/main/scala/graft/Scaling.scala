@@ -54,7 +54,23 @@ object Scaling {
     "q_sample_dsir", "q_dedup_simhash_pairs", "q_text_tfidf",
     "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes",
     "q_a3_vocabulary", "q_sim_hybrid_rrf", "q_dedup_pair_rouge",
-    "q_ml_auc_jackknife")
+    "q_ml_auc_jackknife", "q_sim_semdedup")
+
+  /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
+    * amplification ×f (the paper's K ∝ corpus / target-cluster-size
+    * economics), because a frozen K under amplification grows cluster
+    * sizes linearly and pair work quadratically: that measures the
+    * TESTDATA fixture's K, not the operator. Its bar is its own regime
+    * (`pair_budget`): the candidate-pair count Σ n(n−1)/2 must stay
+    * linear in the corpus — `pairs_f ≤ slack · f · pairs_1` with
+    * [[PairBudgetSlack]]× headroom for cluster-balance drift between
+    * the K=8 and K=8f partitions. Wall time is recorded, not barred:
+    * the Lloyd fit itself is O(corpus·K) = O(f²) by construction at
+    * K ∝ f (the published mitigation is hierarchical assignment), and
+    * the claim under audit is the PAIR budget the dedup join pays. */
+  private[graft] val SemDedupScaled = "q_sim_semdedup"
+  private[graft] val SemDedupBaseK  = 8
+  private[graft] val PairBudgetSlack = 3.0
 
   /** The output-bound regime (see object doc): exact-verify pair/span
     * queries whose RESULT grows as the square of corpus duplication.
@@ -72,6 +88,16 @@ object Scaling {
 
   /** g-bar for the output-linear regime (measured fleet ≤ 0.35). */
   private[graft] val GBar = 0.57
+
+  /** The output-linear bar PARAMETERIZED BY FACTOR, calibrated so every
+    * factor grades the same admissible plan family as the original ×8
+    * bar: g_f = (a + β·f)/(f·t1) for a fixed-overhead-plus-marginal
+    * plan, and the ×8 bar `g8 ≤ 0.57` admits exactly a ≤ t1 with
+    * marginal slope β/t1 ≤ (8·GBar − 1)/8. The bar at any factor is
+    * that same plan family's envelope: `g_f ≤ 1/f + (GBar − 1/8)` —
+    * 0.57 at ×8 by construction, 0.545 at ×10 (tighter: the fixed
+    * overhead amortizes further), 0.695 at ×4. */
+  private[graft] def gBarAt(f: Int): Double = 1.0 / f + (GBar - 1.0 / 8)
 
   private val IdShift = 1000000000L
 
@@ -117,7 +143,7 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.nonEmpty) args(0) else "SCALING_r7.json"
+    val outPath = if (args.nonEmpty) args(0) else "SCALING_r8.json"
     // Optional second arg: comma-separated query names to RE-MEASURE.
     // The re-run queries' blocks replace their entries in the existing
     // artifact; everything else is preserved verbatim — so a transient
@@ -161,11 +187,20 @@ object Scaling {
       f -> d
     }.toMap
 
+    // The audited frame at (query, factor): every query runs unchanged
+    // except SemDeDup, which scales K with the factor (see
+    // [[SemDedupScaled]] — frozen K would measure the fixture).
+    def framed(name: String, f: Int): org.apache.spark.sql.DataFrame =
+      if (name == SemDedupScaled)
+        graft.queries.SimilarityQueries.semDedupAt(spark, dirs(f),
+          SemDedupBaseK * f)
+      else SparkEntry.queries(name)(spark, dirs(f))
+
     val results = Audited.filter(n => only.forall(_.contains(n))).map { name =>
       // Untimed ×1 warmup (the Bench discipline): the growth ratios
       // compare factors WITHIN one query, and a cold first factor would
       // fold this query's codegen JIT into whichever factor runs first.
-      try SparkEntry.queries(name)(spark, dirs(factors.head)).count()
+      try framed(name, factors.head).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[scaling] warmup $name failed: ${e.getMessage}")
       }
@@ -184,37 +219,56 @@ object Scaling {
           org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
           tally.bytes.set(0L)
           val t0 = System.nanoTime()
-          val rows = SparkEntry.queries(name)(spark, dirs(f)).count()
+          val rows = framed(name, f).count()
           val sec = (System.nanoTime() - t0) / 1e9
           org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
           (sec, rows, tally.bytes.get())
         }
         val (sec, rows, shuf) = runs.minBy(_._1)
+        // The pair-budget metric of the semdedup regime — an O(K)
+        // aggregate over the (already-fitted) shared assignment, read
+        // outside the clock.
+        val pairs =
+          if (name == SemDedupScaled)
+            Some(graft.queries.SimilarityQueries.semDedupPairBudget(
+              spark, dirs(f), SemDedupBaseK * f))
+          else None
         System.err.println(
-          f"[scaling] $name x$f: $sec%.2f s, $rows rows, $shuf shuffle B")
-        f -> ((sec, rows, shuf))
+          f"[scaling] $name x$f: $sec%.2f s, $rows rows, $shuf shuffle B" +
+            pairs.map(p => s", $p cand pairs").getOrElse(""))
+        f -> ((sec, rows, shuf, pairs))
       }.toMap
-      val (t1, _, _) = per(1)
+      val (t1, _, _, _) = per(1)
       val g = factors.filter(_ > 1).map { f =>
         f -> per(f)._1 / (f * t1)
       }.toMap
       name -> ((per, g))
     }
 
-    // Regime bars on everything just measured (only when the standard ×8
-    // point exists — anchor runs at other factors record, not grade).
-    val violations: Seq[String] = if (!factors.contains(8)) Nil else
+    // Regime bars at the LARGEST measured factor — parameterized by
+    // factor (gBarAt), so anchor runs at ×10 grade the same admissible
+    // plan family the standard ×8 audit does instead of going ungraded.
+    val fMaxOpt: Option[Int] = factors.filter(_ > 1).sorted.lastOption
+    val violations: Seq[String] = fMaxOpt.toSeq.flatMap { fm =>
       results.flatMap { case (name, (per, g)) =>
-        if (OutputBound(name)) {
-          val tRatio = per(8)._1 / per(1)._1
-          val rRatio = per(8)._2.toDouble / math.max(1L, per(1)._2)
-          if (tRatio > rRatio) Some(
-            f"$name [output_bound]: t8/t1 $tRatio%.2f > rows8/rows1 $rRatio%.2f")
+        val pf = per(fm)._4
+        if (pf.isDefined) {
+          val p1 = per(1)._4.get.toDouble
+          if (pf.get > PairBudgetSlack * fm * math.max(1.0, p1)) Some(
+            f"$name [pair_budget]: pairs$fm ${pf.get} > " +
+              f"$PairBudgetSlack%.1f × $fm × pairs1 ${per(1)._4.get}")
           else None
-        } else if (g(8) > GBar) Some(
-          f"$name [output_linear]: g8 ${g(8)}%.3f > $GBar")
+        } else if (OutputBound(name)) {
+          val tRatio = per(fm)._1 / per(1)._1
+          val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
+          if (tRatio > rRatio) Some(
+            f"$name [output_bound]: t$fm/t1 $tRatio%.2f > rows$fm/rows1 $rRatio%.2f")
+          else None
+        } else if (g(fm) > gBarAt(fm)) Some(
+          f"$name [output_linear]: g$fm ${g(fm)}%.3f > ${gBarAt(fm)}%.3f")
         else None
       }
+    }
 
     // Locale-pinned decimal formatting: the default-locale f-interpolator
     // would emit comma decimals (invalid JSON) on e.g. a de_DE JVM.
@@ -226,8 +280,14 @@ object Scaling {
       val shuf = factors.map(f => s""""shuf$f":${per(f)._3}""").mkString(",")
       val growth = g.toSeq.sortBy(_._1)
         .map { case (f, v) => s""""g$f":${d3(v)}""" }.mkString(",")
-      val regime = if (OutputBound(name)) "output_bound" else "output_linear"
-      name -> s""""$name":{$times,$rows,$shuf,$growth,"regime":"$regime"}"""
+      val pairs = factors.flatMap(f => per(f)._4.map(p => s""""pairs$f":$p"""))
+        .mkString(",")
+      val pairsJson = if (pairs.isEmpty) "" else s",$pairs"
+      val regime =
+        if (name == SemDedupScaled) "pair_budget"
+        else if (OutputBound(name)) "output_bound"
+        else "output_linear"
+      name -> s""""$name":{$times,$rows,$shuf,$growth$pairsJson,"regime":"$regime"}"""
     }.toMap
     // Merge with the existing artifact on a partial re-measure: blocks
     // for re-run queries come from this run, everything else (including
@@ -243,13 +303,15 @@ object Scaling {
       } else Map.empty
     val merged = (existing ++ fresh)
     val barsJson =
-      if (!factors.contains(8)) """"bars":"not_evaluated""""
+      if (fMaxOpt.isEmpty) """"bars":"not_evaluated""""
       else if (violations.isEmpty) """"bars":"ok""""
       else violations.map(v => "\"" + v.replace("\"", "'") + "\"")
         .mkString(""""bars":[""", ",", "]")
+    val barMeta = fMaxOpt.map(fm =>
+      s""""bar_factor":$fm,"g_bar":${d3(gBarAt(fm))},""").getOrElse("")
     val json = Audited.flatMap(merged.get)
       .mkString("{", ",",
-        s""","sf":"$srcDir","factors":[${factors.mkString(",")}],$barsJson}""")
+        s""","sf":"$srcDir","factors":[${factors.mkString(",")}],$barMeta$barsJson}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

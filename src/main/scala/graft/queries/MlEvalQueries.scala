@@ -446,7 +446,10 @@ object MlEvalQueries {
         expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (b - c) * (b - c))
                |  DIV (CAST(b AS DECIMAL(38,0)) + c) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("chi2_ppm"),
-        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * (abs(b - c) - 1) * (abs(b - c) - 1))
+        // |b−c| ≤ 1 clamps the corrected numerator to 0: the correction
+        // must never report MORE evidence of a difference than the
+        // uncorrected χ², and at b = c the statistic is exactly 0.
+        expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0))
                |  DIV (CAST(b AS DECIMAL(38,0)) + c) AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("chi2_cc_ppm"))
   }
@@ -818,7 +821,7 @@ object MlEvalQueries {
          | SELECT n, b AS n_h_only_right, c AS n_clf_only_right,
          |  CAST(1000000 * (CAST(b AS HUGEINT) - c) * (CAST(b AS HUGEINT) - c)
          |    // (CAST(b AS HUGEINT) + c) AS BIGINT) AS chi2_ppm,
-         |  CAST(1000000 * (abs(CAST(b AS HUGEINT) - c) - 1) * (abs(CAST(b AS HUGEINT) - c) - 1)
+         |  CAST(1000000 * greatest(abs(CAST(b AS HUGEINT) - c) - 1, 0) * greatest(abs(CAST(b AS HUGEINT) - c) - 1, 0)
          |    // (CAST(b AS HUGEINT) + c) AS BIGINT) AS chi2_cc_ppm
          | FROM m""".stripMargin,
     "q_ml_fleiss" ->

@@ -476,6 +476,42 @@ object SimilarityQueries {
   private val KmeansK = 8
   private val EmbDim  = 64
 
+  /** Corpus side of the embedding table as (vec_id, v: array<double>) —
+    * the input every k-means surface shares. */
+  private def corpusVecs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.fanout(t(s, dir, "embeddings"))
+      .where(col("vec_id") >= NumQueries)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** BUILD-ONCE / ASSIGN-MANY: one persisted [[graft.sim.KmeansModel]]
+    * per (application, corpus dir, K), fitted on first request; every
+    * consumer (`q_sim_kmeans`, `q_sim_cluster_topics`, `q_sim_semdedup`)
+    * then READS the shared assignment parquet instead of re-running
+    * Lloyd — three graded queries, one clustering pass. The model is
+    * deterministic and parquet round-trips doubles exactly, so the
+    * served frame is bit-identical to the inline [[kmeansAssign]]
+    * (pinned in `KmeansModelSpec`); oracles are unchanged. Keyed by
+    * applicationId so a fresh session (fresh or mutated test data)
+    * never reads a stale model; the store itself is disposable derived
+    * state under java.io.tmpdir. */
+  private val kmeansModelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedKmeansAssign(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = KmeansK): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + dir + "|k=" + k
+    val mdir = kmeansModelDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files
+        .createTempDirectory(s"graft_kmeans_k$k" + "_").toString
+      new graft.sim.KmeansModel(s, d)
+        .fit(corpusVecs(s, dir), "vec_id", "v", k, rounds = 2)
+      d
+    })
+    new graft.sim.KmeansModel(s, mdir).assignments()
+      .select(col("id").as("vec_id"), col("cid"), col("d2_ppm"))
+  }
+
   /** K-MEANS over the corpus embeddings (deterministic Lloyd, 2
     * assignment rounds with 1 centroid update between) — the semantic
     * clustering primitive under SemDeDup-style dedup, IVF coarse
@@ -493,7 +529,7 @@ object SimilarityQueries {
     * (cid, pos, x) triples for the update, never as pairs. Output is
     * O(K): member counts + within-cluster inertia. */
   private val kmeans: Q = (s, dir) =>
-    kmeansAssign(s, dir)
+    sharedKmeansAssign(s, dir)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_members"), sum("d2_ppm").as("inertia_ppm"))
       .orderBy("cid")
@@ -553,7 +589,7 @@ object SimilarityQueries {
     * never the term table (the hybrid-RRF discipline). Output is
     * O(K·5). */
   private val clusterTopics: Q = (s, dir) => {
-    val assign = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+    val assign = sharedKmeansAssign(s, dir).select(col("vec_id"), col("cid"))
     val terms = Tables.fanout(t(s, dir, "documents"))
       .select(col("doc_id"), explode(graft.ops.TokenOps.terms(col("text")))
         .as("term"))
@@ -589,8 +625,17 @@ object SimilarityQueries {
     * vector the manifest reports its strongest earlier match (floor-ppm
     * cosine, ties → smallest id — quantized BEFORE the argmax so the
     * selection compares integers in both engines). */
-  private val semDedup: Q = (s, dir) => {
-    val assign = kmeansAssign(s, dir).select(col("vec_id"), col("cid"))
+  private val semDedup: Q = (s, dir) => semDedupAt(s, dir, KmeansK)
+
+  /** K-parameterized SemDeDup body — the graded query at [[KmeansK]],
+    * and the SCALE-CORRECT surface the amplified audit measures: the
+    * paper's economics require K ∝ corpus (bounded mean cluster size ⇒
+    * pair candidates Σ n(n−1)/2 ∝ corpus), so `Scaling` runs this at
+    * K = 8·f for amplification ×f and asserts the candidate count grows
+    * linearly — the 100 TB claim measured instead of argued. */
+  private[graft] def semDedupAt(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): DataFrame = {
+    val assign = sharedKmeansAssign(s, dir, k).select(col("vec_id"), col("cid"))
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     // One checkpointed (vec, cluster, embedding) frame feeds both ends
     // of the within-cluster join.
@@ -611,6 +656,18 @@ object SimilarityQueries {
         col("cos_ppm"))
       .orderBy("vec_id")
   }
+
+  /** Pair-candidate budget of [[semDedupAt]] — Σ n(n−1)/2 over cluster
+    * sizes, the quantity the K ∝ corpus rule keeps linear in the
+    * corpus. One O(K)-row aggregate + a 1-row driver read (bounded
+    * model state, the fixpoint convention); `Scaling` records it per
+    * amplification factor and bars super-linear growth. */
+  private[graft] def semDedupPairBudget(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): Long =
+    sharedKmeansAssign(s, dir, k)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("pairs"))
+      .head().getLong(0)
 
   /** RECALL@K audit of the PQ-ADC search against the EXACT full-vector
     * L2 truth — the quality gate a compressed index ships with (the

@@ -1,0 +1,196 @@
+package graft.sim
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted K-MEANS model — the build-once / assign-many form of the
+  * inline deterministic Lloyd in
+  * [[graft.queries.SimilarityQueries.kmeansAssign]], with the same
+  * segment economics as [[IvfIndex]]:
+  *
+  *   - `codebooks/cb-<uuid>/` — ONE (cid, centroid) table per fitted
+  *     model, O(K) rows. Centroids are FROZEN between fits: appends
+  *     assign new vectors against the existing centroids without
+  *     re-clustering the corpus — an ingest step, never a rebuild.
+  *   - `segments/seg-<uuid>/` — (id, cid, d2_ppm) assignment postings
+  *     against the manifest's codebook.
+  *   - `m=N` — the MANIFEST: codebook name first line, live segments
+  *     after; published via the shared atomic-rename rules
+  *     ([[graft.ops.VersionedPaths.publish]]), so readers see the old
+  *     model or the new one, never a torn mix.
+  *
+  * Determinism is the fitted algorithm's, bit-for-bit: no RNG (seeds =
+  * the K smallest ids), floor-ppm distances BEFORE every argmin (ties →
+  * smallest cid), order-pinned centroid folds — and parquet round-trips
+  * doubles exactly, so a model-served assignment is BYTE-IDENTICAL to
+  * the inline computation it replaces (pinned in `KmeansModelSpec`).
+  * The three graded k-means consumers (`q_sim_kmeans`,
+  * `q_sim_cluster_topics`, `q_sim_semdedup`) read ONE shared persisted
+  * assignment instead of each re-running Lloyd.
+  *
+  * Scale shape: [[fit]] is `rounds` broadcast-join assignment passes +
+  * one (cid, pos)-keyed update between each — O(corpus·K·dim) compute,
+  * corpus rows shuffling only as (cid, pos, x) triples; [[assign]] /
+  * [[append]] cost O(delta·K·dim) against the frozen codebook;
+  * [[assignments]] is a parquet read. */
+final class KmeansModel(spark: SparkSession, val modelDir: String)
+    extends Serializable {
+
+  private def fs = new Path(modelDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def currentVersion(): Option[Long] =
+    graft.ops.VersionedPaths.listNumbered(fs, new Path(modelDir), "m=",
+        dirsOnly = false)
+      .map(_._2).sorted.lastOption
+
+  private[sim] def manifestAt(v: Long): (String, Seq[String]) = {
+    val in = fs.open(new Path(modelDir, s"m=$v"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    require(lines.nonEmpty, s"empty manifest m=$v under $modelDir")
+    (lines.head, lines.tail)
+  }
+
+  private def resolvedOrFail(): Long = currentVersion().getOrElse(
+    throw new IllegalStateException(s"no fitted model under $modelDir"))
+
+  private def publishManifest(codebook: String, segs: Seq[String]): Long = {
+    val tmp = new Path(modelDir, s".manifest-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(((codebook +: segs).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    graft.ops.VersionedPaths.publish(fs, new Path(modelDir), tmp, "m=",
+      currentVersion().map(_ + 1).getOrElse(0L))
+  }
+
+  private def bestEffortDelete(paths: Path*): Unit =
+    paths.foreach { p =>
+      try fs.delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Floor-ppm squared L2 — the shared integer-discipline distance:
+    * quantized BEFORE the argmin so ties and orderings compare
+    * integers, the `q_sim_pq_adc` convention. */
+  private def d2ppm = expr(
+    """CAST(floor(1000000.0 * aggregate(
+      |  zip_with(v, centroid, (x, y) -> (x - y) * (x - y)),
+      |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)) AS BIGINT)""".stripMargin)
+
+  /** One assignment pass of `(id, v)` rows against `cents`: broadcast
+    * join + bounded-heap argmin (TopKPerKey k=1, ties → smallest cid). */
+  private def assignFrame(base: DataFrame, cents: DataFrame): DataFrame =
+    graft.plans.GraftOps.topKPerKey(
+      base.crossJoin(broadcast(cents)).withColumn("d2_ppm", d2ppm)
+        .select(col("id"), col("cid"), col("d2_ppm")),
+      keyCols = Seq("id"),
+      orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = 1)
+
+  /** Centroid update: order-pinned per-(cid, dim) mean (members sorted
+    * by id, summed left-to-right, divided once) — the cross-engine FP
+    * discipline of the inline Lloyd, unchanged. */
+  private def updateCentroids(base: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(base, Seq("id"))
+      .select(col("cid"), col("id").as("vid"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(vid, x))), q -> q.x),
+          |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)""".stripMargin).as("sv"),
+        count(lit(1)).as("cnt"))
+      .withColumn("m", col("sv") / col("cnt"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), q -> q.m)")
+        .as("centroid"))
+
+  /** Write one assignment segment of `base` against `cents`. */
+  private def writeSegment(base: DataFrame, cents: DataFrame): String = {
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = new Path(modelDir, s"segments/$seg")
+    try assignFrame(base, cents)
+      .write.mode(SaveMode.Overwrite).parquet(out.toString)
+    catch { case e: Throwable => bestEffortDelete(out); throw e }
+    seg
+  }
+
+  /** FIT: deterministic Lloyd (`rounds` assignment passes, one centroid
+    * update between each — the inline `kmeansAssign` recurrence, K and
+    * columns generalized), then persist centroids + the full corpus
+    * assignment and publish. Seeds are the K smallest ids; zero RNG.
+    * Re-invoking is [[refit]]: a new manifest version, old one readable
+    * until vacuumed. Returns the published version. */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int = 2): Long = {
+    val sc = spark.sparkContext
+    val preExisting = sc.getPersistentRDDs.keySet.toSet
+    // One materialization serves every assignment + update pass.
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    val mine = sc.getPersistentRDDs.keySet.toSet -- preExisting
+    try {
+      val init = base.orderBy("id").limit(k)
+        .withColumn("cid",
+          row_number().over(Window.orderBy("id")).cast("long") - 1)
+        .select(col("cid"), col("v").as("centroid"))
+      var cents = init
+      for (_ <- 1 until rounds)
+        cents = updateCentroids(base, assignFrame(base, cents))
+      val cb = s"cb-${java.util.UUID.randomUUID()}"
+      val cbPath = new Path(modelDir, s"codebooks/$cb")
+      val seg =
+        try {
+          cents.write.mode(SaveMode.Overwrite).parquet(cbPath.toString)
+          // The segment derives from the PERSISTED centroids (read back),
+          // so what the manifest references is exactly what assigned it.
+          writeSegment(base, spark.read.parquet(cbPath.toString))
+        } catch { case e: Throwable => bestEffortDelete(cbPath); throw e }
+      publishManifest(cb, Seq(seg))
+    } finally
+      // The model is on disk; nothing returned references base.
+      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
+        .values.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Maintenance refit — a fresh Lloyd run published as a new version. */
+  def refit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int = 2): Long = fit(emb, idCol, vecCol, k, rounds)
+
+  /** Assign a batch against the LIVE frozen centroids — the incremental
+    * path: cost ∝ batch·K·dim, the standing corpus is never re-read.
+    * Returns (idCol, cid, d2_ppm); pure frame, nothing written. */
+  def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assignFrame(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+        centroids())
+      .withColumnRenamed("id", idCol)
+
+  /** Incremental APPEND under the frozen centroids: assign only the
+    * delta, publish old segments + the new one. Ids must be disjoint
+    * from standing segments (the `IvfIndex`/`LexIndex` contract). */
+  def append(df: DataFrame, idCol: String, vecCol: String): Long = {
+    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val seg = writeSegment(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), codebook(cb))
+    publishManifest(cb, segs :+ seg)
+  }
+
+  private def codebook(cb: String): DataFrame =
+    spark.read.parquet(s"$modelDir/codebooks/$cb")
+
+  def centroids(): DataFrame = codebook(manifestAt(resolvedOrFail())._1)
+
+  /** The persisted assignment store: (id, cid, d2_ppm) across all live
+    * segments — resolved from ONE manifest read (the torn-read rule). */
+  def assignments(): DataFrame = {
+    val (_, segs) = manifestAt(resolvedOrFail())
+    segs.map(s => spark.read.parquet(s"$modelDir/segments/$s"))
+      .reduce(_ unionByName _)
+  }
+}

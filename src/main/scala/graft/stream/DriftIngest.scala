@@ -37,8 +37,12 @@ final class DriftIngest(
     bins: Int = 10,
     binWidth: Double = 50.0) extends MicroBatchIngest with Serializable {
 
+  /** Both tails clamp into the edge bins (values < 0 → bin 0, values
+    * ≥ bins·binWidth → bin bins-1), so out-of-range drift mass registers
+    * in the PSI instead of silently vanishing from the 0..bins-1 join
+    * frame in [[psiPerBatch]]. */
   private def binned(df: DataFrame): DataFrame =
-    df.select(least(lit(bins - 1), floor(col(valueCol) / binWidth))
+    df.select(greatest(lit(0L), least(lit(bins - 1), floor(col(valueCol) / binWidth)))
         .cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("c"))
 
@@ -57,11 +61,22 @@ final class DriftIngest(
   /** One micro-batch → its O(bins) histogram partition. Returns the
     * batch's row count (0 rows ⇒ nothing written). */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
     val counts = binned(batch).localCheckpoint(true) // total + write read it
-    val n = counts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
-    if (n > 0)
-      MicroBatchIngest.writeBatchPartition(counts, storeDir, batchId)
-    n
+    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    try {
+      val n = counts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+      if (n > 0)
+        MicroBatchIngest.writeBatchPartition(counts, storeDir, batchId)
+      n
+    } finally {
+      // Release the checkpoint blocks once total + write have consumed
+      // them — a standing monitor must not accumulate O(bins) block sets
+      // per trigger (same storage discipline as HashedLogReg/BpeTrainer).
+      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** The standing per-batch histogram store. */

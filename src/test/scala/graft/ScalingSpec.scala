@@ -49,15 +49,23 @@ class ScalingSpec extends SparkSpec {
     assert(Scaling.shifted(base, 0).collect().toSet == base.collect().toSet)
   }
 
-  /** The per-regime scale bars, re-asserted on the COMMITTED artifact —
+  /** The per-regime scale bars, re-asserted on the COMMITTED artifacts
+    * (both the standard ×8 audit and the sf1-equivalent ×10 anchor) —
     * so the prose claim ("output-linear queries stay sub-linear; pair
-    * families' time grows no faster than their result") can never again
-    * drift from the measured numbers without a red test. */
-  test("committed scaling artifact honors the per-regime bars") {
-    val p = java.nio.file.Paths.get("SCALING_r7.json")
-    assume(Files.exists(p), "SCALING_r7.json not generated yet this round")
+    * families' time grows no faster than their result; semdedup's pair
+    * budget stays linear at scale-correct K") can never again drift
+    * from the measured numbers without a red test. Bars are the SAME
+    * factor-parameterized ones the running tool enforces
+    * ([[Scaling.gBarAt]]), evaluated at each artifact's own largest
+    * factor. */
+  private def assertBars(path: String, minBlocks: Int): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    assume(Files.exists(p), s"$path not generated yet this round")
     val txt = new String(Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
+    val fm = """"factors":\[([0-9, ]+)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").map(_.trim.toInt).filter(_ > 1).max)
+      .getOrElse(fail(s"$path carries no factors list"))
     val block = """"(q_[a-z0-9_]+)":\{([^}]*)\}""".r
     def num(body: String, k: String): Option[Double] =
       ("\"" + k + "\":(-?[0-9.E+]+)").r.findFirstMatchIn(body)
@@ -65,19 +73,42 @@ class ScalingSpec extends SparkSpec {
     var checked = 0
     for (m <- block.findAllMatchIn(txt)) {
       val (name, body) = (m.group(1), m.group(2))
-      for (t1 <- num(body, "t1"); t8 <- num(body, "t8");
-           r1 <- num(body, "rows1"); r8 <- num(body, "rows8")) {
+      for (t1 <- num(body, "t1"); tf <- num(body, s"t$fm");
+           r1 <- num(body, "rows1"); rf <- num(body, s"rows$fm")) {
         checked += 1
-        if (Scaling.OutputBound(name))
-          assert(t8 / t1 <= r8 / math.max(1.0, r1),
-            f"$name [output_bound]: t8/t1 ${t8 / t1}%.2f outgrew rows8/rows1 ${r8 / r1}%.2f")
+        if (name == Scaling.SemDedupScaled) {
+          val (p1, pf) = (num(body, "pairs1"), num(body, s"pairs$fm"))
+          assert(p1.isDefined && pf.isDefined,
+            s"$name [pair_budget] block carries no pairs columns in $path")
+          assert(pf.get <= Scaling.PairBudgetSlack * fm * math.max(1.0, p1.get),
+            f"$name [pair_budget]: pairs$fm ${pf.get}%.0f outgrew " +
+              f"${Scaling.PairBudgetSlack}%.1f × $fm × pairs1 ${p1.get}%.0f in $path")
+        } else if (Scaling.OutputBound(name))
+          assert(tf / t1 <= rf / math.max(1.0, r1),
+            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew rows$fm/rows1 ${rf / r1}%.2f in $path")
         else
-          num(body, "g8").foreach { g8 =>
-            assert(g8 <= Scaling.GBar,
-              f"$name [output_linear]: g8 $g8%.3f > ${Scaling.GBar}")
+          num(body, s"g$fm").foreach { g =>
+            assert(g <= Scaling.gBarAt(fm),
+              f"$name [output_linear]: g$fm $g%.3f > ${Scaling.gBarAt(fm)}%.3f in $path")
           }
       }
     }
-    assert(checked >= 10, s"artifact parsed only $checked audited blocks")
+    assert(checked >= minBlocks, s"$path parsed only $checked audited blocks")
+    assert(txt.contains(""""bars":"ok""""),
+      s"$path was published without its bars evaluated green")
+  }
+
+  test("committed scaling artifact honors the per-regime bars") {
+    assertBars("SCALING_r8.json", minBlocks = 10)
+  }
+
+  test("committed sf1 anchor honors the factor-parameterized bars") {
+    assertBars("ANCHOR_sf1.json", minBlocks = 10)
+  }
+
+  test("the g-bar parameterization reproduces the original x8 bar") {
+    assert(math.abs(Scaling.gBarAt(8) - Scaling.GBar) < 1e-12)
+    assert(Scaling.gBarAt(10) < Scaling.GBar) // overhead amortizes further
+    assert(Scaling.gBarAt(4) > Scaling.GBar)
   }
 }

@@ -1,0 +1,104 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sim.KmeansModel
+
+/** The persisted k-means model is only a legitimate substitute for the
+  * inline Lloyd if the substitution is INVISIBLE to the graded queries:
+  * same rows, same integers, bit-for-bit. Pins that, plus the
+  * build-once economics the model exists for — incremental assignment
+  * of new batches under frozen centroids, append segments, refit
+  * versioning. All on sf0.001. */
+class KmeansModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = Tables.t(spark, dir, "embeddings")
+    .where(col("vec_id") >= 5)
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  test("model-served assignment is bit-identical to the inline Lloyd") {
+    val inline = SimilarityQueries.kmeansAssign(spark, dir)
+      .select("vec_id", "cid", "d2_ppm").as[(Long, Long, Long)]
+      .collect().toSet
+    val served = SimilarityQueries.sharedKmeansAssign(spark, dir)
+      .select("vec_id", "cid", "d2_ppm").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(served == inline,
+      s"model-served drifted from inline: ${(served diff inline).take(3)} / " +
+        s"${(inline diff served).take(3)}")
+  }
+
+  test("the three graded consumers share ONE persisted model per corpus") {
+    // Same object identity of the backing store: repeated shared reads
+    // resolve to the same model dir (the memo), so q_sim_kmeans /
+    // cluster_topics / semdedup pay zero additional Lloyd runs.
+    val a = SimilarityQueries.sharedKmeansAssign(spark, dir)
+    val b = SimilarityQueries.sharedKmeansAssign(spark, dir)
+    assert(a.inputFiles.sorted.sameElements(b.inputFiles.sorted),
+      "shared accessor did not resolve to one persisted assignment store")
+    assert(a.inputFiles.nonEmpty, "assignment store is not file-backed")
+  }
+
+  test("incremental assign: a batch scores against frozen centroids " +
+      "exactly as the corpus segment recorded it") {
+    val d = Files.createTempDirectory("graft-kmm-inc").toString
+    val m = new KmeansModel(spark, d)
+    m.fit(corpus, "vec_id", "v", k = 4)
+    val batchIds = corpus.select("vec_id").as[Long].collect().sorted.take(7).toSet
+    val batch = corpus.where(col("vec_id").isin(batchIds.toSeq: _*))
+    val inc = m.assign(batch, "vec_id", "v")
+      .as[(Long, Long, Long)].collect().toSet
+    val stored = m.assignments().where(col("id").isin(batchIds.toSeq: _*))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == stored,
+      "incremental assignment disagrees with the fitted segment — " +
+        "assignment must be per-vector, segment boundaries invisible")
+  }
+
+  test("append adds a segment under the frozen codebook; standing rows untouched") {
+    val d = Files.createTempDirectory("graft-kmm-app").toString
+    val m = new KmeansModel(spark, d)
+    val v0 = m.fit(corpus, "vec_id", "v", k = 4)
+    val before = m.assignments().as[(Long, Long, Long)].collect().toSet
+    val centsBefore = m.centroids().select("cid").as[Long].collect().sorted.toSeq
+    // Disjoint ids (the ingest contract): shift far past the corpus.
+    val delta = corpus.limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+    val v1 = m.append(delta, "vec_id", "v")
+    assert(v1 == v0 + 1)
+    val after = m.assignments().as[(Long, Long, Long)].collect().toSet
+    assert(before.subsetOf(after), "append rewrote standing assignments")
+    assert((after -- before).forall(_._1 >= 1000000L))
+    assert((after -- before).size == 5)
+    assert(m.centroids().select("cid").as[Long].collect().sorted.toSeq ==
+      centsBefore, "append retrained the codebook — must be frozen")
+  }
+
+  test("refit publishes a new version; the old manifest stays readable") {
+    val d = Files.createTempDirectory("graft-kmm-refit").toString
+    val m = new KmeansModel(spark, d)
+    val v0 = m.fit(corpus, "vec_id", "v", k = 2)
+    val old = m.assignments().count()
+    val v1 = m.refit(corpus, "vec_id", "v", k = 4)
+    assert(v1 == v0 + 1 && m.currentVersion().contains(v1))
+    // New model is live; K grew, so at least as many clusters appear.
+    assert(m.centroids().count() == 4)
+    assert(m.assignments().count() == old) // same corpus, re-assigned
+  }
+
+  test("scale-correct semdedup: larger K bounds the pair budget") {
+    // At K=4 vs K=2 on the same corpus, mean cluster size shrinks, so
+    // the Σ n(n−1)/2 candidate budget must not grow — the monotonicity
+    // the Scaling pair_budget bar measures at amplification scale.
+    val p2 = SimilarityQueries.semDedupPairBudget(spark, dir, 2)
+    val p8 = SimilarityQueries.semDedupPairBudget(spark, dir, 8)
+    assert(p8 <= p2, s"pair budget grew with K: K=2 -> $p2, K=8 -> $p8")
+  }
+}
