@@ -108,6 +108,37 @@ object HashedLogReg {
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
   }
 
+  /** Persist a trained model as an O(B) parquet table — (bucket, w)
+    * rows with the bias at bucket −1. Parquet round-trips doubles
+    * exactly, so a loaded model serves margins BIT-IDENTICAL to the
+    * trainer's in-memory one (pinned in `HashedLogRegSpec`): the
+    * train → persist → serve loop has no FP seam. The table is model
+    * STATE (≤ B+1 rows), not data — [[load]]'s collect is the bounded
+    * driver round-trip class, same as the per-iteration gradient. */
+  def save(m: Model, dir: String): Unit = {
+    val s = org.apache.spark.sql.SparkSession.active
+    s.createDataFrame(
+      s.sparkContext.parallelize(
+        org.apache.spark.sql.Row(-1L, m.bias) +:
+          m.w.toIndexedSeq.zipWithIndex
+            .map { case (w, b) => org.apache.spark.sql.Row(b.toLong, w) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val buckets = rows.keySet.max.toInt + 1
+    require(rows.size == buckets + 1,
+      s"model store at $dir is torn: ${rows.size} rows for width $buckets")
+    Model(buckets, rows(-1L), Array.tabulate(buckets)(b => rows(b.toLong)))
+  }
+
   /** Full-batch GD for `iters` steps at rate `lr` on (doc_id, y ∈ {0,1})
     * labels. Returns the model and the per-iteration loss curve. */
   def train(feats: DataFrame, labels: DataFrame, buckets: Int,

