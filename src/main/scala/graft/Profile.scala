@@ -3,8 +3,33 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run one declared query repeatedly and print its formatted
-  * plan. Usage: graft.Profile <queryName> [sfDir] [runs]. */
+  * plan, plus a PER-STAGE metrics table for the final run (stage id,
+  * task count, input records, shuffle-read/-write bytes and records) —
+  * the evidence a "which stage went super-linear" investigation needs
+  * (e.g. the ×10 span_apply profile): compare the per-stage shuffle
+  * volumes across two scale points instead of one opaque total.
+  * Usage: graft.Profile <queryName> [sfDir] [runs]. */
 object Profile {
+
+  private final class StageTally
+      extends org.apache.spark.scheduler.SparkListener {
+    final case class Row(id: Int, name: String, tasks: Int, inputRec: Long,
+      srBytes: Long, srRec: Long, swBytes: Long, swRec: Long, ms: Long)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val i = sc.stageInfo
+      val m = i.taskMetrics
+      rows.add(Row(i.stageId, i.name.takeWhile(_ != '\n').take(80),
+        i.numTasks, m.inputMetrics.recordsRead,
+        m.shuffleReadMetrics.totalBytesRead,
+        m.shuffleReadMetrics.recordsRead,
+        m.shuffleWriteMetrics.bytesWritten,
+        m.shuffleWriteMetrics.recordsWritten,
+        m.executorRunTime))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -17,16 +42,31 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tally = new StageTally
+    spark.sparkContext.addSparkListener(tally)
     // Construct inside the timer, like Bench — query functions may run
     // driver-side work (iterative loops, sketch collects) at build time.
     var df = SparkEntry.queries(name)(spark, sfDir)
     for (i <- 1 to runs) {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      if (i == runs) { // stage table reflects exactly the final run
+        org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+        tally.rows.clear()
+      }
       val t0 = System.nanoTime()
       df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
     df.explain("formatted")
+    println("[profile] per-stage metrics (final run), by shuffle-write bytes:")
+    println("stage tasks    input_rec      sr_bytes       sr_rec      sw_bytes       sw_rec   cpu_ms  name")
+    import scala.jdk.CollectionConverters._
+    tally.rows.asScala.toSeq.sortBy(-_.swBytes).foreach { r =>
+      println(f"${r.id}%5d ${r.tasks}%5d ${r.inputRec}%12d ${r.srBytes}%13d ${r.srRec}%12d ${r.swBytes}%13d ${r.swRec}%12d ${r.ms}%8d  ${r.name}")
+    }
     spark.stop()
   }
 }

@@ -1229,6 +1229,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY per source — subword tokens per whitespace
+    * word under the fixed [[BpeMergeList]] tokenizer, the standard
+    * tokenizer-eval cut (a source whose fertility runs high is one the
+    * tokenizer segments poorly — it pays more context budget per word,
+    * the signal a mixture designer reads next to [[lexicalRichness]]).
+    * Same vocabulary-sized segmentation economics as [[bpeTokenize]];
+    * the rollup is O(sources) with an exact integer ppm ratio. */
+  private val bpeFertility: Q = (s, dir) => {
+    val tf = docs(s, dir)
+      .select(col("source"), explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.select("term").distinct()
+      .select(col("term"),
+        expr(bpeCountExpr("term", spark = true)).cast("long").as("n_sub"))
+    tf.join(vocab, Seq("term"))
+      .groupBy("source")
+      .agg(sum("tf").as("n_ws_tokens"),
+        sum(col("tf") * col("n_sub")).as("n_bpe_tokens"))
+      .select(col("source"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        expr("1000000 * n_bpe_tokens DIV n_ws_tokens").as("fertility_ppm"))
+      .orderBy("source")
+  }
+
   /** LEXICAL-RICHNESS report per source — the Heaps/Zipf-side corpus
     * diagnostic the quality gates don't see: type/token ratio (low TTR
     * flags template/boilerplate-heavy sources long before a dedup pass
@@ -1253,6 +1276,7 @@ object TextQueries {
     "q_text_lexical"     -> lexicalRichness,
     "q_text_bpe_pairs"   -> bpePairs,
     "q_text_bpe_tokenize" -> bpeTokenize,
+    "q_text_bpe_fertility" -> bpeFertility,
     "q_text_chunks"      -> chunkDocs,
     "q_text_editdist"    -> editDistance,
     "q_f_clean_chain"    -> fCleanChain,
@@ -1320,6 +1344,20 @@ object TextQueries {
          |  CAST(sum(tf * n_sub) AS BIGINT) AS n_bpe_tokens
          | FROM tf JOIN vocab USING (term)
          | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_bpe_fertility" ->
+      s"""WITH tf AS (
+         |  SELECT source, t AS term, count(*) AS tf
+         |  FROM (SELECT source, unnest(${duckTerms("text")}) AS t FROM documents)
+         |  GROUP BY 1, 2),
+         | vocab AS (
+         |  SELECT term, ${bpeCountExpr("term", spark = false)} AS n_sub
+         |  FROM (SELECT DISTINCT term FROM tf))
+         | SELECT source,
+         |  CAST(sum(tf) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(tf * n_sub) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(1000000 * sum(tf * n_sub) // sum(tf) AS BIGINT) AS fertility_ppm
+         | FROM tf JOIN vocab USING (term)
+         | GROUP BY source ORDER BY source""".stripMargin,
     "q_text_bpe_pairs" ->
       s"""WITH wf AS (
          |  SELECT t AS term, count(*) AS freq

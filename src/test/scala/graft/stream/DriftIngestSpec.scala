@@ -55,6 +55,27 @@ class DriftIngestSpec extends SparkSpec {
     assert(got == expected, s"$got vs $expected")
   }
 
+  test("below-range mass clamps into bin 0 and REGISTERS in the PSI") {
+    val (ingest, _) = mkIngest()
+    // All mass below the histogram range: without the low-end clamp
+    // these rows would land in negative bins, and the 0..bins-1 join
+    // frame in psiPerBatch would silently drop them from BOTH counts —
+    // a fully-drifted batch reading as drift-free.
+    assert(ingest.processBatch(values(Seq.fill(20)(-75.0): _*), 0L) == 20L)
+    val psi = ingest.psiPerBatch().select("psi_unat").as[Long].head()
+    assert(psi > 250000L, s"below-range drift mass vanished: psi $psi")
+    // And n_rows proves the mass was counted, not dropped.
+    assert(ingest.psiPerBatch().select("n_rows").as[Long].head() == 20L)
+  }
+
+  test("processBatch releases its checkpoint blocks (standing-monitor storage)") {
+    val (ingest, _) = mkIngest()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (i <- 0 until 3) ingest.processBatch(values(1.0, 60.0, 480.0), i.toLong)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "per-trigger histogram checkpoints accumulate in executor storage")
+  }
+
   test("at-least-once replay converges; missing bins read as zero") {
     val (ingest, _) = mkIngest()
     val b = values(480.0, 480.0)
