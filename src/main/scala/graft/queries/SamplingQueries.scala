@@ -261,6 +261,20 @@ object SamplingQueries {
         .withColumn("tok", expr("n_chars DIV 4"))
         .select("doc_id", "source", "tok"))
 
+  /** Sequence packing priced in LEARNED-SUBWORD tokens — the same
+    * [[packManifest]] layout with `tok` = the per-doc BPE count from
+    * `q_text_bpe_tokenize`'s shared frame (TextQueries.bpeDocTokens)
+    * instead of the chars-DIV-4 heuristic: real context windows are
+    * subword budgets, and the heuristic systematically under-packs
+    * long-word documents. One extra vocabulary-sized segmentation pass
+    * (Heaps-sublinear) buys budget-exact packing; the prefix-sum
+    * packing shape is unchanged. */
+  private val samplePackBpe: Q = (s, dir) =>
+    packManifest(
+      TextQueries.bpeDocTokens(s, dir)
+        .select(col("doc_id"), col("source"),
+          col("n_bpe_tokens").as("tok")))
+
   private val NumFolds = 5
 
   /** Deterministic k-fold assignment — fold = md5-bucket mod k, the
@@ -483,6 +497,7 @@ object SamplingQueries {
     "q_sample_kfold" -> sampleKfold,
     "q_sample_cluster_split" -> sampleClusterSplit,
     "q_sample_pack" -> samplePack,
+    "q_sample_pack_bpe" -> samplePackBpe,
     "q_sample_topk_strat" -> sampleTopkStrat
   )
 
@@ -645,6 +660,17 @@ object SamplingQueries {
          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
          | FROM documents)
          | WHERE rnk <= $StratTopK ORDER BY lang, rk""".stripMargin,
+    "q_sample_pack_bpe" ->
+      s"""WITH bt AS (${TextQueries.duckBpeDocTokens}),
+         | c AS (
+         |  SELECT source, doc_id, n_bpe_tokens AS tok,
+         |   coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM bt)
+         | SELECT source, CAST(before // $PackBudget AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         | FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "q_sample_pack" ->
       s"""WITH c AS (
          |  SELECT source, doc_id, n_chars // 4 AS tok,

@@ -1215,19 +1215,46 @@ object TextQueries {
     * side never touches the replace chain. Everything is exact integer
     * counting; the merge table is [[BpeMergeList]] verbatim in both
     * engines. */
-  private val bpeTokenize: Q = (s, dir) => {
+  private val bpeTokenize: Q = (s, dir) =>
+    bpeDocTokens(s, dir)
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+      .orderBy("doc_id")
+
+  /** The shared per-doc BPE accounting frame — (doc_id, source,
+    * n_ws_tokens, n_bpe_tokens) — read by the graded [[bpeTokenize]]
+    * report and by `q_sample_pack_bpe`'s subword-budget packing
+    * (SamplingQueries): the "real tokenizer count column" the packing
+    * scaladoc promised drops in without changing the packing shape. */
+  private[queries] def bpeDocTokens(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val tf = docs(s, dir)
-      .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("source"),
+        explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
     val vocab = tf.select("term").distinct()
       .select(col("term"),
         expr(bpeCountExpr("term", spark = true)).cast("long").as("n_sub"))
     tf.join(vocab, Seq("term"))
-      .groupBy("doc_id")
+      .groupBy("doc_id", "source")
       .agg(sum("tf").as("n_ws_tokens"),
         sum(col("tf") * col("n_sub")).as("n_bpe_tokens"))
-      .orderBy("doc_id")
   }
+
+  /** DuckDB twin of [[bpeDocTokens]], as a CTE body both BPE consumers
+    * paste — the merge recipe string is generated from the SAME
+    * [[BpeMergeList]] constant as the Spark side. */
+  private[queries] def duckBpeDocTokens: String =
+    s"""SELECT doc_id, source,
+       |  CAST(sum(tf) AS BIGINT) AS n_ws_tokens,
+       |  CAST(sum(tf * n_sub) AS BIGINT) AS n_bpe_tokens
+       | FROM (SELECT doc_id, source, t AS term, count(*) AS tf
+       |   FROM (SELECT doc_id, source, unnest(${duckTerms("text")}) AS t FROM documents)
+       |   GROUP BY 1, 2, 3) tf
+       | JOIN (SELECT term, ${bpeCountExpr("term", spark = false)} AS n_sub
+       |   FROM (SELECT DISTINCT t AS term
+       |     FROM (SELECT unnest(${duckTerms("text")}) AS t FROM documents))) vocab
+       | USING (term)
+       | GROUP BY doc_id, source""".stripMargin
 
   /** TOKENIZER FERTILITY per source — subword tokens per whitespace
     * word under the fixed [[BpeMergeList]] tokenizer, the standard
@@ -1332,18 +1359,9 @@ object TextQueries {
          | FROM tf GROUP BY source
          | ORDER BY source""".stripMargin,
     "q_text_bpe_tokenize" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id, t AS term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS t FROM documents)
-         |  GROUP BY 1, 2),
-         | vocab AS (
-         |  SELECT term, ${bpeCountExpr("term", spark = false)} AS n_sub
-         |  FROM (SELECT DISTINCT term FROM tf))
-         | SELECT doc_id,
-         |  CAST(sum(tf) AS BIGINT) AS n_ws_tokens,
-         |  CAST(sum(tf * n_sub) AS BIGINT) AS n_bpe_tokens
-         | FROM tf JOIN vocab USING (term)
-         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH bt AS ($duckBpeDocTokens)
+         | SELECT doc_id, n_ws_tokens, n_bpe_tokens
+         | FROM bt ORDER BY doc_id""".stripMargin,
     "q_text_bpe_fertility" ->
       s"""WITH tf AS (
          |  SELECT source, t AS term, count(*) AS tf
