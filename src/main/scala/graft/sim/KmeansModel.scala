@@ -121,6 +121,22 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     seg
   }
 
+  /** The deterministic Lloyd recurrence over an (id, v) frame: seeds =
+    * the k smallest ids, `rounds` assignment passes with one centroid
+    * update between each. Shared by [[fit]] (corpus-scale, on the
+    * checkpointed base) and [[assignApprox]]'s coarse layer (K-row
+    * input — model-state-scale work). */
+  private def lloydCentroids(base: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val init = base.orderBy("id").limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("id")).cast("long") - 1)
+      .select(col("cid"), col("v").as("centroid"))
+    var cents = init
+    for (_ <- 1 until rounds)
+      cents = updateCentroids(base, assignFrame(base, cents))
+    cents
+  }
+
   /** FIT: deterministic Lloyd (`rounds` assignment passes, one centroid
     * update between each — the inline `kmeansAssign` recurrence, K and
     * columns generalized), then persist centroids + the full corpus
@@ -136,13 +152,7 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
       .localCheckpoint(true)
     val mine = sc.getPersistentRDDs.keySet.toSet -- preExisting
     try {
-      val init = base.orderBy("id").limit(k)
-        .withColumn("cid",
-          row_number().over(Window.orderBy("id")).cast("long") - 1)
-        .select(col("cid"), col("v").as("centroid"))
-      var cents = init
-      for (_ <- 1 until rounds)
-        cents = updateCentroids(base, assignFrame(base, cents))
+      val cents = lloydCentroids(base, k, rounds)
       val cb = s"cb-${java.util.UUID.randomUUID()}"
       val cbPath = new Path(modelDir, s"codebooks/$cb")
       val seg =
@@ -170,6 +180,51 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     assignFrame(df.select(col(idCol).as("id"), col(vecCol).as("v")),
         centroids())
       .withColumnRenamed("id", idCol)
+
+  /** TWO-LEVEL (hierarchical) approximate assignment against the live
+    * frozen centroids — the published mitigation for flat assignment's
+    * O(batch·K) at SemDeDup-scale K ∝ corpus: a coarse layer of
+    * K₂ = ⌈√K⌉ centroids is fitted over the K FINE CENTROIDS themselves
+    * (K-row input — model-state-scale work, the same deterministic
+    * Lloyd), each fine cell routes to its one nearest coarse cell, and
+    * a vector probes its `probes` nearest coarse cells then argmins
+    * only over the fine cells routed there — cost
+    * O(batch·(K₂ + probes·K/K₂)) ≈ O(batch·(1+probes)·√K) against
+    * flat's O(batch·K). Everything broadcast (coarse table, routing,
+    * fine centroids are all model state); same floor-ppm/smallest-id
+    * determinism as [[assign]]. APPROXIMATE by construction: a vector
+    * whose true cell routes to an unprobed coarse cell mis-assigns —
+    * `probes = K₂` degenerates to exact (pinned in `KmeansModelSpec`
+    * along with the beats-random-pruning agreement floor, the IvfIndex
+    * audit convention). */
+  def assignApprox(df: DataFrame, idCol: String, vecCol: String,
+      probes: Int): DataFrame = {
+    val fine = centroids()
+    val k = fine.count().toInt // O(K) model state, driver-bounded
+    val k2 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarseBase = fine.select(col("cid").as("id"), col("centroid").as("v"))
+    val coarse = lloydCentroids(coarseBase, k2, rounds = 2)
+    // Each fine cell → its single nearest coarse cell.
+    val routing = assignFrame(coarseBase, coarse)
+      .select(col("id").as("fine_cid"), col("cid").as("gid"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val probed = graft.plans.GraftOps.topKPerKey(
+      base.crossJoin(broadcast(
+          coarse.select(col("cid").as("gid"), col("centroid"))))
+        .withColumn("d2g_ppm", d2ppm)
+        .select(col("id"), col("v"), col("gid"), col("d2g_ppm")),
+      keyCols = Seq("id"),
+      orderBy = Seq("d2g_ppm" -> true, "gid" -> true), k = probes)
+    val cand = probed
+      .join(broadcast(routing), Seq("gid"))
+      .join(broadcast(fine.withColumnRenamed("cid", "fine_cid")),
+        Seq("fine_cid"))
+      .withColumn("d2_ppm", d2ppm)
+      .select(col("id"), col("fine_cid").as("cid"), col("d2_ppm"))
+    graft.plans.GraftOps.topKPerKey(cand, keyCols = Seq("id"),
+        orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = 1)
+      .withColumnRenamed("id", idCol)
+  }
 
   /** Incremental APPEND under the frozen centroids: assign only the
     * delta, publish old segments + the new one. Ids must be disjoint

@@ -93,6 +93,32 @@ class KmeansModelSpec extends SparkSpec {
     assert(m.assignments().count() == old) // same corpus, re-assigned
   }
 
+  test("two-level assignment: exact at full probes, beats random pruning under them") {
+    val d = Files.createTempDirectory("graft-kmm-2l").toString
+    val m = new KmeansModel(spark, d)
+    val k = 9 // K2 = 3 coarse cells
+    m.fit(corpus, "vec_id", "v", k)
+    val exact = m.assign(corpus, "vec_id", "v")
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    // probes = K2: every coarse cell probed -> the candidate set is the
+    // full fine codebook, so the approximate path must equal exact.
+    val full = m.assignApprox(corpus, "vec_id", "v", probes = 3)
+      .select("vec_id", "cid", "d2_ppm").as[(Long, Long, Long)].collect()
+    assert(full.map(r => r._1 -> r._2).toMap == exact,
+      "full-probe two-level assignment diverged from exact")
+    // Under-probed: agreement must beat the random-pruning floor
+    // (probes/K2 of cells kept at random would agree ~probes/K2 of the
+    // time) and improve with probes — the IvfIndex audit convention.
+    def agree(p: Int): Double = {
+      val a = m.assignApprox(corpus, "vec_id", "v", probes = p)
+        .select("vec_id", "cid").as[(Long, Long)].collect()
+      a.count(r => exact(r._1) == r._2).toDouble / a.length
+    }
+    val (a1, a2) = (agree(1), agree(2))
+    assert(a1 > 1.0 / 3, f"probes=1 agreement $a1%.2f at the random floor")
+    assert(a2 >= a1, f"agreement not monotone in probes: $a1%.2f -> $a2%.2f")
+  }
+
   test("scale-correct semdedup: larger K bounds the pair budget") {
     // At K=4 vs K=2 on the same corpus, mean cluster size shrinks, so
     // the Σ n(n−1)/2 candidate budget must not grow — the monotonicity
