@@ -1,0 +1,73 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sim.KmeansModel
+
+class KmeansIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def corpus = graft.queries.Tables.t(spark, dir, "embeddings")
+    .where(col("vec_id") >= 5)
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+
+  private def mkIngest() = {
+    val mdir = Files.createTempDirectory("kmi-model").toString
+    new KmeansModel(spark, mdir).fit(corpus, "vec_id", "embedding", k = 4)
+    val sdir = Files.createTempDirectory("kmi-store").toString + "/store"
+    (new KmeansIngest(spark, mdir, "vec_id", "embedding", sdir), mdir, sdir)
+  }
+
+  test("streamed batches assign exactly as the frozen model would") {
+    val (ingest, mdir, _) = mkIngest()
+    val batch = corpus.limit(6)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    assert(ingest.processBatch(batch, 0L) == 6L)
+    val streamed = ingest.store().select("id", "cid", "d2_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = new KmeansModel(spark, mdir)
+      .assign(batch, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    assert(streamed == direct,
+      "stream-assigned rows diverge from the model's own assignment")
+  }
+
+  test("occupancy = fitted corpus + streamed arrivals; replay converges") {
+    val (ingest, _, _) = mkIngest()
+    val n0 = ingest.occupancy().agg(sum("n_members")).as[Long].head()
+    assert(n0 == corpus.count(), "fitted corpus missing from occupancy")
+    val batch = corpus.limit(3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    ingest.processBatch(batch, 1L)
+    ingest.processBatch(batch, 1L) // at-least-once redelivery, same id
+    val n1 = ingest.occupancy().agg(sum("n_members")).as[Long].head()
+    assert(n1 == n0 + 3, s"replay duplicated: $n0 -> $n1")
+  }
+
+  test("construction pins a version and fails loudly with no fitted model") {
+    val (ingest, _, _) = mkIngest()
+    assert(ingest.servedVersion == 0L)
+    val empty = Files.createTempDirectory("kmi-none").toString
+    intercept[IllegalStateException] {
+      new KmeansIngest(spark, empty, "vec_id", "embedding", empty + "/s")
+    }
+  }
+
+  test("processBatch leaves no checkpoint blocks behind") {
+    val (ingest, _, _) = mkIngest()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    for (i <- 0 until 3)
+      ingest.processBatch(corpus.limit(2)
+        .select((col("vec_id") + 100000L * (i + 1)).as("vec_id"),
+          col("embedding")), i.toLong)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "per-trigger assignment checkpoints accumulate")
+  }
+}
