@@ -172,6 +172,15 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     publishManifest(cb, Seq(seg))
   }
 
+  /** Retention: keep the newest `keep` versions, sweep older manifests
+    * and unreferenced codebook/segment dirs ([[IndexVacuum]] — the
+    * "readable until vacuumed" promise made concrete; maintenance
+    * window, no concurrent builds). Compact-then-vacuum is the standard
+    * maintenance pair: compaction publishes the one-segment manifest,
+    * vacuum reclaims the merged inputs. */
+  def vacuum(keep: Int = 1): (Int, Int) =
+    IndexVacuum.vacuum(fs, indexDir, keep, manifestAt)
+
   private def codebook(cb: String): DataFrame =
     spark.read.parquet(s"$indexDir/codebooks/$cb")
 

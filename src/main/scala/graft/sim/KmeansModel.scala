@@ -241,6 +241,13 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
 
   def centroids(): DataFrame = codebook(manifestAt(resolvedOrFail())._1)
 
+  /** Retention: keep the newest `keep` versions, sweep older manifests
+    * and unreferenced codebook/segment dirs ([[IndexVacuum]] — the
+    * "readable until vacuumed" promise made concrete; maintenance
+    * window, no concurrent fits). */
+  def vacuum(keep: Int = 1): (Int, Int) =
+    IndexVacuum.vacuum(fs, modelDir, keep, manifestAt)
+
   /** The persisted assignment store: (id, cid, d2_ppm) across all live
     * segments — resolved from ONE manifest read (the torn-read rule). */
   def assignments(): DataFrame = {

@@ -93,6 +93,25 @@ class KmeansModelSpec extends SparkSpec {
     assert(m.assignments().count() == old) // same corpus, re-assigned
   }
 
+  test("vacuum keeps the live version serving and reclaims the old one") {
+    val d = Files.createTempDirectory("graft-kmm-vac").toString
+    val m = new KmeansModel(spark, d)
+    m.fit(corpus, "vec_id", "v", k = 2)
+    m.refit(corpus, "vec_id", "v", k = 4)
+    val before = m.assignments().as[(Long, Long, Long)].collect().toSet
+    val (manifests, dirs) = m.vacuum(keep = 1)
+    assert(manifests == 1, s"expected 1 old manifest swept, got $manifests")
+    assert(dirs == 2, s"expected old codebook + segment swept, got $dirs")
+    // The live version is untouched — identical rows after the sweep.
+    assert(m.currentVersion().contains(1L))
+    assert(m.assignments().as[(Long, Long, Long)].collect().toSet == before)
+    assert(m.centroids().count() == 4)
+    // Old version's manifest is gone from the store listing.
+    assert(!new java.io.File(d, "m=0").exists, "old manifest survived vacuum")
+    // Idempotent: nothing left to reclaim.
+    assert(m.vacuum(keep = 1) == ((0, 0)))
+  }
+
   test("two-level assignment: exact at full probes, beats random pruning under them") {
     val d = Files.createTempDirectory("graft-kmm-2l").toString
     val m = new KmeansModel(spark, d)

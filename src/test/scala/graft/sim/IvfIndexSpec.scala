@@ -124,6 +124,29 @@ class IvfIndexSpec extends SparkSpec {
     assert(after == before, "compaction changed search results")
   }
 
+  test("compact-then-vacuum reclaims merged segments; search unchanged") {
+    // Private index: vacuum deletes files, and the shared `idx` is read
+    // by later tests.
+    val i = new IvfIndex(spark,
+      Files.createTempDirectory("ivf-vac").toString + "/index")
+    i.build(corpus, "vec_id", "embedding", "label")
+    val delta = corpus.limit(4)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"),
+        col("label"))
+    i.append(delta, "vec_id", "embedding")
+    i.compact() // v2: one merged segment
+    val before = i.search(queries, "vec_id", "embedding", k = 3, probes = 2)
+      .collect().map(_.toString).toSet
+    val (manifests, dirs) = i.vacuum(keep = 1)
+    assert(manifests == 2, s"expected v0+v1 manifests swept, got $manifests")
+    // v0's full segment + v1's delta segment are unreferenced by v2.
+    assert(dirs == 2, s"expected 2 merged-input segments swept, got $dirs")
+    val after = i.search(queries, "vec_id", "embedding", k = 3, probes = 2)
+      .collect().map(_.toString).toSet
+    assert(after == before, "vacuum changed search results")
+    assert(i.vacuum(keep = 1) == ((0, 0)), "vacuum not idempotent")
+  }
+
   test("search is deterministic and probes prune cells") {
     val r1 = idx.search(queries, "vec_id", "embedding", K, probes = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
