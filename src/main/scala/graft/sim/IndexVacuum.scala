@@ -20,9 +20,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * without concurrent builds. */
 private[sim] object IndexVacuum {
 
-  /** Returns (manifests deleted, data dirs deleted). */
+  /** Returns (manifests deleted, data dirs deleted). `referenced(v)` =
+    * every data-dir name manifest v keeps alive; `dataDirs` = the
+    * (subdir, name-prefix) pairs holding uuid-named data. */
   def vacuum(fs: FileSystem, indexDir: String, keep: Int,
-      manifestAt: Long => (String, Seq[String])): (Int, Int) = {
+      referenced: Long => Seq[String],
+      dataDirs: Seq[(String, String)]): (Int, Int) = {
     require(keep >= 1, "must retain at least the live version")
     val root = new Path(indexDir)
     val versions = graft.ops.VersionedPaths
@@ -39,12 +42,9 @@ private[sim] object IndexVacuum {
     // the snapshot).
     val live: Set[String] = graft.ops.VersionedPaths
       .listNumbered(fs, root, "m=", dirsOnly = false).map(_._2)
-      .flatMap { v =>
-        val (cb, segs) = manifestAt(v)
-        cb +: segs
-      }.toSet
+      .flatMap(referenced).toSet
     var dirsDeleted = 0
-    for ((sub, prefix) <- Seq("codebooks" -> "cb-", "segments" -> "seg-")) {
+    for ((sub, prefix) <- dataDirs) {
       val d = new Path(root, sub)
       if (fs.exists(d)) fs.listStatus(d).foreach { st =>
         val n = st.getPath.getName

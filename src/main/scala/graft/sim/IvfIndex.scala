@@ -179,7 +179,9 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * maintenance pair: compaction publishes the one-segment manifest,
     * vacuum reclaims the merged inputs. */
   def vacuum(keep: Int = 1): (Int, Int) =
-    IndexVacuum.vacuum(fs, indexDir, keep, manifestAt)
+    IndexVacuum.vacuum(fs, indexDir, keep,
+      v => { val (cb, segs) = manifestAt(v); cb +: segs },
+      Seq("codebooks" -> "cb-", "segments" -> "seg-"))
 
   private def codebook(cb: String): DataFrame =
     spark.read.parquet(s"$indexDir/codebooks/$cb")

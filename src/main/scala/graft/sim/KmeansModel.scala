@@ -246,7 +246,9 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     * "readable until vacuumed" promise made concrete; maintenance
     * window, no concurrent fits). */
   def vacuum(keep: Int = 1): (Int, Int) =
-    IndexVacuum.vacuum(fs, modelDir, keep, manifestAt)
+    IndexVacuum.vacuum(fs, modelDir, keep,
+      v => { val (cb, segs) = manifestAt(v); cb +: segs },
+      Seq("codebooks" -> "cb-", "segments" -> "seg-"))
 
   /** The persisted assignment store: (id, cid, d2_ppm) across all live
     * segments — resolved from ONE manifest read (the torn-read rule). */

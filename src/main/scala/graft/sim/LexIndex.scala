@@ -64,6 +64,14 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
   /** Live segment names at the newest version, or fail loudly. */
   def liveSegments(): Seq[String] = segmentsAt(resolvedOrFail())
 
+  /** Retention: keep the newest `keep` versions, sweep older manifests
+    * and unreferenced segment dirs (shared [[IndexVacuum]] rules —
+    * maintenance window, no concurrent builds; compact-then-vacuum
+    * reclaims the merged inputs). */
+  def vacuum(keep: Int = 1): (Int, Int) =
+    IndexVacuum.vacuum(fs, indexDir, keep, segmentsAt,
+      Seq("segments" -> "seg-"))
+
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
 

@@ -58,6 +58,21 @@ class LexIndexSpec extends SparkSpec {
     assert(before == inline)
   }
 
+  test("compact-then-vacuum reclaims merged segments; answers unchanged") {
+    val i = new LexIndex(spark,
+      Files.createTempDirectory("lex-vac").toString + "/index")
+    i.build(docs.where(col("doc_id") < 250), "doc_id", "text")
+    i.append(docs.where(col("doc_id") >= 250), "doc_id", "text")
+    i.compact() // v2 references one merged segment
+    val (manifests, dirs) = i.vacuum(keep = 1)
+    assert(manifests == 2 && dirs == 2,
+      s"expected 2 old manifests + 2 merged-input segments, got ($manifests, $dirs)")
+    assert(i.liveSegments().size == 1)
+    assert(i.search(terms, topK).collect().toSeq == inline,
+      "vacuum changed search results")
+    assert(i.vacuum(keep = 1) == ((0, 0)), "vacuum not idempotent")
+  }
+
   test("a probe reads only the query terms' postings partitions") {
     val allParts = idx.postings().select("b").distinct().count()
     val search = idx.search(terms, topK)
