@@ -887,6 +887,38 @@ object TextQueries {
 
   private val dedupSpanApply: Q = (s, dir) => spanApplyFrame(docs(s, dir))
 
+  /** DUPLICATION FOOTPRINT per source — the corpus-level headline the
+    * span manifests roll up to (Lee et al. 2022's "what fraction of
+    * the training text is duplicated" number, reported where a mixture
+    * designer reads it: next to `q_text_lexical` and `q_text_source_kl`
+    * in the per-source diagnostics): share of each source's tokens
+    * sitting inside cross-document duplicated spans, plus how many of
+    * its docs are affected at all. Exactly [[spanApplyFrame]]'s merged
+    * intervals (no double-counting under overlap) left-joined back to
+    * the FULL corpus so untouched docs count in the denominator; the
+    * ppm ratio clears through DECIMAL(38,0) (1e6 × corpus tokens
+    * outgrows int64 near 10¹³ tokens — the 100 TB regime). Output is
+    * O(sources); the only new work over the span build is one join and
+    * a rollup. */
+  private val dedupFootprint: Q = (s, dir) => {
+    val manifests = spanApplyFrame(docs(s, dir))
+      .select("doc_id", "dup_toks", "n_spans")
+    val all = docs(s, dir).select(col("source"), col("doc_id"),
+      size(TokenOps.terms(col("text"))).cast("long").as("n_toks"))
+    all.join(manifests, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("dup_toks", "n_spans"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
+        sum("n_toks").as("n_toks"),
+        sum("dup_toks").as("dup_toks"))
+      .select(col("source"), col("n_docs"), col("n_docs_affected"),
+        col("n_toks"), col("dup_toks"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * dup_toks) DIV n_toks AS BIGINT)")
+          .as("dup_ppm"))
+      .orderBy("source")
+  }
+
   /** BM25 constants (Robertson/Lucene form), shared with the oracle:
     * k1 = 6/5, b = 3/4 — kept as exact rationals so the tf-normalization
     * denominator clears to integers (see [[bm25]]). */
@@ -1327,6 +1359,7 @@ object TextQueries {
     "q_text_winnow_pairs" -> winnowPairs,
     "q_dedup_spans" -> dedupSpans,
     "q_dedup_span_apply" -> dedupSpanApply,
+    "q_dedup_footprint"  -> dedupFootprint,
     "q_text_bm25"        -> bm25,
     "q_text_classify"    -> classify,
     "q_text_source_kl"   -> sourceKl,
@@ -1565,6 +1598,36 @@ object TextQueries {
          |  n_spans
          | FROM agg a JOIN tk ON a.doc_id = tk.doc_id
          | ORDER BY a.doc_id""".stripMargin,
+    "q_dedup_footprint" ->
+      s"""WITH $duckSpanCtes,
+         | v AS (SELECT doc2 AS doc_id, start2 AS s,
+         |   start2 + span_toks - 1 AS e FROM sp),
+         | pw AS (SELECT doc_id, s, e,
+         |   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM v),
+         | gi AS (SELECT doc_id, s, e,
+         |   sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+         |     OVER (PARTITION BY doc_id ORDER BY s, e
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM pw),
+         | mg AS (SELECT doc_id, grp, min(s) AS ms, max(e) AS me
+         |  FROM gi GROUP BY doc_id, grp),
+         | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |   CAST(sum(me - ms + 1) AS BIGINT) AS dup_toks
+         |  FROM mg GROUP BY doc_id),
+         | alltok AS (SELECT source, doc_id,
+         |   CAST(len(${duckTerms("text")}) AS BIGINT) AS n_toks
+         |  FROM documents)
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN a.n_spans IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_affected,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(sum(a.dup_toks), 0) AS BIGINT) AS dup_toks,
+         |  CAST(1000000 * coalesce(sum(CAST(a.dup_toks AS HUGEINT)), 0)
+         |    // sum(n_toks) AS BIGINT) AS dup_ppm
+         | FROM alltok t LEFT JOIN agg a USING (doc_id)
+         | GROUP BY source ORDER BY source""".stripMargin,
     "q_text_bm25" -> {
       val tfDefs = Bm25Terms.zipWithIndex.map { case (term, i) =>
         s"CAST(len(list_filter(toks, w -> w = '$term')) AS BIGINT) AS tf_$i"
