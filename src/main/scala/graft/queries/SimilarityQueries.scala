@@ -657,6 +657,31 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** The K grid of the elbow report — part of the graded constant. */
+  private val ElbowKs = Seq(2, 4, 8)
+
+  /** K-SELECTION (elbow) report — total and per-vector inertia across
+    * a K grid, the model-selection pass a clustering-derived pipeline
+    * (SemDeDup, IVF training, cluster-balanced sampling) runs BEFORE
+    * freezing K: read where the marginal inertia drop flattens. Each
+    * grid point is the shared persisted model ([[sharedKmeansAssign]] —
+    * fitted once per K, reused by every consumer), so the report costs
+    * three O(store) scans + O(K) aggregates after warmup, not three
+    * Lloyd runs per invocation. `n_clusters_used` < K flags degenerate
+    * seeds (empty clusters — the other elbow-report signal). Exact
+    * integers throughout; oracle = three prefixed transliterations of
+    * the SAME DuckDB Lloyd chain, unioned. */
+  private val kmeansElbow: Q = (s, dir) =>
+    ElbowKs.map { k =>
+      sharedKmeansAssign(s, dir, k)
+        .agg(countDistinct("cid").as("n_clusters_used"),
+          count(lit(1)).as("n_vectors"),
+          sum("d2_ppm").as("inertia_ppm"))
+        .select(lit(k).cast("int").as("k"), col("n_clusters_used"),
+          col("n_vectors"), col("inertia_ppm"),
+          expr("inertia_ppm DIV n_vectors").as("inertia_per_vec_ppm"))
+    }.reduce(_ unionByName _).orderBy("k")
+
   /** Pair-candidate budget of [[semDedupAt]] — Σ n(n−1)/2 over cluster
     * sizes, the quantity the K ∝ corpus rule keeps linear in the
     * corpus. One O(K)-row aggregate + a 1-row driver read (bounded
@@ -800,6 +825,7 @@ object SimilarityQueries {
     "q_sim_matryoshka"      -> matryoshka,
     "q_sim_pq_adc"          -> pqAdc,
     "q_sim_kmeans"          -> kmeans,
+    "q_sim_kmeans_elbow"    -> kmeansElbow,
     "q_sim_pq_recall"       -> pqRecall,
     "q_sim_sq_recall"       -> sqRecall,
     "q_sim_cluster_topics"  -> clusterTopics,
@@ -896,35 +922,42 @@ object SimilarityQueries {
   /** Shared 2-round Lloyd CTE chain ending in `a2(vec_id, cid, d2)` —
     * one definition for the cluster report and the topic labeling, so
     * the assignment cannot drift between their oracles. */
-  private lazy val duckKmeansCtes: String = {
+  /** The 2-round DuckDB Lloyd chain, PARAMETERIZED by K and a CTE-name
+    * prefix so several K values can coexist in one WITH list (the
+    * elbow report unions three). `duckKmeansCtes` (the graded K,
+    * unprefixed) is the instance every existing kmeans-family oracle
+    * pastes — one definition, the chains cannot drift. */
+  private def duckKmeansCtesAt(k: Int, p: String): String = {
     val d2 = (a: String, b: String) =>
       s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
          |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
-    s"""kbase AS (SELECT vec_id,
+    s"""${p}kbase AS (SELECT vec_id,
        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings WHERE vec_id >= $NumQueries),
-       | init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       | ${p}init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
        |   v AS centroid
-       |  FROM kbase ORDER BY vec_id LIMIT $KmeansK),
-       | dx1 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
-       |  FROM kbase b CROSS JOIN init c),
-       | a1 AS (SELECT vec_id, cid FROM (SELECT *,
+       |  FROM ${p}kbase ORDER BY vec_id LIMIT $k),
+       | ${p}dx1 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
+       |  FROM ${p}kbase b CROSS JOIN ${p}init c),
+       | ${p}a1 AS (SELECT vec_id, cid FROM (SELECT *,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |  FROM dx1) WHERE rn = 1),
-       | e1 AS (SELECT a.cid, b.vec_id, unnest(b.v) AS x,
+       |  FROM ${p}dx1) WHERE rn = 1),
+       | ${p}e1 AS (SELECT a.cid, b.vec_id, unnest(b.v) AS x,
        |   unnest(generate_series(1, $EmbDim)) AS pos
-       |  FROM a1 a JOIN kbase b ON a.vec_id = b.vec_id),
-       | m1 AS (SELECT cid, pos,
+       |  FROM ${p}a1 a JOIN ${p}kbase b ON a.vec_id = b.vec_id),
+       | ${p}m1 AS (SELECT cid, pos,
        |   list_sum(list(x ORDER BY vec_id)) / count(*) AS m
-       |  FROM e1 GROUP BY cid, pos),
-       | c1 AS (SELECT cid, list(m ORDER BY pos) AS centroid
-       |  FROM m1 GROUP BY cid),
-       | dx2 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
-       |  FROM kbase b CROSS JOIN c1 c),
-       | a2 AS (SELECT vec_id, cid, d2 FROM (SELECT *,
+       |  FROM ${p}e1 GROUP BY cid, pos),
+       | ${p}c1 AS (SELECT cid, list(m ORDER BY pos) AS centroid
+       |  FROM ${p}m1 GROUP BY cid),
+       | ${p}dx2 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2
+       |  FROM ${p}kbase b CROSS JOIN ${p}c1 c),
+       | ${p}a2 AS (SELECT vec_id, cid, d2 FROM (SELECT *,
        |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-       |  FROM dx2) WHERE rn = 1)""".stripMargin
+       |  FROM ${p}dx2) WHERE rn = 1)""".stripMargin
   }
+
+  private lazy val duckKmeansCtes: String = duckKmeansCtesAt(KmeansK, "")
 
   val oracles: Seq[(String, String)] = Seq(
     "q_sim_decontam" ->
@@ -1074,6 +1107,20 @@ object SimilarityQueries {
          | SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(d2) AS BIGINT) AS inertia_ppm
          | FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+    "q_sim_kmeans_elbow" ->
+      s"""WITH ${duckKmeansCtesAt(2, "e2_")},
+         | ${duckKmeansCtesAt(4, "e4_")},
+         | ${duckKmeansCtesAt(8, "e8_")},
+         | u AS (
+         |  SELECT 2 AS k, cid, d2 FROM e2_a2
+         |  UNION ALL SELECT 4 AS k, cid, d2 FROM e4_a2
+         |  UNION ALL SELECT 8 AS k, cid, d2 FROM e8_a2)
+         | SELECT CAST(k AS INTEGER) AS k,
+         |  CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters_used,
+         |  CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(d2) AS BIGINT) AS inertia_ppm,
+         |  CAST(sum(d2) // count(*) AS BIGINT) AS inertia_per_vec_ppm
+         | FROM u GROUP BY k ORDER BY k""".stripMargin,
     "q_sim_cluster_topics" ->
       s"""WITH $duckKmeansCtes,
          | tt AS (SELECT a.cid, t.term, CAST(count(*) AS BIGINT) AS cnt
