@@ -172,6 +172,27 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     publishManifest(cb, Seq(seg))
   }
 
+  /** FORGET: remove `ids` from the postings — deletion propagated into
+    * the derived store (the `q_report_forget_impact` governance family;
+    * same semantics as [[graft.sim.KmeansModel.forget]]): live segments
+    * rewrite without the victims into one new cell-partitioned segment
+    * under the SAME codebook, published as a new version. One O(index)
+    * filter write, no distance math; surviving postings bit-unchanged,
+    * so post-forget search ≡ pre-forget search minus the victims
+    * (pinned in spec). Centroids are aggregates and stay — full
+    * statistical erasure is [[build]] on the redacted corpus + [[vacuum]]. */
+  def forget(ids: Seq[Long]): Long = {
+    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = new Path(indexDir, s"segments/$seg")
+    try readUnion(segs)
+      .where(!col("id").isin(ids: _*))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(out.toString)
+    catch { case e: Throwable => bestEffortDelete(out); throw e }
+    publishManifest(cb, Seq(seg))
+  }
+
   /** Retention: keep the newest `keep` versions, sweep older manifests
     * and unreferenced codebook/segment dirs ([[IndexVacuum]] — the
     * "readable until vacuumed" promise made concrete; maintenance

@@ -241,6 +241,32 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
 
   def centroids(): DataFrame = codebook(manifestAt(resolvedOrFail())._1)
 
+  /** FORGET: remove `ids` from the assignment store — the
+    * deletion-propagation step a right-to-be-forgotten request needs
+    * on every DERIVED store, not just the source table (the governance
+    * family of `q_report_forget_impact`): live segments are rewritten
+    * without the victims into ONE new segment and published as a new
+    * version under the SAME codebook. Cost is one O(store) filter
+    * write — no distance math, no re-clustering. Surviving rows are
+    * BIT-UNCHANGED (a filter never rewrites values; pinned in spec).
+    * The centroids are k-anonymous aggregate statistics over the
+    * corpus and deliberately stay — full statistical erasure is
+    * [[refit]] on the redacted corpus, then [[vacuum]] to drop the
+    * pre-forget versions from disk. `ids` must be bounded request
+    * state (a forget request, not a data stream) — it broadcasts. */
+  def forget(ids: Seq[Long]): Long = {
+    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val victims = ids.toSet
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = new Path(modelDir, s"segments/$seg")
+    try segs.map(s0 => spark.read.parquet(s"$modelDir/segments/$s0"))
+      .reduce(_ unionByName _)
+      .where(!col("id").isin(victims.toSeq: _*))
+      .write.mode(SaveMode.Overwrite).parquet(out.toString)
+    catch { case e: Throwable => bestEffortDelete(out); throw e }
+    publishManifest(cb, Seq(seg))
+  }
+
   /** Retention: keep the newest `keep` versions, sweep older manifests
     * and unreferenced codebook/segment dirs ([[IndexVacuum]] — the
     * "readable until vacuumed" promise made concrete; maintenance

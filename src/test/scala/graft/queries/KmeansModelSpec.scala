@@ -93,6 +93,27 @@ class KmeansModelSpec extends SparkSpec {
     assert(m.assignments().count() == old) // same corpus, re-assigned
   }
 
+  test("forget removes exactly the victims; survivors bit-unchanged; " +
+      "codebook frozen") {
+    val d = Files.createTempDirectory("graft-kmm-forget").toString
+    val m = new KmeansModel(spark, d)
+    val v0 = m.fit(corpus, "vec_id", "v", k = 4)
+    val before = m.assignments().as[(Long, Long, Long)].collect().toSet
+    val centsBefore = m.centroids()
+      .select("cid").as[Long].collect().sorted.toSeq
+    val victims = before.map(_._1).toSeq.sorted.take(3)
+    val v1 = m.forget(victims)
+    assert(v1 == v0 + 1)
+    val after = m.assignments().as[(Long, Long, Long)].collect().toSet
+    assert(after == before.filterNot(r => victims.contains(r._1)),
+      "forget changed surviving rows or missed a victim")
+    assert(m.centroids().select("cid").as[Long].collect().sorted.toSeq ==
+      centsBefore, "forget retrained the codebook — must stay frozen")
+    // forget + vacuum removes the pre-forget version from disk too.
+    m.vacuum(keep = 1)
+    assert(!new java.io.File(d, "m=0").exists)
+  }
+
   test("vacuum keeps the live version serving and reclaims the old one") {
     val d = Files.createTempDirectory("graft-kmm-vac").toString
     val m = new KmeansModel(spark, d)

