@@ -75,6 +75,34 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
 
+  /** FORGET: remove `ids` and publish one rewritten segment — deletion
+    * propagated into the derived store (the
+    * [[graft.sim.KmeansModel.forget]] semantics, made EXACT for BM25:
+    * unlike the vector stores, where frozen aggregates only approximate
+    * the redacted corpus, every BM25 statistic is derivable from the
+    * postings — df recounted per term, n_docs/Σdl from the denormalized
+    * per-doc lengths — so post-forget search is BIT-IDENTICAL to an
+    * index built from the redacted corpus, pinned in `LexIndexSpec`).
+    * One O(index) filter + vocabulary-sized aggregates; no tokenize
+    * pass, the corpus text is never re-read. */
+  def forget(ids: Seq[Long]): Long = {
+    val live = liveSegments() // resolve BEFORE the writes
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = s"$indexDir/segments/$seg"
+    val posts = readUnion(live, "postings")
+      .where(!col("doc_id").isin(ids: _*))
+      .localCheckpoint(true) // postings, df, and meta read it once
+    posts.write.mode(SaveMode.Overwrite).partitionBy("b")
+      .parquet(s"$out/postings")
+    posts.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
+    // One row per surviving doc: dl is denormalized onto every posting.
+    posts.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+    publishManifest(Seq(seg))
+  }
+
   /** Write one segment (postings + stats + meta) from a (id, text)
     * batch and return its name. Zero-term docs contribute no postings
     * and are excluded from n_docs and Σdl — exactly the inline query's

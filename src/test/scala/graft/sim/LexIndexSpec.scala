@@ -58,6 +58,28 @@ class LexIndexSpec extends SparkSpec {
     assert(before == inline)
   }
 
+  test("forget == a from-scratch build on the redacted corpus, bit-for-bit") {
+    val i = new LexIndex(spark,
+      Files.createTempDirectory("lex-fgt").toString + "/index")
+    i.build(docs, "doc_id", "text")
+    // Forget the current top hit so rankings must actually change.
+    val victims = i.search(terms, 2).collect().map(_.getLong(0)).toSeq
+    val v = i.forget(victims)
+    assert(i.currentVersion().contains(v) && i.liveSegments().size == 1)
+    val redacted = new LexIndex(spark,
+      Files.createTempDirectory("lex-fgt2").toString + "/index")
+    redacted.build(docs.where(!col("doc_id").isin(victims: _*)),
+      "doc_id", "text")
+    // BM25 statistics are fully derivable from postings, so the
+    // forgotten index must equal the redacted rebuild EXACTLY —
+    // scores, order, everything.
+    assert(i.search(terms, topK).collect().toSeq ==
+      redacted.search(terms, topK).collect().toSeq,
+      "forgotten index diverges from a redacted-corpus rebuild")
+    assert(!i.search(terms, topK).collect().exists(r =>
+      victims.contains(r.getLong(0))))
+  }
+
   test("compact-then-vacuum reclaims merged segments; answers unchanged") {
     val i = new LexIndex(spark,
       Files.createTempDirectory("lex-vac").toString + "/index")
