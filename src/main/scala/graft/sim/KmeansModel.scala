@@ -241,6 +241,23 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
 
   def centroids(): DataFrame = codebook(manifestAt(resolvedOrFail())._1)
 
+  /** MAINTENANCE compaction: merge the live assignment segments into
+    * one (pure union rewrite — no distance math, no re-assignment;
+    * O(store) IO) and publish under the same codebook. Bounds segment
+    * fan-out after many [[append]]s; [[assignments]] is row-identical
+    * before and after. The [[IvfIndex.compact]] economics. */
+  def compact(): Long = {
+    val (cb, segs) = manifestAt(resolvedOrFail())
+    if (segs.size <= 1) return resolvedOrFail()
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = new Path(modelDir, s"segments/$seg")
+    try segs.map(s0 => spark.read.parquet(s"$modelDir/segments/$s0"))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(out.toString)
+    catch { case e: Throwable => bestEffortDelete(out); throw e }
+    publishManifest(cb, Seq(seg))
+  }
+
   /** FORGET: remove `ids` from the assignment store — the
     * deletion-propagation step a right-to-be-forgotten request needs
     * on every DERIVED store, not just the source table (the governance

@@ -81,6 +81,21 @@ class KmeansModelSpec extends SparkSpec {
       centsBefore, "append retrained the codebook — must be frozen")
   }
 
+  test("compact merges append segments; assignments row-identical") {
+    val d = Files.createTempDirectory("graft-kmm-cpt").toString
+    val m = new KmeansModel(spark, d)
+    m.fit(corpus, "vec_id", "v", k = 4)
+    m.append(corpus.limit(3)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("v")), "vec_id", "v")
+    val before = m.assignments().as[(Long, Long, Long)].collect().toSet
+    val v = m.compact()
+    assert(m.currentVersion().contains(v))
+    assert(m.assignments().as[(Long, Long, Long)].collect().toSet == before)
+    assert(m.assignments().inputFiles.map(_.split("/segments/")(1).split("/")(0))
+      .distinct.length == 1, "compaction left multiple live segments")
+    assert(m.compact() == v, "compact on one segment must be a no-op")
+  }
+
   test("refit publishes a new version; the old manifest stays readable") {
     val d = Files.createTempDirectory("graft-kmm-refit").toString
     val m = new KmeansModel(spark, d)
