@@ -1110,6 +1110,69 @@ object TextQueries {
   private val filterDecision: Q = (s, dir) =>
     filterVerdicts(s, dir).orderBy("doc_id")
 
+  /** GATE ABLATION — the "which rule earns its place" report a quality
+    * gate-stack owner reads before adding/removing a rule: per rule,
+    * how many docs it flags at all, how many it UNIQUELY flags (the
+    * docs only this rule protects against — dropping the rule admits
+    * exactly these), and how many it flags FIRST (the attribution the
+    * `q_text_filter` verdict column reports). Booleans are evaluated
+    * INDEPENDENTLY (ablation semantics — each rule on every doc, with
+    * explicit zero-denominator guards the sequential CASE never
+    * needed), in ONE corpus pass feeding a 12-column aggregate that
+    * `stack`s to the fixed 4-row report. */
+  private val gateAblation: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("toks_all",
+        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(toks_all) >= 2
+          | THEN transform(sequence(1, size(toks_all) - 1), i -> concat_ws(' ', element_at(toks_all, i), element_at(toks_all, i+1)))
+          | ELSE CAST(array() AS array<string>) END""".stripMargin))
+      .select(
+        expr(s"size(toks_all) < $FilterMinTokens").as("f_short"),
+        // CASE guards, not AND: neither engine guarantees boolean
+        // short-circuit under vectorized evaluation, and a zero
+        // denominator must not raise under ANSI.
+        expr(s"""CASE WHEN length(text) > 0
+                | THEN 10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text) < $FilterMinAlphaBp
+                | ELSE false END"""
+          .stripMargin.replace("\n", " ")).as("f_alpha"),
+        expr(s"""CASE WHEN size(bigrams) > 0
+                | THEN 10000 * (size(bigrams) - size(array_distinct(bigrams))) DIV size(bigrams) > $FilterMaxDupBigramBp
+                | ELSE false END"""
+          .stripMargin.replace("\n", " ")).as("f_rep"),
+        expr(s"""CASE WHEN size(toks_all) > 0
+                | THEN 10000 * (size(toks_all) - size(toks)) DIV size(toks_all) < $FilterMinStopwordBp
+                | ELSE false END"""
+          .stripMargin.replace("\n", " ")).as("f_stop"))
+      .withColumn("n_fired", expr(
+        "CAST(f_short AS INT) + CAST(f_alpha AS INT) + CAST(f_rep AS INT) + CAST(f_stop AS INT)"))
+      .agg(
+        sum(when(col("f_short"), 1L).otherwise(0L)).as("sf"),
+        sum(when(col("f_short") && col("n_fired") === 1, 1L).otherwise(0L)).as("su"),
+        sum(when(col("f_short"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("f_alpha"), 1L).otherwise(0L)).as("af"),
+        sum(when(col("f_alpha") && col("n_fired") === 1, 1L).otherwise(0L)).as("au"),
+        sum(when(col("f_alpha") && !col("f_short"), 1L).otherwise(0L)).as("a1"),
+        sum(when(col("f_rep"), 1L).otherwise(0L)).as("rf"),
+        sum(when(col("f_rep") && col("n_fired") === 1, 1L).otherwise(0L)).as("ru"),
+        sum(when(col("f_rep") && !col("f_short") && !col("f_alpha"), 1L)
+          .otherwise(0L)).as("r1"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("pf"),
+        sum(when(col("f_stop") && col("n_fired") === 1, 1L).otherwise(0L)).as("pu"),
+        sum(when(col("f_stop") && !col("f_short") && !col("f_alpha") &&
+          !col("f_rep"), 1L).otherwise(0L)).as("p1"))
+      .selectExpr(
+        """stack(4,
+          | 'too_short',    sf, su, s1,
+          | 'low_alpha',    af, au, a1,
+          | 'repetitive',   rf, ru, r1,
+          | 'low_stopword', pf, pu, p1)
+          | AS (rule, n_flagged, n_uniquely_flagged, n_first_failing)"""
+          .stripMargin.replace("\n", " "))
+      .orderBy("rule")
+
   /** Levenshtein edit distance (fuzzy-match building block): how far the
     * raw text head drifts from its cleaned form — bounded operands (the
     * DP is O(len²); at scale always cap the compared prefix). */
@@ -1366,6 +1429,7 @@ object TextQueries {
     "q_text_repetition"  -> repetition,
     "q_text_pii"         -> piiScrub,
     "q_text_filter"      -> filterDecision,
+    "q_text_gate_ablation" -> gateAblation,
     "q_text_tfidf"       -> tfidf,
     "q_text_docsim"      -> docsim,
     "q_text_heavyhitters" -> heavyHitters,
@@ -1700,6 +1764,48 @@ object TextQueries {
          | CAST(len(regexp_extract_all(text, '${TextOps.IpPattern}')) AS INTEGER) AS n_ips,
          | CAST(len(regexp_extract_all(text, '${TextOps.LongNumPattern}')) AS INTEGER) AS n_longnums
          | FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_gate_ablation" ->
+      s"""WITH base AS (SELECT doc_id, text, toks_all,
+         |   list_filter(toks_all, w -> w NOT IN ($stopListSql)) AS toks,
+         |   list_transform(generate_series(1, len(toks_all) - 1), i -> toks_all[i] || ' ' || toks_all[i+1]) AS bigrams
+         |  FROM (SELECT doc_id, text,
+         |    list_filter(string_split(${duckClean("text")}, ' '), w -> w <> '') AS toks_all
+         |   FROM documents)),
+         | fl AS (SELECT
+         |   len(toks_all) < $FilterMinTokens AS f_short,
+         |   CASE WHEN length(text) > 0
+         |    THEN 10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) < $FilterMinAlphaBp
+         |    ELSE false END AS f_alpha,
+         |   CASE WHEN len(bigrams) > 0
+         |    THEN 10000 * (len(bigrams) - len(list_distinct(bigrams))) // len(bigrams) > $FilterMaxDupBigramBp
+         |    ELSE false END AS f_rep,
+         |   CASE WHEN len(toks_all) > 0
+         |    THEN 10000 * (len(toks_all) - len(toks)) // len(toks_all) < $FilterMinStopwordBp
+         |    ELSE false END AS f_stop
+         |  FROM base),
+         | n AS (SELECT *,
+         |   CAST(f_short AS INT) + CAST(f_alpha AS INT) + CAST(f_rep AS INT) + CAST(f_stop AS INT) AS n_fired
+         |  FROM fl),
+         | agg AS (SELECT
+         |   CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS sf,
+         |   CAST(sum(CASE WHEN f_short AND n_fired = 1 THEN 1 ELSE 0 END) AS BIGINT) AS su,
+         |   CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+         |   CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS af,
+         |   CAST(sum(CASE WHEN f_alpha AND n_fired = 1 THEN 1 ELSE 0 END) AS BIGINT) AS au,
+         |   CAST(sum(CASE WHEN f_alpha AND NOT f_short THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+         |   CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS rf,
+         |   CAST(sum(CASE WHEN f_rep AND n_fired = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ru,
+         |   CAST(sum(CASE WHEN f_rep AND NOT f_short AND NOT f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         |   CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS pf,
+         |   CAST(sum(CASE WHEN f_stop AND n_fired = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pu,
+         |   CAST(sum(CASE WHEN f_stop AND NOT f_short AND NOT f_alpha AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS p1
+         |  FROM n)
+         | SELECT * FROM (
+         |  SELECT 'too_short' AS rule, sf AS n_flagged, su AS n_uniquely_flagged, s1 AS n_first_failing FROM agg
+         |  UNION ALL SELECT 'low_alpha', af, au, a1 FROM agg
+         |  UNION ALL SELECT 'repetitive', rf, ru, r1 FROM agg
+         |  UNION ALL SELECT 'low_stopword', pf, pu, p1 FROM agg)
+         | ORDER BY rule""".stripMargin,
     "q_text_filter" ->
       s"$duckFilterVerdicts ORDER BY doc_id",
     "q_text_tfidf" ->
