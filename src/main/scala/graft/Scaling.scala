@@ -54,7 +54,7 @@ object Scaling {
     "q_sample_dsir", "q_dedup_simhash_pairs", "q_text_tfidf",
     "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes",
     "q_a3_vocabulary", "q_sim_hybrid_rrf", "q_dedup_pair_rouge",
-    "q_ml_auc_jackknife", "q_sim_semdedup")
+    "q_ml_auc_jackknife", "q_sim_semdedup", "q_sample_pack_bpe")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
