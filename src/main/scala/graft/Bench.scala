@@ -112,21 +112,26 @@ object Bench {
     // a local sf0.01 run must neither merge into nor be judged against
     // the committed sf0.1 artifact.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_per_query.json")
-    val priorQueries: Map[String, Double] = {
+    // (priorQueries, priorUntrusted): untrusted = a prior artifact EXISTS
+    // but measured a different sf dir — its entries must not merge, and a
+    // partial run must not overwrite it either (see the merge step).
+    val (priorQueries: Map[String, Double], priorUntrusted: Boolean) = {
       val p = java.nio.file.Paths.get(outPath)
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], false)
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        val sfOk = s""""sf":"$sfDir"""".r.findFirstIn(txt).isDefined
+        // Literal containment, not a regex: sfDir is an env-provided path
+        // ('.' would match any char; '(' or '+' would throw at .r).
+        val sfOk = txt.contains("\"sf\":\"" + sfDir + "\"")
         if (!sfOk) {
           System.err.println(
             s"[bench] prior $outPath is for a different sf dir — ignored")
-          Map.empty
-        } else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          (Map.empty[String, Double], true)
+        } else (""""queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
           .map(m => """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
             .map(x => x.group(1) -> x.group(2).toDouble).toMap)
-          .getOrElse(Map.empty)
+          .getOrElse(Map.empty[String, Double]), false)
       }
     }
     // One timed pass with storage hygiene BEFORE the clock, never inside
@@ -222,6 +227,16 @@ object Bench {
     }.toMap
     val mergedMap: Map[String, Double] =
       if (only.isDefined) priorQueries ++ freshMap else freshMap
+    // A partial run against a DIFFERENT sf dir than the committed artifact
+    // must not clobber it with a one-query map — that is exactly the
+    // overwrite the merge exists to prevent. Divert to a side path; the
+    // committed full artifact survives verbatim.
+    val writePath =
+      if (only.isDefined && priorUntrusted) {
+        System.err.println(s"[bench] partial run, prior $outPath is for a " +
+          s"different sf dir — writing to $outPath.partial instead")
+        outPath + ".partial"
+      } else outPath
     val qs = mergedMap.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + (if (v < 0) "-1" else d3(v))
     }.mkString("{", ",", "}")
@@ -250,12 +265,12 @@ object Bench {
     // launches Bench from the repo root, where the other round artifacts
     // land); set SPARK_GRAFT_BENCH_OUT to an absolute path when running
     // from anywhere else. A failed write is loud on stderr, never fatal.
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(writePath),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(e) =>
       // NonFatal only: an OOM/interrupt here must propagate, not be
       // swallowed after the (already-printed) results.
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $writePath: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -119,7 +119,12 @@ object HashedLogReg {
     val s = org.apache.spark.sql.SparkSession.active
     s.createDataFrame(
       s.sparkContext.parallelize(
-        org.apache.spark.sql.Row(-1L, m.bias) +:
+        // Bucket −2 carries the model WIDTH explicitly: load must not
+        // infer it from the max stored bucket, or a torn store that lost
+        // the highest-bucket rows would pass the row-count check and
+        // silently serve a truncated model.
+        org.apache.spark.sql.Row(-2L, m.buckets.toDouble) +:
+          org.apache.spark.sql.Row(-1L, m.bias) +:
           m.w.toIndexedSeq.zipWithIndex
             .map { case (w, b) => org.apache.spark.sql.Row(b.toLong, w) }, 1),
       org.apache.spark.sql.types.StructType(Seq(
@@ -133,9 +138,16 @@ object HashedLogReg {
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
     val rows = spark.read.parquet(dir).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val buckets = rows.keySet.max.toInt + 1
-    require(rows.size == buckets + 1,
+    // Width comes from the explicit metadata row (bucket −2), never
+    // max-key inference: a store missing its HIGHEST buckets must fail
+    // the checks below, not pass as a narrower model.
+    val buckets = rows.getOrElse(-2L, throw new IllegalStateException(
+      s"model store at $dir has no width row (bucket -2)")).toInt
+    require(rows.size == buckets + 2,
       s"model store at $dir is torn: ${rows.size} rows for width $buckets")
+    require(rows.keySet.max.toInt + 1 == buckets,
+      s"model store at $dir is torn: max bucket ${rows.keySet.max} " +
+        s"for width $buckets")
     Model(buckets, rows(-1L), Array.tabulate(buckets)(b => rows(b.toLong)))
   }
 

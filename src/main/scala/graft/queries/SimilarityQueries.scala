@@ -434,16 +434,14 @@ object SimilarityQueries {
     // discipline), not a distributed avg(): a parallel FP reduction's
     // last-ulp wobble vs the oracle's own reduction order can cross a
     // floor-ppm boundary below, flip an encode argmin, and change graded
-    // rows. Both engines sum members sorted by vec_id, left-to-right,
-    // then divide once — bit-identical inputs to the distance fold.
-    val cent = cand
-      .select(col("vec_id").as("vid"), (col("vec_id") % PqK).as("cell"),
-        col("s"), posexplode(col("subvec")).as(Seq("pos", "v")))
-      .groupBy("s", "cell", "pos")
-      .agg(expr(
-        """aggregate(transform(array_sort(collect_list(struct(vid, v))), x -> x.v),
-          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin).as("sv"),
-        count(lit(1)).as("cnt"))
+    // rows. Both engines run the SAME bounded fold tree (OrderedFold —
+    // buffers capped at FanIn structs, never O(cell members)), then
+    // divide once — bit-identical inputs to the distance fold.
+    val cent = graft.ops.OrderedFold.boundedSumCount(
+      cand.select(col("vec_id").as("vid"), (col("vec_id") % PqK).as("cell"),
+        col("s"), posexplode(col("subvec")).as(Seq("pos", "v"))),
+      keys = Seq("s", "cell", "pos"), ordCol = "vid", valCol = "v",
+      sumName = "sv", cntName = "cnt")
       .withColumn("m", col("sv") / col("cnt"))
       .groupBy("s", "cell")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
@@ -562,14 +560,12 @@ object SimilarityQueries {
         keyCols = Seq("vec_id"),
         orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = 1)
     def update(assigned: DataFrame): DataFrame =
-      assigned.join(base, Seq("vec_id"))
-        .select(col("cid"), col("vec_id").as("vid"),
-          posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(expr(
-          """aggregate(transform(array_sort(collect_list(struct(vid, x))), q -> q.x),
-            |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)""".stripMargin).as("sv"),
-          count(lit(1)).as("cnt"))
+      graft.ops.OrderedFold.boundedSumCount(
+        assigned.join(base, Seq("vec_id"))
+          .select(col("cid"), col("vec_id").as("vid"),
+            posexplode(col("v")).as(Seq("pos", "x"))),
+        keys = Seq("cid", "pos"), ordCol = "vid", valCol = "x",
+        sumName = "sv", cntName = "cnt")
         .withColumn("m", col("sv") / col("cnt"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), q -> q.m)")
@@ -855,9 +851,8 @@ object SimilarityQueries {
        | cexp AS (SELECT vec_id, vec_id % $PqK AS cell, s, unnest(subvec) AS v,
        |   unnest(generate_series(1, $PqDsub)) AS pos
        |  FROM sub WHERE vec_id >= $NumQueries),
-       | cm AS (SELECT s, cell, pos,
-       |   list_sum(list(v ORDER BY vec_id)) / count(*) AS m
-       |  FROM cexp GROUP BY 1, 2, 3),
+       | ${graft.ops.OrderedFold.duckMeanCtes("cm", "cexp",
+            Seq("s", "cell", "pos"), "vec_id", "v", "m")},
        | cen AS (SELECT s, cell, list(m ORDER BY pos) AS centroid
        |  FROM cm GROUP BY 1, 2),
        | dc AS (SELECT sub.vec_id, sub.s, cen.cell,
@@ -945,9 +940,8 @@ object SimilarityQueries {
        | ${p}e1 AS (SELECT a.cid, b.vec_id, unnest(b.v) AS x,
        |   unnest(generate_series(1, $EmbDim)) AS pos
        |  FROM ${p}a1 a JOIN ${p}kbase b ON a.vec_id = b.vec_id),
-       | ${p}m1 AS (SELECT cid, pos,
-       |   list_sum(list(x ORDER BY vec_id)) / count(*) AS m
-       |  FROM ${p}e1 GROUP BY cid, pos),
+       | ${graft.ops.OrderedFold.duckMeanCtes(s"${p}m1", s"${p}e1",
+            Seq("cid", "pos"), "vec_id", "x", "m")},
        | ${p}c1 AS (SELECT cid, list(m ORDER BY pos) AS centroid
        |  FROM ${p}m1 GROUP BY cid),
        | ${p}dx2 AS (SELECT b.vec_id, c.cid, ${d2("b.v", "c.centroid")} AS d2

@@ -94,18 +94,19 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
       keyCols = Seq("id"),
       orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = 1)
 
-  /** Centroid update: order-pinned per-(cid, dim) mean (members sorted
-    * by id, summed left-to-right, divided once) — the cross-engine FP
-    * discipline of the inline Lloyd, unchanged. */
+  /** Centroid update: order-pinned per-(cid, dim) mean through the
+    * BOUNDED fold tree ([[graft.ops.OrderedFold]]) — the cross-engine
+    * FP discipline of the inline Lloyd with every aggregation buffer
+    * capped at OrderedFold.FanIn structs, so a fixed-K fit on a grown
+    * corpus never holds O(cluster members) in one buffer. The trailing
+    * per-cid collect is O(dim) — bounded model state. */
   private def updateCentroids(base: DataFrame, assigned: DataFrame): DataFrame =
-    assigned.join(base, Seq("id"))
-      .select(col("cid"), col("id").as("vid"),
-        posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos")
-      .agg(expr(
-        """aggregate(transform(array_sort(collect_list(struct(vid, x))), q -> q.x),
-          |  CAST(0.0 AS DOUBLE), (acc, w) -> acc + w)""".stripMargin).as("sv"),
-        count(lit(1)).as("cnt"))
+    graft.ops.OrderedFold.boundedSumCount(
+      assigned.join(base, Seq("id"))
+        .select(col("cid"), col("id").as("vid"),
+          posexplode(col("v")).as(Seq("pos", "x"))),
+      keys = Seq("cid", "pos"), ordCol = "vid", valCol = "x",
+      sumName = "sv", cntName = "cnt")
       .withColumn("m", col("sv") / col("cnt"))
       .groupBy("cid")
       .agg(expr("transform(array_sort(collect_list(struct(pos, m))), q -> q.m)")
@@ -177,8 +178,16 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     * path: cost ∝ batch·K·dim, the standing corpus is never re-read.
     * Returns (idCol, cid, d2_ppm); pure frame, nothing written. */
   def assign(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assignAt(resolvedOrFail(), df, idCol, vecCol)
+
+  /** [[assign]] pinned to manifest version `v` — the serving form a
+    * long-lived consumer (a streaming ingest) must use: resolving the
+    * LIVE manifest per call would let a mid-stream refit silently swap
+    * codebooks between batches. Fails if `v` was vacuumed. */
+  def assignAt(v: Long, df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
     assignFrame(df.select(col(idCol).as("id"), col(vecCol).as("v")),
-        centroids())
+        centroidsAt(v))
       .withColumnRenamed("id", idCol)
 
   /** TWO-LEVEL (hierarchical) approximate assignment against the live
@@ -198,8 +207,14 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     * along with the beats-random-pruning agreement floor, the IvfIndex
     * audit convention). */
   def assignApprox(df: DataFrame, idCol: String, vecCol: String,
+      probes: Int): DataFrame =
+    assignApproxAt(resolvedOrFail(), df, idCol, vecCol, probes)
+
+  /** [[assignApprox]] pinned to manifest version `v` (the [[assignAt]]
+    * rule for the hierarchical path). */
+  def assignApproxAt(v: Long, df: DataFrame, idCol: String, vecCol: String,
       probes: Int): DataFrame = {
-    val fine = centroids()
+    val fine = centroidsAt(v)
     val k = fine.count().toInt // O(K) model state, driver-bounded
     val k2 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarseBase = fine.select(col("cid").as("id"), col("centroid").as("v"))
@@ -239,7 +254,11 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
   private def codebook(cb: String): DataFrame =
     spark.read.parquet(s"$modelDir/codebooks/$cb")
 
-  def centroids(): DataFrame = codebook(manifestAt(resolvedOrFail())._1)
+  def centroids(): DataFrame = centroidsAt(resolvedOrFail())
+
+  /** The codebook of manifest version `v` — version-pinned model state
+    * for consumers that must not follow a live refit. */
+  def centroidsAt(v: Long): DataFrame = codebook(manifestAt(v)._1)
 
   /** MAINTENANCE compaction: merge the live assignment segments into
     * one (pure union rewrite — no distance math, no re-assignment;
