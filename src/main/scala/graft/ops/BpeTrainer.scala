@@ -119,4 +119,72 @@ object BpeTrainer {
     merges.foldLeft(charSplit(word)) { (c, m) =>
       mergeAdjacent(c, m.left, m.right)
     }
+
+  /** Persist a trained merge list as an ORDERED parquet table —
+    * (step, left, right, freq) rows plus a count row at step −1, the
+    * [[graft.ml.HashedLogReg.save]] economics: the table is O(merges)
+    * MODEL state, and the explicit count means a torn store that lost
+    * its TAIL merges fails [[load]] loudly instead of silently serving
+    * a truncated tokenizer (truncation changes every later
+    * segmentation). Parquet keeps strings/longs exact, so a loaded
+    * list serves segmentations identical to the trainer's in-memory
+    * one (pinned in `BpeTrainerSpec`). */
+  def save(merges: Seq[Merge], dir: String): Unit = {
+    val s = org.apache.spark.sql.SparkSession.active
+    val rows = org.apache.spark.sql.Row(-1, "", "", merges.size.toLong) +:
+      merges.map(m => org.apache.spark.sql.Row(m.step, m.left, m.right, m.freq))
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("step",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("freq",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+  }
+
+  /** Load a persisted merge table in TRAINING ORDER. O(merges) driver
+    * state; requires the explicit count row and contiguous steps
+    * 0..n−1 (order is part of the model — a gap or lost tail is a torn
+    * store, never a shorter tokenizer). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Merge] = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.step).toIndexedSeq
+    require(rows.nonEmpty && rows.head.step == -1,
+      s"merge table at $dir has no count row (step -1)")
+    val n = rows.head.freq.toInt
+    val merges = rows.tail
+    require(merges.size == n && merges.map(_.step) == (0 until n),
+      s"merge table at $dir is torn: ${merges.size} rows for count $n")
+    merges
+  }
+
+  /** Engine-identical symbol-COUNT serving expression for a merge list
+    * — the `q_text_bpe_tokenize` replace-chain recipe, parameterized by
+    * the merges so a TRAINED list serves through the same chain as the
+    * graded fixture: char-split the word into a space-delimited symbol
+    * string, apply each merge as TWO left-to-right `replace` passes of
+    * " a b " → " ab " (one pass consumes the shared delimiter between
+    * adjacent occurrences; after it, survivors are never adjacent),
+    * then count symbols as spaces − 1. On pathological same-symbol runs
+    * the chain's GROUPING can differ from [[segment]]'s leftmost-greedy
+    * fold, but the symbol COUNT — the served statistic — agrees
+    * (pinned in `BpeTrainerSpec` over a trained list). */
+  def countExpr(colName: String, merges: Seq[(String, String)],
+      spark: Boolean): String = {
+    var s =
+      if (spark) s"concat(' ', regexp_replace($colName, '(.)', '$$1 '))"
+      else s"' ' || regexp_replace($colName, '(.)', '\\1 ', 'g')"
+    for ((a, b) <- merges) {
+      val pat = s"' $a $b '"
+      val rep = s"' $a$b '"
+      s = s"replace(replace($s, $pat, $rep), $pat, $rep)"
+    }
+    s"length($s) - length(replace($s, ' ', '')) - 1"
+  }
 }

@@ -1287,17 +1287,8 @@ object TextQueries {
     * pathological same-symbol runs its GROUPING can differ from
     * canonical leftmost-greedy BPE, but the symbol COUNT — the graded
     * statistic — does not. */
-  private def bpeCountExpr(colName: String, spark: Boolean): String = {
-    var s =
-      if (spark) s"concat(' ', regexp_replace($colName, '(.)', '$$1 '))"
-      else s"' ' || regexp_replace($colName, '(.)', '\\1 ', 'g')"
-    for ((a, b) <- BpeMergeList) {
-      val pat = s"' $a $b '"
-      val rep = s"' $a$b '"
-      s = s"replace(replace($s, $pat, $rep), $pat, $rep)"
-    }
-    s"length($s) - length(replace($s, ' ', '')) - 1"
-  }
+  private def bpeCountExpr(colName: String, spark: Boolean): String =
+    graft.ops.BpeTrainer.countExpr(colName, BpeMergeList, spark)
 
   /** BPE-SEGMENTED TOKEN ACCOUNTING — per-doc token counts under the
     * fixed learned-subword tokenizer, next to the whitespace count the

@@ -61,6 +61,45 @@ class BpeTrainerSpec extends SparkSpec {
     assert(seg(1) == Seq("un", "hug"), seg(1).toString)
   }
 
+  test("train -> persist -> serve loop: loaded list identical; " +
+      "replace-chain serving counts match segment on the vocabulary") {
+    val (merges, _) = BpeTrainer.train(toyVocab, nMerges = 3)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model_")
+      .toString + "/merges"
+    BpeTrainer.save(merges, dir)
+    val loaded = BpeTrainer.load(spark, dir)
+    assert(loaded == merges, "parquet round-trip must preserve the ordered list")
+    // Serving equivalence under the LOADED list: the graded replace-chain
+    // recipe (countExpr) and the trainer's own fold (segment) agree on
+    // symbol COUNTS over training vocabulary + unseen words. (Counts, not
+    // groupings: on same-symbol runs the chain's grouping may differ from
+    // leftmost-greedy — the established q_text_bpe_tokenize contract.)
+    val words = toyVocab.select("w")
+      .union(Seq("hugging", "unhug", "gnu", "aaa").toDF("w"))
+    val rows = words.select(col("w"),
+        size(BpeTrainer.segment(col("w"), loaded)).cast("long").as("n_fold"),
+        expr(BpeTrainer.countExpr("w",
+          loaded.map(m => (m.left, m.right)), spark = true))
+          .cast("long").as("n_chain"))
+      .as[(String, Long, Long)].collect()
+    rows.foreach { case (w, nFold, nChain) =>
+      assert(nFold == nChain, s"$w: fold $nFold vs chain $nChain")
+    }
+  }
+
+  test("load rejects a torn merge store that lost its tail") {
+    val (merges, _) = BpeTrainer.train(toyVocab, nMerges = 3)
+    val base = java.nio.file.Files.createTempDirectory("bpe_torn_").toString
+    BpeTrainer.save(merges, base + "/full")
+    // Simulate a torn store: drop the LAST merge row but keep the count
+    // row — max-step inference would accept this as a shorter tokenizer.
+    spark.read.parquet(base + "/full").where(col("step") =!= 2)
+      .coalesce(1).write.parquet(base + "/torn")
+    intercept[IllegalArgumentException] {
+      BpeTrainer.load(spark, base + "/torn")
+    }
+  }
+
   test("corpus-scale training is deterministic and vocabulary-bounded") {
     val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
     val wf = BpeTrainer.wordFreqs(docs).localCheckpoint(true)

@@ -60,6 +60,48 @@ class KmeansIngestSpec extends SparkSpec {
     }
   }
 
+  test("default mode stays pinned across a mid-stream refit; " +
+      "hotReload adopts it at the next batch boundary") {
+    val (ingest, mdir, _) = mkIngest()
+    val batch = corpus.limit(4)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+    ingest.processBatch(batch, 0L)
+    val v0Rows = ingest.store().select("id", "cid", "d2_ppm")
+      .as[(Long, Long, Long)].collect().toSet
+    // Mid-stream refit with a DIFFERENT K publishes version 1.
+    val model = new KmeansModel(spark, mdir)
+    model.refit(corpus, "vec_id", "embedding", k = 2)
+    assert(model.currentVersion().contains(1L))
+    // Pinned mode: batch 1 (an at-least-once replay of batch 0) still
+    // scores against the construction-time codebook — bit-stable replay.
+    ingest.processBatch(batch, 0L)
+    assert(ingest.servedVersion == 0L)
+    assert(ingest.store().select("id", "cid", "d2_ppm")
+      .as[(Long, Long, Long)].collect().toSet == v0Rows,
+      "pinned ingest drifted to the refit codebook")
+    // Hot mode over the same store dirs: a NEW ingest with hotReload
+    // adopts version 1 at its first trigger; assignments match the
+    // version-1 codebook (K=2 -> every cid < 2).
+    val sdir2 = Files.createTempDirectory("kmi-store2").toString + "/store"
+    val hot = new KmeansIngest(spark, mdir, "vec_id", "embedding", sdir2,
+      hotReload = true)
+    assert(hot.servedVersion == 1L, "hot ingest must resolve the live version")
+    model.refit(corpus, "vec_id", "embedding", k = 4)
+    hot.processBatch(batch, 0L) // adoption happens BEFORE the batch pin
+    assert(hot.servedVersion == 2L,
+      "hotReload must adopt the refit at the batch boundary")
+    val direct = model.assignAt(2L, batch, "vec_id", "embedding")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hot.store().select("id", "cid", "d2_ppm")
+      .as[(Long, Long, Long)].collect().toSet == direct,
+      "hot batch must score wholly against the adopted codebook")
+    // Drain this test's async unpersists synchronously: in-flight drops
+    // would otherwise land DURING the next test's persistent-RDD-count
+    // window and fail its leak assertion spuriously.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("processBatch leaves no checkpoint blocks behind") {
     val (ingest, _, _) = mkIngest()
     val before = spark.sparkContext.getPersistentRDDs.size
