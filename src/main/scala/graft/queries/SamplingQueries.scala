@@ -193,6 +193,56 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** Global budget divisor of [[sampleClusterBalanced]]: the sample
+    * targets corpus DIV 10 rows, shared equally across clusters. */
+  private[queries] val ClusterBudgetDiv = 10
+
+  /** CLUSTER-BALANCED sampling core over ANY (id, cid) assignment frame
+    * — the consumer `KmeansIngest.occupancy()` exists for: a global
+    * budget (N DIV `budgetDiv`) is split into EQUAL per-cluster quotas
+    * (budget DIV clusters-used, from one O(K) occupancy aggregate — a
+    * bounded driver read, the fixpoint convention), and each cluster
+    * contributes its `quota` smallest members by md5 rank — the
+    * stable-under-everything determinism of the sampling family, so
+    * membership never moves with partitioning or engine. Head-heavy
+    * clusters are capped at the quota and tail clusters contribute
+    * everything they have — the representation-flattening a
+    * cluster-diverse eval panel or anti-majority training mix wants
+    * (the inverse of proportional sampling). Rides TopKPerKey bounded
+    * heaps: map-side pruning to quota per cluster, never a per-cluster
+    * global sort; the final rank window runs on the ≤ quota-per-cluster
+    * survivor frame. Output is O(budget) — the sample IS the result. */
+  private[graft] def clusterBalancedSample(
+      assign: org.apache.spark.sql.DataFrame, idCol: String,
+      budgetDiv: Int): org.apache.spark.sql.DataFrame = {
+    val occ = assign
+      .agg(count(lit(1)).as("n"), countDistinct("cid").as("k")).head()
+    val quota = math.max(1L,
+      (occ.getLong(0) / budgetDiv) / math.max(1L, occ.getLong(1))).toInt
+    val ranked = assign
+      .withColumn("h", md5(col(idCol).cast("string")))
+      .select(col("cid"), col(idCol), col("h"))
+    graft.plans.GraftOps.topKPerKey(ranked, Seq("cid"),
+        Seq("h" -> true, idCol -> true), quota)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cid")
+          .orderBy(col("h").asc, col(idCol).asc)).cast("int"))
+      .select(col("cid"), col("rnk"), col(idCol))
+      .orderBy("cid", "rnk")
+  }
+
+  /** CLUSTER-BALANCED SAMPLE over the persisted k-means assignment
+    * ([[SimilarityQueries.sharedKmeansAssign]] — the same store the
+    * SemDeDup/topic consumers read; no extra Lloyd run): quota from
+    * occupancy, members by md5 rank. The streamed-store participation
+    * path (fitted segments ∪ KmeansIngest store) is pinned in
+    * `KmeansIngestSpec` over the same core. */
+  private val sampleClusterBalanced: Q = (s, dir) =>
+    clusterBalancedSample(
+      SimilarityQueries.sharedKmeansAssign(s, dir)
+        .select(col("vec_id"), col("cid")),
+      "vec_id", ClusterBudgetDiv)
+
   /** Panel size for [[sampleTopkStrat]]. */
   private val StratTopK = 10
 
@@ -496,6 +546,7 @@ object SamplingQueries {
     "q_sample_temperature" -> sampleTemperature,
     "q_sample_kfold" -> sampleKfold,
     "q_sample_cluster_split" -> sampleClusterSplit,
+    "q_sample_cluster_balanced" -> sampleClusterBalanced,
     "q_sample_pack" -> samplePack,
     "q_sample_pack_bpe" -> samplePackBpe,
     "q_sample_topk_strat" -> sampleTopkStrat
@@ -643,6 +694,23 @@ object SamplingQueries {
       s"""SELECT CAST((${bucketSql("doc_id")}) % $NumFolds AS INTEGER) AS fold,
          | count(*) AS n, min(doc_id) AS first_doc
          | FROM documents GROUP BY fold ORDER BY fold""".stripMargin,
+    // The same shared Lloyd chain as the kmeans-family oracles (a2 =
+    // the persisted assignment), quota from its occupancy, md5 rank
+    // within cluster — the Spark core transliterated.
+    "q_sample_cluster_balanced" ->
+      s"""WITH ${SimilarityQueries.duckKmeansCtes},
+         | occ AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   CAST(count(DISTINCT cid) AS BIGINT) AS k FROM a2),
+         | qta AS (SELECT greatest(1, (n // $ClusterBudgetDiv)
+         |   // greatest(1, k)) AS quota FROM occ),
+         | rh AS (SELECT cid, vec_id,
+         |   md5(CAST(vec_id AS VARCHAR)) AS h FROM a2),
+         | rr AS (SELECT cid, vec_id,
+         |   CAST(row_number() OVER (PARTITION BY cid ORDER BY h, vec_id)
+         |     AS INTEGER) AS rnk
+         |  FROM rh)
+         | SELECT cid, rnk, vec_id FROM rr CROSS JOIN qta
+         | WHERE rnk <= quota ORDER BY cid, rnk""".stripMargin,
     "q_sample_cluster_split" -> {
       val cluster = "coalesce(c.component, d.doc_id)"
       s"""WITH RECURSIVE ${DedupQueries.duckComponentsCte()}

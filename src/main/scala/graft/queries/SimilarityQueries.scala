@@ -496,8 +496,8 @@ object SimilarityQueries {
     * state under java.io.tmpdir. */
   private val kmeansModelDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private[graft] def sharedKmeansAssign(s: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int = KmeansK): DataFrame = {
+  private[graft] def sharedKmeansModel(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = KmeansK): graft.sim.KmeansModel = {
     val key = s.sparkContext.applicationId + "|" + dir + "|k=" + k
     val mdir = kmeansModelDirs.getOrElseUpdate(key, {
       val d = java.nio.file.Files
@@ -506,9 +506,12 @@ object SimilarityQueries {
         .fit(corpusVecs(s, dir), "vec_id", "v", k, rounds = 2)
       d
     })
-    new graft.sim.KmeansModel(s, mdir).assignments()
-      .select(col("id").as("vec_id"), col("cid"), col("d2_ppm"))
+    new graft.sim.KmeansModel(s, mdir)
   }
+  private[graft] def sharedKmeansAssign(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = KmeansK): DataFrame =
+    sharedKmeansModel(s, dir, k).assignments()
+      .select(col("id").as("vec_id"), col("cid"), col("d2_ppm"))
 
   /** K-MEANS over the corpus embeddings (deterministic Lloyd, 2
     * assignment rounds with 1 centroid update between) — the semantic
@@ -678,6 +681,51 @@ object SimilarityQueries {
           expr("inertia_ppm DIV n_vectors").as("inertia_per_vec_ppm"))
     }.reduce(_ unionByName _).orderBy("k")
 
+  /** Probes of the graded approx-assignment audit — [[
+    * graft.stream.KmeansIngest]]'s serving default. */
+  private val ApproxProbes = 2
+
+  /** APPROX-ASSIGNMENT RECALL audit — the quality gate the two-level
+    * hierarchical `assignApprox` ships with, answering the same
+    * question `q_sim_recall`/`q_sim_pq_recall` answer for the other
+    * ANN structures: at `probes` = [[ApproxProbes]], how often does the
+    * O(batch·(1+probes)·√K) path agree with the flat O(batch·K)
+    * assignment, and how much within-cluster distance does a
+    * disagreement cost? One row: agreement rate (bp) and the d2
+    * inflation ratio over the matched corpus (both exact integer
+    * ratios; the inflation product clears through DECIMAL(38,0) /
+    * HUGEINT — at corpus scale 10⁴·Σd2 outgrows int64). The flat side
+    * is the persisted model store ([[sharedKmeansModel]] — no second
+    * Lloyd run); the approx side re-scores the corpus through the
+    * model's own serving path, so the audit measures EXACTLY what
+    * KmeansIngest would serve. The probes-monotone property
+    * (probes = K₂ ⇒ exact) stays pinned in `KmeansModelSpec`; this
+    * grades the operating point. */
+  private val kmeansApproxRecall: Q = (s, dir) => {
+    val model = sharedKmeansModel(s, dir)
+    val flat = model.assignments()
+      .select(col("id").as("vec_id"), col("cid"), col("d2_ppm"))
+    val approx = model
+      .assignApprox(corpusVecs(s, dir), "vec_id", "v", ApproxProbes)
+      .select(col("vec_id"), col("cid").as("cid_approx"),
+        col("d2_ppm").as("d2_approx"))
+    flat.join(approx, Seq("vec_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("cid") === col("cid_approx"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum("d2_ppm").as("d2_flat_sum"),
+        sum("d2_approx").as("d2_approx_sum"))
+      .select(col("n_vectors"), col("n_agree"),
+        expr("""CASE WHEN n_vectors = 0 THEN 0
+               | ELSE 10000 * n_agree DIV n_vectors END""".stripMargin)
+          .as("agree_bp"),
+        col("d2_flat_sum"), col("d2_approx_sum"),
+        expr("""CASE WHEN d2_flat_sum = 0 THEN 10000
+               | ELSE CAST((CAST(10000 AS DECIMAL(38,0)) * d2_approx_sum)
+               |   div d2_flat_sum AS BIGINT) END""".stripMargin)
+          .as("inflation_bp"))
+  }
+
   /** Pair-candidate budget of [[semDedupAt]] — Σ n(n−1)/2 over cluster
     * sizes, the quantity the K ∝ corpus rule keeps linear in the
     * corpus. One O(K)-row aggregate + a 1-row driver read (bounded
@@ -822,6 +870,7 @@ object SimilarityQueries {
     "q_sim_pq_adc"          -> pqAdc,
     "q_sim_kmeans"          -> kmeans,
     "q_sim_kmeans_elbow"    -> kmeansElbow,
+    "q_sim_kmeans_approx_recall" -> kmeansApproxRecall,
     "q_sim_pq_recall"       -> pqRecall,
     "q_sim_sq_recall"       -> sqRecall,
     "q_sim_cluster_topics"  -> clusterTopics,
@@ -951,7 +1000,8 @@ object SimilarityQueries {
        |  FROM ${p}dx2) WHERE rn = 1)""".stripMargin
   }
 
-  private lazy val duckKmeansCtes: String = duckKmeansCtesAt(KmeansK, "")
+  private[queries] lazy val duckKmeansCtes: String =
+    duckKmeansCtesAt(KmeansK, "")
 
   val oracles: Seq[(String, String)] = Seq(
     "q_sim_decontam" ->
@@ -1101,6 +1151,69 @@ object SimilarityQueries {
          | SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(d2) AS BIGINT) AS inertia_ppm
          | FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+    // assignApprox transliterated: coarse Lloyd over the K fine
+    // centroids themselves (k2 = ceil(sqrt(K)) seeds, one bounded-fold
+    // update — the model's own lloydCentroids on an O(K) frame), fine
+    // cells routed to their nearest coarse cell, each vector probing its
+    // ApproxProbes nearest coarse cells and argmin-ing only over the
+    // fine cells routed there; compared against the flat a2 assignment.
+    "q_sim_kmeans_approx_recall" -> {
+      val d2 = (a: String, b: String) =>
+        s"""CAST(floor(1000000.0 * list_sum(list_transform(generate_series(1, $EmbDim),
+           |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))) AS BIGINT)""".stripMargin
+      val k2 = math.ceil(math.sqrt(KmeansK.toDouble)).toInt
+      s"""WITH $duckKmeansCtes,
+         | arb AS (SELECT cid AS id, centroid AS v FROM c1),
+         | ari AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid,
+         |   v AS centroid
+         |  FROM arb ORDER BY id LIMIT $k2),
+         | ard1 AS (SELECT b.id, c.cid, ${d2("b.v", "c.centroid")} AS d2
+         |  FROM arb b CROSS JOIN ari c),
+         | ara1 AS (SELECT id, cid FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |  FROM ard1) WHERE rn = 1),
+         | are1 AS (SELECT a.cid, b.id AS vid, unnest(b.v) AS x,
+         |   unnest(generate_series(1, $EmbDim)) AS pos
+         |  FROM ara1 a JOIN arb b ON a.id = b.id),
+         | ${graft.ops.OrderedFold.duckMeanCtes("arm1", "are1",
+              Seq("cid", "pos"), "vid", "x", "m")},
+         | arc1 AS (SELECT cid, list(m ORDER BY pos) AS centroid
+         |  FROM arm1 GROUP BY cid),
+         | arrd AS (SELECT b.id, c.cid AS gid, ${d2("b.v", "c.centroid")} AS d2
+         |  FROM arb b CROSS JOIN arc1 c),
+         | arrt AS (SELECT id AS fine_cid, gid FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY id ORDER BY d2, gid) AS rn
+         |  FROM arrd) WHERE rn = 1),
+         | arpd AS (SELECT k.vec_id, c.cid AS gid,
+         |   ${d2("k.v", "c.centroid")} AS d2g
+         |  FROM kbase k CROSS JOIN arc1 c),
+         | arpb AS (SELECT vec_id, gid FROM (SELECT *,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2g, gid) AS rn
+         |  FROM arpd) WHERE rn <= $ApproxProbes),
+         | arcd AS (SELECT p.vec_id, r.fine_cid,
+         |   ${d2("k.v", "f.centroid")} AS d2
+         |  FROM arpb p JOIN arrt r USING (gid)
+         |  JOIN kbase k ON k.vec_id = p.vec_id
+         |  JOIN c1 f ON f.cid = r.fine_cid),
+         | arax AS (SELECT vec_id, fine_cid AS cid_approx, d2 AS d2_approx
+         |  FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, fine_cid) AS rn
+         |   FROM arcd) WHERE rn = 1),
+         | arj AS (SELECT a.vec_id, a.cid, a.d2, x.cid_approx, x.d2_approx
+         |  FROM a2 a JOIN arax x USING (vec_id))
+         | SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         |  CAST(sum(CASE WHEN cid = cid_approx THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  CAST(CASE WHEN count(*) = 0 THEN 0
+         |    ELSE 10000 * sum(CASE WHEN cid = cid_approx THEN 1 ELSE 0 END)
+         |      // count(*) END AS BIGINT) AS agree_bp,
+         |  CAST(sum(d2) AS BIGINT) AS d2_flat_sum,
+         |  CAST(sum(d2_approx) AS BIGINT) AS d2_approx_sum,
+         |  CAST(CASE WHEN sum(d2) = 0 THEN 10000
+         |    ELSE 10000 * CAST(sum(d2_approx) AS HUGEINT) // sum(d2) END
+         |   AS BIGINT) AS inflation_bp
+         | FROM arj""".stripMargin
+    },
     "q_sim_kmeans_elbow" ->
       s"""WITH ${duckKmeansCtesAt(2, "e2_")},
          | ${duckKmeansCtesAt(4, "e4_")},

@@ -102,6 +102,42 @@ class KmeansIngestSpec extends SparkSpec {
       .foreach(_.unpersist(blocking = true))
   }
 
+  test("cluster-balanced sampling over fitted corpus + streamed store: " +
+      "quota follows the combined occupancy and streamed ids participate") {
+    val (ingest, mdir, _) = mkIngest()
+    // Stream 40 arrivals so the combined corpus crosses a quota step.
+    val batch = corpus.limit(40)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    ingest.processBatch(batch, 0L)
+    val model = new KmeansModel(spark, mdir)
+    val combined = model.assignments().select("id", "cid")
+      .unionByName(ingest.store().select("id", "cid"))
+    val sample = graft.queries.SamplingQueries
+      .clusterBalancedSample(combined, "id", budgetDiv = 10)
+    val occ = ingest.occupancy().agg(sum("n_members"),
+      count(lit(1))).as[(Long, Long)].head()
+    val quota = math.max(1L, (occ._1 / 10) / occ._2)
+    val perCluster = sample.groupBy("cid").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(perCluster.values.forall(_ <= quota),
+      s"cluster over quota $quota: $perCluster")
+    // Every cluster at least as populous as the quota fills it exactly.
+    val sizes = combined.groupBy("cid").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    sizes.foreach { case (cid, n) =>
+      val expected = math.min(n, quota)
+      assert(perCluster.getOrElse(cid, 0L) == expected,
+        s"cluster $cid: ${perCluster.getOrElse(cid, 0L)} of expected $expected")
+    }
+    // The streamed arrivals genuinely participate: with md5 ranking the
+    // 40 streamed ids should win some quota slots.
+    val streamedSampled = sample.where(col("id") >= 800000L).count()
+    assert(streamedSampled > 0,
+      "no streamed id won a sample slot — store not participating")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
   test("processBatch leaves no checkpoint blocks behind") {
     val (ingest, _, _) = mkIngest()
     val before = spark.sparkContext.getPersistentRDDs.size
