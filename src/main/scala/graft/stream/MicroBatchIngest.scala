@@ -1,7 +1,10 @@
 package graft.stream
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The shared shape of the streaming maintainers ([[DedupIngest]],
@@ -47,8 +50,132 @@ private[stream] object MicroBatchIngest {
   /** The standing store, or `empty` (a zero-row frame with the store's
     * schema) before the first batch lands — the schema must match what
     * the first write will produce, so consumers capturing it early
-    * (unions, schema-derived writers) don't diverge once data arrives. */
-  def storeOrElse(spark: SparkSession, dir: String, empty: => DataFrame): DataFrame =
-    try spark.read.parquet(dir)
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    * (unions, schema-derived writers) don't diverge once data arrives.
+    *
+    * When the store has been [[compactBatches]]-consolidated, the frame
+    * is the consolidated segment UNION the batch partitions NEWER than
+    * the compaction horizon — row-identical to the uncompacted store.
+    * Batch partitions at or below the horizon are ignored (their rows
+    * live in the segment), which is also what keeps replay convergent
+    * after compaction: a redelivered old batch rewrites a partition the
+    * reader never looks at. */
+  def storeOrElse(spark: SparkSession, dir: String, empty: => DataFrame): DataFrame = {
+    val recent =
+      try Some(spark.read.parquet(dir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    latestCompaction(spark, dir) match {
+      case None => recent.getOrElse(empty)
+      case Some((horizon, segPath)) =>
+        val cons = spark.read.parquet(segPath)
+        recent match {
+          case None => cons
+          case Some(r) => cons.unionByName(
+            r.withColumn("batch_id", col("batch_id").cast("long"))
+              .where(col("batch_id") > horizon))
+        }
+    }
+  }
+
+  /** The directory holding a store's consolidated segments + manifests
+    * — a SIBLING of the batch store, so parquet partition discovery
+    * over the batch dir never sees non-`batch_id=` entries. */
+  private def compactionDir(dir: String): Path =
+    new Path(dir.stripSuffix("/") + ".c")
+
+  /** Latest published (horizon, consolidated-segment path), if any. */
+  private def latestCompaction(spark: SparkSession,
+      dir: String): Option[(Long, String)] = {
+    val c = compactionDir(dir)
+    val fs = c.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.VersionedPaths.listNumbered(fs, c, "m=", dirsOnly = false)
+      .sortBy(_._2).lastOption.map { case (p, _) =>
+        val in = fs.open(p)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).toList
+          finally in.close()
+        require(lines.size == 2, s"torn compaction manifest $p")
+        (lines.head.toLong, new Path(c, lines(1)).toString)
+      }
+  }
+
+  /** RETENTION compaction for `batch_id=`-partitioned stores — the
+    * maintenance pass that keeps "one partition per trigger forever"
+    * from becoming the small-files/unbounded-listing killer at a
+    * standing monitor's time scale (the `CdcIngest` keep-window +
+    * [[graft.sink.Compaction]] economics, generalized to every
+    * [[MicroBatchIngest]] store): all batch partitions with
+    * `batch_id` ≤ `throughBatch` — plus the previous consolidated
+    * segment — are folded into ONE new segment under the sibling
+    * `<dir>.c/`, published via the shared atomic-manifest rules
+    * ([[graft.ops.VersionedPaths.publish]]: readers see the old view or
+    * the new one, never a torn mix), and the superseded batch
+    * partitions are swept best-effort (a crash leaves them ignored by
+    * the horizon filter, re-swept next time — self-healing, never
+    * double-counted). `batch_id` survives as a DATA column in the
+    * segment, so [[storeOrElse]] stays row-identical before and after.
+    *
+    * `throughBatch` must lag the stream's checkpoint horizon (batches
+    * that can still be redelivered must stay partition-granular —
+    * exactly the CdcIngest keep-window rule); like the index vacuums,
+    * this is a maintenance-window pass: no concurrent readers mid-sweep.
+    * Returns the published horizon (prior horizon when a no-op). */
+  def compactBatches(spark: SparkSession, dir: String,
+      throughBatch: Long): Long = {
+    val c = compactionDir(dir)
+    val fs = c.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = latestCompaction(spark, dir)
+    val priorHorizon = prior.map(_._1).getOrElse(-1L)
+    if (throughBatch <= priorHorizon) return priorHorizon
+    val recent =
+      try Some(spark.read.parquet(dir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    if (recent.isEmpty && prior.isEmpty) return priorHorizon // nothing yet
+    val fresh = recent.map(_
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .where(col("batch_id") > priorHorizon &&
+        col("batch_id") <= throughBatch))
+    val folded = (prior.map(p => spark.read.parquet(p._2)), fresh) match {
+      case (Some(cons), Some(f)) => cons.unionByName(f)
+      case (Some(cons), None)    => cons
+      case (None, Some(f))       => f
+      case _                     => return priorHorizon
+    }
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    folded.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(c, seg).toString)
+    val tmp = new Path(c, s".manifest-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$throughBatch\n$seg\n".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val v = graft.ops.VersionedPaths.listNumbered(fs, c, "m=",
+      dirsOnly = false).map(_._2).maxOption.getOrElse(-1L) + 1
+    graft.ops.VersionedPaths.publish(fs, c, tmp, "m=", v)
+    // Best-effort sweeps — all ignored-by-the-reader state: superseded
+    // batch partitions, manifests older than the new one, and segments
+    // the new manifest does not reference (incl. orphans of crashed
+    // runs). A failure retries at the next compaction.
+    try {
+      val part = ("^batch_id=(-?\\d+)$").r
+      fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
+        .foreach { s =>
+          s.getPath.getName match {
+            case part(n) if n.toLong <= throughBatch =>
+              fs.delete(s.getPath, true)
+            case _ => ()
+          }
+        }
+      graft.ops.VersionedPaths.pruneOlderThan(fs, c, "m=", dirsOnly = false,
+        latest = v, keep = 1, label = "MicroBatchIngest.compact")
+      fs.listStatus(c).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("seg-") &&
+          s.getPath.getName != seg)
+        .foreach(s => fs.delete(s.getPath, true))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[MicroBatchIngest.compact] sweep failed " +
+          s"(will retry): $e")
+    }
+    throughBatch
+  }
 }

@@ -76,6 +76,42 @@ class DriftIngestSpec extends SparkSpec {
       "per-trigger histogram checkpoints accumulate in executor storage")
   }
 
+  test("compactBatches bounds the partition count; store() row-identical " +
+      "before/after; replayed old batches stay ignored") {
+    val (ingest, dir) = mkIngest()
+    def batchOf(i: Int) = values(Seq.fill(i + 1)(i * 50.0 + 1): _*)
+    for (i <- 0 until 6) ingest.processBatch(batchOf(i), i.toLong)
+    def snapshot() = ingest.store().select("batch_id", "bin", "c")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    def batchParts() = new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).sorted
+    val before = snapshot()
+    assert(batchParts().size == 6)
+    // Compact triggers 0..3 into one consolidated segment.
+    assert(MicroBatchIngest.compactBatches(spark, dir, throughBatch = 3L) == 3L)
+    assert(snapshot() == before, "compaction changed store contents")
+    assert(batchParts() == Seq("batch_id=4", "batch_id=5"),
+      s"superseded partitions not swept: ${batchParts()}")
+    // An at-least-once redelivery of a compacted batch rewrites its
+    // partition, but the horizon filter keeps it out of the store view.
+    ingest.processBatch(batchOf(1), 1L)
+    assert(snapshot() == before, "replayed compacted batch double-counted")
+    // A second compaction advances the horizon, folds the remainder,
+    // sweeps the replayed partition, and keeps exactly ONE segment.
+    assert(MicroBatchIngest.compactBatches(spark, dir, throughBatch = 5L) == 5L)
+    assert(snapshot() == before)
+    assert(batchParts().isEmpty, s"leftover partitions: ${batchParts()}")
+    val segs = new java.io.File(dir + ".c").listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("seg-"))
+    assert(segs.size == 1, s"old segments not swept: $segs")
+    // New triggers after compaction land and read normally.
+    ingest.processBatch(batchOf(6), 6L)
+    assert(snapshot().size == before.size + 1)
+    // Idempotence: an already-covered horizon is a no-op.
+    assert(MicroBatchIngest.compactBatches(spark, dir, 2L) == 5L)
+  }
+
   test("at-least-once replay converges; missing bins read as zero") {
     val (ingest, _) = mkIngest()
     val b = values(480.0, 480.0)
