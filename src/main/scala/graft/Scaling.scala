@@ -54,7 +54,8 @@ object Scaling {
     "q_sample_dsir", "q_dedup_simhash_pairs", "q_text_tfidf",
     "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes",
     "q_a3_vocabulary", "q_sim_hybrid_rrf", "q_dedup_pair_rouge",
-    "q_ml_auc_jackknife", "q_sim_semdedup", "q_sample_pack_bpe")
+    "q_ml_auc_jackknife", "q_sim_semdedup", "q_sample_pack_bpe",
+    "q_sim_kmeans_fit", "q_sim_kmeans_fit_k_scaled")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -71,6 +72,26 @@ object Scaling {
   private[graft] val SemDedupScaled = "q_sim_semdedup"
   private[graft] val SemDedupBaseK  = 8
   private[graft] val PairBudgetSlack = 3.0
+
+  /** The k-means FIT itself, audited directly (a FRESH inline Lloyd per
+    * timed run — never the cached shared model) in both regimes:
+    *
+    *  - [[KmeansFitFixed]]: fixed K = 8 across every factor. At fixed K
+    *    the fit is O(corpus·K·dim) — output-linear, so it takes the
+    *    standard wall bar. This is the regime the bounded
+    *    [[graft.ops.OrderedFold]] centroid update exists for (cluster
+    *    membership grows linearly with the corpus; the update buffer
+    *    must not), and the row the round-8 audit was missing.
+    *  - [[KmeansFitScaled]]: K = 8·f (the SemDeDup K ∝ corpus regime).
+    *    Fit cost is O(corpus·K) = O(f²) BY DESIGN (the published
+    *    mitigation for serving is hierarchical assignment; the fit is a
+    *    rebuild-cadence job), so the honest bar is the design-cost
+    *    envelope `t_f/t_1 ≤ f²` — loose against measurement (fixed
+    *    overheads amortize) but a hard tripwire for anything
+    *    super-quadratic (an accidental all-pairs stage, a K² broadcast
+    *    blowup). */
+  private[graft] val KmeansFitFixed  = "q_sim_kmeans_fit"
+  private[graft] val KmeansFitScaled = "q_sim_kmeans_fit_k_scaled"
 
   /** The output-bound regime (see object doc): exact-verify pair/span
     * queries whose RESULT grows as the square of corpus duplication.
@@ -143,7 +164,7 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.nonEmpty) args(0) else "SCALING_r8.json"
+    val outPath = if (args.nonEmpty) args(0) else "SCALING_r9.json"
     // Optional second arg: comma-separated query names to RE-MEASURE.
     // The re-run queries' blocks replace their entries in the existing
     // artifact; everything else is preserved verbatim — so a transient
@@ -193,6 +214,12 @@ object Scaling {
     def framed(name: String, f: Int): org.apache.spark.sql.DataFrame =
       if (name == SemDedupScaled)
         graft.queries.SimilarityQueries.semDedupAt(spark, dirs(f),
+          SemDedupBaseK * f)
+      else if (name == KmeansFitFixed)
+        graft.queries.SimilarityQueries.kmeansFitFrame(spark, dirs(f),
+          SemDedupBaseK)
+      else if (name == KmeansFitScaled)
+        graft.queries.SimilarityQueries.kmeansFitFrame(spark, dirs(f),
           SemDedupBaseK * f)
       else SparkEntry.queries(name)(spark, dirs(f))
 
@@ -258,6 +285,12 @@ object Scaling {
             f"$name [pair_budget]: pairs$fm ${pf.get} > " +
               f"$PairBudgetSlack%.1f × $fm × pairs1 ${per(1)._4.get}")
           else None
+        } else if (name == KmeansFitScaled) {
+          val tRatio = per(fm)._1 / per(1)._1
+          val env = fm.toDouble * fm
+          if (tRatio > env) Some(
+            f"$name [fit_design]: t$fm/t1 $tRatio%.2f > f² $env%.1f")
+          else None
         } else if (OutputBound(name)) {
           val tRatio = per(fm)._1 / per(1)._1
           val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
@@ -285,6 +318,7 @@ object Scaling {
       val pairsJson = if (pairs.isEmpty) "" else s",$pairs"
       val regime =
         if (name == SemDedupScaled) "pair_budget"
+        else if (name == KmeansFitScaled) "fit_design"
         else if (OutputBound(name)) "output_bound"
         else "output_linear"
       name -> s""""$name":{$times,$rows,$shuf,$growth$pairsJson,"regime":"$regime"}"""

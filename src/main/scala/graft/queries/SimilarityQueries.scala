@@ -541,14 +541,14 @@ object SimilarityQueries {
     * the graded queries use the default 2, and the spec compares
     * rounds to pin Lloyd's descent property. */
   private[queries] def kmeansAssign(s: org.apache.spark.sql.SparkSession,
-      dir: String, rounds: Int = 2): DataFrame = {
+      dir: String, rounds: Int = 2, k: Int = KmeansK): DataFrame = {
     val base = Tables.fanout(t(s, dir, "embeddings"))
       .where(col("vec_id") >= NumQueries)
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .localCheckpoint(true) // read by every assignment + update pass
     // Deterministic seeds; the rank window runs on K rows by definition.
-    val init = base.orderBy("vec_id").limit(KmeansK)
+    val init = base.orderBy("vec_id").limit(k)
       .withColumn("cid",
         row_number().over(Window.orderBy("vec_id")).cast("long") - 1)
       .select(col("cid"), col("v").as("centroid"))
@@ -577,6 +577,17 @@ object SimilarityQueries {
     for (_ <- 1 until rounds) a = assign(update(a))
     a
   }
+
+  /** The FIT PATH as a measurable frame — a FRESH inline Lloyd run at
+    * an arbitrary K (never the cached shared model): `graft.Scaling`
+    * audits this in BOTH regimes (fixed K = 8 under the output-linear
+    * wall bar — the regime the bounded OrderedFold centroid update
+    * fixed; K = 8·f under the O(corpus·K) = O(f²) design-cost
+    * envelope). Counting the returned frame executes the full
+    * recurrence: 2 broadcast-assignment passes + 1 bounded-fold
+    * centroid update over the corpus. */
+  private[graft] def kmeansFitFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): DataFrame = kmeansAssign(s, dir, rounds = 2, k = k)
 
   /** CLUSTER TOPIC LABELING — the "what did k-means find" report a
     * corpus-exploration pass reads next to the size/inertia table: the

@@ -83,7 +83,11 @@ class ScalingSpec extends SparkSpec {
           assert(pf.get <= Scaling.PairBudgetSlack * fm * math.max(1.0, p1.get),
             f"$name [pair_budget]: pairs$fm ${pf.get}%.0f outgrew " +
               f"${Scaling.PairBudgetSlack}%.1f × $fm × pairs1 ${p1.get}%.0f in $path")
-        } else if (Scaling.OutputBound(name))
+        } else if (name == Scaling.KmeansFitScaled)
+          assert(tf / t1 <= fm.toDouble * fm,
+            f"$name [fit_design]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
+              f"O(corpus·K) = f² envelope ${fm.toDouble * fm}%.1f in $path")
+        else if (Scaling.OutputBound(name))
           assert(tf / t1 <= rf / math.max(1.0, r1),
             f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew rows$fm/rows1 ${rf / r1}%.2f in $path")
         else
@@ -99,7 +103,7 @@ class ScalingSpec extends SparkSpec {
   }
 
   test("committed scaling artifact honors the per-regime bars") {
-    assertBars("SCALING_r8.json", minBlocks = 10)
+    assertBars("SCALING_r9.json", minBlocks = 10)
   }
 
   test("committed sf1 anchor honors the factor-parameterized bars") {

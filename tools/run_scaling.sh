@@ -3,7 +3,7 @@
 # Usage: tools/run_scaling.sh [outPath] [onlyQueries] (env: SPARK_GRAFT_FACTORS)
 set -e
 cd "$(dirname "$0")/.."
-OUT=${1:-SCALING_r8.json}
+OUT=${1:-SCALING_r9.json}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \
