@@ -109,6 +109,30 @@ class HashedLogRegSpec extends SparkSpec {
       s"trained model ($aucTrained bp) does not beat the hash-derived gate ($aucHashed bp)")
   }
 
+  test("load rejects a torn store that lost its HIGHEST buckets") {
+    val m = HashedLogReg.Model(4, 0.5, Array(0.1, 0.2, 0.3, 0.4))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-hlr-torn").toString
+    HashedLogReg.save(m, base + "/full")
+    // Round-trip sanity under the explicit-width format.
+    assert(HashedLogReg.load(spark, base + "/full").w.length == 4)
+    // A torn store missing the TOP bucket: row count and interior
+    // contiguity both look plausible under max-key inference — only
+    // the explicit width row catches it.
+    spark.read.parquet(base + "/full").where(col("bucket") =!= 3L)
+      .coalesce(1).write.parquet(base + "/torn")
+    intercept[IllegalArgumentException] {
+      HashedLogReg.load(spark, base + "/torn")
+    }
+    // And a store with no width row at all fails loudly, not as a
+    // narrower model.
+    spark.read.parquet(base + "/full").where(col("bucket") =!= -2L)
+      .coalesce(1).write.parquet(base + "/nowidth")
+    intercept[IllegalStateException] {
+      HashedLogReg.load(spark, base + "/nowidth")
+    }
+  }
+
   test("broadcast weight path is byte-identical to the literal path") {
     // Single input partition: a BroadcastHashJoin preserves streamed-side
     // row order and the partial aggregate folds one deterministic value
