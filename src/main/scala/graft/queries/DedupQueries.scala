@@ -45,14 +45,19 @@ object DedupQueries {
 
   // ---- Spark-side building blocks ---------------------------------------
 
+  /** (doc_id, text, …) + de-stopped token array, ≥3 tokens (shingle-able).
+    * Frame-based so the persisted [[graft.sim.MinHashIndex]] builds its
+    * segments through the SAME tokenize rule as the inline queries. */
+  private[graft] def tokenizedOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks")) >= 3)
+
   /** documents + de-stopped token array, ≥3 tokens (shingle-able). The
     * scan is fanned out FIRST: tokenize/shingle/hash are the map-side
     * cost of every sketch below, and a single-split parquet input would
     * run them all on one task. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(t(s, dir, "documents"))
-      .withColumn("toks", TokenOps.terms(col("text")))
-      .where(size(col("toks")) >= 3)
+    tokenizedOf(Tables.fanout(t(s, dir, "documents")))
 
   /** 3-word shingles (1-based element_at — same indexing as DuckDB). */
   private val shingleExpr =
@@ -98,10 +103,14 @@ object DedupQueries {
   private def hashB(i: Int): Long =
     if (i < MinhashB.size) MinhashB(i) else mixConst(i, 0xA96619E9L)
 
-  /** Per-doc MinHash signature (sig1..sigN as BIGINT). */
-  private def minhashSigs(s: SparkSession, dir: String,
-                          numHashes: Int = NumHashes): DataFrame = {
-    val shingled = tokenized(s, dir)
+  /** Per-doc MinHash signature (sig1..sigN as BIGINT) from any
+    * (doc_id, text) frame — ONE definition of the shingle→hash→min
+    * kernel, shared by the inline queries and the persisted
+    * [[graft.sim.MinHashIndex]] so a store-served signature can never
+    * drift from the oracle-graded one. */
+  private[graft] def minhashSigsOf(docs: DataFrame,
+                                   numHashes: Int = NumHashes): DataFrame = {
+    val shingled = tokenizedOf(docs)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("shingle"))
       .select(col("doc_id"),
         (conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long")
@@ -111,13 +120,18 @@ object DedupQueries {
     shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-doc MinHash signature over the corpus (sig1..sigN as BIGINT). */
+  private def minhashSigs(s: SparkSession, dir: String,
+                          numHashes: Int = NumHashes): DataFrame =
+    minhashSigsOf(Tables.fanout(t(s, dir, "documents")), numHashes)
+
   /** LSH banding: (band, key = ':'-joined band signature rows). Band
     * tuples are INCLUSIVE ranges (start, end): every signature row in
     * the range joins the key, so rows-per-band ≥ 3 keeps its middle
     * rows (a head/last-only key would silently widen bucket collision
     * probability past the advertised (1−Jʳ)ᵇ). */
-  private def minhashBandsOf(sigs: DataFrame,
-                             bands: Seq[(Int, Int)] = Bands): DataFrame = {
+  private[graft] def minhashBandsOf(sigs: DataFrame,
+                                    bands: Seq[(Int, Int)] = Bands): DataFrame = {
     val bandStructs = bands.zipWithIndex.map { case ((h1, h2), i) =>
       struct(lit(i + 1).as("b"),
         concat_ws(":", (h1 to h2).map(h => col(s"sig$h")): _*).as("bkey"))
@@ -1085,6 +1099,51 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  /** BUILD-ONCE / PROBE-MANY: one persisted [[graft.sim.MinHashIndex]]
+    * per (application, corpus dir), built over the STANDING corpus
+    * (every source except [[NewBatchSource]]) on first request — the
+    * precomputed signature table [[incrementalDedup]]'s scaladoc
+    * promises, made real. Both graded consumers (`q_dedup_index_pairs`,
+    * `q_dedup_index_delta`) read it: two queries, one sketch pass.
+    * Signatures are deterministic and parquet round-trips BIGINTs
+    * exactly, so index-served results are bit-identical to the inline
+    * pipeline (pinned in `MinHashIndexSpec`); keyed by applicationId so
+    * a fresh session never reads a stale index. */
+  private val minhashIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedMinhashIndex(s: SparkSession,
+      dir: String): graft.sim.MinHashIndex = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val idir = minhashIndexDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+      new graft.sim.MinHashIndex(s, d).build(
+        t(s, dir, "documents").where(col("source") =!= NewBatchSource),
+        "doc_id", "text")
+      d
+    })
+    new graft.sim.MinHashIndex(s, idir)
+  }
+
+  /** Standing-corpus LSH candidate pairs served from the PERSISTED index
+    * (no sketch pass — the `q_dedup_minhash_pairs` semantics restricted
+    * to the indexed corpus, read off [[sharedMinhashIndex]]'s band
+    * table). The oracle rebuilds the same pair set from scratch; a green
+    * row proves the persisted segments carry the full sketch state. */
+  private val indexPairs: Q = (s, dir) =>
+    sharedMinhashIndex(s, dir).candidatePairs().orderBy("doc1", "doc2")
+
+  /** Delta screening against the persisted index — [[incrementalDedup]]
+    * served the way production runs it: the standing corpus' sketches
+    * come from the store (bucket-pruned probe), only the delta batch is
+    * sketched. Output and oracle are IDENTICAL to `q_dedup_incremental`
+    * — same decisions, two serving paths, one contract. */
+  private val indexDelta: Q = (s, dir) =>
+    sharedMinhashIndex(s, dir)
+      .probeDecisions(
+        t(s, dir, "documents").where(col("source") === NewBatchSource),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Eval-set membership for [[decontaminate]]: doc_id ≡ 0 (mod 97) plays
     * the held-out benchmark. */
   private val EvalModulus = 97
@@ -1226,6 +1285,8 @@ object DedupQueries {
     "q_dedup_containment" -> containment,
     "q_dedup_decontam"    -> decontaminate,
     "q_dedup_incremental" -> incrementalDedup,
+    "q_dedup_index_pairs" -> indexPairs,
+    "q_dedup_index_delta" -> indexDelta,
     "q_dedup_minhash_est" -> minhashEstimate,
     "q_dedup_triangles" -> dedupTriangles,
     "q_dedup_dupngrams"   -> dupNgrams,
@@ -1516,6 +1577,36 @@ object DedupQueries {
          | ORDER BY doc1, doc2""".stripMargin
     },
     "q_dedup_incremental" ->
+      s"""WITH bands AS ($duckBands),
+         | src AS (SELECT doc_id, source FROM documents),
+         | nb AS (SELECT bands.* FROM bands JOIN src USING (doc_id)
+         |        WHERE source = '$NewBatchSource'),
+         | cb AS (SELECT bands.* FROM bands JOIN src USING (doc_id)
+         |        WHERE source <> '$NewBatchSource'),
+         | agg AS (
+         |  SELECT nb.doc_id, count(DISTINCT cb.doc_id) AS n_matches
+         |  FROM nb JOIN cb ON nb.b = cb.b AND nb.bkey = cb.bkey
+         |  GROUP BY nb.doc_id)
+         | SELECT d.doc_id, coalesce(a.n_matches, 0) AS n_matches,
+         |  CASE WHEN coalesce(a.n_matches, 0) > 0 THEN 'drop' ELSE 'keep' END AS decision
+         | FROM (SELECT doc_id FROM documents WHERE source = '$NewBatchSource') d
+         | LEFT JOIN agg a ON d.doc_id = a.doc_id
+         | ORDER BY d.doc_id""".stripMargin,
+    // Index-served pairs: the oracle rebuilds the standing-corpus pair
+    // set from scratch — green ⇔ the persisted segments carry the full
+    // sketch state bit-for-bit.
+    "q_dedup_index_pairs" ->
+      s"""WITH ab AS ($duckBands),
+         | bands AS (SELECT ab.* FROM ab JOIN documents USING (doc_id)
+         |           WHERE source <> '$NewBatchSource'),
+         | pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+         |  FROM bands x JOIN bands y
+         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         | SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2""".stripMargin,
+    // Same contract as q_dedup_incremental — one semantics, two serving
+    // paths (inline rebuild vs persisted bucket-pruned index).
+    "q_dedup_index_delta" ->
       s"""WITH bands AS ($duckBands),
          | src AS (SELECT doc_id, source FROM documents),
          | nb AS (SELECT bands.* FROM bands JOIN src USING (doc_id)

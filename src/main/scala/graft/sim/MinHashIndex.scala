@@ -1,0 +1,233 @@
+package graft.sim
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH index — the build-once / probe-many form of the
+  * near-dup screen (reference dedup-by-id sink `test/data_ingestion/
+  * testpy.py:115-139`, generalized to near-duplicates): the inline
+  * `q_dedup_minhash_*` queries re-run shingle → md5 → 8 universal-hash
+  * mins over the whole corpus per query; this store pays that sketch
+  * pass once per INGESTED BATCH and serves every downstream consumer —
+  * candidate pairs, delta screening, component formation — from the
+  * persisted signatures. At 100 TB the sketch pass is the dominant cost
+  * (one md5 per shingle over the full text), so "never re-sketch the
+  * standing corpus" is the difference between an ingest step and a
+  * rebuild — the [[LexIndex]] segment economics applied to LSH.
+  *
+  * Layout (the shared manifest discipline of [[IvfIndex]]/[[LexIndex]]):
+  *   - `segments/seg-<uuid>/sigs/`  — (doc_id, sig1..sigN), one row per
+  *     sketchable doc (≥ 3 tokens — the inline rule).
+  *   - `segments/seg-<uuid>/bands/` — (b, bkey, doc_id) PARTITIONED BY
+  *     `bucket` = md5-60-bit hash of (b, bkey) mod [[MinHashIndex.Buckets]]
+  *     — a delta probe touches only its own band-keys' buckets
+  *     (directory-level pruning; a small batch reads a few buckets, not
+  *     the index). Matches can never be lost to pruning: a colliding
+  *     corpus row shares (b, bkey) and therefore the bucket.
+  *   - `m=N` — manifest: live segment names, one per line; temp-write +
+  *     ONE atomic rename ([[graft.ops.VersionedPaths.publish]]), so
+  *     readers see the old or new segment set, never a torn mix.
+  *
+  * Signatures are PER-DOC — no cross-doc state — so the algebra is
+  * trivially exact: append of a doc-disjoint batch equals a from-scratch
+  * build (set union of rows), and [[forget]] equals an index rebuilt
+  * over the redacted corpus BIT-FOR-BIT (filter + re-derived bands;
+  * `MinHashIndexSpec` pins both). The hash kernel is
+  * [[graft.queries.DedupQueries.minhashSigsOf]] — the same expression
+  * tree the oracle-graded inline queries and the DuckDB twins are built
+  * from, so store-served results hash-match the oracles by construction.
+  *
+  * Doc-disjoint batches are the [[LexIndex.append]] contract here too: a
+  * doc_id re-ingested into a second segment would duplicate its bands
+  * and pair with itself's copies — put the exact-dedup ingest screen
+  * ([[graft.stream.DedupIngest]]) in front, as the streaming pipeline
+  * already does. */
+final class MinHashIndex(spark: SparkSession, val indexDir: String)
+    extends Serializable {
+  import MinHashIndex._
+
+  private def fs = new Path(indexDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Newest manifest version (atomic-by-rename ⇒ existence is
+    * completeness). */
+  def currentVersion(): Option[Long] =
+    graft.ops.VersionedPaths.listNumbered(fs, new Path(indexDir), "m=",
+        dirsOnly = false)
+      .map(_._2).sorted.lastOption
+
+  private def segmentsAt(v: Long): Seq[String] = {
+    val in = fs.open(new Path(indexDir, s"m=$v"))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+    } finally in.close()
+  }
+
+  /** Live segment names at the newest version, or fail loudly. */
+  def liveSegments(): Seq[String] = segmentsAt(resolvedOrFail())
+
+  private def resolvedOrFail(): Long = currentVersion().getOrElse(
+    throw new IllegalStateException(s"no complete index under $indexDir"))
+
+  /** Retention: keep the newest `keep` versions, sweep older manifests
+    * and unreferenced segment dirs (shared [[IndexVacuum]] rules). */
+  def vacuum(keep: Int = 1): (Int, Int) =
+    IndexVacuum.vacuum(fs, indexDir, keep, segmentsAt,
+      Seq("segments" -> "seg-"))
+
+  private def publishManifest(segs: Seq[String]): Long = {
+    val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
+    val outStream = fs.create(tmp, false)
+    try outStream.write(
+      (segs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally outStream.close()
+    graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
+      currentVersion().map(_ + 1).getOrElse(0L))
+  }
+
+  /** Write one segment from a signatures frame: sigs parquet first, then
+    * bands DERIVED FROM THE WRITTEN FILE (the write is the
+    * materialization — the shingle→sig pipeline runs exactly once per
+    * batch, never once per table). */
+  private def writeSegmentFromSigs(sigs: DataFrame): String = {
+    val seg = s"seg-${java.util.UUID.randomUUID()}"
+    val out = s"$indexDir/segments/$seg"
+    sigs.write.mode(SaveMode.Overwrite).parquet(s"$out/sigs")
+    graft.queries.DedupQueries
+      .minhashBandsOf(spark.read.parquet(s"$out/sigs"))
+      .withColumn("bucket", expr(bucketSql("b", "bkey")))
+      .select("bucket", "b", "bkey", "doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .parquet(s"$out/bands")
+    seg
+  }
+
+  /** Sketch a raw (id, text) batch with the shared kernel. The batch is
+    * fanned out first — shingle+md5 is the map-side cost, and a
+    * single-split input would run it on one task. */
+  private def sketch(docs: DataFrame, idCol: String, textCol: String) =
+    graft.queries.DedupQueries.minhashSigsOf(
+      graft.queries.Tables.fanout(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
+
+  /** First build: one segment, manifest version 0 (or the next version
+    * over an existing index — old manifests serve until vacuumed). */
+  def build(docs: DataFrame, idCol: String, textCol: String): Long =
+    publishManifest(Seq(writeSegmentFromSigs(sketch(docs, idCol, textCol))))
+
+  /** Incremental APPEND: sketch only the delta, publish old segments +
+    * the new one. Cost ∝ delta — the standing corpus text is never
+    * re-read. Exact (per-doc rows, doc-disjoint contract). */
+  def append(docs: DataFrame, idCol: String, textCol: String): Long = {
+    val live = liveSegments() // resolve BEFORE the heavy write
+    publishManifest(live :+ writeSegmentFromSigs(sketch(docs, idCol, textCol)))
+  }
+
+  /** FORGET: drop `ids` and publish one rewritten segment — deletion
+    * propagated into the derived store, and EXACT: signatures are
+    * per-doc, so the surviving rows (bands re-derived from them) equal
+    * an index built over the redacted corpus bit-for-bit (pinned in
+    * `MinHashIndexSpec`). O(index) filter; no re-sketch, the corpus
+    * text is never re-read. */
+  def forget(ids: Seq[Long]): Long = {
+    val live = liveSegments()
+    val survivors = readUnion(live, "sigs")
+      .where(!col("doc_id").isin(ids: _*))
+    publishManifest(Seq(writeSegmentFromSigs(survivors)))
+  }
+
+  /** MAINTENANCE compaction: merge live segments into one (row union —
+    * exact) and publish a one-segment manifest; bounds per-probe segment
+    * fan-out after many appends. O(index), never re-sketches. */
+  def compact(): Long = {
+    val live = liveSegments()
+    if (live.size <= 1) return resolvedOrFail()
+    publishManifest(Seq(writeSegmentFromSigs(readUnion(live, "sigs"))))
+  }
+
+  private def readSeg(seg: String, table: String): DataFrame =
+    spark.read.parquet(s"$indexDir/segments/$seg/$table")
+
+  private def readUnion(segs: Seq[String], table: String): DataFrame =
+    segs.map(readSeg(_, table)).reduce(_ unionByName _)
+
+  /** All persisted signatures (doc_id, sig1..sigN) at the newest
+    * manifest (resolved once — the torn-read rule). */
+  def signatures(): DataFrame = readUnion(liveSegments(), "sigs")
+
+  /** All persisted band rows (bucket, b, bkey, doc_id). */
+  def bands(): DataFrame = readUnion(liveSegments(), "bands")
+
+  /** LSH candidate pairs (doc1 < doc2) WITHIN the index — the standing
+    * corpus' near-dup pair set, served from the persisted bands with no
+    * sketch pass. Self-join on (b, bkey): shuffle ∝ bucket sizes, never
+    * O(n²) — the same join shape as the inline query, minus its entire
+    * upstream pipeline. The manifest is resolved ONCE for both sides. */
+  def candidatePairs(): DataFrame = {
+    val live = liveSegments()
+    val b1 = readUnion(live, "bands")
+    val b2 = readUnion(live, "bands")
+    b1.as("x").join(b2.as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+      .distinct()
+  }
+
+  /** Banded matches of a raw delta batch against the index:
+    * (doc_id = delta doc, corpus_doc). The delta is sketched with the
+    * shared kernel, its band rows bucketed with the layout's own
+    * expression, and the index side reads ONLY the probed buckets — the
+    * distinct-bucket set is bounded by [[Buckets]] (a ≤64-value driver
+    * list, never O(delta)), and directory-level partition pruning does
+    * the rest. Pruning is lossless by construction (a match shares
+    * (b, bkey) ⇒ the bucket). For a small batch against a 100 TB index
+    * this reads a few partitions of the band table, not the index. */
+  def probeMatches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val live = liveSegments()
+    val deltaBands = graft.queries.DedupQueries
+      .minhashBandsOf(sketch(docs, idCol, textCol))
+      .withColumn("bucket", expr(bucketSql("b", "bkey")))
+      .localCheckpoint(true) // bucket list + join probe read it once
+    val buckets = deltaBands.select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (buckets.isEmpty) return deltaBands
+      .select(col("doc_id"), col("doc_id").as("corpus_doc")).limit(0)
+    readUnion(live, "bands")
+      .where(col("bucket").isin(buckets: _*)).as("c")
+      .join(deltaBands.as("n"),
+        col("n.b") === col("c.b") && col("n.bkey") === col("c.bkey"))
+      .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("corpus_doc"))
+  }
+
+  /** Delta-screening decisions — the incremental-dedup consumer
+    * (`q_dedup_incremental` semantics, served from the persisted index):
+    * every delta doc gets its corpus-collision count and a keep/drop
+    * decision; short docs (no shingles ⇒ no sketch) default to keep. */
+  def probeDecisions(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val matches = probeMatches(docs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(countDistinct("corpus_doc").as("n_matches"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+      .withColumn("decision",
+        when(col("n_matches") > 0, "drop").otherwise("keep"))
+  }
+}
+
+object MinHashIndex {
+  /** Band-key hash-partition count: a probe touches ≤ min(Buckets,
+    * distinct delta band-keys) partitions per segment. */
+  val Buckets = 64
+
+  /** The layout/probe bucket rule — ONE definition (the md5-60-bit hex
+    * parse idiom shared with [[LexIndex.bucketSql]]), evaluated through
+    * Spark expressions on both sides so they can never disagree. */
+  private[sim] def bucketSql(bCol: String, bkeyCol: String): String =
+    s"CAST(conv(substring(md5(concat(CAST($bCol AS STRING), ':', $bkeyCol)), 1, 15), 16, 10) AS BIGINT) % $Buckets"
+}
