@@ -242,7 +242,7 @@ object DedupQueries {
   @inline private def ccLog(msg: => String): Unit =
     if (ccDebug) System.err.println(msg)
 
-  private[queries] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame =
+  private[graft] def connectedComponents(s: SparkSession, pairs: DataFrame): DataFrame =
     connectedComponentsWithIters(s, pairs)._1
 
   /** The fixpoint loop's edge layout: mirror the pairs and spread them

@@ -93,8 +93,10 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * bands DERIVED FROM THE WRITTEN FILE (the write is the
     * materialization — the shingle→sig pipeline runs exactly once per
     * batch, never once per table). */
-  private def writeSegmentFromSigs(sigs: DataFrame): String = {
-    val seg = s"seg-${java.util.UUID.randomUUID()}"
+  private def writeSegmentFromSigs(sigs: DataFrame): String =
+    writeNamedSegment(sigs, s"seg-${java.util.UUID.randomUUID()}")
+
+  private def writeNamedSegment(sigs: DataFrame, seg: String): String = {
     val out = s"$indexDir/segments/$seg"
     sigs.write.mode(SaveMode.Overwrite).parquet(s"$out/sigs")
     graft.queries.DedupQueries
@@ -125,6 +127,27 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
   def append(docs: DataFrame, idCol: String, textCol: String): Long = {
     val live = liveSegments() // resolve BEFORE the heavy write
     publishManifest(live :+ writeSegmentFromSigs(sketch(docs, idCol, textCol)))
+  }
+
+  /** IDEMPOTENT per-batch append for the streaming maintainer
+    * ([[graft.stream.MinHashIngest]]): the segment name is DERIVED FROM
+    * THE BATCH ID, the write is an overwrite, and the manifest gains the
+    * segment at most once — so an at-least-once redelivery (same
+    * checkpointed offsets ⇒ same survivor sigs, same id) rewrites its
+    * own segment with identical rows and publishes nothing new; the
+    * store converges instead of accumulating duplicate segments (the
+    * [[graft.stream.MicroBatchIngest.writeBatchPartition]] convergence
+    * rule, applied to manifest-versioned segments). Creates the index
+    * when none exists yet. */
+  private[graft] def appendSigsAsBatch(sigs: DataFrame, batchId: Long): Long = {
+    val live = currentVersion() match {
+      case Some(v) => segmentsAt(v)
+      case None    => Nil
+    }
+    val seg = s"seg-batch-$batchId"
+    writeNamedSegment(sigs, seg)
+    if (live.contains(seg)) resolvedOrFail()
+    else publishManifest(live :+ seg)
   }
 
   /** FORGET: drop `ids` and publish one rewritten segment — deletion
@@ -187,10 +210,16 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * the rest. Pruning is lossless by construction (a match shares
     * (b, bkey) ⇒ the bucket). For a small batch against a 100 TB index
     * this reads a few partitions of the band table, not the index. */
-  def probeMatches(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def probeMatches(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    probeMatchesFromSigs(sketch(docs, idCol, textCol))
+
+  /** [[probeMatches]] from an ALREADY-COMPUTED delta signature frame —
+    * the one-sketch-pass path [[graft.stream.MinHashIngest]] rides (its
+    * screen and its index append share one signature computation). */
+  private[graft] def probeMatchesFromSigs(deltaSigs: DataFrame): DataFrame = {
     val live = liveSegments()
     val deltaBands = graft.queries.DedupQueries
-      .minhashBandsOf(sketch(docs, idCol, textCol))
+      .minhashBandsOf(deltaSigs)
       .withColumn("bucket", expr(bucketSql("b", "bkey")))
       .localCheckpoint(true) // bucket list + join probe read it once
     val buckets = deltaBands.select("bucket").distinct()

@@ -1,0 +1,129 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ops.TextOps
+import graft.sim.MinHashIndex
+
+/** Streaming corpus ingestion with cross-batch NEAR-dup screening — the
+  * streaming serving half of [[graft.sim.MinHashIndex]] and the LSH
+  * complement of [[DedupIngest]]'s exact screen (`q_dedup_index_delta`
+  * run per trigger): each micro-batch is
+  *
+  *   1. collapsed within-batch on exact identity (min-id per cleaned-text
+  *      fingerprint — the [[DedupIngest]] rule, needed here because
+  *      shingle-free docs carry no LSH sketch for step 3 to catch),
+  *   2. screened against the STANDING index (bucket-pruned band probe —
+  *      only the batch is sketched; the corpus text is never re-read),
+  *   3. near-dup-collapsed WITHIN the batch (band self-join → candidate
+  *      pairs → connected components → min-id representative per
+  *      component, the `q_dedup_apply` convention),
+  *
+  * and the survivors land in the corpus (replay-convergent `batch_id=`
+  * partition) while their ALREADY-COMPUTED signatures append to the
+  * index as an idempotent batch-named segment — one sketch pass serves
+  * screen and index both.
+  *
+  * Replay safety WITHOUT an extra ledger: every step is deterministic
+  * given (standing index, batch), and the corpus-screen join excludes
+  * SELF-matches (`corpus_doc <> doc_id`), so a redelivered batch — even
+  * one whose first delivery already published its index segment —
+  * recomputes the IDENTICAL survivor set: a doc that was dropped
+  * within-batch as a near-dup of survivor S now collides with S's
+  * persisted bands and drops at the corpus stage instead (same outcome);
+  * a survivor's only new collision would be its own rows, which the
+  * self-exclusion ignores. The corpus write then overwrites its own
+  * partition with identical rows, and [[MinHashIndex.appendSigsAsBatch]]
+  * rewrites the same segment without re-publishing — the store converges
+  * under any crash/replay interleaving of the two writes (corpus FIRST,
+  * index second: losing the index write replays into a recomputation,
+  * never into data loss).
+  *
+  * Corpus-LIFETIME exact identity (e.g. the same id redelivered weeks
+  * apart, or shingle-free exact dups across batches) is [[DedupIngest]]'s
+  * job — the two compose in that order, exactly as the batch pipeline
+  * runs `q_dedup_exact` before the LSH family.
+  *
+  * Scale shape per trigger: sketch cost ∝ batch; the corpus-side probe
+  * reads only the batch's ≤[[MinHashIndex.Buckets]] band buckets per
+  * segment (directory pruning); the within-batch component fixpoint runs
+  * on batch-sized pairs. Nothing scales with the standing corpus except
+  * the pruned probe — the `q_dedup_incremental` economics, streaming. */
+final class MinHashIngest(
+    spark: SparkSession,
+    idCol: String,
+    textCol: String,
+    corpusDir: String,
+    indexDir: String) extends MicroBatchIngest with Serializable {
+
+  private def index = new MinHashIndex(spark, indexDir)
+
+  /** One micro-batch: returns the number of surviving documents (a
+    * replayed batch recomputes — and re-reports — the same count). */
+  override def processBatch(batch: DataFrame, batchId: Long): Long = {
+    if (batch.isEmpty) return 0L
+    // 1. Within-batch exact collapse: redelivered copies of one record
+    // (same fp, same id) land once; content ties break to min id.
+    val fp = batch.dropDuplicates(idCol)
+      .withColumn("fp", md5(TextOps.cleanText(col(textCol))))
+    val firstIds = fp.groupBy("fp").agg(min(col(idCol)).as(idCol))
+    val exactKept = fp.join(firstIds, Seq("fp", idCol)).drop("fp")
+
+    // ONE sketch pass per batch: these signatures feed the corpus
+    // screen, the within-batch screen, AND the index append.
+    val sigs = graft.queries.DedupQueries.minhashSigsOf(
+        exactKept.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 2. Corpus screen: banded probe against the standing index, SELF
+      // matches excluded (replay idempotence — see class doc). First
+      // batch: no index yet, everything passes.
+      val idx = index
+      val corpusKept =
+        if (idx.currentVersion().isEmpty) exactKept
+        else {
+          val hits = idx.probeMatchesFromSigs(sigs)
+            .where(col("corpus_doc") =!= col("doc_id"))
+            .select("doc_id").distinct()
+          exactKept.join(hits, exactKept(idCol) === hits("doc_id"),
+            "left_anti")
+        }
+
+      // 3. Within-batch near-dup collapse: the corpus-survivors' own
+      // band collisions form components; each keeps its min-id
+      // representative.
+      val keptSigs = sigs.join(
+        corpusKept.select(col(idCol).as("doc_id")), Seq("doc_id"),
+        "left_semi")
+      val bands = graft.queries.DedupQueries.minhashBandsOf(keptSigs)
+      val pairs = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+        .distinct()
+      val comp = graft.queries.DedupQueries.connectedComponents(spark, pairs)
+      val dupes = comp.where(col("doc_id") =!= col("component"))
+        .select("doc_id")
+      val fresh = corpusKept
+        .join(dupes, corpusKept(idCol) === dupes("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK) // count + corpus + sig filter
+      try {
+        val n = fresh.count()
+        if (n > 0) {
+          // Corpus FIRST (the DedupIngest ordering): a crash before the
+          // index write replays into an identical recomputation; the
+          // reverse order could drop data on replay.
+          MicroBatchIngest.writeBatchPartition(fresh, corpusDir, batchId)
+          val freshSigs = sigs.join(
+            fresh.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+          // Shingle-free-only batches append nothing: an empty segment
+          // carries no state and would only churn manifests on replay.
+          if (!freshSigs.isEmpty) idx.appendSigsAsBatch(freshSigs, batchId)
+        }
+        n
+      } finally { fresh.unpersist(); () }
+    } finally { sigs.unpersist(); () }
+  }
+}

