@@ -48,8 +48,8 @@ object SamplingQueries {
   /** The one split-assignment implementation: `bucket` (0..255) and
     * `split` columns from the row key. Shared by [[sampleSplit]] and the
     * curation pipeline so the two can never assign differently. */
-  private[queries] def withSplit(df: org.apache.spark.sql.DataFrame,
-                                 keyCol: String): org.apache.spark.sql.DataFrame =
+  private[graft] def withSplit(df: org.apache.spark.sql.DataFrame,
+                               keyCol: String): org.apache.spark.sql.DataFrame =
     df.withColumn("bucket", expr(s"CAST(${bucketSql(keyCol)} AS INT)"))
       .withColumn("split",
         when(col("bucket") < TrainUpper, "train")

@@ -337,6 +337,17 @@ object TextQueries {
     * the per-doc mean exact integer arithmetic. Scale shape: one
     * tokenize pass split-tagged at the scan; LM tables vocabulary-
     * bounded; val scoring one left join + doc-keyed aggregation. */
+  /** The heldout LM's quantized surprisal expressions — ONE definition
+    * each, shared by the inline kernel below and the persisted
+    * [[graft.ml.NgramLm]] serving path so the two can never drift (they
+    * reference `cnt`/`t_total`/`v_size` columns, which both sides bind
+    * identically). */
+  private[graft] val HeldoutInVocabSql =
+    "CAST(floor(1000.0 * ln((t_total + v_size + 1.0) / (cnt + 1))) AS BIGINT)"
+  private[graft] val HeldoutOovSql =
+    "CAST(floor(1000.0 * ln(t_total + v_size + 1.0)) AS BIGINT)"
+  private[graft] val HeldoutDocAggSql = "sum(k * mln_eff) DIV sum(k)"
+
   /** The kernel over any (doc_id, split, term, k) frame — exposed so the
     * spec can drive the OOV branch (a val-only term must score the
     * single unseen-term surprisal, not drop or NaN). */
@@ -347,18 +358,15 @@ object TextQueries {
     val stats = lm.agg(sum("cnt").as("t_total"),
       count(lit(1)).as("v_size"))
     val lmQ = lm.crossJoin(broadcast(stats))
-      .select(col("term"),
-        expr("""CAST(floor(1000.0 * ln((t_total + v_size + 1.0) / (cnt + 1)))
-               |  AS BIGINT)""".stripMargin.replace("\n", " ")).as("mln"))
+      .select(col("term"), expr(HeldoutInVocabSql).as("mln"))
     tf.where(col("split") === "val")
       .join(lmQ, Seq("term"), "left_outer")
       .crossJoin(broadcast(stats))
-      .withColumn("mln_eff", coalesce(col("mln"), expr(
-        "CAST(floor(1000.0 * ln(t_total + v_size + 1.0)) AS BIGINT)")))
+      .withColumn("mln_eff", coalesce(col("mln"), expr(HeldoutOovSql)))
       .groupBy("doc_id")
       .agg(sum("k").as("n_tokens"),
         sum(when(col("mln").isNull, col("k")).otherwise(0L)).as("n_oov"),
-        expr("sum(k * mln_eff) DIV sum(k)").as("heldout_mb"))
+        expr(HeldoutDocAggSql).as("heldout_mb"))
       .orderBy("doc_id")
   }
 
@@ -370,6 +378,45 @@ object TextQueries {
         tagged.groupBy("doc_id", "split", "term").agg(count(lit(1)).as("k")))
       .localCheckpoint(true)) // train LM + val scoring read one pass
   }
+
+  /** TRAIN-ONCE / SCORE-MANY: one persisted [[graft.ml.NgramLm]] per
+    * (application, corpus dir), fitted on the deterministic train split
+    * on first request — the frozen-LM serving half of
+    * [[heldoutPpl]] (CCNet economics: the reference LM is fitted once;
+    * every later batch scores against the store). Counts round-trip as
+    * BIGINTs and both paths evaluate the same shared expression
+    * strings, so model-served scores are bit-identical to the inline
+    * kernel (pinned in `NgramLmSpec`); keyed by applicationId so a
+    * fresh session never reads a stale model. */
+  private val ngramLmDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedNgramLm(s: SparkSession,
+      dir: String): graft.ml.NgramLm.Model = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val d = ngramLmDirs.getOrElseUpdate(key, {
+      val p = java.nio.file.Files.createTempDirectory("graft_nglm_").toString
+      graft.ml.NgramLm.fit(
+        SamplingQueries.withSplit(docs(s, dir), "doc_id")
+          .where(col("split") === "train"),
+        "text", p)
+      p
+    })
+    graft.ml.NgramLm.load(s, d)
+  }
+
+  /** Held-out scoring served from the PERSISTED LM — the
+    * `q_text_heldout_ppl` contract through the learn→serve loop: the
+    * train-split counts come from the store (only the val docs are
+    * tokenized here), and the oracle is the inline query's verbatim.
+    * Same statistic, two serving paths, one contract — the
+    * `q_dedup_index_delta` discipline applied to the LM family. */
+  private val pplServed: Q = (s, dir) =>
+    sharedNgramLm(s, dir)
+      .score(
+        SamplingQueries.withSplit(docs(s, dir), "doc_id")
+          .where(col("split") === "val"),
+        "doc_id", "text")
+      .orderBy("doc_id")
 
   /** Moore–Lewis data selection (Moore & Lewis 2010, "Intelligent
     * selection of language model training data") — THE classic
@@ -1428,9 +1475,33 @@ object TextQueries {
     "q_text_bigram_lm"   -> bigramLm,
     "q_text_moore_lewis" -> mooreLewis,
     "q_text_heldout_ppl" -> heldoutPpl,
+    "q_text_ppl_served"  -> pplServed,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
+
+  /** `q_text_heldout_ppl`'s oracle — ONE definition, also graded
+    * against `q_text_ppl_served` (the persisted-LM serving path). */
+  private val heldoutOracleSql =
+    s"""WITH tf AS (SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split,
+       |   term, CAST(count(*) AS BIGINT) AS k
+       |  FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)
+       |  GROUP BY 1, 2, 3),
+       | lm AS (SELECT term, sum(k) AS cnt FROM tf WHERE split = 'train' GROUP BY 1),
+       | st AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total,
+       |   CAST(count(*) AS BIGINT) AS v_size FROM lm),
+       | lq AS (SELECT term,
+       |   CAST(floor(1000.0 * ln((t_total + v_size + 1.0) / (cnt + 1))) AS BIGINT) AS mln
+       |  FROM lm CROSS JOIN st),
+       | sc AS (SELECT tf.doc_id, tf.k, lq.mln,
+       |   coalesce(lq.mln,
+       |     CAST(floor(1000.0 * ln(st.t_total + st.v_size + 1.0)) AS BIGINT)) AS mln_eff
+       |  FROM tf LEFT JOIN lq ON tf.term = lq.term CROSS JOIN st
+       |  WHERE tf.split = 'val')
+       | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN mln IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(k * mln_eff) // sum(k) AS BIGINT) AS heldout_mb
+       | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     "q_text_lexical" ->
@@ -1880,26 +1951,10 @@ object TextQueries {
          | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Spark DIV and DuckDB // both truncate toward zero, so the possibly
     // negative per-doc mean is engine-exact.
-    "q_text_heldout_ppl" ->
-      s"""WITH tf AS (SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split,
-         |   term, CAST(count(*) AS BIGINT) AS k
-         |  FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)
-         |  GROUP BY 1, 2, 3),
-         | lm AS (SELECT term, sum(k) AS cnt FROM tf WHERE split = 'train' GROUP BY 1),
-         | st AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_total,
-         |   CAST(count(*) AS BIGINT) AS v_size FROM lm),
-         | lq AS (SELECT term,
-         |   CAST(floor(1000.0 * ln((t_total + v_size + 1.0) / (cnt + 1))) AS BIGINT) AS mln
-         |  FROM lm CROSS JOIN st),
-         | sc AS (SELECT tf.doc_id, tf.k, lq.mln,
-         |   coalesce(lq.mln,
-         |     CAST(floor(1000.0 * ln(st.t_total + st.v_size + 1.0)) AS BIGINT)) AS mln_eff
-         |  FROM tf LEFT JOIN lq ON tf.term = lq.term CROSS JOIN st
-         |  WHERE tf.split = 'val')
-         | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
-         |  CAST(sum(CASE WHEN mln IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
-         |  CAST(sum(k * mln_eff) // sum(k) AS BIGINT) AS heldout_mb
-         | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_heldout_ppl" -> heldoutOracleSql,
+    // The model-served twin is graded against the SAME oracle: one
+    // statistic, two serving paths (inline rebuild vs persisted LM).
+    "q_text_ppl_served" -> heldoutOracleSql,
     "q_text_moore_lewis" ->
       s"""WITH tok AS (
          |  SELECT doc_id, source, unnest(${duckTerms("text")}) AS term FROM documents),

@@ -1,0 +1,101 @@
+package graft.ml
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** The persisted unigram LM's contract: the learn→serve loop is closed
+  * bit-for-bit (model-served scores ≡ the oracle-graded inline heldout
+  * kernel), torn stores fail loudly on load, OOV terms score the single
+  * unseen-term surprisal, and the perplexity gate is threshold-monotone. */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def split = graft.queries.SamplingQueries.withSplit(
+    graft.queries.Tables.t(spark, dir, "documents"), "doc_id")
+
+  private def fitOnTrain(): NgramLm.Model = {
+    val d = Files.createTempDirectory("nglm").toString + "/lm"
+    NgramLm.fit(split.where(col("split") === "train"), "text", d)
+    NgramLm.load(spark, d)
+  }
+
+  test("model-served scores equal the inline graded query bit-for-bit") {
+    val served = fitOnTrain()
+      .score(split.where(col("split") === "val"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val inline = graft.SparkEntry
+      .queries("q_text_heldout_ppl")(spark, dir).collect().toSeq
+    assert(served == inline)
+  }
+
+  test("loading twice serves identical scores (deterministic store)") {
+    val d = Files.createTempDirectory("nglm-det").toString + "/lm"
+    NgramLm.fit(split.where(col("split") === "train"), "text", d)
+    val valDocs = split.where(col("split") === "val")
+    val a = NgramLm.load(spark, d).score(valDocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = NgramLm.load(spark, d).score(valDocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("a torn store (lost vocab part-file) fails load loudly") {
+    val d = Files.createTempDirectory("nglm-torn").toString + "/lm"
+    NgramLm.fit(split.where(col("split") === "train"), "text", d)
+    NgramLm.load(spark, d) // intact store loads
+    // Re-lay the vocab across two files (a small fit coalesces to one),
+    // then lose one — the partial tear a missing part-file produces at
+    // corpus scale. Meta still declares the full v_size/t_total.
+    val uni = spark.read.parquet(s"$d/uni").repartition(2)
+      .localCheckpoint(true)
+    uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$d/uni")
+    val parts = new java.io.File(s"$d/uni").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.length() > 0)
+      .sortBy(-_.length())
+    assert(parts.length == 2, s"expected 2 part files, got ${parts.length}")
+    assert(parts.head.delete())
+    val e = intercept[IllegalArgumentException] { NgramLm.load(spark, d) }
+    assert(e.getMessage.contains("torn"))
+  }
+
+  test("OOV terms score the single unseen-term surprisal") {
+    val d = Files.createTempDirectory("nglm-oov").toString + "/lm"
+    // Tiny fit corpus: T = 4 tokens, V = 3 types.
+    NgramLm.fit(Seq((1L, "alpha beta alpha gamma")).toDF("doc_id", "text"),
+      "text", d)
+    val m = NgramLm.load(spark, d)
+    val out = m.score(
+        Seq((7L, "alpha unseen")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L) // n_tokens, n_oov
+    // In-vocab "alpha": floor(1000·ln((4+3+1)/(2+1))) = floor(980.8) = 980
+    // OOV "unseen":     floor(1000·ln(4+3+1)) = floor(2079.4) = 2079
+    // doc mean: (980 + 2079) DIV 2 = 1529
+    assert(r.getLong(3) == 1529L, s"heldout_mb = ${r.getLong(3)}")
+  }
+
+  test("the perplexity gate is threshold-monotone") {
+    val m = fitOnTrain()
+    val valDocs = split.where(col("split") === "val")
+    def kept(maxMb: Long): Set[Long] =
+      m.gate(valDocs, "doc_id", "text", maxMb)
+        .where(col("decision") === "keep")
+        .select("doc_id").as[Long].collect().toSet
+    val scores = m.score(valDocs, "doc_id", "text")
+      .select("heldout_mb").as[Long].collect()
+    val (lo, hi) = (scores.min, scores.max)
+    val mid = (lo + hi) / 2
+    assert(kept(lo - 1).isEmpty || kept(lo - 1).subsetOf(kept(mid)))
+    assert(kept(mid).subsetOf(kept(hi)))
+    assert(kept(hi) == m.score(valDocs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet)
+  }
+}
