@@ -170,9 +170,38 @@ object DedupQueries {
       .agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
       .orderBy("fp")
 
-  /** MinHash signatures (the per-doc sketch; O(shingles) map + one agg). */
+  /** BUILD-ONCE / SERVE-MANY for the whole LSH family: one persisted
+    * full-corpus [[graft.sim.MinHashIndex]] per (application, corpus
+    * dir) — the sketch pass (one md5 per shingle over the corpus text,
+    * the family's dominant cost) runs ONCE at first request, and every
+    * pair-derived consumer (`q_dedup_minhash_sig/_pairs/_est`,
+    * components, cluster_sizes, triangles, pagerank, apply,
+    * lsh_jaccard, pair_rouge) reads the store instead of re-sketching —
+    * the `sharedKmeansModel` discipline applied to dedup. Signatures
+    * are deterministic and parquet round-trips BIGINTs exactly, so the
+    * served frames are bit-identical to the inline pipeline
+    * (`MinHashIndexSpec` pins sigs and pairs); oracles unchanged.
+    * `q_dedup_incremental` deliberately stays inline — it is the
+    * declared inline/served contrast pair of `q_dedup_index_delta`. */
+  private val fullMinhashIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedFullMinhashIndex(s: SparkSession,
+      dir: String): graft.sim.MinHashIndex = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val idir = fullMinhashIndexDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft_mhfull_").toString
+      new graft.sim.MinHashIndex(s, d)
+        .build(t(s, dir, "documents"), "doc_id", "text")
+      d
+    })
+    new graft.sim.MinHashIndex(s, idir)
+  }
+
+  /** MinHash signatures (the per-doc sketch), served from the shared
+    * persisted index — bit-identical to the inline build (spec-pinned);
+    * the oracle grades the store against a from-scratch rebuild. */
   private val minhashSignatures: Q = (s, dir) =>
-    minhashSigs(s, dir).orderBy("doc_id")
+    sharedFullMinhashIndex(s, dir).signatures().orderBy("doc_id")
 
   /** MinHash-LSH candidate pairs (doc1 < doc2) from any band frame. */
   private def candidatesFromBands(bandsRaw: DataFrame): DataFrame = {
@@ -189,9 +218,12 @@ object DedupQueries {
       .distinct()
   }
 
-  /** MinHash-LSH candidate pairs (doc1 < doc2), unordered. */
+  /** MinHash-LSH candidate pairs (doc1 < doc2), unordered — served from
+    * the shared persisted index ([[sharedFullMinhashIndex]]): every
+    * downstream consumer inherits the one-sketch-pass economics, and
+    * the store-vs-inline bit-identity is spec-pinned. */
   private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
-    candidatesFromBands(minhashBands(s, dir))
+    sharedFullMinhashIndex(s, dir).candidatePairs()
 
   /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join
     * key is (band, bandKey) — shuffle is proportional to bucket sizes,
@@ -967,10 +999,11 @@ object DedupQueries {
     * the sketch at 100 TB. Pure composition of two verified frames; both
     * sides integer basis points. */
   private val minhashEstimate: Q = (s, dir) => {
-    // ONE signature build feeds both the candidate bands and the
-    // estimate columns (the naive form runs the shingle→md5 pipeline
-    // twice — measured ~1 s at sf0.1).
-    val sigs = minhashSigs(s, dir).localCheckpoint(true)
+    // Signatures AND candidates both come off the shared persisted
+    // index — zero sketch work here (the pre-store form checkpointed
+    // one signature build to feed both; the store makes even that one
+    // build amortized across the whole family).
+    val sigs = sharedFullMinhashIndex(s, dir).signatures()
     def side(role: String) = sigs.select(
       col("doc_id").as(role) +:
         (1 to NumHashes).map(i => col(s"sig$i").as(s"${role}_s$i")): _*)
@@ -980,7 +1013,7 @@ object DedupQueries {
     val d = termSets(s, dir).localCheckpoint(true)
     // Signatures and term sets attach to the LSH CANDIDATES only — the
     // estimator is never evaluated on an unblocked pair space.
-    candidatesFromBands(minhashBandsOf(sigs))
+    minhashCandidates(s, dir)
       .join(side("doc1"), Seq("doc1")).join(side("doc2"), Seq("doc2"))
       .withColumn("est_jac_bp",
         expr(s"CAST(10000 * ($matchSql) DIV $NumHashes AS BIGINT)"))
