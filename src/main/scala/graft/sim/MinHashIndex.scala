@@ -165,7 +165,17 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
 
   /** MAINTENANCE compaction: merge live segments into one (row union —
     * exact) and publish a one-segment manifest; bounds per-probe segment
-    * fan-out after many appends. O(index), never re-sketches. */
+    * fan-out after many appends. O(index), never re-sketches.
+    *
+    * Streaming-store horizon rule (the
+    * [[graft.stream.MicroBatchIngest.compactBatches]] contract): when
+    * the appends came from [[appendSigsAsBatch]], compact only after
+    * the folded batches can no longer be redelivered (i.e. the stream's
+    * checkpoint has advanced past them) — compaction erases the
+    * batch-named segments whose presence makes a replayed append a
+    * no-op, so a replay AFTER compaction of a still-replayable batch
+    * would re-add its rows. Like every maintenance pass here, run it in
+    * a window with no concurrent builders. */
   def compact(): Long = {
     val live = liveSegments()
     if (live.size <= 1) return resolvedOrFail()
