@@ -239,6 +239,47 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** BUILD-ONCE / SEARCH-MANY for IVF: one persisted
+    * [[graft.sim.IvfIndex]] per (application, corpus dir), built over
+    * the full embeddings table and then `forget`-redacted of the query
+    * vectors — so the graded serving path exercises the governance
+    * operation (deletion propagated into the derived store under the
+    * frozen codebook) on the way to its answer. The codebook and
+    * assignments come from the SAME `Similarity.centroids` /
+    * `rankedCellAffinity` definitions the inline `q_sim_ivf_ann` uses,
+    * and parquet round-trips the doubles exactly, so the served search
+    * is bit-identical to the inline pipeline (pinned in
+    * `IvfIndexSpec`); the oracle is the inline query's verbatim. */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedIvfIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.sim.IvfIndex = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val idir = ivfIndexDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfq_").toString
+      val idx = new graft.sim.IvfIndex(s, d)
+      idx.build(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+      idx.forget(0L until NumQueries.toLong)
+      d
+    })
+    new graft.sim.IvfIndex(s, idir)
+  }
+
+  /** IVF ANN served from the PERSISTED index — `q_sim_ivf_ann`'s
+    * contract through the store: centroids and the candidate postings
+    * are parquet reads (the probe touches only its `IvfProbes` cells'
+    * partitions); only the query vectors run distance math here. Same
+    * answer, two serving paths, one oracle — and the store the answer
+    * reads has already had the eval queries `forget`-redacted out of
+    * it, grading deletion propagation in the serving loop. */
+  private val ivfServed: Q = (s, dir) =>
+    sharedIvfIndex(s, dir)
+      .search(t(s, dir, "embeddings").where(col("vec_id") < NumQueries),
+        "vec_id", "embedding", k = LshTopK, probes = IvfProbes)
+      .select(col("qid"), col("rnk"), col("cid"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+
   /** Embedding-cosine near-dup (the 5th dedup mode): candidate pairs
     * blocked by label (stand-in for an IVF/LSH bucket), verified by exact
     * cosine ≥ threshold. The pair join is a shuffle equi-join on the block
@@ -873,6 +914,7 @@ object SimilarityQueries {
     "q_sim_hybrid_rrf"      -> hybridRrf,
     "q_sim_lsh_ann"         -> lshAnn,
     "q_sim_ivf_ann"         -> ivfAnn,
+    "q_sim_ivf_served"      -> ivfServed,
     "q_sim_quantize"        -> quantizeInt8,
     "q_sim_sq_adc"          -> sqAdc,
     "q_sim_hard_negatives"  -> hardNegatives,
@@ -1014,6 +1056,35 @@ object SimilarityQueries {
   private[queries] lazy val duckKmeansCtes: String =
     duckKmeansCtesAt(KmeansK, "")
 
+  /** `q_sim_ivf_ann`'s oracle — ONE definition, also graded against
+    * `q_sim_ivf_served` (the persisted forget-redacted index path). */
+  private lazy val ivfOracleSql =
+    s"""WITH ex AS (
+       |  SELECT label AS cell, unnest(embedding) AS v,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       | cent AS (SELECT cell, pos, avg(v) AS m FROM ex GROUP BY 1, 2),
+       | cen AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell),
+       | aff AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) AS aff
+       |  FROM embeddings e CROSS JOIN cen c),
+       | rk AS (
+       |  SELECT vec_id, embedding, cell, aff,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rnk
+       |  FROM aff),
+       | cands AS (SELECT vec_id AS cid, embedding AS ce, cell
+       |   FROM rk WHERE rnk = 1 AND vec_id >= $NumQueries),
+       | probes AS (SELECT vec_id AS qid, embedding AS qe, cell
+       |   FROM rk WHERE rnk <= $IvfProbes AND vec_id < $NumQueries),
+       | s AS (
+       |  SELECT qid, cid, $duckCos AS cos
+       |  FROM cands JOIN probes USING (cell)),
+       | r AS (SELECT qid, cid, cos,
+       |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
+       | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
+       | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     "q_sim_decontam" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
@@ -1096,32 +1167,11 @@ object SimilarityQueries {
     // orders on unrounded doubles, same determinism class as the
     // brute-force oracle (affinities between distinct cells are far
     // apart relative to FP summation noise).
-    "q_sim_ivf_ann" ->
-      s"""WITH ex AS (
-         |  SELECT label AS cell, unnest(embedding) AS v,
-         |         unnest(generate_series(1, len(embedding))) AS pos
-         |  FROM embeddings),
-         | cent AS (SELECT cell, pos, avg(v) AS m FROM ex GROUP BY 1, 2),
-         | cen AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cent GROUP BY cell),
-         | aff AS (
-         |  SELECT e.vec_id, e.embedding, c.cell,
-         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.centroid) AS aff
-         |  FROM embeddings e CROSS JOIN cen c),
-         | rk AS (
-         |  SELECT vec_id, embedding, cell, aff,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rnk
-         |  FROM aff),
-         | cands AS (SELECT vec_id AS cid, embedding AS ce, cell
-         |   FROM rk WHERE rnk = 1 AND vec_id >= $NumQueries),
-         | probes AS (SELECT vec_id AS qid, embedding AS qe, cell
-         |   FROM rk WHERE rnk <= $IvfProbes AND vec_id < $NumQueries),
-         | s AS (
-         |  SELECT qid, cid, $duckCos AS cos
-         |  FROM cands JOIN probes USING (cell)),
-         | r AS (SELECT qid, cid, cos,
-         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk FROM s)
-         | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
-         | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
+    "q_sim_ivf_ann" -> ivfOracleSql,
+    // The store-served twin grades against the SAME oracle: one answer,
+    // two serving paths (inline rebuild vs persisted forget-redacted
+    // index).
+    "q_sim_ivf_served" -> ivfOracleSql,
     // The truth and approx CTE chains are the two verified pipelines
     // above, renamed to coexist in one WITH list.
     "q_sim_recall" ->

@@ -194,6 +194,17 @@ class IvfIndexSpec extends SparkSpec {
       .where(col("rnk") <= K)
       .select("qid", "cid").as[(Long, Long)].collect().toSeq
 
+  test("the forget-redacted shared index serves q_sim_ivf_ann exactly") {
+    // The graded q_sim_ivf_served path: build over ALL embeddings (same
+    // centroids as the inline query), forget the query ids, search —
+    // must equal the inline oracle-graded pipeline bit-for-bit.
+    val served = graft.SparkEntry.queries("q_sim_ivf_served")(spark, dir)
+      .collect().toSeq
+    val inline = graft.SparkEntry.queries("q_sim_ivf_ann")(spark, dir)
+      .collect().toSeq
+    assert(served == inline)
+  }
+
   /** The synthetic embeddings are only weakly clustered by label, so an
     * absolute recall bar would test the DATA, not the index. The index's
     * own contracts are structural: probing must beat the random-pruning

@@ -103,6 +103,31 @@ class MinHashIngestSpec extends SparkSpec {
     assert(corpusIds(base) == Set(1L))
   }
 
+  test("composes with DedupIngest: each screen catches the other's gap") {
+    // The class docs' pipeline: the exact screen (corpus-LIFETIME
+    // identity, incl. shingle-free docs) runs first; its survivors feed
+    // the near screen. Cross-batch shingle-free exact dups are
+    // MinHashIngest's blind spot; near-dups are DedupIngest's.
+    val base = Files.createTempDirectory("mh-compose").toString
+    val exact = new DedupIngest(spark, "id", "text",
+      s"$base/exact-corpus", s"$base/fp-index")
+    val near = new MinHashIngest(spark, "id", "text",
+      s"$base/corpus", s"$base/index")
+    def pipe(b: org.apache.spark.sql.DataFrame, id: Long): Long = {
+      exact.processBatch(b, id)
+      val survivors = spark.read.parquet(s"$base/exact-corpus")
+        .where($"batch_id" === id).drop("batch_id")
+      near.processBatch(survivors, id)
+    }
+    assert(pipe(Seq((1L, nearA), (2L, "hi")).toDF("id", "text"), 0L) == 2)
+    // Batch 1: a shingle-free exact dup of doc 2 (exact screen's catch),
+    // a near-dup of doc 1 (near screen's catch), and a novel doc.
+    val b1 = Seq((10L, "hi"), (11L, nearB), (12L, "a brand new document"))
+      .toDF("id", "text")
+    assert(pipe(b1, 1L) == 1)
+    assert(corpusIds(base) == Set(1L, 2L, 12L))
+  }
+
   test("drives end to end from a streaming source") {
     val (ing, base) = mk()
     val ms = MemoryStream[(Long, String)](spark, numPartitions = 2)
