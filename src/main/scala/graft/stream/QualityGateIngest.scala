@@ -1,0 +1,80 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.ml.NgramLm
+
+/** Streaming perplexity gate — the CCNet deployment shape of
+  * [[graft.ml.NgramLm]]: a reference LM is fitted ONCE (offline, on a
+  * trusted corpus), and every arriving micro-batch is scored against
+  * the frozen model; docs whose mean surprisal exceeds the threshold
+  * (gibberish, OCR noise, wrong-language text the cheaper gates missed)
+  * are dropped before they reach the corpus. Per trigger this tokenizes
+  * ONLY the batch and joins the vocabulary-sized type table — nothing
+  * scales with the reference corpus.
+  *
+  * Two stores, both replay-convergent `batch_id=` partitions (the
+  * shared [[MicroBatchIngest.writeBatchPartition]] rule):
+  *   - `corpusDir` — surviving docs (all input columns);
+  *   - `auditDir`  — EVERY doc's verdict (doc id, n_tokens, n_oov,
+  *     heldout_mb, decision), the record a curation pipeline keeps so a
+  *     gate can be re-litigated without re-scoring. Docs with no
+  *     tokens produce no LM score and are dropped with zeroed metrics
+  *     (an empty doc is not corpus material; the decision is recorded,
+  *     not silent).
+  *
+  * The model is resolved ONCE at construction (the `KmeansIngest`
+  * version-pinning rule): scoring state never changes mid-stream.
+  * Unlike the manifest-versioned stores, the LM store is
+  * overwrite-in-place — to adopt a refit, fit to a NEW directory and
+  * restart the ingest against it (an in-place refit under a live
+  * reader risks exactly the torn read `NgramLm.load`'s cross-checks
+  * exist to catch). Replay is trivially convergent: the model is
+  * frozen and every step is deterministic in the batch, so a
+  * redelivered batch rewrites both of its own partitions with
+  * identical rows. */
+final class QualityGateIngest(
+    spark: SparkSession,
+    idCol: String,
+    textCol: String,
+    modelDir: String,
+    corpusDir: String,
+    auditDir: String,
+    maxMb: Long) extends MicroBatchIngest with Serializable {
+
+  /** Load (and verify) once; fails loudly at construction on a torn or
+    * absent model — a gate that silently scored against half a
+    * vocabulary would ship noise into the corpus. */
+  private val model: NgramLm.Model = NgramLm.load(spark, modelDir)
+
+  /** One micro-batch: returns the number of surviving documents. */
+  override def processBatch(batch: DataFrame, batchId: Long): Long = {
+    if (batch.isEmpty) return 0L
+    val docs = batch.dropDuplicates(idCol)
+      .persist(StorageLevel.MEMORY_AND_DISK) // audit join + survivor join
+    try {
+      val verdicts = model.gate(docs, idCol, textCol, maxMb)
+      val audit = docs.select(col(idCol).as("doc_id"))
+        .join(verdicts, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          col("heldout_mb"), // null for token-free docs: no score exists
+          coalesce(col("decision"), lit("drop")).as("decision"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // audit write + keep filter
+      try {
+        MicroBatchIngest.writeBatchPartition(audit, auditDir, batchId)
+        val keepIds = audit.where(col("decision") === "keep")
+          .select("doc_id")
+        val survivors = docs.join(keepIds,
+          docs(idCol) === keepIds("doc_id"), "left_semi")
+        val n = survivors.count()
+        if (n > 0)
+          MicroBatchIngest.writeBatchPartition(survivors, corpusDir, batchId)
+        n
+      } finally { audit.unpersist(); () }
+    } finally { docs.unpersist(); () }
+  }
+}
