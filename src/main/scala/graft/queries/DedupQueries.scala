@@ -357,9 +357,14 @@ object DedupQueries {
     }
   }
 
+  /** SimHash fingerprints, session-shared: the sketch pass (one md5 per
+    * token) runs once per corpus for both simhash consumers. */
+  private def simhashShared(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.sharedFrame(s, dir, "simhash")(simhashFp(s, dir)))
+
   /** SimHash fingerprints (16-bit sign sketch). */
   private val simhashFingerprints: Q = (s, dir) =>
-    simhashFp(s, dir).orderBy("doc_id")
+    simhashShared(s, dir).orderBy("doc_id")
 
   /** SimHash near-dup pairs: block on either fingerprint half (a pair
     * within Hamming ≤ 8 shares at least one exact half — pigeonhole), then
@@ -373,7 +378,7 @@ object DedupQueries {
     * broadcast join at runtime iff the build side measures small, so the
     * plan has no O(corpus)-broadcast ceiling at 100×. */
   private val simhashPairs: Q = (s, dir) => {
-    val fp = simhashFp(s, dir)
+    val fp = simhashShared(s, dir)
       .withColumn("fpl", conv(col("simhash"), 2, 10).cast("long"))
     def half(c: Column, i: Int) = substring(c, 1 + 8 * i, 8)
     // One banded self-join instead of a union of two (same minhash-LSH
@@ -422,7 +427,11 @@ object DedupQueries {
     * this corpus in DedupQueriesSpec. Terms are cleaned ASCII, so Spark's
     * binary-UTF8 sort and DuckDB's varchar sort agree. */
   private[queries] def termSets(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(
+    // Session-shared: five graded consumers (ngram_jaccard, containment,
+    // prefix_join, lsh_jaccard, minhash_est) attach these term sets —
+    // the tokenize+sort+hash pass runs once per corpus, not per query
+    // (arrays of longs parquet-round-trip exactly; oracles unchanged).
+    Tables.fanout(Tables.sharedFrame(s, dir, "termsets") {
       Tables.fanout(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(TokenOps.terms(col("text")))).as("term"))
@@ -430,7 +439,8 @@ object DedupQueries {
         .agg(slice(array_sort(collect_set(col("term"))), 1, MaxTermsPerDoc).as("terms"))
         .select(col("doc_id"), col("lang"),
           array_sort(transform(col("terms"), tm => xxhash64(tm))).as("tset"))
-        .withColumn("n", size(col("tset"))))
+        .withColumn("n", size(col("tset")))
+    })
   // The TRAILING fanout is load-bearing: the term-set aggregate's shuffle
   // output is tiny at bench scale, so AQE coalesces its final stage to ~1
   // partition — and the checkpoint downstream then pins the PAIR JOIN
@@ -798,8 +808,15 @@ object DedupQueries {
         col("n_toks"), col("tok_start").cast("long").as("tok_start"),
         col("chunk_fp"))
 
+  /** The chunk table, session-shared by both CDC consumers (one
+    * boundary+fingerprint pass per corpus). */
+  private def cdcChunksShared(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.sharedFrame(s, dir, "cdc_chunks") {
+      cdcChunkFrame(tokenized(s, dir))
+    })
+
   private val cdcChunks: Q = (s, dir) =>
-    cdcChunkFrame(tokenized(s, dir)).orderBy("doc_id", "chunk_idx")
+    cdcChunksShared(s, dir).orderBy("doc_id", "chunk_idx")
 
   /** Substantial-passage floor: chunks shorter than this are too common
     * to signal copying (articles, headers) — both engines filter on it
@@ -816,7 +833,7 @@ object DedupQueries {
     * floor keeps trivial short chunks from linking unrelated docs. */
   private val sharedPassages: Q = (s, dir) => {
     // Checkpointed once: both sides of the fp self-join consume it.
-    val ch = cdcChunkFrame(tokenized(s, dir))
+    val ch = cdcChunksShared(s, dir)
       .where(col("n_toks") >= MinSharedChunkToks)
       .groupBy("doc_id", "chunk_fp")
       .agg(max("n_toks").as("n_toks"))
