@@ -1,5 +1,8 @@
 package graft.ml
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,61 +30,156 @@ import graft.ops.TokenOps
   * query (pinned in `NgramLmSpec`, and graded directly by
   * `q_text_ppl_served`, which shares `q_text_heldout_ppl`'s oracle).
   *
-  * Layout: `uni/` (term, cnt) — vocabulary-sized, DISTRIBUTED state
-  * (unlike the O(B) logreg weights, a corpus vocabulary outgrows the
-  * driver; it stays a parquet-backed frame end to end) — and `meta/`
-  * (ONE row: t_total, v_size). [[load]] cross-checks the tables —
-  * row count vs the explicit v_size AND Σcnt vs the explicit t_total —
-  * so a torn store (lost part-files) fails loudly instead of serving a
-  * silently-sharper LM (the explicit-width rule from the logreg store).
+  * FULL LIFECYCLE (the `LexIndex`/`MinHashIndex` segment economics —
+  * term counts are ADDITIVE, which makes every operation exact):
+  *   - `segments/seg-<uuid>/uni/`  — (term, cnt) BIGINT rows; `cnt` may be
+  *     NEGATIVE in a forget segment (below).
+  *   - `segments/seg-<uuid>/meta/` — ONE row (t_total = Σcnt, v_size = row
+  *     count) per segment; [[load]] cross-checks EVERY live segment
+  *     against its meta, so a torn store (lost part-files) fails loudly
+  *     instead of serving a silently-sharper LM (the explicit-width
+  *     rule from the logreg store).
+  *   - `m=N` manifest — live segment names, temp-write + ONE atomic
+  *     rename ([[graft.ops.VersionedPaths.publish]]): readers see the
+  *     old or the new segment set, never a torn mix.
+  *   - [[Model.append]] counts only the delta text — exact by
+  *     additivity (served scores ≡ a from-scratch fit on the union).
+  *   - [[Model.forget]] writes a NEGATIVE-count segment from the victim
+  *     docs' own text: the rolled-up vocabulary (zero-sum terms
+  *     dropped) equals a fit on the redacted corpus BIT-FOR-BIT — exact
+  *     right-to-be-forgotten for LM state, no rebuild, the reference
+  *     corpus is never re-read. (Contract: forget exactly the text that
+  *     was ingested, at most once — subtracting twice, or text never
+  *     added, drives counts negative; [[Model.vocab]] fails loudly on
+  *     any negative rolled count rather than serve an impossible LM.)
+  *   - [[Model.compact]] folds live segments into one (additive sums,
+  *     zero rows dropped); [[Model.vacuum]] shares [[graft.sim.IndexVacuum]].
   *
-  * Scale shape: fit is one explode + hash-count (map-side combined,
-  * vocabulary-sized output — Heaps-sublinear in the corpus); scoring a
-  * batch is one tokenize of THE BATCH + a vocabulary join (AQE
-  * broadcasts the type table when small) + a doc-keyed aggregation.
-  * Nothing scales with the reference corpus after fit. */
+  * The vocabulary is DISTRIBUTED state (unlike the O(B) logreg weights,
+  * a corpus vocabulary outgrows the driver; it stays a parquet-backed
+  * frame end to end). Scale shape: fit/append are one explode +
+  * hash-count over THEIR batch (map-side combined, vocabulary-sized
+  * output — Heaps-sublinear); scoring a batch is one tokenize of the
+  * batch + a vocabulary join (AQE broadcasts the type table when small)
+  * + a doc-keyed aggregation. Nothing scales with the reference corpus
+  * after fit. */
 object NgramLm {
 
-  /** Fit on a reference corpus and persist under `dir`. Meta is written
-    * AFTER uni from the same checkpointed counts, so `load`'s
-    * cross-checks catch any torn combination. */
+  /** Fit on a reference corpus and persist under `dir` (manifest v0, or
+    * the next version over an existing store). */
   def fit(docs: DataFrame, textCol: String, dir: String): Unit = {
-    val uni = graft.queries.Tables.fanout(docs)
-      .select(explode(TokenOps.terms(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // uni write + meta aggregate read it once
-    uni.write.mode(SaveMode.Overwrite).parquet(s"$dir/uni")
-    uni.agg(sum("cnt").as("t_total"), count(lit(1)).as("v_size"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+    val store = new Store(org.apache.spark.sql.SparkSession.active, dir)
+    store.publish(Seq(store.writeSegment(countsOf(docs, textCol))))
+    ()
   }
 
-  /** Load with torn-store verification (both invariants, see class
+  /** One tokenize+count pass over a batch — the single definition every
+    * lifecycle operation sketches with. */
+  private def countsOf(docs: DataFrame, textCol: String): DataFrame =
+    graft.queries.Tables.fanout(docs)
+      .select(explode(TokenOps.terms(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** Load with torn-store verification on every live segment (see class
     * doc). The checks are vocabulary-sized aggregates — model-state
     * cost, not corpus cost. */
   def load(spark: SparkSession, dir: String): Model = {
-    val metaRows = spark.read.parquet(s"$dir/meta").collect()
-    require(metaRows.length == 1,
-      s"LM store at $dir has ${metaRows.length} meta rows (want 1)")
-    val tTotal = metaRows.head.getAs[Long]("t_total")
-    val vSize = metaRows.head.getAs[Long]("v_size")
-    val check = spark.read.parquet(s"$dir/uni")
-      .agg(count(lit(1)).as("n"), sum("cnt").as("s")).head()
-    require(check.getLong(0) == vSize,
-      s"LM store at $dir is torn: ${check.getLong(0)} vocab rows " +
-        s"for declared v_size $vSize")
-    require(check.getLong(1) == tTotal,
-      s"LM store at $dir is torn: token sum ${check.getLong(1)} " +
-        s"for declared t_total $tTotal")
-    new Model(spark, dir)
+    val store = new Store(spark, dir)
+    store.liveSegments().foreach { seg =>
+      val metaRows = spark.read.parquet(store.segPath(seg, "meta")).collect()
+      require(metaRows.length == 1,
+        s"LM store at $dir/$seg has ${metaRows.length} meta rows (want 1)")
+      val tTotal = metaRows.head.getAs[Long]("t_total")
+      val vSize = metaRows.head.getAs[Long]("v_size")
+      val check = spark.read.parquet(store.segPath(seg, "uni"))
+        .agg(count(lit(1)).as("n"), sum("cnt").as("s")).head()
+      require(check.getLong(0) == vSize,
+        s"LM store at $dir is torn: segment $seg has ${check.getLong(0)} " +
+          s"vocab rows for declared v_size $vSize")
+      require(check.getLong(1) == tTotal,
+        s"LM store at $dir is torn: segment $seg token sum " +
+          s"${check.getLong(1)} for declared t_total $tTotal")
+    }
+    new Model(spark, store)
+  }
+
+  /** Manifest + segment plumbing (the shared store rules). */
+  private[NgramLm] final class Store(spark: SparkSession, val dir: String) {
+    private def fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def currentVersion(): Option[Long] =
+      graft.ops.VersionedPaths.listNumbered(fs, new Path(dir), "m=",
+          dirsOnly = false)
+        .map(_._2).sorted.lastOption
+
+    private def segmentsAt(v: Long): Seq[String] = {
+      val in = fs.open(new Path(dir, s"m=$v"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    }
+
+    def liveSegments(): Seq[String] = segmentsAt(currentVersion().getOrElse(
+      throw new IllegalStateException(s"no complete LM store under $dir")))
+
+    def segPath(seg: String, table: String): String =
+      s"$dir/segments/$seg/$table"
+
+    /** One segment from a (term, cnt) frame; meta written AFTER uni
+      * from the same checkpointed counts so load's cross-checks catch
+      * any torn combination. */
+    def writeSegment(counts: DataFrame): String = {
+      val seg = s"seg-${java.util.UUID.randomUUID()}"
+      val c = counts.localCheckpoint(true) // uni write + meta read once
+      c.write.mode(SaveMode.Overwrite).parquet(segPath(seg, "uni"))
+      c.agg(coalesce(sum("cnt"), lit(0L)).as("t_total"),
+          count(lit(1)).as("v_size"))
+        .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "meta"))
+      seg
+    }
+
+    def publish(segs: Seq[String]): Long = {
+      val tmp = new Path(dir, s".manifest-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(
+        (segs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      graft.ops.VersionedPaths.publish(fs, new Path(dir), tmp, "m=",
+        currentVersion().map(_ + 1).getOrElse(0L))
+    }
+
+    def vacuum(keep: Int): (Int, Int) =
+      graft.sim.IndexVacuum.vacuum(fs, dir, keep, segmentsAt,
+        Seq("segments" -> "seg-"))
+
+    def readUnion(table: String): DataFrame =
+      liveSegments().map(s => spark.read.parquet(segPath(s, table)))
+        .reduce(_ unionByName _)
   }
 
   /** A verified handle; construct via [[load]]. */
-  final class Model private[NgramLm] (spark: SparkSession, dir: String) {
+  final class Model private[NgramLm] (spark: SparkSession, store: Store) {
 
-    /** The persisted vocabulary (term, cnt). */
-    def vocab(): DataFrame = spark.read.parquet(s"$dir/uni")
+    /** The rolled-up vocabulary (term, cnt): per-term sums across live
+      * segments, zero-sum terms dropped (a fully-forgotten term is
+      * ABSENT, exactly as in a redacted-corpus fit). Fails loudly if
+      * any rolled count is negative — that is a broken forget contract,
+      * not a servable LM. */
+    def vocab(): DataFrame = {
+      val rolled = store.readUnion("uni")
+        .groupBy("term").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0L)
+      rolled.withColumn("cnt",
+        when(col("cnt") < 0L, raise_error(concat(
+          lit("LM store at " + store.dir + " rolled a negative count for term '"),
+          col("term"), lit("' — forget subtracted text never ingested"))))
+          .otherwise(col("cnt")))
+    }
 
-    private def meta: DataFrame = spark.read.parquet(s"$dir/meta")
+    private def stats: DataFrame =
+      vocab().agg(coalesce(sum("cnt"), lit(0L)).as("t_total"),
+        count(lit(1)).as("v_size"))
 
     /** Score a batch under the frozen LM: (doc_id, n_tokens, n_oov,
       * heldout_mb) — the `q_text_heldout_ppl` output contract, unsorted
@@ -91,11 +189,11 @@ object NgramLm {
         .select(col(idCol).as("doc_id"),
           explode(TokenOps.terms(col(textCol))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
-      val lmQ = vocab().crossJoin(broadcast(meta))
+      val lmQ = vocab().crossJoin(broadcast(stats))
         .select(col("term"),
           expr(graft.queries.TextQueries.HeldoutInVocabSql).as("mln"))
       tf.join(lmQ, Seq("term"), "left_outer")
-        .crossJoin(broadcast(meta))
+        .crossJoin(broadcast(stats))
         .withColumn("mln_eff",
           coalesce(col("mln"), expr(graft.queries.TextQueries.HeldoutOovSql)))
         .groupBy("doc_id")
@@ -106,14 +204,52 @@ object NgramLm {
 
     /** The CCNet-style gate: keep docs at or below `maxMb` mean
       * surprisal (high-surprisal docs read as gibberish/OCR noise under
-      * the reference LM). Shingle-level subtlety inherited from the
-      * score contract: a doc with NO tokens produces no tf rows and no
-      * verdict — compose with the length gates that already screen
+      * the reference LM). A doc with NO tokens produces no tf rows and
+      * no verdict — compose with the length gates that already screen
       * empty docs. */
     def gate(docs: DataFrame, idCol: String, textCol: String,
         maxMb: Long): DataFrame =
       score(docs, idCol, textCol)
         .withColumn("decision",
           when(col("heldout_mb") <= maxMb, "keep").otherwise("drop"))
+
+    /** Incremental APPEND: count only the delta text, publish old
+      * segments + the new one. Exact by additivity — served scores
+      * after any append sequence equal a from-scratch fit on the union
+      * (spec-pinned). Cost ∝ delta. */
+    def append(docs: DataFrame, textCol: String): Long = {
+      val live = store.liveSegments() // resolve BEFORE the heavy write
+      store.publish(live :+ store.writeSegment(countsOf(docs, textCol)))
+    }
+
+    /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
+      * docs (their text must be exactly what was ingested, forgotten at
+      * most once — the class-doc contract) and append their counts
+      * NEGATED; the rolled vocabulary then equals a fit on the redacted
+      * corpus bit-for-bit (spec-pinned), zero-sum terms vanishing from
+      * the served vocabulary entirely. O(victim text), no rebuild. */
+    def forget(docs: DataFrame, textCol: String): Long = {
+      val live = store.liveSegments()
+      store.publish(live :+ store.writeSegment(
+        countsOf(docs, textCol)
+          .select(col("term"), (-col("cnt")).as("cnt"))))
+    }
+
+    /** MAINTENANCE compaction: fold live segments into one (the same
+      * additive algebra serving uses; zero-sum terms dropped, so
+      * forget segments are REALIZED and their negatives leave the
+      * store). Bounds per-score segment fan-out after many appends. */
+    def compact(): Long = {
+      val live = store.liveSegments()
+      if (live.size <= 1) return store.currentVersion().get
+      store.publish(Seq(store.writeSegment(
+        store.readUnion("uni")
+          .groupBy("term").agg(sum("cnt").as("cnt"))
+          .where(col("cnt") =!= 0L))))
+    }
+
+    /** Retention: keep the newest `keep` versions, sweep older
+      * manifests and unreferenced segments (shared IndexVacuum rules). */
+    def vacuum(keep: Int = 1): (Int, Int) = store.vacuum(keep)
   }
 }

@@ -18,7 +18,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * against every manifest that exists at sweep time — but a build
   * still mid-stage when the sweep runs is not protected; run vacuum
   * without concurrent builds. */
-private[sim] object IndexVacuum {
+private[graft] object IndexVacuum {
 
   /** Returns (manifests deleted, data dirs deleted). `referenced(v)` =
     * every data-dir name manifest v keeps alive; `dataDirs` = the

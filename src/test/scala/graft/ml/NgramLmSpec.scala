@@ -44,6 +44,14 @@ class NgramLmSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** The live segment's `uni` directory (single-segment stores). */
+  private def uniDir(d: String): String = {
+    val segs = new java.io.File(s"$d/segments").listFiles()
+      .filter(_.getName.startsWith("seg-"))
+    assert(segs.length >= 1)
+    s"${segs.head.getPath}/uni"
+  }
+
   test("a torn store (lost vocab part-file) fails load loudly") {
     val d = Files.createTempDirectory("nglm-torn").toString + "/lm"
     NgramLm.fit(split.where(col("split") === "train"), "text", d)
@@ -51,17 +59,90 @@ class NgramLmSpec extends SparkSpec {
     // Re-lay the vocab across two files (a small fit coalesces to one),
     // then lose one — the partial tear a missing part-file produces at
     // corpus scale. Meta still declares the full v_size/t_total.
-    val uni = spark.read.parquet(s"$d/uni").repartition(2)
-      .localCheckpoint(true)
-    uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$d/uni")
-    val parts = new java.io.File(s"$d/uni").listFiles()
+    val u = uniDir(d)
+    val uni = spark.read.parquet(u).repartition(2).localCheckpoint(true)
+    uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(u)
+    val parts = new java.io.File(u).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.length() > 0)
       .sortBy(-_.length())
     assert(parts.length == 2, s"expected 2 part files, got ${parts.length}")
     assert(parts.head.delete())
     val e = intercept[IllegalArgumentException] { NgramLm.load(spark, d) }
     assert(e.getMessage.contains("torn"))
+  }
+
+  test("append is exact: base+delta serves == from-scratch fit on the union") {
+    val train = split.where(col("split") === "train")
+    val valDocs = split.where(col("split") === "val")
+    val half = 250
+    val d = Files.createTempDirectory("nglm-app").toString + "/lm"
+    NgramLm.fit(train.where(col("doc_id") < half), "text", d)
+    NgramLm.load(spark, d).append(train.where(col("doc_id") >= half), "text")
+    val full = Files.createTempDirectory("nglm-app2").toString + "/lm"
+    NgramLm.fit(train, "text", full)
+    assert(NgramLm.load(spark, d).score(valDocs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq ==
+      NgramLm.load(spark, full).score(valDocs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+  }
+
+  test("forget via a negative segment == a fit on the redacted corpus") {
+    val train = split.where(col("split") === "train")
+    val valDocs = split.where(col("split") === "val")
+    val victims = train.orderBy("doc_id").limit(50)
+    val d = Files.createTempDirectory("nglm-fgt").toString + "/lm"
+    NgramLm.fit(train, "text", d)
+    NgramLm.load(spark, d).forget(victims, "text")
+    val redacted = Files.createTempDirectory("nglm-fgt2").toString + "/lm"
+    val victimIds = victims.select("doc_id").as[Long].collect().toSet
+    NgramLm.fit(train.where(!col("doc_id").isin(victimIds.toSeq: _*)),
+      "text", redacted)
+    val m = NgramLm.load(spark, d)
+    val r = NgramLm.load(spark, redacted)
+    // Vocabulary AND served scores bit-equal the redacted rebuild —
+    // zero-sum terms have vanished entirely.
+    assert(m.vocab().orderBy("term").collect().toSeq ==
+      r.vocab().orderBy("term").collect().toSeq)
+    assert(m.score(valDocs, "doc_id", "text").orderBy("doc_id")
+        .collect().toSeq ==
+      r.score(valDocs, "doc_id", "text").orderBy("doc_id")
+        .collect().toSeq)
+  }
+
+  test("compact folds append+forget segments; answers unchanged") {
+    val train = split.where(col("split") === "train")
+    val valDocs = split.where(col("split") === "val")
+    val d = Files.createTempDirectory("nglm-cpt").toString + "/lm"
+    NgramLm.fit(train.where(col("doc_id") < 250), "text", d)
+    val m0 = NgramLm.load(spark, d)
+    m0.append(train.where(col("doc_id") >= 250), "text")
+    m0.forget(train.orderBy("doc_id").limit(20), "text")
+    val before = NgramLm.load(spark, d)
+      .score(valDocs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    NgramLm.load(spark, d).compact()
+    val m = NgramLm.load(spark, d)
+    assert(m.score(valDocs, "doc_id", "text").orderBy("doc_id")
+      .collect().toSeq == before)
+    val (manifests, dirs) = m.vacuum(keep = 1)
+    assert(manifests == 3 && dirs == 3,
+      s"expected 3 old manifests + 3 folded segments, got ($manifests, $dirs)")
+    assert(m.score(valDocs, "doc_id", "text").orderBy("doc_id")
+      .collect().toSeq == before, "vacuum changed scores")
+  }
+
+  test("a broken forget contract (never-ingested text) fails loudly") {
+    val d = Files.createTempDirectory("nglm-neg").toString + "/lm"
+    NgramLm.fit(Seq((1L, "alpha beta alpha")).toDF("doc_id", "text"),
+      "text", d)
+    val m = NgramLm.load(spark, d)
+    m.forget(Seq((9L, "gamma gamma never ingested")).toDF("doc_id", "text"),
+      "text")
+    val e = intercept[Exception] {
+      NgramLm.load(spark, d).vocab().orderBy("term").collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("negative count"),
+      s"wanted the negative-count guard, got: ${e.getMessage}")
   }
 
   test("OOV terms score the single unseen-term surprisal") {

@@ -92,11 +92,14 @@ class QualityGateIngestSpec extends SparkSpec {
 
   test("construction fails loudly on a torn model store") {
     val lm = fitModel()
-    // Tear it: two files, lose one (the NgramLmSpec recipe).
-    val uni = spark.read.parquet(s"$lm/uni").repartition(2)
-      .localCheckpoint(true)
-    uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$lm/uni")
-    val parts = new java.io.File(s"$lm/uni").listFiles()
+    // Tear it: two files, lose one (the NgramLmSpec recipe) — in the
+    // live segment's uni table.
+    val seg = new java.io.File(s"$lm/segments").listFiles()
+      .filter(_.getName.startsWith("seg-")).head
+    val u = s"${seg.getPath}/uni"
+    val uni = spark.read.parquet(u).repartition(2).localCheckpoint(true)
+    uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(u)
+    val parts = new java.io.File(u).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.length() > 0)
     assert(parts.length == 2)
     assert(parts.head.delete())
