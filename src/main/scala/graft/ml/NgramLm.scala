@@ -73,6 +73,24 @@ object NgramLm {
     ()
   }
 
+  /** True iff a complete (manifest-published) store exists under `dir`. */
+  def storeExists(spark: SparkSession, dir: String): Boolean =
+    new Store(spark, dir).currentVersion().isDefined
+
+  /** First-batch form of the streaming maintainer
+    * ([[graft.stream.LmIngest]]): one BATCH-NAMED segment published as
+    * the first manifest — replay-idempotent together with
+    * [[Model.appendBatch]] (a redelivery of batch 0 after the store
+    * exists routes through appendBatch and publishes nothing; a crash
+    * before the first publish replays into an identical overwrite). */
+  private[graft] def fitBatch(docs: DataFrame, textCol: String,
+      dir: String, batchId: Long): Unit = {
+    val store = new Store(docs.sparkSession, dir)
+    store.publish(Seq(store.writeNamedSegment(
+      countsOf(docs, textCol), s"seg-batch-$batchId")))
+    ()
+  }
+
   /** One tokenize+count pass over a batch — the single definition every
     * lifecycle operation sketches with. */
   private def countsOf(docs: DataFrame, textCol: String): DataFrame =
@@ -129,8 +147,10 @@ object NgramLm {
     /** One segment from a (term, cnt) frame; meta written AFTER uni
       * from the same checkpointed counts so load's cross-checks catch
       * any torn combination. */
-    def writeSegment(counts: DataFrame): String = {
-      val seg = s"seg-${java.util.UUID.randomUUID()}"
+    def writeSegment(counts: DataFrame): String =
+      writeNamedSegment(counts, s"seg-${java.util.UUID.randomUUID()}")
+
+    def writeNamedSegment(counts: DataFrame, seg: String): String = {
       val c = counts.localCheckpoint(true) // uni write + meta read once
       c.write.mode(SaveMode.Overwrite).parquet(segPath(seg, "uni"))
       c.agg(coalesce(sum("cnt"), lit(0L)).as("t_total"),
@@ -220,6 +240,23 @@ object NgramLm {
     def append(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments() // resolve BEFORE the heavy write
       store.publish(live :+ store.writeSegment(countsOf(docs, textCol)))
+    }
+
+    /** IDEMPOTENT per-batch append for the streaming maintainer
+      * ([[graft.stream.LmIngest]]): batch-derived segment name,
+      * overwrite write, manifest gains the segment at most once — an
+      * at-least-once redelivery rewrites its own segment with identical
+      * counts and publishes nothing, so the store converges instead of
+      * double-counting (the [[graft.sim.MinHashIndex.appendSigsAsBatch]]
+      * rule; a UUID-named [[append]] under replay WOULD double-count,
+      * which is why the streaming path must use this form). */
+    private[graft] def appendBatch(docs: DataFrame, textCol: String,
+        batchId: Long): Long = {
+      val live = store.liveSegments()
+      val seg = s"seg-batch-$batchId"
+      store.writeNamedSegment(countsOf(docs, textCol), seg)
+      if (live.contains(seg)) store.currentVersion().get
+      else store.publish(live :+ seg)
     }
 
     /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
