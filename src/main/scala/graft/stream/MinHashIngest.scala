@@ -62,11 +62,28 @@ final class MinHashIngest(
 
   /** One micro-batch: returns the number of surviving documents (a
     * replayed batch recomputes — and re-reports — the same count). */
+  /** One row per id, deterministically, ALL columns preserved:
+    * conflicting texts for one id (upstream corruption) resolve to the
+    * md5-smallest — content-keyed, so any partitioning picks the same
+    * winner and replays converge (the [[WinnowIngest]] rule; a bare
+    * dropDuplicates keeps an arbitrary row and a redelivery could keep
+    * a different one). Rows agreeing on (id, winning text) are assumed
+    * identical redelivery copies (the [[DedupIngest]] contract) and
+    * collapse to one. */
+  private def onePerId(batch: DataFrame): DataFrame = {
+    val winner = batch.groupBy(col(idCol))
+      .agg(min(md5(coalesce(col(textCol), lit("")))).as("__tfp"))
+    batch.withColumn("__tfp", md5(coalesce(col(textCol), lit(""))))
+      .join(winner, Seq(idCol, "__tfp"))
+      .dropDuplicates(idCol)
+      .drop("__tfp")
+  }
+
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
     if (batch.isEmpty) return 0L
     // 1. Within-batch exact collapse: redelivered copies of one record
     // (same fp, same id) land once; content ties break to min id.
-    val fp = batch.dropDuplicates(idCol)
+    val fp = onePerId(batch)
       .withColumn("fp", md5(TextOps.cleanText(col(textCol))))
     val firstIds = fp.groupBy("fp").agg(min(col(idCol)).as(idCol))
     val exactKept = fp.join(firstIds, Seq("fp", idCol)).drop("fp")

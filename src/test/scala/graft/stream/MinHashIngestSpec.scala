@@ -103,6 +103,24 @@ class MinHashIngestSpec extends SparkSpec {
     assert(corpusIds(base) == Set(1L))
   }
 
+  test("conflicting texts for one id resolve content-deterministically") {
+    // Same malformed batch into two independent pipelines: the winner
+    // must be the same (content-keyed md5 min, not partition order),
+    // and a replay must converge on it.
+    val b = Seq((1L, nearA), (1L, "a wholly different conflicting text"))
+      .toDF("id", "text").repartition(4)
+    def winnerOf(): String = {
+      val (ing, base) = mk()
+      assert(ing.processBatch(b, 0L) == 1)
+      assert(ing.processBatch(b, 0L) == 1) // replay
+      val rows = spark.read.parquet(s"$base/corpus")
+        .select("text").as[String].collect()
+      assert(rows.length == 1)
+      rows.head
+    }
+    assert(winnerOf() == winnerOf())
+  }
+
   test("composes with DedupIngest: each screen catches the other's gap") {
     // The class docs' pipeline: the exact screen (corpus-LIFETIME
     // identity, incl. shingle-free docs) runs first; its survivors feed
