@@ -60,8 +60,6 @@ final class MinHashIngest(
 
   private def index = new MinHashIndex(spark, indexDir)
 
-  /** One micro-batch: returns the number of surviving documents (a
-    * replayed batch recomputes — and re-reports — the same count). */
   /** One row per id, deterministically, ALL columns preserved:
     * conflicting texts for one id (upstream corruption) resolve to the
     * md5-smallest — content-keyed, so any partitioning picks the same
@@ -79,6 +77,8 @@ final class MinHashIngest(
       .drop("__tfp")
   }
 
+  /** One micro-batch: returns the number of surviving documents (a
+    * replayed batch recomputes — and re-reports — the same count). */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
     if (batch.isEmpty) return 0L
     // 1. Within-batch exact collapse: redelivered copies of one record
