@@ -131,23 +131,28 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
 
   /** IDEMPOTENT per-batch append for the streaming maintainer
     * ([[graft.stream.MinHashIngest]]): the segment name is DERIVED FROM
-    * THE BATCH ID, the write is an overwrite, and the manifest gains the
-    * segment at most once — so an at-least-once redelivery (same
-    * checkpointed offsets ⇒ same survivor sigs, same id) rewrites its
-    * own segment with identical rows and publishes nothing new; the
-    * store converges instead of accumulating duplicate segments (the
+    * THE BATCH ID and the manifest gains the segment at most once — so
+    * an at-least-once redelivery (same checkpointed offsets ⇒ same
+    * survivor sigs, same id) converges instead of accumulating
+    * duplicate segments (the
     * [[graft.stream.MicroBatchIngest.writeBatchPartition]] convergence
-    * rule, applied to manifest-versioned segments). Creates the index
-    * when none exists yet. */
+    * rule, applied to manifest-versioned segments). A segment ALREADY
+    * in the live manifest is a TRUE no-op: published data is never
+    * rewritten in place (a crash mid-overwrite would leave the manifest
+    * pointing at a half-written segment — the tear the manifest
+    * discipline exists to prevent; the caller's rows are deterministic
+    * in the batch, so skipping loses nothing). A crash BEFORE the
+    * publish leaves an unreferenced segment dir, which the replay
+    * overwrites whole. Creates the index when none exists yet. */
   private[graft] def appendSigsAsBatch(sigs: DataFrame, batchId: Long): Long = {
     val live = currentVersion() match {
       case Some(v) => segmentsAt(v)
       case None    => Nil
     }
     val seg = s"seg-batch-$batchId"
+    if (live.contains(seg)) return resolvedOrFail()
     writeNamedSegment(sigs, seg)
-    if (live.contains(seg)) resolvedOrFail()
-    else publishManifest(live :+ seg)
+    publishManifest(live :+ seg)
   }
 
   /** FORGET: drop `ids` and publish one rewritten segment — deletion

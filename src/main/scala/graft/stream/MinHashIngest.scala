@@ -15,28 +15,36 @@ import graft.sim.MinHashIndex
   *   1. collapsed within-batch on exact identity (min-id per cleaned-text
   *      fingerprint — the [[DedupIngest]] rule, needed here because
   *      shingle-free docs carry no LSH sketch for step 3 to catch),
-  *   2. screened against the STANDING index (bucket-pruned band probe —
-  *      only the batch is sketched; the corpus text is never re-read),
-  *   3. near-dup-collapsed WITHIN the batch (band self-join → candidate
+  *   2. near-dup-collapsed WITHIN the batch (band self-join → candidate
   *      pairs → connected components → min-id representative per
   *      component, the `q_dedup_apply` convention),
+  *   3. the REPRESENTATIVES screened against the STANDING index
+  *      (bucket-pruned band probe — only the batch is sketched; the
+  *      corpus text is never re-read). A component whose representative
+  *      collides with the corpus drops WHOLE: its members are near-dups
+  *      of the representative, which is a near-dup of corpus content —
+  *      the transitive-collapse semantics `q_dedup_apply` already grades,
   *
   * and the survivors land in the corpus (replay-convergent `batch_id=`
   * partition) while their ALREADY-COMPUTED signatures append to the
   * index as an idempotent batch-named segment — one sketch pass serves
   * screen and index both.
   *
-  * Replay safety WITHOUT an extra ledger: every step is deterministic
-  * given (standing index, batch), and the corpus-screen join excludes
-  * SELF-matches (`corpus_doc <> doc_id`), so a redelivered batch — even
-  * one whose first delivery already published its index segment —
-  * recomputes the IDENTICAL survivor set: a doc that was dropped
-  * within-batch as a near-dup of survivor S now collides with S's
-  * persisted bands and drops at the corpus stage instead (same outcome);
-  * a survivor's only new collision would be its own rows, which the
-  * self-exclusion ignores. The corpus write then overwrites its own
-  * partition with identical rows, and [[MinHashIndex.appendSigsAsBatch]]
-  * rewrites the same segment without re-publishing — the store converges
+  * Replay safety WITHOUT an extra ledger: the drop set is deterministic
+  * IN THE BATCH ALONE. The within-batch collapse (step 2) runs BEFORE
+  * the corpus screen, so a redelivery picks the same representatives no
+  * matter what the first delivery already persisted; the corpus-screen
+  * join then excludes SELF-matches (`corpus_doc <> doc_id`), so a
+  * replayed representative's only new collision — its own persisted
+  * rows — is ignored and the survivor set recomputes identically. The
+  * ordering is load-bearing: screening the corpus FIRST is not
+  * replay-convergent for transitive chains (bands colliding only A–B
+  * and B–C: first delivery keeps A and persists A's bands; on replay B
+  * drops against persisted-A at the corpus stage, leaving C with no
+  * within-batch partner — survivors {A, C} ≠ {A}; `MinHashIngestSpec`
+  * pins the chain). The corpus write then overwrites its own partition
+  * with identical rows, and [[MinHashIndex.appendSigsAsBatch]] sees its
+  * segment already live and publishes nothing — the store converges
   * under any crash/replay interleaving of the two writes (corpus FIRST,
   * index second: losing the index write replays into a recomputation,
   * never into data loss).
@@ -94,27 +102,11 @@ final class MinHashIngest(
         exactKept.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // 2. Corpus screen: banded probe against the standing index, SELF
-      // matches excluded (replay idempotence — see class doc). First
-      // batch: no index yet, everything passes.
-      val idx = index
-      val corpusKept =
-        if (idx.currentVersion().isEmpty) exactKept
-        else {
-          val hits = idx.probeMatchesFromSigs(sigs)
-            .where(col("corpus_doc") =!= col("doc_id"))
-            .select("doc_id").distinct()
-          exactKept.join(hits, exactKept(idCol) === hits("doc_id"),
-            "left_anti")
-        }
-
-      // 3. Within-batch near-dup collapse: the corpus-survivors' own
-      // band collisions form components; each keeps its min-id
-      // representative.
-      val keptSigs = sigs.join(
-        corpusKept.select(col(idCol).as("doc_id")), Seq("doc_id"),
-        "left_semi")
-      val bands = graft.queries.DedupQueries.minhashBandsOf(keptSigs)
+      // 2. Within-batch near-dup collapse FIRST (see class doc: the drop
+      // set must be deterministic in the batch alone for replay
+      // convergence): ALL exact-kept docs' band collisions form
+      // components; each keeps its min-id representative.
+      val bands = graft.queries.DedupQueries.minhashBandsOf(sigs)
       val pairs = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -123,8 +115,24 @@ final class MinHashIngest(
       val comp = graft.queries.DedupQueries.connectedComponents(spark, pairs)
       val dupes = comp.where(col("doc_id") =!= col("component"))
         .select("doc_id")
-      val fresh = corpusKept
-        .join(dupes, corpusKept(idCol) === dupes("doc_id"), "left_anti")
+      val reps = exactKept
+        .join(dupes, exactKept(idCol) === dupes("doc_id"), "left_anti")
+
+      // 3. Corpus screen on the REPRESENTATIVES only: banded probe
+      // against the standing index, SELF matches excluded (replay
+      // idempotence — see class doc). First batch: no index yet,
+      // everything passes.
+      val idx = index
+      val fresh = (
+        if (idx.currentVersion().isEmpty) reps
+        else {
+          val repSigs = sigs.join(
+            reps.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+          val hits = idx.probeMatchesFromSigs(repSigs)
+            .where(col("corpus_doc") =!= col("doc_id"))
+            .select("doc_id").distinct()
+          reps.join(hits, reps(idCol) === hits("doc_id"), "left_anti")
+        })
         .persist(StorageLevel.MEMORY_AND_DISK) // count + corpus + sig filter
       try {
         val n = fresh.count()

@@ -121,6 +121,67 @@ class MinHashIngestSpec extends SparkSpec {
     assert(winnerOf() == winnerOf())
   }
 
+  /** Transitive chain under the frozen hash constants (found by direct
+    * search against the shared kernel): bands collide ONLY A–B (one
+    * band) and B–C (a different band); A∩C = ∅. B is A's text
+    * concatenated with C's, so its per-band argmin shingles split
+    * between the two halves. The first test below re-derives the
+    * structure through the kernel itself, so constant drift fails
+    * loudly instead of silently degrading the replay tests. */
+  private val chainA =
+    "zeta gamma theta mu alpha beta kappa beta zeta lmbda alpha kappa delta alpha"
+  private val chainC =
+    "page core core page row page plan core disk heap page row leaf leaf"
+  private val chainB = chainA + " " + chainC
+
+  private def bandSets(): Map[Long, Set[(Int, String)]] = {
+    val sigs = graft.queries.DedupQueries.minhashSigsOf(
+      Seq((1L, chainA), (2L, chainB), (3L, chainC)).toDF("doc_id", "text"))
+    graft.queries.DedupQueries.minhashBandsOf(sigs)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> rows.map(r =>
+          (r.getAs[Int]("b"), r.getAs[String]("bkey"))).toSet
+      }
+  }
+
+  test("chain fixture: bands collide exactly A-B and B-C") {
+    val bs = bandSets()
+    assert((bs(1L) & bs(2L)).nonEmpty, "A-B band collision lost")
+    assert((bs(2L) & bs(3L)).nonEmpty, "B-C band collision lost")
+    assert((bs(1L) & bs(3L)).isEmpty, "A-C must NOT collide")
+  }
+
+  test("3-doc transitive chain replay converges (drop set batch-local)") {
+    // The round-9 advice scenario: with a corpus-screen-FIRST order, a
+    // redelivery (crash before checkpoint commit) would keep {A, C} —
+    // B drops against A's persisted bands, leaving C partnerless. The
+    // batch-local collapse must keep {A} on every delivery.
+    val (ing, base) = mk()
+    val b = Seq((1L, chainA), (2L, chainB), (3L, chainC)).toDF("id", "text")
+    assert(ing.processBatch(b, 0L) == 1)
+    assert(corpusIds(base) == Set(1L))
+    val idx = idxOf(base)
+    val v0 = idx.currentVersion()
+    assert(ing.processBatch(b, 0L) == 1) // replay
+    assert(corpusIds(base) == Set(1L), "replay rewrote different survivors")
+    assert(idx.currentVersion() == v0, "replay published a new manifest")
+    assert(idx.signatures().count() == 1)
+  }
+
+  test("a component whose representative hits the corpus drops whole") {
+    val (ing, base) = mk()
+    assert(ing.processBatch(Seq((1L, chainA)).toDF("id", "text"), 0L) == 1)
+    // Batch 1: B (collides A via the index) and C (collides only B).
+    // B and C form one within-batch component, rep = B; B drops at the
+    // corpus screen, and C — a near-dup of corpus-near-dup B — drops
+    // with it (the transitive-collapse semantics of the class doc).
+    val b1 = Seq((10L, chainB), (11L, chainC)).toDF("id", "text")
+    assert(ing.processBatch(b1, 1L) == 0)
+    assert(corpusIds(base) == Set(1L))
+  }
+
   test("composes with DedupIngest: each screen catches the other's gap") {
     // The class docs' pipeline: the exact screen (corpus-LIFETIME
     // identity, incl. shingle-free docs) runs first; its survivors feed
