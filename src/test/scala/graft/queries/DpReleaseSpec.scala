@@ -17,7 +17,8 @@ class DpReleaseSpec extends SparkSpec {
 
   private def release() = graft.SparkEntry
     .queries("q_report_dp_counts")(spark, dir)
-    .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    .collect()
+    .map(r => r.getString(0) -> r.getAs[Long]("noisy_docs_milli")).toMap
 
   private def trueCounts() = Tables.t(spark, dir, "documents")
     .groupBy("source").count()
@@ -41,6 +42,57 @@ class DpReleaseSpec extends SparkSpec {
 
   test("the release is deterministic (auditable replay)") {
     assert(release() == release())
+  }
+
+  test("the artifact carries its mechanism label") {
+    val mechs = graft.SparkEntry.queries("q_report_dp_counts")(spark, dir)
+      .select("mechanism").distinct().collect().map(_.getString(0)).toSet
+    assert(mechs == Set("seeded-deterministic-audit"),
+      s"graded release must be labeled as the audit mechanism, got $mechs")
+  }
+
+  /** The NoiseSource seam (round-9 verdict task 6): swapping the source
+    * changes the DRAWS but not the mechanism geometry — both impls feed
+    * the same emission expression, so scale b and sensitivity are
+    * impl-independent by construction; the spec verifies each impl's
+    * u column actually drives that expression, and that Fresh draws
+    * move between releases while Seeded draws do not. */
+  test("NoiseSource swap: draws change, the e-scale does not") {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.t(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    def releaseWith(ns: graft.ops.NoiseSource): Map[String, Long] =
+      CurationQueries.dpRelease(counts, ns)
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("noisy_docs_milli")).toMap
+    val seeded = new graft.ops.NoiseSource.Seeded("dp1")
+    assert(releaseWith(seeded) == releaseWith(seeded)) // auditable replay
+    val f1 = releaseWith(new graft.ops.NoiseSource.Fresh())
+    val f2 = releaseWith(new graft.ops.NoiseSource.Fresh())
+    assert(f1 != f2, "fresh releases must not repeat draws")
+    // Same mechanism under every source: re-derive the emission from
+    // each impl's own u column in scala — the scale constant (b = 2000
+    // milli) and inverse CDF are shared, so both must match exactly.
+    Seq[graft.ops.NoiseSource](seeded, new graft.ops.NoiseSource.Fresh())
+      .foreach { ns =>
+        // u may surface as DECIMAL (the seeded impl's SQL literals) or
+        // DOUBLE (Fresh's rand) — the emission expr handles both; the
+        // scala recompute reads a double.
+        val rows = ns.withUniform(counts, "source", "u")
+          .select(col("n_docs"), col("u").cast("double").as("ud"),
+            expr(CurationQueries.dpNoisyMilliExpr).as("m"))
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          val (n, u, m) = (r.getLong(0), r.getDouble(1), r.getLong(2))
+          assert(u > 0.0 && u < 1.0, s"u=$u escaped (0,1)")
+          val sgn = if (u >= 0.5) 1.0 else -1.0
+          val want = math.floor(
+            1000.0 * n - 2000.0 * sgn * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+          ).toLong
+          assert(m == want, s"${ns.mechanism}: emission $m != recomputed $want")
+        }
+      }
   }
 
   test("sensitivity-1 geometry: one document moves one count by one") {
