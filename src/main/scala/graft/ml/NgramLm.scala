@@ -8,34 +8,49 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.TokenOps
 
-/** Persisted unigram language model — the CCNet/KenLM-shaped perplexity
-  * filter as a learn→serve loop (the `HashedLogReg.save/load` /
-  * `BpeTrainer.save/load` discipline applied to the LM family): FIT pays
-  * one tokenize+count pass over a reference corpus and persists the
-  * vocabulary-sized count table; SERVE scores any later batch — a delta
-  * ingest, a streaming trigger, a candidate corpus — against the FROZEN
-  * model without ever re-reading the reference text. That split is the
-  * production shape of perplexity filtering (CCNet trains on Wikipedia
-  * once, then filters Common Crawl snapshots for years); the inline
-  * `q_text_heldout_ppl` computes the same statistic but re-derives the
-  * LM per query.
+/** Persisted ORDER-2 n-gram language model — the CCNet/KenLM-shaped
+  * perplexity filter as a learn→serve loop (the `HashedLogReg.save/load`
+  * / `BpeTrainer.save/load` discipline applied to the LM family): FIT
+  * pays one tokenize+count pass over a reference corpus and persists
+  * the vocabulary-sized unigram AND bigram count tables; SERVE scores
+  * any later batch — a delta ingest, a streaming trigger, a candidate
+  * corpus — against the FROZEN model without ever re-reading the
+  * reference text. That split is the production shape of perplexity
+  * filtering (CCNet trains on Wikipedia once, then filters Common Crawl
+  * snapshots for years); the inline `q_text_heldout_ppl` /
+  * `q_text_bigram_lm` queries compute the same statistics but re-derive
+  * the LM per query.
   *
-  * The scoring kernel is BIT-IDENTICAL to the oracle-graded
-  * [[graft.queries.TextQueries.heldoutOf]]: both sides evaluate the
-  * SAME shared expression strings (`HeldoutInVocabSql`/`HeldoutOovSql`/
-  * `HeldoutDocAggSql` — add-one smoothing over the trained vocabulary,
-  * one OOV surprisal for unseen terms, floor-millinat quantization per
-  * TERM TYPE, exact-integer per-doc mean), and parquet round-trips the
-  * BIGINT counts exactly — so model-served scores hash-match the graded
-  * query (pinned in `NgramLmSpec`, and graded directly by
-  * `q_text_ppl_served`, which shares `q_text_heldout_ppl`'s oracle).
+  * BOTH scoring kernels are BIT-IDENTICAL to their oracle-graded inline
+  * twins, because both sides evaluate the SAME shared expression
+  * strings over the SAME exact-integer counts (parquet round-trips the
+  * BIGINTs exactly):
+  *   - [[Model.score]] ≡ [[graft.queries.TextQueries.heldoutOf]]
+  *     (`HeldoutInVocabSql`/`HeldoutOovSql`/`HeldoutDocAggSql` —
+  *     add-one smoothing over the trained vocabulary, one OOV surprisal
+  *     for unseen terms, floor-millinat quantization per TERM TYPE,
+  *     exact-integer per-doc mean) — graded by `q_text_ppl_served`,
+  *     which shares `q_text_heldout_ppl`'s oracle.
+  *   - [[Model.scoreBigrams]] ≡ the inline interpolated bigram kernel
+  *     (`BigramSurprisalSql` — 0.75·P(w₂|w₁) + 0.25·P(w₂), one ln +
+  *     floor per BIGRAM TYPE, exact-integer per-doc mean; the
+  *     c1first/cuni/t_total marginals are integer sums of the bigram
+  *     table, so store-derived marginals equal inline-derived ones
+  *     exactly) — graded by `q_text_bigram_served`, which shares
+  *     `q_text_bigram_lm`'s oracle. Both pinned in `NgramLmSpec`.
   *
   * FULL LIFECYCLE (the `LexIndex`/`MinHashIndex` segment economics —
-  * term counts are ADDITIVE, which makes every operation exact):
+  * n-gram counts of EVERY order are ADDITIVE, which makes every
+  * operation exact at every order):
   *   - `segments/seg-<uuid>/uni/`  — (term, cnt) BIGINT rows; `cnt` may be
   *     NEGATIVE in a forget segment (below).
-  *   - `segments/seg-<uuid>/meta/` — ONE row (t_total = Σcnt, v_size = row
-  *     count) per segment; [[load]] cross-checks EVERY live segment
+  *   - `segments/seg-<uuid>/bi/`   — (w1, w2, cnt) BIGINT rows, same
+  *     sign convention; written from the SAME tokenize pass as `uni/`
+  *     (one explode of unigram+bigram gram structs — the corpus text
+  *     is read once per lifecycle operation, not once per order).
+  *   - `segments/seg-<uuid>/meta/` — ONE row (t_total = Σuni cnt,
+  *     v_size = uni rows, b_total = Σbi cnt, b_size = bi rows) per
+  *     segment; [[load]] cross-checks EVERY live segment's BOTH tables
   *     against its meta, so a torn store (lost part-files) fails loudly
   *     instead of serving a silently-sharper LM (the explicit-width
   *     rule from the logreg store).
@@ -69,7 +84,7 @@ object NgramLm {
     * the next version over an existing store). */
   def fit(docs: DataFrame, textCol: String, dir: String): Unit = {
     val store = new Store(org.apache.spark.sql.SparkSession.active, dir)
-    store.publish(Seq(store.writeSegment(countsOf(docs, textCol))))
+    store.publish(Seq(store.writeSegment(gramCountsOf(docs, textCol))))
     ()
   }
 
@@ -87,16 +102,30 @@ object NgramLm {
       dir: String, batchId: Long): Unit = {
     val store = new Store(docs.sparkSession, dir)
     store.publish(Seq(store.writeNamedSegment(
-      countsOf(docs, textCol), s"seg-batch-$batchId")))
+      gramCountsOf(docs, textCol), s"seg-batch-$batchId")))
     ()
   }
 
   /** One tokenize+count pass over a batch — the single definition every
-    * lifecycle operation sketches with. */
-  private def countsOf(docs: DataFrame, textCol: String): DataFrame =
+    * lifecycle operation sketches with. Unigrams and bigrams ride ONE
+    * explode (unigram rows carry w2 = NULL), so the batch text is read
+    * once for both orders; the split into the two tables happens on the
+    * vocabulary-sized aggregate at segment-write time. The bigram
+    * construction is the inline kernel's: consecutive token pairs, docs
+    * under 2 tokens contribute none (the slice length clamps to 0 —
+    * `sequence(1, size-1)` at size < 2 would be the DESCENDING [1, 0],
+    * the trap the inline query guards with a `size >= 2` filter). */
+  private def gramCountsOf(docs: DataFrame, textCol: String): DataFrame =
     graft.queries.Tables.fanout(docs)
-      .select(explode(TokenOps.terms(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .withColumn("toks", TokenOps.terms(col(textCol)))
+      .select(explode(expr(
+        """concat(
+          |  transform(toks, w -> struct(w AS w1, CAST(NULL AS STRING) AS w2)),
+          |  transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |    (w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2)))"""
+          .stripMargin)).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
 
   /** Load with torn-store verification on every live segment (see class
     * doc). The checks are vocabulary-sized aggregates — model-state
@@ -107,16 +136,20 @@ object NgramLm {
       val metaRows = spark.read.parquet(store.segPath(seg, "meta")).collect()
       require(metaRows.length == 1,
         s"LM store at $dir/$seg has ${metaRows.length} meta rows (want 1)")
-      val tTotal = metaRows.head.getAs[Long]("t_total")
-      val vSize = metaRows.head.getAs[Long]("v_size")
-      val check = spark.read.parquet(store.segPath(seg, "uni"))
-        .agg(count(lit(1)).as("n"), sum("cnt").as("s")).head()
-      require(check.getLong(0) == vSize,
-        s"LM store at $dir is torn: segment $seg has ${check.getLong(0)} " +
-          s"vocab rows for declared v_size $vSize")
-      require(check.getLong(1) == tTotal,
-        s"LM store at $dir is torn: segment $seg token sum " +
-          s"${check.getLong(1)} for declared t_total $tTotal")
+      def checkTable(table: String, nWant: Long, sWant: Long): Unit = {
+        val check = spark.read.parquet(store.segPath(seg, table))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("cnt"), lit(0L)).as("s")).head()
+        require(check.getLong(0) == nWant,
+          s"LM store at $dir is torn: segment $seg/$table has " +
+            s"${check.getLong(0)} rows for declared $nWant")
+        require(check.getLong(1) == sWant,
+          s"LM store at $dir is torn: segment $seg/$table count sum " +
+            s"${check.getLong(1)} for declared $sWant")
+      }
+      val m = metaRows.head
+      checkTable("uni", m.getAs[Long]("v_size"), m.getAs[Long]("t_total"))
+      checkTable("bi", m.getAs[Long]("b_size"), m.getAs[Long]("b_total"))
     }
     new Model(spark, store)
   }
@@ -144,17 +177,27 @@ object NgramLm {
     def segPath(seg: String, table: String): String =
       s"$dir/segments/$seg/$table"
 
-    /** One segment from a (term, cnt) frame; meta written AFTER uni
-      * from the same checkpointed counts so load's cross-checks catch
-      * any torn combination. */
-    def writeSegment(counts: DataFrame): String =
-      writeNamedSegment(counts, s"seg-${java.util.UUID.randomUUID()}")
+    /** One segment from a combined (w1, w2, cnt) gram frame (w2 NULL on
+      * unigram rows — [[gramCountsOf]]'s shape); meta written AFTER
+      * uni+bi from the same checkpointed counts so load's cross-checks
+      * catch any torn combination. The split into the two tables runs
+      * on the vocabulary-sized aggregate, not the corpus. */
+    def writeSegment(grams: DataFrame): String =
+      writeNamedSegment(grams, s"seg-${java.util.UUID.randomUUID()}")
 
-    def writeNamedSegment(counts: DataFrame, seg: String): String = {
-      val c = counts.localCheckpoint(true) // uni write + meta read once
-      c.write.mode(SaveMode.Overwrite).parquet(segPath(seg, "uni"))
-      c.agg(coalesce(sum("cnt"), lit(0L)).as("t_total"),
-          count(lit(1)).as("v_size"))
+    def writeNamedSegment(grams: DataFrame, seg: String): String = {
+      val c = grams.localCheckpoint(true) // uni+bi writes + meta read once
+      c.where(col("w2").isNull).select(col("w1").as("term"), col("cnt"))
+        .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "uni"))
+      c.where(col("w2").isNotNull).select("w1", "w2", "cnt")
+        .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "bi"))
+      c.agg(
+          coalesce(sum(when(col("w2").isNull, col("cnt"))), lit(0L))
+            .as("t_total"),
+          count(when(col("w2").isNull, lit(1))).as("v_size"),
+          coalesce(sum(when(col("w2").isNotNull, col("cnt"))), lit(0L))
+            .as("b_total"),
+          count(when(col("w2").isNotNull, lit(1))).as("b_size"))
         .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "meta"))
       seg
     }
@@ -197,6 +240,23 @@ object NgramLm {
           .otherwise(col("cnt")))
     }
 
+    /** The rolled-up bigram table (w1, w2, cnt) — same algebra and same
+      * negative-count guard as [[vocab]] (a forget that subtracts
+      * never-ingested transitions is a broken contract at order 2 just
+      * as at order 1). */
+    def bigrams(): DataFrame = {
+      val rolled = store.readUnion("bi")
+        .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0L)
+      rolled.withColumn("cnt",
+        when(col("cnt") < 0L, raise_error(concat(
+          lit("LM store at " + store.dir +
+            " rolled a negative count for bigram '"),
+          col("w1"), lit(" "), col("w2"),
+          lit("' — forget subtracted text never ingested"))))
+          .otherwise(col("cnt")))
+    }
+
     private def stats: DataFrame =
       vocab().agg(coalesce(sum("cnt"), lit(0L)).as("t_total"),
         count(lit(1)).as("v_size"))
@@ -222,6 +282,50 @@ object NgramLm {
           expr(graft.queries.TextQueries.HeldoutDocAggSql).as("heldout_mb"))
     }
 
+    /** Score a batch under the frozen INTERPOLATED BIGRAM LM:
+      * (doc_id, n_bigrams, mean_surprisal_mb) — the `q_text_bigram_lm`
+      * output contract, unsorted (callers order). Catches word-salad
+      * documents whose unigram stats look normal but whose transitions
+      * are improbable. Only the BATCH is tokenized; the c1first / cuni /
+      * t_total marginals are integer sums of the stored bigram table,
+      * so they equal the inline kernel's db-derived marginals exactly
+      * and the shared [[graft.queries.TextQueries.BigramSurprisalSql]]
+      * emission is bit-identical (graded by `q_text_bigram_served`).
+      * Contract: bigrams ABSENT from the trained table drop from the
+      * mean (inner join — the inline semantics, where scoring the
+      * training corpus makes absence impossible); docs with < 2 tokens
+      * produce no row. An order-2 OOV backoff is deliberately NOT
+      * invented here — it would change the graded statistic. */
+    def scoreBigrams(docs: DataFrame, idCol: String,
+        textCol: String): DataFrame = {
+      val db = docs
+        .withColumn("toks", TokenOps.terms(col(textCol)))
+        .where(size(col("toks")) >= 2)
+        .select(col(idCol).as("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS w1,
+            |              element_at(toks, i + 1) AS w2))""".stripMargin))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+      // One read of the rolled table feeds c2 and both marginals.
+      val c2 = bigrams().withColumnRenamed("cnt", "c2")
+        .localCheckpoint(true)
+      val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
+      val uni2 = c2.groupBy(col("w2").as("w")).agg(sum("c2").as("cuni"))
+      val total = uni2.agg(coalesce(sum("cuni"), lit(0L)).as("t_total"))
+      val typeScores = c2.join(cFirst, Seq("w1"))
+        .join(uni2, c2("w2") === uni2("w"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"),
+          expr(graft.queries.TextQueries.BigramSurprisalSql)
+            .as("surprisal_mb"))
+      db.join(typeScores, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          expr("sum(k * surprisal_mb) DIV sum(k)").as("mean_surprisal_mb"))
+    }
+
     /** The CCNet-style gate: keep docs at or below `maxMb` mean
       * surprisal (high-surprisal docs read as gibberish/OCR noise under
       * the reference LM). A doc with NO tokens produces no tf rows and
@@ -239,24 +343,27 @@ object NgramLm {
       * (spec-pinned). Cost ∝ delta. */
     def append(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments() // resolve BEFORE the heavy write
-      store.publish(live :+ store.writeSegment(countsOf(docs, textCol)))
+      store.publish(live :+ store.writeSegment(gramCountsOf(docs, textCol)))
     }
 
     /** IDEMPOTENT per-batch append for the streaming maintainer
-      * ([[graft.stream.LmIngest]]): batch-derived segment name,
-      * overwrite write, manifest gains the segment at most once — an
-      * at-least-once redelivery rewrites its own segment with identical
-      * counts and publishes nothing, so the store converges instead of
-      * double-counting (the [[graft.sim.MinHashIndex.appendSigsAsBatch]]
-      * rule; a UUID-named [[append]] under replay WOULD double-count,
-      * which is why the streaming path must use this form). */
+      * ([[graft.stream.LmIngest]]): batch-derived segment name, manifest
+      * gains the segment at most once — an at-least-once redelivery
+      * converges instead of double-counting (the
+      * [[graft.sim.MinHashIndex.appendSigsAsBatch]] rule; a UUID-named
+      * [[append]] under replay WOULD double-count, which is why the
+      * streaming path must use this form). A segment already in the
+      * live manifest is a TRUE no-op — published data is never
+      * rewritten in place, so a crash mid-replay can't tear a segment
+      * [[load]]'s cross-checks would then have to catch; the batch's
+      * counts are deterministic, so skipping loses nothing. */
     private[graft] def appendBatch(docs: DataFrame, textCol: String,
         batchId: Long): Long = {
       val live = store.liveSegments()
       val seg = s"seg-batch-$batchId"
-      store.writeNamedSegment(countsOf(docs, textCol), seg)
-      if (live.contains(seg)) store.currentVersion().get
-      else store.publish(live :+ seg)
+      if (live.contains(seg)) return store.currentVersion().get
+      store.writeNamedSegment(gramCountsOf(docs, textCol), seg)
+      store.publish(live :+ seg)
     }
 
     /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
@@ -268,8 +375,8 @@ object NgramLm {
     def forget(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments()
       store.publish(live :+ store.writeSegment(
-        countsOf(docs, textCol)
-          .select(col("term"), (-col("cnt")).as("cnt"))))
+        gramCountsOf(docs, textCol)
+          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt"))))
     }
 
     /** MAINTENANCE compaction: fold live segments into one (the same
@@ -279,10 +386,15 @@ object NgramLm {
     def compact(): Long = {
       val live = store.liveSegments()
       if (live.size <= 1) return store.currentVersion().get
-      store.publish(Seq(store.writeSegment(
-        store.readUnion("uni")
-          .groupBy("term").agg(sum("cnt").as("cnt"))
-          .where(col("cnt") =!= 0L))))
+      val uni = store.readUnion("uni")
+        .groupBy("term").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0L)
+        .select(col("term").as("w1"),
+          lit(null).cast("string").as("w2"), col("cnt"))
+      val bi = store.readUnion("bi")
+        .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0L)
+      store.publish(Seq(store.writeSegment(uni.unionByName(bi))))
     }
 
     /** Retention: keep the newest `keep` versions, sweep older

@@ -5,14 +5,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ml.NgramLm
 
 /** Streaming LM-statistics maintainer — the standing form of
-  * [[graft.ml.NgramLm.fit]]: every arriving micro-batch's term counts
-  * append to the persisted LM store as an idempotent batch-named
-  * segment, so the reference model a perplexity gate or a Moore-Lewis
-  * selector reads stays current with the corpus WITHOUT ever re-reading
-  * it (counts are additive — the store after N triggers equals a
-  * from-scratch fit on everything ingested, exactly; spec-pinned).
-  * Per trigger this is one tokenize+count of THE BATCH (map-side
-  * combined, vocabulary-sized output) plus a manifest publish.
+  * [[graft.ml.NgramLm.fit]]: every arriving micro-batch's n-gram counts
+  * (BOTH orders — the unigram vocabulary and the bigram transition
+  * table ride one tokenize pass) append to the persisted LM store as an
+  * idempotent batch-named segment, so the reference model a perplexity
+  * gate or a Moore-Lewis selector reads stays current with the corpus
+  * WITHOUT ever re-reading it (n-gram counts of every order are
+  * additive — the store after N triggers equals a from-scratch fit on
+  * everything ingested, exactly; spec-pinned). Per trigger this is one
+  * tokenize+count of THE BATCH (map-side combined, vocabulary-sized
+  * output) plus a manifest publish.
   *
   * Replay safety is [[graft.ml.NgramLm.Model.appendBatch]]'s rule: the
   * segment name derives from the batch id, the write is an overwrite,

@@ -15,6 +15,18 @@ import graft.ml.NgramLm
   * ONLY the batch and joins the vocabulary-sized type table — nothing
   * scales with the reference corpus.
   *
+  * ORDER-2 leg (opt-in via `maxBigramMb`): the batch is additionally
+  * scored under the store's frozen INTERPOLATED BIGRAM LM
+  * ([[graft.ml.NgramLm.Model.scoreBigrams]] — the `q_text_bigram_lm`
+  * statistic), catching word-salad documents whose unigram stats look
+  * normal but whose transitions are improbable. A doc with no scorable
+  * bigrams (< 2 tokens, or every transition unseen in the reference —
+  * the store-known-bigrams contract) carries a NULL `bigram_mb` and
+  * passes the bigram leg: absence of transition evidence is not
+  * evidence of salad, and the unigram leg still rules. The audit then
+  * gains the `bigram_mb` column — the schema is fixed per deployment
+  * configuration, not per batch.
+  *
   * Two stores, both replay-convergent `batch_id=` partitions (the
   * shared [[MicroBatchIngest.writeBatchPartition]] rule):
   *   - `corpusDir` — surviving docs (all input columns);
@@ -26,15 +38,15 @@ import graft.ml.NgramLm
   *     not silent).
   *
   * The model is resolved ONCE at construction (the `KmeansIngest`
-  * version-pinning rule): scoring state never changes mid-stream.
-  * Unlike the manifest-versioned stores, the LM store is
-  * overwrite-in-place — to adopt a refit, fit to a NEW directory and
-  * restart the ingest against it (an in-place refit under a live
-  * reader risks exactly the torn read `NgramLm.load`'s cross-checks
-  * exist to catch). Replay is trivially convergent: the model is
-  * frozen and every step is deterministic in the batch, so a
-  * redelivered batch rewrites both of its own partitions with
-  * identical rows. */
+  * version-pinning rule): scoring state never changes mid-stream. The
+  * LM store IS manifest-versioned (m=N + atomic rename, like every
+  * other store here) — the pin exists to keep scoring state FROZEN
+  * mid-stream, not because an in-place overwrite could tear: two
+  * halves of a corpus must never be graded by different vocabularies.
+  * To adopt a refit, restart the ingest (which re-resolves the newest
+  * version). Replay is trivially convergent: the model is frozen and
+  * every step is deterministic in the batch, so a redelivered batch
+  * rewrites both of its own partitions with identical rows. */
 final class QualityGateIngest(
     spark: SparkSession,
     idCol: String,
@@ -42,7 +54,8 @@ final class QualityGateIngest(
     modelDir: String,
     corpusDir: String,
     auditDir: String,
-    maxMb: Long) extends MicroBatchIngest with Serializable {
+    maxMb: Long,
+    maxBigramMb: Option[Long] = None) extends MicroBatchIngest with Serializable {
 
   /** Load (and verify) once; fails loudly at construction on a torn or
     * absent model — a gate that silently scored against half a
@@ -68,14 +81,31 @@ final class QualityGateIngest(
     val docs = onePerId(batch)
       .persist(StorageLevel.MEMORY_AND_DISK) // audit join + survivor join
     try {
-      val verdicts = model.gate(docs, idCol, textCol, maxMb)
+      val uniVerdicts = model.gate(docs, idCol, textCol, maxMb)
+      // Order-2 leg (see class doc): AND the bigram threshold into the
+      // decision; NULL bigram_mb (no scorable transitions) passes.
+      val verdicts = maxBigramMb match {
+        case None => uniVerdicts
+        case Some(bmax) =>
+          uniVerdicts
+            .join(model.scoreBigrams(docs, idCol, textCol)
+                .select(col("doc_id"),
+                  col("mean_surprisal_mb").as("bigram_mb")),
+              Seq("doc_id"), "left_outer")
+            .withColumn("decision",
+              when(col("decision") === "keep" &&
+                  (col("bigram_mb").isNull || col("bigram_mb") <= bmax),
+                "keep").otherwise("drop"))
+      }
+      val auditCols = Seq(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("heldout_mb") // null for token-free docs: no score exists
+      ) ++ maxBigramMb.map(_ => col("bigram_mb")).toSeq :+
+        coalesce(col("decision"), lit("drop")).as("decision")
       val audit = docs.select(col(idCol).as("doc_id"))
         .join(verdicts, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-          col("heldout_mb"), // null for token-free docs: no score exists
-          coalesce(col("decision"), lit("drop")).as("decision"))
+        .select(auditCols: _*)
         .persist(StorageLevel.MEMORY_AND_DISK) // audit write + keep filter
       try {
         MicroBatchIngest.writeBatchPartition(audit, auditDir, batchId)

@@ -52,6 +52,74 @@ class NgramLmSpec extends SparkSpec {
     s"${segs.head.getPath}/uni"
   }
 
+  test("store-served BIGRAM scores equal the inline graded query bit-for-bit") {
+    // The order-2 twin of the heldout test: the inline q_text_bigram_lm
+    // trains on the FULL corpus and scores it against itself; a store
+    // fitted on the same corpus must serve the identical statistic.
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val d = Files.createTempDirectory("nglm-bi").toString + "/lm"
+    NgramLm.fit(full, "text", d)
+    val served = NgramLm.load(spark, d)
+      .scoreBigrams(full, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val inline = graft.SparkEntry
+      .queries("q_text_bigram_lm")(spark, dir).collect().toSeq
+    assert(served == inline)
+  }
+
+  test("bigram append is exact: base+delta == from-scratch fit (order 2)") {
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val half = 250
+    val d = Files.createTempDirectory("nglm-biapp").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") < half), "text", d)
+    NgramLm.load(spark, d).append(full.where(col("doc_id") >= half), "text")
+    val ref = Files.createTempDirectory("nglm-biapp2").toString + "/lm"
+    NgramLm.fit(full, "text", ref)
+    val m = NgramLm.load(spark, d)
+    val r = NgramLm.load(spark, ref)
+    assert(m.bigrams().orderBy("w1", "w2").collect().toSeq ==
+      r.bigrams().orderBy("w1", "w2").collect().toSeq)
+    assert(m.scoreBigrams(full, "doc_id", "text").orderBy("doc_id")
+        .collect().toSeq ==
+      r.scoreBigrams(full, "doc_id", "text").orderBy("doc_id")
+        .collect().toSeq)
+  }
+
+  test("bigram forget == a fit on the redacted corpus (order 2)") {
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val victims = full.orderBy("doc_id").limit(50)
+    val d = Files.createTempDirectory("nglm-bifgt").toString + "/lm"
+    NgramLm.fit(full, "text", d)
+    NgramLm.load(spark, d).forget(victims, "text")
+    val redacted = Files.createTempDirectory("nglm-bifgt2").toString + "/lm"
+    val victimIds = victims.select("doc_id").as[Long].collect().toSet
+    NgramLm.fit(full.where(!col("doc_id").isin(victimIds.toSeq: _*)),
+      "text", redacted)
+    val m = NgramLm.load(spark, d)
+    val r = NgramLm.load(spark, redacted)
+    assert(m.bigrams().orderBy("w1", "w2").collect().toSeq ==
+      r.bigrams().orderBy("w1", "w2").collect().toSeq)
+    val keep = full.where(!col("doc_id").isin(victimIds.toSeq: _*))
+    assert(m.scoreBigrams(keep, "doc_id", "text").orderBy("doc_id")
+        .collect().toSeq ==
+      r.scoreBigrams(keep, "doc_id", "text").orderBy("doc_id")
+        .collect().toSeq)
+  }
+
+  test("single-token docs contribute unigrams but no bigrams") {
+    val d = Files.createTempDirectory("nglm-one").toString + "/lm"
+    NgramLm.fit(Seq((1L, "alpha"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      "text", d)
+    val m = NgramLm.load(spark, d)
+    assert(m.vocab().count() == 3)
+    val bi = m.bigrams().collect()
+    assert(bi.length == 1 &&
+      bi.head.getString(0) == "beta" && bi.head.getString(1) == "gamma")
+    // And a scored single-token doc yields no bigram row at all.
+    assert(m.scoreBigrams(Seq((9L, "alpha")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
   test("a torn store (lost vocab part-file) fails load loudly") {
     val d = Files.createTempDirectory("nglm-torn").toString + "/lm"
     NgramLm.fit(split.where(col("split") === "train"), "text", d)

@@ -90,6 +90,42 @@ class QualityGateIngestSpec extends SparkSpec {
     assert(kept == s.filter(_._2 <= thr).keySet && kept == Set(1L))
   }
 
+  test("order-2 leg separates word salad the unigram gate cannot") {
+    // Reference: one dominant transition chain + one rare permutation.
+    // The two scored docs are UNIGRAM-IDENTICAL (same token multiset),
+    // so the order-1 gate cannot separate them; the bigram leg must.
+    val d = Files.createTempDirectory("qgate-bi-lm").toString + "/lm"
+    val ref = (Seq.tabulate(40)(i => (i.toLong, "alpha beta gamma delta")) :+
+      (99L, "alpha delta gamma beta")).toDF("doc_id", "text")
+    NgramLm.fit(ref, "text", d)
+    val m = NgramLm.load(spark, d)
+    val good = "alpha beta gamma delta"
+    val salad = "alpha delta gamma beta"
+    val b = Seq((1L, good), (2L, salad)).toDF("id", "text")
+    val uni = m.score(b, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(uni(1L) == uni(2L), s"unigram gate must be blind here: $uni")
+    val bg = m.scoreBigrams(b, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bg(1L) < bg(2L), s"bigram LM did not separate: $bg")
+    val base = Files.createTempDirectory("qgate-bi").toString
+    val ing = new QualityGateIngest(spark, "id", "text", d,
+      s"$base/corpus", s"$base/audit", maxMb = Long.MaxValue,
+      maxBigramMb = Some((bg(1L) + bg(2L)) / 2))
+    // Doc 3 is short (one token): NULL bigram_mb passes the bigram leg.
+    val batch = Seq((1L, good), (2L, salad), (3L, "alpha")).toDF("id", "text")
+    assert(ing.processBatch(batch, 0L) == 2)
+    assert(spark.read.parquet(s"$base/corpus")
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    val audit = spark.read.parquet(s"$base/audit")
+    val byId = audit.collect().map(r => r.getAs[Long]("doc_id") ->
+      (Option(r.getAs[java.lang.Long]("bigram_mb")).map(_.toLong),
+        r.getAs[String]("decision"))).toMap
+    assert(byId(1L) == ((Some(bg(1L)), "keep")))
+    assert(byId(2L) == ((Some(bg(2L)), "drop")))
+    assert(byId(3L) == ((None, "keep")))
+  }
+
   test("construction fails loudly on a torn model store") {
     val lm = fitModel()
     // Tear it: two files, lose one (the NgramLmSpec recipe) — in the
