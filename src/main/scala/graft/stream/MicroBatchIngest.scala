@@ -82,6 +82,19 @@ private[stream] object MicroBatchIngest {
   private def compactionDir(dir: String): Path =
     new Path(dir.stripSuffix("/") + ".c")
 
+  /** The newest batch id with a commit file in a Structured Streaming
+    * checkpoint — the replay horizon [[compactBatches]] enforces
+    * (commit files are plain-integer names under `commits/`; the engine
+    * writes one only after the batch's sinks completed, and never
+    * re-executes a committed batch on restart). */
+  private[stream] def lastCommittedBatch(spark: SparkSession,
+      checkpointLocation: String): Option[Long] = {
+    val commits = new Path(checkpointLocation, "commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.VersionedPaths.listNumbered(fs, commits, "", dirsOnly = false)
+      .map(_._2).maxOption
+  }
+
   /** Latest published (horizon, consolidated-segment path), if any. */
   private def latestCompaction(spark: SparkSession,
       dir: String): Option[(Long, String)] = {
@@ -115,13 +128,37 @@ private[stream] object MicroBatchIngest {
     * double-counted). `batch_id` survives as a DATA column in the
     * segment, so [[storeOrElse]] stays row-identical before and after.
     *
-    * `throughBatch` must lag the stream's checkpoint horizon (batches
-    * that can still be redelivered must stay partition-granular —
-    * exactly the CdcIngest keep-window rule); like the index vacuums,
-    * this is a maintenance-window pass: no concurrent readers mid-sweep.
-    * Returns the published horizon (prior horizon when a no-op). */
+    * `throughBatch` must lag the stream's replay horizon (batches that
+    * can still be redelivered must stay partition-granular — exactly
+    * the CdcIngest keep-window rule), and for a checkpointed stream
+    * that contract is now ENFORCED, not trusted: pass the stream's
+    * `checkpointLocation` and the call READS its `commits/` ledger —
+    * a batch is past the replay horizon exactly when its commit file
+    * exists (Structured Streaming re-executes only the batch after the
+    * last commit on restart) — and REFUSES any horizon beyond the last
+    * committed batch (IllegalArgumentException; an unsafe compact would
+    * silently break the replay convergence every ingest store proves:
+    * compaction erases the batch partitions whose presence makes a
+    * redelivered write an overwrite-in-place). `None` is ONLY for
+    * stores not fed by a checkpointed stream (batch backfills, direct
+    * `processBatch` harnesses), where the caller owns the horizon.
+    * Like the index vacuums, this is a maintenance-window pass: no
+    * concurrent readers mid-sweep. Returns the published horizon
+    * (prior horizon when a no-op). */
   def compactBatches(spark: SparkSession, dir: String,
-      throughBatch: Long): Long = {
+      throughBatch: Long,
+      checkpointLocation: Option[String] = None): Long = {
+    checkpointLocation.foreach { ckpt =>
+      val maxSafe = lastCommittedBatch(spark, ckpt).getOrElse(
+        throw new IllegalArgumentException(
+          s"unsafe compaction horizon $throughBatch: checkpoint $ckpt has " +
+            "no committed batches — nothing is provably past the replay " +
+            "horizon"))
+      require(throughBatch <= maxSafe,
+        s"unsafe compaction horizon $throughBatch: checkpoint $ckpt has " +
+          s"committed only through batch $maxSafe; later batches can be " +
+          "redelivered and must stay partition-granular")
+    }
     val c = compactionDir(dir)
     val fs = c.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior = latestCompaction(spark, dir)

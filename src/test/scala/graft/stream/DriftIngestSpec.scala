@@ -112,6 +112,49 @@ class DriftIngestSpec extends SparkSpec {
     assert(MicroBatchIngest.compactBatches(spark, dir, 2L) == 5L)
   }
 
+  test("compaction horizon guard: commits ledger enforced, replay converges") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val (ingest, dir) = mkIngest()
+    val ckpt = Files.createTempDirectory("drift-ckpt").toString
+    val ms = MemoryStream[Double](spark, numPartitions = 2)
+    def runAvailable(): Unit = {
+      val q = ingest.start(ms.toDF().toDF("value"),
+        s"drift-guard-${System.nanoTime()}", Trigger.AvailableNow(),
+        Some(ckpt))
+      q.awaitTermination(60000); q.stop()
+    }
+    ms.addData(Seq(1.0, 60.0)); runAvailable()   // batch 0 committed
+    ms.addData(Seq(120.0, 480.0)); runAvailable() // batch 1 committed
+    val committed = MicroBatchIngest.lastCommittedBatch(spark, ckpt)
+    assert(committed.contains(1L), s"commits ledger read $committed")
+    // A batch BEYOND the ledger (the in-flight/uncommitted case — still
+    // redeliverable after a crash), delivered outside the checkpoint.
+    ingest.processBatch(values(480.0, 480.0, 480.0), 2L)
+    def snapshot() = ingest.store().select("batch_id", "bin", "c")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val before = snapshot()
+    // Horizons past the last commit REFUSE — both the uncommitted batch
+    // and anything later.
+    for (bad <- Seq(2L, 3L)) {
+      val e = intercept[IllegalArgumentException] {
+        MicroBatchIngest.compactBatches(spark, dir, bad, Some(ckpt))
+      }
+      assert(e.getMessage.contains("unsafe compaction horizon"))
+    }
+    // An empty/absent commits ledger proves nothing → refuse everything.
+    val fresh = Files.createTempDirectory("drift-ckpt-empty").toString
+    assert(intercept[IllegalArgumentException] {
+      MicroBatchIngest.compactBatches(spark, dir, 0L, Some(fresh))
+    }.getMessage.contains("no committed batches"))
+    // The max-safe horizon compacts; the uncommitted batch's partition
+    // stays granular, so its redelivery still converges.
+    assert(MicroBatchIngest.compactBatches(spark, dir, 1L, Some(ckpt)) == 1L)
+    assert(snapshot() == before, "compaction changed store contents")
+    ingest.processBatch(values(480.0, 480.0, 480.0), 2L) // replay batch 2
+    assert(snapshot() == before, "post-compact replay diverged")
+  }
+
   test("at-least-once replay converges; missing bins read as zero") {
     val (ingest, _) = mkIngest()
     val b = values(480.0, 480.0)
