@@ -103,8 +103,12 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * uuid-named and unreferenced until a manifest lists it, so the
     * write needs no staging rename of its own. */
   private def writeSegment(emb: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): String = {
-    val seg = s"seg-${java.util.UUID.randomUUID()}"
+      cents: DataFrame): String =
+    writeNamedSegment(emb, idCol, vecCol, cents,
+      s"seg-${java.util.UUID.randomUUID()}")
+
+  private def writeNamedSegment(emb: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, seg: String): String = {
     val out = new Path(indexDir, s"segments/$seg")
     try {
       Similarity.rankedCellAffinity(
@@ -154,6 +158,40 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     val seg = writeSegment(emb, idCol, vecCol, codebook(cb))
     publishManifest(cb, segs :+ seg)
   }
+
+  /** IDEMPOTENT per-batch append for the streaming maintainer
+    * ([[graft.stream.IvfIngest]]) — the
+    * [[MinHashIndex.appendSigsAsBatch]] rule applied to postings: the
+    * segment name derives from the batch id and the manifest gains it
+    * at most once, so an at-least-once redelivery (same checkpointed
+    * offsets ⇒ same vectors, same id) converges instead of surfacing
+    * duplicate postings in search. A segment already in the live
+    * manifest is a TRUE no-op (published data is never rewritten in
+    * place — the crash-mid-overwrite tear rule); a crash before the
+    * publish leaves an unreferenced dir the replay overwrites whole.
+    * The caller passes the codebook name it serves under
+    * (`requireCodebook`): assignments are only meaningful against the
+    * manifest's codebook, so a rebuild that swapped codebooks
+    * mid-stream fails LOUDLY here instead of publishing postings
+    * assigned under dead centroids (restart the ingest to adopt a
+    * rebuild — the version-pinning rule). Unlike the other appends
+    * this cannot create the index: a codebook must exist to assign
+    * against ([[build]] first). */
+  private[graft] def appendAsBatch(emb: DataFrame, idCol: String,
+      vecCol: String, batchId: Long, requireCodebook: String): Long = {
+    val (cb, segs) = manifestAt(resolvedOrFail())
+    require(cb == requireCodebook,
+      s"index $indexDir now serves codebook $cb, not $requireCodebook — " +
+        "a rebuild happened mid-stream; restart the ingest to adopt it")
+    val seg = s"seg-batch-$batchId"
+    if (segs.contains(seg)) return resolvedOrFail()
+    writeNamedSegment(emb, idCol, vecCol, codebook(cb), seg)
+    publishManifest(cb, segs :+ seg)
+  }
+
+  /** The live codebook's name (manifest head) — what a streaming
+    * maintainer pins at construction. */
+  private[graft] def codebookName(): String = manifestAt(resolvedOrFail())._1
 
   /** MAINTENANCE compaction: merge the live segments into one — a pure
     * per-cell union (no distance math, no re-assignment; O(index) IO)
