@@ -12,6 +12,30 @@ class BudgetQueriesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
 
+  test("sequence export caps a degenerate key at the declared bound") {
+    import spark.implicits._
+    // One bot with 10× the cap, one human with 3 events: the bot's path
+    // holds exactly the NEWEST SeqExportMaxEvents (ts, event_id)-ordered
+    // events while its n_events reports the full stream.
+    val cap = RelationalQueries.SeqExportMaxEvents
+    val bot = (0 until 10 * cap).map(i =>
+      (7L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong, if (i >= 10 * cap - cap) "tail" else "head"))
+    val human = (0 until 3).map(i =>
+      (8L, java.sql.Timestamp.valueOf(s"2024-01-01 01:00:0$i"),
+        10000L + i, "view"))
+    val ev = (bot ++ human).toDF("user_id", "ts", "event_id", "event_type")
+      .repartition(8)
+    val out = RelationalQueries.seqExportFrame(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val (nBot, pathBot) = out(7L)
+    assert(nBot == 10L * cap, "n_events must count the full stream")
+    val toks = pathBot.split(">")
+    assert(toks.length == cap, s"path holds ${toks.length} events, want $cap")
+    assert(toks.forall(_ == "tail"), "cap must keep the NEWEST events")
+    assert(out(8L) == ((3L, "view>view>view")), "uncapped keys unchanged")
+  }
+
   test("top-P selection covers ≥ P of each group's mass, minimally") {
     val events = Tables.t(spark, dir, "events")
       .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
