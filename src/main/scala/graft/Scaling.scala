@@ -21,9 +21,16 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * wall seconds, result rows, AND shuffle-write bytes per factor (stage
   * metrics via a listener — so exchange growth is auditable separately
   * from kernel CPU): `g4 = t4/(4·t1)` ≈ 1 means shuffle-bound linear
-  * scaling. The timing action is `count()` — sort-free and
-  * projection-pruned, so the measured work is the scan/join/aggregate
-  * structure being scaled, not the final materialization.
+  * scaling. The timing action is the SAME `noop`-sink write Bench
+  * times (sort-free, nothing reaches the driver), so every aggregate
+  * expression actually executes and a Bench-vs-Scaling ratio compares
+  * like with like — a `count()` action would let Catalyst PRUNE the
+  * aggregate expressions entirely (measured: the round-9 artifact read
+  * `q_a2_approx_distinct` at 0.12 s under count() while Bench's noop
+  * paid the full 2.9 s interpreted-HLL plan — a 24× artifact-vs-
+  * artifact gap that graded as "warmup skew" when it was really two
+  * tools timing different plans). Result rows are counted OUTSIDE the
+  * clock for the output-bound ratios.
   *
   * TWO REGIMES, two enforced bars (each query's is asserted after
   * measurement and re-asserted by `ScalingSpec` on the committed
@@ -56,11 +63,12 @@ object Scaling {
     "q_a3_vocabulary", "q_sim_hybrid_rrf", "q_dedup_pair_rouge",
     "q_ml_auc_jackknife", "q_sim_semdedup", "q_sample_pack_bpe",
     "q_sim_kmeans_fit", "q_sim_kmeans_fit_k_scaled",
-    // Round-9 store-served paths. Each shared store is fitted inside
+    // Round-9/10 store-served paths. Each shared store is fitted inside
     // the FIRST timed run at its factor and cached; the MIN of the two
     // timed runs therefore grades the SERVE path — which is the claim —
     // while the build cost is the already-audited inline pipeline.
-    "q_dedup_index_pairs", "q_dedup_index_delta", "q_text_ppl_served")
+    "q_dedup_index_pairs", "q_dedup_index_delta", "q_text_ppl_served",
+    "q_text_bigram_served")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -77,6 +85,23 @@ object Scaling {
   private[graft] val SemDedupScaled = "q_sim_semdedup"
   private[graft] val SemDedupBaseK  = 8
   private[graft] val PairBudgetSlack = 3.0
+
+  /** SPAN-PAIR BUDGET (the spans family's declared work bound): the
+    * span build's gram join fans out by the winnow CANDIDATE-PAIR set,
+    * whose size the amplified fixture grows quadratically BY DESIGN —
+    * so a factor-linear budget (the semdedup bar) would grade the
+    * fixture, and the time-vs-rows `output_bound` bar alone leaves the
+    * intermediate volume bounded only by grandfathering. The declared
+    * contract is WORK-PER-OUTPUT-ROW: candidate pairs may grow no
+    * faster than [[SpanBudgetSlack]]× the query's own result growth
+    * (`pairs_f ≤ slack · (rows_f/rows_1) · pairs_1`) — a lost hub cap
+    * or dropped prefilter blows candidates without moving reportable
+    * spans and breaks the bar, while fixture density moves both sides
+    * together. Recorded on `q_dedup_spans`; `q_dedup_span_apply` rides
+    * the IDENTICAL candidate set (same store, same minShared = 1), so
+    * one declared budget covers the family. */
+  private[graft] val SpanBudgeted = Set("q_dedup_spans")
+  private[graft] val SpanBudgetSlack = 3.0
 
   /** The k-means FIT itself, audited directly (a FRESH inline Lloyd per
     * timed run — never the cached shared model) in both regimes:
@@ -169,7 +194,7 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outPath = if (args.nonEmpty) args(0) else "SCALING_r9.json"
+    val outPath = if (args.nonEmpty) args(0) else "SCALING_r10.json"
     // Optional second arg: comma-separated query names to RE-MEASURE.
     // The re-run queries' blocks replace their entries in the existing
     // artifact; everything else is preserved verbatim — so a transient
@@ -232,7 +257,8 @@ object Scaling {
       // Untimed ×1 warmup (the Bench discipline): the growth ratios
       // compare factors WITHIN one query, and a cold first factor would
       // fold this query's codegen JIT into whichever factor runs first.
-      try framed(name, factors.head).count()
+      try framed(name, factors.head).write.format("noop")
+        .mode("overwrite").save()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[scaling] warmup $name failed: ${e.getMessage}")
       }
@@ -251,12 +277,15 @@ object Scaling {
           org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
           tally.bytes.set(0L)
           val t0 = System.nanoTime()
-          val rows = framed(name, f).count()
+          framed(name, f).write.format("noop").mode("overwrite").save()
           val sec = (System.nanoTime() - t0) / 1e9
           org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
-          (sec, rows, tally.bytes.get())
+          (sec, tally.bytes.get())
         }
-        val (sec, rows, shuf) = runs.minBy(_._1)
+        val (sec, shuf) = runs.minBy(_._1)
+        // Result rows for the output-bound ratios — OUTSIDE the clock
+        // (count() is the pruned action; it must never be the timed one).
+        val rows = framed(name, f).count()
         // The pair-budget metric of the semdedup regime — an O(K)
         // aggregate over the (already-fitted) shared assignment, read
         // outside the clock.
@@ -264,6 +293,10 @@ object Scaling {
           if (name == SemDedupScaled)
             Some(graft.queries.SimilarityQueries.semDedupPairBudget(
               spark, dirs(f), SemDedupBaseK * f))
+          else if (SpanBudgeted(name))
+            // Candidate-pair count off the session-shared winnow store
+            // (already materialized by the timed run) — outside the clock.
+            Some(graft.queries.TextQueries.spanCandidateCount(spark, dirs(f)))
           else None
         System.err.println(
           f"[scaling] $name x$f: $sec%.2f s, $rows rows, $shuf shuffle B" +
@@ -284,12 +317,28 @@ object Scaling {
     val violations: Seq[String] = fMaxOpt.toSeq.flatMap { fm =>
       results.flatMap { case (name, (per, g)) =>
         val pf = per(fm)._4
-        if (pf.isDefined) {
+        if (name == SemDedupScaled && pf.isDefined) {
           val p1 = per(1)._4.get.toDouble
           if (pf.get > PairBudgetSlack * fm * math.max(1.0, p1)) Some(
             f"$name [pair_budget]: pairs$fm ${pf.get} > " +
               f"$PairBudgetSlack%.1f × $fm × pairs1 ${per(1)._4.get}")
           else None
+        } else if (SpanBudgeted(name) && pf.isDefined) {
+          // BOTH bars: the output_bound time envelope AND the declared
+          // work-per-output-row candidate budget (see SpanBudgeted doc).
+          val p1 = per(1)._4.get.toDouble
+          val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
+          val tRatio = per(fm)._1 / per(1)._1
+          val timeBad =
+            if (tRatio > rRatio) Some(
+              f"$name [output_bound]: t$fm/t1 $tRatio%.2f > rows$fm/rows1 $rRatio%.2f")
+            else None
+          val budgetBad =
+            if (pf.get > SpanBudgetSlack * rRatio * math.max(1.0, p1)) Some(
+              f"$name [span_budget]: pairs$fm ${pf.get} > " +
+                f"$SpanBudgetSlack%.1f × rows-ratio $rRatio%.2f × pairs1 ${per(1)._4.get}")
+            else None
+          timeBad.orElse(budgetBad)
         } else if (name == KmeansFitScaled) {
           val tRatio = per(fm)._1 / per(1)._1
           val env = fm.toDouble * fm
@@ -323,6 +372,7 @@ object Scaling {
       val pairsJson = if (pairs.isEmpty) "" else s",$pairs"
       val regime =
         if (name == SemDedupScaled) "pair_budget"
+        else if (SpanBudgeted(name)) "output_bound+span_budget"
         else if (name == KmeansFitScaled) "fit_design"
         else if (OutputBound(name)) "output_bound"
         else "output_linear"

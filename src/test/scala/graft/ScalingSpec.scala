@@ -83,6 +83,17 @@ class ScalingSpec extends SparkSpec {
           assert(pf.get <= Scaling.PairBudgetSlack * fm * math.max(1.0, p1.get),
             f"$name [pair_budget]: pairs$fm ${pf.get}%.0f outgrew " +
               f"${Scaling.PairBudgetSlack}%.1f × $fm × pairs1 ${p1.get}%.0f in $path")
+        } else if (Scaling.SpanBudgeted(name)) {
+          // Time stays output-bound AND the candidate-pair budget holds
+          // per output row (pairs columns appear from round 10 on; the
+          // time bar applies to every artifact vintage).
+          assert(tf / t1 <= rf / math.max(1.0, r1),
+            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew rows$fm/rows1 ${rf / r1}%.2f in $path")
+          for (p1 <- num(body, "pairs1"); pf <- num(body, s"pairs$fm"))
+            assert(pf <= Scaling.SpanBudgetSlack * (rf / math.max(1.0, r1))
+                * math.max(1.0, p1),
+              f"$name [span_budget]: pairs$fm $pf%.0f outgrew " +
+                f"${Scaling.SpanBudgetSlack}%.1f × rows-ratio ${rf / r1}%.2f × pairs1 $p1%.0f in $path")
         } else if (name == Scaling.KmeansFitScaled)
           assert(tf / t1 <= fm.toDouble * fm,
             f"$name [fit_design]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
@@ -103,7 +114,13 @@ class ScalingSpec extends SparkSpec {
   }
 
   test("committed scaling artifact honors the per-regime bars") {
-    assertBars("SCALING_r9.json", minBlocks = 10)
+    // The newest committed artifact (r10 once generated this round,
+    // else the r9 one carried forward).
+    val path =
+      if (Files.exists(java.nio.file.Paths.get("SCALING_r10.json")))
+        "SCALING_r10.json"
+      else "SCALING_r9.json"
+    assertBars(path, minBlocks = 10)
   }
 
   test("committed sf1 anchor honors the factor-parameterized bars") {
