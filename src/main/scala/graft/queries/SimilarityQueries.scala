@@ -512,6 +512,93 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** IVF-PQ: composed cell-pruned + compressed ADC search (Jégou et al.
+    * 2011; the FAISS `IndexIVFPQ` configuration — the shape a 100 TB
+    * vector store actually deploys). IVF decides WHICH postings a query
+    * reads (its [[IvfProbes]] nearest of the coarse cells); PQ decides
+    * WHAT a posting stores (an M-int code) and what search computes (an
+    * integer table-lookup sum). Per query the corpus vectors are never
+    * touched: IO ∝ probes/cells of the CODE table, distance math ∝ the
+    * O(M·K) query table. Every rule — coarse routing by ppm-floored
+    * cosine (ties → smallest cell), order-pinned codebook means, ppm
+    * integer subspace distances, argmin encode — lives ONCE in
+    * [[graft.sim.PqIvfIndex]]'s companion, shared verbatim with the
+    * persisted store, so the inline pipeline and the served index
+    * cannot drift (bit-identity pinned in `PqIvfIndexSpec`). Both
+    * codebooks train on the CORPUS only (queries never enter a store). */
+  private val ivfPqAdc: Q = (s, dir) => {
+    import graft.sim.PqIvfIndex
+    val emb = t(s, dir, "embeddings")
+    val corpus = Tables.fanout(
+      emb.where(col("vec_id") >= NumQueries).select("vec_id", "embedding"))
+    val qs = emb.where(col("vec_id") < NumQueries)
+      .select("vec_id", "embedding")
+    val coarse = PqIvfIndex.coarseCentroids(
+      Tables.fanout(emb.where(col("vec_id") >= NumQueries)
+        .select("vec_id", "embedding", "label")),
+      "vec_id", "embedding", "label")
+    val pqCb = PqIvfIndex.pqCodebook(
+      PqIvfIndex.subvectors(corpus, "vec_id", "embedding", PqM, PqDsub), PqK)
+    val cells = PqIvfIndex.coarseRank(corpus, "vec_id", "embedding", coarse)
+      .where(col("rnk") === 1).select(col("id"), col("cell"))
+    val probes = PqIvfIndex.coarseRank(qs, "vec_id", "embedding", coarse)
+      .where(col("rnk") <= IvfProbes)
+      .select(col("id").as("qid"), col("cell"))
+    val codes = PqIvfIndex.encode(
+      PqIvfIndex.subvectors(corpus, "vec_id", "embedding", PqM, PqDsub), pqCb)
+    val qtab = PqIvfIndex.qtable(
+      PqIvfIndex.subvectors(qs, "vec_id", "embedding", PqM, PqDsub), pqCb)
+    codes.join(cells, Seq("id"))
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("id").as("cid"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(qtab), Seq("qid", "s", "code"))
+      .groupBy("qid", "cid").agg(sum("d2q_ppm").as("adc_ppm"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc_ppm").asc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        col("adc_ppm"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** One persisted [[graft.sim.PqIvfIndex]] per (application, corpus
+    * dir), built on first request over the CORPUS vectors only — the
+    * shared-store rule of [[sharedIvfIndex]]/[[sharedKmeansModel]]. */
+  private val pqIvfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedPqIvfIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.sim.PqIvfIndex = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val idir = pqIvfIndexDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      new graft.sim.PqIvfIndex(s, d).build(
+        t(s, dir, "embeddings").where(col("vec_id") >= NumQueries),
+        "vec_id", "embedding", "label", PqM, PqDsub, PqK)
+      d
+    })
+    new graft.sim.PqIvfIndex(s, idir)
+  }
+
+  /** IVF-PQ ADC served from the PERSISTED index — `q_sim_ivfpq_adc`'s
+    * contract through the store: codebooks and the probed cells' code
+    * partitions are parquet reads; only the query vectors run distance
+    * math. Same answer, two serving paths, one oracle. */
+  private val ivfPqServed: Q = (s, dir) =>
+    sharedPqIvfIndex(s, dir)
+      .search(t(s, dir, "embeddings").where(col("vec_id") < NumQueries),
+        "vec_id", "embedding", k = LshTopK, probes = IvfProbes)
+      .orderBy("qid", "rnk")
+
+  /** RECALL@K of the composed IVF-PQ search against the exact
+    * full-vector L2 truth — the decision report for the 100 TB config:
+    * [[pqRecall]] prices compression alone, [[ivfRecall]]-style probing
+    * prices pruning alone; this prices BOTH losses stacked, which is
+    * what production actually serves. Reads the served path, so the
+    * store is in the graded loop. */
+  private val ivfPqRecall: Q = (s, dir) =>
+    recallVsTruth(exactL2TruthTopK(s, dir), ivfPqServed(s, dir))
+
   private val KmeansK = 8
   private val EmbDim  = 64
 
@@ -888,6 +975,63 @@ object SimilarityQueries {
       .orderBy("qid")
   }
 
+  /** Coarse-candidate count of the matryoshka CASCADE: 4× top-k — small
+    * enough that the rerank is a per-query constant, large enough that
+    * coarse-pass rank noise rarely evicts a true top-k hit. */
+  private val MrlCascadeC = 20
+
+  /** MATRYOSHKA serving CASCADE — the production MRL pattern the
+    * truncation audit above prices the first stage of: a CHEAP coarse
+    * pass ranks the whole corpus on the first [[MrlDims]] dims, then an
+    * EXACT rerank re-scores only the top [[MrlCascadeC]] survivors per
+    * query with full-dimension cosine. Per query the full-width vectors
+    * are read for C candidates, not the corpus — with prefix-dim
+    * columns stored separately ([[quantizeInt8]]'s storage discipline)
+    * the corpus scan is ¼ the bytes and the full-dim column stays cold.
+    * Shape: coarse = broadcast queries × streaming corpus through the
+    * bounded-heap TopKPerKey carrying only (qid, cid, coarse-cos) — no
+    * full vectors cross the heap; rerank = candidate-list join back to
+    * the corpus by cid (C·Q rows) + broadcast queries. The cascade's
+    * recall vs the full-dim truth is graded next to the truncation-only
+    * audit ([[matryoshka]]) — the delta between those two reports is
+    * exactly what the rerank stage buys. */
+  private val mrlCascade: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = Tables.fanout(emb.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+    val cand = graft.plans.GraftOps.topKPerKey(
+        c.join(broadcast(q))
+          .select(col("qid"), col("cid"),
+            Similarity.cosine(slice(col("qe"), 1, MrlDims),
+              slice(col("ce"), 1, MrlDims)).as("ccos")),
+        keyCols = Seq("qid"),
+        orderBy = Seq("ccos" -> false, "cid" -> true), k = MrlCascadeC)
+      .select("qid", "cid")
+    cand.join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce")),
+        Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** RECALL@K of the cascade against the full-dimension cosine truth —
+    * read next to [[matryoshka]] (truncation alone): the difference is
+    * what the exact rerank stage recovers, the number that justifies
+    * paying C full-vector reads per query. */
+  private val mrlCascadeRecall: Q = (s, dir) =>
+    recallVsTruth(
+      bruteForceTopK(s, dir).where(col("rnk") <= LshTopK)
+        .select("qid", "cid"),
+      mrlCascade(s, dir))
+
   /** Semantic dedup apply (SemDeDup, Abbas et al. 2023 — dedup in
     * EMBEDDING space, which catches paraphrases that share no n-grams):
     * the verified cosine pair graph is clustered by the same distributed
@@ -920,7 +1064,12 @@ object SimilarityQueries {
     "q_sim_hard_negatives"  -> hardNegatives,
     "q_sim_recall"          -> annRecall,
     "q_sim_matryoshka"      -> matryoshka,
+    "q_sim_mrl_cascade"     -> mrlCascade,
+    "q_sim_mrl_cascade_recall" -> mrlCascadeRecall,
     "q_sim_pq_adc"          -> pqAdc,
+    "q_sim_ivfpq_adc"       -> ivfPqAdc,
+    "q_sim_ivfpq_served"    -> ivfPqServed,
+    "q_sim_ivfpq_recall"    -> ivfPqRecall,
     "q_sim_kmeans"          -> kmeans,
     "q_sim_kmeans_elbow"    -> kmeansElbow,
     "q_sim_kmeans_approx_recall" -> kmeansApproxRecall,
@@ -978,6 +1127,48 @@ object SimilarityQueries {
        |   row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS rnk
        |  FROM adc)""".stripMargin
   }
+
+  /** Shared IVF-PQ CTE chain — extends [[duckPqCtes]] (whose `codes` /
+    * `qt` tables it reads verbatim) with the coarse routing CTEs and the
+    * cell-restricted ADC, ending in `ip_rank(qid, cid, adc_ppm, rnk)`.
+    * ONE definition for the graded search, its served twin, and the
+    * recall audit. Coarse means ride the same bounded fold tree as the
+    * engine ([[graft.ops.OrderedFold.duckMeanCtes]]); routing ranks by
+    * ppm-floored cosine desc, cell asc — the integer cut
+    * [[graft.sim.PqIvfIndex.coarseRank]] makes. */
+  private lazy val duckIvfPqCtes: String =
+    s"""$duckPqCtes,
+       | ip_ex AS (SELECT vec_id, label AS cell,
+       |   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+       |   unnest(generate_series(1, $EmbDim)) AS pos
+       |  FROM embeddings WHERE vec_id >= $NumQueries),
+       | ${graft.ops.OrderedFold.duckMeanCtes("ip_cm", "ip_ex",
+            Seq("cell", "pos"), "vec_id", "v", "m")},
+       | ip_cen AS (SELECT cell, list(m ORDER BY pos) AS centroid
+       |  FROM ip_cm GROUP BY cell),
+       | ip_aff AS (SELECT e.vec_id, c.cell,
+       |   CAST(floor(1000000.0 * list_cosine_similarity(
+       |     CAST(e.embedding AS DOUBLE[]), c.centroid)) AS BIGINT) AS aff_ppm
+       |  FROM embeddings e CROSS JOIN ip_cen c),
+       | ip_rk AS (SELECT vec_id, cell,
+       |   row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY aff_ppm DESC, cell) AS rnk
+       |  FROM ip_aff),
+       | ip_cand AS (SELECT vec_id AS cid, cell
+       |  FROM ip_rk WHERE rnk = 1 AND vec_id >= $NumQueries),
+       | ip_probe AS (SELECT vec_id AS qid, cell
+       |  FROM ip_rk WHERE rnk <= $IvfProbes AND vec_id < $NumQueries),
+       | ip_adc AS (SELECT qt.qid, codes.cid,
+       |   CAST(sum(qt.d2q_ppm) AS BIGINT) AS adc_ppm
+       |  FROM codes JOIN qt ON codes.s = qt.s AND codes.code = qt.code
+       |  JOIN ip_cand ON ip_cand.cid = codes.cid
+       |  JOIN ip_probe ON ip_probe.qid = qt.qid
+       |   AND ip_probe.cell = ip_cand.cell
+       |  GROUP BY 1, 2),
+       | ip_rank AS (SELECT qid, cid, adc_ppm,
+       |   CAST(row_number() OVER (PARTITION BY qid
+       |     ORDER BY adc_ppm, cid) AS INTEGER) AS rnk
+       |  FROM ip_adc)""".stripMargin
 
   /** Shared exact-L2 truth CTE chain ending in `truth(qid, cid)` — the
     * metric-matched baseline both compressed-search recall audits read. */
@@ -1197,6 +1388,23 @@ object SimilarityQueries {
          | SELECT qid, CAST(rnk AS INTEGER) AS rnk, cid, adc_ppm
          | FROM adcrank WHERE rnk <= $LshTopK
          | ORDER BY qid, rnk""".stripMargin,
+    "q_sim_ivfpq_adc" ->
+      s"""WITH $duckIvfPqCtes
+         | SELECT qid, rnk, cid, adc_ppm
+         | FROM ip_rank WHERE rnk <= $LshTopK
+         | ORDER BY qid, rnk""".stripMargin,
+    // The store-served twin grades against the SAME oracle: one answer,
+    // two serving paths (inline rebuild vs persisted index).
+    "q_sim_ivfpq_served" ->
+      s"""WITH $duckIvfPqCtes
+         | SELECT qid, rnk, cid, adc_ppm
+         | FROM ip_rank WHERE rnk <= $LshTopK
+         | ORDER BY qid, rnk""".stripMargin,
+    "q_sim_ivfpq_recall" ->
+      s"""WITH $duckIvfPqCtes,
+         | $duckL2TruthCtes,
+         | approx AS (SELECT qid, cid FROM ip_rank WHERE rnk <= $LshTopK)
+         | $duckRecallSelect""".stripMargin,
     "q_sim_pq_recall" ->
       s"""WITH $duckPqCtes,
          | $duckL2TruthCtes,
@@ -1327,6 +1535,46 @@ object SimilarityQueries {
          |   row_number() OVER (PARTITION BY qid ORDER BY $duckCosTrunc DESC, cid) AS rnk
          |  FROM bq CROSS JOIN bc),
          | approx AS (SELECT qid, cid FROM tr WHERE rnk <= $LshTopK)
+         | SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
+         |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
+         | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+         | GROUP BY t.qid ORDER BY t.qid""".stripMargin
+    },
+    "q_sim_mrl_cascade" -> {
+      val duckCosTrunc =
+        s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | bc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | ctr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCosTrunc DESC, cid) AS crnk
+         |  FROM bq CROSS JOIN bc),
+         | cand AS (SELECT qid, cid FROM ctr WHERE crnk <= $MrlCascadeC),
+         | rr AS (SELECT cand.qid, cand.cid, $duckCos AS cos
+         |  FROM cand JOIN bq USING (qid) JOIN bc USING (cid)),
+         | r AS (SELECT qid, cid, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk
+         |  FROM rr)
+         | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
+         | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin
+    },
+    "q_sim_mrl_cascade_recall" -> {
+      val duckCosTrunc =
+        s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | bc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | fr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCos DESC, cid) AS rnk
+         |  FROM bq CROSS JOIN bc),
+         | truth AS (SELECT qid, cid FROM fr WHERE rnk <= $LshTopK),
+         | ctr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCosTrunc DESC, cid) AS crnk
+         |  FROM bq CROSS JOIN bc),
+         | cand AS (SELECT qid, cid FROM ctr WHERE crnk <= $MrlCascadeC),
+         | rr AS (SELECT cand.qid, cand.cid, $duckCos AS cos
+         |  FROM cand JOIN bq USING (qid) JOIN bc USING (cid)),
+         | approx AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM rr) WHERE rnk <= $LshTopK)
          | SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
          |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
          | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
