@@ -68,7 +68,7 @@ object Scaling {
     // timed runs therefore grades the SERVE path — which is the claim —
     // while the build cost is the already-audited inline pipeline.
     "q_dedup_index_pairs", "q_dedup_index_delta", "q_text_ppl_served",
-    "q_text_bigram_served")
+    "q_text_bigram_served", "q_sim_ivfpq_served")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
