@@ -420,9 +420,17 @@ object SimilarityQueries {
     * the audit is one left join truth→approx and an integer ratio.
     * At scale the truth side comes from a sampled query panel — recall
     * is estimated, never computed over the full corpus. */
+  /** The cosine truth (brute-force top-[[LshTopK]]) as a session-shared
+    * frame — the [[sharedL2Truth]] economics for the cosine-metric
+    * audits (LSH recall, cascade recall). */
+  private def sharedCosineTruth(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.sharedFrame(s, dir, "costruth")(
+      bruteForceTopK(s, dir).where(col("rnk") <= LshTopK)
+        .select(col("qid"), col("cid")))
+
   private val annRecall: Q = (s, dir) => {
-    val truth = bruteForceTopK(s, dir).where(col("rnk") <= LshTopK)
-      .select(col("qid"), col("cid"))
+    val truth = sharedCosineTruth(s, dir)
     val approx = lshAnn(s, dir).select(col("qid").as("aqid"), col("cid").as("acid"))
     truth.join(approx,
         truth("qid") === col("aqid") && truth("cid") === col("acid"), "left")
@@ -597,7 +605,7 @@ object SimilarityQueries {
     * what production actually serves. Reads the served path, so the
     * store is in the graded loop. */
   private val ivfPqRecall: Q = (s, dir) =>
-    recallVsTruth(exactL2TruthTopK(s, dir), ivfPqServed(s, dir))
+    recallVsTruth(sharedL2Truth(s, dir), ivfPqServed(s, dir))
 
   private val KmeansK = 8
   private val EmbDim  = 64
@@ -911,6 +919,15 @@ object SimilarityQueries {
       orderBy = Seq("d2_ppm" -> true, "cid" -> true), k = LshTopK)
   }
 
+  /** The L2 truth as a SESSION-SHARED frame (round 10): three recall
+    * audits (pq / sq / ivfpq) read the same exact-baseline ranking, and
+    * the brute-force pass — the audits' dominant cost — was being paid
+    * once per audit. One materialization, same bits (integer rows,
+    * parquet round-trip exact), audits' oracles unchanged. */
+  private def sharedL2Truth(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.sharedFrame(s, dir, "l2truth")(exactL2TruthTopK(s, dir))
+
   /** Per-query hits + recall bp of `approx(qid, cid)` vs the truth. */
   private def recallVsTruth(truth: DataFrame, approx: DataFrame): DataFrame =
     truth.select(col("qid"), col("cid"))
@@ -923,14 +940,14 @@ object SimilarityQueries {
       .orderBy("qid")
 
   private val pqRecall: Q = (s, dir) =>
-    recallVsTruth(exactL2TruthTopK(s, dir), pqAdc(s, dir))
+    recallVsTruth(sharedL2Truth(s, dir), pqAdc(s, dir))
 
   /** The same audit for the scalar-quantized search — 3-bit/dim lattice
     * codes are cheaper and coarser than PQ's trained subspace cells, and
     * this pair of reports is how that trade is read: same truth, same
     * tie rules, recall difference = quantizer quality difference. */
   private val sqRecall: Q = (s, dir) =>
-    recallVsTruth(exactL2TruthTopK(s, dir), sqAdc(s, dir))
+    recallVsTruth(sharedL2Truth(s, dir), sqAdc(s, dir))
 
   /** Matryoshka truncation width: the first 16 of 64 dims — the 4×
     * storage/compute cut an MRL deployment serves hot. */
@@ -1027,10 +1044,7 @@ object SimilarityQueries {
     * what the exact rerank stage recovers, the number that justifies
     * paying C full-vector reads per query. */
   private val mrlCascadeRecall: Q = (s, dir) =>
-    recallVsTruth(
-      bruteForceTopK(s, dir).where(col("rnk") <= LshTopK)
-        .select("qid", "cid"),
-      mrlCascade(s, dir))
+    recallVsTruth(sharedCosineTruth(s, dir), mrlCascade(s, dir))
 
   /** Semantic dedup apply (SemDeDup, Abbas et al. 2023 — dedup in
     * EMBEDDING space, which catches paraphrases that share no n-grams):

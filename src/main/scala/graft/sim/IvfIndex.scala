@@ -274,7 +274,16 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
         idCol, vecCol, codebook(cb))
       .where(col("rnk") <= probes)
       .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
-    readUnion(segs).join(broadcast(probed), Seq("cell"))
+    // Round 10: the probed cells also prune the postings scan at
+    // PLANNING time (`PartitionFilters` on the cell partition column —
+    // the MinHashIndex probe discipline; pinned in `PlanAuditSpec`).
+    // The driver list is bounded by O(cells) regardless of corpus or
+    // query-set size; the routing recompute for this collect is
+    // O(queries·cells).
+    val probedCells: Seq[Any] = probed.select("cell").distinct()
+      .collect().toIndexedSeq.map(_.get(0))
+    readUnion(segs).where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id").as("cid"),
         Similarity.cosine(col("qe"), col("vector")).as("cos"))
       .withColumn("rnk", row_number().over(

@@ -227,10 +227,14 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     * the persisted pq codebook, then score the probed cells' CODES by
     * integer table-lookup sum — the corpus vectors are never read. The
     * manifest is resolved ONCE (the [[IvfIndex.search]] torn-read rule).
-    * Scale shape: the postings⋈probes join is a broadcast on the cell
-    * partition column (partition-pruned scan); the qtab join broadcasts
-    * O(queries·M·K) small ints; the only shuffle is the final per-query
-    * rank over candidate×M rows already reduced to (qid, cid, adc). */
+    * Scale shape: the probed cell ids collect to a driver list BOUNDED
+    * BY THE CODEBOOK (≤ cells values regardless of corpus or query-set
+    * size — the [[MinHashIndex]] probe discipline) and prune the code
+    * scan at PLANNING time (`PartitionFilters` on the cell partition
+    * column — pinned in `PlanAuditSpec`); the per-query routing then
+    * rides a broadcast join over the pruned scan; the qtab join
+    * broadcasts O(queries·M·K) small ints; the only shuffle is the
+    * final per-query rank over rows already reduced to (qid, cid, adc). */
   def search(queries: DataFrame, idCol: String, vecCol: String,
              k: Int, probes: Int): DataFrame = {
     val (cb, pq, segs) = manifestAt(resolvedOrFail())
@@ -240,10 +244,16 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
         queries.select(col(idCol), col(vecCol)), idCol, vecCol, coarse)
       .where(col("rnk") <= probes)
       .select(col("id").as("qid"), col("cell"))
+    // Driver list bounded by O(cells); the routing recompute for this
+    // collect is O(queries·cells) — cheaper than a checkpoint's block
+    // lifetime in a serving loop.
+    val probedCells: Seq[Any] = probed.select("cell").distinct()
+      .collect().toIndexedSeq.map(_.get(0))
     val qtab = qtable(
       subvectors(queries.select(col(idCol), col(vecCol)), idCol, vecCol,
         pqCb), pqCb)
-    readUnion(segs).join(broadcast(probed), Seq("cell"))
+    readUnion(segs).where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id").as("cid"),
         posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(qtab), Seq("qid", "s", "code"))

@@ -382,4 +382,42 @@ class PlanAuditSpec extends SparkSpec {
         s"statically-forced broadcast on a non-victim-key set: ${h.output}")
     }
   }
+
+  /** The served IVF-PQ probe reads ONLY its probed cells: the driver
+    * cell list (bounded by the codebook) must land as PLANNING-time
+    * partition pruning on the code-segment scan — the claim the store
+    * exists for. The codes scan is also the ONLY corpus-sized input:
+    * no full-width vector column may appear in the served plan. */
+  test("q_sim_ivfpq_served prunes the code scan to the probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.SparkEntry.queries("q_sim_ivfpq_served")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    val codeScans = scans.filter(_.metadata
+      .get("PartitionFilters").exists(_.contains("cell")))
+    assert(codeScans.nonEmpty,
+      "no partition-pruned cell scan in the served plan:\n" +
+        scans.map(_.metadata.mkString(", ")).mkString("\n"))
+    codeScans.foreach { s =>
+      assert(s.metadata("PartitionFilters").contains("cell#") ||
+        s.metadata("PartitionFilters").contains("cell IN") ||
+        s.metadata("PartitionFilters").contains("cell"),
+        s.metadata("PartitionFilters"))
+      assert(!s.schema.fieldNames.contains("vector"),
+        "the served scan reads vectors — codes were expected: " +
+          s.schema.fieldNames.mkString(","))
+    }
+  }
+
+  /** The matryoshka cascade's coarse pass must reduce through the
+    * bounded-heap TopKPerKey (no global sort, no full-width vectors
+    * crossing the heap), with the corpus×queries scoring as the
+    * declared broadcast-queries nested loop — never a cartesian. */
+  test("q_sim_mrl_cascade: bounded-heap coarse pass, no cartesian") {
+    val p = plan("q_sim_mrl_cascade")
+    assert(p.contains("TopKPerKey"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), "unhinted cartesian:\n" + p)
+  }
 }
