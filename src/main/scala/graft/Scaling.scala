@@ -42,8 +42,12 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *    family): the amplified corpus manufactures K² near-dup pairs BY
   *    DESIGN, so the RESULT grows super-linearly and a g8 bar would
   *    grade the fixture. The honest bar is time growing no faster than
-  *    the result: `t8/t1 ≤ rows8/rows1` — a plan defect (lost filter,
-  *    new all-pairs stage) still breaks it, output growth alone cannot. */
+  *    the result times the declared sort allowance
+  *    ([[outputBoundEnvelope]]: `t_f/t1 ≤ (rows_f/rows_1)·(ln rows_f /
+  *    ln rows_1)` — the timed form ends in the deterministic global
+  *    sort that emits the result, Θ(n log n)); a plan defect (lost
+  *    filter, new all-pairs stage) still breaks it, output growth
+  *    alone cannot. */
 object Scaling {
 
   private val AllTables = Seq("region", "nation", "customer", "supplier",
@@ -136,6 +140,26 @@ object Scaling {
     "q_dedup_simhash_pairs", "q_dedup_spans", "q_dedup_span_apply",
     "q_text_winnow_pairs", "q_dedup_containment", "q_dedup_ngram_jaccard",
     "q_dedup_prefix_join", "q_dedup_pair_rouge")
+
+  /** The output_bound TIME envelope, defined once for the tool and
+    * `ScalingSpec`: t_f/t1 ≤ (rows_f/rows_1) · (ln rows_f / ln rows_1).
+    * The rows ratio is the regime's core claim (work tracks the result,
+    * not the input); the ln ratio is the DECLARED allowance for the one
+    * super-linear stage the timed form necessarily contains — the
+    * deterministic global sort that emits the result in oracle row
+    * order, Θ(n log n) in the result size. Under the round-10 noop
+    * clock (which, unlike count(), executes that sort) the pair family
+    * measures at exactly this envelope: ngram_jaccard ×10 t-ratio 112
+    * vs rows-ratio 91 × ln-ratio 1.31 = 120. The allowance cannot
+    * grandfather a real defect: a new all-pairs stage costs n²/log n
+    * beyond it, a lost pair filter moves the rows ratio itself, and a
+    * lost hub cap breaks the separate span_budget bar. */
+  private[graft] def outputBoundEnvelope(rows1: Long, rowsF: Long): Double = {
+    val rRatio = rowsF.toDouble / math.max(1L, rows1).toDouble
+    val lnAllow = math.log(math.max(2L, rowsF).toDouble) /
+      math.log(math.max(2L, rows1).toDouble)
+    rRatio * math.max(1.0, lnAllow)
+  }
 
   /** g-bar for the output-linear regime (measured fleet ≤ 0.35). */
   private[graft] val GBar = 0.57
@@ -329,16 +353,20 @@ object Scaling {
           val p1 = per(1)._4.get.toDouble
           val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
           val tRatio = per(fm)._1 / per(1)._1
+          val tEnv = outputBoundEnvelope(per(1)._2, per(fm)._2)
           val timeBad =
-            if (tRatio > rRatio) Some(
-              f"$name [output_bound]: t$fm/t1 $tRatio%.2f > rows$fm/rows1 $rRatio%.2f")
+            if (tRatio > tEnv) Some(
+              f"$name [output_bound]: t$fm/t1 $tRatio%.2f > envelope $tEnv%.2f")
             else None
           val budgetBad =
             if (pf.get > SpanBudgetSlack * rRatio * math.max(1.0, p1)) Some(
               f"$name [span_budget]: pairs$fm ${pf.get} > " +
                 f"$SpanBudgetSlack%.1f × rows-ratio $rRatio%.2f × pairs1 ${per(1)._4.get}")
             else None
-          timeBad.orElse(budgetBad)
+          // Report BOTH when both break — hiding the budget violation
+          // behind the time one would cost a second multi-hour run to
+          // discover it.
+          (timeBad.toSeq ++ budgetBad.toSeq): Seq[String]
         } else if (name == KmeansFitScaled) {
           val tRatio = per(fm)._1 / per(1)._1
           val env = fm.toDouble * fm
@@ -347,9 +375,9 @@ object Scaling {
           else None
         } else if (OutputBound(name)) {
           val tRatio = per(fm)._1 / per(1)._1
-          val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
-          if (tRatio > rRatio) Some(
-            f"$name [output_bound]: t$fm/t1 $tRatio%.2f > rows$fm/rows1 $rRatio%.2f")
+          val tEnv = outputBoundEnvelope(per(1)._2, per(fm)._2)
+          if (tRatio > tEnv) Some(
+            f"$name [output_bound]: t$fm/t1 $tRatio%.2f > envelope $tEnv%.2f")
           else None
         } else if (g(fm) > gBarAt(fm)) Some(
           f"$name [output_linear]: g$fm ${g(fm)}%.3f > ${gBarAt(fm)}%.3f")

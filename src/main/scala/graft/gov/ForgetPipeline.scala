@@ -69,7 +69,24 @@ final class ForgetPipeline(spark: SparkSession, val ledgerDir: String) {
   def execute(requestId: String, ids: Seq[Long],
               targets: Seq[(String, Seq[Long] => Long)]): DataFrame = {
     val path = requestPath(requestId)
-    if (isComplete(requestId)) return spark.read.parquet(path.toString)
+    if (isComplete(requestId)) {
+      // A completed id replays as a pure read — but ONLY for the same
+      // request. A reused id with different victims or targets would
+      // otherwise silently skip erasure while returning success-looking
+      // rows: the worst possible failure mode for this pipeline.
+      val committed = spark.read.parquet(path.toString)
+      val gotIds = committed.select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val gotStores = committed.select("store").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(gotIds == ids.toSet && gotStores == targets.map(_._1).toSet,
+        s"request '$requestId' is already committed for ids " +
+          s"${gotIds.toSeq.sorted.mkString(",")} / stores " +
+          s"${gotStores.toSeq.sorted.mkString(",")} — refusing to treat " +
+          "a DIFFERENT victim or target set as a replay; use a fresh " +
+          "request id")
+      return committed
+    }
     require(ids.nonEmpty, "empty victim set")
     require(targets.map(_._1).distinct.size == targets.size,
       "duplicate target names")

@@ -149,7 +149,13 @@ object NgramLm {
       }
       val m = metaRows.head
       checkTable("uni", m.getAs[Long]("v_size"), m.getAs[Long]("t_total"))
-      checkTable("bi", m.getAs[Long]("b_size"), m.getAs[Long]("b_total"))
+      // LEGACY (order-1) segments predate the bi/ table and declare no
+      // b_size/b_total — they load fine (absent transitions roll as an
+      // empty bigram table; the store stays servable, never bricked)
+      // and the first compact() rewrites them in the full format. The
+      // cross-check still runs on every segment that DECLARES order 2.
+      if (m.schema.fieldNames.contains("b_size"))
+        checkTable("bi", m.getAs[Long]("b_size"), m.getAs[Long]("b_total"))
     }
     new Model(spark, store)
   }
@@ -219,6 +225,20 @@ object NgramLm {
     def readUnion(table: String): DataFrame =
       liveSegments().map(s => spark.read.parquet(segPath(s, table)))
         .reduce(_ unionByName _)
+
+    /** Union of `table` across live segments, tolerating segments that
+      * predate the table (the order-1 → order-2 migration: a legacy
+      * segment simply contributes no rows). Empty-schema fallback keeps
+      * downstream plans well-typed when NO live segment has the table. */
+    def readUnionTolerant(table: String, schemaDdl: String): DataFrame = {
+      val present = liveSegments().map(s => segPath(s, table))
+        .filter(p => fs.exists(new Path(p)))
+      if (present.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      else present.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    }
   }
 
   /** A verified handle; construct via [[load]]. */
@@ -245,7 +265,8 @@ object NgramLm {
       * never-ingested transitions is a broken contract at order 2 just
       * as at order 1). */
     def bigrams(): DataFrame = {
-      val rolled = store.readUnion("bi")
+      val rolled = store
+        .readUnionTolerant("bi", "w1 STRING, w2 STRING, cnt BIGINT")
         .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
       rolled.withColumn("cnt",
@@ -296,6 +317,29 @@ object NgramLm {
       * training corpus makes absence impossible); docs with < 2 tokens
       * produce no row. An order-2 OOV backoff is deliberately NOT
       * invented here — it would change the graded statistic. */
+    /** The scored TYPE table of the frozen model, rolled ONCE per Model
+      * handle (lazy): the store is pinned for this handle's lifetime,
+      * so re-deriving the vocabulary²-sized roll-up — and leaking one
+      * eager checkpoint — per scoring call was pure waste; a standing
+      * [[graft.stream.QualityGateIngest]] calls [[scoreBigrams]] every
+      * trigger against ONE handle and now holds exactly one
+      * model-state-sized block set for the stream's lifetime. */
+    private lazy val bigramTypeScores: DataFrame = {
+      // One read of the rolled table feeds c2 and both marginals.
+      val c2 = bigrams().withColumnRenamed("cnt", "c2")
+        .localCheckpoint(true)
+      val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
+      val uni2 = c2.groupBy(col("w2").as("w")).agg(sum("c2").as("cuni"))
+      val total = uni2.agg(coalesce(sum("cuni"), lit(0L)).as("t_total"))
+      c2.join(cFirst, Seq("w1"))
+        .join(uni2, c2("w2") === uni2("w"))
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"),
+          expr(graft.queries.TextQueries.BigramSurprisalSql)
+            .as("surprisal_mb"))
+        .localCheckpoint(true)
+    }
+
     def scoreBigrams(docs: DataFrame, idCol: String,
         textCol: String): DataFrame = {
       val db = docs
@@ -308,19 +352,7 @@ object NgramLm {
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-      // One read of the rolled table feeds c2 and both marginals.
-      val c2 = bigrams().withColumnRenamed("cnt", "c2")
-        .localCheckpoint(true)
-      val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
-      val uni2 = c2.groupBy(col("w2").as("w")).agg(sum("c2").as("cuni"))
-      val total = uni2.agg(coalesce(sum("cuni"), lit(0L)).as("t_total"))
-      val typeScores = c2.join(cFirst, Seq("w1"))
-        .join(uni2, c2("w2") === uni2("w"))
-        .crossJoin(broadcast(total))
-        .select(col("w1"), col("w2"),
-          expr(graft.queries.TextQueries.BigramSurprisalSql)
-            .as("surprisal_mb"))
-      db.join(typeScores, Seq("w1", "w2"))
+      db.join(bigramTypeScores, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           expr("sum(k * surprisal_mb) DIV sum(k)").as("mean_surprisal_mb"))
@@ -391,7 +423,8 @@ object NgramLm {
         .where(col("cnt") =!= 0L)
         .select(col("term").as("w1"),
           lit(null).cast("string").as("w2"), col("cnt"))
-      val bi = store.readUnion("bi")
+      val bi = store
+        .readUnionTolerant("bi", "w1 STRING, w2 STRING, cnt BIGINT")
         .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
       store.publish(Seq(store.writeSegment(uni.unionByName(bi))))

@@ -61,21 +61,14 @@ final class DriftIngest(
   /** One micro-batch → its O(bins) histogram partition. Returns the
     * batch's row count (0 rows ⇒ nothing written). */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val counts = binned(batch).localCheckpoint(true) // total + write read it
-    val mine = sc.getPersistentRDDs.keySet.toSet -- before
-    try {
+    // total + write read one materialization; blocks released per
+    // trigger (the shared withReleasedCheckpoint discipline — a standing
+    // monitor must not accumulate O(bins) block sets per trigger).
+    MicroBatchIngest.withReleasedCheckpoint(binned(batch)) { counts =>
       val n = counts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
       if (n > 0)
         MicroBatchIngest.writeBatchPartition(counts, storeDir, batchId)
       n
-    } finally {
-      // Release the checkpoint blocks once total + write have consumed
-      // them — a standing monitor must not accumulate O(bins) block sets
-      // per trigger (same storage discipline as HashedLogReg/BpeTrainer).
-      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
-        .values.foreach(_.unpersist(blocking = false))
     }
   }
 

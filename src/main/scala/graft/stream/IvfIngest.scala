@@ -49,25 +49,20 @@ final class IvfIngest(
   /** The codebook name this ingest appends under for its lifetime. */
   def codebook: String = servedCodebook
 
-  /** One micro-batch → one postings segment. Returns rows appended. */
+  /** One micro-batch → one postings segment. Returns rows appended.
+    * Checkpointed once (count + append read one materialization) with
+    * the blocks released per trigger — the shared
+    * [[MicroBatchIngest.withReleasedCheckpoint]] discipline. */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
     if (batch.isEmpty) return 0L
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    // Checkpointed once: the count and the assignment write must not
-    // re-pull the source (the KmeansIngest rule), and the blocks are
-    // released per trigger (standing-monitor storage discipline).
-    val prepared = batch.select(col(idCol).as("id"),
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
-      .localCheckpoint(true)
-    val mine = sc.getPersistentRDDs.keySet.toSet -- before
-    try {
-      val n = prepared.count()
-      if (n > 0)
-        index.appendAsBatch(prepared, "id", "__v", batchId, servedCodebook)
-      n
-    } finally
-      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
-        .values.foreach(_.unpersist(blocking = false))
+    MicroBatchIngest.withReleasedCheckpoint(
+      batch.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))) {
+      prepared =>
+        val n = prepared.count()
+        if (n > 0)
+          index.appendAsBatch(prepared, "id", "__v", batchId, servedCodebook)
+        n
+    }
   }
 }

@@ -83,20 +83,15 @@ final class KmeansIngest(
     val assigned =
       if (k <= flatAssignMaxK) model.assignAt(version, prepared, idCol, "__v")
       else model.assignApproxAt(version, prepared, idCol, "__v", probes)
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = assigned.localCheckpoint(true) // count + write both read it
-    val mine = sc.getPersistentRDDs.keySet.toSet -- before
-    try {
+    // count + write both read one materialization; blocks released per
+    // trigger (the shared withReleasedCheckpoint discipline).
+    MicroBatchIngest.withReleasedCheckpoint(assigned) { out =>
       val n = out.count()
       if (n > 0)
         MicroBatchIngest.writeBatchPartition(
           out.withColumnRenamed(idCol, "id"), storeDir, batchId)
       n
-    } finally
-      // Standing-monitor storage discipline (the DriftIngest rule).
-      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
-        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** The standing assignment store: (id, cid, d2_ppm, batch_id). */

@@ -34,6 +34,24 @@ private[stream] trait MicroBatchIngest {
 
 private[stream] object MicroBatchIngest {
 
+  /** Run `f` over an eagerly-checkpointed copy of `df`, releasing the
+    * checkpoint's blocks afterward — the standing-maintainer storage
+    * discipline (a per-trigger checkpoint pins the batch so multiple
+    * consumers — count + write, screen + append — read ONE
+    * materialization; a standing stream must then release those blocks
+    * or accumulate one dead set per trigger) held in ONE place instead
+    * of re-implemented per maintainer: a fix to the release rule lands
+    * everywhere at once. */
+  def withReleasedCheckpoint[A](df: DataFrame)(f: DataFrame => A): A = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val pinned = df.localCheckpoint(true)
+    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    try f(pinned)
+    finally sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   /** Idempotent per-batch write: DYNAMIC overwrite of this batch's own
     * `batch_id=<id>` partition only — every other batch's output is
     * untouched, so an at-least-once redelivery (same checkpointed

@@ -42,19 +42,14 @@ final class PqIvfIngest(
   /** One micro-batch → one code segment. Returns rows appended. */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
     if (batch.isEmpty) return 0L
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val prepared = batch.select(col(idCol).as("id"),
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
-      .localCheckpoint(true)
-    val mine = sc.getPersistentRDDs.keySet.toSet -- before
-    try {
-      val n = prepared.count()
-      if (n > 0)
-        index.appendAsBatch(prepared, "id", "__v", batchId, servedCoarse)
-      n
-    } finally
-      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
-        .values.foreach(_.unpersist(blocking = false))
+    MicroBatchIngest.withReleasedCheckpoint(
+      batch.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))) {
+      prepared =>
+        val n = prepared.count()
+        if (n > 0)
+          index.appendAsBatch(prepared, "id", "__v", batchId, servedCoarse)
+        n
+    }
   }
 }

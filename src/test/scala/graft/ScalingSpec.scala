@@ -87,8 +87,10 @@ class ScalingSpec extends SparkSpec {
           // Time stays output-bound AND the candidate-pair budget holds
           // per output row (pairs columns appear from round 10 on; the
           // time bar applies to every artifact vintage).
-          assert(tf / t1 <= rf / math.max(1.0, r1),
-            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew rows$fm/rows1 ${rf / r1}%.2f in $path")
+          assert(tf / t1 <=
+              Scaling.outputBoundEnvelope(r1.toLong, rf.toLong),
+            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew envelope " +
+              f"${Scaling.outputBoundEnvelope(r1.toLong, rf.toLong)}%.2f in $path")
           for (p1 <- num(body, "pairs1"); pf <- num(body, s"pairs$fm"))
             assert(pf <= Scaling.SpanBudgetSlack * (rf / math.max(1.0, r1))
                 * math.max(1.0, p1),
@@ -99,8 +101,10 @@ class ScalingSpec extends SparkSpec {
             f"$name [fit_design]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
               f"O(corpus·K) = f² envelope ${fm.toDouble * fm}%.1f in $path")
         else if (Scaling.OutputBound(name))
-          assert(tf / t1 <= rf / math.max(1.0, r1),
-            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew rows$fm/rows1 ${rf / r1}%.2f in $path")
+          assert(tf / t1 <=
+              Scaling.outputBoundEnvelope(r1.toLong, rf.toLong),
+            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew envelope " +
+              f"${Scaling.outputBoundEnvelope(r1.toLong, rf.toLong)}%.2f in $path")
         else
           num(body, s"g$fm").foreach { g =>
             assert(g <= Scaling.gBarAt(fm),

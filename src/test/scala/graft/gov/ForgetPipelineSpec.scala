@@ -111,4 +111,30 @@ class ForgetPipelineSpec extends SparkSpec {
     // Nothing committed by the failed attempts.
     assert(fp.tombstones().isEmpty)
   }
+
+  test("a reused request id with a different victim set refuses loudly") {
+    val fp = new ForgetPipeline(spark, tmp("fp4_ledger"))
+    var calls = 0
+    val targets = Seq[(String, Seq[Long] => Long)](
+      "a" -> (_ => { calls += 1; 7L }))
+    fp.execute("req-reuse", Seq(1L, 2L), targets)
+    assert(calls == 1)
+    // Same request replayed verbatim: pure read, no forget runs.
+    fp.execute("req-reuse", Seq(1L, 2L), targets)
+    assert(calls == 1)
+    // Different victims under the same id: the silent-skip hazard —
+    // must throw, must run nothing, must leave the ledger unchanged.
+    val e = intercept[IllegalArgumentException] {
+      fp.execute("req-reuse", Seq(42L), targets)
+    }
+    assert(e.getMessage.contains("fresh request id"))
+    assert(calls == 1)
+    // Different target set under the same id: same refusal.
+    intercept[IllegalArgumentException] {
+      fp.execute("req-reuse", Seq(1L, 2L),
+        targets :+ ("b" -> ((_: Seq[Long]) => 0L)))
+    }
+    assert(calls == 1)
+    assert(fp.tombstones().count() == 2)
+  }
 }

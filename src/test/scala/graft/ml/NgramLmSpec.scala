@@ -247,4 +247,55 @@ class NgramLmSpec extends SparkSpec {
     assert(kept(hi) == m.score(valDocs, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet)
   }
+
+  test("a legacy order-1 store loads, serves, and migrates via compact") {
+    // Hand-build a pre-order-2 segment: uni/ + old-schema meta ONLY —
+    // the on-disk layout every store persisted before the bi/ table
+    // existed. Load must not brick it (the learn->serve asset is sold
+    // as serving for years); unigram scoring works, bigram scoring
+    // finds no known transitions (the documented NULL/absent
+    // semantics), and the first compact() rewrites the full format.
+    val base = Files.createTempDirectory("nglm-legacy").toString + "/lm"
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("doc_id") < 100)
+    // Build a fresh store, then surgically strip it to the legacy form.
+    NgramLm.fit(docs, "text", base)
+    val segDir = new java.io.File(s"$base/segments").listFiles()
+      .filter(_.getName.startsWith("seg-")).head
+    // Rewrite meta to the old 2-column schema and delete bi/.
+    val oldMeta = spark.read.parquet(s"$segDir/meta")
+      .select("t_total", "v_size").collect().toSeq
+    assert(oldMeta.length == 1)
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/bi"))
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/meta"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(oldMeta, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "t_total BIGINT, v_size BIGINT"))
+      .write.parquet(s"$segDir/meta")
+
+    val legacy = NgramLm.load(spark, base)
+    // Unigram serving intact; bigram table empty -> no scorable rows.
+    assert(legacy.vocab().count() > 0)
+    assert(legacy.bigrams().isEmpty)
+    assert(legacy.scoreBigrams(docs, "doc_id", "text").isEmpty)
+    assert(legacy.score(docs, "doc_id", "text").count() > 0)
+
+    // Appends land full-format next to the legacy segment; compact
+    // realizes ONE full-format segment and the strict checks run again.
+    legacy.append(graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("doc_id") >= 100 && col("doc_id") < 200), "text")
+    NgramLm.load(spark, base).compact()
+    val m = NgramLm.load(spark, base)
+    assert(m.bigrams().count() > 0, "compact did not realize order 2")
+    // The migrated store's bigram table equals a fresh order-2 fit on
+    // the appended slice alone (the legacy slice contributed none).
+    val ref = Files.createTempDirectory("nglm-legacy-ref").toString + "/lm"
+    NgramLm.fit(graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("doc_id") >= 100 && col("doc_id") < 200), "text", ref)
+    assert(m.bigrams().orderBy("w1", "w2").collect().toSeq ==
+      NgramLm.load(spark, ref).bigrams().orderBy("w1", "w2")
+        .collect().toSeq)
+  }
 }
