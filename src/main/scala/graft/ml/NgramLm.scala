@@ -317,27 +317,56 @@ object NgramLm {
       * training corpus makes absence impossible); docs with < 2 tokens
       * produce no row. An order-2 OOV backoff is deliberately NOT
       * invented here — it would change the graded statistic. */
-    /** The scored TYPE table of the frozen model, rolled ONCE per Model
-      * handle (lazy): the store is pinned for this handle's lifetime,
-      * so re-deriving the vocabulary²-sized roll-up — and leaking one
-      * eager checkpoint — per scoring call was pure waste; a standing
+    /** The scored TYPE table of the frozen model, rolled once PER STORE
+      * VERSION: the vocabulary²-sized roll-up is cached keyed on the
+      * manifest version the handle currently resolves — a standing
       * [[graft.stream.QualityGateIngest]] calls [[scoreBigrams]] every
-      * trigger against ONE handle and now holds exactly one
-      * model-state-sized block set for the stream's lifetime. */
-    private lazy val bigramTypeScores: DataFrame = {
-      // One read of the rolled table feeds c2 and both marginals.
-      val c2 = bigrams().withColumnRenamed("cnt", "c2")
-        .localCheckpoint(true)
-      val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
-      val uni2 = c2.groupBy(col("w2").as("w")).agg(sum("c2").as("cuni"))
-      val total = uni2.agg(coalesce(sum("cuni"), lit(0L)).as("t_total"))
-      c2.join(cFirst, Seq("w1"))
-        .join(uni2, c2("w2") === uni2("w"))
-        .crossJoin(broadcast(total))
-        .select(col("w1"), col("w2"),
-          expr(graft.queries.TextQueries.BigramSurprisalSql)
-            .as("surprisal_mb"))
-        .localCheckpoint(true)
+      * trigger against ONE handle and holds exactly one
+      * model-state-sized block set, while an append/forget/compact
+      * THROUGH the same handle moves the version and transparently
+      * rebuilds (the prior design's lazy val served STALE type scores
+      * after a mutation, breaking "append sequence ≡ fit on the
+      * union"). The intermediate c2 roll-up's checkpoint blocks are
+      * released as soon as the final scored table materializes — only
+      * the serving table stays pinned — and a rebuild releases the
+      * previous version's blocks. */
+    private var bigramScoresCache: Option[(Long, DataFrame, Set[Int])] =
+      None
+
+    private def bigramTypeScores: DataFrame = synchronized {
+      val v = store.currentVersion().getOrElse(
+        throw new IllegalStateException(
+          s"no complete LM store under ${store.dir}"))
+      bigramScoresCache match {
+        case Some((cv, df, _)) if cv == v => df
+        case stale =>
+          val sc = spark.sparkContext
+          stale.foreach { case (_, _, ids) =>
+            sc.getPersistentRDDs.filter { case (id, _) => ids(id) }
+              .values.foreach(_.unpersist(blocking = false))
+          }
+          val before = sc.getPersistentRDDs.keySet.toSet
+          // One read of the rolled table feeds c2 and both marginals.
+          val c2 = bigrams().withColumnRenamed("cnt", "c2")
+            .localCheckpoint(true)
+          val afterC2 = sc.getPersistentRDDs.keySet.toSet
+          val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
+          val uni2 = c2.groupBy(col("w2").as("w")).agg(sum("c2").as("cuni"))
+          val total = uni2.agg(coalesce(sum("cuni"), lit(0L)).as("t_total"))
+          val scored = c2.join(cFirst, Seq("w1"))
+            .join(uni2, c2("w2") === uni2("w"))
+            .crossJoin(broadcast(total))
+            .select(col("w1"), col("w2"),
+              expr(graft.queries.TextQueries.BigramSurprisalSql)
+                .as("surprisal_mb"))
+            .localCheckpoint(true)
+          val c2Ids = afterC2 -- before
+          sc.getPersistentRDDs.filter { case (id, _) => c2Ids(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          val mine = (sc.getPersistentRDDs.keySet.toSet -- before) -- c2Ids
+          bigramScoresCache = Some((v, scored, mine))
+          scored
+      }
     }
 
     def scoreBigrams(docs: DataFrame, idCol: String,
@@ -411,6 +440,30 @@ object NgramLm {
           .select(col("w1"), col("w2"), (-col("cnt")).as("cnt"))))
     }
 
+    /** REQUEST-KEYED idempotent forget — the [[appendBatch]] rule
+      * applied to the negative segment: the segment is named by the
+      * caller's token (an erasure request id, a batch id), so an
+      * at-least-once replay — a [[graft.gov.ForgetPipeline]] crash
+      * between the LM forget and its ack, a redelivered trigger —
+      * finds `seg-forget-<token>` already live and is a TRUE no-op
+      * instead of subtracting the victims' counts a second time
+      * (which would drive rolled counts negative and fail [[vocab]]
+      * loudly). The UUID-named [[forget]] must never sit behind a
+      * replayable orchestrator; this form is the one to wire there. */
+    def forgetBatch(docs: DataFrame, textCol: String,
+        token: String): Long = {
+      require(token.nonEmpty && token.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_'),
+        s"forget token must be [A-Za-z0-9_-]+, got '$token'")
+      val live = store.liveSegments()
+      val seg = s"seg-forget-$token"
+      if (live.contains(seg)) return store.currentVersion().get
+      store.writeNamedSegment(
+        gramCountsOf(docs, textCol)
+          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt")), seg)
+      store.publish(live :+ seg)
+    }
+
     /** MAINTENANCE compaction: fold live segments into one (the same
       * additive algebra serving uses; zero-sum terms dropped, so
       * forget segments are REALIZED and their negatives leave the
@@ -433,5 +486,55 @@ object NgramLm {
     /** Retention: keep the newest `keep` versions, sweep older
       * manifests and unreferenced segments (shared IndexVacuum rules). */
     def vacuum(keep: Int = 1): (Int, Int) = store.vacuum(keep)
+  }
+
+  /** Moore–Lewis data selection served from TWO frozen stores — the
+    * CCNet production shape (train the in-domain and general selectors
+    * ONCE, then score candidate shards for years) for the statistic
+    * `q_text_moore_lewis` re-derives per run: per-term surprisal
+    * difference between the GENERAL LM (`general`, fit on the full
+    * reference corpus) and the IN-DOMAIN LM (`inDomain`, fit on the
+    * domain seed), add-one smoothed over the general model's SHARED
+    * vocabulary, floor-millinat per TERM TYPE, exact-integer per-doc
+    * mean — bit-identical to the inline kernel because both evaluate
+    * the SAME shared expression strings
+    * ([[graft.queries.TextQueries.MooreLewisAllSql]] /
+    * [[graft.queries.TextQueries.MooreLewisInSql]]) over exact BIGINT
+    * counts (graded by `q_text_moore_lewis_served`, which shares the
+    * inline query's verbatim oracle; pinned in `NgramLmSpec`).
+    *
+    * Contract mirrors the inline query: the smoothing vocabulary V is
+    * the GENERAL store's vocabulary (the in-domain store must be fit on
+    * a subset of the general corpus for `t_in` to match the inline
+    * in-source token total — the graded construction); batch terms
+    * outside V drop from the mean (inner join — when scoring the
+    * training corpus absence is impossible; on a NEW candidate batch
+    * this is the declared OOV rule, same as [[Model.scoreBigrams]]).
+    * Only the BATCH is tokenized — nothing scales with either reference
+    * corpus after fit. */
+  def mooreLewis(general: Model, inDomain: Model, docs: DataFrame,
+      idCol: String, srcCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+        explode(TokenOps.terms(col(textCol))).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("k"))
+    // Vocabulary-sized: one left join of the two frozen count tables
+    // feeds both the totals aggregate and the type scores.
+    val counts = general.vocab().withColumnRenamed("cnt", "c_all")
+      .join(inDomain.vocab().withColumnRenamed("cnt", "c_in"),
+        Seq("term"), "left_outer")
+      .select(col("term"), col("c_all"),
+        coalesce(col("c_in"), lit(0L)).as("c_in"))
+      .localCheckpoint(true)
+    val consts = counts.agg(sum("c_all").as("t_all"),
+      sum("c_in").as("t_in"), count(lit(1)).as("v"))
+    val typeScores = counts.crossJoin(broadcast(consts))
+      .select(col("term"),
+        expr(graft.queries.TextQueries.MooreLewisAllSql).as("s_all_mb"),
+        expr(graft.queries.TextQueries.MooreLewisInSql).as("s_in_mb"))
+    tf.join(typeScores, Seq("term"))
+      .groupBy("doc_id", "source")
+      .agg(sum("k").as("n_tokens"),
+        expr("sum(k * (s_all_mb - s_in_mb)) DIV sum(k)").as("ml_score_mb"))
   }
 }

@@ -495,16 +495,60 @@ object TextQueries {
       count(lit(1)).as("v"))
     val typeScores = counts.crossJoin(broadcast(consts))
       .select(col("term"),
-        expr("""CAST(floor(-1000.0 * ln((CAST(c_all AS DOUBLE) + 1.0)
-               | / (t_all + v))) AS BIGINT)""".stripMargin).as("s_all_mb"),
-        expr("""CAST(floor(-1000.0 * ln((CAST(c_in AS DOUBLE) + 1.0)
-               | / (t_in + v))) AS BIGINT)""".stripMargin).as("s_in_mb"))
+        expr(MooreLewisAllSql).as("s_all_mb"),
+        expr(MooreLewisInSql).as("s_in_mb"))
     tf.join(typeScores, Seq("term"))
       .groupBy("doc_id", "source")
       .agg(sum("k").as("n_tokens"),
         expr("sum(k * (s_all_mb - s_in_mb)) DIV sum(k)").as("ml_score_mb"))
       .orderBy("doc_id")
   }
+
+  /** The Moore–Lewis per-term surprisal emissions — ONE definition over
+    * (c_all, t_all, v) / (c_in, t_in, v), shared by the inline kernel
+    * above and the two-store serving path
+    * ([[graft.ml.NgramLm.mooreLewis]]) so the engines can never drift
+    * (the `HeldoutInVocabSql`/`BigramSurprisalSql` discipline). */
+  private[graft] val MooreLewisAllSql: String =
+    """CAST(floor(-1000.0 * ln((CAST(c_all AS DOUBLE) + 1.0)
+      | / (t_all + v))) AS BIGINT)""".stripMargin
+  private[graft] val MooreLewisInSql: String =
+    """CAST(floor(-1000.0 * ln((CAST(c_in AS DOUBLE) + 1.0)
+      | / (t_in + v))) AS BIGINT)""".stripMargin
+
+  /** The IN-DOMAIN shared LM for [[mooreLewisServed]] — fit once per
+    * (application, corpus dir) on the min(source) slice (the inline
+    * query's deterministic in-domain rule), served thereafter. The
+    * single-value `min(source)` read is request-sized config state, not
+    * data (the inline kernel carries the same scalar as a broadcast). */
+  private val inDomainLmDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedInDomainLm(s: SparkSession,
+      dir: String): graft.ml.NgramLm.Model = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val d = inDomainLmDirs.getOrElseUpdate(key, {
+      val p = java.nio.file.Files.createTempDirectory("graft_idlm_").toString
+      val corpus = docs(s, dir)
+      val inSrc = corpus.agg(min("source")).head().getString(0)
+      graft.ml.NgramLm.fit(corpus.where(col("source") === inSrc), "text", p)
+      p
+    })
+    graft.ml.NgramLm.load(s, d)
+  }
+
+  /** Moore–Lewis served from TWO persisted LMs (general = full corpus,
+    * in-domain = min(source) slice) — the `q_text_moore_lewis` contract
+    * through the learn→serve loop: the selectors are trained once and
+    * frozen, only the scored batch is tokenized, and the oracle is the
+    * inline query's verbatim (the CCNet data-selection production
+    * shape: train selectors once, score candidate shards for years).
+    * Closes the last re-derive-per-query LM statistic now that ppl and
+    * bigram are store-served. */
+  private val mooreLewisServed: Q = (s, dir) =>
+    graft.ml.NgramLm.mooreLewis(
+        sharedCorpusLm(s, dir), sharedInDomainLm(s, dir),
+        docs(s, dir), "doc_id", "source", "text")
+      .orderBy("doc_id")
 
   /** Interpolation weight for [[bigramLm]]: 0.75·P(w₂|w₁) + 0.25·P(w₂). */
   private val BigramLambdaPct = 75
@@ -1597,6 +1641,7 @@ object TextQueries {
     "q_text_unigram_lp"  -> unigramLp,
     "q_text_bigram_lm"   -> bigramLm,
     "q_text_moore_lewis" -> mooreLewis,
+    "q_text_moore_lewis_served" -> mooreLewisServed,
     "q_text_heldout_ppl" -> heldoutPpl,
     "q_text_ppl_served"  -> pplServed,
     "q_text_bigram_served" -> bigramServed,
@@ -1626,6 +1671,28 @@ object TextQueries {
        |  CAST(sum(CASE WHEN mln IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
        |  CAST(sum(k * mln_eff) // sum(k) AS BIGINT) AS heldout_mb
        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** `q_text_moore_lewis`'s oracle — ONE definition, also graded
+    * against `q_text_moore_lewis_served` (the two-store serving path). */
+  private val mooreLewisOracleSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(${duckTerms("text")}) AS term FROM documents),
+       | tf AS (SELECT doc_id, source, term, count(*) AS k FROM tok GROUP BY 1, 2, 3),
+       | ind AS (SELECT min(source) AS in_src FROM tf),
+       | counts AS (
+       |  SELECT term, sum(k) AS c_all,
+       |    sum(CASE WHEN source = (SELECT in_src FROM ind) THEN k ELSE 0 END) AS c_in
+       |  FROM tf GROUP BY term),
+       | consts AS (SELECT sum(c_all) AS t_all, sum(c_in) AS t_in,
+       |   count(*) AS v FROM counts),
+       | ts AS (SELECT term,
+       |   CAST(floor(-1000.0 * ln((CAST(c_all AS DOUBLE) + 1.0) / (t_all + v))) AS BIGINT) AS s_all_mb,
+       |   CAST(floor(-1000.0 * ln((CAST(c_in AS DOUBLE) + 1.0) / (t_in + v))) AS BIGINT) AS s_in_mb
+       |  FROM counts CROSS JOIN consts)
+       | SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_tokens,
+       |  CAST(sum(k * (s_all_mb - s_in_mb)) // sum(k) AS BIGINT) AS ml_score_mb
+       | FROM tf JOIN ts USING (term)
+       | GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
   /** `q_text_bigram_lm`'s oracle — ONE definition, also graded against
     * `q_text_bigram_served` (the persisted order-2 LM serving path). */
@@ -2086,25 +2153,10 @@ object TextQueries {
     // The model-served twin is graded against the SAME oracle: one
     // statistic, two serving paths (inline rebuild vs persisted LM).
     "q_text_ppl_served" -> heldoutOracleSql,
-    "q_text_moore_lewis" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, source, unnest(${duckTerms("text")}) AS term FROM documents),
-         | tf AS (SELECT doc_id, source, term, count(*) AS k FROM tok GROUP BY 1, 2, 3),
-         | ind AS (SELECT min(source) AS in_src FROM tf),
-         | counts AS (
-         |  SELECT term, sum(k) AS c_all,
-         |    sum(CASE WHEN source = (SELECT in_src FROM ind) THEN k ELSE 0 END) AS c_in
-         |  FROM tf GROUP BY term),
-         | consts AS (SELECT sum(c_all) AS t_all, sum(c_in) AS t_in,
-         |   count(*) AS v FROM counts),
-         | ts AS (SELECT term,
-         |   CAST(floor(-1000.0 * ln((CAST(c_all AS DOUBLE) + 1.0) / (t_all + v))) AS BIGINT) AS s_all_mb,
-         |   CAST(floor(-1000.0 * ln((CAST(c_in AS DOUBLE) + 1.0) / (t_in + v))) AS BIGINT) AS s_in_mb
-         |  FROM counts CROSS JOIN consts)
-         | SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_tokens,
-         |  CAST(sum(k * (s_all_mb - s_in_mb)) // sum(k) AS BIGINT) AS ml_score_mb
-         | FROM tf JOIN ts USING (term)
-         | GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
+    "q_text_moore_lewis" -> mooreLewisOracleSql,
+    // The two-store served twin is graded against the SAME oracle: one
+    // statistic, two serving paths (inline refit vs persisted selectors).
+    "q_text_moore_lewis_served" -> mooreLewisOracleSql,
     "q_text_pmi" ->
       s"""WITH tk AS (SELECT ${duckTerms("text")} AS toks FROM documents),
          | uc AS (SELECT w, count(*) AS c FROM

@@ -219,12 +219,26 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * so post-forget search ≡ pre-forget search minus the victims
     * (pinned in spec). Centroids are aggregates and stay — full
     * statistical erasure is [[build]] on the redacted corpus + [[vacuum]]. */
-  def forget(ids: Seq[Long]): Long = {
+  def forget(ids: Seq[Long]): Long =
+    forgetImpl(_.where(!col("id").isin(ids: _*)))
+
+  /** MASS-erasure forget: the victim set stays a DataFrame end to end
+    * (LEFT ANTI join on `id` — no driver materialization, no broadcast
+    * id literal), the shape for source-level retraction (10⁷–10⁸
+    * victims) where a driver `Seq` would not fit. The frame's FIRST
+    * column, cast to BIGINT, is the victim id; semantics are identical
+    * to the Seq form (spec-pinned). */
+  def forget(victims: DataFrame): Long = {
+    val v = victims.select(
+      col(victims.columns.head).cast("long").as("id"))
+    forgetImpl(_.join(v, Seq("id"), "left_anti"))
+  }
+
+  private def forgetImpl(screen: DataFrame => DataFrame): Long = {
     val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(indexDir, s"segments/$seg")
-    try readUnion(segs)
-      .where(!col("id").isin(ids: _*))
+    try screen(readUnion(segs))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }

@@ -290,14 +290,24 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     * [[refit]] on the redacted corpus, then [[vacuum]] to drop the
     * pre-forget versions from disk. `ids` must be bounded request
     * state (a forget request, not a data stream) — it broadcasts. */
-  def forget(ids: Seq[Long]): Long = {
+  def forget(ids: Seq[Long]): Long =
+    forgetImpl(_.where(!col("id").isin(ids.distinct: _*)))
+
+  /** MASS-erasure forget: victims stay a DataFrame end to end (LEFT
+    * ANTI join on `id`; first column cast to BIGINT) — the
+    * [[graft.sim.IvfIndex.forget]] overload contract. */
+  def forget(victims: DataFrame): Long = {
+    val v = victims.select(
+      col(victims.columns.head).cast("long").as("id"))
+    forgetImpl(_.join(v, Seq("id"), "left_anti"))
+  }
+
+  private def forgetImpl(screen: DataFrame => DataFrame): Long = {
     val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
-    val victims = ids.toSet
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(modelDir, s"segments/$seg")
-    try segs.map(s0 => spark.read.parquet(s"$modelDir/segments/$s0"))
-      .reduce(_ unionByName _)
-      .where(!col("id").isin(victims.toSeq: _*))
+    try screen(segs.map(s0 => spark.read.parquet(s"$modelDir/segments/$s0"))
+      .reduce(_ unionByName _))
       .write.mode(SaveMode.Overwrite).parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
     publishManifest(cb, Seq(seg))

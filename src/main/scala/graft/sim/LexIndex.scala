@@ -85,12 +85,23 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
     * index built from the redacted corpus, pinned in `LexIndexSpec`).
     * One O(index) filter + vocabulary-sized aggregates; no tokenize
     * pass, the corpus text is never re-read. */
-  def forget(ids: Seq[Long]): Long = {
+  def forget(ids: Seq[Long]): Long =
+    forgetImpl(_.where(!col("doc_id").isin(ids: _*)))
+
+  /** MASS-erasure forget: victims stay a DataFrame end to end (LEFT
+    * ANTI join on `doc_id`; first column cast to BIGINT) — the
+    * [[graft.sim.IvfIndex.forget]] overload contract. */
+  def forget(victims: DataFrame): Long = {
+    val v = victims.select(
+      col(victims.columns.head).cast("long").as("doc_id"))
+    forgetImpl(_.join(v, Seq("doc_id"), "left_anti"))
+  }
+
+  private def forgetImpl(screen: DataFrame => DataFrame): Long = {
     val live = liveSegments() // resolve BEFORE the writes
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = s"$indexDir/segments/$seg"
-    val posts = readUnion(live, "postings")
-      .where(!col("doc_id").isin(ids: _*))
+    val posts = screen(readUnion(live, "postings"))
       .localCheckpoint(true) // postings, df, and meta read it once
     posts.write.mode(SaveMode.Overwrite).partitionBy("b")
       .parquet(s"$out/postings")

@@ -168,6 +168,18 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     publishManifest(Seq(writeSegmentFromSigs(survivors)))
   }
 
+  /** MASS-erasure forget: victims stay a DataFrame end to end (LEFT
+    * ANTI join on `doc_id`; first column cast to BIGINT) — the
+    * [[graft.sim.IvfIndex.forget]] overload contract. */
+  def forget(victims: DataFrame): Long = {
+    val v = victims.select(
+      col(victims.columns.head).cast("long").as("doc_id"))
+    val live = liveSegments()
+    val survivors = readUnion(live, "sigs")
+      .join(v, Seq("doc_id"), "left_anti")
+    publishManifest(Seq(writeSegmentFromSigs(survivors)))
+  }
+
   /** MAINTENANCE compaction: merge live segments into one (row union —
     * exact) and publish a one-segment manifest; bounds per-probe segment
     * fan-out after many appends. O(index), never re-sketches.

@@ -191,12 +191,23 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     * minus the victims — spec-pinned). Codebooks are aggregates and
     * stay; full statistical erasure is [[build]] on the redacted
     * corpus + [[vacuum]]. */
-  def forget(ids: Seq[Long]): Long = {
+  def forget(ids: Seq[Long]): Long =
+    forgetImpl(_.where(!col("id").isin(ids: _*)))
+
+  /** MASS-erasure forget: victims stay a DataFrame end to end (LEFT
+    * ANTI join on `id`; first column cast to BIGINT) — the
+    * [[graft.sim.IvfIndex.forget]] overload contract. */
+  def forget(victims: DataFrame): Long = {
+    val v = victims.select(
+      col(victims.columns.head).cast("long").as("id"))
+    forgetImpl(_.join(v, Seq("id"), "left_anti"))
+  }
+
+  private def forgetImpl(screen: DataFrame => DataFrame): Long = {
     val (cb, pq, segs) = manifestAt(resolvedOrFail())
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(indexDir, s"segments/$seg")
-    try readUnion(segs)
-      .where(!col("id").isin(ids: _*))
+    try screen(readUnion(segs))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }

@@ -137,4 +137,183 @@ class ForgetPipelineSpec extends SparkSpec {
     assert(calls == 1)
     assert(fp.tombstones().count() == 2)
   }
+
+  test("mass erasure: a six-figure victim DataFrame stays distributed " +
+      "end to end (anti-join plans, no id literals, no driver ids)") {
+    val ivf = new graft.sim.IvfIndex(spark, tmp("fpm_ivf"))
+    ivf.build(corpus, "vec_id", "embedding", "label")
+    val mh = new graft.sim.MinHashIndex(spark, tmp("fpm_mh"))
+    mh.build(docs, "doc_id", "text")
+
+    // 150k victims as a DataFrame — never a driver Seq. Ids ≥ 6, so
+    // vec_id 5 survives as the non-empty-store witness.
+    val victims = spark.range(6L, 150006L).toDF("victim_id")
+
+    // Capture every plan executed during the forgets: none may inline
+    // the victim ids (isInCollection / a local id list); the victim
+    // side must arrive via a join.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val fp = new ForgetPipeline(spark, tmp("fpm_ledger"))
+    try {
+      val rows = fp.executeVictims("req-mass", victims, Seq(
+        "ivf" -> (v => ivf.forget(v)),
+        "minhash" -> (v => mh.forget(v))))
+      org.apache.spark.graftshim.ListenerShim.drain(spark.sparkContext)
+      assert(fp.isComplete("req-mass"))
+      assert(rows.count() == 150000L * 2)
+      import scala.jdk.CollectionConverters._
+      val all = plans.asScala.toSeq
+      assert(all.exists(_.contains("LeftAnti")),
+        "no anti-join executed — victims were not joined")
+      assert(!all.exists(p =>
+        p.contains("isInCollection") || p.contains("isinset")),
+        "a plan inlined the victim ids as a literal collection")
+    } finally spark.listenerManager.unregister(listener)
+
+    // Deletion semantics match the Seq form exactly.
+    assert(ivf.postings().where(col("id") >= 6L).isEmpty)
+    assert(ivf.postings().where(col("id") === 5L).count() == 1)
+    assert(mh.signatures().where(col("doc_id") >= 6L).isEmpty)
+
+    // Completed mass replay: pure read (set compare is anti-join
+    // counts, also distributed).
+    val vBefore = ivf.currentVersion()
+    fp.executeVictims("req-mass", victims, Seq(
+      "ivf" -> (v => ivf.forget(v)),
+      "minhash" -> (v => mh.forget(v))))
+    assert(ivf.currentVersion() == vBefore)
+    // The distributed ledger is still one request's rows for audit.
+    assert(fp.audit("req-mass").collect()
+      .forall(_.getLong(2) == 150000L))
+  }
+
+  test("crash mid-request: replay runs ONLY the unacked suffix and " +
+      "reuses acked versions") {
+    val ivf = new graft.sim.IvfIndex(spark, tmp("fpa_ivf"))
+    ivf.build(corpus, "vec_id", "embedding", "label")
+    val fp = new ForgetPipeline(spark, tmp("fpa_ledger"))
+    val victims = Seq(9L, 13L)
+    var aCalls = 0
+    var bCalls = 0
+    // Targets run in name order (a then b); b crashes on its first run
+    // AFTER a has forgotten and acked.
+    intercept[RuntimeException] {
+      fp.execute("req-ack", victims, Seq(
+        "a-ivf" -> (ids => { aCalls += 1; ivf.forget(ids) }),
+        "b-flaky" -> (_ => { bCalls += 1
+          sys.error("simulated crash before ack") })))
+    }
+    assert(aCalls == 1 && bCalls == 1 && !fp.isComplete("req-ack"))
+    val vA = ivf.currentVersion()
+    // Replay: a's ack short-circuits (no second forget, version
+    // reused), b re-runs and the request commits.
+    val rows = fp.execute("req-ack", victims, Seq(
+      "a-ivf" -> (ids => { aCalls += 1; ivf.forget(ids) }),
+      "b-flaky" -> (_ => { bCalls += 1; 7L })))
+    assert(aCalls == 1, "an acked target re-ran on replay")
+    assert(bCalls == 2)
+    assert(fp.isComplete("req-ack"))
+    assert(ivf.currentVersion() == vA)
+    assert(rows.where(col("store") === "a-ivf")
+      .select("version").distinct().head().getLong(0) == vA.get)
+    // Post-commit, the ack dir is swept.
+    assert(!new java.io.File(
+      fp.ledgerDir + "/ack=req-ack").exists())
+  }
+
+  test("in-flight acks for a DIFFERENT victim set refuse loudly") {
+    val fp = new ForgetPipeline(spark, tmp("fpf_ledger"))
+    intercept[RuntimeException] {
+      fp.execute("req-fp", Seq(1L, 2L), Seq(
+        "a" -> (_ => 1L),
+        "b" -> (_ => sys.error("crash"))))
+    }
+    val e = intercept[IllegalArgumentException] {
+      fp.execute("req-fp", Seq(42L), Seq(
+        "a" -> (_ => 1L), "b" -> (_ => 2L)))
+    }
+    assert(e.getMessage.contains("DIFFERENT victim set"))
+    // The SAME victims complete fine.
+    fp.execute("req-fp", Seq(1L, 2L), Seq(
+      "a" -> (_ => 1L), "b" -> (_ => 2L)))
+    assert(fp.isComplete("req-fp"))
+  }
+
+  test("a crashed-then-replayed LM target is exact via forgetBatch") {
+    // The round-11 ADVICE high finding: NgramLm's negative-count forget
+    // is NOT idempotent in effect, so the replay window (crash between
+    // the LM forget and its ack) must be closed by the request-keyed
+    // segment, not by re-running.
+    val lmDir = tmp("fpl_lm")
+    graft.ml.NgramLm.fit(docs, "text", lmDir)
+    val victimDocs = docs.where(col("doc_id") < 25).localCheckpoint(true)
+    val fp = new ForgetPipeline(spark, tmp("fpl_ledger"))
+    val lmTarget: Seq[Long] => Long = _ =>
+      graft.ml.NgramLm.load(spark, lmDir)
+        .forgetBatch(victimDocs, "text", "req-lm")
+    // Simulated crash AFTER the LM forgot, BEFORE its ack landed: the
+    // forget already happened once outside the pipeline's knowledge.
+    lmTarget(Seq.empty)
+    val vocabOnce = graft.ml.NgramLm.load(spark, lmDir).vocab()
+      .orderBy("term").collect().toSeq
+    // Replay re-runs the target (no ack) — forgetBatch no-ops.
+    fp.execute("req-lm", (0L until 25L), Seq("lm" -> lmTarget))
+    assert(fp.isComplete("req-lm"))
+    assert(graft.ml.NgramLm.load(spark, lmDir).vocab()
+      .orderBy("term").collect().toSeq == vocabOnce,
+      "the replayed LM forget double-subtracted")
+  }
+
+  test("consolidation folds aged requests: tombstones row-identical, " +
+      "isComplete/audit keep answering, dirs swept, vacuum reclaims") {
+    val fp = new ForgetPipeline(spark, tmp("fpc_ledger"))
+    fp.execute("req-old-1", Seq(1L, 2L), Seq("a" -> (_ => 3L)))
+    fp.execute("req-old-2", Seq(5L), Seq("a" -> (_ => 4L), "b" -> (_ => 9L)))
+    fp.execute("req-live", Seq(7L), Seq("a" -> (_ => 5L)))
+    val before = fp.tombstones().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    fp.consolidate(Seq("req-old-1", "req-old-2"))
+    val after = fp.tombstones().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(after == before, "consolidation changed the tombstone rows")
+    assert(fp.isComplete("req-old-1") && fp.isComplete("req-old-2") &&
+      fp.isComplete("req-live"))
+    assert(!new java.io.File(fp.ledgerDir + "/request=req-old-1").exists())
+    assert(new java.io.File(fp.ledgerDir + "/request=req-live").exists())
+    // Audit still answers for a folded request.
+    val a2 = fp.audit("req-old-2").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(a2 == Map("a" -> 1L, "b" -> 1L))
+    // A folded request id still refuses a different victim set.
+    intercept[IllegalArgumentException] {
+      fp.execute("req-old-1", Seq(42L), Seq("a" -> (_ => 3L)))
+    }
+    // Replayed consolidation (overlap) is a no-op; a second fold adds.
+    fp.consolidate(Seq("req-old-1"))
+    fp.execute("req-old-3", Seq(8L), Seq("a" -> (_ => 6L)))
+    fp.consolidate(Seq("req-old-3"))
+    assert(fp.tombstones().count() == before.size + 1)
+    // Vacuum reclaims superseded audit segments; answers unchanged.
+    val (m, d) = fp.vacuumAudit(1)
+    assert(m >= 1 && d >= 1)
+    assert(fp.tombstones().count() == before.size + 1)
+    assert(fp.audit("req-old-2").count() == 2)
+    // Only completed requests consolidate.
+    intercept[IllegalArgumentException] {
+      fp.consolidate(Seq("req-never"))
+    }
+  }
 }

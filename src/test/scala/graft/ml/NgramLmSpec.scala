@@ -298,4 +298,84 @@ class NgramLmSpec extends SparkSpec {
       NgramLm.load(spark, ref).bigrams().orderBy("w1", "w2")
         .collect().toSeq)
   }
+
+  test("a mutation THROUGH the handle rebuilds bigram type scores " +
+      "(no stale cache)") {
+    // The round-11 ADVICE bug: the type table was cached for the
+    // handle's lifetime, but append/forget/compact are methods on the
+    // SAME handle — once scoreBigrams had run, later mutations silently
+    // served stale scores, breaking "append sequence == fit on union".
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val d = Files.createTempDirectory("nglm-cache").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") < 250), "text", d)
+    val m = NgramLm.load(spark, d)
+    val before = m.scoreBigrams(full, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq // primes the cache
+    m.append(full.where(col("doc_id") >= 250), "text")
+    val after = m.scoreBigrams(full, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val ref = Files.createTempDirectory("nglm-cache2").toString + "/lm"
+    NgramLm.fit(full, "text", ref)
+    val fresh = NgramLm.load(spark, ref)
+      .scoreBigrams(full, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(after == fresh,
+      "append through a primed handle served stale bigram type scores")
+    assert(before != after, "fixture too small: append changed nothing")
+  }
+
+  test("forgetBatch is a TRUE no-op on replay (request-keyed segment)") {
+    // The UUID-named forget subtracts AGAIN when an orchestrator
+    // replays it after a crash; the request-keyed form must not.
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val victims = full.where(col("doc_id") < 50).localCheckpoint(true)
+    val d = Files.createTempDirectory("nglm-fgtb").toString + "/lm"
+    NgramLm.fit(full, "text", d)
+    val m = NgramLm.load(spark, d)
+    val v1 = m.forgetBatch(victims, "text", "req-001")
+    val once = NgramLm.load(spark, d).vocab()
+      .orderBy("term").collect().toSeq
+    // Replay (the ForgetPipeline crash-between-forget-and-ack window).
+    val v2 = m.forgetBatch(victims, "text", "req-001")
+    assert(v2 == v1, "a replayed forgetBatch bumped the version")
+    assert(NgramLm.load(spark, d).vocab()
+      .orderBy("term").collect().toSeq == once,
+      "a replayed forgetBatch double-subtracted")
+    // And the result equals a fit on the redacted corpus, like forget.
+    val ref = Files.createTempDirectory("nglm-fgtb2").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") >= 50), "text", ref)
+    assert(once == NgramLm.load(spark, ref).vocab()
+      .orderBy("term").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      m.forgetBatch(victims, "text", "bad/token")
+    }
+  }
+
+  test("two-store served Moore-Lewis equals the inline graded query " +
+      "bit-for-bit, and append keeps it exact") {
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val inline = graft.SparkEntry
+      .queries("q_text_moore_lewis")(spark, dir).collect().toSeq
+    val served = graft.SparkEntry
+      .queries("q_text_moore_lewis_served")(spark, dir).collect().toSeq
+    assert(served == inline)
+
+    // The selectors are LIVE stores: append half the corpus to a
+    // half-fitted general LM and the served scores must still equal a
+    // from-scratch fit on the union (the additive-count exactness the
+    // whole store family rides).
+    val inSrc = full.agg(org.apache.spark.sql.functions.min("source"))
+      .head().getString(0)
+    val gHalf = Files.createTempDirectory("nglm-mlg").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") < 250), "text", gHalf)
+    NgramLm.load(spark, gHalf)
+      .append(full.where(col("doc_id") >= 250), "text")
+    val iDom = Files.createTempDirectory("nglm-mli").toString + "/lm"
+    NgramLm.fit(full.where(col("source") === inSrc), "text", iDom)
+    val viaAppend = NgramLm.mooreLewis(
+        NgramLm.load(spark, gHalf), NgramLm.load(spark, iDom),
+        full, "doc_id", "source", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaAppend == inline)
+  }
 }
