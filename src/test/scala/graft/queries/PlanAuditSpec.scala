@@ -400,9 +400,13 @@ class PlanAuditSpec extends SparkSpec {
       "no partition-pruned cell scan in the served plan:\n" +
         scans.map(_.metadata.mkString(", ")).mkString("\n"))
     codeScans.foreach { s =>
+      // The filter must be a real predicate over the cell column (an
+      // attribute reference `cell#N` or a literal `cell IN` list), not
+      // merely a mention — the third `contains("cell")` disjunct this
+      // assert once carried was the selection predicate itself, i.e.
+      // tautological (round-11 ADVICE).
       assert(s.metadata("PartitionFilters").contains("cell#") ||
-        s.metadata("PartitionFilters").contains("cell IN") ||
-        s.metadata("PartitionFilters").contains("cell"),
+        s.metadata("PartitionFilters").contains("cell IN"),
         s.metadata("PartitionFilters"))
       assert(!s.schema.fieldNames.contains("vector"),
         "the served scan reads vectors — codes were expected: " +
