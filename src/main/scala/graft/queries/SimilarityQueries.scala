@@ -1046,6 +1046,62 @@ object SimilarityQueries {
   private val mrlCascadeRecall: Q = (s, dir) =>
     recallVsTruth(sharedCosineTruth(s, dir), mrlCascade(s, dir))
 
+  /** MRL cascade COMPOSED with the persisted IVF probe — the production
+    * serving chain ([[mrlCascade]]'s scaladoc promises it; round-11
+    * closes it): the audit cascade above coarse-scans the WHOLE corpus
+    * on prefix dims, which prices the MRL math but keeps an O(corpus)
+    * stage per query batch. Here the coarse stage is bounded by the
+    * index instead: queries route through the persisted
+    * [[graft.sim.PqIvfIndex]] coarse codebook
+    * ([[graft.sim.PqIvfIndex.probeCandidates]] — frozen routing,
+    * codebook-bounded driver cell list, PARTITION-PRUNED postings scan
+    * that reads only `id`; pinned in `PlanAuditSpec`), prefix-dim
+    * cosine ranks ONLY the probed cells' members to top
+    * [[MrlCascadeC]], and the exact full-width rerank re-scores those C
+    * per query. Per query the corpus cost is (probed postings → prefix
+    * dims of survivors → C full vectors) — nothing scans the corpus.
+    * Recall vs the same full-dim truth is graded next to the two
+    * existing audits: truncation-only ([[matryoshka]]), full-scan
+    * cascade ([[mrlCascade]]), and THIS — the truncation→cascade delta
+    * prices the rerank, the cascade→ivf-cascade delta prices the probe
+    * pruning. */
+  private val mrlIvfCascade: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cand = sharedPqIvfIndex(s, dir).probeCandidates(
+      emb.where(col("vec_id") < NumQueries), "vec_id", "embedding",
+      IvfProbes)
+    val coarse = graft.plans.GraftOps.topKPerKey(
+        cand.join(ce, Seq("cid"))
+          .join(broadcast(q), Seq("qid"))
+          .select(col("qid"), col("cid"),
+            Similarity.cosine(slice(col("qe"), 1, MrlDims),
+              slice(col("ce"), 1, MrlDims)).as("ccos")),
+        keyCols = Seq("qid"),
+        orderBy = Seq("ccos" -> false, "cid" -> true), k = MrlCascadeC)
+      .select("qid", "cid")
+    coarse.join(ce, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** RECALL@K of the composed probe→prefix→rerank chain against the
+    * full-dim cosine truth — the number that decides whether the probe
+    * pruning is affordable on this corpus (read next to
+    * [[mrlCascadeRecall]]; the difference is exactly the recall the
+    * IVF cell boundary costs). */
+  private val mrlIvfCascadeRecall: Q = (s, dir) =>
+    recallVsTruth(sharedCosineTruth(s, dir), mrlIvfCascade(s, dir))
+
   /** Semantic dedup apply (SemDeDup, Abbas et al. 2023 — dedup in
     * EMBEDDING space, which catches paraphrases that share no n-grams):
     * the verified cosine pair graph is clustered by the same distributed
@@ -1080,6 +1136,8 @@ object SimilarityQueries {
     "q_sim_matryoshka"      -> matryoshka,
     "q_sim_mrl_cascade"     -> mrlCascade,
     "q_sim_mrl_cascade_recall" -> mrlCascadeRecall,
+    "q_sim_mrl_ivf_cascade" -> mrlIvfCascade,
+    "q_sim_mrl_ivf_recall"  -> mrlIvfCascadeRecall,
     "q_sim_pq_adc"          -> pqAdc,
     "q_sim_ivfpq_adc"       -> ivfPqAdc,
     "q_sim_ivfpq_served"    -> ivfPqServed,
@@ -1150,9 +1208,15 @@ object SimilarityQueries {
     * engine ([[graft.ops.OrderedFold.duckMeanCtes]]); routing ranks by
     * ppm-floored cosine desc, cell asc — the integer cut
     * [[graft.sim.PqIvfIndex.coarseRank]] makes. */
-  private lazy val duckIvfPqCtes: String =
-    s"""$duckPqCtes,
-       | ip_ex AS (SELECT vec_id, label AS cell,
+  /** The persisted IVF COARSE ROUTING transliterated (label-seeded
+    * bounded-fold centroids, integer-ppm cosine affinity, ties →
+    * smallest cell), ending in `ip_cand(cid, cell)` (each corpus
+    * vector's assigned cell) and `ip_probe(qid, cell)` (each query's
+    * probed cells) — shared by the full ADC chain below AND the
+    * composed MRL-over-IVF cascade, so the two graded consumers of the
+    * store's routing cannot drift. */
+  private lazy val duckIvfRouteCtes: String =
+    s"""ip_ex AS (SELECT vec_id, label AS cell,
        |   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
        |   unnest(generate_series(1, $EmbDim)) AS pos
        |  FROM embeddings WHERE vec_id >= $NumQueries),
@@ -1171,7 +1235,12 @@ object SimilarityQueries {
        | ip_cand AS (SELECT vec_id AS cid, cell
        |  FROM ip_rk WHERE rnk = 1 AND vec_id >= $NumQueries),
        | ip_probe AS (SELECT vec_id AS qid, cell
-       |  FROM ip_rk WHERE rnk <= $IvfProbes AND vec_id < $NumQueries),
+       |  FROM ip_rk WHERE rnk <= $IvfProbes AND vec_id < $NumQueries)"""
+      .stripMargin
+
+  private lazy val duckIvfPqCtes: String =
+    s"""$duckPqCtes,
+       | $duckIvfRouteCtes,
        | ip_adc AS (SELECT qt.qid, codes.cid,
        |   CAST(sum(qt.d2q_ppm) AS BIGINT) AS adc_ppm
        |  FROM codes JOIN qt ON codes.s = qt.s AND codes.code = qt.code
@@ -1570,6 +1639,54 @@ object SimilarityQueries {
          |  FROM rr)
          | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
          | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin
+    },
+    // The composed probe→prefix→rerank chain: candidates are the
+    // store-routing CTEs' probed-cell members (ip_probe × ip_cand on
+    // cell), then the mrl_cascade coarse/rerank verbatim over THAT
+    // bounded set instead of the full corpus.
+    "q_sim_mrl_ivf_cascade" -> {
+      val duckCosTrunc =
+        s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
+      s"""WITH $duckIvfRouteCtes,
+         | bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | bc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | pcand AS (SELECT p.qid, c.cid FROM ip_probe p JOIN ip_cand c ON c.cell = p.cell),
+         | ctr AS (SELECT pcand.qid, pcand.cid,
+         |   row_number() OVER (PARTITION BY pcand.qid ORDER BY $duckCosTrunc DESC, cid) AS crnk
+         |  FROM pcand JOIN bq USING (qid) JOIN bc USING (cid)),
+         | cand AS (SELECT qid, cid FROM ctr WHERE crnk <= $MrlCascadeC),
+         | rr AS (SELECT cand.qid, cand.cid, $duckCos AS cos
+         |  FROM cand JOIN bq USING (qid) JOIN bc USING (cid)),
+         | r AS (SELECT qid, cid, cos,
+         |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS INTEGER) AS rnk
+         |  FROM rr)
+         | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
+         | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin
+    },
+    "q_sim_mrl_ivf_recall" -> {
+      val duckCosTrunc =
+        s"list_cosine_similarity(CAST(qe[1:$MrlDims] AS DOUBLE[]), CAST(ce[1:$MrlDims] AS DOUBLE[]))"
+      s"""WITH $duckIvfRouteCtes,
+         | bq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | bc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | fr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCos DESC, cid) AS rnk
+         |  FROM bq CROSS JOIN bc),
+         | truth AS (SELECT qid, cid FROM fr WHERE rnk <= $LshTopK),
+         | pcand AS (SELECT p.qid, c.cid FROM ip_probe p JOIN ip_cand c ON c.cell = p.cell),
+         | ctr AS (SELECT pcand.qid, pcand.cid,
+         |   row_number() OVER (PARTITION BY pcand.qid ORDER BY $duckCosTrunc DESC, cid) AS crnk
+         |  FROM pcand JOIN bq USING (qid) JOIN bc USING (cid)),
+         | cand AS (SELECT qid, cid FROM ctr WHERE crnk <= $MrlCascadeC),
+         | rr AS (SELECT cand.qid, cand.cid, $duckCos AS cos
+         |  FROM cand JOIN bq USING (qid) JOIN bc USING (cid)),
+         | approx AS (SELECT qid, cid FROM (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+         |  FROM rr) WHERE rnk <= $LshTopK)
+         | SELECT t.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
+         |  CAST(10000 * count(a.cid) // $LshTopK AS BIGINT) AS recall_bp
+         | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+         | GROUP BY t.qid ORDER BY t.qid""".stripMargin
     },
     "q_sim_mrl_cascade_recall" -> {
       val duckCosTrunc =

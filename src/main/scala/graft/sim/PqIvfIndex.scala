@@ -246,6 +246,30 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     * rides a broadcast join over the pruned scan; the qtab join
     * broadcasts O(queries·M·K) small ints; the only shuffle is the
     * final per-query rank over rows already reduced to (qid, cid, adc). */
+  /** CANDIDATE IDS from the coarse probe alone — the routing half of
+    * [[search]] without the PQ-ADC ranking, for cascades that score the
+    * survivors with their own kernel (the matryoshka prefix-dim rerank,
+    * `q_sim_mrl_ivf_cascade`). Same frozen-codebook routing, same
+    * codebook-bounded driver cell list, same partition-pruned postings
+    * scan — and ONLY `id` is read from the probed cells (the codes
+    * column stays cold; the caller brings its own scorer). Returns
+    * (qid, cid). */
+  def probeCandidates(queries: DataFrame, idCol: String, vecCol: String,
+      probes: Int): DataFrame = {
+    val (cb, _, segs) = manifestAt(resolvedOrFail())
+    val probed = PqIvfIndex.coarseRank(
+        queries.select(col(idCol), col(vecCol)), idCol, vecCol,
+        coarseCodebook(cb))
+      .where(col("rnk") <= probes)
+      .select(col("id").as("qid"), col("cell"))
+    val probedCells: Seq[Any] = probed.select("cell").distinct()
+      .collect().toIndexedSeq.map(_.get(0))
+    readUnion(segs).where(col("cell").isin(probedCells: _*))
+      .select("cell", "id")
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("qid"), col("id").as("cid"))
+  }
+
   def search(queries: DataFrame, idCol: String, vecCol: String,
              k: Int, probes: Int): DataFrame = {
     val (cb, pq, segs) = manifestAt(resolvedOrFail())

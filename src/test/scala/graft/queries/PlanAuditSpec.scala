@@ -414,6 +414,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  /** The COMPOSED probe→prefix→rerank cascade must route its coarse
+    * stage through the persisted index: a partition-pruned postings
+    * scan over the probed cells (the ivfpq_served discipline — no
+    * corpus-wide coarse scan anywhere in the plan), candidates reduced
+    * through the bounded-heap TopKPerKey. */
+  test("q_sim_mrl_ivf_cascade: partition-pruned probe feeds the " +
+      "bounded-heap coarse stage") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = graft.SparkEntry.queries("q_sim_mrl_ivf_cascade")(spark, dir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    val probedScans = scans.filter(_.metadata
+      .get("PartitionFilters").exists(f =>
+        f.contains("cell#") || f.contains("cell IN")))
+    assert(probedScans.nonEmpty,
+      "no partition-pruned cell scan in the composed cascade plan:\n" +
+        scans.map(_.metadata.mkString(", ")).mkString("\n"))
+    // The probe reads ids only — codes stay cold in this chain.
+    probedScans.foreach { s =>
+      assert(!s.schema.fieldNames.contains("codes"),
+        "the probe scan reads PQ codes the cascade never uses: " +
+          s.schema.fieldNames.mkString(","))
+    }
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   /** The matryoshka cascade's coarse pass must reduce through the
     * bounded-heap TopKPerKey (no global sort, no full-width vectors
     * crossing the heap), with the corpus×queries scoring as the
