@@ -38,62 +38,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // HARDWARE CALIBRATION: a fixed single-thread integer-mixing loop
-    // (2^26 splitmix64 rounds), timed before any Spark work. Rounds run
-    // on whatever VM the harness allocates, and a cross-round comparison
-    // of per-query times is meaningless without a hardware baseline — a
-    // uniform shift on this constant workload separates "the machine is
-    // slower" from "a plan regressed" (observed: ~2× on trivial scans
-    // between rounds, tracking exactly this number).
-    def splitmixLoop(): Long = {
-      var acc = 0L
-      var i = 0L
-      while (i < (1L << 26)) {
-        var x = i * 0x9E3779B97F4A7C15L
-        x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
-        acc ^= x
-        i += 1
-      }
-      acc
-    }
-    val calibSec = {
-      val t0 = System.nanoTime()
-      val acc = splitmixLoop()
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (acc == 42L) System.err.println("[bench] calib sentinel") // keep live
-      sec
-    }
-    // PARALLEL CALIBRATION: the same loop fanned over one Spark task per
-    // core. The single-thread number is blind to exactly what skews a
-    // co-tenanted sandbox — MULTI-core contention: r6's driver run read
-    // a flat calib_sec (0.075–0.080 s) while the same queries swung
-    // 4–8×, because the other tenant stole cores, not single-thread
-    // speed. Wall time for all `cpus` tasks at once ≈ calib_sec on an
-    // idle box and inflates in proportion to stolen cores under load;
-    // the per-round ratio calib_par_sec/calib_sec is the honest
-    // "how contended was this run" divisor for cross-round reads.
-    // Min of two passes, so per-thread JIT warms on the first.
-    def calibPar(): Double = {
-      val n = cpus.toInt
-      val t0 = System.nanoTime()
-      // Self-contained closure (no reference to the enclosing module —
-      // `object Bench` is not Serializable).
-      val acc = spark.sparkContext.parallelize(0 until n, n)
-        .map { _ =>
-          var acc = 0L
-          var i = 0L
-          while (i < (1L << 26)) {
-            var x = i * 0x9E3779B97F4A7C15L
-            x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
-            acc ^= x
-            i += 1
-          }
-          acc
-        }.reduce(_ ^ _)
-      if (acc == 42L) System.err.println("[bench] par calib sentinel")
-      (System.nanoTime() - t0) / 1e9
-    }
-    val calibParSec = math.min(calibPar(), calibPar())
+    // HARDWARE CALIBRATION (shared [[Calib]] probes — ALU single-thread,
+    // ALU all-cores, and the round-11 memory-BANDWIDTH probe; see
+    // Calib's scaladoc for what each separates). The bandwidth probe
+    // runs again after the timed suite: a start/end spread past
+    // Calib.BandSkewRatio means memory-bandwidth co-tenancy moved
+    // mid-run — per-query regressions inside that band are unreadable,
+    // and the artifact says so in-band ("band":"skewed") instead of
+    // letting a band-contended run grade as a plan regression.
+    val calibSec = Calib.aluSec()
+    val calibParSec = Calib.aluParSec(spark.sparkContext, cpus.toInt)
+    val calibBwSec = Calib.bwParSec(spark.sparkContext, cpus.toInt)
     // JIT + parquet-footer warmup, not timed: one untimed pass over the
     // FULL suite, so every codegen family (JSON paths, decimal aggregates,
     // window frames, the pair-join kernels) is C2-compiled before the
@@ -250,15 +205,21 @@ object Bench {
         "\"" + k + "\":{\"first\":" + d3(first) + ",\"final\":" + d3(best) + "}"
       }.mkString(""","remeasured":{""", ",", "}")
     val total = mergedMap.values.filter(_ >= 0).sum
+    // Closing bandwidth probe + the in-band verdict on this run's band.
+    val calibBwEndSec = Calib.bwParSec(spark.sparkContext, cpus.toInt)
+    val band = Calib.bandFlag(calibBwSec, calibBwEndSec)
+    val calibJson = s""""calib_sec":${d3(calibSec)},"calib_par_sec":${
+      d3(calibParSec)},"calib_bw_sec":${d3(calibBwSec)},"calib_bw_end_sec":${
+      d3(calibBwEndSec)},"band":"$band""""
     val fullLine =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","calib_sec":${d3(calibSec)},"calib_par_sec":${d3(calibParSec)},"timing":"min_of_2_outlier_repair","queries":$qs$errJson$remJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec",$calibJson,"timing":"min_of_2_outlier_repair","queries":$qs$errJson$remJson,"sf":"$sfDir"}"""
     println(fullLine)
     // Truncation-proof duplicate: the per-query line above grows with the
     // suite (105+ queries > the harvester's tail window), so the headline
     // total is ALSO emitted as a trailing compact line that any tail
     // capture ≥ ~120 bytes picks up intact.
     println(
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${mergedMap.size},"n_errors":${errs.size},"calib_sec":${d3(calibSec)},"calib_par_sec":${d3(calibParSec)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${mergedMap.size},"n_errors":${errs.size},$calibJson,"sf":"$sfDir"}""")
     // File artifact with the COMPLETE per-query map: the driver's 2 KB
     // stdout tail lost ~half the 137 timings in round 4 — regression
     // detection needs all of them. Default is CWD-relative (the driver

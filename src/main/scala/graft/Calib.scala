@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.SparkContext
+
+/** HARDWARE CALIBRATION probes shared by [[Bench]] and [[Scaling]] —
+  * ONE definition, so the two artifacts' calibration columns are
+  * comparable by construction.
+  *
+  * Three probes, three failure modes of a co-tenanted box:
+  *
+  *  - [[aluSec]]: a fixed single-thread integer-mixing loop (2^26
+  *    splitmix64 rounds). Separates "the VM's cores are slower" from
+  *    "a plan regressed" (observed ~2× on trivial scans between
+  *    rounds, tracking exactly this number).
+  *  - [[aluParSec]]: the same loop fanned over one Spark task per
+  *    core. The single-thread number is blind to MULTI-core
+  *    contention (r6: flat calib_sec while queries swung 4–8× because
+  *    the co-tenant stole cores); wall time for all tasks at once
+  *    inflates in proportion to stolen cores.
+  *  - [[bwParSec]]: a MEMORY-BANDWIDTH probe — per core, one task
+  *    initializes a 32 MiB long array then streams four sequential
+  *    XOR-reduction passes over it (≈ 5 GiB of memory traffic across
+  *    32 cores, far past any cache). The round-10 closing runs showed
+  *    the remaining blind spot: three same-code suites spanned
+  *    177–190 s against a 156.7 s driver run while BOTH ALU
+  *    calibrations sat flat — memory-bandwidth co-tenancy is invisible
+  *    to ALU-bound probes, and most of the suite (shuffles, parquet
+  *    scans, hash tables) is bandwidth-bound. Bench and Scaling record
+  *    this probe at run START and END: a spread past
+  *    [[BandSkewRatio]] means the band moved mid-run and per-query
+  *    regressions inside that band are unreadable — the artifact
+  *    carries a `band":"skewed` flag and `ScalingSpec` REFUSES a bar
+  *    verdict on it (re-measure instead of grading noise).
+  *
+  * Every probe is the min of two passes (per-thread JIT warms on the
+  * first; a single shot folds one scheduler hiccup into the number). */
+object Calib {
+
+  /** Start/end spread past this ratio flags the run band-skewed. */
+  val BandSkewRatio = 1.5
+
+  private def splitmixLoop(): Long = {
+    var acc = 0L
+    var i = 0L
+    while (i < (1L << 26)) {
+      var x = i * 0x9E3779B97F4A7C15L
+      x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
+      acc ^= x
+      i += 1
+    }
+    acc
+  }
+
+  def aluSec(): Double = {
+    val t0 = System.nanoTime()
+    val acc = splitmixLoop()
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("[calib] sentinel") // keep live
+    sec
+  }
+
+  def aluParSec(sc: SparkContext, n: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // Self-contained closure (no reference to this non-serializable
+      // enclosing module).
+      val acc = sc.parallelize(0 until n, n)
+        .map { _ =>
+          var acc = 0L
+          var i = 0L
+          while (i < (1L << 26)) {
+            var x = i * 0x9E3779B97F4A7C15L
+            x ^= x >>> 32; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 29
+            acc ^= x
+            i += 1
+          }
+          acc
+        }.reduce(_ ^ _)
+      if (acc == 42L) System.err.println("[calib] par sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  def bwParSec(sc: SparkContext, n: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val acc = sc.parallelize(0 until n, n)
+        .map { t =>
+          val len = (32 << 20) / 8 // 32 MiB of longs per task
+          val a = new Array[Long](len)
+          var i = 0
+          while (i < len) { a(i) = t.toLong + i; i += 1 } // fault pages in
+          var acc = 0L
+          var pass = 0
+          while (pass < 4) { // sequential streaming reads — bandwidth-bound
+            var j = 0
+            while (j < len) { acc ^= a(j); j += 1 }
+            pass += 1
+          }
+          acc
+        }.reduce(_ ^ _)
+      if (acc == 42L) System.err.println("[calib] bw sentinel")
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once(), once())
+  }
+
+  /** "ok" / "skewed" from a start/end probe pair. */
+  def bandFlag(startSec: Double, endSec: Double): String =
+    if (math.max(startSec, endSec) /
+        math.max(1e-9, math.min(startSec, endSec)) > BandSkewRatio)
+      "skewed"
+    else "ok"
+}

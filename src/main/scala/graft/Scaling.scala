@@ -242,6 +242,13 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
+    // Opening memory-bandwidth probe (shared [[Calib]]); its closing
+    // twin runs after the last timed query. A start/end spread past
+    // Calib.BandSkewRatio flags the artifact band-skewed — ScalingSpec
+    // then REFUSES a bar verdict on it (re-measure instead of grading
+    // memory co-tenancy as a plan regression; the ALU probes stayed
+    // flat through exactly this failure in round 10).
+    val calibBwSec = Calib.bwParSec(spark.sparkContext, cpus.toInt)
 
     // EVERY factor — including ×1 — goes through the same amplify/write
     // path, so the whole series shares one parquet layout (file count,
@@ -423,13 +430,22 @@ object Scaling {
         .mkString(""""bars":[""", ",", "]")
     val barMeta = fMaxOpt.map(fm =>
       s""""bar_factor":$fm,"g_bar":${d3(gBarAt(fm))},""").getOrElse("")
+    val calibBwEndSec = Calib.bwParSec(spark.sparkContext, cpus.toInt)
+    val band = Calib.bandFlag(calibBwSec, calibBwEndSec)
+    val calibJson = s""""calib_bw_sec":${d3(calibBwSec)},""" +
+      s""""calib_bw_end_sec":${d3(calibBwEndSec)},"band":"$band","""
     val json = Audited.flatMap(merged.get)
       .mkString("{", ",",
-        s""","sf":"$srcDir","factors":[${factors.mkString(",")}],$barMeta$barsJson}""")
+        s""","sf":"$srcDir","factors":[${factors.mkString(",")}],$calibJson$barMeta$barsJson}""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
+    if (band == "skewed")
+      System.err.println(f"[scaling] BAND SKEWED: bw calib " +
+        f"$calibBwSec%.3f s -> $calibBwEndSec%.3f s — memory co-tenancy " +
+        "moved mid-run; re-measure before grading bars (ScalingSpec " +
+        "refuses this artifact)")
     // Loud AFTER the artifact lands: a broken bar must fail the run,
     // never suppress the evidence of what broke it.
     if (violations.nonEmpty) {

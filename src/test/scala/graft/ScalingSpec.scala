@@ -66,6 +66,17 @@ class ScalingSpec extends SparkSpec {
     val fm = """"factors":\[([0-9, ]+)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1).split(",").map(_.trim.toInt).filter(_ > 1).max)
       .getOrElse(fail(s"$path carries no factors list"))
+    // A band-skewed run cannot support a bar verdict at all: the
+    // bandwidth calibration moved mid-run (memory co-tenancy the ALU
+    // probes are blind to), so every t-ratio in the artifact mixes two
+    // hardware regimes. Refuse — re-measure is the only remedy.
+    // Artifacts predating the probe (no band field) grade as before.
+    """"band":"([a-z]+)"""".r.findFirstMatchIn(txt).foreach { m =>
+      assert(m.group(1) == "ok",
+        s"$path was measured on a band-skewed box (calib_bw start/end " +
+          s"spread past ${Calib.BandSkewRatio}×) — re-measure it; its " +
+          "bars are not a verdict")
+    }
     val block = """"(q_[a-z0-9_]+)":\{([^}]*)\}""".r
     def num(body: String, k: String): Option[Double] =
       ("\"" + k + "\":(-?[0-9.E+]+)").r.findFirstMatchIn(body)
