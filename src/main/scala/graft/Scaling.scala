@@ -73,7 +73,12 @@ object Scaling {
     // timed runs therefore grades the SERVE path — which is the claim —
     // while the build cost is the already-audited inline pipeline.
     "q_dedup_index_pairs", "q_dedup_index_delta", "q_text_ppl_served",
-    "q_text_bigram_served", "q_sim_ivfpq_served")
+    "q_text_bigram_served", "q_sim_ivfpq_served",
+    // Round-11 store-served additions: the two-LM Moore-Lewis serve and
+    // the probe-pruned MRL cascade (each fits its shared stores inside
+    // the first timed run at its factor — the established serve-path
+    // grading rule above).
+    "q_text_moore_lewis_served", "q_sim_mrl_ivf_cascade")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -277,7 +282,33 @@ object Scaling {
           SemDedupBaseK * f)
       else SparkEntry.queries(name)(spark, dirs(f))
 
-    val results = Audited.filter(n => only.forall(_.contains(n))).map { name =>
+    // Per-query BAND PROBE (shared [[Calib]] bandwidth probe, ~0.2 s):
+    // taken immediately before each query's factor series, so a
+    // measurement made inside a co-tenant contention window is KNOWN to
+    // be — the box here oscillates on ~10-minute periods, and a
+    // run-level start/end pair cannot localize which queries a window
+    // hit. `quietRef` is the quietest probe the run has seen; a block
+    // whose probe exceeds [[graft.Calib.BandSkewRatio]] × quietRef is
+    // band-contended and queued for the end-of-run repair pass.
+    // `quietRef` is the run's MEDIAN probe — the box's typical state.
+    // Gating against the minimum is over-sensitive: one exceptionally
+    // quiet window during the run retroactively marks every
+    // average-window block "contended" (observed: a 0.069 s repair-era
+    // probe against a 0.09–0.12 s typical band flagged half the fleet).
+    // A co-tenant window is the ANOMALY; the median is self-normalizing.
+    val probes = scala.collection.mutable.Map.empty[String, Double]
+    def quietRef: Double = {
+      val vs = (probes.values ++ Seq(calibBwSec)).toSeq.sorted
+      vs(vs.size / 2)
+    }
+    def contended(name: String): Boolean =
+      probes.get(name).exists(_ > Calib.BandSkewRatio * quietRef)
+
+    def measure(name: String)
+        : (Map[Int, (Double, Long, Long, Option[Long])], Map[Int, Double]) = {
+      probes(name) = Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      System.err.println(
+        f"[scaling] $name band probe ${probes(name)}%.3f s")
       // Untimed ×1 warmup (the Bench discipline): the growth ratios
       // compare factors WITHIN one query, and a cold first factor would
       // fold this query's codegen JIT into whichever factor runs first.
@@ -336,15 +367,23 @@ object Scaling {
       val g = factors.filter(_ > 1).map { f =>
         f -> per(f)._1 / (f * t1)
       }.toMap
-      name -> ((per, g))
+      (per, g)
     }
+
+    val selected = Audited.filter(n => only.forall(_.contains(n)))
+    val resultMap = scala.collection.mutable.LinkedHashMap.empty[
+      String, (Map[Int, (Double, Long, Long, Option[Long])], Map[Int, Double])]
+    selected.foreach { name => resultMap(name) = measure(name) }
+    def results = resultMap.toSeq
 
     // Regime bars at the LARGEST measured factor — parameterized by
     // factor (gBarAt), so anchor runs at ×10 grade the same admissible
     // plan family the standard ×8 audit does instead of going ungraded.
     val fMaxOpt: Option[Int] = factors.filter(_ > 1).sorted.lastOption
-    val violations: Seq[String] = fMaxOpt.toSeq.flatMap { fm =>
-      results.flatMap { case (name, (per, g)) =>
+    def violationsOf(rs: Seq[(String,
+        (Map[Int, (Double, Long, Long, Option[Long])], Map[Int, Double]))])
+        : Seq[String] = fMaxOpt.toSeq.flatMap { fm =>
+      rs.flatMap { case (name, (per, g)) =>
         val pf = per(fm)._4
         if (name == SemDedupScaled && pf.isDefined) {
           val p1 = per(1)._4.get.toDouble
@@ -389,6 +428,50 @@ object Scaling {
       }
     }
 
+    // END-OF-RUN REPAIR PASS (the Bench outlier-repair discipline, with
+    // the band probe as the gate): queries that broke a bar OR were
+    // measured inside a band-contended window re-measure ONCE, each
+    // after waiting for the box to read quiet again (probe ≤
+    // BandSkewRatio × the run's quietest probe; bounded global sleep
+    // budget). Three consecutive full runs on this box each had a
+    // DIFFERENT early query stamped by a ~10-minute co-tenant window —
+    // without this pass a clean artifact needs a lucky 40-minute gap;
+    // with it, one invocation localizes the window per query and
+    // replaces exactly the measurements it poisoned.
+    val firstViolations = violationsOf(results)
+    val needRepair = (firstViolations.map(_.split(' ').head) ++
+      selected.filter(contended)).distinct
+    var sleepBudgetMs = 12L * 60 * 1000
+    needRepair.foreach { name =>
+      var probe = Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      while (probe > Calib.BandSkewRatio * quietRef && sleepBudgetMs > 0) {
+        System.err.println(f"[scaling] repair $name: box contended " +
+          f"(probe $probe%.3f vs quiet $quietRef%.3f) — waiting")
+        Thread.sleep(45000)
+        sleepBudgetMs -= 45000
+        probe = Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      }
+      if (probe <= Calib.BandSkewRatio * quietRef) {
+        System.err.println(s"[scaling] repairing $name on quiet box")
+        resultMap(name) = measure(name)
+        // measure() takes its OWN probe, which can catch a spike the
+        // wait-gate just missed (observed: gate 0.07, measure 0.25) —
+        // retry a bounded number of times while the block still reads
+        // contended, so one race can't stamp the whole artifact skewed.
+        var retries = 2
+        while (contended(name) && retries > 0 && sleepBudgetMs > 0) {
+          System.err.println(s"[scaling] repair $name: spike during " +
+            "re-measure — retrying")
+          Thread.sleep(45000)
+          sleepBudgetMs -= 45000
+          resultMap(name) = measure(name)
+          retries -= 1
+        }
+      } else System.err.println(s"[scaling] repair $name: gave up waiting " +
+        "— block retained from the contended window (band stays skewed)")
+    }
+    val violations = violationsOf(results)
+
     // Locale-pinned decimal formatting: the default-locale f-interpolator
     // would emit comma decimals (invalid JSON) on e.g. a de_DE JVM.
     def d3(v: Double): String =
@@ -402,13 +485,17 @@ object Scaling {
       val pairs = factors.flatMap(f => per(f)._4.map(p => s""""pairs$f":$p"""))
         .mkString(",")
       val pairsJson = if (pairs.isEmpty) "" else s",$pairs"
+      // Per-block band probe — the transparency that lets a reader (or a
+      // later merge) see which measurements rode which hardware regime.
+      val probeJson = probes.get(name)
+        .map(p => s""","probe":${d3(p)}""").getOrElse("")
       val regime =
         if (name == SemDedupScaled) "pair_budget"
         else if (SpanBudgeted(name)) "output_bound+span_budget"
         else if (name == KmeansFitScaled) "fit_design"
         else if (OutputBound(name)) "output_bound"
         else "output_linear"
-      name -> s""""$name":{$times,$rows,$shuf,$growth$pairsJson,"regime":"$regime"}"""
+      name -> s""""$name":{$times,$rows,$shuf,$growth$pairsJson$probeJson,"regime":"$regime"}"""
     }.toMap
     // Merge with the existing artifact on a partial re-measure: blocks
     // for re-run queries come from this run, everything else (including
@@ -431,7 +518,33 @@ object Scaling {
     val barMeta = fMaxOpt.map(fm =>
       s""""bar_factor":$fm,"g_bar":${d3(gBarAt(fm))},""").getOrElse("")
     val calibBwEndSec = Calib.bwParSec(spark.sparkContext, cpus.toInt)
-    val band = Calib.bandFlag(calibBwSec, calibBwEndSec)
+    // The band verdict is PER-RETAINED-BLOCK, not run-level start/end:
+    // every block carries the bandwidth probe taken immediately before
+    // its measurement, and the artifact is trustworthy iff NO retained
+    // block's probe exceeds BandSkewRatio × the median probe — computed
+    // over the MERGED map, so a partial re-measure that replaces
+    // exactly the contended blocks honestly clears the flag while one
+    // that repairs something else cannot launder it. Blocks from
+    // pre-probe vintages carry no probe; if any retained block is
+    // unprobed, fall back conservatively: a previously-skewed artifact
+    // stays skewed, otherwise this run's retained-block verdict stands.
+    val freshBand = if (selected.exists(contended)) "skewed" else "ok"
+    val priorSkewed = only.isDefined && existing.nonEmpty &&
+      (if (java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) {
+        val t = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outPath)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        t.contains(""""band":"skewed"""")
+      } else false)
+    val mergedProbes: Seq[Double] = merged.values.toSeq.flatMap(b =>
+      """"probe":([0-9.]+)""".r.findFirstMatchIn(b).map(_.group(1).toDouble))
+    val band =
+      if (mergedProbes.size == merged.size && mergedProbes.nonEmpty) {
+        val med = mergedProbes.sorted.apply(mergedProbes.size / 2)
+        if (mergedProbes.exists(_ > Calib.BandSkewRatio * med)) "skewed"
+        else "ok"
+      } else if (priorSkewed) "skewed"
+      else freshBand
     val calibJson = s""""calib_bw_sec":${d3(calibBwSec)},""" +
       s""""calib_bw_end_sec":${d3(calibBwEndSec)},"band":"$band","""
     val json = Audited.flatMap(merged.get)
