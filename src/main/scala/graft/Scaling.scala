@@ -544,6 +544,14 @@ object Scaling {
         if (mergedProbes.exists(_ > Calib.BandSkewRatio * med)) "skewed"
         else "ok"
       } else if (priorSkewed) "skewed"
+      // Unprobed retained blocks (pre-probe-vintage artifact): their
+      // measurements rode UNKNOWN band conditions, so the verdict must
+      // also fold in this run's START/END probe pair — retaining
+      // blocks while the run-level pair itself spread past
+      // BandSkewRatio would stamp ungraded-vintage measurements "ok"
+      // in a window known to be moving (the ANCHOR_sf1 2.09× case).
+      else if (Calib.bandFlag(calibBwSec, calibBwEndSec) == "skewed")
+        "skewed"
       else freshBand
     val calibJson = s""""calib_bw_sec":${d3(calibBwSec)},""" +
       s""""calib_bw_end_sec":${d3(calibBwEndSec)},"band":"$band","""

@@ -161,9 +161,18 @@ final class ForgetPipeline(spark: SparkSession, val ledgerDir: String) {
     // materialization (a recomputed victim filter could drift between
     // stores if its source mutates mid-request). Blocks released after
     // the commit — the withReleasedCheckpoint discipline.
+    // DISTINCT before pinning: erasure is a SET operation. Without it,
+    // duplicate victim ids (a) inflate ledger rows and audit() n_ids,
+    // and (b) poison the fingerprint below — bit_xor cancels
+    // even-multiplicity ids, so [a,a,b] and [c,c,b] fingerprint
+    // identically (count=3, xor=h(b)) and a crashed request replayed
+    // with a genuinely different victim frame could silently inherit
+    // acks computed for other victims. Over the distinct set the
+    // fingerprint is a true set digest: equal (count, xor-of-distinct)
+    // pairs collide only on an engineered 64-bit xor collision.
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
-    val pinned = victimIds.localCheckpoint(true)
+    val pinned = victimIds.distinct().localCheckpoint(true)
     try {
       require(!pinned.isEmpty, "empty victim set")
       // Victim-set fingerprint (count + order-independent id xor): acks

@@ -170,14 +170,36 @@ object NgramLm {
           dirsOnly = false)
         .map(_._2).sorted.lastOption
 
-    private def segmentsAt(v: Long): Seq[String] = {
+    private def manifestLines(v: Long): Seq[String] = {
       val in = fs.open(new Path(dir, s"m=$v"))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
     }
 
+    // Manifest format: one segment name per line, plus `tok <token>`
+    // lines — the REALIZED-FORGET TOKEN LEDGER. compact() folds
+    // forget segments away (their negatives realize into the summed
+    // counts), which would otherwise erase the `seg-forget-<token>`
+    // name [[Model.forgetBatch]]'s replay no-op keys on — a replay
+    // landing after a compaction would re-subtract. Token lines
+    // survive every publish, so the no-op check stays true across
+    // compactions. Legacy manifests simply have no `tok ` lines
+    // (segment names are all `seg-…`, so the prefix cannot collide).
+    private def segmentsAt(v: Long): Seq[String] =
+      manifestLines(v).filterNot(_.startsWith("tok "))
+
+    private def tokensAt(v: Long): Set[String] =
+      manifestLines(v).collect { case s if s.startsWith("tok ") =>
+        s.drop(4) }.toSet
+
     def liveSegments(): Seq[String] = segmentsAt(currentVersion().getOrElse(
+      throw new IllegalStateException(s"no complete LM store under $dir")))
+
+    /** Realized forget tokens (one per completed [[Model.forgetBatch]]),
+      * carried by every manifest forever after. Growth is one short
+      * line per erasure REQUEST — audit-ledger-sized, not data-sized. */
+    def liveTokens(): Set[String] = tokensAt(currentVersion().getOrElse(
       throw new IllegalStateException(s"no complete LM store under $dir")))
 
     def segPath(seg: String, table: String): String =
@@ -208,11 +230,13 @@ object NgramLm {
       seg
     }
 
-    def publish(segs: Seq[String]): Long = {
+    def publish(segs: Seq[String],
+        tokens: Set[String] = Set.empty): Long = {
+      val body = (segs ++ tokens.toSeq.sorted.map("tok " + _))
+        .mkString("\n") + "\n"
       val tmp = new Path(dir, s".manifest-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
-      try out.write(
-        (segs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       graft.ops.VersionedPaths.publish(fs, new Path(dir), tmp, "m=",
         currentVersion().map(_ + 1).getOrElse(0L))
@@ -328,10 +352,22 @@ object NgramLm {
       * after a mutation, breaking "append sequence ≡ fit on the
       * union"). The intermediate c2 roll-up's checkpoint blocks are
       * released as soon as the final scored table materializes — only
-      * the serving table stays pinned — and a rebuild releases the
-      * previous version's blocks. */
+      * the serving table stays pinned — and a rebuild retires the
+      * previous version's blocks ONE GENERATION LATE (see
+      * `retiredBlockIds`): a [[scoreBigrams]] result held across a
+      * single mutation through this handle still evaluates; only a
+      * second mutation invalidates it. */
     private var bigramScoresCache: Option[(Long, DataFrame, Set[Int])] =
       None
+    // ONE retired generation stays alive (blocks un-reclaimed) so a
+    // DataFrame a caller obtained from [[scoreBigrams]] BEFORE the
+    // latest mutation through this handle still evaluates — its
+    // localCheckpoint lineage is truncated, so unpersisting it eagerly
+    // would make any held result fail with missing checkpoint blocks
+    // (recompute is impossible). The generation retires for good (and
+    // its blocks release) only when a SECOND mutation lands: held
+    // results are valid across at most one append/forget/compact.
+    private var retiredBlockIds: Set[Int] = Set.empty
 
     private def bigramTypeScores: DataFrame = synchronized {
       val v = store.currentVersion().getOrElse(
@@ -341,10 +377,10 @@ object NgramLm {
         case Some((cv, df, _)) if cv == v => df
         case stale =>
           val sc = spark.sparkContext
-          stale.foreach { case (_, _, ids) =>
-            sc.getPersistentRDDs.filter { case (id, _) => ids(id) }
-              .values.foreach(_.unpersist(blocking = false))
-          }
+          sc.getPersistentRDDs
+            .filter { case (id, _) => retiredBlockIds(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          retiredBlockIds = stale.map(_._3).getOrElse(Set.empty)
           val before = sc.getPersistentRDDs.keySet.toSet
           // One read of the rolled table feeds c2 and both marginals.
           val c2 = bigrams().withColumnRenamed("cnt", "c2")
@@ -404,7 +440,9 @@ object NgramLm {
       * (spec-pinned). Cost ∝ delta. */
     def append(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments() // resolve BEFORE the heavy write
-      store.publish(live :+ store.writeSegment(gramCountsOf(docs, textCol)))
+      val tokens = store.liveTokens()
+      store.publish(live :+ store.writeSegment(gramCountsOf(docs, textCol)),
+        tokens)
     }
 
     /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -421,10 +459,11 @@ object NgramLm {
     private[graft] def appendBatch(docs: DataFrame, textCol: String,
         batchId: Long): Long = {
       val live = store.liveSegments()
+      val tokens = store.liveTokens()
       val seg = s"seg-batch-$batchId"
       if (live.contains(seg)) return store.currentVersion().get
       store.writeNamedSegment(gramCountsOf(docs, textCol), seg)
-      store.publish(live :+ seg)
+      store.publish(live :+ seg, tokens)
     }
 
     /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
@@ -435,9 +474,10 @@ object NgramLm {
       * the served vocabulary entirely. O(victim text), no rebuild. */
     def forget(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments()
+      val tokens = store.liveTokens()
       store.publish(live :+ store.writeSegment(
         gramCountsOf(docs, textCol)
-          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt"))))
+          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt"))), tokens)
     }
 
     /** REQUEST-KEYED idempotent forget — the [[appendBatch]] rule
@@ -456,12 +496,21 @@ object NgramLm {
         c.isLetterOrDigit || c == '-' || c == '_'),
         s"forget token must be [A-Za-z0-9_-]+, got '$token'")
       val live = store.liveSegments()
+      val tokens = store.liveTokens()
       val seg = s"seg-forget-$token"
-      if (live.contains(seg)) return store.currentVersion().get
+      // The no-op check consults BOTH the live segment name and the
+      // manifest's realized-token ledger: [[compact]] folds the
+      // seg-forget-<token> segment away (its negatives realize into
+      // the summed counts) but the `tok <token>` manifest line
+      // survives every later publish, so a replay landing AFTER a
+      // compaction is still a true no-op instead of a second
+      // subtraction.
+      if (live.contains(seg) || tokens.contains(token))
+        return store.currentVersion().get
       store.writeNamedSegment(
         gramCountsOf(docs, textCol)
           .select(col("w1"), col("w2"), (-col("cnt")).as("cnt")), seg)
-      store.publish(live :+ seg)
+      store.publish(live :+ seg, tokens + token)
     }
 
     /** MAINTENANCE compaction: fold live segments into one (the same
@@ -470,6 +519,7 @@ object NgramLm {
       * store). Bounds per-score segment fan-out after many appends. */
     def compact(): Long = {
       val live = store.liveSegments()
+      val tokens = store.liveTokens()
       if (live.size <= 1) return store.currentVersion().get
       val uni = store.readUnion("uni")
         .groupBy("term").agg(sum("cnt").as("cnt"))
@@ -480,7 +530,10 @@ object NgramLm {
         .readUnionTolerant("bi", "w1 STRING, w2 STRING, cnt BIGINT")
         .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
-      store.publish(Seq(store.writeSegment(uni.unionByName(bi))))
+      // Tokens carried verbatim: compaction realizes forget segments'
+      // negatives but must NOT forget that it did ([[forgetBatch]]'s
+      // post-compaction replay no-op keys on these lines).
+      store.publish(Seq(store.writeSegment(uni.unionByName(bi))), tokens)
     }
 
     /** Retention: keep the newest `keep` versions, sweep older

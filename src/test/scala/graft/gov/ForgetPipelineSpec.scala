@@ -249,6 +249,43 @@ class ForgetPipelineSpec extends SparkSpec {
     assert(fp.isComplete("req-fp"))
   }
 
+  test("duplicate victim ids collapse to the id SET: ledger, audit, " +
+      "and the in-flight fingerprint") {
+    import spark.implicits._
+    val fp = new ForgetPipeline(spark, tmp("fpd_ledger"))
+    // The round-12 ADVICE medium: bit_xor cancels even-multiplicity
+    // ids, so the RAW frames [1,1,2] and [3,3,2] fingerprint
+    // identically (count=3, xor=h(2)) — a crashed request replayed
+    // with genuinely different victims could inherit foreign acks.
+    // Over the distinct set the two fingerprints differ.
+    intercept[RuntimeException] {
+      fp.executeVictims("req-dup", Seq(1L, 1L, 2L).toDF("id"), Seq(
+        "a" -> ((_: org.apache.spark.sql.DataFrame) => 1L),
+        "b" -> ((_: org.apache.spark.sql.DataFrame) => sys.error("crash"))))
+    }
+    val e = intercept[IllegalArgumentException] {
+      fp.executeVictims("req-dup", Seq(3L, 3L, 2L).toDF("id"), Seq(
+        "a" -> ((_: org.apache.spark.sql.DataFrame) => 1L),
+        "b" -> ((_: org.apache.spark.sql.DataFrame) => 2L)))
+    }
+    assert(e.getMessage.contains("DIFFERENT victim set"))
+    // The same victims (any multiplicity — erasure is a set op)
+    // complete, and the ledger/audit carry the DISTINCT ids only.
+    val rows = fp.executeVictims("req-dup", Seq(1L, 2L, 1L, 1L).toDF("id"),
+      Seq("a" -> ((_: org.apache.spark.sql.DataFrame) => 1L),
+          "b" -> ((_: org.apache.spark.sql.DataFrame) => 2L)))
+    assert(rows.count() == 4L, "ledger rows != distinct victims x stores")
+    val audit = fp.audit("req-dup").collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(audit == Map("a" -> 2L, "b" -> 2L),
+      "audit n_ids counted duplicate victim rows")
+    // A replay with the distinct frame is a pure ledger read.
+    val replay = fp.executeVictims("req-dup", Seq(1L, 2L).toDF("id"),
+      Seq("a" -> ((_: org.apache.spark.sql.DataFrame) => 1L),
+          "b" -> ((_: org.apache.spark.sql.DataFrame) => 2L)))
+    assert(replay.collect().toSet == rows.collect().toSet)
+  }
+
   test("a crashed-then-replayed LM target is exact via forgetBatch") {
     // The round-11 ADVICE high finding: NgramLm's negative-count forget
     // is NOT idempotent in effect, so the replay window (crash between

@@ -378,4 +378,66 @@ class NgramLmSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(viaAppend == inline)
   }
+
+  test("forgetBatch replay AFTER compact() is still a no-op " +
+      "(realized-token ledger)") {
+    // The round-11 ADVICE gap: the replay no-op keyed on the
+    // seg-forget-<token> name alone, but compact() folds all live
+    // segments into one UUID-named segment — a replay landing after a
+    // compaction (the documented crash-between-forget-and-ack window)
+    // re-subtracted the victims' counts. The manifest's `tok <token>`
+    // ledger must survive the fold.
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val victims = full.where(col("doc_id") < 50).localCheckpoint(true)
+    val d = Files.createTempDirectory("nglm-fgtc").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") < 250), "text", d)
+    val m = NgramLm.load(spark, d)
+    m.append(full.where(col("doc_id") >= 250), "text")
+    m.forgetBatch(victims, "text", "req-007")
+    val vCompact = m.compact() // realizes the forget segment
+    val once = NgramLm.load(spark, d).vocab()
+      .orderBy("term").collect().toSeq
+    // Replay after the compaction: must be a TRUE no-op.
+    val vReplay = m.forgetBatch(victims, "text", "req-007")
+    assert(vReplay == vCompact,
+      "a post-compaction forgetBatch replay published a new version")
+    assert(NgramLm.load(spark, d).vocab()
+      .orderBy("term").collect().toSeq == once,
+      "a post-compaction forgetBatch replay double-subtracted")
+    // The compacted + replayed store still equals the redacted fit.
+    val ref = Files.createTempDirectory("nglm-fgtc2").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") >= 50), "text", ref)
+    assert(once == NgramLm.load(spark, ref).vocab()
+      .orderBy("term").collect().toSeq)
+    // A DIFFERENT token after compaction still executes (the ledger
+    // no-ops only its own token).
+    val more = full.where(col("doc_id") >= 50 && col("doc_id") < 60)
+      .localCheckpoint(true)
+    m.forgetBatch(more, "text", "req-008")
+    val ref2 = Files.createTempDirectory("nglm-fgtc3").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") >= 60), "text", ref2)
+    assert(NgramLm.load(spark, d).vocab()
+        .orderBy("term").collect().toSeq ==
+      NgramLm.load(spark, ref2).vocab().orderBy("term").collect().toSeq)
+  }
+
+  test("a scoreBigrams result held across ONE mutation still evaluates") {
+    // The round-11 ADVICE hazard: rebuilding the type-score cache
+    // eagerly unpersisted the previous generation's localCheckpoint
+    // blocks, so a result a caller still held failed with missing
+    // checkpoint blocks (truncated lineage cannot recompute). One
+    // retired generation now stays alive until a SECOND mutation.
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val d = Files.createTempDirectory("nglm-hold").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") < 250), "text", d)
+    val m = NgramLm.load(spark, d)
+    val held = m.scoreBigrams(full, "doc_id", "text")
+    val r1 = held.orderBy("doc_id").collect().toSeq
+    m.append(full.where(col("doc_id") >= 250), "text")
+    // Rebuild lands (retiring generation 1, which must stay alive)...
+    m.scoreBigrams(full, "doc_id", "text").collect()
+    // ...and the held pre-mutation result still evaluates, identically.
+    assert(held.orderBy("doc_id").collect().toSeq == r1,
+      "a held scoreBigrams result changed or failed after one mutation")
+  }
 }
