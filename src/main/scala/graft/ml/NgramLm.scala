@@ -187,7 +187,18 @@ object NgramLm {
     // compactions. Legacy manifests simply have no `tok ` lines
     // (segment names are all `seg-…`, so the prefix cannot collide).
     private def segmentsAt(v: Long): Seq[String] =
-      manifestLines(v).filterNot(_.startsWith("tok "))
+      graft.ops.BatchHorizon.split(
+        manifestLines(v).filterNot(_.startsWith("tok ")))._1
+
+    // Replay horizon ([[graft.ops.BatchHorizon]]): compact() folds
+    // batch-named segments away; the `bh <id>` line keeps a
+    // redelivered folded batch a no-op in [[Model.appendBatch]]
+    // instead of a double-count.
+    private def horizonAt(v: Long): Option[Long] =
+      graft.ops.BatchHorizon.split(manifestLines(v))._2
+
+    def liveHorizon(): Option[Long] =
+      currentVersion().flatMap(horizonAt)
 
     private def tokensAt(v: Long): Set[String] =
       manifestLines(v).collect { case s if s.startsWith("tok ") =>
@@ -231,8 +242,10 @@ object NgramLm {
     }
 
     def publish(segs: Seq[String],
-        tokens: Set[String] = Set.empty): Long = {
-      val body = (segs ++ tokens.toSeq.sorted.map("tok " + _))
+        tokens: Set[String] = Set.empty,
+        horizon: Option[Long] = None): Long = {
+      val body = (segs ++ tokens.toSeq.sorted.map("tok " + _) ++
+        graft.ops.BatchHorizon.lines(horizon))
         .mkString("\n") + "\n"
       val tmp = new Path(dir, s".manifest-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
@@ -441,8 +454,9 @@ object NgramLm {
     def append(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments() // resolve BEFORE the heavy write
       val tokens = store.liveTokens()
+      val h = store.liveHorizon()
       store.publish(live :+ store.writeSegment(gramCountsOf(docs, textCol)),
-        tokens)
+        tokens, h)
     }
 
     /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -460,10 +474,15 @@ object NgramLm {
         batchId: Long): Long = {
       val live = store.liveSegments()
       val tokens = store.liveTokens()
+      val h = store.liveHorizon()
       val seg = s"seg-batch-$batchId"
-      if (live.contains(seg)) return store.currentVersion().get
+      // Second no-op trigger: the batch is at or below the replay
+      // horizon — a compact() already realized its counts into the
+      // folded segment; re-appending would double-count them.
+      if (live.contains(seg) || graft.ops.BatchHorizon.realized(h, batchId))
+        return store.currentVersion().get
       store.writeNamedSegment(gramCountsOf(docs, textCol), seg)
-      store.publish(live :+ seg, tokens)
+      store.publish(live :+ seg, tokens, h)
     }
 
     /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
@@ -475,9 +494,11 @@ object NgramLm {
     def forget(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments()
       val tokens = store.liveTokens()
+      val h = store.liveHorizon()
       store.publish(live :+ store.writeSegment(
         gramCountsOf(docs, textCol)
-          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt"))), tokens)
+          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt"))),
+        tokens, h)
     }
 
     /** REQUEST-KEYED idempotent forget — the [[appendBatch]] rule
@@ -510,7 +531,7 @@ object NgramLm {
       store.writeNamedSegment(
         gramCountsOf(docs, textCol)
           .select(col("w1"), col("w2"), (-col("cnt")).as("cnt")), seg)
-      store.publish(live :+ seg, tokens + token)
+      store.publish(live :+ seg, tokens + token, store.liveHorizon())
     }
 
     /** MAINTENANCE compaction: fold live segments into one (the same
@@ -532,8 +553,11 @@ object NgramLm {
         .where(col("cnt") =!= 0L)
       // Tokens carried verbatim: compaction realizes forget segments'
       // negatives but must NOT forget that it did ([[forgetBatch]]'s
-      // post-compaction replay no-op keys on these lines).
-      store.publish(Seq(store.writeSegment(uni.unionByName(bi))), tokens)
+      // post-compaction replay no-op keys on these lines). The fold
+      // also advances the replay horizon so a redelivered folded batch
+      // no-ops in [[appendBatch]] instead of double-counting.
+      store.publish(Seq(store.writeSegment(uni.unionByName(bi))), tokens,
+        graft.ops.BatchHorizon.afterFold(store.liveHorizon(), live))
     }
 
     /** Retention: keep the newest `keep` versions, sweep older

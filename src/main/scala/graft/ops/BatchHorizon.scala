@@ -1,0 +1,66 @@
+package graft.ops
+
+/** The REALIZED-BATCH REPLAY HORIZON — the manifest convention that
+  * pins the forget-vs-streaming-replay contract for every store with
+  * batch-named segments (MinHashIndex, IvfIndex, PqIvfIndex, NgramLm).
+  *
+  * The hazard it closes: a streaming maintainer's at-least-once replay
+  * is made convergent by the batch-named segment rule — a redelivered
+  * batch finds `seg-batch-N` in the live manifest and no-ops. But
+  * [[graft.sim.MinHashIndex.forget]] (and every sibling forget, and
+  * every compact) REWRITES the live segments into one fresh segment:
+  * the batch names vanish from the manifest, so a pre-forget batch
+  * redelivered after the fold would re-append — double-adding its
+  * surviving rows and, worse, RESURRECTING the victims a committed
+  * erasure request claims are gone (the
+  * [[graft.gov.ForgetPipeline]] ledger would then be lying).
+  *
+  * The pinned contract: any operation that folds batch-named segments
+  * away (forget, compact) records `bh <maxFoldedBatchId>` in the
+  * manifest it publishes, carrying forward any prior horizon
+  * (horizons only grow). A per-batch append at or below the horizon
+  * is a TRUE no-op: its rows were already realized into the folded
+  * store (and possibly redacted there) — the batch's content is
+  * deterministic in its checkpointed offsets, so skipping loses
+  * nothing. Correctness of the `batchId <= horizon` test rides on
+  * Structured Streaming's batch-id monotonicity: batch N is delivered
+  * for the FIRST time only after batch N−1's sinks committed, so at
+  * the moment a fold realizes batches through H, every batch ≤ H has
+  * either been appended (its rows are in the fold) or was skipped as
+  * empty by the maintainer (and replays empty). A first-time batch is
+  * always > every id a prior fold could have seen.
+  *
+  * This REPLACES the round-10 caller-side rule "only compact after
+  * the stream's checkpoint has advanced past the folded batches":
+  * compaction and forget are now replay-convergent by construction,
+  * with no coordination between the maintenance window and the
+  * stream's checkpoint. (The horizon line predates nothing: legacy
+  * manifests simply lack it, and the first fold writes it.) */
+object BatchHorizon {
+
+  private val Prefix = "bh "
+  private val SegPrefix = "seg-batch-"
+
+  /** Split manifest lines into (payload lines, horizon). */
+  def split(lines: Seq[String]): (Seq[String], Option[Long]) = {
+    val (h, rest) = lines.partition(_.startsWith(Prefix))
+    (rest, h.map(_.drop(Prefix.length).trim.toLong).maxOption)
+  }
+
+  /** The manifest line(s) encoding `horizon` (empty when none). */
+  def lines(horizon: Option[Long]): Seq[String] =
+    horizon.map(h => s"$Prefix$h").toSeq
+
+  /** The horizon to publish after folding `foldedSegs` away: max of
+    * the prior horizon and every `seg-batch-<id>` among the folded
+    * names (UUID-named segments carry no batch id and fold freely). */
+  def afterFold(prior: Option[Long], foldedSegs: Seq[String]): Option[Long] =
+    (prior.toSeq ++ foldedSegs.collect {
+      case s if s.startsWith(SegPrefix) => s.drop(SegPrefix.length).toLong
+    }).maxOption
+
+  /** True iff a per-batch append of `batchId` must no-op because a
+    * fold already realized it. */
+  def realized(horizon: Option[Long], batchId: Long): Boolean =
+    horizon.exists(batchId <= _)
+}

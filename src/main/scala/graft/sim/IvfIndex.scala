@@ -58,15 +58,23 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
         dirsOnly = false)
       .map(_._2).sorted.lastOption
 
-  /** (codebook, segments) recorded at manifest version `v`. */
+  /** (codebook, segments) recorded at manifest version `v`; an
+    * optional `bh <id>` replay-horizon line ([[graft.ops.BatchHorizon]])
+    * is split off and served by [[horizonAt]]. */
   private[sim] def manifestAt(v: Long): (String, Seq[String]) = {
-    val in = fs.open(new Path(indexDir, s"m=$v"))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
+    val (lines, _) = graft.ops.BatchHorizon.split(manifestLinesAt(v))
     require(lines.nonEmpty, s"empty manifest m=$v under $indexDir")
     (lines.head, lines.tail)
+  }
+
+  private def horizonAt(v: Long): Option[Long] =
+    graft.ops.BatchHorizon.split(manifestLinesAt(v))._2
+
+  private def manifestLinesAt(v: Long): Seq[String] = {
+    val in = fs.open(new Path(indexDir, s"m=$v"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
@@ -78,14 +86,19 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
   private[sim] def publish(tmp: Path, v: Long): Long =
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=", v)
 
-  private def publishManifest(codebook: String, segs: Seq[String]): Long = {
+  private def publishManifest(codebook: String, segs: Seq[String],
+      horizon: Option[Long] = None): Long = {
+    val body = (codebook +: segs) ++ graft.ops.BatchHorizon.lines(horizon)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(((codebook +: segs).mkString("\n") + "\n")
+    try out.write((body.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     publish(tmp, currentVersion().map(_ + 1).getOrElse(0L))
   }
+
+  private def liveHorizon(): Option[Long] =
+    currentVersion().flatMap(horizonAt)
 
   /** Delete `paths` recursively, swallowing cleanup failures (the
     * original error is the one worth throwing). */
@@ -154,9 +167,10 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * assignment is per-vector, so segment boundaries are invisible to
     * it (pinned in `IvfIndexSpec`). */
   def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
-    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val v0 = resolvedOrFail()
+    val (cb, segs) = manifestAt(v0) // resolve BEFORE writing
     val seg = writeSegment(emb, idCol, vecCol, codebook(cb))
-    publishManifest(cb, segs :+ seg)
+    publishManifest(cb, segs :+ seg, horizonAt(v0))
   }
 
   /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -179,14 +193,20 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * against ([[build]] first). */
   private[graft] def appendAsBatch(emb: DataFrame, idCol: String,
       vecCol: String, batchId: Long, requireCodebook: String): Long = {
-    val (cb, segs) = manifestAt(resolvedOrFail())
+    val v0 = resolvedOrFail()
+    val (cb, segs) = manifestAt(v0)
     require(cb == requireCodebook,
       s"index $indexDir now serves codebook $cb, not $requireCodebook — " +
         "a rebuild happened mid-stream; restart the ingest to adopt it")
+    val h = horizonAt(v0)
     val seg = s"seg-batch-$batchId"
-    if (segs.contains(seg)) return resolvedOrFail()
+    // Second no-op trigger: the batch is at or below the replay
+    // horizon — a forget/compact already realized (and possibly
+    // redacted) its rows; re-appending would resurrect victims.
+    if (segs.contains(seg) || graft.ops.BatchHorizon.realized(h, batchId))
+      return resolvedOrFail()
     writeNamedSegment(emb, idCol, vecCol, codebook(cb), seg)
-    publishManifest(cb, segs :+ seg)
+    publishManifest(cb, segs :+ seg, h)
   }
 
   /** The live codebook's name (manifest head) — what a streaming
@@ -199,15 +219,19 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * Bounds per-query segment fan-out after many appends; search
     * results are bit-identical before and after. */
   def compact(): Long = {
-    val (cb, segs) = manifestAt(resolvedOrFail())
-    if (segs.size <= 1) return resolvedOrFail()
+    val v0 = resolvedOrFail()
+    val (cb, segs) = manifestAt(v0)
+    if (segs.size <= 1) return v0
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(indexDir, s"segments/$seg")
     try readUnion(segs)
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(cb, Seq(seg))
+    // Fold advances the replay horizon (BatchHorizon): a redelivery of
+    // a folded batch no-ops instead of re-adding its rows.
+    publishManifest(cb, Seq(seg),
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
   }
 
   /** FORGET: remove `ids` from the postings — deletion propagated into
@@ -235,14 +259,18 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
   }
 
   private def forgetImpl(screen: DataFrame => DataFrame): Long = {
-    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val v0 = resolvedOrFail()
+    val (cb, segs) = manifestAt(v0) // resolve BEFORE writing
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(indexDir, s"segments/$seg")
     try screen(readUnion(segs))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(cb, Seq(seg))
+    // The fold advances the replay horizon so a redelivered pre-forget
+    // batch cannot re-append and resurrect the victims just erased.
+    publishManifest(cb, Seq(seg),
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
   }
 
   /** Retention: keep the newest `keep` versions, sweep older manifests

@@ -59,13 +59,23 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
         dirsOnly = false)
       .map(_._2).sorted.lastOption
 
-  private def segmentsAt(v: Long): Seq[String] = {
+  private def manifestLinesAt(v: Long): Seq[String] = {
     val in = fs.open(new Path(indexDir, s"m=$v"))
     try {
       scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).toList
     } finally in.close()
   }
+
+  // Manifest = segment names + an optional `bh <id>` replay-horizon
+  // line ([[graft.ops.BatchHorizon]] — forget/compact fold batch-named
+  // segments away; the horizon keeps a redelivered pre-fold batch a
+  // no-op instead of a victim-resurrecting re-append).
+  private def segmentsAt(v: Long): Seq[String] =
+    graft.ops.BatchHorizon.split(manifestLinesAt(v))._1
+
+  private def horizonAt(v: Long): Option[Long] =
+    graft.ops.BatchHorizon.split(manifestLinesAt(v))._2
 
   /** Live segment names at the newest version, or fail loudly. */
   def liveSegments(): Seq[String] = segmentsAt(resolvedOrFail())
@@ -79,15 +89,22 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     IndexVacuum.vacuum(fs, indexDir, keep, segmentsAt,
       Seq("segments" -> "seg-"))
 
-  private def publishManifest(segs: Seq[String]): Long = {
+  private def publishManifest(segs: Seq[String],
+      horizon: Option[Long] = None): Long = {
+    val body = segs ++ graft.ops.BatchHorizon.lines(horizon)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val outStream = fs.create(tmp, false)
     try outStream.write(
-      (segs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      (body.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally outStream.close()
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
       currentVersion().map(_ + 1).getOrElse(0L))
   }
+
+  /** The live replay horizon (carried forward by non-folding publishes
+    * below — horizons only grow). */
+  private def liveHorizon(): Option[Long] =
+    currentVersion().flatMap(horizonAt)
 
   /** Write one segment from a signatures frame: sigs parquet first, then
     * bands DERIVED FROM THE WRITTEN FILE (the write is the
@@ -119,14 +136,17 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
   /** First build: one segment, manifest version 0 (or the next version
     * over an existing index — old manifests serve until vacuumed). */
   def build(docs: DataFrame, idCol: String, textCol: String): Long =
-    publishManifest(Seq(writeSegmentFromSigs(sketch(docs, idCol, textCol))))
+    publishManifest(Seq(writeSegmentFromSigs(sketch(docs, idCol, textCol))),
+      currentVersion().flatMap(horizonAt))
 
   /** Incremental APPEND: sketch only the delta, publish old segments +
     * the new one. Cost ∝ delta — the standing corpus text is never
     * re-read. Exact (per-doc rows, doc-disjoint contract). */
   def append(docs: DataFrame, idCol: String, textCol: String): Long = {
     val live = liveSegments() // resolve BEFORE the heavy write
-    publishManifest(live :+ writeSegmentFromSigs(sketch(docs, idCol, textCol)))
+    val h = liveHorizon()
+    publishManifest(
+      live :+ writeSegmentFromSigs(sketch(docs, idCol, textCol)), h)
   }
 
   /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -143,16 +163,22 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * discipline exists to prevent; the caller's rows are deterministic
     * in the batch, so skipping loses nothing). A crash BEFORE the
     * publish leaves an unreferenced segment dir, which the replay
-    * overwrites whole. Creates the index when none exists yet. */
+    * overwrites whole. Creates the index when none exists yet.
+    *
+    * TWO no-op triggers: the segment is still live, OR the batch is at
+    * or below the manifest's replay horizon ([[graft.ops.BatchHorizon]])
+    * — a forget/compact folded it away, so re-appending would
+    * double-add its survivors and RESURRECT its forgotten victims. */
   private[graft] def appendSigsAsBatch(sigs: DataFrame, batchId: Long): Long = {
-    val live = currentVersion() match {
-      case Some(v) => segmentsAt(v)
-      case None    => Nil
+    val (live, h) = currentVersion() match {
+      case Some(v) => (segmentsAt(v), horizonAt(v))
+      case None    => (Nil, None)
     }
     val seg = s"seg-batch-$batchId"
-    if (live.contains(seg)) return resolvedOrFail()
+    if (live.contains(seg) || graft.ops.BatchHorizon.realized(h, batchId))
+      return resolvedOrFail()
     writeNamedSegment(sigs, seg)
-    publishManifest(live :+ seg)
+    publishManifest(live :+ seg, h)
   }
 
   /** FORGET: drop `ids` and publish one rewritten segment — deletion
@@ -165,7 +191,11 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     val live = liveSegments()
     val survivors = readUnion(live, "sigs")
       .where(!col("doc_id").isin(ids: _*))
-    publishManifest(Seq(writeSegmentFromSigs(survivors)))
+    // The fold realizes every batch-named segment: advance the replay
+    // horizon so a redelivered pre-forget batch cannot re-append (and
+    // resurrect victims this forget just erased).
+    publishManifest(Seq(writeSegmentFromSigs(survivors)),
+      graft.ops.BatchHorizon.afterFold(liveHorizon(), live))
   }
 
   /** MASS-erasure forget: victims stay a DataFrame end to end (LEFT
@@ -177,26 +207,26 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     val live = liveSegments()
     val survivors = readUnion(live, "sigs")
       .join(v, Seq("doc_id"), "left_anti")
-    publishManifest(Seq(writeSegmentFromSigs(survivors)))
+    publishManifest(Seq(writeSegmentFromSigs(survivors)),
+      graft.ops.BatchHorizon.afterFold(liveHorizon(), live))
   }
 
   /** MAINTENANCE compaction: merge live segments into one (row union —
     * exact) and publish a one-segment manifest; bounds per-probe segment
     * fan-out after many appends. O(index), never re-sketches.
     *
-    * Streaming-store horizon rule (the
-    * [[graft.stream.MicroBatchIngest.compactBatches]] contract): when
-    * the appends came from [[appendSigsAsBatch]], compact only after
-    * the folded batches can no longer be redelivered (i.e. the stream's
-    * checkpoint has advanced past them) — compaction erases the
-    * batch-named segments whose presence makes a replayed append a
-    * no-op, so a replay AFTER compaction of a still-replayable batch
-    * would re-add its rows. Like every maintenance pass here, run it in
-    * a window with no concurrent builders. */
+    * Replay-convergent by construction: the fold advances the
+    * manifest's [[graft.ops.BatchHorizon]] past every batch-named
+    * segment it merges, so a redelivery of a folded batch no-ops —
+    * no coordination with the stream's checkpoint needed (this
+    * replaces the round-10 caller-side "compact only past the
+    * checkpoint's last committed batch" rule). Like every maintenance
+    * pass here, run it in a window with no concurrent builders. */
   def compact(): Long = {
     val live = liveSegments()
     if (live.size <= 1) return resolvedOrFail()
-    publishManifest(Seq(writeSegmentFromSigs(readUnion(live, "sigs"))))
+    publishManifest(Seq(writeSegmentFromSigs(readUnion(live, "sigs"))),
+      graft.ops.BatchHorizon.afterFold(liveHorizon(), live))
   }
 
   private def readSeg(seg: String, table: String): DataFrame =

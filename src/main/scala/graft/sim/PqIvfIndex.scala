@@ -61,25 +61,34 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
         dirsOnly = false)
       .map(_._2).sorted.lastOption
 
-  /** (coarse codebook, pq codebook, segments) at manifest version `v`. */
+  /** (coarse codebook, pq codebook, segments) at manifest version `v`;
+    * an optional `bh <id>` replay-horizon line
+    * ([[graft.ops.BatchHorizon]]) is split off, see [[horizonAt]]. */
   private[sim] def manifestAt(v: Long): (String, String, Seq[String]) = {
-    val in = fs.open(new Path(indexDir, s"m=$v"))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
+    val (lines, _) = graft.ops.BatchHorizon.split(manifestLinesAt(v))
     require(lines.length >= 2, s"torn manifest m=$v under $indexDir")
     (lines(0), lines(1), lines.drop(2))
+  }
+
+  private def horizonAt(v: Long): Option[Long] =
+    graft.ops.BatchHorizon.split(manifestLinesAt(v))._2
+
+  private def manifestLinesAt(v: Long): Seq[String] = {
+    val in = fs.open(new Path(indexDir, s"m=$v"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
 
   private def publishManifest(coarse: String, pq: String,
-      segs: Seq[String]): Long = {
+      segs: Seq[String], horizon: Option[Long] = None): Long = {
+    val body = (coarse +: pq +: segs) ++ graft.ops.BatchHorizon.lines(horizon)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(((coarse +: pq +: segs).mkString("\n") + "\n")
+    try out.write((body.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
@@ -146,10 +155,11 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     * so segment boundaries are invisible to search (spec-pinned: append
     * ≡ one full build-encode of the union under the same codebooks). */
   def append(emb: DataFrame, idCol: String, vecCol: String): Long = {
-    val (cb, pq, segs) = manifestAt(resolvedOrFail()) // resolve FIRST
+    val v0 = resolvedOrFail()
+    val (cb, pq, segs) = manifestAt(v0) // resolve FIRST
     val seg = writeNamedSegment(emb, idCol, vecCol, coarseCodebook(cb),
       pqCodebookDf(pq), s"seg-${java.util.UUID.randomUUID()}")
-    publishManifest(cb, pq, segs :+ seg)
+    publishManifest(cb, pq, segs :+ seg, horizonAt(v0))
   }
 
   /** Idempotent per-batch append — the [[IvfIndex.appendAsBatch]] rule
@@ -158,15 +168,21 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     * mid-stream fails loudly (restart to adopt a rebuild). */
   private[graft] def appendAsBatch(emb: DataFrame, idCol: String,
       vecCol: String, batchId: Long, requireCoarse: String): Long = {
-    val (cb, pq, segs) = manifestAt(resolvedOrFail())
+    val v0 = resolvedOrFail()
+    val (cb, pq, segs) = manifestAt(v0)
     require(cb == requireCoarse,
       s"index $indexDir now serves codebook $cb, not $requireCoarse — " +
         "a rebuild happened mid-stream; restart the ingest to adopt it")
+    val h = horizonAt(v0)
     val seg = s"seg-batch-$batchId"
-    if (segs.contains(seg)) return resolvedOrFail()
+    // Second no-op trigger: the batch is at or below the replay
+    // horizon — a forget/compact already realized (and possibly
+    // redacted) its rows; re-appending would resurrect victims.
+    if (segs.contains(seg) || graft.ops.BatchHorizon.realized(h, batchId))
+      return resolvedOrFail()
     writeNamedSegment(emb, idCol, vecCol, coarseCodebook(cb),
       pqCodebookDf(pq), seg)
-    publishManifest(cb, pq, segs :+ seg)
+    publishManifest(cb, pq, segs :+ seg, h)
   }
 
   private[graft] def coarseName(): String = manifestAt(resolvedOrFail())._1
@@ -174,15 +190,19 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
   /** Merge live segments into one (pure per-cell file union, no
     * re-encoding); search is bit-identical before and after. */
   def compact(): Long = {
-    val (cb, pq, segs) = manifestAt(resolvedOrFail())
-    if (segs.size <= 1) return resolvedOrFail()
+    val v0 = resolvedOrFail()
+    val (cb, pq, segs) = manifestAt(v0)
+    if (segs.size <= 1) return v0
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(indexDir, s"segments/$seg")
     try readUnion(segs)
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(cb, pq, Seq(seg))
+    // Fold advances the replay horizon (BatchHorizon): a redelivery of
+    // a folded batch no-ops instead of re-adding its rows.
+    publishManifest(cb, pq, Seq(seg),
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
   }
 
   /** FORGET: rewrite live segments without the victims under the SAME
@@ -204,14 +224,18 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
   }
 
   private def forgetImpl(screen: DataFrame => DataFrame): Long = {
-    val (cb, pq, segs) = manifestAt(resolvedOrFail())
+    val v0 = resolvedOrFail()
+    val (cb, pq, segs) = manifestAt(v0)
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(indexDir, s"segments/$seg")
     try screen(readUnion(segs))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(cb, pq, Seq(seg))
+    // The fold advances the replay horizon so a redelivered pre-forget
+    // batch cannot re-append and resurrect the victims just erased.
+    publishManifest(cb, pq, Seq(seg),
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
   }
 
   /** Keep the newest `keep` versions, sweep unreferenced dirs. */

@@ -20,9 +20,10 @@ import graft.ml.NgramLm
   * segment name derives from the batch id, the write is an overwrite,
   * and the manifest gains the segment at most once — a redelivered
   * batch rewrites identical counts and publishes nothing (a UUID-named
-  * append here would double-count under at-least-once delivery). The
-  * compaction horizon rule applies as everywhere: fold batch segments
-  * (`Model.compact`) only past the stream's replay horizon.
+  * append here would double-count under at-least-once delivery).
+  * `Model.compact` needs no checkpoint coordination: the fold advances
+  * the manifest's [[graft.ops.BatchHorizon]], so a redelivery of a
+  * folded batch no-ops instead of double-counting.
   *
   * Serving vs maintaining: [[QualityGateIngest]] PINS its model at
   * construction (scoring state must not move mid-stream); this
