@@ -78,7 +78,11 @@ object Scaling {
     // the probe-pruned MRL cascade (each fits its shared stores inside
     // the first timed run at its factor — the established serve-path
     // grading rule above).
-    "q_text_moore_lewis_served", "q_sim_mrl_ivf_cascade")
+    "q_text_moore_lewis_served", "q_sim_mrl_ivf_cascade",
+    // Round-12: mass erasure through all six stores (ForgetScale —
+    // victim set ∝ corpus, fresh request per pass; stores build inside
+    // the first timed run, the min grades the forget path).
+    "q_gov_forget_victims")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -280,6 +284,8 @@ object Scaling {
       else if (name == KmeansFitScaled)
         graft.queries.SimilarityQueries.kmeansFitFrame(spark, dirs(f),
           SemDedupBaseK * f)
+      else if (name == "q_gov_forget_victims")
+        graft.gov.ForgetScale.frame(spark, dirs(f))
       else SparkEntry.queries(name)(spark, dirs(f))
 
     // Per-query BAND PROBE (shared [[Calib]] bandwidth probe, ~0.2 s):

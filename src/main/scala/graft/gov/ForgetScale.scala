@@ -1,0 +1,100 @@
+package graft.gov
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MASS-ERASURE AT SCALE — the measured form of the
+  * [[ForgetPipeline.executeVictims]] 10⁷–10⁸-victim claim, driven by
+  * [[graft.Scaling]] as the `q_gov_forget_victims` block: one erasure
+  * request propagated through ALL SIX persisted stores (IVF, IVF-PQ,
+  * MinHash, BM25 lexical, k-means, order-2 LM) over the amplified
+  * corpus, victim set ∝ corpus (a fixed 1/[[VictimMod]] id slice — at
+  * amplification ×f both the stores and the victim set are f× larger,
+  * the source-retraction shape).
+  *
+  * Measurement protocol (the serve-path grading rule the store-served
+  * scaling blocks established): the six stores build ONCE per
+  * (application, corpus dir) inside the FIRST timed run; the min-of-2
+  * grades the FORGET path — each invocation executes a FRESH request
+  * over a DISJOINT victim slice (a replayed request would be a pure
+  * ledger read and measure nothing; re-forgetting the same victims
+  * would break the LM's at-most-once contract), so every timed pass
+  * does the same-shaped work: six anti-join segment rewrites + the
+  * distributed ledger write. Regime: output_linear — ledger rows =
+  * victims × stores ∝ f, and the forget work is O(store + victims)
+  * with per-publish fixed overhead that amortizes under amplification. */
+object ForgetScale {
+
+  /** Victim slice denominator: each request erases ~1/64 of the corpus
+    * ids; 64 slices outlast any warmup + min-of-2 + count + repair
+    * sequence without overlap. */
+  val VictimMod = 64
+
+  private final case class Fixture(
+      ivf: graft.sim.IvfIndex,
+      pq: graft.sim.PqIvfIndex,
+      mh: graft.sim.MinHashIndex,
+      lex: graft.sim.LexIndex,
+      km: graft.sim.KmeansModel,
+      lmDir: String,
+      pipeline: ForgetPipeline,
+      slice: AtomicInteger)
+
+  private val fixtures =
+    scala.collection.concurrent.TrieMap.empty[String, Fixture]
+
+  private def fixture(spark: SparkSession, dir: String): Fixture = {
+    val key = spark.sparkContext.applicationId + "|" + dir
+    fixtures.getOrElseUpdate(key, {
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString + "/x"
+      val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      val docs = graft.queries.Tables.t(spark, dir, "documents")
+      val ivf = new graft.sim.IvfIndex(spark, tmp("fsc_ivf"))
+      ivf.build(emb, "vec_id", "embedding", "label")
+      val pq = new graft.sim.PqIvfIndex(spark, tmp("fsc_pq"))
+      pq.build(emb, "vec_id", "embedding", "label", 8, 8, 16)
+      val mh = new graft.sim.MinHashIndex(spark, tmp("fsc_mh"))
+      mh.build(docs, "doc_id", "text")
+      val lex = new graft.sim.LexIndex(spark, tmp("fsc_lex"))
+      lex.build(docs, "doc_id", "text")
+      val km = new graft.sim.KmeansModel(spark, tmp("fsc_km"))
+      km.fit(emb, "vec_id", "embedding", k = 8)
+      val lmDir = tmp("fsc_lm")
+      graft.ml.NgramLm.fit(docs, "text", lmDir)
+      Fixture(ivf, pq, mh, lex, km, lmDir,
+        new ForgetPipeline(spark, tmp("fsc_ledger")), new AtomicInteger(0))
+    })
+  }
+
+  /** One FRESH mass-erasure request over the next victim slice; returns
+    * the committed ledger frame (victims × stores rows). The heavy work
+    * — six store forgets + the distributed ledger write — happens here
+    * at frame-build time, which [[graft.Scaling]] invokes inside its
+    * clock. */
+  def frame(spark: SparkSession, dir: String): DataFrame = {
+    val fx = fixture(spark, dir)
+    val i = fx.slice.getAndIncrement()
+    require(i < VictimMod,
+      s"victim slices exhausted ($i >= $VictimMod) — widen VictimMod")
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val victims = docs.where(pmod(col("doc_id"), lit(VictimMod)) === i)
+      .select(col("doc_id").as("id"))
+    // The LM target needs the victims' DOCUMENTS (its negative segment
+    // tokenizes exactly the ingested text); pinned once so the LM and
+    // the pipeline's own victim pin cannot drift mid-request.
+    val victimDocs = docs
+      .where(pmod(col("doc_id"), lit(VictimMod)) === i)
+      .localCheckpoint(true)
+    fx.pipeline.executeVictims(s"scale-$i", victims, Seq(
+      "ivf" -> (v => fx.ivf.forget(v)),
+      "ivfpq" -> (v => fx.pq.forget(v)),
+      "kmeans" -> (v => fx.km.forget(v)),
+      "lex" -> (v => fx.lex.forget(v)),
+      "lm" -> (_ => graft.ml.NgramLm.load(spark, fx.lmDir)
+        .forgetBatch(victimDocs, "text", s"scale-$i")),
+      "minhash" -> (v => fx.mh.forget(v))))
+  }
+}

@@ -418,22 +418,58 @@ object NgramLm {
       }
     }
 
+    /** The scored batch's (doc_id, w1, w2, k) bigram counts — the one
+      * doc-side tokenize pass both order-2 scoring kernels share. */
+    private def docBigrams(docs: DataFrame, idCol: String,
+        textCol: String): DataFrame = docs
+      .withColumn("toks", TokenOps.terms(col(textCol)))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol).as("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+
     def scoreBigrams(docs: DataFrame, idCol: String,
-        textCol: String): DataFrame = {
-      val db = docs
-        .withColumn("toks", TokenOps.terms(col(textCol)))
-        .where(size(col("toks")) >= 2)
-        .select(col(idCol).as("doc_id"), explode(expr(
-          """transform(sequence(1, size(toks) - 1),
-            |  i -> struct(element_at(toks, i) AS w1,
-            |              element_at(toks, i + 1) AS w2))""".stripMargin))
-          .as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-      db.join(bigramTypeScores, Seq("w1", "w2"))
+        textCol: String): DataFrame =
+      docBigrams(docs, idCol, textCol)
+        .join(bigramTypeScores, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           expr("sum(k * surprisal_mb) DIV sum(k)").as("mean_surprisal_mb"))
+
+    /** Interpolated KNESER–NEY scoring under the frozen order-2 store:
+      * (doc_id, n_bigrams, kn_surprisal_mb) — `q_text_kn_lm`'s output
+      * contract, unsorted (callers order). The discounted term and ALL
+      * continuation counts (distinct continuations of w1, distinct
+      * left-contexts of w2, distinct bigram types) are aggregates of
+      * the rolled bigram table — additive counts, so store-derived
+      * values equal inline-derived ones exactly and the shared
+      * [[graft.queries.TextQueries.KnSurprisalSql]] emission is
+      * bit-identical (graded by `q_text_kn_served`, which shares
+      * `q_text_kn_lm`'s oracle). Same absent-bigram / short-doc
+      * contract as [[scoreBigrams]]. The type roll-up is rebuilt per
+      * call (vocabulary²-bounded reads of model state — no checkpoint
+      * pinned, nothing cached; wire a [[bigramTypeScores]]-style cache
+      * only if a standing per-trigger consumer appears). */
+    def scoreKneserNey(docs: DataFrame, idCol: String,
+        textCol: String): DataFrame = {
+      val c2 = bigrams().withColumnRenamed("cnt", "c2")
+      val cf = c2.groupBy("w1")
+        .agg(sum("c2").as("c1first"), count(lit(1)).as("n1pr"))
+      val cl = c2.groupBy("w2").agg(count(lit(1)).as("n1pl"))
+      val nAll = c2.agg(count(lit(1)).as("n1pall"))
+      val typeScores = c2.join(cf, Seq("w1")).join(cl, Seq("w2"))
+        .crossJoin(broadcast(nAll))
+        .select(col("w1"), col("w2"),
+          expr(graft.queries.TextQueries.KnSurprisalSql).as("s_mb"))
+      docBigrams(docs, idCol, textCol)
+        .join(typeScores, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_bigrams"),
+          expr("sum(k * s_mb) DIV sum(k)").as("kn_surprisal_mb"))
     }
 
     /** The CCNet-style gate: keep docs at or below `maxMb` mean

@@ -1109,6 +1109,115 @@ object SimilarityQueries {
     * cluster keeps its min-vec_id representative. At scale the label
     * block becomes IVF/LSH cells; the component/apply machinery is
     * unchanged — it takes any pair frame. */
+  // ---- bitext mining (CCMatrix ratio margin; Artetxe & Schwenk
+  // 2019, "Margin-based parallel corpus mining") ----
+
+  /** Neighborhood size of the margin denominator. */
+  private val BitextK = 4
+
+  /** The two language sides, labeled by the SHARED langid classifier
+    * ([[TextQueries.langPredictedFrame]] — the bitext fixture is the
+    * langid operator's own output, composing the two curation passes):
+    * side A = predicted 'en', side B = predicted 'fr', both restricted
+    * to the store population (vec_id ≥ [[NumQueries]]) so the inline
+    * and IVF-served forms mine the same corpus. */
+  private def bitextSides(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val pred = TextQueries.langPredictedFrame(s, dir)
+    val emb = t(s, dir, "embeddings")
+      .where(col("vec_id") >= NumQueries)
+      .join(pred, col("vec_id") === col("doc_id"))
+    (emb.where(col("predicted") === "en").select("vec_id", "embedding"),
+      emb.where(col("predicted") === "fr").select("vec_id", "embedding"))
+  }
+
+  /** The margin kernel over candidate scores — ONE definition for the
+    * brute-force and IVF-served forms. Inputs are (aid, bid, cp)
+    * frames of POSITIVE floor-ppm cosines: `fwd` is A→B candidates
+    * (top-k'd per aid), `bwd` B→A (top-k'd per bid) — the two
+    * directions of CCMatrix's denominator. Margin is computed in
+    * EXACT INTEGER arithmetic over the quantized cosines (margin_ppk =
+    * cp·2·ka·kb·1000 DIV (asum·kb + bsum·ka) ≡ 1000·cos / ((avgNNa +
+    * avgNNb)/2), with ka/kb the realized neighborhood sizes ≤ K), so
+    * the argmax selections compare integers in both engines — the
+    * semDedup floor-ppm-before-argmax rule. A pair survives only as
+    * MUTUAL BEST: y is x's margin-argmax AND x is y's (the
+    * forward-backward intersection, CCMatrix's highest-precision
+    * strategy; ties break on the partner id). Numerator bound:
+    * cp ≤ 10⁶, ka·kb ≤ K² = 16 ⇒ ≤ 3.2·10¹⁰ — no 64-bit overflow. */
+  private def marginPairs(fwd: DataFrame, bwd: DataFrame): DataFrame = {
+    val ta = graft.plans.GraftOps.topKPerKey(fwd, Seq("aid"),
+      Seq("cp" -> false, "bid" -> true), BitextK).localCheckpoint(true)
+    val tb = graft.plans.GraftOps.topKPerKey(bwd, Seq("bid"),
+      Seq("cp" -> false, "aid" -> true), BitextK).localCheckpoint(true)
+    val aagg = ta.groupBy("aid")
+      .agg(sum("cp").as("asum"), count(lit(1)).as("ka"))
+    val bagg = tb.groupBy("bid")
+      .agg(sum("cp").as("bsum"), count(lit(1)).as("kb"))
+    val cand = ta.select("aid", "bid", "cp")
+      .unionByName(tb.select("aid", "bid", "cp")).distinct()
+    val mg = cand.join(aagg, Seq("aid")).join(bagg, Seq("bid"))
+      .select(col("aid"), col("bid"),
+        expr("CAST((cp * 2 * ka * kb * 1000) DIV (asum * kb + bsum * ka) AS BIGINT)")
+          .as("margin_ppk"))
+      .localCheckpoint(true) // feeds both argmax windows + the join
+    val fbest = mg.withColumn("r", row_number().over(
+        Window.partitionBy("aid")
+          .orderBy(col("margin_ppk").desc, col("bid").asc)))
+      .where(col("r") === 1).drop("r")
+    val bbest = mg.withColumn("r", row_number().over(
+        Window.partitionBy("bid")
+          .orderBy(col("margin_ppk").desc, col("aid").asc)))
+      .where(col("r") === 1).select("aid", "bid")
+    fbest.join(bbest, Seq("aid", "bid"))
+      .select(col("aid").as("src_id"), col("bid").as("tgt_id"),
+        col("margin_ppk"))
+      .orderBy("src_id")
+  }
+
+  /** Brute-force bitext mining — the exact baseline: all A×B cosines
+    * (one side broadcast — embedding sides are row-bounded at test sf;
+    * the 100 TB form is [[bitextServed]]), both-direction top-k,
+    * mutual-best margin pairs. */
+  private val bitextMargin: Q = (s, dir) => {
+    val (a, b) = bitextSides(s, dir)
+    val scores = Tables.fanout(
+        a.select(col("vec_id").as("aid"), col("embedding").as("ae")))
+      .crossJoin(broadcast(
+        b.select(col("vec_id").as("bid"), col("embedding").as("be"))))
+      .select(col("aid"), col("bid"),
+        floor(lit(1000000) * Similarity.cosine(col("ae"), col("be")))
+          .cast("long").as("cp"))
+      .where(col("cp") > 0)
+      .localCheckpoint(true) // one cosine pass feeds both directions
+    marginPairs(scores, scores)
+  }
+
+  /** Bitext mining served from the PERSISTED IVF index — the at-scale
+    * form: each side's kNN candidates come from the store's
+    * cell-pruned probe ([[graft.sim.IvfIndex.probeMatches]] — the
+    * postings scan reads only the probed cells' partitions) filtered
+    * to the OTHER side, so the candidate work is O(queries ·
+    * probed-cell populations), never A×B. Same margin kernel, own
+    * oracle (the probe is approximate — the `q_sim_ivf_served`
+    * convention: the oracle replicates the cell pruning in SQL). */
+  private val bitextServed: Q = (s, dir) => {
+    val idx = sharedIvfIndex(s, dir)
+    val (a, b) = bitextSides(s, dir)
+    val aIds = a.select(col("vec_id").as("cid"))
+    val bIds = b.select(col("vec_id").as("cid"))
+    def scoresOf(q: DataFrame, otherSide: DataFrame,
+        qName: String, cName: String) =
+      idx.probeMatches(q, "vec_id", "embedding", IvfProbes)
+        .join(otherSide, Seq("cid"))
+        .select(col("qid").as(qName), col("cid").as(cName),
+          floor(lit(1000000) * col("cos")).cast("long").as("cp"))
+        .where(col("cp") > 0)
+    marginPairs(
+      scoresOf(a, bIds, "aid", "bid").localCheckpoint(true),
+      scoresOf(b, aIds, "bid", "aid").localCheckpoint(true))
+  }
+
   private val semanticApply: Q = (s, dir) => {
     val pairs = embeddingCosineDedup(s, dir)
       .select(col("v1").as("doc1"), col("v2").as("doc2"))
@@ -1123,6 +1232,8 @@ object SimilarityQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "q_sim_topk_bruteforce" -> bruteForceTopK,
+    "q_sim_bitext_margin"   -> bitextMargin,
+    "q_sim_bitext_served"   -> bitextServed,
     "q_sim_decontam"        -> simDecontam,
     "q_sim_filtered_ann"    -> filteredAnn,
     "q_sim_hybrid_rrf"      -> hybridRrf,
@@ -1332,8 +1443,11 @@ object SimilarityQueries {
 
   /** `q_sim_ivf_ann`'s oracle — ONE definition, also graded against
     * `q_sim_ivf_served` (the persisted forget-redacted index path). */
-  private lazy val ivfOracleSql =
-    s"""WITH ex AS (
+  /** The IVF probe CTE chain (centroids from label cells → per-vector
+    * ranked cell affinity `rk`) — ONE definition shared by the IVF
+    * search oracles and the bitext served oracle. */
+  private lazy val ivfProbeCtes =
+    s"""ex AS (
        |  SELECT label AS cell, unnest(embedding) AS v,
        |         unnest(generate_series(1, len(embedding))) AS pos
        |  FROM embeddings),
@@ -1346,7 +1460,10 @@ object SimilarityQueries {
        | rk AS (
        |  SELECT vec_id, embedding, cell, aff,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell) AS rnk
-       |  FROM aff),
+       |  FROM aff)""".stripMargin
+
+  private lazy val ivfOracleSql =
+    s"""WITH $ivfProbeCtes,
        | cands AS (SELECT vec_id AS cid, embedding AS ce, cell
        |   FROM rk WHERE rnk = 1 AND vec_id >= $NumQueries),
        | probes AS (SELECT vec_id AS qid, embedding AS qe, cell
@@ -1359,7 +1476,74 @@ object SimilarityQueries {
        | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
        | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin
 
+  /** The margin-kernel SQL tail — ONE definition over two candidate
+    * CTEs (`fwdCte`, `bwdCte`, each (aid, bid, cp) of positive
+    * floor-ppm cosines), mirroring [[marginPairs]] integer for
+    * integer. */
+  private def duckMarginTail(fwdCte: String, bwdCte: String): String =
+    s""" ta AS (SELECT aid, bid, cp FROM (
+       |   SELECT aid, bid, cp, row_number() OVER (PARTITION BY aid ORDER BY cp DESC, bid) AS r
+       |   FROM $fwdCte) WHERE r <= $BitextK),
+       | tb AS (SELECT aid, bid, cp FROM (
+       |   SELECT aid, bid, cp, row_number() OVER (PARTITION BY bid ORDER BY cp DESC, aid) AS r
+       |   FROM $bwdCte) WHERE r <= $BitextK),
+       | aagg AS (SELECT aid, sum(cp) AS asum, count(*) AS ka FROM ta GROUP BY 1),
+       | bagg AS (SELECT bid, sum(cp) AS bsum, count(*) AS kb FROM tb GROUP BY 1),
+       | cand AS (SELECT DISTINCT aid, bid, cp FROM
+       |   (SELECT aid, bid, cp FROM ta UNION ALL SELECT aid, bid, cp FROM tb)),
+       | mg AS (SELECT aid, bid,
+       |   CAST((cp * 2 * ka * kb * 1000) // (asum * kb + bsum * ka) AS BIGINT) AS margin_ppk
+       |  FROM cand JOIN aagg USING (aid) JOIN bagg USING (bid)),
+       | fb AS (SELECT aid, bid, margin_ppk,
+       |   row_number() OVER (PARTITION BY aid ORDER BY margin_ppk DESC, bid) AS r FROM mg),
+       | bb AS (SELECT aid, bid,
+       |   row_number() OVER (PARTITION BY bid ORDER BY margin_ppk DESC, aid) AS r FROM mg)
+       | SELECT fb.aid AS src_id, fb.bid AS tgt_id, fb.margin_ppk
+       | FROM fb JOIN bb ON fb.aid = bb.aid AND fb.bid = bb.bid
+       | WHERE fb.r = 1 AND bb.r = 1 ORDER BY src_id""".stripMargin
+
+  /** The langid-side CTEs shared by both bitext oracles. */
+  private lazy val duckBitextSides =
+    s"""lp AS (SELECT doc_id, predicted FROM (${TextQueries.duckLangId})),
+       | la AS (SELECT doc_id FROM lp WHERE predicted = 'en'),
+       | lb AS (SELECT doc_id FROM lp WHERE predicted = 'fr')""".stripMargin
+
+  private lazy val bitextMarginOracleSql =
+    s"""WITH $duckBitextSides,
+       | a AS (SELECT e.vec_id AS aid, e.embedding AS ae FROM embeddings e
+       |   JOIN la ON e.vec_id = la.doc_id WHERE e.vec_id >= $NumQueries),
+       | b AS (SELECT e.vec_id AS bid, e.embedding AS be FROM embeddings e
+       |   JOIN lb ON e.vec_id = lb.doc_id WHERE e.vec_id >= $NumQueries),
+       | sp AS (SELECT * FROM (
+       |   SELECT aid, bid,
+       |     CAST(floor(1000000 * list_cosine_similarity(CAST(ae AS DOUBLE[]), CAST(be AS DOUBLE[]))) AS BIGINT) AS cp
+       |   FROM a CROSS JOIN b) WHERE cp > 0),
+       |${duckMarginTail("sp", "sp")}""".stripMargin
+
+  private lazy val bitextServedOracleSql =
+    s"""WITH $ivfProbeCtes,
+       | $duckBitextSides,
+       | cnd AS (SELECT vec_id, embedding, cell FROM rk
+       |   WHERE rnk = 1 AND vec_id >= $NumQueries),
+       | prb AS (SELECT vec_id, embedding, cell FROM rk
+       |   WHERE rnk <= $IvfProbes AND vec_id >= $NumQueries),
+       | spf AS (SELECT * FROM (
+       |   SELECT p.vec_id AS aid, c.vec_id AS bid,
+       |     CAST(floor(1000000 * list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS BIGINT) AS cp
+       |   FROM prb p JOIN la ON p.vec_id = la.doc_id
+       |     JOIN cnd c ON p.cell = c.cell
+       |     JOIN lb ON c.vec_id = lb.doc_id) WHERE cp > 0),
+       | spb AS (SELECT * FROM (
+       |   SELECT c.vec_id AS aid, p.vec_id AS bid,
+       |     CAST(floor(1000000 * list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) AS BIGINT) AS cp
+       |   FROM prb p JOIN lb ON p.vec_id = lb.doc_id
+       |     JOIN cnd c ON p.cell = c.cell
+       |     JOIN la ON c.vec_id = la.doc_id) WHERE cp > 0),
+       |${duckMarginTail("spf", "spb")}""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
+    "q_sim_bitext_margin" -> bitextMarginOracleSql,
+    "q_sim_bitext_served" -> bitextServedOracleSql,
     "q_sim_decontam" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          | ev AS (SELECT vec_id AS eid, emb FROM e WHERE vec_id % $EvalMod = 0),

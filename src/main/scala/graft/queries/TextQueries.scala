@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{ScoreOps, TextOps, TimeOps, TokenOps}
@@ -566,6 +566,26 @@ object TextQueries {
       .stripMargin
   }
 
+  /** The interpolated KNESER–NEY surprisal emission — ONE definition
+    * over (c2, c1first, n1pr, n1pl, n1pall), shared by the inline
+    * kernel below and the persisted serving path
+    * ([[graft.ml.NgramLm.Model.scoreKneserNey]]), the
+    * `BigramSurprisalSql` discipline applied to the field-standard
+    * smoothing: absolute discount D = 0.75 off every seen bigram, the
+    * freed mass re-distributed by CONTINUATION probability
+    * (n1pl/n1pall — in how many distinct contexts does w2 continue,
+    * not how often does it occur; the "san_francisco" correction —
+    * a word frequent only inside one collocation stops inflating the
+    * backoff). All five inputs are exact BIGINTs, the arithmetic is a
+    * fixed double expression evaluated identically in both engines,
+    * and the ln+floor quantizes once per bigram TYPE. P > 0 always for
+    * seen bigrams (c2 ≥ 1 ⇒ the discounted term ≥ 0.25/c1first). */
+  private[graft] val KnSurprisalSql =
+    """CAST(floor(-1000.0 * ln(
+      |  greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / c1first +
+      |  (0.75 * n1pr / c1first) * (CAST(n1pl AS DOUBLE) / n1pall))) AS BIGINT)"""
+      .stripMargin
+
   /** Interpolated bigram LM scoring — the next step up from
     * [[unigramLp]]'s perplexity proxy: per-bigram surprisal
     * −ln(λ·c₂/c₁(w₁) + (1−λ)·c₁(w₂)/T), averaged per doc. Catches
@@ -606,6 +626,61 @@ object TextQueries {
         expr("sum(k * surprisal_mb) DIV sum(k)").as("mean_surprisal_mb"))
       .orderBy("doc_id")
   }
+
+  /** Interpolated Kneser–Ney bigram scoring — `q_text_bigram_lm`'s
+    * statistic under the smoothing the perplexity-gate literature
+    * actually ships (KenLM/CCNet default): per-bigram KN surprisal
+    * ([[KnSurprisalSql]]), floor-millinat per TYPE, exact-integer
+    * per-doc mean. The continuation counts (n1pr = distinct
+    * continuations of w1, n1pl = distinct left-contexts of w2,
+    * n1pall = distinct bigram types) are COUNT aggregates of the same
+    * bigram-type table the interpolated kernel already rolls — one
+    * more vocabulary²-bounded pass, nothing corpus-sized. Bigrams
+    * absent from the trained table drop from the mean (inner join —
+    * the `q_text_bigram_lm` contract); docs with < 2 tokens produce
+    * no row. Scale shape identical to [[bigramLm]]: doc-bigram counts
+    * checkpoint once, type tables AQE-broadcast when small, one
+    * doc-keyed aggregation. */
+  private val knLm: Q = (s, dir) => {
+    val bigramsExpr =
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin
+    val db = Tables.fanout(
+        docs(s, dir)
+          .withColumn("toks", TokenOps.terms(col("text")))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k")))
+      .localCheckpoint(true)
+    val c2 = db.groupBy("w1", "w2").agg(sum("k").as("c2"))
+      .localCheckpoint(true) // feeds three marginals + the type join
+    val cf = c2.groupBy("w1")
+      .agg(sum("c2").as("c1first"), count(lit(1)).as("n1pr"))
+    val cl = c2.groupBy("w2").agg(count(lit(1)).as("n1pl"))
+    val nAll = c2.agg(count(lit(1)).as("n1pall"))
+    val typeScores = c2.join(cf, Seq("w1")).join(cl, Seq("w2"))
+      .crossJoin(broadcast(nAll))
+      .select(col("w1"), col("w2"), expr(KnSurprisalSql).as("s_mb"))
+    db.join(typeScores, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"),
+        expr("sum(k * s_mb) DIV sum(k)").as("kn_surprisal_mb"))
+      .orderBy("doc_id")
+  }
+
+  /** Kneser–Ney scoring served from the PERSISTED order-2 LM — the
+    * `q_text_bigram_served` discipline for the KN statistic: the
+    * bigram table and ALL continuation counts come from the store
+    * ([[graft.ml.NgramLm.Model.scoreKneserNey]] — counts are additive,
+    * so store-rolled c2 equals the inline c2 exactly and the shared
+    * [[KnSurprisalSql]] emission is bit-identical), only the scored
+    * docs are re-tokenized, and the oracle is the inline query's
+    * verbatim. */
+  private val knServed: Q = (s, dir) =>
+    sharedCorpusLm(s, dir)
+      .scoreKneserNey(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
 
   /** PMI keyphrase extraction — corpus-level collocations: bigrams whose
     * joint count beats the independence expectation, PMI ≈
@@ -687,6 +762,14 @@ object TextQueries {
   /** Language ID by marker-token counting (an n-gram-frequency heuristic;
     * deterministic tie-break en > fr > de). Pure expressions — at 100 TB
     * this is a single map-side pass. */
+  /** The per-doc langid PREDICTION — the (doc_id, predicted) frame the
+    * bitext-mining queries label their two sides with (one shared
+    * classifier definition; the graded `q_text_langid` adds the score
+    * columns and ordering). */
+  private[queries] def langPredictedFrame(s: SparkSession,
+      dir: String): DataFrame =
+    langId(s, dir).select(col("doc_id"), col("predicted"))
+
   private val langId: Q = (s, dir) =>
     docs(s, dir)
       .withColumn("toks", TokenOps.terms(col("text")))
@@ -1402,8 +1485,10 @@ object TextQueries {
       .orderBy("doc_id")
 
   /** Shared langid SELECT (sans ORDER BY) for the per-doc and
-    * confusion-matrix oracles — one definition, no drift. */
-  private lazy val duckLangId: String =
+    * confusion-matrix oracles — one definition, no drift (also the
+    * side-labeling CTE of the bitext-mining oracles in
+    * [[SimilarityQueries]]). */
+  private[queries] lazy val duckLangId: String =
     s"""SELECT doc_id, lang, s_en, s_fr, s_de,
        | CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
        |      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted
@@ -1649,6 +1734,8 @@ object TextQueries {
     "q_text_heldout_ppl" -> heldoutPpl,
     "q_text_ppl_served"  -> pplServed,
     "q_text_bigram_served" -> bigramServed,
+    "q_text_kn_lm"       -> knLm,
+    "q_text_kn_served"   -> knServed,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
@@ -1727,10 +1814,39 @@ object TextQueries {
        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** `q_text_kn_lm`'s oracle — ONE definition, also graded against
+    * `q_text_kn_served` (the persisted-LM KN serving path). */
+  private val knOracleSql =
+    s"""WITH db AS (
+       |  SELECT doc_id, w1, w2, count(*) AS k FROM (
+       |   SELECT doc_id,
+       |     unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+       |     unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+       |   FROM (SELECT doc_id, ${duckTerms("text")} AS toks FROM documents)
+       |   WHERE len(toks) >= 2)
+       |  GROUP BY 1, 2, 3),
+       | c2 AS (SELECT w1, w2, sum(k) AS c2 FROM db GROUP BY 1, 2),
+       | cf AS (SELECT w1, sum(c2) AS c1first, count(*) AS n1pr FROM c2 GROUP BY 1),
+       | cl AS (SELECT w2, count(*) AS n1pl FROM c2 GROUP BY 1),
+       | na AS (SELECT count(*) AS n1pall FROM c2),
+       | sc AS (SELECT db.doc_id, db.k,
+       |   CAST(floor(-1000.0 * ln(
+       |     greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / cf.c1first +
+       |     (0.75 * cf.n1pr / cf.c1first) * (CAST(cl.n1pl AS DOUBLE) / na.n1pall))) AS BIGINT) AS s_mb
+       |  FROM db JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+       |   JOIN cf ON db.w1 = cf.w1
+       |   JOIN cl ON db.w2 = cl.w2
+       |   CROSS JOIN na)
+       | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(k * s_mb) // sum(k) AS BIGINT) AS kn_surprisal_mb
+       | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     // The model-served bigram twin shares the inline oracle: one
     // statistic, two serving paths (inline rebuild vs persisted LM).
     "q_text_bigram_served" -> bigramOracleSql,
+    "q_text_kn_lm"     -> knOracleSql,
+    "q_text_kn_served" -> knOracleSql,
     "q_text_lexical" ->
       s"""WITH tf AS (
          |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf

@@ -309,7 +309,23 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * from different centroids: the torn read the manifest exists to
     * prevent). */
   def search(queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, probes: Int): DataFrame = {
+             k: Int, probes: Int): DataFrame =
+    probeMatches(queries, idCol, vecCol, probes)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"),
+        col("cid"), col("cos"))
+
+  /** The UNRANKED probe scores (qid, cid, cos) over the probed cells —
+    * [[search]] minus its top-k, for consumers that rank under their
+    * own rules (a side filter before top-k, a margin kernel over the
+    * candidate set: the bitext-mining path). Each (qid, cid) appears
+    * at most once — a candidate lives in exactly one cell (rnk = 1
+    * assignment), so multi-cell probing never duplicates a pair. */
+  def probeMatches(queries: DataFrame, idCol: String, vecCol: String,
+      probes: Int): DataFrame = {
     val (cb, segs) = manifestAt(resolvedOrFail())
     val probed = Similarity
       .rankedCellAffinity(queries.select(col(idCol), col(vecCol)),
@@ -328,11 +344,5 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
       .join(broadcast(probed), Seq("cell"))
       .select(col("qid"), col("id").as("cid"),
         Similarity.cosine(col("qe"), col("vector")).as("cos"))
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk").cast("int").as("rnk"),
-        col("cid"), col("cos"))
   }
 }

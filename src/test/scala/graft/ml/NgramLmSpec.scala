@@ -440,4 +440,26 @@ class NgramLmSpec extends SparkSpec {
     assert(held.orderBy("doc_id").collect().toSeq == r1,
       "a held scoreBigrams result changed or failed after one mutation")
   }
+
+  test("model-served Kneser-Ney equals the inline graded query " +
+      "bit-for-bit, and append keeps it exact") {
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val inline = graft.SparkEntry
+      .queries("q_text_kn_lm")(spark, dir).collect().toSeq
+    val served = graft.SparkEntry
+      .queries("q_text_kn_served")(spark, dir).collect().toSeq
+    assert(served == inline)
+    // Live-store exactness: append half onto a half-fitted store and
+    // the KN scores must equal a from-scratch fit on the union (the
+    // continuation counts are derived from the rolled bigram table, so
+    // additivity carries through them too).
+    val d = Files.createTempDirectory("nglm-kn").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") < 250), "text", d)
+    val m = NgramLm.load(spark, d)
+    m.append(full.where(col("doc_id") >= 250), "text")
+    val viaAppend = m.scoreKneserNey(full, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaAppend == inline,
+      "KN scores through an appended store drifted from the inline fit")
+  }
 }
