@@ -81,8 +81,14 @@ object Scaling {
     "q_text_moore_lewis_served", "q_sim_mrl_ivf_cascade",
     // Round-12: mass erasure through all six stores (ForgetScale —
     // victim set ∝ corpus, fresh request per pass; stores build inside
-    // the first timed run, the min grades the forget path).
-    "q_gov_forget_victims")
+    // the first timed run, the min grades the forget path), the
+    // Kneser-Ney order-2 kernel, and IVF-probed bitext mining at
+    // scale-correct cell count ([[BitextScaled]]).
+    "q_gov_forget_victims", "q_text_kn_lm", "q_sim_bitext_served",
+    // Round-12 anchor-gap fill (verdict task 7): the bench-top ADC
+    // fixture build, graded output_linear like its q_sim_pq_adc
+    // sibling (g8 0.194 in r11).
+    "q_sim_ivfpq_adc")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -98,6 +104,14 @@ object Scaling {
     * the claim under audit is the PAIR budget the dedup join pays. */
   private[graft] val SemDedupScaled = "q_sim_semdedup"
   private[graft] val SemDedupBaseK  = 8
+
+  /** Bitext mining is audited at SCALE-CORRECT IVF cell count
+    * (cells = base · f — the SemDedup K ∝ corpus rule applied to the
+    * probe store: frozen cells under amplification grow per-cell
+    * populations linearly and probe work quadratically, measuring the
+    * fixture). [[graft.queries.SimilarityQueries.bitextServedAt]]. */
+  private[graft] val BitextScaled = "q_sim_bitext_served"
+  private[graft] val BitextBaseCells = 8
   private[graft] val PairBudgetSlack = 3.0
 
   /** SPAN-PAIR BUDGET (the spans family's declared work bound): the
@@ -286,6 +300,9 @@ object Scaling {
           SemDedupBaseK * f)
       else if (name == "q_gov_forget_victims")
         graft.gov.ForgetScale.frame(spark, dirs(f))
+      else if (name == BitextScaled)
+        graft.queries.SimilarityQueries.bitextServedAt(spark, dirs(f),
+          BitextBaseCells * f)
       else SparkEntry.queries(name)(spark, dirs(f))
 
     // Per-query BAND PROBE (shared [[Calib]] bandwidth probe, ~0.2 s):
@@ -524,41 +541,42 @@ object Scaling {
     val barMeta = fMaxOpt.map(fm =>
       s""""bar_factor":$fm,"g_bar":${d3(gBarAt(fm))},""").getOrElse("")
     val calibBwEndSec = Calib.bwParSec(spark.sparkContext, cpus.toInt)
-    // The band verdict is PER-RETAINED-BLOCK, not run-level start/end:
-    // every block carries the bandwidth probe taken immediately before
-    // its measurement, and the artifact is trustworthy iff NO retained
-    // block's probe exceeds BandSkewRatio × the median probe — computed
-    // over the MERGED map, so a partial re-measure that replaces
-    // exactly the contended blocks honestly clears the flag while one
-    // that repairs something else cannot launder it. Blocks from
-    // pre-probe vintages carry no probe; if any retained block is
-    // unprobed, fall back conservatively: a previously-skewed artifact
-    // stays skewed, otherwise this run's retained-block verdict stands.
-    val freshBand = if (selected.exists(contended)) "skewed" else "ok"
-    val priorSkewed = only.isDefined && existing.nonEmpty &&
+    // BAND VERDICT — per-ACCEPTED-measurement, with TWO provenances
+    // (the round-12 form; it replaces both the merged-median rule and
+    // the prior-skew ratchet):
+    //  - FRESH blocks (measured this run) grade against THIS run's
+    //    median probe (quietRef): any block still contended after the
+    //    repair pass keeps the artifact skewed.
+    //  - RETAINED blocks (a partial re-measure's untouched entries)
+    //    inherit the PRIOR artifact's certification. Re-grading their
+    //    probes against this run's median would mix band EPOCHS — the
+    //    box's typical band differs day to day, and a prior-epoch
+    //    0.131 s probe that was in-band in its own run reads
+    //    "contended" against a quieter day's 0.086 s median (observed
+    //    on the r11→r12 merge). A prior artifact that is not
+    //    explicitly band-ok — skewed, or a pre-probe vintage with no
+    //    band field at all — cannot certify anything: retaining its
+    //    blocks keeps the artifact skewed until they are re-measured
+    //    through the tool (the ADVICE-r11 unprobed-vintage rule).
+    // The old rule also let a once-stamped-skewed artifact RATCHET: a
+    // partial run inherited the prior skew flag even when its own
+    // fresh blocks were all in-band and the skew had been about blocks
+    // it just re-measured. Under the provenance rule a partial run
+    // honestly clears exactly what it re-measures, no more.
+    val freshNames = results.map(_._1).toSet
+    val freshContended = freshNames.filter(contended)
+    val retained = existing.keySet -- freshNames
+    val priorBandOk = only.isDefined && existing.nonEmpty &&
       (if (java.nio.file.Files.exists(java.nio.file.Paths.get(outPath))) {
         val t = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(outPath)),
           java.nio.charset.StandardCharsets.UTF_8)
-        t.contains(""""band":"skewed"""")
+        t.contains(""""band":"ok"""")
       } else false)
-    val mergedProbes: Seq[Double] = merged.values.toSeq.flatMap(b =>
-      """"probe":([0-9.]+)""".r.findFirstMatchIn(b).map(_.group(1).toDouble))
     val band =
-      if (mergedProbes.size == merged.size && mergedProbes.nonEmpty) {
-        val med = mergedProbes.sorted.apply(mergedProbes.size / 2)
-        if (mergedProbes.exists(_ > Calib.BandSkewRatio * med)) "skewed"
-        else "ok"
-      } else if (priorSkewed) "skewed"
-      // Unprobed retained blocks (pre-probe-vintage artifact): their
-      // measurements rode UNKNOWN band conditions, so the verdict must
-      // also fold in this run's START/END probe pair — retaining
-      // blocks while the run-level pair itself spread past
-      // BandSkewRatio would stamp ungraded-vintage measurements "ok"
-      // in a window known to be moving (the ANCHOR_sf1 2.09× case).
-      else if (Calib.bandFlag(calibBwSec, calibBwEndSec) == "skewed")
-        "skewed"
-      else freshBand
+      if (freshContended.nonEmpty) "skewed"
+      else if (retained.nonEmpty && !priorBandOk) "skewed"
+      else "ok"
     val calibJson = s""""calib_bw_sec":${d3(calibBwSec)},""" +
       s""""calib_bw_end_sec":${d3(calibBwEndSec)},"band":"$band","""
     val json = Audited.flatMap(merged.get)

@@ -533,9 +533,48 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** DoReMi-SHAPED mixture reweighting (Xie et al. 2023, reduced to
+    * its measurable core): per-source weights proportional to domain
+    * size × EXCESS heldout surprisal under the shared train-split LM —
+    * domains the reference model finds hardest (relative to the
+    * easiest domain) get upweighted, scaled by how many tokens they
+    * can actually contribute. The per-doc scores are EXACTLY
+    * `q_text_heldout_ppl`'s graded output (one statistic, one more
+    * consumer — the oracle wraps that query's own chain), the
+    * per-source mean is exact integer arithmetic
+    * (sum(n_tokens·heldout_mb) DIV sum(n_tokens)), excess is measured
+    * against the source-minimum, and the final weights are integer ppm
+    * of raw_i = tok_total_i · (excess_mb_i + 1) — the +1 keeps the
+    * all-sources-equal corpus at token-proportional weights instead of
+    * 0/0. Overflow-safe: tok_total ≤ 10⁹ tokens × excess ≤ 10⁵ mnat
+    * stays under 2⁶³ through the ×10⁶ ppm scale at any tested sf.
+    * Scale shape: rides the heldout kernel (one tokenize + vocabulary
+    * join), then TWO O(sources) aggregates — nothing new is
+    * corpus-sized. */
+  private val sampleDoremi: Q = (s, dir) => {
+    val perDoc = TextQueries.queries.toMap
+      .apply("q_text_heldout_ppl")(s, dir)
+    val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val perSrc = perDoc.join(src, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tok_total"),
+        expr("sum(n_tokens * heldout_mb) DIV sum(n_tokens)").as("mean_mb"))
+    val mn = perSrc.agg(min("mean_mb").as("min_mb"))
+    val ex = perSrc.crossJoin(broadcast(mn))
+      .withColumn("excess_mb", col("mean_mb") - col("min_mb"))
+      .withColumn("raw", col("tok_total") * (col("excess_mb") + lit(1L)))
+    val tot = ex.agg(sum("raw").as("raw_total"))
+    ex.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tok_total"),
+        col("mean_mb"), col("excess_mb"),
+        expr("CAST(1000000 * raw DIV raw_total AS BIGINT)").as("weight_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sample_budget" -> sampleBudget,
     "q_sample_dsir" -> sampleDsir,
+    "q_sample_doremi" -> sampleDoremi,
     "q_sample_curriculum" -> sampleCurriculum,
     "q_sample_estimate" -> sampleEstimate,
     "q_sample_temporal" -> sampleTemporal,
@@ -561,6 +600,20 @@ object SamplingQueries {
        |      ELSE 'test' END""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
+    "q_sample_doremi" ->
+      s"""WITH h AS (${TextQueries.heldoutCoreSql}),
+         | ps AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(h.n_tokens) AS BIGINT) AS tok_total,
+         |   CAST(sum(h.n_tokens * h.heldout_mb) // sum(h.n_tokens) AS BIGINT) AS mean_mb
+         |  FROM h JOIN documents d USING (doc_id) GROUP BY d.source),
+         | mn AS (SELECT min(mean_mb) AS min_mb FROM ps),
+         | ex AS (SELECT source, n_docs, tok_total, mean_mb,
+         |   mean_mb - min_mb AS excess_mb,
+         |   tok_total * (mean_mb - min_mb + 1) AS raw FROM ps CROSS JOIN mn),
+         | tot AS (SELECT sum(raw) AS raw_total FROM ex)
+         | SELECT source, n_docs, tok_total, mean_mb, excess_mb,
+         |  CAST(1000000 * raw // raw_total AS BIGINT) AS weight_ppm
+         | FROM ex CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_sample_temperature" ->
       s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
          |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)

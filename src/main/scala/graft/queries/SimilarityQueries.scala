@@ -1218,6 +1218,48 @@ object SimilarityQueries {
       scoresOf(b, aIds, "bid", "aid").localCheckpoint(true))
   }
 
+  /** [[bitextServed]] at SCALE-CORRECT cell count — the
+    * [[semDedupAt]] treatment for the IVF-probed bitext path: the
+    * graded query rides the shared label-seeded store (cell count
+    * fixed by the fixture), so amplifying the corpus under frozen
+    * cells grows per-cell populations linearly and probe work
+    * quadratically — that measures the fixture, not the operator. The
+    * at-scale economics keep cells ∝ corpus (bounded cell
+    * populations); this variant builds a scaling-only store seeded by
+    * a `cells`-bucket id hash and is what [[graft.Scaling]] audits
+    * (`cells` = base · factor). Own store cache per (app, dir,
+    * cells) — built inside the first timed run, the min grades the
+    * mining path (the established serve-path grading rule). */
+  private val bitextScaleDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def bitextServedAt(s: org.apache.spark.sql.SparkSession,
+      dir: String, cells: Int): DataFrame = {
+    val key = s.sparkContext.applicationId + "|" + dir + "|" + cells
+    val idir = bitextScaleDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft_btx_").toString
+      val idx = new graft.sim.IvfIndex(s, d)
+      idx.build(
+        t(s, dir, "embeddings").where(col("vec_id") >= NumQueries)
+          .withColumn("__cell", pmod(xxhash64(col("vec_id")), lit(cells))),
+        "vec_id", "embedding", "__cell")
+      d
+    })
+    val idx = new graft.sim.IvfIndex(s, idir)
+    val (a, b) = bitextSides(s, dir)
+    val aIds = a.select(col("vec_id").as("cid"))
+    val bIds = b.select(col("vec_id").as("cid"))
+    def scoresOf(q: DataFrame, otherSide: DataFrame,
+        qName: String, cName: String) =
+      idx.probeMatches(q, "vec_id", "embedding", IvfProbes)
+        .join(otherSide, Seq("cid"))
+        .select(col("qid").as(qName), col("cid").as(cName),
+          floor(lit(1000000) * col("cos")).cast("long").as("cp"))
+        .where(col("cp") > 0)
+    marginPairs(
+      scoresOf(a, bIds, "aid", "bid").localCheckpoint(true),
+      scoresOf(b, aIds, "bid", "aid").localCheckpoint(true))
+  }
+
   private val semanticApply: Q = (s, dir) => {
     val pairs = embeddingCosineDedup(s, dir)
       .select(col("v1").as("doc1"), col("v2").as("doc2"))

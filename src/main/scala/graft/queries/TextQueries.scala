@@ -1742,7 +1742,11 @@ object TextQueries {
 
   /** `q_text_heldout_ppl`'s oracle — ONE definition, also graded
     * against `q_text_ppl_served` (the persisted-LM serving path). */
-  private val heldoutOracleSql =
+  private val heldoutOracleSql = heldoutCoreSql + " ORDER BY doc_id"
+
+  /** The heldout chain WITHOUT its ordering — reusable as a
+    * parenthesized subquery (the per-source DoReMi oracle wraps it). */
+  private[queries] lazy val heldoutCoreSql =
     s"""WITH tf AS (SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split,
        |   term, CAST(count(*) AS BIGINT) AS k
        |  FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)
@@ -1761,7 +1765,7 @@ object TextQueries {
        | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
        |  CAST(sum(CASE WHEN mln IS NULL THEN k ELSE 0 END) AS BIGINT) AS n_oov,
        |  CAST(sum(k * mln_eff) // sum(k) AS BIGINT) AS heldout_mb
-       | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       | FROM sc GROUP BY doc_id""".stripMargin
 
   /** `q_text_moore_lewis`'s oracle — ONE definition, also graded
     * against `q_text_moore_lewis_served` (the two-store serving path). */

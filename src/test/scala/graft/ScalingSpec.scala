@@ -130,11 +130,11 @@ class ScalingSpec extends SparkSpec {
   }
 
   test("committed scaling artifact honors the per-regime bars") {
-    // The newest committed artifact (r11 once generated this round,
-    // else the r10 one carried forward).
-    val path = Seq("SCALING_r11.json", "SCALING_r10.json")
+    // The newest committed artifact (r12 once generated this round,
+    // else the r11 one carried forward).
+    val path = Seq("SCALING_r12.json", "SCALING_r11.json")
       .find(p => Files.exists(java.nio.file.Paths.get(p)))
-      .getOrElse("SCALING_r9.json")
+      .getOrElse("SCALING_r10.json")
     assertBars(path, minBlocks = 10)
   }
 
