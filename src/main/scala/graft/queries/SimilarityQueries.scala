@@ -1260,6 +1260,43 @@ object SimilarityQueries {
       scoresOf(b, aIds, "bid", "aid").localCheckpoint(true))
   }
 
+  /** Margin threshold for the pair filter: keep mined pairs with
+    * margin > 1.05 (1050 ppk) — the CCMatrix-reported operating point
+    * family. */
+  private val BitextMarginMinPpk = 1050L
+  private val BitextLenRatioMinBp = 2500L
+
+  /** Bicleaner-style HARD-RULE filtering of the mined pairs — the pass
+    * every production bitext pipeline runs between mining and training
+    * (Ramírez-Sánchez et al. 2020's rule tier, reduced to the
+    * deterministic core): drop pairs whose token-length ratio is
+    * implausible for translation (min/max < 25%), whose margin sits
+    * below the operating threshold, or whose two sides are byte-equal
+    * after cleaning (copy-through, not translation). Every statistic
+    * is exact-integer (length ratio in basis points via DIV; margins
+    * already integer ppk), the decision column keeps DROPPED pairs
+    * auditable (the gate-ablation convention), and the whole pass is
+    * one equi-join of the mined pair set against the documents table —
+    * O(pairs), nothing corpus-quadratic. */
+  private val bitextFilter: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(graft.ops.TokenOps.terms(col("text"))).cast("long").as("n_tok"),
+      md5(graft.ops.TextOps.cleanText(col("text"))).as("fp"))
+    bitextMargin(s, dir)
+      .join(docs.select(col("doc_id").as("src_id"),
+        col("n_tok").as("src_tok"), col("fp").as("src_fp")), Seq("src_id"))
+      .join(docs.select(col("doc_id").as("tgt_id"),
+        col("n_tok").as("tgt_tok"), col("fp").as("tgt_fp")), Seq("tgt_id"))
+      .select(col("src_id"), col("tgt_id"), col("margin_ppk"),
+        expr("CAST(10000 * least(src_tok, tgt_tok) DIV greatest(src_tok, tgt_tok, 1L) AS BIGINT)")
+          .as("len_ratio_bp"),
+        expr(s"""IF(margin_ppk >= $BitextMarginMinPpk AND
+                |   10000 * least(src_tok, tgt_tok) DIV greatest(src_tok, tgt_tok, 1L) >= $BitextLenRatioMinBp AND
+                |   src_fp <> tgt_fp, 'keep', 'drop')""".stripMargin)
+          .as("decision"))
+      .orderBy("src_id")
+  }
+
   private val semanticApply: Q = (s, dir) => {
     val pairs = embeddingCosineDedup(s, dir)
       .select(col("v1").as("doc1"), col("v2").as("doc2"))
@@ -1276,6 +1313,7 @@ object SimilarityQueries {
     "q_sim_topk_bruteforce" -> bruteForceTopK,
     "q_sim_bitext_margin"   -> bitextMargin,
     "q_sim_bitext_served"   -> bitextServed,
+    "q_sim_bitext_filter"   -> bitextFilter,
     "q_sim_decontam"        -> simDecontam,
     "q_sim_filtered_ann"    -> filteredAnn,
     "q_sim_hybrid_rrf"      -> hybridRrf,
@@ -1585,6 +1623,20 @@ object SimilarityQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "q_sim_bitext_margin" -> bitextMarginOracleSql,
+    "q_sim_bitext_filter" ->
+      s"""WITH mined AS ($bitextMarginOracleSql),
+         | dn AS (SELECT doc_id,
+         |   CAST(len(${TextQueries.duckTerms("text")}) AS BIGINT) AS n_tok,
+         |   md5(${TextQueries.duckClean("text")}) AS fp
+         |  FROM documents)
+         | SELECT m.src_id, m.tgt_id, m.margin_ppk,
+         |  CAST(10000 * least(s.n_tok, t.n_tok) // greatest(s.n_tok, t.n_tok, 1) AS BIGINT) AS len_ratio_bp,
+         |  CASE WHEN m.margin_ppk >= $BitextMarginMinPpk
+         |    AND 10000 * least(s.n_tok, t.n_tok) // greatest(s.n_tok, t.n_tok, 1) >= $BitextLenRatioMinBp
+         |    AND s.fp <> t.fp THEN 'keep' ELSE 'drop' END AS decision
+         | FROM mined m JOIN dn s ON m.src_id = s.doc_id
+         |  JOIN dn t ON m.tgt_id = t.doc_id
+         | ORDER BY m.src_id""".stripMargin,
     "q_sim_bitext_served" -> bitextServedOracleSql,
     "q_sim_decontam" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

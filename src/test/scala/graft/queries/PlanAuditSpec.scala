@@ -388,6 +388,39 @@ class PlanAuditSpec extends SparkSpec {
     * partition pruning on the code-segment scan — the claim the store
     * exists for. The codes scan is also the ONLY corpus-sized input:
     * no full-width vector column may appear in the served plan. */
+  test("bitext served probe kernel prunes the postings scan to the " +
+      "probed cells; the final margin plan has no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.functions.col
+    // The graded q_sim_bitext_served checkpoints its two probe frames
+    // eagerly (one cosine pass feeds both top-k and the margin join),
+    // so the FINAL plan contains no file scans — audit the probe
+    // KERNEL both directions ride (IvfIndex.probeMatches over the
+    // shared store) directly, the ivfpq_served discipline: a REAL cell
+    // partition predicate (`cell#N` attribute or `cell IN` list).
+    val idx = SimilarityQueries.sharedIvfIndex(spark, dir)
+    val q = graft.queries.Tables.t(spark, dir, "embeddings")
+      .where(col("vec_id") >= 5)
+    val probe = idx.probeMatches(q, "vec_id", "embedding", probes = 2)
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case sc: FileSourceScanExec => sc
+    }
+    val pruned = scans.filter(_.metadata.get("PartitionFilters").exists(
+      f => f.contains("cell#") || f.contains("cell IN")))
+    assert(pruned.nonEmpty,
+      "no partition-pruned postings scan in the probe kernel:\n" +
+        scans.map(_.metadata.getOrElse("PartitionFilters", "-"))
+          .mkString("\n"))
+    // The margin kernel is equi-joins + bounded heaps end to end — an
+    // accidental cartesian would be the A×B cross the served form
+    // exists to avoid. (The brute-force baseline q_sim_bitext_margin
+    // DECLARES its broadcast cross join; the served form must not.)
+    val txt = graft.SparkEntry.queries("q_sim_bitext_served")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!txt.contains("CartesianProduct"),
+      "served bitext plan contains a cartesian product")
+  }
+
   test("q_sim_ivfpq_served prunes the code scan to the probed cells") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val df = graft.SparkEntry.queries("q_sim_ivfpq_served")(spark, dir)
