@@ -1123,10 +1123,20 @@ object SimilarityQueries {
     * and IVF-served forms mine the same corpus. */
   private def bitextSides(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val pred = TextQueries.langPredictedFrame(s, dir)
-    val emb = t(s, dir, "embeddings")
-      .where(col("vec_id") >= NumQueries)
-      .join(pred, col("vec_id") === col("doc_id"))
+    // Session-shared materialization (Tables.sharedFrame): the labeled
+    // frame is one langid pass + one join, but FOUR consumers read it
+    // per served query (two probe passes + two id sides) and the
+    // brute-force and filter queries read it again — recomputing the
+    // corpus tokenize per consumer dominated the first bench landing.
+    // Deterministic derivation ⇒ bit-identical to inline (the shared-
+    // frame contract); oracles stay the inline transliterations.
+    val emb = Tables.sharedFrame(s, dir, "bitext_sides") {
+      t(s, dir, "embeddings")
+        .where(col("vec_id") >= NumQueries)
+        .join(TextQueries.langPredictedFrame(s, dir),
+          col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding", "predicted")
+    }
     (emb.where(col("predicted") === "en").select("vec_id", "embedding"),
       emb.where(col("predicted") === "fr").select("vec_id", "embedding"))
   }
