@@ -770,18 +770,24 @@ object TextQueries {
       dir: String): DataFrame =
     langId(s, dir).select(col("doc_id"), col("predicted"))
 
-  private val langId: Q = (s, dir) =>
-    docs(s, dir)
-      .withColumn("toks", TokenOps.terms(col("text")))
-      .select(
-        col("doc_id"), col("lang"),
-        markerCount(col("toks"), MarkersEn).as("s_en"),
-        markerCount(col("toks"), MarkersFr).as("s_fr"),
-        markerCount(col("toks"), MarkersDe).as("s_de"))
+  /** The classifier applied to ANY (…, textCol) frame — score columns
+    * s_en/s_fr/s_de + the argmax `predicted` appended; ONE definition
+    * shared by the graded queries and the streaming bitext miner
+    * ([[graft.stream.BitextIngest]]), so the two can never drift. */
+  private[graft] def langScored(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__toks", TokenOps.terms(col(textCol)))
+      .withColumn("s_en", markerCount(col("__toks"), MarkersEn))
+      .withColumn("s_fr", markerCount(col("__toks"), MarkersFr))
+      .withColumn("s_de", markerCount(col("__toks"), MarkersDe))
       .withColumn("predicted",
         when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
           .when(col("s_fr") >= col("s_de"), "fr")
           .otherwise("de"))
+      .drop("__toks")
+
+  private val langId: Q = (s, dir) =>
+    langScored(docs(s, dir), "text")
+      .select("doc_id", "lang", "s_en", "s_fr", "s_de", "predicted")
       .orderBy("doc_id")
 
   /** Classifier evaluation — the confusion matrix of [[langId]] against

@@ -1,0 +1,137 @@
+package graft.stream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.IvfIndex
+
+/** STREAMING bitext miner — the standing form of `q_sim_bitext_served`
+  * (every batch family here gets a maintainer; this is the mining
+  * loop's): the TARGET-language corpus is a pinned, already-built
+  * [[IvfIndex]]; each micro-batch of (id, text, embedding) documents is
+  * langid-classified with the SHARED classifier
+  * ([[graft.queries.TextQueries.langScored]] — the graded queries' own
+  * definition), its source-language rows probe the index
+  * (cell-partition-pruned [[IvfIndex.probeMatches]] — per trigger the
+  * corpus cost is the probed cells' postings, never the corpus), and
+  * FORWARD-margin pairs land in a replay-convergent `batch_id=`
+  * partition store.
+  *
+  * FORWARD margin (CCMatrix's `forward` strategy): streaming cannot
+  * intersect with the backward direction — the standing side's argmax
+  * over ALL batch vectors ever seen is unbounded state. The production
+  * answer (and this miner's): precompute each TARGET vector's
+  * neighborhood mean ONCE at setup (self-probe of the index, self-pairs
+  * excluded, integer mean of the floor-ppm top-k cosines, persisted
+  * under `nnDir` behind a `_SUCCESS` gate — deterministic content, so a
+  * crashed write recomputes into an identical overwrite), then score
+  * margin(x,y) = cos/((avg_x + avg_y)/2) per trigger with avg_x from
+  * the batch's own top-k — exact integer arithmetic end to end
+  * (margin_ppk = cp·2000·ka DIV (asum + ka·avg_nn_ppm)). Per source doc
+  * the best target survives iff margin ≥ `marginMinPpk`. Targets with
+  * NO measurable neighborhood (no positive-cosine non-self neighbor in
+  * the probed cells) don't mine — inner-join semantics, declared.
+  *
+  * Replay safety: the batch's pairs are deterministic in the batch
+  * (frozen codebook + frozen neighborhood table ⇒ same scores), and the
+  * output write is [[MicroBatchIngest.writeBatchPartition]] — a
+  * redelivery overwrites its own partition with identical rows. The
+  * codebook is PINNED at construction (the [[IvfIngest]] rule): a
+  * rebuild mid-stream fails the next trigger loudly instead of mining
+  * under swapped centroids. */
+final class BitextIngest(
+    spark: SparkSession,
+    indexDir: String,
+    outDir: String,
+    nnDir: String,
+    idCol: String,
+    textCol: String,
+    vecCol: String,
+    srcLang: String = "en",
+    k: Int = 4,
+    probes: Int = 2,
+    marginMinPpk: Long = 1050L) extends MicroBatchIngest with Serializable {
+
+  private val index = new IvfIndex(spark, indexDir)
+
+  /** Pinned at construction: streaming against an unbuilt index is a
+    * configuration error, not a wait state. */
+  private val servedCodebook: String = index.codebookName()
+
+  /** The target-side neighborhood table (tgt_id, avg_nn_ppm), computed
+    * once per miner setup from the pinned index and read per trigger. */
+  private def ensureNeighborhood(): DataFrame = {
+    val fs = new Path(nnDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(nnDir, "_SUCCESS"))) {
+      val posts = index.postings().select(col("id"), col("vector"))
+      val scores = index.probeMatches(posts, "id", "vector", probes)
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          floor(lit(1000000) * col("cos")).cast("long").as("cp"))
+        .where(col("cp") > 0)
+      graft.plans.GraftOps.topKPerKey(scores, Seq("qid"),
+          Seq("cp" -> false, "cid" -> true), k)
+        .groupBy(col("qid").as("tgt_id"))
+        .agg(expr("sum(cp) DIV count(1)").as("avg_nn_ppm"))
+        .write.mode(SaveMode.Overwrite).parquet(nnDir)
+    }
+    spark.read.parquet(nnDir)
+  }
+  ensureNeighborhood() // eager — setup cost paid once, not on trigger 1
+
+  /** One micro-batch → mined forward-margin pairs into the batch's own
+    * partition. Returns the number of pairs mined (a replayed batch
+    * recomputes — and re-reports — the same count). */
+  override def processBatch(batch: DataFrame, batchId: Long): Long = {
+    if (batch.isEmpty) return 0L
+    require(index.codebookName() == servedCodebook,
+      s"index $indexDir now serves a different codebook — a rebuild " +
+        "happened mid-stream; restart the miner (and recompute nnDir) " +
+        "to adopt it")
+    val src = graft.queries.TextQueries.langScored(batch, textCol)
+      .where(col("predicted") === srcLang)
+      .select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
+    MicroBatchIngest.withReleasedCheckpoint(src) { pinned =>
+      if (pinned.isEmpty) {
+        // Still a write: the partition must exist EMPTY so a later
+        // redelivery of this batch converges on the same (empty) state
+        // even if rows were manually removed upstream meanwhile.
+        MicroBatchIngest.writeBatchPartition(
+          pinned.select(col("id").as("src_id"), col("id").as("tgt_id"),
+            lit(0L).as("margin_ppk")).limit(0), outDir, batchId)
+        0L
+      } else {
+        val scores = index.probeMatches(pinned, "id", "__v", probes)
+          .select(col("qid"), col("cid"),
+            floor(lit(1000000) * col("cos")).cast("long").as("cp"))
+          .where(col("cp") > 0)
+        val top = graft.plans.GraftOps.topKPerKey(scores, Seq("qid"),
+          Seq("cp" -> false, "cid" -> true), k)
+        MicroBatchIngest.withReleasedCheckpoint(top) { t =>
+          val aagg = t.groupBy("qid")
+            .agg(sum("cp").as("asum"), count(lit(1)).as("ka"))
+          val best = t.join(aagg, Seq("qid"))
+            .join(ensureNeighborhood(),
+              t("cid") === col("tgt_id"))
+            .select(col("qid"), col("cid"),
+              expr("CAST((cp * 2000 * ka) DIV (asum + ka * avg_nn_ppm) AS BIGINT)")
+                .as("margin_ppk"))
+            .withColumn("r", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("qid")
+                .orderBy(col("margin_ppk").desc, col("cid").asc)))
+            .where(col("r") === 1 && col("margin_ppk") >= marginMinPpk)
+            .select(col("qid").as("src_id"), col("cid").as("tgt_id"),
+              col("margin_ppk"))
+          MicroBatchIngest.withReleasedCheckpoint(best) { b =>
+            MicroBatchIngest.writeBatchPartition(b, outDir, batchId)
+            b.count()
+          }
+        }
+      }
+    }
+  }
+}
