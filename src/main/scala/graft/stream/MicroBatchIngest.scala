@@ -32,7 +32,7 @@ private[stream] trait MicroBatchIngest {
   }
 }
 
-private[stream] object MicroBatchIngest {
+private[graft] object MicroBatchIngest {
 
   /** Run `f` over an eagerly-checkpointed copy of `df`, releasing the
     * checkpoint's blocks afterward — the standing-maintainer storage
@@ -232,5 +232,148 @@ private[stream] object MicroBatchIngest {
           s"(will retry): $e")
     }
     throughBatch
+  }
+
+  /** EXACT ERASURE from a `batch_id=`-partitioned store — deletion
+    * propagated into the maintainers' OUTPUT stores (survivor corpora,
+    * mined pairs, CDC slices), with the replay contract ENFORCED
+    * rather than trusted: a batch partition is this store family's
+    * replay no-op marker ([[writeBatchPartition]]'s dynamic overwrite
+    * recomputes a redelivered batch's rows — victims included — back
+    * into its own partition), so victims may be dropped only from
+    * state no live checkpoint can redeliver:
+    *
+    *  - the consolidated segment (compacted batches are provably past
+    *    the replay horizon — [[compactBatches]] enforced it), and
+    *  - batch partitions at or below the stream's last COMMITTED batch
+    *    (Structured Streaming re-executes only the batch after the
+    *    last commit).
+    *
+    * Victim rows in a LATER partition refuse loudly — erasing them
+    * would silently resurrect on redelivery, the exact hazard
+    * [[graft.ops.BatchHorizon]] closes for the manifest stores; here
+    * the remedy is to retry after the stream commits the in-flight
+    * batch. `checkpointLocation = None` only for stores not fed by a
+    * checkpointed stream, where the caller owns the horizon (every
+    * partition is then erasable) — the [[compactBatches]] rule.
+    *
+    * Scale shape: one semi-join scan finds the victim-bearing
+    * partitions; ONLY those rewrite (dynamic overwrite; a partition
+    * left EMPTY by the erase is deleted outright — dynamic overwrite
+    * cannot write an empty partition), plus the consolidated segment
+    * iff it holds victims (rewritten under a new manifest at the SAME
+    * horizon). O(victim-bearing partitions + segment), never O(store).
+    * The victim frame's FIRST column, cast to BIGINT, matches `idCol`
+    * (the store-forget overload convention). Returns rows dropped.
+    * Maintenance-window op like the compactions: no concurrent
+    * writers. Wire it as a [[graft.gov.ForgetPipeline]] target for
+    * cross-store erasure requests. */
+  def forgetFromBatchStore(spark: SparkSession, dir: String,
+      victims: DataFrame, idCol: String,
+      checkpointLocation: Option[String]): Long = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val v = victims.select(
+        col(victims.columns.head).cast("long").as(idCol))
+      .distinct().localCheckpoint(true)
+    try {
+      val fs = new Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior = latestCompaction(spark, dir)
+      val compHorizon = prior.map(_._1).getOrElse(-1L)
+      val commitHorizon: Long = checkpointLocation match {
+        case Some(ckpt) => lastCommittedBatch(spark, ckpt).getOrElse(-1L)
+        case None       => Long.MaxValue // caller owns the horizon
+      }
+      var dropped = 0L
+      // Batch partitions the readers actually consult (> compHorizon).
+      val recent =
+        try Some(spark.read.parquet(dir)
+          .withColumn("batch_id", col("batch_id").cast("long"))
+          .where(col("batch_id") > compHorizon))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      recent.foreach { r =>
+        val hit = r.join(v, Seq(idCol), "left_semi")
+          .groupBy("batch_id").count().collect()
+          .map(x => x.getLong(0) -> x.getLong(1)).toMap
+        val pending = hit.keySet.filter(_ > commitHorizon)
+        require(pending.isEmpty,
+          s"victims present in not-yet-committed batch partitions " +
+            s"${pending.toSeq.sorted.mkString(",")} of $dir — a " +
+            "redelivery would resurrect them; retry after the stream " +
+            "commits (or pass the correct checkpointLocation)")
+        if (hit.nonEmpty) {
+          val affected = hit.keySet.toSeq
+          val survivors = r.where(col("batch_id").isin(affected: _*))
+            .join(v, Seq(idCol), "left_anti")
+            .localCheckpoint(true) // partition list + write read it once
+          val kept = survivors.select("batch_id").distinct()
+            .collect().map(_.getLong(0)).toSet
+          survivors.write
+            .option("partitionOverwriteMode", "dynamic")
+            .mode(SaveMode.Overwrite)
+            .partitionBy("batch_id")
+            .parquet(dir)
+          // Partitions whose every row was a victim: dynamic overwrite
+          // wrote nothing for them — remove them whole.
+          (hit.keySet -- kept).foreach(b =>
+            fs.delete(new Path(dir, s"batch_id=$b"), true))
+          dropped += hit.values.sum
+        }
+      }
+      // Stale partitions at or below the compaction horizon are reader-
+      // ignored but still hold victim BYTES (a crashed compact sweep) —
+      // erasure must remove them, not just out-reference them.
+      if (fs.exists(new Path(dir))) {
+        val part = "^batch_id=(-?\\d+)$".r
+        fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory).foreach {
+          s => s.getPath.getName match {
+            case part(n) if n.toLong <= compHorizon =>
+              fs.delete(s.getPath, true)
+            case _ => ()
+          }
+        }
+      }
+      // The consolidated segment, iff it holds victims: rewrite under a
+      // new manifest at the SAME horizon (readers see old or new, never
+      // torn); the superseded segment is swept immediately, best-effort
+      // (it holds the victim bytes — the next compact re-sweeps on
+      // failure).
+      prior.foreach { case (horizon, segPath) =>
+        val c = compactionDir(dir)
+        val cons = spark.read.parquet(segPath)
+        val nVictims = cons.join(v, Seq(idCol), "left_semi").count()
+        if (nVictims > 0) {
+          val seg = s"seg-${java.util.UUID.randomUUID()}"
+          cons.join(v, Seq(idCol), "left_anti")
+            .write.mode(SaveMode.Overwrite)
+            .parquet(new Path(c, seg).toString)
+          val tmp = new Path(c, s".manifest-${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, false)
+          try out.write(s"$horizon\n$seg\n".getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          val mv = graft.ops.VersionedPaths.listNumbered(fs, c, "m=",
+            dirsOnly = false).map(_._2).maxOption.getOrElse(-1L) + 1
+          graft.ops.VersionedPaths.publish(fs, c, tmp, "m=", mv)
+          try {
+            graft.ops.VersionedPaths.pruneOlderThan(fs, c, "m=",
+              dirsOnly = false, latest = mv, keep = 1,
+              label = "MicroBatchIngest.forget")
+            fs.delete(new Path(segPath), true)
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[MicroBatchIngest.forget] sweep failed " +
+              s"(will retry at next compact): $e")
+          }
+          dropped += nVictims
+        }
+      }
+      dropped
+    } finally {
+      // Release this call's checkpoint blocks (victim pin + survivor
+      // frames) — the withReleasedCheckpoint discipline.
+      val mine = sc.getPersistentRDDs.keySet.toSet -- before
+      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 }
