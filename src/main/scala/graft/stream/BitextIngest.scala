@@ -81,6 +81,47 @@ final class BitextIngest(
   }
   ensureNeighborhood() // eager — setup cost paid once, not on trigger 1
 
+  /** ERASURE propagation into the miner's DERIVED state — the
+    * [[graft.gov.ForgetPipeline]] target shape for this maintainer:
+    * victims' rows drop from the neighborhood table (their avg_nn_ppm
+    * is a statistic of the victim's own vector) and from the mined
+    * pairs store under BOTH roles (a victim document may have mined as
+    * source or been mined as target). The pairs store erasure is
+    * horizon-enforced ([[MicroBatchIngest.forgetFromBatchStore]] —
+    * victims in a still-redeliverable partition refuse loudly); the nn
+    * rewrite is a full overwrite of a model-state-sized table whose
+    * recompute-on-torn-dir path ([[ensureNeighborhood]]'s `_SUCCESS`
+    * gate) reads the INDEX — run the index's own forget in the same
+    * request, as the pipeline's per-request targets naturally do.
+    * Neighborhood means of SURVIVING targets are deliberately not
+    * re-derived (they summarize a neighborhood that once contained the
+    * victim — an aggregate, like the IVF centroids the store forgets
+    * keep; full statistical erasure is a setup rebuild). Returns rows
+    * dropped across the three surfaces. */
+  def forget(victims: DataFrame,
+      checkpointLocation: Option[String]): Long = {
+    val v = victims.select(
+        col(victims.columns.head).cast("long").as("__vid"))
+      .distinct().localCheckpoint(true)
+    val nn = ensureNeighborhood()
+    val nVictims = nn.join(v, nn("tgt_id") === v("__vid"), "left_semi")
+      .count()
+    if (nVictims > 0) {
+      // Overwrite is crash-safe here: a torn nn dir loses its _SUCCESS
+      // marker and ensureNeighborhood recomputes from the (already
+      // redacted) index — convergent, never torn-served.
+      val survivors = nn.join(v, nn("tgt_id") === v("__vid"), "left_anti")
+        .localCheckpoint(true)
+      survivors.write.mode(SaveMode.Overwrite).parquet(nnDir)
+    }
+    val pairsDropped =
+      MicroBatchIngest.forgetFromBatchStore(spark, outDir,
+        v, "src_id", checkpointLocation) +
+      MicroBatchIngest.forgetFromBatchStore(spark, outDir,
+        v, "tgt_id", checkpointLocation)
+    nVictims + pairsDropped
+  }
+
   /** One micro-batch → mined forward-margin pairs into the batch's own
     * partition. Returns the number of pairs mined (a replayed batch
     * recomputes — and re-reports — the same count). */

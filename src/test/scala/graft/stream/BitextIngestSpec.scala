@@ -115,4 +115,32 @@ class BitextIngestSpec extends SparkSpec {
       ing.processBatch(b, 2L)
     }
   }
+
+  test("erasure propagates into the miner's derived state: nn rows and " +
+      "mined pairs under both roles") {
+    val (base, idx, docs) = mk()
+    val ing = new BitextIngest(spark, s"$base/index", s"$base/pairs",
+      s"$base/nn", "doc_id", "text", "embedding",
+      srcLang = "en", marginMinPpk = 1L)
+    ing.processBatch(batchOf(docs, 0L until 60L), 0L)
+    val pairs = mined(base).collect()
+    assert(pairs.nonEmpty)
+    val srcVictim = pairs.head.getLong(0)
+    val tgtVictim = pairs.last.getLong(1)
+    // Propagate through the index first (the pipeline ordering), then
+    // the miner's derived state.
+    idx.forget(Seq(srcVictim, tgtVictim))
+    val dropped = ing.forget(
+      Seq(srcVictim, tgtVictim).toDF("id"), checkpointLocation = None)
+    assert(dropped > 0L)
+    val after = mined(base).collect()
+    assert(!after.exists(r => r.getLong(0) == srcVictim ||
+      r.getLong(1) == srcVictim || r.getLong(0) == tgtVictim ||
+      r.getLong(1) == tgtVictim), "a victim survived in the mined pairs")
+    assert(spark.read.parquet(s"$base/nn")
+      .where(col("tgt_id").isin(srcVictim, tgtVictim)).isEmpty,
+      "a victim's neighborhood row survived")
+    // Idempotent on replay (the ForgetPipeline crash window).
+    assert(ing.forget(Seq(srcVictim, tgtVictim).toDF("id"), None) == 0L)
+  }
 }
