@@ -100,26 +100,37 @@ final class BitextIngest(
     * dropped across the three surfaces. */
   def forget(victims: DataFrame,
       checkpointLocation: Option[String]): Long = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
     val v = victims.select(
         col(victims.columns.head).cast("long").as("__vid"))
       .distinct().localCheckpoint(true)
-    val nn = ensureNeighborhood()
-    val nVictims = nn.join(v, nn("tgt_id") === v("__vid"), "left_semi")
-      .count()
-    if (nVictims > 0) {
-      // Overwrite is crash-safe here: a torn nn dir loses its _SUCCESS
-      // marker and ensureNeighborhood recomputes from the (already
-      // redacted) index — convergent, never torn-served.
-      val survivors = nn.join(v, nn("tgt_id") === v("__vid"), "left_anti")
-        .localCheckpoint(true)
-      survivors.write.mode(SaveMode.Overwrite).parquet(nnDir)
+    try {
+      val nn = ensureNeighborhood()
+      val nVictims = nn.join(v, nn("tgt_id") === v("__vid"), "left_semi")
+        .count()
+      if (nVictims > 0) {
+        // Overwrite is crash-safe here: a torn nn dir loses its
+        // _SUCCESS marker and ensureNeighborhood recomputes from the
+        // (already redacted) index — convergent, never torn-served.
+        val survivors = nn
+          .join(v, nn("tgt_id") === v("__vid"), "left_anti")
+          .localCheckpoint(true)
+        survivors.write.mode(SaveMode.Overwrite).parquet(nnDir)
+      }
+      val pairsDropped =
+        MicroBatchIngest.forgetFromBatchStore(spark, outDir,
+          v, "src_id", checkpointLocation) +
+        MicroBatchIngest.forgetFromBatchStore(spark, outDir,
+          v, "tgt_id", checkpointLocation)
+      nVictims + pairsDropped
+    } finally {
+      // Release this call's checkpoint blocks (victim pin + nn
+      // survivors) — the withReleasedCheckpoint discipline.
+      val mine = sc.getPersistentRDDs.keySet.toSet -- before
+      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
-    val pairsDropped =
-      MicroBatchIngest.forgetFromBatchStore(spark, outDir,
-        v, "src_id", checkpointLocation) +
-      MicroBatchIngest.forgetFromBatchStore(spark, outDir,
-        v, "tgt_id", checkpointLocation)
-    nVictims + pairsDropped
   }
 
   /** One micro-batch → mined forward-margin pairs into the batch's own
