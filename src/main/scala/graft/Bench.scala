@@ -194,7 +194,18 @@ object Bench {
       takeProbe() // close the final window
       acc.toSeq
     }
-    def quietRef: Double = { val vs = probes.toSeq.sorted; vs(vs.size / 2) }
+    // quietRef is PINNED to the timed pass's probes: the repair phase
+    // appends its own (often deliberately contention-era) wait probes
+    // to `probes` for the artifact's start/end fields, and a live
+    // median over them would let sustained contention LAUNDER the
+    // verdict — ~14 contended wait-probes from one exhausted sleep
+    // budget outnumber the ~16 first-pass probes, the median shifts to
+    // the contended level, and every later gate reads "quiet" on a box
+    // that never was. The timed pass's own distribution is the band the
+    // measurements actually rode; it does not move after the fact.
+    val firstPassProbes: Seq[Double] = probes.toSeq
+    def quietRef: Double =
+      { val vs = firstPassProbes.sorted; vs(vs.size / 2) }
     def isContended(p: Double): Boolean = p > Calib.BandSkewRatio * quietRef
     // END-OF-RUN REPAIR PASS (the Scaling discipline): queries measured
     // inside a band-contended window, plus the classic outliers (fresh
@@ -203,8 +214,11 @@ object Bench {
     // the box reads quiet (bounded global sleep budget), temporally
     // spaced ≥ 30 s from the original measurement. The min of all
     // passes is recorded, the query listed under "remeasured", and its
-    // window probe replaced by the re-measure's own (pre, post) pair —
-    // so the band verdict reflects the ACCEPTED measurement's window.
+    // window probe LOWERED to the quietest window that measured it —
+    // contention only inflates wall time, so the accepted min is always
+    // bounded above by any quiet attempt's value: one quiet window
+    // certifies the measurement even when an earlier (contended)
+    // attempt happened to supply the numeric min.
     val outliers: Set[String] = firstResults.collect {
       case (name, Right(v))
         if priorQueries.get(name).exists(p => p > 0 && v > 2 * p) => name
@@ -221,13 +235,20 @@ object Bench {
       if (first >= 0) {
         val waitNanos = spacingNanos - (System.nanoTime() - doneAtNanos(name))
         if (waitNanos > 0) Thread.sleep(waitNanos / 1000000L)
-        var pre = probe(); probes += pre
-        while (isContended(pre) && sleepBudgetMs > 0) {
-          System.err.println(f"[bench] repair $name: box contended " +
-            f"(probe $pre%.3f vs quiet $quietRef%.3f) — waiting")
-          Thread.sleep(45000); sleepBudgetMs -= 45000
-          pre = probe(); probes += pre
+        // ONE wait-until-quiet gate, shared by the initial attempt and
+        // every spike retry — measuring into observed contention just
+        // burns two executions that grade dirty again.
+        def waitQuiet(): Double = {
+          var pre = probe(); probes += pre
+          while (isContended(pre) && sleepBudgetMs > 0) {
+            System.err.println(f"[bench] repair $name: box contended " +
+              f"(probe $pre%.3f vs quiet $quietRef%.3f) — waiting")
+            Thread.sleep(45000); sleepBudgetMs -= 45000
+            pre = probe(); probes += pre
+          }
+          pre
         }
+        var pre = waitQuiet()
         if (!isContended(pre)) {
           // Quiet gate passed; re-measure min-of-2 and close with a post
           // probe (a spike DURING the re-measure must not grade clean).
@@ -239,10 +260,14 @@ object Bench {
             val post = probe(); probes += post
             val fresh = two.collect { case Right(v) => v }
             if (fresh.nonEmpty) {
-              val best = math.min(first, fresh.min)
+              val best = math.min(
+                resultMap(name).toOption.getOrElse(first), fresh.min)
               resultMap(name) = Right(best)
               remeasured(name) = (first, best)
-              windowProbe(name) = math.max(pre, post)
+              // Quietest window that measured this query certifies it
+              // (never overwrite a clean window with a later spike).
+              windowProbe(name) =
+                math.min(windowProbe(name), math.max(pre, post))
             }
             attempts += 1
             done = !isContended(math.max(pre, post)) || attempts >= 3 ||
@@ -250,9 +275,8 @@ object Bench {
             if (!done) {
               System.err.println(s"[bench] repair $name: spike during " +
                 "re-measure — retrying")
-              Thread.sleep(45000); sleepBudgetMs -= 45000
-              pre = probe(); probes += pre
-              done = isContended(pre) && sleepBudgetMs <= 0
+              pre = waitQuiet()
+              done = isContended(pre) // budget exhausted mid-wait
             }
           }
           System.err.println(f"[bench] remeasured $name: first $first%.3f " +

@@ -84,11 +84,17 @@ object ForgetScale {
       .select(col("doc_id").as("id"))
     // The LM target needs the victims' DOCUMENTS (its negative segment
     // tokenizes exactly the ingested text); pinned once so the LM and
-    // the pipeline's own victim pin cannot drift mid-request.
+    // the pipeline's own victim pin cannot drift mid-request — and
+    // RELEASED after the request commits (the withReleasedCheckpoint
+    // discipline; the returned ledger frame is a parquet read with no
+    // dependence on this pin, and a leaked slice-sized checkpoint per
+    // timed pass would skew the very measurements this block grades).
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
     val victimDocs = docs
       .where(pmod(col("doc_id"), lit(VictimMod)) === i)
       .localCheckpoint(true)
-    fx.pipeline.executeVictims(s"scale-$i", victims, Seq(
+    try fx.pipeline.executeVictims(s"scale-$i", victims, Seq(
       "ivf" -> (v => fx.ivf.forget(v)),
       "ivfpq" -> (v => fx.pq.forget(v)),
       "kmeans" -> (v => fx.km.forget(v)),
@@ -96,5 +102,10 @@ object ForgetScale {
       "lm" -> (_ => graft.ml.NgramLm.load(spark, fx.lmDir)
         .forgetBatch(victimDocs, "text", s"scale-$i")),
       "minhash" -> (v => fx.mh.forget(v))))
+    finally {
+      val mine = sc.getPersistentRDDs.keySet.toSet -- before
+      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
   }
 }

@@ -515,7 +515,7 @@ object NgramLm {
       // Second no-op trigger: the batch is at or below the replay
       // horizon — a compact() already realized its counts into the
       // folded segment; re-appending would double-count them.
-      if (live.contains(seg) || graft.ops.BatchHorizon.realized(h, batchId))
+      if (live.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, store.dir))
         return store.currentVersion().get
       store.writeNamedSegment(gramCountsOf(docs, textCol), seg)
       store.publish(live :+ seg, tokens, h)

@@ -63,4 +63,29 @@ object BatchHorizon {
     * fold already realized it. */
   def realized(horizon: Option[Long], batchId: Long): Boolean =
     horizon.exists(batchId <= _)
+
+  /** [[realized]], LOUD on the no-op path: the monotonicity premise is
+    * per-CHECKPOINT — a stream restarted against the same store with a
+    * FRESH checkpoint restarts batch ids at 0, and every batch ≤ the
+    * horizon would then no-op silently, turning "replay-convergent"
+    * into invisible data loss. The skip itself is correct for a true
+    * redelivery, so the store cannot distinguish the two cases — but
+    * it can make them DETECTABLE: every horizon no-op logs with the
+    * store, ids, and the fresh-checkpoint warning, so a misconfigured
+    * restart shows up as a wall of these lines instead of quietly
+    * empty data. (Stores with their own identity pin — the IVF
+    * codebook check — already fail a fresh stream loudly after any
+    * rebuild; MinHash and the LM have no such pin, which makes this
+    * log their only tell.) */
+  def realizedLoud(horizon: Option[Long], batchId: Long,
+      store: String): Boolean = {
+    val r = realized(horizon, batchId)
+    if (r) System.err.println(
+      s"[BatchHorizon] $store: batch $batchId is at or below the replay " +
+        s"horizon ${horizon.get} — append skipped as an already-realized " +
+        "redelivery. If this stream was RESTARTED WITH A FRESH CHECKPOINT " +
+        "(batch ids restarted from 0), this is data loss: point it at a " +
+        "new store or resume the original checkpoint.")
+    r
+  }
 }

@@ -546,8 +546,16 @@ object SamplingQueries {
     * against the source-minimum, and the final weights are integer ppm
     * of raw_i = tok_total_i · (excess_mb_i + 1) — the +1 keeps the
     * all-sources-equal corpus at token-proportional weights instead of
-    * 0/0. Overflow-safe: tok_total ≤ 10⁹ tokens × excess ≤ 10⁵ mnat
-    * stays under 2⁶³ through the ×10⁶ ppm scale at any tested sf.
+    * 0/0. The ppm scale is computed OVERFLOW-FREE at any corpus size:
+    * both operands are pre-reduced by the same g =
+    * max(1, raw_total DIV 2⁴⁰) before the ×10⁶ product (a naive
+    * 10⁶·raw wraps 64-bit at raw > 9.2·10¹² — Spark would wrap
+    * silently where DuckDB errors, the worst cross-engine divergence).
+    * The reduction is exact integer arithmetic in both engines and its
+    * quantization error is < 10⁶/2⁴⁰ < 1 ppm — below the emitted
+    * resolution. (raw itself bounds tok_total per source at
+    * ~1.8·10¹⁴/(excess+1) tokens before ITS product wraps — beyond any
+    * single-table corpus; shard per source above that.)
     * Scale shape: rides the heldout kernel (one tokenize + vocabulary
     * join), then TWO O(sources) aggregates — nothing new is
     * corpus-sized. */
@@ -565,9 +573,12 @@ object SamplingQueries {
       .withColumn("raw", col("tok_total") * (col("excess_mb") + lit(1L)))
     val tot = ex.agg(sum("raw").as("raw_total"))
     ex.crossJoin(broadcast(tot))
+      .withColumn("g",
+        expr("greatest(1L, raw_total DIV 1099511627776L)")) // 2^40
       .select(col("source"), col("n_docs"), col("tok_total"),
         col("mean_mb"), col("excess_mb"),
-        expr("CAST(1000000 * raw DIV raw_total AS BIGINT)").as("weight_ppm"))
+        expr("CAST(1000000 * (raw DIV g) DIV (raw_total DIV g) AS BIGINT)")
+          .as("weight_ppm"))
       .orderBy("source")
   }
 
@@ -610,9 +621,10 @@ object SamplingQueries {
          | ex AS (SELECT source, n_docs, tok_total, mean_mb,
          |   mean_mb - min_mb AS excess_mb,
          |   tok_total * (mean_mb - min_mb + 1) AS raw FROM ps CROSS JOIN mn),
-         | tot AS (SELECT sum(raw) AS raw_total FROM ex)
+         | tot AS (SELECT sum(raw) AS raw_total,
+         |   greatest(1, sum(raw) // 1099511627776) AS g FROM ex)
          | SELECT source, n_docs, tok_total, mean_mb, excess_mb,
-         |  CAST(1000000 * raw // raw_total AS BIGINT) AS weight_ppm
+         |  CAST(1000000 * (raw // g) // (raw_total // g) AS BIGINT) AS weight_ppm
          | FROM ex CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_sample_temperature" ->
       s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok

@@ -203,7 +203,7 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     // Second no-op trigger: the batch is at or below the replay
     // horizon — a forget/compact already realized (and possibly
     // redacted) its rows; re-appending would resurrect victims.
-    if (segs.contains(seg) || graft.ops.BatchHorizon.realized(h, batchId))
+    if (segs.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, indexDir))
       return resolvedOrFail()
     writeNamedSegment(emb, idCol, vecCol, codebook(cb), seg)
     publishManifest(cb, segs :+ seg, h)

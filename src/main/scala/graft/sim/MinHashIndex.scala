@@ -175,7 +175,7 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
       case None    => (Nil, None)
     }
     val seg = s"seg-batch-$batchId"
-    if (live.contains(seg) || graft.ops.BatchHorizon.realized(h, batchId))
+    if (live.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, indexDir))
       return resolvedOrFail()
     writeNamedSegment(sigs, seg)
     publishManifest(live :+ seg, h)

@@ -148,12 +148,12 @@ final class BitextIngest(
         expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
     MicroBatchIngest.withReleasedCheckpoint(src) { pinned =>
       if (pinned.isEmpty) {
-        // Still a write: the partition must exist EMPTY so a later
-        // redelivery of this batch converges on the same (empty) state
-        // even if rows were manually removed upstream meanwhile.
-        MicroBatchIngest.writeBatchPartition(
-          pinned.select(col("id").as("src_id"), col("id").as("tgt_id"),
-            lit(0L).as("margin_ppk")).limit(0), outDir, batchId)
+        // No partition is written for a source-free batch: dynamic
+        // overwrite of a zero-row frame creates no directory (the
+        // forgetFromBatchStore rule), so "empty" is represented by
+        // ABSENCE — and a redelivery recomputes the same absence (if
+        // the first delivery mined rows, the redelivery mines the same
+        // rows and overwrites; deterministic either way).
         0L
       } else {
         val scores = index.probeMatches(pinned, "id", "__v", probes)

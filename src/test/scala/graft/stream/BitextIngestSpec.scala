@@ -86,8 +86,8 @@ class BitextIngestSpec extends SparkSpec {
       s"miner pair $one != inline expectation ${expected.head}")
   }
 
-  test("replay converges; empty and source-free batches write empty " +
-      "partitions; codebook rebuild fails loudly") {
+  test("replay converges; source-free batches leave no partition " +
+      "(absence = empty); codebook rebuild fails loudly") {
     val (base, _, docs) = mk()
     val ing = new BitextIngest(spark, s"$base/index", s"$base/pairs",
       s"$base/nn", "doc_id", "text", "embedding",
@@ -99,8 +99,8 @@ class BitextIngestSpec extends SparkSpec {
     assert(n2 == n1, "replay reported a different count")
     assert(mined(base).collect().toSet == once,
       "replay changed the mined store")
-    // A batch with no source-language rows converges on an empty
-    // partition.
+    // A batch with no source-language rows converges on ABSENCE (no
+    // partition directory is written — the dynamic-overwrite rule).
     val frOnly = graft.queries.TextQueries.langScored(docs, "text")
       .where(col("predicted") === "fr").select("doc_id").as[Long]
       .collect().take(5)
