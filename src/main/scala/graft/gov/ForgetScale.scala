@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
 /** MASS-ERASURE AT SCALE — the measured form of the
   * [[ForgetPipeline.executeVictims]] 10⁷–10⁸-victim claim, driven by
   * [[graft.Scaling]] as the `q_gov_forget_victims` block: one erasure
-  * request propagated through ALL SIX persisted stores (IVF, IVF-PQ,
-  * MinHash, BM25 lexical, k-means, order-2 LM) over the amplified
-  * corpus, victim set ∝ corpus (a fixed 1/[[VictimMod]] id slice — at
+  * request propagated through ALL SEVEN store shapes (IVF, IVF-PQ,
+  * MinHash, BM25 lexical, k-means, order-2 LM, and a
+  * `batch_id=`-partitioned maintainer output via
+  * [[graft.stream.MicroBatchIngest.forgetFromBatchStore]]) over the
+  * amplified corpus, victim set ∝ corpus (a fixed 1/[[VictimMod]] id slice — at
   * amplification ×f both the stores and the victim set are f× larger,
   * the source-retraction shape).
   *
@@ -21,7 +23,8 @@ import org.apache.spark.sql.functions._
   * over a DISJOINT victim slice (a replayed request would be a pure
   * ledger read and measure nothing; re-forgetting the same victims
   * would break the LM's at-most-once contract), so every timed pass
-  * does the same-shaped work: six anti-join segment rewrites + the
+  * does the same-shaped work: six anti-join segment rewrites, the
+  * victim-bearing batch partitions' pruned rewrite, and the
   * distributed ledger write. Regime: output_linear — ledger rows =
   * victims × stores ∝ f, and the forget work is O(store + victims)
   * with per-publish fixed overhead that amortizes under amplification. */
@@ -39,6 +42,7 @@ object ForgetScale {
       lex: graft.sim.LexIndex,
       km: graft.sim.KmeansModel,
       lmDir: String,
+      batchStoreDir: String,
       pipeline: ForgetPipeline,
       slice: AtomicInteger)
 
@@ -64,16 +68,27 @@ object ForgetScale {
       km.fit(emb, "vec_id", "embedding", k = 8)
       val lmDir = tmp("fsc_lm")
       graft.ml.NgramLm.fit(docs, "text", lmDir)
-      Fixture(ivf, pq, mh, lex, km, lmDir,
+      // The SEVENTH store shape: a batch_id=-partitioned maintainer
+      // output (the mined-pairs / survivor-corpus family), loaded as 16
+      // pseudo-trigger partitions so the erasure exercises the
+      // partition-pruned rewrite path, not a single-partition rewrite.
+      val bsDir = tmp("fsc_bs")
+      (0 until 16).foreach { b =>
+        graft.stream.MicroBatchIngest.writeBatchPartition(
+          docs.where(pmod(col("doc_id"), lit(16)) === b)
+            .select(col("doc_id").as("id"), col("n_chars")),
+          bsDir, b.toLong)
+      }
+      Fixture(ivf, pq, mh, lex, km, lmDir, bsDir,
         new ForgetPipeline(spark, tmp("fsc_ledger")), new AtomicInteger(0))
     })
   }
 
   /** One FRESH mass-erasure request over the next victim slice; returns
     * the committed ledger frame (victims × stores rows). The heavy work
-    * — six store forgets + the distributed ledger write — happens here
-    * at frame-build time, which [[graft.Scaling]] invokes inside its
-    * clock. */
+    * — seven store forgets + the distributed ledger write — happens
+    * here at frame-build time, which [[graft.Scaling]] invokes inside
+    * its clock. */
   def frame(spark: SparkSession, dir: String): DataFrame = {
     val fx = fixture(spark, dir)
     val i = fx.slice.getAndIncrement()
@@ -95,6 +110,9 @@ object ForgetScale {
       .where(pmod(col("doc_id"), lit(VictimMod)) === i)
       .localCheckpoint(true)
     try fx.pipeline.executeVictims(s"scale-$i", victims, Seq(
+      "batchstore" -> (v => graft.stream.MicroBatchIngest
+        .forgetFromBatchStore(spark, fx.batchStoreDir, v, "id",
+          checkpointLocation = None)),
       "ivf" -> (v => fx.ivf.forget(v)),
       "ivfpq" -> (v => fx.pq.forget(v)),
       "kmeans" -> (v => fx.km.forget(v)),
