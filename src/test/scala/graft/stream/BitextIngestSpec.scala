@@ -143,4 +143,27 @@ class BitextIngestSpec extends SparkSpec {
     // Idempotent on replay (the ForgetPipeline crash window).
     assert(ing.forget(Seq(srcVictim, tgtVictim).toDF("id"), None) == 0L)
   }
+
+  test("drives end to end from a streaming source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val (base, _, docs) = mk()
+    val ing = new BitextIngest(spark, s"$base/index", s"$base/pairs",
+      s"$base/nn", "doc_id", "text", "embedding",
+      srcLang = "en", marginMinPpk = 1L)
+    // Feed real fixture rows (doc text + its embedding) through a
+    // memory source — the foreachBatch wiring every maintainer shares.
+    val rows = batchOf(docs, 0L until 40L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Float](2).toArray))
+    val ms = MemoryStream[(Long, String, Array[Float])](
+      spark, numPartitions = 2)
+    ms.addData(rows.toSeq)
+    val q = ing.start(ms.toDF().toDF("doc_id", "text", "embedding"),
+      s"btx-ingest-${System.nanoTime()}", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    q.stop()
+    assert(mined(base).collect().nonEmpty,
+      "the streaming path mined no pairs")
+  }
 }
