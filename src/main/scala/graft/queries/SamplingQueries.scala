@@ -582,10 +582,49 @@ object SamplingQueries {
       .orderBy("source")
   }
 
+  /** The weights→sample composition that closes the DoReMi loop: the
+    * [[sampleDoremi]] weight_ppm column becomes the mixture TARGET and
+    * the deterministic md5-bucket acceptance of [[sampleMixture]] draws
+    * it — domains the reference LM finds hardest are actually
+    * oversampled, not just scored. Budget rule (the sampleMixture
+    * convention): the binding source caps the total draw
+    * (n_out = min over weighted sources of n_corpus·10⁶ DIV
+    * weight_ppm), per-source takes are integer shares of it, and
+    * acceptance is a 16-bit bucket threshold — reproducible across
+    * engines, runs, and repartitions. Sources whose weight floors to
+    * 0 ppm take nothing (and don't bind the budget). Scale shape: the
+    * weights ride the audited heldout kernel; the draw itself is a
+    * broadcast threshold join + map-side predicate — no new shuffle
+    * beyond the O(sources) aggregates. */
+  private val sampleDoremiMixture: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val w = sampleDoremi(s, dir).select("source", "weight_ppm")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_corpus"))
+      .join(w, Seq("source"))
+    val nOut = counts.where(col("weight_ppm") > 0)
+      .select(min(expr("n_corpus * 1000000 DIV weight_ppm")).as("n_out"))
+    val thr = counts.crossJoin(broadcast(nOut))
+      .withColumn("n_take", expr("weight_ppm * n_out DIV 1000000"))
+      .withColumn("thr", expr(
+        "least(CAST(65536 AS BIGINT), n_take * 65536 DIV n_corpus)"))
+      .select("source", "n_corpus", "weight_ppm", "n_take", "thr")
+    docs.join(broadcast(thr), Seq("source"))
+      .where(expr(s"${hexBucketSql("doc_id", 4)} < thr"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+      .join(thr, Seq("source"), "right_outer")
+      .select(col("source"), col("n_corpus"), col("weight_ppm"),
+        col("n_take"), col("thr"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("first_doc"))
+      .orderBy("source")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
     "q_sample_budget" -> sampleBudget,
     "q_sample_dsir" -> sampleDsir,
     "q_sample_doremi" -> sampleDoremi,
+    "q_sample_doremi_mixture" -> sampleDoremiMixture,
     "q_sample_curriculum" -> sampleCurriculum,
     "q_sample_estimate" -> sampleEstimate,
     "q_sample_temporal" -> sampleTemporal,
@@ -610,9 +649,10 @@ object SamplingQueries {
        |      WHEN ${bucketSql(key)} < $ValUpper THEN 'val'
        |      ELSE 'test' END""".stripMargin
 
-  val oracles: Seq[(String, String)] = Seq(
-    "q_sample_doremi" ->
-      s"""WITH h AS (${TextQueries.heldoutCoreSql}),
+  /** The DoReMi-weights chain WITHOUT its ordering — reusable as a
+    * parenthesized subquery (the mixture oracle wraps it). */
+  private lazy val doremiCoreSql =
+    s"""WITH h AS (${TextQueries.heldoutCoreSql}),
          | ps AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
          |   CAST(sum(h.n_tokens) AS BIGINT) AS tok_total,
          |   CAST(sum(h.n_tokens * h.heldout_mb) // sum(h.n_tokens) AS BIGINT) AS mean_mb
@@ -625,7 +665,32 @@ object SamplingQueries {
          |   greatest(1, sum(raw) // 1099511627776) AS g FROM ex)
          | SELECT source, n_docs, tok_total, mean_mb, excess_mb,
          |  CAST(1000000 * (raw // g) // (raw_total // g) AS BIGINT) AS weight_ppm
-         | FROM ex CROSS JOIN tot ORDER BY source""".stripMargin,
+         | FROM ex CROSS JOIN tot""".stripMargin
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q_sample_doremi" -> (doremiCoreSql + " ORDER BY source"),
+    "q_sample_doremi_mixture" ->
+      s"""WITH w AS ($doremiCoreSql),
+         | counts AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_corpus,
+         |   w.weight_ppm
+         |  FROM documents d JOIN w ON d.source = w.source
+         |  GROUP BY d.source, w.weight_ppm),
+         | nout AS (SELECT min(n_corpus * 1000000 // weight_ppm) AS n_out
+         |  FROM counts WHERE weight_ppm > 0),
+         | thr AS (SELECT source, n_corpus, weight_ppm,
+         |   CAST(weight_ppm * n_out // 1000000 AS BIGINT) AS n_take,
+         |   CAST(least(65536, (weight_ppm * n_out // 1000000) * 65536 // n_corpus) AS BIGINT) AS thr
+         |  FROM counts CROSS JOIN nout),
+         | sampled AS (SELECT d.source,
+         |   CAST(count(*) AS BIGINT) AS n_sampled,
+         |   min(d.doc_id) AS first_doc
+         |  FROM documents d JOIN thr ON d.source = thr.source
+         |  WHERE ${hexBucketSql("doc_id", 4)} < thr.thr
+         |  GROUP BY d.source)
+         | SELECT t.source, t.n_corpus, t.weight_ppm, t.n_take, t.thr,
+         |  coalesce(s.n_sampled, 0) AS n_sampled, s.first_doc
+         | FROM thr t LEFT JOIN sampled s ON t.source = s.source
+         | ORDER BY t.source""".stripMargin,
     "q_sample_temperature" ->
       s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
          |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)
