@@ -559,7 +559,17 @@ object SamplingQueries {
     * Scale shape: rides the heldout kernel (one tokenize + vocabulary
     * join), then TWO O(sources) aggregates — nothing new is
     * corpus-sized. */
-  private val sampleDoremi: Q = (s, dir) => {
+  private val sampleDoremi: Q = (s, dir) =>
+    // Session-shared materialization (Tables.sharedFrame): the weights
+    // ride the full heldout kernel, and the mixture query consumes
+    // them again — deterministic derivation, bit-identical to inline
+    // (orderBy re-applied after the parquet round-trip).
+    Tables.sharedFrame(s, dir, "doremi_weights") {
+      doremiWeightsOf(s, dir)
+    }.orderBy("source")
+
+  private def doremiWeightsOf(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val perDoc = TextQueries.queries.toMap
       .apply("q_text_heldout_ppl")(s, dir)
     val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
@@ -579,7 +589,6 @@ object SamplingQueries {
         col("mean_mb"), col("excess_mb"),
         expr("CAST(1000000 * (raw DIV g) DIV (raw_total DIV g) AS BIGINT)")
           .as("weight_ppm"))
-      .orderBy("source")
   }
 
   /** The weights→sample composition that closes the DoReMi loop: the
