@@ -126,11 +126,7 @@ object Calib {
       }.reduce(_ ^ _)
     if (acc == 42L) System.err.println("[calib] warm sentinel")
   }
-
-  /** "ok" / "skewed" from a start/end probe pair. */
-  def bandFlag(startSec: Double, endSec: Double): String =
-    if (math.max(startSec, endSec) /
-        math.max(1e-9, math.min(startSec, endSec)) > BandSkewRatio)
-      "skewed"
-    else "ok"
+  // (The old run-level start/end `bandFlag` rule is gone: Bench and
+  // Scaling both grade per-query/per-block probe windows against the
+  // run's median probe — the only band verdict in use.)
 }

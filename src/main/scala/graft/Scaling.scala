@@ -88,7 +88,13 @@ object Scaling {
     // Round-12 anchor-gap fill (verdict task 7): the bench-top ADC
     // fixture build, graded output_linear like its q_sim_pq_adc
     // sibling (g8 0.194 in r11).
-    "q_sim_ivfpq_adc")
+    "q_sim_ivfpq_adc",
+    // Round-13: the DoReMi weights served from the persisted
+    // train-split LM (store fits inside the first timed run — the
+    // serve-path grading rule), and the order-3 Kneser-Ney kernel
+    // (the trigram type tables are the largest LM state rolled
+    // anywhere; its 100x story needs its own row).
+    "q_sample_doremi_served", "q_text_kn3_lm")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -368,6 +374,13 @@ object Scaling {
         val rows =
           if (OutputBound(name))
             framed(name, f).head().getAs[Long]("n_rows")
+          else if (name == "q_gov_forget_victims")
+            // The measured request's OWN committed ledger (ForgetScale
+            // caches it): a fresh framed() here would execute a whole
+            // extra erasure over a DIFFERENT victim slice — rows and
+            // times could diverge by slice-size variance, and every
+            // read would burn a slice.
+            graft.gov.ForgetScale.lastFrame(spark, dirs(f)).count()
           else framed(name, f).count()
         // The pair-budget metric of the semdedup regime — an O(K)
         // aggregate over the (already-fitted) shared assignment, read

@@ -44,13 +44,24 @@ object ForgetScale {
       lmDir: String,
       batchStoreDir: String,
       pipeline: ForgetPipeline,
-      slice: AtomicInteger)
+      slice: AtomicInteger) {
+    /** Committed ledger frame of the LAST completed request — kept so
+      * out-of-clock consumers (the Scaling `rows` column) can COUNT the
+      * measured request instead of invoking a whole extra erasure over
+      * a different slice (the round-12 defect: rows and times could
+      * diverge by slice-size variance, and the extra pass burned a
+      * victim slice per read). A parquet-backed read — no pin. */
+    @volatile var lastFrame: Option[DataFrame] = None
+  }
 
   private val fixtures =
     scala.collection.concurrent.TrieMap.empty[String, Fixture]
 
-  private def fixture(spark: SparkSession, dir: String): Fixture = {
-    val key = spark.sparkContext.applicationId + "|" + dir
+  private def fixtureKey(spark: SparkSession, dir: String, mod: Int) =
+    spark.sparkContext.applicationId + "|" + dir + "|" + mod
+
+  private def fixture(spark: SparkSession, dir: String, mod: Int): Fixture = {
+    val key = fixtureKey(spark, dir, mod)
     fixtures.getOrElseUpdate(key, {
       def tmp(p: String) =
         java.nio.file.Files.createTempDirectory(p).toString + "/x"
@@ -89,13 +100,40 @@ object ForgetScale {
     * — seven store forgets + the distributed ledger write — happens
     * here at frame-build time, which [[graft.Scaling]] invokes inside
     * its clock. */
-  def frame(spark: SparkSession, dir: String): DataFrame = {
-    val fx = fixture(spark, dir)
+  def frame(spark: SparkSession, dir: String): DataFrame =
+    frameAt(spark, dir, VictimMod)
+
+  /** The committed ledger frame of the last completed request at this
+    * (dir, mod) — the out-of-clock row count of exactly the erasure the
+    * clock measured ([[Fixture.lastFrame]]). Fails if no request ran. */
+  def lastFrame(spark: SparkSession, dir: String,
+      mod: Int = VictimMod): DataFrame =
+    fixtures.get(fixtureKey(spark, dir, mod)).flatMap(_.lastFrame)
+      .getOrElse(throw new IllegalStateException(
+        s"no completed ForgetScale request for $dir (mod $mod) yet"))
+
+  /** [[frame]] with an explicit victim-slice denominator — each request
+    * erases ~1/mod of the corpus ids (the anchor runs drive mod = 2 for
+    * half-corpus, ≥10⁶-victim requests). When the slices are EXHAUSTED
+    * the fixture is rebuilt from scratch (fresh stores, slice counter
+    * back to 0) instead of failing the whole run: the at-most-once LM
+    * forget contract forbids re-erasing a slice through the same
+    * stores, but a fresh fixture makes every later pass the same-shaped
+    * work the first ones did. Loud on stderr — a rebuild inside a timed
+    * window inflates that one measurement, and the reader should know
+    * which. */
+  def frameAt(spark: SparkSession, dir: String, mod: Int): DataFrame = {
+    val fx = fixture(spark, dir, mod)
     val i = fx.slice.getAndIncrement()
-    require(i < VictimMod,
-      s"victim slices exhausted ($i >= $VictimMod) — widen VictimMod")
+    if (i >= mod) {
+      System.err.println(s"[ForgetScale] victim slices exhausted " +
+        s"($i >= $mod) for $dir — rebuilding a fresh fixture (this " +
+        "pass pays a store build; treat its timing accordingly)")
+      fixtures.remove(fixtureKey(spark, dir, mod))
+      return frameAt(spark, dir, mod)
+    }
     val docs = graft.queries.Tables.t(spark, dir, "documents")
-    val victims = docs.where(pmod(col("doc_id"), lit(VictimMod)) === i)
+    val victims = docs.where(pmod(col("doc_id"), lit(mod)) === i)
       .select(col("doc_id").as("id"))
     // The LM target needs the victims' DOCUMENTS (its negative segment
     // tokenizes exactly the ingested text); pinned once so the LM and
@@ -107,9 +145,10 @@ object ForgetScale {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet.toSet
     val victimDocs = docs
-      .where(pmod(col("doc_id"), lit(VictimMod)) === i)
+      .where(pmod(col("doc_id"), lit(mod)) === i)
       .localCheckpoint(true)
-    try fx.pipeline.executeVictims(s"scale-$i", victims, Seq(
+    try {
+      val ledger = fx.pipeline.executeVictims(s"scale-$i", victims, Seq(
       "batchstore" -> (v => graft.stream.MicroBatchIngest
         .forgetFromBatchStore(spark, fx.batchStoreDir, v, "id",
           checkpointLocation = None)),
@@ -120,7 +159,9 @@ object ForgetScale {
       "lm" -> (_ => graft.ml.NgramLm.load(spark, fx.lmDir)
         .forgetBatch(victimDocs, "text", s"scale-$i")),
       "minhash" -> (v => fx.mh.forget(v))))
-    finally {
+      fx.lastFrame = Some(ledger)
+      ledger
+    } finally {
       val mine = sc.getPersistentRDDs.keySet.toSet -- before
       sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
         .values.foreach(_.unpersist(blocking = false))

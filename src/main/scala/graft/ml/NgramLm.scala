@@ -81,10 +81,25 @@ import graft.ops.TokenOps
 object NgramLm {
 
   /** Fit on a reference corpus and persist under `dir` (manifest v0, or
-    * the next version over an existing store). */
+    * the next version over an existing store). A REBUILD over an
+    * existing store is a FOLD for replay purposes: the live batch-named
+    * segments vanish from the manifest, so the new manifest must carry
+    * the realized-forget token ledger, an [[graft.ops.BatchHorizon]]
+    * advanced past every live batch segment, and the stream-identity
+    * pin — otherwise a pre-rebuild batch redelivered afterwards would
+    * re-append (double-adding rows the rebuild already counted, or
+    * resurrecting victims a pre-rebuild forget erased). */
   def fit(docs: DataFrame, textCol: String, dir: String): Unit = {
     val store = new Store(org.apache.spark.sql.SparkSession.active, dir)
-    store.publish(Seq(store.writeSegment(gramCountsOf(docs, textCol))))
+    val (tokens, horizon, sid) = store.currentVersion() match {
+      case Some(_) => (store.liveTokens(),
+        graft.ops.BatchHorizon.afterFold(store.liveHorizon(),
+          store.liveSegments()),
+        store.liveSid())
+      case None => (Set.empty[String], None, None)
+    }
+    store.publish(Seq(store.writeSegment(gramCountsOf(docs, textCol))),
+      tokens, horizon, sid)
     ()
   }
 
@@ -99,33 +114,41 @@ object NgramLm {
     * exists routes through appendBatch and publishes nothing; a crash
     * before the first publish replays into an identical overwrite). */
   private[graft] def fitBatch(docs: DataFrame, textCol: String,
-      dir: String, batchId: Long): Unit = {
+      dir: String, batchId: Long,
+      streamId: Option[String] = None): Unit = {
     val store = new Store(docs.sparkSession, dir)
     store.publish(Seq(store.writeNamedSegment(
-      gramCountsOf(docs, textCol), s"seg-batch-$batchId")))
+      gramCountsOf(docs, textCol), s"seg-batch-$batchId")),
+      sid = streamId)
     ()
   }
 
   /** One tokenize+count pass over a batch — the single definition every
-    * lifecycle operation sketches with. Unigrams and bigrams ride ONE
-    * explode (unigram rows carry w2 = NULL), so the batch text is read
-    * once for both orders; the split into the two tables happens on the
-    * vocabulary-sized aggregate at segment-write time. The bigram
-    * construction is the inline kernel's: consecutive token pairs, docs
-    * under 2 tokens contribute none (the slice length clamps to 0 —
-    * `sequence(1, size-1)` at size < 2 would be the DESCENDING [1, 0],
-    * the trap the inline query guards with a `size >= 2` filter). */
+    * lifecycle operation sketches with. Unigrams, bigrams AND trigrams
+    * ride ONE explode (unigram rows carry w2 = w3 = NULL, bigram rows
+    * w3 = NULL), so the batch text is read once for all three orders;
+    * the split into the three tables happens on the vocabulary-sized
+    * aggregate at segment-write time. The n-gram construction is the
+    * inline kernels': consecutive token tuples, docs under n tokens
+    * contribute none at order n (the slice length clamps to 0 —
+    * `sequence(1, size-n+1)` at size < n would be DESCENDING, the trap
+    * the inline queries guard with `size >= n` filters). */
   private def gramCountsOf(docs: DataFrame, textCol: String): DataFrame =
     graft.queries.Tables.fanout(docs)
       .withColumn("toks", TokenOps.terms(col(textCol)))
       .select(explode(expr(
         """concat(
-          |  transform(toks, w -> struct(w AS w1, CAST(NULL AS STRING) AS w2)),
+          |  transform(toks, w -> struct(w AS w1,
+          |    CAST(NULL AS STRING) AS w2, CAST(NULL AS STRING) AS w3)),
           |  transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
-          |    (w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2)))"""
+          |    (w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2,
+          |      CAST(NULL AS STRING) AS w3)),
+          |  transform(slice(toks, 1, greatest(size(toks) - 2, 0)),
+          |    (w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2,
+          |      element_at(toks, i + 3) AS w3)))"""
           .stripMargin)).as("g"))
-      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
 
   /** Load with torn-store verification on every live segment (see class
     * doc). The checks are vocabulary-sized aggregates — model-state
@@ -149,13 +172,16 @@ object NgramLm {
       }
       val m = metaRows.head
       checkTable("uni", m.getAs[Long]("v_size"), m.getAs[Long]("t_total"))
-      // LEGACY (order-1) segments predate the bi/ table and declare no
-      // b_size/b_total — they load fine (absent transitions roll as an
-      // empty bigram table; the store stays servable, never bricked)
-      // and the first compact() rewrites them in the full format. The
-      // cross-check still runs on every segment that DECLARES order 2.
+      // LEGACY segments predate the bi/ (order-1 vintage) or tri/
+      // (order-2 vintage) tables and declare no b_*/tri_* meta — they
+      // load fine (absent transitions roll as an empty table; the
+      // store stays servable, never bricked) and the first compact()
+      // rewrites them in the full format. The cross-check still runs
+      // on every segment that DECLARES the order.
       if (m.schema.fieldNames.contains("b_size"))
         checkTable("bi", m.getAs[Long]("b_size"), m.getAs[Long]("b_total"))
+      if (m.schema.fieldNames.contains("tri_size"))
+        checkTable("tri", m.getAs[Long]("tri_size"), m.getAs[Long]("tri_total"))
     }
     new Model(spark, store)
   }
@@ -176,6 +202,15 @@ object NgramLm {
         .map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
     }
+
+    // Stream-identity pin ([[graft.ops.BatchHorizon.requireSid]]): a
+    // `sid <token>` line written by the streaming maintainer's first
+    // publish and carried forever after, so a stream restarted with a
+    // FRESH checkpoint (batch ids back at 0) fails loudly in
+    // [[Model.appendBatch]] instead of silently no-opping below the
+    // replay horizon.
+    def liveSid(): Option[String] = currentVersion().flatMap(v =>
+      graft.ops.BatchHorizon.splitSid(manifestLines(v)))
 
     // Manifest format: one segment name per line, plus `tok <token>`
     // lines — the REALIZED-FORGET TOKEN LEDGER. compact() folds
@@ -225,27 +260,36 @@ object NgramLm {
       writeNamedSegment(grams, s"seg-${java.util.UUID.randomUUID()}")
 
     def writeNamedSegment(grams: DataFrame, seg: String): String = {
-      val c = grams.localCheckpoint(true) // uni+bi writes + meta read once
+      val c = grams.localCheckpoint(true) // table writes + meta read once
       c.where(col("w2").isNull).select(col("w1").as("term"), col("cnt"))
         .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "uni"))
-      c.where(col("w2").isNotNull).select("w1", "w2", "cnt")
+      c.where(col("w2").isNotNull && col("w3").isNull)
+        .select("w1", "w2", "cnt")
         .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "bi"))
+      c.where(col("w3").isNotNull).select("w1", "w2", "w3", "cnt")
+        .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "tri"))
       c.agg(
           coalesce(sum(when(col("w2").isNull, col("cnt"))), lit(0L))
             .as("t_total"),
           count(when(col("w2").isNull, lit(1))).as("v_size"),
-          coalesce(sum(when(col("w2").isNotNull, col("cnt"))), lit(0L))
-            .as("b_total"),
-          count(when(col("w2").isNotNull, lit(1))).as("b_size"))
+          coalesce(sum(when(col("w2").isNotNull && col("w3").isNull,
+            col("cnt"))), lit(0L)).as("b_total"),
+          count(when(col("w2").isNotNull && col("w3").isNull, lit(1)))
+            .as("b_size"),
+          coalesce(sum(when(col("w3").isNotNull, col("cnt"))), lit(0L))
+            .as("tri_total"),
+          count(when(col("w3").isNotNull, lit(1))).as("tri_size"))
         .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "meta"))
       seg
     }
 
     def publish(segs: Seq[String],
         tokens: Set[String] = Set.empty,
-        horizon: Option[Long] = None): Long = {
+        horizon: Option[Long] = None,
+        sid: Option[String] = None): Long = {
       val body = (segs ++ tokens.toSeq.sorted.map("tok " + _) ++
-        graft.ops.BatchHorizon.lines(horizon))
+        graft.ops.BatchHorizon.lines(horizon) ++
+        graft.ops.BatchHorizon.sidLines(sid))
         .mkString("\n") + "\n"
       val tmp = new Path(dir, s".manifest-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, false)
@@ -311,6 +355,25 @@ object NgramLm {
           lit("LM store at " + store.dir +
             " rolled a negative count for bigram '"),
           col("w1"), lit(" "), col("w2"),
+          lit("' — forget subtracted text never ingested"))))
+          .otherwise(col("cnt")))
+    }
+
+    /** The rolled-up trigram table (w1, w2, w3, cnt) — same algebra and
+      * same negative-count guard as [[vocab]]/[[bigrams]] (order-3
+      * counts are additive like every order's). Legacy order-2
+      * segments contribute no rows ([[Store.readUnionTolerant]]). */
+    def trigrams(): DataFrame = {
+      val rolled = store
+        .readUnionTolerant("tri",
+          "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT")
+        .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0L)
+      rolled.withColumn("cnt",
+        when(col("cnt") < 0L, raise_error(concat(
+          lit("LM store at " + store.dir +
+            " rolled a negative count for trigram '"),
+          col("w1"), lit(" "), col("w2"), lit(" "), col("w3"),
           lit("' — forget subtracted text never ingested"))))
           .otherwise(col("cnt")))
     }
@@ -472,6 +535,65 @@ object NgramLm {
           expr("sum(k * s_mb) DIV sum(k)").as("kn_surprisal_mb"))
     }
 
+    /** The scored batch's (doc_id, w1, w2, w3, k) trigram counts — the
+      * doc-side tokenize pass of the order-3 kernel. */
+    private def docTrigrams(docs: DataFrame, idCol: String,
+        textCol: String): DataFrame = docs
+      .withColumn("toks", TokenOps.terms(col(textCol)))
+      .where(size(col("toks")) >= 3)
+      .select(col(idCol).as("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2,
+          |              element_at(toks, i + 2) AS w3))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("k"))
+
+    /** Interpolated TRIGRAM Kneser–Ney scoring under the frozen order-3
+      * store: (doc_id, n_trigrams, kn3_surprisal_mb) — `q_text_kn3_lm`'s
+      * output contract, unsorted (callers order). The full three-level
+      * interpolation: discounted trigram ML, a CONTINUATION-count
+      * bigram level (distinct left contexts of (w2,w3) among trigram
+      * types — the Kneser–Ney correction at the middle order), and the
+      * bigram-type continuation unigram the order-2 kernel already
+      * uses. Every input is an integer aggregate of the rolled tri/bi
+      * tables (additive counts — store-derived values equal
+      * inline-derived ones exactly), and the shared
+      * [[graft.queries.TextQueries.Kn3SurprisalSql]] emission is
+      * bit-identical to the inline kernel's (graded by
+      * `q_text_kn3_served`, which shares `q_text_kn3_lm`'s oracle).
+      * Contract: trigrams absent from the trained table drop from the
+      * mean (inner join); docs with < 3 tokens produce no row. Type
+      * tables are vocabulary³-bounded in principle, Zipf-small in
+      * practice (trigram types ≲ corpus tokens), AQE-broadcast when
+      * small. */
+    def scoreKneserNey3(docs: DataFrame, idCol: String,
+        textCol: String): DataFrame = {
+      val c3 = trigrams().withColumnRenamed("cnt", "c3")
+        .localCheckpoint(true) // feeds four marginals + the type join
+      val ctx = c3.groupBy("w1", "w2")
+        .agg(sum("c3").as("cctx"), count(lit(1)).as("n3r"))
+      val ml = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n3l"))
+      val mid = c3.groupBy("w2")
+        .agg(count(lit(1)).as("n3mid"), countDistinct("w3").as("n3rt"))
+      val c2types = bigrams()
+      val cl = c2types.groupBy("w2").agg(count(lit(1)).as("n1pl"))
+        .withColumnRenamed("w2", "w3")
+      val nAll = c2types.agg(count(lit(1)).as("n1pall"))
+      val typeScores = c3.join(ctx, Seq("w1", "w2"))
+        .join(ml, Seq("w2", "w3")).join(mid, Seq("w2"))
+        .join(cl, Seq("w3")).crossJoin(broadcast(nAll))
+        .select(col("w1"), col("w2"), col("w3"),
+          expr(graft.queries.TextQueries.Kn3SurprisalSql).as("s_mb"))
+      docTrigrams(docs, idCol, textCol)
+        .join(typeScores, Seq("w1", "w2", "w3"))
+        .groupBy("doc_id")
+        .agg(sum("k").as("n_trigrams"),
+          expr("sum(k * s_mb) DIV sum(k)").as("kn3_surprisal_mb"))
+    }
+
     /** The CCNet-style gate: keep docs at or below `maxMb` mean
       * surprisal (high-surprisal docs read as gibberish/OCR noise under
       * the reference LM). A doc with NO tokens produces no tf rows and
@@ -492,7 +614,7 @@ object NgramLm {
       val tokens = store.liveTokens()
       val h = store.liveHorizon()
       store.publish(live :+ store.writeSegment(gramCountsOf(docs, textCol)),
-        tokens, h)
+        tokens, h, store.liveSid())
     }
 
     /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -507,10 +629,16 @@ object NgramLm {
       * [[load]]'s cross-checks would then have to catch; the batch's
       * counts are deterministic, so skipping loses nothing. */
     private[graft] def appendBatch(docs: DataFrame, textCol: String,
-        batchId: Long): Long = {
+        batchId: Long, streamId: Option[String] = None): Long = {
       val live = store.liveSegments()
       val tokens = store.liveTokens()
       val h = store.liveHorizon()
+      val sid = store.liveSid()
+      // Identity pin FIRST (BatchHorizon.requireSid): the horizon no-op
+      // below is sound only per checkpoint — a pinned store fed by a
+      // different stream identity fails loudly here instead of silently
+      // dropping every batch at or below the old horizon.
+      graft.ops.BatchHorizon.requireSid(sid, streamId, s"LM store ${store.dir}")
       val seg = s"seg-batch-$batchId"
       // Second no-op trigger: the batch is at or below the replay
       // horizon — a compact() already realized its counts into the
@@ -518,7 +646,8 @@ object NgramLm {
       if (live.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, store.dir))
         return store.currentVersion().get
       store.writeNamedSegment(gramCountsOf(docs, textCol), seg)
-      store.publish(live :+ seg, tokens, h)
+      store.publish(live :+ seg, tokens, h,
+        graft.ops.BatchHorizon.adoptSid(sid, streamId))
     }
 
     /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
@@ -533,8 +662,8 @@ object NgramLm {
       val h = store.liveHorizon()
       store.publish(live :+ store.writeSegment(
         gramCountsOf(docs, textCol)
-          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt"))),
-        tokens, h)
+          .select(col("w1"), col("w2"), col("w3"), (-col("cnt")).as("cnt"))),
+        tokens, h, store.liveSid())
     }
 
     /** REQUEST-KEYED idempotent forget — the [[appendBatch]] rule
@@ -566,8 +695,10 @@ object NgramLm {
         return store.currentVersion().get
       store.writeNamedSegment(
         gramCountsOf(docs, textCol)
-          .select(col("w1"), col("w2"), (-col("cnt")).as("cnt")), seg)
-      store.publish(live :+ seg, tokens + token, store.liveHorizon())
+          .select(col("w1"), col("w2"), col("w3"),
+            (-col("cnt")).as("cnt")), seg)
+      store.publish(live :+ seg, tokens + token, store.liveHorizon(),
+        store.liveSid())
     }
 
     /** MAINTENANCE compaction: fold live segments into one (the same
@@ -582,18 +713,29 @@ object NgramLm {
         .groupBy("term").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
         .select(col("term").as("w1"),
-          lit(null).cast("string").as("w2"), col("cnt"))
+          lit(null).cast("string").as("w2"),
+          lit(null).cast("string").as("w3"), col("cnt"))
       val bi = store
         .readUnionTolerant("bi", "w1 STRING, w2 STRING, cnt BIGINT")
         .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
+        .where(col("cnt") =!= 0L)
+        .select(col("w1"), col("w2"),
+          lit(null).cast("string").as("w3"), col("cnt"))
+      val tri = store
+        .readUnionTolerant("tri",
+          "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT")
+        .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
       // Tokens carried verbatim: compaction realizes forget segments'
       // negatives but must NOT forget that it did ([[forgetBatch]]'s
       // post-compaction replay no-op keys on these lines). The fold
       // also advances the replay horizon so a redelivered folded batch
       // no-ops in [[appendBatch]] instead of double-counting.
-      store.publish(Seq(store.writeSegment(uni.unionByName(bi))), tokens,
-        graft.ops.BatchHorizon.afterFold(store.liveHorizon(), live))
+      store.publish(
+        Seq(store.writeSegment(uni.unionByName(bi).unionByName(tri))),
+        tokens,
+        graft.ops.BatchHorizon.afterFold(store.liveHorizon(), live),
+        store.liveSid())
     }
 
     /** Retention: keep the newest `keep` versions, sweep older

@@ -39,17 +39,63 @@ package graft.ops
 object BatchHorizon {
 
   private val Prefix = "bh "
+  private val SidPrefix = "sid "
   private val SegPrefix = "seg-batch-"
 
-  /** Split manifest lines into (payload lines, horizon). */
+  /** Split manifest lines into (payload lines, horizon). The payload
+    * side still carries any `sid ` identity line — segment readers
+    * filter by their own prefixes, and [[splitSid]] peels it off. */
   def split(lines: Seq[String]): (Seq[String], Option[Long]) = {
     val (h, rest) = lines.partition(_.startsWith(Prefix))
-    (rest, h.map(_.drop(Prefix.length).trim.toLong).maxOption)
+    (rest.filterNot(_.startsWith(SidPrefix)),
+      h.map(_.drop(Prefix.length).trim.toLong).maxOption)
   }
+
+  /** The manifest's STREAM-IDENTITY pin (`sid <token>`), if any. */
+  def splitSid(lines: Seq[String]): Option[String] =
+    lines.find(_.startsWith(SidPrefix)).map(_.drop(SidPrefix.length).trim)
+      .filter(_.nonEmpty)
 
   /** The manifest line(s) encoding `horizon` (empty when none). */
   def lines(horizon: Option[Long]): Seq[String] =
     horizon.map(h => s"$Prefix$h").toSeq
+
+  /** The manifest line(s) encoding the stream identity. */
+  def sidLines(sid: Option[String]): Seq[String] =
+    sid.map(s => s"$SidPrefix$s").toSeq
+
+  /** Enforce the IDENTITY PIN before an `appendBatch`-family no-op test
+    * runs: the `batchId <= horizon` rule is sound only PER CHECKPOINT
+    * (batch ids restart at 0 under a fresh one), so a store whose
+    * manifest pins `sid A` must reject batches from stream identity B
+    * LOUDLY — the silent alternative is every batch of the new stream
+    * no-opping below the old horizon (invisible data loss; the
+    * round-12 design's only tell was a stderr line). Rules:
+    *   - both sides pinned and equal → fine (the normal resumed
+    *     stream);
+    *   - both pinned, different → IllegalStateException naming both;
+    *   - store pinned, caller anonymous → fine (non-streaming callers
+    *     — tests, backfills — may touch a pinned store; their batch
+    *     ids are the caller's contract);
+    *   - store unpinned → fine at any caller (legacy stores; the
+    *     caller's sid is adopted by the publish that follows). */
+  def requireSid(storeSid: Option[String], callerSid: Option[String],
+      store: String): Unit =
+    (storeSid, callerSid) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new IllegalStateException(
+          s"$store is pinned to stream identity '$a' but this stream is " +
+            s"'$b' — a restart with a fresh checkpoint would restart " +
+            "batch ids at 0 and silently no-op below the replay horizon. " +
+            "Resume the original checkpoint, or point the stream at a " +
+            "new store.")
+      case _ => ()
+    }
+
+  /** The identity to publish: a pinned store keeps its pin; an
+    * unpinned store adopts the caller's. */
+  def adoptSid(storeSid: Option[String], callerSid: Option[String])
+      : Option[String] = storeSid.orElse(callerSid)
 
   /** The horizon to publish after folding `foldedSegs` away: max of
     * the prior horizon and every `seg-batch-<id>` among the folded

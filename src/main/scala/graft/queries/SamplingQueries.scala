@@ -569,9 +569,17 @@ object SamplingQueries {
     }.orderBy("source")
 
   private def doremiWeightsOf(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val perDoc = TextQueries.queries.toMap
-      .apply("q_text_heldout_ppl")(s, dir)
+      dir: String): org.apache.spark.sql.DataFrame =
+    doremiWeightsFrom(s, dir, TextQueries.queries.toMap
+      .apply("q_text_heldout_ppl")(s, dir))
+
+  /** The weights aggregation over ANY per-doc heldout frame
+    * (doc_id, n_tokens, n_oov, heldout_mb) — one definition shared by
+    * the inline kernel and the store-served twin, so the two
+    * compositions cannot drift. */
+  private def doremiWeightsFrom(s: org.apache.spark.sql.SparkSession,
+      dir: String, perDoc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
     val perSrc = perDoc.join(src, Seq("doc_id"))
       .groupBy("source")
@@ -590,6 +598,26 @@ object SamplingQueries {
         expr("CAST(1000000 * (raw DIV g) DIV (raw_total DIV g) AS BIGINT)")
           .as("weight_ppm"))
   }
+
+  /** DoReMi weights SERVED from the persisted train-split LM — the
+    * `q_text_ppl_served` discipline applied to the weights composition
+    * (the trained-model serving shape of the reference's
+    * `spark/loader.py:13-34`): the per-doc heldout scores come from
+    * [[graft.ml.NgramLm.Model.score]] over the frozen
+    * [[TextQueries.sharedNgramLm]] store (only the val docs are
+    * tokenized here — the reference-corpus counts are never re-derived),
+    * and the per-source aggregation is the SAME [[doremiWeightsFrom]]
+    * kernel the inline query runs, so the oracle is `q_sample_doremi`'s
+    * verbatim. Scale shape: a frozen-LM batch score (one tokenize +
+    * vocabulary join) + two O(sources) aggregates — nothing re-reads
+    * the training split after fit. */
+  private val sampleDoremiServed: Q = (s, dir) =>
+    doremiWeightsFrom(s, dir,
+      TextQueries.sharedNgramLm(s, dir).score(
+        withSplit(t(s, dir, "documents"), "doc_id")
+          .where(col("split") === "val"),
+        "doc_id", "text"))
+      .orderBy("source")
 
   /** The weights→sample composition that closes the DoReMi loop: the
     * [[sampleDoremi]] weight_ppm column becomes the mixture TARGET and
@@ -633,6 +661,7 @@ object SamplingQueries {
     "q_sample_budget" -> sampleBudget,
     "q_sample_dsir" -> sampleDsir,
     "q_sample_doremi" -> sampleDoremi,
+    "q_sample_doremi_served" -> sampleDoremiServed,
     "q_sample_doremi_mixture" -> sampleDoremiMixture,
     "q_sample_curriculum" -> sampleCurriculum,
     "q_sample_estimate" -> sampleEstimate,
@@ -678,6 +707,9 @@ object SamplingQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "q_sample_doremi" -> (doremiCoreSql + " ORDER BY source"),
+    // The served twin shares the inline oracle verbatim: one statistic,
+    // two serving paths (inline heldout kernel vs persisted LM store).
+    "q_sample_doremi_served" -> (doremiCoreSql + " ORDER BY source"),
     "q_sample_doremi_mixture" ->
       s"""WITH w AS ($doremiCoreSql),
          | counts AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_corpus,

@@ -1270,6 +1270,35 @@ object SimilarityQueries {
       scoresOf(b, aIds, "bid", "aid").localCheckpoint(true))
   }
 
+  /** BITEXT ROUND-TRIP EVAL — the `q_sim_ivfpq_recall` convention
+    * applied to the miner: the IVF-served pair set
+    * ([[bitextServed]] — cell-pruned probes, the at-scale path) graded
+    * against the brute-force mutual-best TRUTH ([[bitextMargin]] — all
+    * A×B cosines). One summary row: truth size, served size, pair-level
+    * hits (exact (src, tgt) matches), recall and precision in basis
+    * points — integer DIV, engine-exact. This is the reconstruction
+    * measure the planted-parallel-fixture literature grades miners by;
+    * a probe regression (lost cells, broken margin kernel) moves
+    * recall_bp, a candidate blowup moves precision_bp. O(pairs) join —
+    * both inputs are already mutual-best-filtered (≤ one pair per src
+    * id). */
+  private val bitextRecall: Q = (s, dir) => {
+    val truth = bitextMargin(s, dir).select("src_id", "tgt_id")
+      .localCheckpoint(true)
+    val served = bitextServed(s, dir).select("src_id", "tgt_id")
+      .localCheckpoint(true)
+    val hits = truth.join(served, Seq("src_id", "tgt_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(served.agg(count(lit(1)).as("n_served"))))
+      .crossJoin(broadcast(hits))
+      .select(col("n_truth"), col("n_served"), col("n_hits"),
+        expr("CAST(10000 * n_hits DIV greatest(n_truth, 1L) AS BIGINT)")
+          .as("recall_bp"),
+        expr("CAST(10000 * n_hits DIV greatest(n_served, 1L) AS BIGINT)")
+          .as("precision_bp"))
+  }
+
   /** Margin threshold for the pair filter: keep mined pairs with
     * margin > 1.05 (1050 ppk) — the CCMatrix-reported operating point
     * family. */
@@ -1323,6 +1352,7 @@ object SimilarityQueries {
     "q_sim_topk_bruteforce" -> bruteForceTopK,
     "q_sim_bitext_margin"   -> bitextMargin,
     "q_sim_bitext_served"   -> bitextServed,
+    "q_sim_bitext_recall"   -> bitextRecall,
     "q_sim_bitext_filter"   -> bitextFilter,
     "q_sim_decontam"        -> simDecontam,
     "q_sim_filtered_ann"    -> filteredAnn,
@@ -1648,6 +1678,22 @@ object SimilarityQueries {
          |  JOIN dn t ON m.tgt_id = t.doc_id
          | ORDER BY m.src_id""".stripMargin,
     "q_sim_bitext_served" -> bitextServedOracleSql,
+    // Round-trip eval: both pair sets re-derived by their own oracle
+    // chains (WITH inside a parenthesized subquery — the duckDigest
+    // idiom), compared pair-for-pair.
+    "q_sim_bitext_recall" ->
+      s"""WITH truth AS (SELECT src_id, tgt_id FROM ($bitextMarginOracleSql)),
+         | served AS (SELECT src_id, tgt_id FROM ($bitextServedOracleSql)),
+         | h AS (SELECT count(*) AS n_hits
+         |  FROM truth JOIN served USING (src_id, tgt_id)),
+         | t AS (SELECT count(*) AS n_truth FROM truth),
+         | sv AS (SELECT count(*) AS n_served FROM served)
+         | SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_served AS BIGINT) AS n_served,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(10000 * n_hits // greatest(n_truth, 1) AS BIGINT) AS recall_bp,
+         |  CAST(10000 * n_hits // greatest(n_served, 1) AS BIGINT) AS precision_bp
+         | FROM t CROSS JOIN sv CROSS JOIN h""".stripMargin,
     "q_sim_decontam" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          | ev AS (SELECT vec_id AS eid, emb FROM e WHERE vec_id % $EvalMod = 0),

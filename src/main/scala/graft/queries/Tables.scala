@@ -103,16 +103,21 @@ object Tables {
     * [[duckDigest]].
     *
     * DEBUGGING a digest mismatch (1-row outputs carry no diff): set
-    * system property `graft.digest.explain=1` (or env
-    * GRAFT_DIGEST_EXPLAIN=1) and this returns the PRE-AGGREGATE row
+    * system property `graft.digest.explain=1` (a -D flag on the debug
+    * JVM — deliberately NOT an env var, which a graded run could
+    * inherit) and this returns the PRE-AGGREGATE row
     * form instead — (h, row_str) sorted — which [[digestDiff]] turns
     * into a row-level multiset diff and [[duckDigestExplain]] twins on
     * the oracle side. Debug mode only: the graded driver never sets
     * the flag. */
   val DigestPrime = 1000000007L
+  // SYSTEM PROPERTY ONLY (never an env var): a graded Bench/Verify run
+  // inheriting GRAFT_DIGEST_EXPLAIN=1 from a stray shell would silently
+  // flip every digest query's schema and rows metric. A -D flag has to
+  // be set explicitly on the debug JVM's own command line — no
+  // inheritance path from the launching environment.
   private def explainMode: Boolean =
-    sys.props.getOrElse("graft.digest.explain",
-      sys.env.getOrElse("GRAFT_DIGEST_EXPLAIN", "0")) == "1"
+    sys.props.getOrElse("graft.digest.explain", "0") == "1"
   private def rowHash(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(expr(
         s"CAST(conv(substring(md5(concat_ws('|', ${cols.mkString(", ")})), " +

@@ -682,6 +682,102 @@ object TextQueries {
       .scoreKneserNey(docs(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** The interpolated TRIGRAM Kneser–Ney surprisal emission — ONE
+    * definition over (c3, cctx, n3r, n3l, n3mid, n3rt, n1pl, n1pall),
+    * shared by the inline kernel below and the persisted serving path
+    * ([[graft.ml.NgramLm.Model.scoreKneserNey3]]) — the
+    * [[KnSurprisalSql]] discipline at order 3, the LM ceiling the
+    * perplexity-gate literature ships (KenLM's default order for CCNet
+    * is 5; 3 is where the continuation-count machinery fully
+    * generalizes). Three interpolation levels, absolute discount
+    * D = 0.75 at the top two:
+    *   - trigram ML, discounted: max(c3 − D, 0)/c(w1w2), with the
+    *     freed mass D·N1+(w1w2·)/c(w1w2) backing off to
+    *   - the CONTINUATION bigram: max(N1+(·w2w3) − D, 0)/N1+(·w2·) —
+    *     distinct-left-context counts, the Kneser–Ney correction —
+    *     with its freed mass backing off to
+    *   - the continuation unigram the order-2 kernel already uses
+    *     (n1pl/n1pall over BIGRAM types).
+    * All eight inputs are exact BIGINT aggregates; the arithmetic is a
+    * fixed double expression evaluated identically in both engines;
+    * one ln + floor per trigram TYPE. P > 0 always for seen trigrams
+    * (c3 ≥ 1 ⇒ the discounted term ≥ 0.25/cctx). */
+  private[graft] val Kn3SurprisalSql =
+    """CAST(floor(-1000.0 * ln(
+      |  greatest(CAST(c3 AS DOUBLE) - 0.75, 0.0) / cctx +
+      |  (0.75 * n3r / cctx) * (
+      |    greatest(CAST(n3l AS DOUBLE) - 0.75, 0.0) / n3mid +
+      |    (0.75 * n3rt / n3mid) * (CAST(n1pl AS DOUBLE) / n1pall)))) AS BIGINT)"""
+      .stripMargin
+
+  /** Interpolated trigram Kneser–Ney scoring — `q_text_kn_lm`'s
+    * statistic at order 3 ([[Kn3SurprisalSql]]): per-trigram KN
+    * surprisal, floor-millinat per TYPE, exact-integer per-doc mean.
+    * The middle order is scored by CONTINUATION counts (distinct left
+    * contexts among trigram types), the lowest by the bigram-type
+    * continuation unigram — so a word frequent only inside one
+    * collocation stops inflating every backoff level. Trigrams absent
+    * from the trained table drop from the mean (inner join — the
+    * `q_text_bigram_lm` contract); docs with < 3 tokens produce no
+    * row. Scale shape: ONE tokenize pass (checkpointed) feeds the
+    * trigram counts and the bigram-type table; all type tables are
+    * Zipf-small aggregates of it (AQE-broadcast when small); one
+    * doc-keyed aggregation. */
+  private val kn3Lm: Q = (s, dir) => {
+    val trigramsExpr =
+      """transform(sequence(1, size(toks) - 2),
+        |  i -> struct(element_at(toks, i) AS w1,
+        |              element_at(toks, i + 1) AS w2,
+        |              element_at(toks, i + 2) AS w3))""".stripMargin
+    val bigramsExpr =
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin
+    val base = Tables.fanout(
+        docs(s, dir).withColumn("toks", TokenOps.terms(col("text")))
+          .select("doc_id", "toks"))
+      .localCheckpoint(true) // one tokenize pass feeds both orders
+    val dt = base.where(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(trigramsExpr)).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    val c3 = dt.groupBy("w1", "w2", "w3").agg(sum("k").as("c3"))
+      .localCheckpoint(true) // feeds four marginals + the type join
+    val ctx = c3.groupBy("w1", "w2")
+      .agg(sum("c3").as("cctx"), count(lit(1)).as("n3r"))
+    val ml = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n3l"))
+    val mid = c3.groupBy("w2")
+      .agg(count(lit(1)).as("n3mid"), countDistinct("w3").as("n3rt"))
+    val bt = base.where(size(col("toks")) >= 2)
+      .select(explode(expr(bigramsExpr)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2")).distinct()
+    val cl = bt.groupBy("w2").agg(count(lit(1)).as("n1pl"))
+      .withColumnRenamed("w2", "w3")
+    val nAll = bt.agg(count(lit(1)).as("n1pall"))
+    val typeScores = c3.join(ctx, Seq("w1", "w2")).join(ml, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(cl, Seq("w3"))
+      .crossJoin(broadcast(nAll))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr(Kn3SurprisalSql).as("s_mb"))
+    dt.join(typeScores, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_trigrams"),
+        expr("sum(k * s_mb) DIV sum(k)").as("kn3_surprisal_mb"))
+      .orderBy("doc_id")
+  }
+
+  /** Trigram KN served from the PERSISTED order-3 LM — the
+    * `q_text_kn_served` discipline one order up: the trigram table and
+    * every continuation count come from the store's rolled tri/bi
+    * tables (additive counts — store-rolled equals inline exactly),
+    * only the scored docs are re-tokenized, and the oracle is the
+    * inline query's verbatim. */
+  private val kn3Served: Q = (s, dir) =>
+    sharedCorpusLm(s, dir)
+      .scoreKneserNey3(docs(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** PMI keyphrase extraction — corpus-level collocations: bigrams whose
     * joint count beats the independence expectation, PMI ≈
     * ln(c_ab·N / (c_a·c_b)) with all counts over the unigram total N.
@@ -1742,6 +1838,8 @@ object TextQueries {
     "q_text_bigram_served" -> bigramServed,
     "q_text_kn_lm"       -> knLm,
     "q_text_kn_served"   -> knServed,
+    "q_text_kn3_lm"      -> kn3Lm,
+    "q_text_kn3_served"  -> kn3Served,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
@@ -1851,12 +1949,60 @@ object TextQueries {
        |  CAST(sum(k * s_mb) // sum(k) AS BIGINT) AS kn_surprisal_mb
        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `q_text_kn3_lm`'s oracle — ONE definition, also graded against
+    * `q_text_kn3_served` (the persisted order-3 LM serving path).
+    * Mirrors [[Kn3SurprisalSql]] level for level: discounted trigram
+    * ML over the trigram-context count, continuation-bigram middle
+    * (distinct left contexts among trigram types), bigram-type
+    * continuation unigram at the bottom. */
+  private val kn3OracleSql =
+    s"""WITH dt AS (
+       |  SELECT doc_id, w1, w2, w3, count(*) AS k FROM (
+       |   SELECT doc_id,
+       |     unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i])) AS w1,
+       |     unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i + 1])) AS w2,
+       |     unnest(list_transform(generate_series(1, len(toks) - 2), i -> toks[i + 2])) AS w3
+       |   FROM (SELECT doc_id, ${duckTerms("text")} AS toks FROM documents)
+       |   WHERE len(toks) >= 3)
+       |  GROUP BY 1, 2, 3, 4),
+       | c3 AS (SELECT w1, w2, w3, sum(k) AS c3 FROM dt GROUP BY 1, 2, 3),
+       | ctx AS (SELECT w1, w2, sum(c3) AS cctx, count(*) AS n3r
+       |  FROM c3 GROUP BY 1, 2),
+       | ml AS (SELECT w2, w3, count(*) AS n3l FROM c3 GROUP BY 1, 2),
+       | mid AS (SELECT w2, count(*) AS n3mid, count(DISTINCT w3) AS n3rt
+       |  FROM c3 GROUP BY 1),
+       | bt AS (SELECT DISTINCT w1, w2 FROM (
+       |   SELECT
+       |     unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i])) AS w1,
+       |     unnest(list_transform(generate_series(1, len(toks) - 1), i -> toks[i + 1])) AS w2
+       |   FROM (SELECT ${duckTerms("text")} AS toks FROM documents)
+       |   WHERE len(toks) >= 2)),
+       | cl AS (SELECT w2 AS w3, count(*) AS n1pl FROM bt GROUP BY 1),
+       | na AS (SELECT count(*) AS n1pall FROM bt),
+       | sc AS (SELECT dt.doc_id, dt.k,
+       |   CAST(floor(-1000.0 * ln(
+       |     greatest(CAST(c3.c3 AS DOUBLE) - 0.75, 0.0) / ctx.cctx +
+       |     (0.75 * ctx.n3r / ctx.cctx) * (
+       |       greatest(CAST(ml.n3l AS DOUBLE) - 0.75, 0.0) / mid.n3mid +
+       |       (0.75 * mid.n3rt / mid.n3mid) * (CAST(cl.n1pl AS DOUBLE) / na.n1pall)))) AS BIGINT) AS s_mb
+       |  FROM dt JOIN c3 ON dt.w1 = c3.w1 AND dt.w2 = c3.w2 AND dt.w3 = c3.w3
+       |   JOIN ctx ON dt.w1 = ctx.w1 AND dt.w2 = ctx.w2
+       |   JOIN ml ON dt.w2 = ml.w2 AND dt.w3 = ml.w3
+       |   JOIN mid ON dt.w2 = mid.w2
+       |   JOIN cl ON dt.w3 = cl.w3
+       |   CROSS JOIN na)
+       | SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+       |  CAST(sum(k * s_mb) // sum(k) AS BIGINT) AS kn3_surprisal_mb
+       | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     // The model-served bigram twin shares the inline oracle: one
     // statistic, two serving paths (inline rebuild vs persisted LM).
     "q_text_bigram_served" -> bigramOracleSql,
     "q_text_kn_lm"     -> knOracleSql,
     "q_text_kn_served" -> knOracleSql,
+    "q_text_kn3_lm"     -> kn3OracleSql,
+    "q_text_kn3_served" -> kn3OracleSql,
     "q_text_lexical" ->
       s"""WITH tf AS (
          |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf

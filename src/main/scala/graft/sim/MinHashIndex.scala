@@ -90,8 +90,10 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
       Seq("segments" -> "seg-"))
 
   private def publishManifest(segs: Seq[String],
-      horizon: Option[Long] = None): Long = {
-    val body = segs ++ graft.ops.BatchHorizon.lines(horizon)
+      horizon: Option[Long] = None,
+      sid: Option[String] = None): Long = {
+    val body = segs ++ graft.ops.BatchHorizon.lines(horizon) ++
+      graft.ops.BatchHorizon.sidLines(sid)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val outStream = fs.create(tmp, false)
     try outStream.write(
@@ -105,6 +107,14 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * below — horizons only grow). */
   private def liveHorizon(): Option[Long] =
     currentVersion().flatMap(horizonAt)
+
+  /** The live stream-identity pin ([[graft.ops.BatchHorizon.requireSid]]
+    * — written by the streaming maintainer's first publish, carried by
+    * every later one, so a fresh-checkpoint restart fails loudly in
+    * [[appendSigsAsBatch]] instead of no-opping below the horizon). */
+  private def liveSid(): Option[String] =
+    currentVersion().flatMap(v =>
+      graft.ops.BatchHorizon.splitSid(manifestLinesAt(v)))
 
   /** Write one segment from a signatures frame: sigs parquet first, then
     * bands DERIVED FROM THE WRITTEN FILE (the write is the
@@ -133,11 +143,23 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
       graft.queries.Tables.fanout(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))))
 
-  /** First build: one segment, manifest version 0 (or the next version
-    * over an existing index — old manifests serve until vacuumed). */
-  def build(docs: DataFrame, idCol: String, textCol: String): Long =
+  /** First build: one segment, manifest version 0 — or a REBUILD over
+    * an existing index, which is a FOLD for replay purposes: the live
+    * batch-named segments vanish from the manifest, so the published
+    * horizon must advance past them ([[graft.ops.BatchHorizon.afterFold]]
+    * — a pre-rebuild batch redelivered afterwards would otherwise
+    * re-append, double-adding its rows or resurrecting victims a
+    * pre-rebuild forget erased) and the stream-identity pin is carried.
+    * Old manifests serve until vacuumed. */
+  def build(docs: DataFrame, idCol: String, textCol: String): Long = {
+    val (folded, h, sid) = currentVersion() match {
+      case Some(v) => (segmentsAt(v), horizonAt(v),
+        graft.ops.BatchHorizon.splitSid(manifestLinesAt(v)))
+      case None => (Nil, None, None)
+    }
     publishManifest(Seq(writeSegmentFromSigs(sketch(docs, idCol, textCol))),
-      currentVersion().flatMap(horizonAt))
+      graft.ops.BatchHorizon.afterFold(h, folded), sid)
+  }
 
   /** Incremental APPEND: sketch only the delta, publish old segments +
     * the new one. Cost ∝ delta — the standing corpus text is never
@@ -146,7 +168,8 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     val live = liveSegments() // resolve BEFORE the heavy write
     val h = liveHorizon()
     publishManifest(
-      live :+ writeSegmentFromSigs(sketch(docs, idCol, textCol)), h)
+      live :+ writeSegmentFromSigs(sketch(docs, idCol, textCol)), h,
+      liveSid())
   }
 
   /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -169,16 +192,24 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * or below the manifest's replay horizon ([[graft.ops.BatchHorizon]])
     * — a forget/compact folded it away, so re-appending would
     * double-add its survivors and RESURRECT its forgotten victims. */
-  private[graft] def appendSigsAsBatch(sigs: DataFrame, batchId: Long): Long = {
-    val (live, h) = currentVersion() match {
-      case Some(v) => (segmentsAt(v), horizonAt(v))
-      case None    => (Nil, None)
+  private[graft] def appendSigsAsBatch(sigs: DataFrame, batchId: Long,
+      streamId: Option[String] = None): Long = {
+    val (live, h, sid) = currentVersion() match {
+      case Some(v) => (segmentsAt(v), horizonAt(v),
+        graft.ops.BatchHorizon.splitSid(manifestLinesAt(v)))
+      case None    => (Nil, None, None)
     }
+    // Identity pin FIRST: the horizon no-op is sound only per
+    // checkpoint — a pinned index fed by a different stream identity
+    // fails loudly instead of silently dropping every batch at or
+    // below the old horizon ([[graft.ops.BatchHorizon.requireSid]]).
+    graft.ops.BatchHorizon.requireSid(sid, streamId, s"MinHash index $indexDir")
     val seg = s"seg-batch-$batchId"
     if (live.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, indexDir))
       return resolvedOrFail()
     writeNamedSegment(sigs, seg)
-    publishManifest(live :+ seg, h)
+    publishManifest(live :+ seg, h,
+      graft.ops.BatchHorizon.adoptSid(sid, streamId))
   }
 
   /** FORGET: drop `ids` and publish one rewritten segment — deletion
@@ -195,7 +226,7 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     // horizon so a redelivered pre-forget batch cannot re-append (and
     // resurrect victims this forget just erased).
     publishManifest(Seq(writeSegmentFromSigs(survivors)),
-      graft.ops.BatchHorizon.afterFold(liveHorizon(), live))
+      graft.ops.BatchHorizon.afterFold(liveHorizon(), live), liveSid())
   }
 
   /** MASS-erasure forget: victims stay a DataFrame end to end (LEFT
@@ -208,7 +239,7 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     val survivors = readUnion(live, "sigs")
       .join(v, Seq("doc_id"), "left_anti")
     publishManifest(Seq(writeSegmentFromSigs(survivors)),
-      graft.ops.BatchHorizon.afterFold(liveHorizon(), live))
+      graft.ops.BatchHorizon.afterFold(liveHorizon(), live), liveSid())
   }
 
   /** MAINTENANCE compaction: merge live segments into one (row union —
@@ -226,7 +257,7 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     val live = liveSegments()
     if (live.size <= 1) return resolvedOrFail()
     publishManifest(Seq(writeSegmentFromSigs(readUnion(live, "sigs"))),
-      graft.ops.BatchHorizon.afterFold(liveHorizon(), live))
+      graft.ops.BatchHorizon.afterFold(liveHorizon(), live), liveSid())
   }
 
   private def readSeg(seg: String, table: String): DataFrame =

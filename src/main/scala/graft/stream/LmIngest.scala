@@ -42,9 +42,10 @@ final class LmIngest(
     if (batch.isEmpty) return 0L
     val n = batch.count()
     if (NgramLm.storeExists(spark, modelDir))
-      NgramLm.load(spark, modelDir).appendBatch(batch, textCol, batchId)
+      NgramLm.load(spark, modelDir)
+        .appendBatch(batch, textCol, batchId, streamId)
     else
-      NgramLm.fitBatch(batch, textCol, modelDir, batchId)
+      NgramLm.fitBatch(batch, textCol, modelDir, batchId, streamId)
     n
   }
 }

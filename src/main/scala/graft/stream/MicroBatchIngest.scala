@@ -20,9 +20,22 @@ private[stream] trait MicroBatchIngest {
     * (novel docs, merged keys, slice rows). */
   def processBatch(batch: DataFrame, batchId: Long): Long
 
+  /** The STREAM IDENTITY this maintainer runs under — the checkpoint
+    * location bound at [[start]] (batch ids are meaningful only per
+    * checkpoint). Maintainers that publish into batch-horizon stores
+    * (LM, MinHash) pass it to the store's append so a restart with a
+    * FRESH checkpoint fails loudly against the store's pinned identity
+    * ([[graft.ops.BatchHorizon.requireSid]]) instead of silently
+    * no-opping every batch at or below the old replay horizon. None
+    * when started without a checkpoint (tests, ad-hoc runs) — such
+    * streams make no cross-restart batch-id promise to pin. */
+  @volatile private var boundCheckpoint: Option[String] = None
+  protected final def streamId: Option[String] = boundCheckpoint
+
   /** Attach to a streaming frame via foreachBatch. */
   final def start(source: DataFrame, queryName: String, trigger: Trigger,
                   checkpointLocation: Option[String] = None): StreamingQuery = {
+    boundCheckpoint = checkpointLocation
     val w = source.writeStream
       .queryName(queryName)
       .foreachBatch((b: DataFrame, id: Long) => { processBatch(b, id); () })

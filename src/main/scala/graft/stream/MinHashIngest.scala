@@ -145,7 +145,8 @@ final class MinHashIngest(
             fresh.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
           // Shingle-free-only batches append nothing: an empty segment
           // carries no state and would only churn manifests on replay.
-          if (!freshSigs.isEmpty) idx.appendSigsAsBatch(freshSigs, batchId)
+          if (!freshSigs.isEmpty)
+            idx.appendSigsAsBatch(freshSigs, batchId, streamId)
         }
         n
       } finally { fresh.unpersist(); () }

@@ -31,5 +31,20 @@ class ForgetScaleSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(victims2.nonEmpty && victims1.intersect(victims2).isEmpty,
       "successive passes reused a victim slice")
+    // lastFrame is the MEASURED request's ledger — the out-of-clock
+    // rows read must count the erasure the clock saw, not a new one.
+    assert(ForgetScale.lastFrame(spark, dir).count() ==
+      victims2.size.toLong * 7)
+  }
+
+  test("slice exhaustion rebuilds a fresh fixture instead of failing") {
+    // mod = 1: one slice (the whole corpus) per fixture — the second
+    // call exhausts it and must transparently rebuild, not throw.
+    val l1 = ForgetScale.frameAt(spark, dir, mod = 1)
+    assert(l1.select("id").distinct().count() > 0)
+    val l2 = ForgetScale.frameAt(spark, dir, mod = 1)
+    assert(l2.select("id").distinct().count() ==
+      l1.select("id").distinct().count(),
+      "rebuilt fixture must erase the same-shaped victim slice")
   }
 }

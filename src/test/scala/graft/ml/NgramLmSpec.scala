@@ -106,6 +106,68 @@ class NgramLmSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("store-served TRIGRAM KN scores equal the inline graded query " +
+      "bit-for-bit (order 3)") {
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val d = Files.createTempDirectory("nglm-tri").toString + "/lm"
+    NgramLm.fit(full, "text", d)
+    val served = NgramLm.load(spark, d)
+      .scoreKneserNey3(full, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val inline = graft.SparkEntry
+      .queries("q_text_kn3_lm")(spark, dir).collect().toSeq
+    assert(served == inline)
+  }
+
+  test("trigram lifecycle is exact: append == from-scratch, forget == " +
+      "redacted fit, compact folds losslessly (order 3)") {
+    val full = graft.queries.Tables.t(spark, dir, "documents")
+    val half = 250
+    // APPEND: base+delta == from-scratch on the trigram table.
+    val d = Files.createTempDirectory("nglm-triapp").toString + "/lm"
+    NgramLm.fit(full.where(col("doc_id") < half), "text", d)
+    NgramLm.load(spark, d).append(full.where(col("doc_id") >= half), "text")
+    val ref = Files.createTempDirectory("nglm-triapp2").toString + "/lm"
+    NgramLm.fit(full, "text", ref)
+    def tri(p: String) = NgramLm.load(spark, p).trigrams()
+      .orderBy("w1", "w2", "w3").collect().toSeq
+    assert(tri(d) == tri(ref))
+    // FORGET: negative segment == fit on the redacted corpus, at
+    // order 3 too; serving agrees on the kept docs.
+    val victims = full.orderBy("doc_id").limit(50)
+    NgramLm.load(spark, d).forget(victims, "text")
+    val victimIds = victims.select("doc_id").as[Long].collect().toSet
+    val keep = full.where(!col("doc_id").isin(victimIds.toSeq: _*))
+    val redacted = Files.createTempDirectory("nglm-trifgt").toString + "/lm"
+    NgramLm.fit(keep, "text", redacted)
+    assert(tri(d) == tri(redacted))
+    assert(NgramLm.load(spark, d).scoreKneserNey3(keep, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq ==
+      NgramLm.load(spark, redacted).scoreKneserNey3(keep, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+    // COMPACT: folds the three segments (base + append + forget) into
+    // one; the trigram table and served scores are unchanged.
+    NgramLm.load(spark, d).compact()
+    assert(tri(d) == tri(redacted))
+    assert(NgramLm.load(spark, d).scoreKneserNey3(keep, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq ==
+      NgramLm.load(spark, redacted).scoreKneserNey3(keep, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+  }
+
+  test("two-token docs contribute bigrams but no trigrams; scored " +
+      "short docs yield no order-3 row") {
+    val d = Files.createTempDirectory("nglm-two").toString + "/lm"
+    NgramLm.fit(Seq((1L, "alpha beta"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text"), "text", d)
+    val m = NgramLm.load(spark, d)
+    val t3 = m.trigrams().collect()
+    assert(t3.length == 1 && t3.head.getString(0) == "beta" &&
+      t3.head.getString(1) == "gamma" && t3.head.getString(2) == "delta")
+    assert(m.scoreKneserNey3(Seq((9L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+  }
+
   test("single-token docs contribute unigrams but no bigrams") {
     val d = Files.createTempDirectory("nglm-one").toString + "/lm"
     NgramLm.fit(Seq((1L, "alpha"), (2L, "beta gamma")).toDF("doc_id", "text"),
