@@ -129,14 +129,35 @@ class PlanAuditSpec extends SparkSpec {
     * equi-join, never pair enumeration": a regression to any loop-join
     * shape (cartesian, nested-loop) would be quadratic in docs. NOTE:
     * these two builders carry eager localCheckpoints, so this executes
-    * their small sf0.001 build frames. */
-  test("span dedup joins are equi-joins — no cartesian/BNLJ anywhere") {
+    * their small sf0.001 build frames.
+    *
+    * The gram-attach joins have TWO legitimate physical regimes, pinned
+    * here and in PLANS.md (§span-gram-join-regimes): while the GRAM
+    * table fits the broadcast threshold it is the BUILD side of both
+    * attaches (BuildRight — shuffle ∝ the winnow index only; measured
+    * shuf ≤ 9 MB through ×4), and once it outgrows the threshold AQE
+    * flips both to sort-merge, shuffling the candidate-fanout
+    * intermediate (Σ over candidate pairs of the docs' gram streams —
+    * the exact quantity the scaling span_budget bars; measured 941 MB
+    * at ×8, ≈ pairs₈ × grams/doc × row width). The flip is the plan
+    * WORKING as declared, not a regression: what would be wrong is a
+    * loop join (quadratic in docs) in either regime, or losing the
+    * gram-side build at small scale (shuffling a corpus-sized stream to
+    * attach a handful of candidates). */
+  test("span dedup joins are equi-joins — no cartesian/BNLJ; small " +
+      "regime broadcasts the gram side") {
     for (q <- Seq("q_dedup_spans", "q_dedup_span_apply")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         s"$q: loop join in the span chain:\n$p")
     }
+    // Small regime (sf0.001): both gram attaches build/broadcast the
+    // gram table — the candidate stream is never shuffled.
+    val p = plan("q_dedup_spans")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3 &&
+      !p.contains("SortMergeJoin"),
+      "small-regime span plan lost the gram-side broadcast:\n" + p)
   }
 
   /** Both NDCG rankings (actual + ideal) must ride the bounded-heap
