@@ -103,6 +103,15 @@ object ForgetScale {
   def frame(spark: SparkSession, dir: String): DataFrame =
     frameAt(spark, dir, VictimMod)
 
+  /** Build the seven-store fixture WITHOUT running an erasure — the
+    * anchor runs ([[ForgetAnchor]]) separate the one-time store build
+    * from the timed forget passes explicitly, instead of riding the
+    * scaling block's min-of-2 exclusion. Idempotent per (app, dir,
+    * mod). */
+  def prewarm(spark: SparkSession, dir: String, mod: Int = VictimMod): Unit = {
+    fixture(spark, dir, mod); ()
+  }
+
   /** The committed ledger frame of the last completed request at this
     * (dir, mod) — the out-of-clock row count of exactly the erasure the
     * clock measured ([[Fixture.lastFrame]]). Fails if no request ran. */
