@@ -88,23 +88,45 @@ object ForgetAnchor {
           s"$ledger ledger rows")
         (sec, ledger)
       }
-      val probePost = graft.Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      // Post probe with a bounded settle: immediately after a
+      // multi-GB erasure the box pays its own dirty-page writeback,
+      // which reads as bandwidth contention but is the factor's own
+      // wake, not a co-tenant. Re-probe up to 3 times at 30 s spacing
+      // and keep the min — a genuinely contended window stays high
+      // through the settle and still flags the artifact.
+      var probePost = graft.Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      var settles = 3
+      while (probePost > graft.Calib.BandSkewRatio * probePre &&
+          settles > 0) {
+        System.err.println(f"[fanchor] x$f post probe $probePost%.3f " +
+          "high — settling 30 s")
+        Thread.sleep(30000)
+        probePost = math.min(probePost,
+          graft.Calib.bwParSec(spark.sparkContext, cpus.toInt))
+        settles -= 1
+      }
       val sec = per.map(_._1).min
       val ledger = per.map(_._2).max
-      (f, sec, ledger, math.max(probePre, probePost))
+      (f, sec, ledger, probePre, probePost)
     }
 
     val t1 = rows.head._2
-    val probes = rows.map(_._4)
+    // Band verdict over ALL bracket probes (two per factor): with only
+    // two factors a max-per-factor median would grade itself — the
+    // full probe list at least exposes a pre-vs-post spread (a post
+    // probe inflated by the factor's own page-cache churn reads
+    // differently from a contended pre probe; both are recorded).
+    val probes = rows.flatMap(r => Seq(r._4, r._5))
     val quietRef = probes.sorted.apply(probes.size / 2)
     val skewed = probes.exists(_ > graft.Calib.BandSkewRatio * quietRef)
     val fMax = factors.max
     val gMax = rows.last._2 / (fMax * t1)
     val bar = graft.Scaling.gBarAt(fMax)
     val barsOk = fMax == 1 || gMax <= bar
-    val blocks = rows.map { case (f, sec, ledger, probe) =>
+    val blocks = rows.map { case (f, sec, ledger, pre, post) =>
       s""""x$f":{"t":${d3(sec)},"ledger_rows":$ledger,""" +
-        s""""victims":${ledger / 7},"probe":${d3(probe)}}"""
+        s""""victims":${ledger / 7},"probe_pre":${d3(pre)},""" +
+        s""""probe_post":${d3(post)}}"""
     }.mkString(",")
     val json = s"""{"metric":"forget_anchor","sf":"$srcDir","mod":$Mod,""" +
       s""""factors":[${factors.mkString(",")}],$blocks,""" +

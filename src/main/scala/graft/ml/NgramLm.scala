@@ -571,8 +571,12 @@ object NgramLm {
       * small. */
     def scoreKneserNey3(docs: DataFrame, idCol: String,
         textCol: String): DataFrame = {
+      // NO checkpoint here (the [[scoreKneserNey]] contract): the
+      // rolled table re-reads per marginal — model-state-sized parquet
+      // scans — rather than pinning blocks a per-call path could never
+      // release. Wire a [[bigramTypeScores]]-style generation cache
+      // only if a standing per-trigger consumer appears.
       val c3 = trigrams().withColumnRenamed("cnt", "c3")
-        .localCheckpoint(true) // feeds four marginals + the type join
       val ctx = c3.groupBy("w1", "w2")
         .agg(sum("c3").as("cctx"), count(lit(1)).as("n3r"))
       val ml = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n3l"))

@@ -379,6 +379,41 @@ object TextQueries {
       .localCheckpoint(true)) // train LM + val scoring read one pass
   }
 
+  /** CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.3 — the shipped
+    * corpus partitioning): rank the scored docs by reference-LM
+    * surprisal WITHIN each source and cut into head/middle/tail
+    * terciles. CCNet releases exactly these buckets per language and
+    * trains on head+middle; the bucket label is the single most-used
+    * quality stratum in LM data curation. Composition: the per-doc
+    * scores are `q_text_heldout_ppl`'s graded output (one statistic,
+    * one more consumer — the [[SamplingQueries]] DoReMi rule), the
+    * per-source ranking rides the [[graft.ops.PrefixOps]] two-phase
+    * prefix scan (the local window carries the partition-id column —
+    * never a stream-level window on the low-cardinality source key),
+    * and the tercile is Spark's NTile arithmetic recomputed from
+    * (rank, n) in exact integers ([[graft.ops.PrefixOps.ntileFromRowNumber]]
+    * — the oracle mirrors the same CASE, so engines cannot drift on
+    * uneven terciles). The production form scores candidate shards
+    * through the persisted LM ([[graft.ml.NgramLm.Model.score]]) and
+    * buckets identically. */
+  private val pplBuckets: Q = (s, dir) => {
+    val perDoc = heldoutPpl(s, dir)
+    val scored = perDoc
+      .join(docs(s, dir).select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "heldout_mb")
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col(graft.ops.PrefixOps.PidCol))
+      .orderBy(col("heldout_mb"), col("doc_id"))
+    graft.ops.PrefixOps.withPrefixOffsets(scored, Seq("source"),
+        Seq(col("heldout_mb"), col("doc_id")), Seq("r" -> lit(1L)))
+      .withColumn("rn", col("r_off") + row_number().over(wLoc).cast("long"))
+      .withColumn("b", graft.ops.PrefixOps.ntileFromRowNumber("rn", "r_tot", 3))
+      .select(col("doc_id"), col("source"), col("heldout_mb"),
+        expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END")
+          .as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   /** TRAIN-ONCE / SCORE-MANY: one persisted [[graft.ml.NgramLm]] per
     * (application, corpus dir), fitted on the deterministic train split
     * on first request — the frozen-LM serving half of
@@ -1840,6 +1875,7 @@ object TextQueries {
     "q_text_kn_served"   -> knServed,
     "q_text_kn3_lm"      -> kn3Lm,
     "q_text_kn3_served"  -> kn3Served,
+    "q_text_ppl_buckets" -> pplBuckets,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
@@ -2003,6 +2039,25 @@ object TextQueries {
     "q_text_kn_served" -> knOracleSql,
     "q_text_kn3_lm"     -> kn3OracleSql,
     "q_text_kn3_served" -> kn3OracleSql,
+    // Perplexity terciles: NTile arithmetic mirrored inline (first
+    // n%3 terciles hold one extra row — Spark's NTile rule verbatim)
+    // so uneven sources cannot drift between engines.
+    "q_text_ppl_buckets" ->
+      s"""WITH h AS ($heldoutCoreSql),
+         | j AS (SELECT h.doc_id, d.source, h.heldout_mb
+         |  FROM h JOIN documents d USING (doc_id)),
+         | r AS (SELECT doc_id, source, heldout_mb,
+         |   CAST(row_number() OVER (PARTITION BY source
+         |     ORDER BY heldout_mb, doc_id) AS BIGINT) AS rn,
+         |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM j)
+         | SELECT doc_id, source, heldout_mb,
+         |  CASE (CASE WHEN rn <= ((n // 3) + 1) * (n % 3)
+         |    THEN (rn - 1) // ((n // 3) + 1) + 1
+         |    ELSE (n % 3) + (rn - ((n // 3) + 1) * (n % 3) - 1) // (n // 3) + 1
+         |   END) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+         |  END AS ppl_bucket
+         | FROM r ORDER BY doc_id""".stripMargin,
     "q_text_lexical" ->
       s"""WITH tf AS (
          |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf

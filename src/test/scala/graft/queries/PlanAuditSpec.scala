@@ -90,7 +90,7 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
         "q_w2_top_p", "q_w2_rfm", "q_sample_curriculum",
         "q_ml_auc", "q_ml_pr_curve", "q_ml_auc_sliced", "q_ml_rankcorr",
-        "q_sample_budget")) {
+        "q_sample_budget", "q_text_ppl_buckets")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       assert(df.queryExecution.optimizedPlan
           .collect { case w: LWindow => w }.nonEmpty,
