@@ -396,8 +396,15 @@ object TextQueries {
     * uneven terciles). The production form scores candidate shards
     * through the persisted LM ([[graft.ml.NgramLm.Model.score]]) and
     * buckets identically. */
-  private val pplBuckets: Q = (s, dir) => {
-    val perDoc = heldoutPpl(s, dir)
+  private val pplBuckets: Q = (s, dir) =>
+    bucketsFrom(s, dir, heldoutPpl(s, dir))
+
+  /** The rank-and-cut over ANY per-doc heldout frame (doc_id, …,
+    * heldout_mb) — one definition shared by the inline kernel and the
+    * store-served twin, so the two compositions cannot drift. */
+  private def bucketsFrom(s: SparkSession, dir: String,
+      perDoc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val scored = perDoc
       .join(docs(s, dir).select("doc_id", "source"), Seq("doc_id"))
       .select("doc_id", "source", "heldout_mb")
@@ -413,6 +420,19 @@ object TextQueries {
           .as("ppl_bucket"))
       .orderBy("doc_id")
   }
+
+  /** [[pplBuckets]] with the per-doc scores SERVED from the persisted
+    * train-split LM ([[sharedNgramLm]] via
+    * [[graft.ml.NgramLm.Model.score]]) — the production CCNet shape
+    * (score candidate shards against the frozen reference LM, bucket
+    * per source); the ranking/tercile machinery is [[bucketsFrom]]
+    * verbatim and the oracle is the inline query's. */
+  private val pplBucketsServed: Q = (s, dir) =>
+    bucketsFrom(s, dir,
+      sharedNgramLm(s, dir).score(
+        SamplingQueries.withSplit(docs(s, dir), "doc_id")
+          .where(col("split") === "val"),
+        "doc_id", "text"))
 
   /** TRAIN-ONCE / SCORE-MANY: one persisted [[graft.ml.NgramLm]] per
     * (application, corpus dir), fitted on the deterministic train split
@@ -1876,6 +1896,7 @@ object TextQueries {
     "q_text_kn3_lm"      -> kn3Lm,
     "q_text_kn3_served"  -> kn3Served,
     "q_text_ppl_buckets" -> pplBuckets,
+    "q_text_ppl_buckets_served" -> pplBucketsServed,
     "q_text_pmi"         -> pmiKeyphrases,
     "q_text_stem"        -> stemVocabulary
   )
@@ -2031,6 +2052,27 @@ object TextQueries {
        |  CAST(sum(k * s_mb) // sum(k) AS BIGINT) AS kn3_surprisal_mb
        | FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** `q_text_ppl_buckets`' oracle — ONE definition, also graded against
+    * the store-served twin. NTile arithmetic mirrored inline (first
+    * n%3 terciles hold one extra row — Spark's NTile rule verbatim) so
+    * uneven sources cannot drift between engines. */
+  private lazy val pplBucketsOracleSql =
+    s"""WITH h AS ($heldoutCoreSql),
+       | j AS (SELECT h.doc_id, d.source, h.heldout_mb
+       |  FROM h JOIN documents d USING (doc_id)),
+       | r AS (SELECT doc_id, source, heldout_mb,
+       |   CAST(row_number() OVER (PARTITION BY source
+       |     ORDER BY heldout_mb, doc_id) AS BIGINT) AS rn,
+       |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM j)
+       | SELECT doc_id, source, heldout_mb,
+       |  CASE (CASE WHEN rn <= ((n // 3) + 1) * (n % 3)
+       |    THEN (rn - 1) // ((n // 3) + 1) + 1
+       |    ELSE (n % 3) + (rn - ((n // 3) + 1) * (n % 3) - 1) // (n // 3) + 1
+       |   END) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       |  END AS ppl_bucket
+       | FROM r ORDER BY doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     // The model-served bigram twin shares the inline oracle: one
     // statistic, two serving paths (inline rebuild vs persisted LM).
@@ -2041,23 +2083,10 @@ object TextQueries {
     "q_text_kn3_served" -> kn3OracleSql,
     // Perplexity terciles: NTile arithmetic mirrored inline (first
     // n%3 terciles hold one extra row — Spark's NTile rule verbatim)
-    // so uneven sources cannot drift between engines.
-    "q_text_ppl_buckets" ->
-      s"""WITH h AS ($heldoutCoreSql),
-         | j AS (SELECT h.doc_id, d.source, h.heldout_mb
-         |  FROM h JOIN documents d USING (doc_id)),
-         | r AS (SELECT doc_id, source, heldout_mb,
-         |   CAST(row_number() OVER (PARTITION BY source
-         |     ORDER BY heldout_mb, doc_id) AS BIGINT) AS rn,
-         |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-         |  FROM j)
-         | SELECT doc_id, source, heldout_mb,
-         |  CASE (CASE WHEN rn <= ((n // 3) + 1) * (n % 3)
-         |    THEN (rn - 1) // ((n // 3) + 1) + 1
-         |    ELSE (n % 3) + (rn - ((n // 3) + 1) * (n % 3) - 1) // (n // 3) + 1
-         |   END) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
-         |  END AS ppl_bucket
-         | FROM r ORDER BY doc_id""".stripMargin,
+    // so uneven sources cannot drift between engines. The served twin
+    // shares the oracle verbatim (one statistic, two serving paths).
+    "q_text_ppl_buckets" -> pplBucketsOracleSql,
+    "q_text_ppl_buckets_served" -> pplBucketsOracleSql,
     "q_text_lexical" ->
       s"""WITH tf AS (
          |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
