@@ -37,6 +37,43 @@ object ForgetAnchor {
 
   private val Tables = Seq("documents", "embeddings")
 
+  /** [[graft.Scaling.shifted]]'s row semantics (id shift k·10⁹, ts +k
+    * days, `cpK `-tagged text, n_chars re-derived) via ONE
+    * crossJoin-with-range plan instead of a factor-way union: at
+    * ×4000 the union form stalls for minutes in DRIVER-side analysis
+    * (4000 branches × per-branch column rewrites — Catalyst cost, not
+    * cluster cost), while this is a single narrow plan whose work is
+    * all executor-side row generation. Same rows, same columns. */
+  private def amplified(spark: SparkSession, srcDir: String, table: String,
+      f: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val base = graft.queries.Tables.t(spark, srcDir, table)
+    if (f == 1) return base
+    var out = base.crossJoin(
+      broadcast(spark.range(0, f).select(col("id").as("__k"))))
+    base.schema.fields.foreach { fl =>
+      val isKey = fl.name.endsWith("_id") || fl.name.endsWith("key")
+      if (isKey && fl.dataType == LongType)
+        out = out.withColumn(fl.name,
+          col(fl.name) + col("__k") * 1000000000L)
+      if (fl.name == "ts" && fl.dataType == TimestampType)
+        out = out.withColumn("ts",
+          expr("ts + make_interval(0, 0, 0, CAST(__k AS INT), 0, 0, 0)"))
+      if (fl.name == "text")
+        out = out.withColumn("text",
+          concat(lit("cp"), col("__k").cast("string"), lit(" "),
+            col("text")))
+    }
+    if (out.schema.fieldNames.contains("text") &&
+        out.schema.fieldNames.contains("n_chars"))
+      out = out.withColumn("n_chars", length(col("text")).cast("long"))
+    // The single-file base arrives as ONE split; without a fanout the
+    // f× row generation (and the parquet write) runs on one task.
+    out.drop("__k")
+      .repartition(spark.sparkContext.defaultParallelism * 4)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outPath = if (args.nonEmpty) args(0) else "ANCHOR_forget.json"
@@ -55,15 +92,77 @@ object ForgetAnchor {
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
-    val rows = factors.map { f =>
+    // PARTIAL RE-MEASURE (the Bench merge discipline): optional 2nd arg
+    // = comma-separated factors to re-run; every other factor's block
+    // is loaded from the existing artifact (same sf + mod required) and
+    // survives verbatim, probes included. Exists because one factor's
+    // bracket can ride a bad window (the first-of-session JVM warm-up
+    // inflated an x1 probe pair) while the expensive factors measured
+    // quiet — transient noise is repaired by re-measurement through the
+    // tool, never by hand-editing the artifact.
+    val only: Option[Set[Int]] =
+      if (args.length > 1)
+        Some(args(1).split(",").map(_.trim.toInt).toSet)
+      else None
+    val retained: Map[Int, (Double, Long, Double, Double)] = only match {
+      case None => Map.empty
+      case Some(sel) =>
+        val p = java.nio.file.Paths.get(outPath)
+        require(java.nio.file.Files.exists(p),
+          s"partial re-measure needs an existing $outPath")
+        val txt = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(txt.contains("\"sf\":\"" + srcDir + "\"") &&
+          txt.contains(s""""mod":$Mod"""),
+          s"existing $outPath is for a different sf dir or mod")
+        val block =
+          ("\"x(\\d+)\":\\{\"t\":([0-9.]+),\"ledger_rows\":(\\d+)," +
+            "\"victims\":\\d+,\"probe_pre\":([0-9.]+)," +
+            "\"probe_post\":([0-9.]+)\\}").r
+        val all = block.findAllMatchIn(txt).map(m =>
+          m.group(1).toInt -> ((m.group(2).toDouble, m.group(3).toLong,
+            m.group(4).toDouble, m.group(5).toDouble))).toMap
+        val missing = factors.toSet -- sel -- all.keySet
+        require(missing.isEmpty,
+          s"factors $missing neither re-measured nor in $outPath")
+        all.filter { case (f, _) => factors.contains(f) && !sel.contains(f) }
+    }
+    // One DISCARDED probe after a throwaway Spark job: the very first
+    // bwParSec of a session reads ~1.5-2x high even past its internal
+    // warm pass (JIT + page-cache state of a cold JVM) — observed
+    // stamping the x1 bracket skewed while every later window was
+    // quiet. The warm-up is not a measurement; it just keeps the first
+    // REAL probe comparable to the rest of the session.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val discard = graft.Calib.bwParSec(spark.sparkContext, cpus.toInt)
+    System.err.println(f"[fanchor] warm-up probe $discard%.3f s (discarded)")
+    // Quiet gate for the factors re-measured this run: when retained
+    // blocks exist their probes define the quiet reference; wait
+    // (bounded) for the box to read in-band before a bracket opens.
+    val retainedRef: Option[Double] = {
+      val ps = retained.values.flatMap(v => Seq(v._3, v._4)).toSeq.sorted
+      if (ps.isEmpty) None else Some(ps(ps.size / 2))
+    }
+    var gateBudgetMs = 5L * 60 * 1000
+    def gatedProbe(label: String): Double = {
+      var p = graft.Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      while (retainedRef.exists(r =>
+          p > graft.Calib.BandSkewRatio * r) && gateBudgetMs > 0) {
+        System.err.println(f"[fanchor] $label probe $p%.3f high vs " +
+          f"retained ref ${retainedRef.get}%.3f — waiting")
+        Thread.sleep(30000); gateBudgetMs -= 30000
+        p = graft.Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      }
+      p
+    }
+
+    val rows = factors.filter(f => only.forall(_.contains(f))).map { f =>
       val dir = s"/tmp/graft_fanchor/x$f"
       System.err.println(s"[fanchor] amplifying ${Tables.mkString("+")} " +
         s"$srcDir -> $dir (x$f)")
       val tAmp0 = System.nanoTime()
       Tables.foreach { t =>
-        val base = graft.queries.Tables.t(spark, srcDir, t)
-        (0 until f).map(graft.Scaling.shifted(base, _))
-          .reduce(_ unionByName _)
+        amplified(spark, srcDir, t, f)
           .write.mode("overwrite").parquet(s"$dir/$t.parquet")
       }
       System.err.println(f"[fanchor] amplify x$f done in " +
@@ -73,7 +172,7 @@ object ForgetAnchor {
       ForgetScale.prewarm(spark, dir, Mod)
       System.err.println(f"[fanchor] fixture build x$f done in " +
         f"${(System.nanoTime() - tB0) / 1e9}%.1f s")
-      val probePre = graft.Calib.bwParSec(spark.sparkContext, cpus.toInt)
+      val probePre = gatedProbe(s"x$f pre")
       // Min-of-2 timed erasures (slices 0 and 1 — disjoint halves; the
       // Bench storage hygiene between passes).
       val per = (1 to 2).map { _ =>
@@ -110,20 +209,25 @@ object ForgetAnchor {
       (f, sec, ledger, probePre, probePost)
     }
 
-    val t1 = rows.head._2
-    // Band verdict over ALL bracket probes (two per factor): with only
-    // two factors a max-per-factor median would grade itself — the
-    // full probe list at least exposes a pre-vs-post spread (a post
-    // probe inflated by the factor's own page-cache churn reads
-    // differently from a contended pre probe; both are recorded).
-    val probes = rows.flatMap(r => Seq(r._4, r._5))
+    // Merge: fresh blocks win; retained blocks (partial runs) survive
+    // verbatim, probes included.
+    val byFactor: Map[Int, (Double, Long, Double, Double)] =
+      retained ++ rows.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val series = factors.map(f => f -> byFactor(f))
+    val t1 = series.head._2._1
+    // Band verdict over ALL bracket probes (two per factor, fresh and
+    // retained alike): the full probe list exposes a pre-vs-post
+    // spread (a post probe inflated by the factor's own page-cache
+    // churn reads differently from a contended pre probe; both are
+    // recorded).
+    val probes = series.flatMap { case (_, v) => Seq(v._3, v._4) }
     val quietRef = probes.sorted.apply(probes.size / 2)
     val skewed = probes.exists(_ > graft.Calib.BandSkewRatio * quietRef)
     val fMax = factors.max
-    val gMax = rows.last._2 / (fMax * t1)
+    val gMax = byFactor(fMax)._1 / (fMax * t1)
     val bar = graft.Scaling.gBarAt(fMax)
     val barsOk = fMax == 1 || gMax <= bar
-    val blocks = rows.map { case (f, sec, ledger, pre, post) =>
+    val blocks = series.map { case (f, (sec, ledger, pre, post)) =>
       s""""x$f":{"t":${d3(sec)},"ledger_rows":$ledger,""" +
         s""""victims":${ledger / 7},"probe_pre":${d3(pre)},""" +
         s""""probe_post":${d3(post)}}"""
