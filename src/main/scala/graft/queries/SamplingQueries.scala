@@ -599,6 +599,58 @@ object SamplingQueries {
           .as("weight_ppm"))
   }
 
+  /** EPOCH ALLOCATION under a token budget — the data-constrained
+    * scaling recipe (Muennighoff et al. 2023, "Scaling Data-Constrained
+    * Language Models": repeating data up to ~4 epochs is nearly as good
+    * as fresh tokens; beyond that returns decay fast — so production
+    * mixtures cap repeats at 4 and report the shortfall): given budget
+    * B = [[EpochBudgetX]] × total corpus tokens, each source's target
+    * share comes from the α = 0.5 temperature weights (the
+    * `q_sample_temperature` kernel — up-weights small sources exactly
+    * as the multilingual-mixture literature does), its epoch count is
+    * the target over its own tokens CAPPED at [[EpochCapMilli]]
+    * milli-epochs, and `realized_tok` is what the cap actually yields
+    * (`capped` marks sources whose demand exceeded 4 epochs —
+    * re-allocate their shortfall upstream or shrink B).
+    *
+    * Integer discipline: weights are floor-ppm over the
+    * deterministically-summed sqrt weights (the temperature kernel's
+    * sorted-fold); `target_tok = w_ppm · B DIV 10⁶` evaluated by the
+    * exact split `a·(b DIV m) + (a·(b mod m)) DIV m` — overflow-free to
+    * n_total ≈ 9·10¹⁵ tokens where the naive product wraps at 9·10¹²
+    * (Spark would wrap silently where DuckDB widens, the worst
+    * cross-engine divergence); epochs in integer milli-epochs. Scale
+    * shape: one tokenize-count to O(sources), then O(sources)
+    * arithmetic — nothing corpus-sized past the first aggregate. */
+  private val EpochCapMilli = 4000L
+  private val EpochBudgetX = 2L
+  private val sampleEpochs: Q = (s, dir) => {
+    val nTok = Tables.fanout(t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(sum(size(graft.ops.TokenOps.terms(col("text")))).as("n_tok"))
+    val f = nTok.withColumn("fn", expr("sqrt(CAST(n_tok AS DOUBLE))"))
+    val tot = f.agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(source, fn))), x -> x.fn),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("fsum"),
+      sum("n_tok").as("n_total"))
+    f.crossJoin(broadcast(tot))
+      .withColumn("w_ppm",
+        expr("CAST(floor(1000000.0 * fn / fsum) AS BIGINT)"))
+      .withColumn("target_tok", expr(
+        s"""w_ppm * (($EpochBudgetX * n_total) DIV 1000000) +
+           | (w_ppm * (($EpochBudgetX * n_total) % 1000000)) DIV 1000000"""
+          .stripMargin))
+      .withColumn("epochs_milli",
+        expr(s"least(${EpochCapMilli}L, 1000 * target_tok DIV n_tok)"))
+      .withColumn("realized_tok",
+        expr("n_tok * epochs_milli DIV 1000"))
+      .withColumn("capped", expr(s"epochs_milli = ${EpochCapMilli}L"))
+      .select("source", "n_tok", "w_ppm", "target_tok", "epochs_milli",
+        "realized_tok", "capped")
+      .orderBy("source")
+  }
+
   /** DoReMi weights SERVED from the persisted train-split LM — the
     * `q_text_ppl_served` discipline applied to the weights composition
     * (the trained-model serving shape of the reference's
@@ -671,6 +723,7 @@ object SamplingQueries {
     "q_sample_weighted" -> sampleWeighted,
     "q_sample_mixture" -> sampleMixture,
     "q_sample_temperature" -> sampleTemperature,
+    "q_sample_epochs" -> sampleEpochs,
     "q_sample_kfold" -> sampleKfold,
     "q_sample_cluster_split" -> sampleClusterSplit,
     "q_sample_cluster_balanced" -> sampleClusterBalanced,
@@ -707,6 +760,32 @@ object SamplingQueries {
 
   val oracles: Seq[(String, String)] = Seq(
     "q_sample_doremi" -> (doremiCoreSql + " ORDER BY source"),
+    // Epoch allocation: same sorted-fold fsum and the same exact
+    // a·(b DIV m) + (a·(b mod m)) DIV m split as the Spark side, so
+    // the engines agree to the token.
+    "q_sample_epochs" ->
+      s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
+         |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)
+         |  GROUP BY source),
+         | f AS (SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS fn FROM nt),
+         | tot AS (SELECT list_sum(list(fn ORDER BY source)) AS fsum,
+         |   CAST(sum(n_tok) AS BIGINT) AS n_total FROM f),
+         | w AS (SELECT source, n_tok,
+         |   CAST(floor(1000000.0 * fn / fsum) AS BIGINT) AS w_ppm, n_total
+         |  FROM f CROSS JOIN tot),
+         | a AS (SELECT source, n_tok, w_ppm,
+         |   CAST(w_ppm * (($EpochBudgetX * n_total) // 1000000) +
+         |     (w_ppm * (($EpochBudgetX * n_total) % 1000000)) // 1000000
+         |    AS BIGINT) AS target_tok
+         |  FROM w),
+         | e AS (SELECT source, n_tok, w_ppm, target_tok,
+         |   CAST(least($EpochCapMilli, 1000 * target_tok // n_tok) AS BIGINT)
+         |     AS epochs_milli
+         |  FROM a)
+         | SELECT source, n_tok, w_ppm, target_tok, epochs_milli,
+         |  CAST(n_tok * epochs_milli // 1000 AS BIGINT) AS realized_tok,
+         |  epochs_milli = $EpochCapMilli AS capped
+         | FROM e ORDER BY source""".stripMargin,
     // The served twin shares the inline oracle verbatim: one statistic,
     // two serving paths (inline heldout kernel vs persisted LM store).
     "q_sample_doremi_served" -> (doremiCoreSql + " ORDER BY source"),
