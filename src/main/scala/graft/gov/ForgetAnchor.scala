@@ -204,8 +204,11 @@ object ForgetAnchor {
           graft.Calib.bwParSec(spark.sparkContext, cpus.toInt))
         settles -= 1
       }
-      val sec = per.map(_._1).min
-      val ledger = per.map(_._2).max
+      // The block reports the (time, rows) pair of ONE pass — the
+      // min-time one. The two passes erase disjoint slices of slightly
+      // different sizes, so mixing min(time) with max(rows) would pair
+      // a time with rows from a DIFFERENT erasure.
+      val (sec, ledger) = per.minBy(_._1)
       (f, sec, ledger, probePre, probePost)
     }
 

@@ -60,6 +60,31 @@ object ForgetScale {
   private def fixtureKey(spark: SparkSession, dir: String, mod: Int) =
     spark.sparkContext.applicationId + "|" + dir + "|" + mod
 
+  /** Delete an abandoned fixture's on-disk stores (the eight temp
+    * dirs: seven store shapes + the ledger). Without this, every
+    * slice-exhaustion rebuild would orphan a full store copy for the
+    * life of the JVM — a long anchor run leaks multi-GB per cycle.
+    * Each store root is `<tempdir>/x` ([[fixture]]'s `tmp`); the
+    * whole tempdir goes. The fixture pins nothing (lastFrame is a
+    * parquet read), so disk is the only state to reclaim. */
+  private def vacuumFixture(fx: Fixture): Unit = {
+    def parent(storeDir: String): java.nio.file.Path =
+      java.nio.file.Paths.get(storeDir).getParent
+    Seq(fx.ivf.indexDir, fx.pq.indexDir, fx.mh.indexDir,
+        fx.lex.indexDir, fx.km.modelDir, fx.lmDir, fx.batchStoreDir,
+        fx.pipeline.ledgerDir)
+      .map(parent).distinct.foreach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case e: java.io.IOException =>
+          System.err.println(s"[ForgetScale] vacuum of $p failed: $e")
+        }
+      }
+  }
+
   private def fixture(spark: SparkSession, dir: String, mod: Int): Fixture = {
     val key = fixtureKey(spark, dir, mod)
     fixtures.getOrElseUpdate(key, {
@@ -139,6 +164,7 @@ object ForgetScale {
         s"($i >= $mod) for $dir — rebuilding a fresh fixture (this " +
         "pass pays a store build; treat its timing accordingly)")
       fixtures.remove(fixtureKey(spark, dir, mod))
+        .foreach(vacuumFixture)
       return frameAt(spark, dir, mod)
     }
     val docs = graft.queries.Tables.t(spark, dir, "documents")

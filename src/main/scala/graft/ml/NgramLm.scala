@@ -88,7 +88,11 @@ object NgramLm {
     * advanced past every live batch segment, and the stream-identity
     * pin — otherwise a pre-rebuild batch redelivered afterwards would
     * re-append (double-adding rows the rebuild already counted, or
-    * resurrecting victims a pre-rebuild forget erased). */
+    * resurrecting victims a pre-rebuild forget erased). The rebuild
+    * deliberately DROPS any `gate`/`inc` lines: its one segment counts
+    * every order from the (redacted) corpus the caller passes, so
+    * incompleteness and serving gates end here — this is the "full
+    * refit" [[Model.forget]]'s legacy-store rule points at. */
   def fit(docs: DataFrame, textCol: String, dir: String): Unit = {
     val store = new Store(org.apache.spark.sql.SparkSession.active, dir)
     val (tokens, horizon, sid) = store.currentVersion() match {
@@ -176,8 +180,13 @@ object NgramLm {
       // (order-2 vintage) tables and declare no b_*/tri_* meta — they
       // load fine (absent transitions roll as an empty table; the
       // store stays servable, never bricked) and the first compact()
-      // rewrites them in the full format. The cross-check still runs
-      // on every segment that DECLARES the order.
+      // rewrites them in the full FORMAT. Format only: the absent
+      // transitions stay absent (partial counts are the documented
+      // serving semantics), compact records that with an `inc` marker,
+      // and a forget against an incomplete order skips its negatives
+      // and GATES that order's serving until a full refit
+      // ([[Model.forget]]). The cross-check still runs on every
+      // segment that DECLARES the order.
       if (m.schema.fieldNames.contains("b_size"))
         checkTable("bi", m.getAs[Long]("b_size"), m.getAs[Long]("b_total"))
       if (m.schema.fieldNames.contains("tri_size"))
@@ -223,7 +232,8 @@ object NgramLm {
     // (segment names are all `seg-…`, so the prefix cannot collide).
     private def segmentsAt(v: Long): Seq[String] =
       graft.ops.BatchHorizon.split(
-        manifestLines(v).filterNot(_.startsWith("tok ")))._1
+        manifestLines(v).filterNot(l => l.startsWith("tok ") ||
+          l.startsWith("gate ") || l.startsWith("inc ")))._1
 
     // Replay horizon ([[graft.ops.BatchHorizon]]): compact() folds
     // batch-named segments away; the `bh <id>` line keeps a
@@ -247,6 +257,33 @@ object NgramLm {
       * line per erasure REQUEST — audit-ledger-sized, not data-sized. */
     def liveTokens(): Set[String] = tokensAt(currentVersion().getOrElse(
       throw new IllegalStateException(s"no complete LM store under $dir")))
+
+    private def prefixedAt(v: Long, prefix: String): Set[String] =
+      manifestLines(v).collect { case s if s.startsWith(prefix) =>
+        s.drop(prefix.length).trim }.toSet
+
+    /** SERVING GATES (`gate <table>` manifest lines): order tables an
+      * erasure ran against while INCOMPLETE — their negative counts
+      * could not be subtracted exactly, so serving that order would
+      * leak un-redacted transitions. Carried by every publish until a
+      * full refit ([[NgramLm.fit]] over this dir) clears them. */
+    def liveGates(): Set[String] = currentVersion()
+      .map(prefixedAt(_, "gate ")).getOrElse(Set.empty)
+
+    /** INCOMPLETE-ORDER markers (`inc <table>`): some live ingests
+      * predate this order's table (legacy-vintage segments). Written
+      * the first time a fold or forget OBSERVES a segment missing the
+      * table, and carried forever after — [[Model.compact]] rewrites
+      * every segment in the full FORMAT (which makes the missing-dir
+      * test blind), but the absent transitions stay absent, and a
+      * later forget must still know not to subtract them. */
+    def liveIncomplete(): Set[String] = currentVersion()
+      .map(prefixedAt(_, "inc ")).getOrElse(Set.empty)
+
+    /** True iff any LIVE segment has no `table` directory (a
+      * legacy-vintage segment from before the order existed). */
+    def anySegmentMissing(table: String): Boolean =
+      liveSegments().exists(s => !fs.exists(new Path(segPath(s, table))))
 
     def segPath(seg: String, table: String): String =
       s"$dir/segments/$seg/$table"
@@ -286,8 +323,12 @@ object NgramLm {
     def publish(segs: Seq[String],
         tokens: Set[String] = Set.empty,
         horizon: Option[Long] = None,
-        sid: Option[String] = None): Long = {
+        sid: Option[String] = None,
+        gates: Set[String] = Set.empty,
+        inc: Set[String] = Set.empty): Long = {
       val body = (segs ++ tokens.toSeq.sorted.map("tok " + _) ++
+        gates.toSeq.sorted.map("gate " + _) ++
+        inc.toSeq.sorted.map("inc " + _) ++
         graft.ops.BatchHorizon.lines(horizon) ++
         graft.ops.BatchHorizon.sidLines(sid))
         .mkString("\n") + "\n"
@@ -341,11 +382,31 @@ object NgramLm {
           .otherwise(col("cnt")))
     }
 
+    /** Loud serving gate ([[Store.liveGates]]): an erasure ran while
+      * this order's table was incomplete, so its rolled counts still
+      * contain transitions the committed erasure claims are gone —
+      * serving them would leak. The negative-count raise_error never
+      * fires for this case (the forget SKIPPED the inexact negatives);
+      * it remains the broken-contract guard it always was. */
+    private def requireServable(table: String): Unit =
+      if (store.liveGates().contains(table))
+        throw new IllegalStateException(
+          s"LM store at ${store.dir}: order-" +
+            (if (table == "tri") "3" else "2") +
+            s" serving is GATED — an erasure ran while the $table " +
+            "table was incomplete (legacy segments predating it were " +
+            "live), so the victims' transitions could not be " +
+            "subtracted exactly and the rolled counts would leak " +
+            "them. Refit the store on the redacted corpus " +
+            "(NgramLm.fit over this dir) to restore this order.")
+
     /** The rolled-up bigram table (w1, w2, cnt) — same algebra and same
       * negative-count guard as [[vocab]] (a forget that subtracts
       * never-ingested transitions is a broken contract at order 2 just
-      * as at order 1). */
+      * as at order 1). Throws when order-2 serving is gated
+      * ([[requireServable]]). */
     def bigrams(): DataFrame = {
+      requireServable("bi")
       val rolled = store
         .readUnionTolerant("bi", "w1 STRING, w2 STRING, cnt BIGINT")
         .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
@@ -362,8 +423,10 @@ object NgramLm {
     /** The rolled-up trigram table (w1, w2, w3, cnt) — same algebra and
       * same negative-count guard as [[vocab]]/[[bigrams]] (order-3
       * counts are additive like every order's). Legacy order-2
-      * segments contribute no rows ([[Store.readUnionTolerant]]). */
+      * segments contribute no rows ([[Store.readUnionTolerant]]).
+      * Throws when order-3 serving is gated ([[requireServable]]). */
     def trigrams(): DataFrame = {
+      requireServable("tri")
       val rolled = store
         .readUnionTolerant("tri",
           "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT")
@@ -618,7 +681,8 @@ object NgramLm {
       val tokens = store.liveTokens()
       val h = store.liveHorizon()
       store.publish(live :+ store.writeSegment(gramCountsOf(docs, textCol)),
-        tokens, h, store.liveSid())
+        tokens, h, store.liveSid(), store.liveGates(),
+        store.liveIncomplete())
     }
 
     /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -651,7 +715,8 @@ object NgramLm {
         return store.currentVersion().get
       store.writeNamedSegment(gramCountsOf(docs, textCol), seg)
       store.publish(live :+ seg, tokens, h,
-        graft.ops.BatchHorizon.adoptSid(sid, streamId))
+        graft.ops.BatchHorizon.adoptSid(sid, streamId),
+        store.liveGates(), store.liveIncomplete())
     }
 
     /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
@@ -659,15 +724,43 @@ object NgramLm {
       * most once — the class-doc contract) and append their counts
       * NEGATED; the rolled vocabulary then equals a fit on the redacted
       * corpus bit-for-bit (spec-pinned), zero-sum terms vanishing from
-      * the served vocabulary entirely. O(victim text), no rebuild. */
+      * the served vocabulary entirely. O(victim text), no rebuild.
+      *
+      * LEGACY stores ([[incompleteNow]]): orders whose table some live
+      * ingest predates get NO negative rows (the victims' transitions
+      * at that order were only partially ingested — subtracting the
+      * full victim text would drive never-counted transitions
+      * negative and brick serving on the raise_error guard forever,
+      * surviving even compact). Instead the order is GATED
+      * ([[requireServable]]) until a full refit: order-1 erasure stays
+      * exact, incomplete orders stop serving rather than leak. */
     def forget(docs: DataFrame, textCol: String): Long = {
       val live = store.liveSegments()
       val tokens = store.liveTokens()
       val h = store.liveHorizon()
+      val inc = incompleteNow()
       store.publish(live :+ store.writeSegment(
-        gramCountsOf(docs, textCol)
-          .select(col("w1"), col("w2"), col("w3"), (-col("cnt")).as("cnt"))),
-        tokens, h, store.liveSid())
+        negGrams(gramCountsOf(docs, textCol), inc)),
+        tokens, h, store.liveSid(), store.liveGates() ++ inc, inc)
+    }
+
+    /** Orders whose table is INCOMPLETE right now: the persisted
+      * marker ([[Store.liveIncomplete]] — survives compaction's
+      * format rewrite), any already-gated order (its counts are
+      * un-maintained by definition), plus a live missing-dir scan
+      * (the pre-marker legacy case). */
+    private def incompleteNow(): Set[String] =
+      store.liveIncomplete() ++ store.liveGates() ++
+        Seq("bi", "tri").filter(store.anySegmentMissing)
+
+    /** The NEGATED victim counts, with incomplete orders' rows
+      * dropped (see [[forget]]). */
+    private def negGrams(grams: DataFrame, inc: Set[String]): DataFrame = {
+      val neg = grams.select(col("w1"), col("w2"), col("w3"),
+        (-col("cnt")).as("cnt"))
+      val noBi = if (inc("bi"))
+        neg.where(!(col("w2").isNotNull && col("w3").isNull)) else neg
+      if (inc("tri")) noBi.where(col("w3").isNull) else noBi
     }
 
     /** REQUEST-KEYED idempotent forget — the [[appendBatch]] rule
@@ -697,12 +790,11 @@ object NgramLm {
       // subtraction.
       if (live.contains(seg) || tokens.contains(token))
         return store.currentVersion().get
+      val inc = incompleteNow() // the [[forget]] legacy-store rule
       store.writeNamedSegment(
-        gramCountsOf(docs, textCol)
-          .select(col("w1"), col("w2"), col("w3"),
-            (-col("cnt")).as("cnt")), seg)
+        negGrams(gramCountsOf(docs, textCol), inc), seg)
       store.publish(live :+ seg, tokens + token, store.liveHorizon(),
-        store.liveSid())
+        store.liveSid(), store.liveGates() ++ inc, inc)
     }
 
     /** MAINTENANCE compaction: fold live segments into one (the same
@@ -713,6 +805,11 @@ object NgramLm {
       val live = store.liveSegments()
       val tokens = store.liveTokens()
       if (live.size <= 1) return store.currentVersion().get
+      // Observe incompleteness BEFORE the fold: the rewrite below is
+      // full-format (every order gets a dir), so this is the last
+      // moment the missing-dir test can see a legacy segment — the
+      // `inc` marker carries the fact forward for any later forget.
+      val inc = incompleteNow()
       val uni = store.readUnion("uni")
         .groupBy("term").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
@@ -739,7 +836,7 @@ object NgramLm {
         Seq(store.writeSegment(uni.unionByName(bi).unionByName(tri))),
         tokens,
         graft.ops.BatchHorizon.afterFold(store.liveHorizon(), live),
-        store.liveSid())
+        store.liveSid(), store.liveGates(), inc)
     }
 
     /** Retention: keep the newest `keep` versions, sweep older

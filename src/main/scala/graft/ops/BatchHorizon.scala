@@ -42,9 +42,10 @@ object BatchHorizon {
   private val SidPrefix = "sid "
   private val SegPrefix = "seg-batch-"
 
-  /** Split manifest lines into (payload lines, horizon). The payload
-    * side still carries any `sid ` identity line — segment readers
-    * filter by their own prefixes, and [[splitSid]] peels it off. */
+  /** Split manifest lines into (payload lines, horizon). Any `sid `
+    * identity line is PEELED OFF the payload side (read it with
+    * [[splitSid]]) — callers that round-trip the payload through a
+    * publish must re-emit the pin via [[sidLines]]. */
   def split(lines: Seq[String]): (Seq[String], Option[Long]) = {
     val (h, rest) = lines.partition(_.startsWith(Prefix))
     (rest.filterNot(_.startsWith(SidPrefix)),

@@ -304,18 +304,32 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
   /** [[probeMatches]] from an ALREADY-COMPUTED delta signature frame —
     * the one-sketch-pass path [[graft.stream.MinHashIngest]] rides (its
     * screen and its index append share one signature computation). */
-  private[graft] def probeMatchesFromSigs(deltaSigs: DataFrame): DataFrame = {
+  private[graft] def probeMatchesFromSigs(deltaSigs: DataFrame,
+      maxBucketLiterals: Int = MinHashIndex.MaxBucketLiterals): DataFrame = {
     val live = liveSegments()
     val deltaBands = graft.queries.DedupQueries
       .minhashBandsOf(deltaSigs)
       .withColumn("bucket", expr(bucketSql("b", "bkey")))
       .localCheckpoint(true) // bucket list + join probe read it once
-    val buckets = deltaBands.select("bucket").distinct()
-      .collect().map(_.getLong(0)).toSeq
-    if (buckets.isEmpty) return deltaBands
+    // The collected list is capped: today `bucket` is mod-[[Buckets]]
+    // so ≤64 values come back, but the cap is the invariant the plan
+    // rides on, not the constant — a deployment that widens the
+    // bucket space (or a bulk backfill routed here instead of through
+    // [[build]]) must not assemble a multi-million-literal In filter
+    // on the driver. Past the cap the same lossless pruning runs as a
+    // bucket semi-join (still a bucket-table-sized broadcast side).
+    val bucketRows = deltaBands.select("bucket").distinct()
+      .limit(maxBucketLiterals + 1).collect()
+    if (bucketRows.isEmpty) return deltaBands
       .select(col("doc_id"), col("doc_id").as("corpus_doc")).limit(0)
-    readUnion(live, "bands")
-      .where(col("bucket").isin(buckets: _*)).as("c")
+    val corpus = readUnion(live, "bands")
+    val pruned =
+      if (bucketRows.length <= maxBucketLiterals)
+        corpus.where(col("bucket").isin(bucketRows.map(_.getLong(0)): _*))
+      else corpus.join(
+        broadcast(deltaBands.select("bucket").distinct()),
+        Seq("bucket"), "left_semi")
+    pruned.as("c")
       .join(deltaBands.as("n"),
         col("n.b") === col("c.b") && col("n.bkey") === col("c.bkey"))
       .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("corpus_doc"))
@@ -341,6 +355,15 @@ object MinHashIndex {
   /** Band-key hash-partition count: a probe touches ≤ min(Buckets,
     * distinct delta band-keys) partitions per segment. */
   val Buckets = 64
+
+  /** Driver-list cap for [[MinHashIndex.probeMatchesFromSigs]]'s
+    * planning-time bucket prune: at or below it the probed buckets
+    * become partition-pruning In literals; above it the prune runs as
+    * a broadcast bucket semi-join instead. With mod-[[Buckets]]
+    * bucketing the list can't exceed 64, so the live path never falls
+    * back — the cap guards the INVARIANT against a widened bucket
+    * space or a bulk delta that should have gone through `build`. */
+  val MaxBucketLiterals = 100000
 
   /** The layout/probe bucket rule — ONE definition (the md5-60-bit hex
     * parse idiom shared with [[LexIndex.bucketSql]]), evaluated through

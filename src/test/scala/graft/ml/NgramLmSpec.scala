@@ -361,6 +361,81 @@ class NgramLmSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("forget against a tri-less legacy store gates order-3 " +
+      "instead of bricking it") {
+    // The round-13 ADVICE (medium) hazard: a forget over a store whose
+    // live ingests include pre-trigram segments used to write negative
+    // trigram counts with no positive counterpart — trigrams() then
+    // hit the negative-count raise_error FOREVER (compact persists the
+    // realized negatives). Contract now: the incomplete order gets NO
+    // negative rows, its serving GATES loudly, orders 1-2 stay exact,
+    // the incompleteness survives compaction's full-format rewrite
+    // (the `inc` marker), and a full refit restores order-3.
+    val all = graft.queries.Tables.t(spark, dir, "documents")
+    val old = all.where(col("doc_id") < 100)
+    val newer = all.where(col("doc_id") >= 100 && col("doc_id") < 200)
+    val victims = all.where(col("doc_id") >= 100 && col("doc_id") < 130)
+      .localCheckpoint(true)
+    val base = Files.createTempDirectory("nglm-trileg").toString + "/lm"
+    NgramLm.fit(old, "text", base)
+    // Strip the segment to the order-2 vintage: no tri/, 4-column meta.
+    val segDir = new java.io.File(s"$base/segments").listFiles()
+      .filter(_.getName.startsWith("seg-")).head
+    val oldMeta = spark.read.parquet(s"$segDir/meta")
+      .select("t_total", "v_size", "b_total", "b_size").collect().toSeq
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/tri"))
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/meta"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(oldMeta, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "t_total BIGINT, v_size BIGINT, b_total BIGINT, b_size BIGINT"))
+      .write.parquet(s"$segDir/meta")
+
+    NgramLm.load(spark, base).append(newer, "text")
+    // Compact BEFORE the forget: the fold rewrites every segment in
+    // the full format, so the missing-dir test alone would go blind —
+    // only the persisted `inc` marker can warn the forget below.
+    NgramLm.load(spark, base).compact()
+    NgramLm.load(spark, base).forgetBatch(victims, "text", "req-leg-1")
+
+    val served = NgramLm.load(spark, base)
+    // Orders 1-2 equal a refit on the redacted corpus, bit-for-bit.
+    val redacted = old.unionByName(
+      all.where(col("doc_id") >= 130 && col("doc_id") < 200))
+    val ref = Files.createTempDirectory("nglm-trileg-ref").toString + "/lm"
+    NgramLm.fit(redacted, "text", ref)
+    val refM = NgramLm.load(spark, ref)
+    assert(served.vocab().orderBy("term").collect().toSeq ==
+      refM.vocab().orderBy("term").collect().toSeq)
+    assert(served.bigrams().orderBy("w1", "w2").collect().toSeq ==
+      refM.bigrams().orderBy("w1", "w2").collect().toSeq)
+    // Order-3 is GATED — the refit-required message, NOT the
+    // negative-count raise_error.
+    val e = intercept[IllegalStateException] { served.trigrams() }
+    assert(e.getMessage.contains("GATED"), e.getMessage)
+    // The gate and the exactness survive another compact + forget.
+    served.compact()
+    NgramLm.load(spark, base).forgetBatch(
+      all.where(col("doc_id") >= 130 && col("doc_id") < 140)
+        .localCheckpoint(true), "text", "req-leg-2")
+    val again = NgramLm.load(spark, base)
+    again.vocab().collect() // must not raise
+    assert(intercept[IllegalStateException] { again.trigrams() }
+      .getMessage.contains("GATED"))
+    // A full refit on the redacted corpus clears the gate and serves
+    // order-3 equal to a fresh fit.
+    val redacted2 = old.unionByName(
+      all.where(col("doc_id") >= 140 && col("doc_id") < 200))
+    NgramLm.fit(redacted2, "text", base)
+    val ref2 = Files.createTempDirectory("nglm-trileg-ref2").toString + "/lm"
+    NgramLm.fit(redacted2, "text", ref2)
+    assert(NgramLm.load(spark, base).trigrams()
+        .orderBy("w1", "w2", "w3").collect().toSeq ==
+      NgramLm.load(spark, ref2).trigrams()
+        .orderBy("w1", "w2", "w3").collect().toSeq)
+  }
+
   test("a mutation THROUGH the handle rebuilds bigram type scores " +
       "(no stale cache)") {
     // The round-11 ADVICE bug: the type table was cached for the

@@ -127,6 +127,32 @@ class MinHashIndexSpec extends SparkSpec {
       s"expected <= 4 of $allParts partitions after pruning, got $probed")
   }
 
+  test("past the literal cap the bucket prune falls back to a " +
+      "semi-join with identical matches") {
+    // Guard for the invariant, not the constant: with mod-64 buckets
+    // the collected literal list can't exceed 64, but a widened bucket
+    // space (or a bulk backfill delta routed through the probe) must
+    // degrade to a join-based prune, never a multi-million-literal In
+    // filter assembled on the driver.
+    val delta = docs.where(col("doc_id") % 17 === 3)
+    val sigs = graft.queries.DedupQueries.minhashSigsOf(
+      graft.queries.Tables.fanout(delta.select(col("doc_id"), col("text"))))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "corpus_doc").collect().toSeq
+    val viaLiterals = idx.probeMatchesFromSigs(sigs)
+    val viaSemi = idx.probeMatchesFromSigs(sigs, maxBucketLiterals = 1)
+    assert(sorted(viaLiterals).nonEmpty)
+    assert(sorted(viaLiterals) == sorted(viaSemi),
+      "fallback prune changed the matches")
+    // Below the cap: literal In prune (partition-prunable). Above:
+    // no literal list in the plan — the prune is a semi-join.
+    assert(viaLiterals.queryExecution.optimizedPlan.toString
+      .contains("bucket#"), "literal path lost its bucket filter")
+    val semiPlan = viaSemi.queryExecution.optimizedPlan.toString
+    assert(semiPlan.contains("LeftSemi"),
+      s"expected a LeftSemi bucket prune above the cap:\n$semiPlan")
+  }
+
   test("a shingle-free delta defaults to keep with zero matches") {
     import spark.implicits._
     val tiny = Seq((99999L, "hi")).toDF("doc_id", "text")
