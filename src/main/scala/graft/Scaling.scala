@@ -94,7 +94,11 @@ object Scaling {
     // serve-path grading rule), and the order-3 Kneser-Ney kernel
     // (the trigram type tables are the largest LM state rolled
     // anywhere; its 100x story needs its own row).
-    "q_sample_doremi_served", "q_text_kn3_lm")
+    "q_sample_doremi_served", "q_text_kn3_lm",
+    // Round-14: the CCNet head+middle curation pipeline (ppl-bucket
+    // cut -> gate -> dedup -> split as one plan — its 100x story is
+    // the composed prefix-scan + shrinking-candidate-join shape).
+    "q_pipeline_ccnet")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size

@@ -60,19 +60,21 @@ object ForgetScale {
   private def fixtureKey(spark: SparkSession, dir: String, mod: Int) =
     spark.sparkContext.applicationId + "|" + dir + "|" + mod
 
-  /** Delete an abandoned fixture's on-disk stores (the eight temp
-    * dirs: seven store shapes + the ledger). Without this, every
-    * slice-exhaustion rebuild would orphan a full store copy for the
-    * life of the JVM — a long anchor run leaks multi-GB per cycle.
-    * Each store root is `<tempdir>/x` ([[fixture]]'s `tmp`); the
-    * whole tempdir goes. The fixture pins nothing (lastFrame is a
-    * parquet read), so disk is the only state to reclaim. */
+  /** Delete an abandoned fixture's SEVEN temp-dir stores. Without
+    * this, every slice-exhaustion rebuild would orphan a full store
+    * copy for the life of the JVM — a long anchor run leaks multi-GB
+    * per cycle. Each store root is `<tempdir>/x` ([[fixture]]'s
+    * `tmp`); the whole tempdir goes. The LEDGER dir deliberately
+    * survives: it is the audit record of committed erasures (a
+    * governance pipeline never deletes its own ledger), and ledger
+    * frames already returned to callers keep reading it across the
+    * rebuild (spec-pinned). The fixture pins nothing else (lastFrame
+    * is a parquet read), so store disk is the only state to reclaim. */
   private def vacuumFixture(fx: Fixture): Unit = {
     def parent(storeDir: String): java.nio.file.Path =
       java.nio.file.Paths.get(storeDir).getParent
     Seq(fx.ivf.indexDir, fx.pq.indexDir, fx.mh.indexDir,
-        fx.lex.indexDir, fx.km.modelDir, fx.lmDir, fx.batchStoreDir,
-        fx.pipeline.ledgerDir)
+        fx.lex.indexDir, fx.km.modelDir, fx.lmDir, fx.batchStoreDir)
       .map(parent).distinct.foreach { p =>
         try {
           import scala.jdk.CollectionConverters._

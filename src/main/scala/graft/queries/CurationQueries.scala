@@ -60,6 +60,45 @@ object CurationQueries {
   private val curate: Q = (s, dir) =>
     curatedSplit(s, dir).orderBy("doc_id")
 
+  /** CCNet HEAD+MIDDLE CURATION — the perplexity-bucket label made
+    * load-bearing (Wenzek et al. 2020 §4.3: the released corpus keeps
+    * the head and middle terciles per language and production LMs
+    * train on them; the tail is discarded as likely noise):
+    *
+    *   ppl-bucket cut (keep head+middle — `q_text_ppl_buckets`'
+    *   graded labels) → C4/Gopher quality gate → LSH near-dup removal
+    *   among survivors → deterministic 80/10/10 split
+    *
+    * as ONE Catalyst plan graded against ONE DuckDB statement (the
+    * [[curatedSplit]] convention — every stage is the already-verified
+    * operator; this row grades the COMPOSITION). Scale shape: the
+    * bucket cut rides the audited two-phase prefix scan (never a
+    * global window), its (doc_id, bucket) output is checkpointed once
+    * (model-state-sized — it feeds both the gate semi-join and the
+    * output label), and every later stage only SHRINKS the doc set
+    * before the LSH candidate join. */
+  private val ccnetCurate: Q = (s, dir) => {
+    val hm = TextQueries.pplBucketFrame(s, dir)
+      .where(col("ppl_bucket") =!= "tail")
+      .select("doc_id", "ppl_bucket")
+      .localCheckpoint(true)
+    val kept = TextQueries.filterVerdicts(s, dir)
+      .select("doc_id", "verdict").localCheckpoint(true)
+      .where(col("verdict") === "keep").select("doc_id")
+      .join(hm.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = DedupQueries.minhashCandidates(s, dir)
+      .join(kept.withColumnRenamed("doc_id", "doc1"), Seq("doc1"), "left_semi")
+      .join(kept.withColumnRenamed("doc_id", "doc2"), Seq("doc2"), "left_semi")
+      .select("doc1", "doc2")
+    val comp = DedupQueries.connectedComponents(s, pairs)
+    val dupes = comp.where(col("doc_id") =!= col("component")).select("doc_id")
+    SamplingQueries.withSplit(
+        kept.join(dupes, Seq("doc_id"), "left_anti"), "doc_id")
+      .join(hm, Seq("doc_id"))
+      .select(col("doc_id"), col("ppl_bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** The whole corpus BUILD as one plan — what a pretraining data job
     * actually ships: quality gate → LSH dedup → leakage-free split →
     * the train split packed into fixed token-budget context windows →
@@ -551,6 +590,7 @@ object CurationQueries {
 
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
+    "q_pipeline_ccnet"  -> ccnetCurate,
     "q_pipeline_corpus" -> corpusBuild,
     "q_report_kanon"    -> kanonReport,
     "q_report_sources"  -> sourceReport,
@@ -587,6 +627,28 @@ object CurationQueries {
       s"""WITH RECURSIVE $duckCuratedCtes
          | SELECT doc_id, split FROM cur
          | ORDER BY doc_id""".stripMargin,
+    // The CCNet composition: the ppl-bucket CTEs are `q_text_ppl_buckets`'
+    // verbatim fragment, the gate/components/split fragments are the
+    // curate oracle's — composed, not restated.
+    "q_pipeline_ccnet" ->
+      s"""WITH RECURSIVE ${TextQueries.pplBucketsCtes},
+         | hm AS (SELECT doc_id, ppl_bucket FROM pplb
+         |  WHERE ppl_bucket <> 'tail'),
+         | verdicts AS (${TextQueries.duckFilterVerdicts}),
+         | cckept AS (SELECT v.doc_id FROM verdicts v
+         |  JOIN hm ON v.doc_id = hm.doc_id
+         |  WHERE v.verdict = 'keep'),
+         | ${DedupQueries.duckComponentsCte(
+               """
+                 |  WHERE x.doc_id IN (SELECT doc_id FROM cckept)
+                 |    AND y.doc_id IN (SELECT doc_id FROM cckept)""".stripMargin)},
+         | cur AS (
+         |  SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split
+         |  FROM cckept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component))
+         | SELECT cur.doc_id, hm.ppl_bucket, cur.split
+         | FROM cur JOIN hm ON cur.doc_id = hm.doc_id
+         | ORDER BY cur.doc_id""".stripMargin,
     "q_pipeline_corpus" ->
       s"""WITH RECURSIVE $duckCuratedCtes,
          | train AS (

@@ -641,13 +641,109 @@ object SamplingQueries {
         s"""w_ppm * (($EpochBudgetX * n_total) DIV 1000000) +
            | (w_ppm * (($EpochBudgetX * n_total) % 1000000)) DIV 1000000"""
           .stripMargin))
+      // greatest(n_tok, 1): a source whose docs all tokenize empty has
+      // n_tok = 0 — without the guard Spark (non-ANSI) yields NULL
+      // where DuckDB errors, the worst kind of cross-engine divergence.
       .withColumn("epochs_milli",
-        expr(s"least(${EpochCapMilli}L, 1000 * target_tok DIV n_tok)"))
+        expr(s"least(${EpochCapMilli}L," +
+          " 1000 * target_tok DIV greatest(n_tok, 1L))"))
       .withColumn("realized_tok",
         expr("n_tok * epochs_milli DIV 1000"))
       .withColumn("capped", expr(s"epochs_milli = ${EpochCapMilli}L"))
       .select("source", "n_tok", "w_ppm", "target_tok", "epochs_milli",
         "realized_tok", "capped")
+      .orderBy("source")
+  }
+
+  /** [[sampleEpochs]] WITH SHORTFALL REFILL — the water-filling form
+    * of the data-constrained recipe: capped sources strand budget in
+    * the plain allocation; Muennighoff-style production mixtures
+    * reallocate it to the uncapped sources (proportionally to their
+    * temperature weights), which may cap MORE sources, and so on to a
+    * fixpoint. The fixpoint has a CLOSED FORM this kernel computes in
+    * one prefix scan instead of iterating: sorted ascending by
+    * cap-to-weight ratio (cap_tok/w), the capped set is always a
+    * PREFIX of that order (a single final water level θ caps exactly
+    * the sources with cap/w < θ), and source k is capped iff its cap
+    * is at most its proportional share of what remains after every
+    * earlier source capped: cap_k·(W−Σw_{<k}) ≤ w_k·(B−Σcap_{<k}).
+    * A cumulative-min over the prefix makes the flags monotone by
+    * construction, so both engines compute the identical set even at
+    * an integer-floor boundary. Uncapped sources then split the
+    * residual budget by floor-ppm renormalized weights (the
+    * [[sampleEpochs]] exact a·(b DIV m)+(a·(b mod m)) DIV m split —
+    * overflow-free to the same ~9·10¹⁵-token bound); zero-weight
+    * sources take nothing and don't bind. The capped/uncapped TEST and
+    * the sort key are IEEE doubles (products of token×ppm counts
+    * overflow BIGINT at the design bound; identical casts on both
+    * engines make the comparison deterministic). Scale shape: one
+    * tokenize-count to O(sources), then one O(sources) single-
+    * partition window (sources are few by construction — this is
+    * model-state, not data) and two O(sources) aggregates. */
+  private val sampleEpochsRefill: Q = (s, dir) => {
+    val nTok = Tables.fanout(t(s, dir, "documents"))
+      .groupBy("source")
+      .agg(sum(size(graft.ops.TokenOps.terms(col("text")))).as("n_tok"))
+    val f = nTok.withColumn("fn", expr("sqrt(CAST(n_tok AS DOUBLE))"))
+    val tot = f.agg(expr(
+        """aggregate(transform(array_sort(collect_list(struct(source, fn))), x -> x.fn),
+          |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
+        .as("fsum"),
+      sum("n_tok").as("n_total"))
+    val w = f.crossJoin(broadcast(tot))
+      .withColumn("w_ppm",
+        expr("CAST(floor(1000000.0 * fn / fsum) AS BIGINT)"))
+      .withColumn("b_tok", expr(s"$EpochBudgetX * n_total"))
+      // cap_tok = n_tok·cap DIV 1000 via the exact (a DIV m)·c +
+      // ((a mod m)·c) DIV m split — n_tok·4000 would wrap at 2.3·10¹⁵.
+      .withColumn("cap_tok", expr(
+        s"(n_tok DIV 1000) * $EpochCapMilli +" +
+          s" ((n_tok % 1000) * $EpochCapMilli) DIV 1000"))
+      .select("source", "n_tok", "w_ppm", "b_tok", "cap_tok")
+      .localCheckpoint(true) // O(sources); feeds the fill and the zero arm
+    val wt = w.where(col("w_ppm") > 0)
+      .agg(sum("w_ppm").as("w_tot"))
+    val ordPrev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ratio"), col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ordIncl = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ratio"), col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val flags = w.where(col("w_ppm") > 0).crossJoin(broadcast(wt))
+      .withColumn("ratio",
+        expr("CAST(cap_tok AS DOUBLE) / CAST(w_ppm AS DOUBLE)"))
+      .withColumn("cum_cap", coalesce(sum("cap_tok").over(ordPrev), lit(0L)))
+      .withColumn("cum_w", coalesce(sum("w_ppm").over(ordPrev), lit(0L)))
+      .withColumn("tst", expr(
+        """CASE WHEN CAST(cap_tok AS DOUBLE) * CAST(w_tot - cum_w AS DOUBLE) <=
+          |  CAST(w_ppm AS DOUBLE) * CAST(b_tok - cum_cap AS DOUBLE)
+          | THEN 1 ELSE 0 END""".stripMargin))
+      .withColumn("cflag", min(col("tst")).over(ordIncl))
+    val fills = flags.agg(
+      coalesce(sum(when(col("cflag") === 1, col("cap_tok"))), lit(0L))
+        .as("cap_spent"),
+      coalesce(sum(when(col("cflag") === 1, col("w_ppm"))), lit(0L))
+        .as("w_capped"))
+    val filled = flags.crossJoin(broadcast(fills))
+      .withColumn("b_unc", expr("b_tok - cap_spent"))
+      .withColumn("w_unc", expr("greatest(w_tot - w_capped, 1L)"))
+      .withColumn("target_tok", expr(
+        """CASE WHEN cflag = 1 THEN cap_tok
+          | ELSE (w_ppm * 1000000 DIV w_unc) * (b_unc DIV 1000000) +
+          |   ((w_ppm * 1000000 DIV w_unc) * (b_unc % 1000000)) DIV 1000000
+          |END""".stripMargin))
+      .withColumn("epochs_milli",
+        expr(s"least(${EpochCapMilli}L," +
+          " 1000 * target_tok DIV greatest(n_tok, 1L))"))
+      .select(col("source"), col("n_tok"), col("w_ppm"), col("target_tok"),
+        col("epochs_milli"),
+        expr("n_tok * epochs_milli DIV 1000").as("realized_tok"),
+        (col("cflag") === 1).as("capped"))
+    filled.unionByName(
+        w.where(col("w_ppm") <= 0)
+          .select(col("source"), col("n_tok"), col("w_ppm"),
+            lit(0L).as("target_tok"), lit(0L).as("epochs_milli"),
+            lit(0L).as("realized_tok"), lit(false).as("capped")))
       .orderBy("source")
   }
 
@@ -724,6 +820,7 @@ object SamplingQueries {
     "q_sample_mixture" -> sampleMixture,
     "q_sample_temperature" -> sampleTemperature,
     "q_sample_epochs" -> sampleEpochs,
+    "q_sample_epochs_refill" -> sampleEpochsRefill,
     "q_sample_kfold" -> sampleKfold,
     "q_sample_cluster_split" -> sampleClusterSplit,
     "q_sample_cluster_balanced" -> sampleClusterBalanced,
@@ -779,13 +876,75 @@ object SamplingQueries {
          |    AS BIGINT) AS target_tok
          |  FROM w),
          | e AS (SELECT source, n_tok, w_ppm, target_tok,
-         |   CAST(least($EpochCapMilli, 1000 * target_tok // n_tok) AS BIGINT)
+         |   CAST(least($EpochCapMilli,
+         |       1000 * target_tok // greatest(n_tok, 1)) AS BIGINT)
          |     AS epochs_milli
          |  FROM a)
          | SELECT source, n_tok, w_ppm, target_tok, epochs_milli,
          |  CAST(n_tok * epochs_milli // 1000 AS BIGINT) AS realized_tok,
          |  epochs_milli = $EpochCapMilli AS capped
          | FROM e ORDER BY source""".stripMargin,
+    // Water-filling refill: the same sorted-prefix closed form as the
+    // Spark kernel — identical double-typed sort key and capped test,
+    // identical integer splits — so the engines agree to the token.
+    "q_sample_epochs_refill" ->
+      s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
+         |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)
+         |  GROUP BY source),
+         | f AS (SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS fn FROM nt),
+         | tot AS (SELECT list_sum(list(fn ORDER BY source)) AS fsum,
+         |   CAST(sum(n_tok) AS BIGINT) AS n_total FROM f),
+         | w AS (SELECT source, n_tok,
+         |   CAST(floor(1000000.0 * fn / fsum) AS BIGINT) AS w_ppm,
+         |   CAST($EpochBudgetX * n_total AS BIGINT) AS b_tok,
+         |   CAST((n_tok // 1000) * $EpochCapMilli +
+         |     ((n_tok % 1000) * $EpochCapMilli) // 1000 AS BIGINT) AS cap_tok
+         |  FROM f CROSS JOIN tot),
+         | wt AS (SELECT CAST(sum(w_ppm) AS BIGINT) AS w_tot
+         |  FROM w WHERE w_ppm > 0),
+         | scanned AS (SELECT w.*, wt.w_tot,
+         |   CAST(cap_tok AS DOUBLE) / CAST(w_ppm AS DOUBLE) AS ratio,
+         |   CAST(coalesce(sum(cap_tok) OVER (
+         |     ORDER BY CAST(cap_tok AS DOUBLE) / CAST(w_ppm AS DOUBLE), source
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_cap,
+         |   CAST(coalesce(sum(w_ppm) OVER (
+         |     ORDER BY CAST(cap_tok AS DOUBLE) / CAST(w_ppm AS DOUBLE), source
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_w
+         |  FROM w CROSS JOIN wt WHERE w_ppm > 0),
+         | flags AS (SELECT *,
+         |   min(CASE WHEN CAST(cap_tok AS DOUBLE) * CAST(w_tot - cum_w AS DOUBLE) <=
+         |       CAST(w_ppm AS DOUBLE) * CAST(b_tok - cum_cap AS DOUBLE)
+         |     THEN 1 ELSE 0 END) OVER (ORDER BY ratio, source
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cflag
+         |  FROM scanned),
+         | fills AS (SELECT
+         |   CAST(coalesce(sum(CASE WHEN cflag = 1 THEN cap_tok END), 0) AS BIGINT) AS cap_spent,
+         |   CAST(coalesce(sum(CASE WHEN cflag = 1 THEN w_ppm END), 0) AS BIGINT) AS w_capped
+         |  FROM flags),
+         | alloc AS (SELECT flags.*,
+         |   b_tok - cap_spent AS b_unc,
+         |   greatest(w_tot - w_capped, 1) AS w_unc
+         |  FROM flags CROSS JOIN fills),
+         | tgt AS (SELECT source, n_tok, w_ppm, cflag,
+         |   CAST(CASE WHEN cflag = 1 THEN cap_tok
+         |     ELSE (w_ppm * 1000000 // w_unc) * (b_unc // 1000000) +
+         |       ((w_ppm * 1000000 // w_unc) * (b_unc % 1000000)) // 1000000
+         |    END AS BIGINT) AS target_tok
+         |  FROM alloc),
+         | ep AS (SELECT source, n_tok, w_ppm, target_tok, cflag,
+         |   CAST(least($EpochCapMilli,
+         |       1000 * target_tok // greatest(n_tok, 1)) AS BIGINT)
+         |     AS epochs_milli
+         |  FROM tgt)
+         | SELECT source, n_tok, w_ppm, target_tok, epochs_milli,
+         |  CAST(n_tok * epochs_milli // 1000 AS BIGINT) AS realized_tok,
+         |  cflag = 1 AS capped
+         | FROM ep
+         | UNION ALL
+         | SELECT source, n_tok, w_ppm, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |  CAST(0 AS BIGINT), false
+         | FROM w WHERE w_ppm <= 0
+         | ORDER BY source""".stripMargin,
     // The served twin shares the inline oracle verbatim: one statistic,
     // two serving paths (inline heldout kernel vs persisted LM store).
     "q_sample_doremi_served" -> (doremiCoreSql + " ORDER BY source"),

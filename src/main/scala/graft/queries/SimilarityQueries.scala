@@ -1336,6 +1336,63 @@ object SimilarityQueries {
       .orderBy("src_id")
   }
 
+  /** CCMatrix-style LM FLUENCY GATE over the mined pairs — the pass
+    * production bitext pipelines run AFTER margin mining (Schwenk et
+    * al. 2021 pair with an LM filter on the target side: a pair whose
+    * target reads as gibberish under a reference LM is noise even at
+    * high cosine margin). Both pair members are scored under the
+    * FROZEN order-3 Kneser–Ney store ([[TextQueries.sharedCorpusLm]]
+    * via [[graft.ml.NgramLm.Model.scoreKneserNey3]] — `q_text_kn3_served`'s
+    * serving path, so the per-doc statistic is the already-graded
+    * one); the operating threshold is the SOURCE-side tercile cut
+    * (max surprisal of the head+middle terciles of the mined source
+    * docs — the `q_text_ppl_buckets` NTile discipline), and a pair
+    * is kept iff its target-side surprisal does not exceed it.
+    * Unscorable docs (< 3 tokens / no known trigram) carry NULL and
+    * KEEP — the filter drops only on evidence. Scale shape: one
+    * frozen-LM scoring pass over the pair MEMBERS only (per-doc
+    * scores are independent, so restricting the batch equals
+    * restricting the full scoring — the oracle scores all docs and
+    * joins), the cut rides the two-phase prefix rank (never a
+    * single-partition data window), then two O(pairs) joins + one
+    * scalar broadcast. */
+  private val bitextLmGate: Q = (s, dir) => {
+    val mined = bitextMargin(s, dir)
+      .select("src_id", "tgt_id", "margin_ppk")
+      .localCheckpoint(true) // feeds the member list + the output join
+    val members = mined.select(col("src_id").as("doc_id"))
+      .unionByName(mined.select(col("tgt_id").as("doc_id"))).distinct()
+    val kn3 = TextQueries.sharedCorpusLm(s, dir)
+      .scoreKneserNey3(
+        t(s, dir, "documents").join(members, Seq("doc_id"), "left_semi"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("kn3_surprisal_mb"))
+      .localCheckpoint(true) // feeds the cut + both pair joins
+    val srcScored = mined.select(col("src_id").as("doc_id")).distinct()
+      .join(kn3, Seq("doc_id"))
+    val wLoc = Window.partitionBy(col(graft.ops.PrefixOps.PidCol))
+      .orderBy(col("kn3_surprisal_mb"), col("doc_id"))
+    val cut = graft.ops.PrefixOps.withPrefixOffsets(srcScored, Seq.empty,
+        Seq(col("kn3_surprisal_mb"), col("doc_id")), Seq("r" -> lit(1L)))
+      .withColumn("rn", col("r_off") + row_number().over(wLoc).cast("long"))
+      // head+middle size under Spark's NTile(3) rule: 2·(n DIV 3) +
+      // min(n mod 3, 2) — the first n%3 terciles hold one extra row.
+      .where(col("rn") <= expr("2 * (r_tot DIV 3) + least(r_tot % 3, 2L)"))
+      .agg(max("kn3_surprisal_mb").as("cut_mb"))
+    mined
+      .join(kn3.select(col("doc_id").as("src_id"),
+        col("kn3_surprisal_mb").as("src_kn3_mb")), Seq("src_id"), "left_outer")
+      .join(kn3.select(col("doc_id").as("tgt_id"),
+        col("kn3_surprisal_mb").as("tgt_kn3_mb")), Seq("tgt_id"), "left_outer")
+      .crossJoin(broadcast(cut))
+      .select(col("src_id"), col("tgt_id"), col("margin_ppk"),
+        col("src_kn3_mb"), col("tgt_kn3_mb"), col("cut_mb"),
+        expr("""CASE WHEN tgt_kn3_mb IS NULL OR cut_mb IS NULL
+               |  OR tgt_kn3_mb <= cut_mb THEN 'keep' ELSE 'drop'
+               | END""".stripMargin).as("decision"))
+      .orderBy("src_id")
+  }
+
   private val semanticApply: Q = (s, dir) => {
     val pairs = embeddingCosineDedup(s, dir)
       .select(col("v1").as("doc1"), col("v2").as("doc2"))
@@ -1354,6 +1411,7 @@ object SimilarityQueries {
     "q_sim_bitext_served"   -> bitextServed,
     "q_sim_bitext_recall"   -> bitextRecall,
     "q_sim_bitext_filter"   -> bitextFilter,
+    "q_sim_bitext_lm_gate"  -> bitextLmGate,
     "q_sim_decontam"        -> simDecontam,
     "q_sim_filtered_ann"    -> filteredAnn,
     "q_sim_hybrid_rrf"      -> hybridRrf,
@@ -1678,6 +1736,34 @@ object SimilarityQueries {
          |  JOIN dn t ON m.tgt_id = t.doc_id
          | ORDER BY m.src_id""".stripMargin,
     "q_sim_bitext_served" -> bitextServedOracleSql,
+    // LM fluency gate: the mined-pair chain and the kn3 per-doc chain
+    // are both reused verbatim (the composed-not-restated rule); the
+    // tercile cut mirrors the Spark NTile head+middle arithmetic.
+    "q_sim_bitext_lm_gate" ->
+      s"""WITH mined AS ($bitextMarginOracleSql),
+         | kn3 AS (SELECT doc_id, kn3_surprisal_mb
+         |  FROM (${TextQueries.kn3OracleSql})),
+         | src AS (SELECT DISTINCT src_id AS doc_id FROM mined),
+         | ss AS (SELECT k.doc_id, k.kn3_surprisal_mb
+         |  FROM kn3 k JOIN src ON k.doc_id = src.doc_id),
+         | rk AS (SELECT doc_id, kn3_surprisal_mb,
+         |   CAST(row_number() OVER (ORDER BY kn3_surprisal_mb, doc_id) AS BIGINT) AS rn,
+         |   CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM ss),
+         | cut AS (SELECT max(kn3_surprisal_mb) AS cut_mb FROM rk
+         |  WHERE rn <= 2 * (n // 3) + least(n % 3, 2))
+         | SELECT m.src_id, m.tgt_id, m.margin_ppk,
+         |  sk.kn3_surprisal_mb AS src_kn3_mb,
+         |  tk.kn3_surprisal_mb AS tgt_kn3_mb,
+         |  cut.cut_mb,
+         |  CASE WHEN tk.kn3_surprisal_mb IS NULL OR cut.cut_mb IS NULL
+         |    OR tk.kn3_surprisal_mb <= cut.cut_mb THEN 'keep' ELSE 'drop'
+         |  END AS decision
+         | FROM mined m
+         |  LEFT JOIN kn3 sk ON m.src_id = sk.doc_id
+         |  LEFT JOIN kn3 tk ON m.tgt_id = tk.doc_id
+         |  CROSS JOIN cut
+         | ORDER BY src_id""".stripMargin,
     // Round-trip eval: both pair sets re-derived by their own oracle
     // chains (WITH inside a parenthesized subquery — the duckDigest
     // idiom), compared pair-for-pair.

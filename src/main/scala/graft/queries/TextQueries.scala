@@ -397,6 +397,13 @@ object TextQueries {
     * through the persisted LM ([[graft.ml.NgramLm.Model.score]]) and
     * buckets identically. */
   private val pplBuckets: Q = (s, dir) =>
+    pplBucketFrame(s, dir).orderBy("doc_id")
+
+  /** The (doc_id, source, heldout_mb, ppl_bucket) labels UNORDERED —
+    * the cross-family consumer surface: [[CurationQueries]]' CCNet
+    * head+middle cut composes this frame into the curate gate. */
+  private[queries] def pplBucketFrame(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
     bucketsFrom(s, dir, heldoutPpl(s, dir))
 
   /** The rank-and-cut over ANY per-doc heldout frame (doc_id, …,
@@ -418,7 +425,6 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("heldout_mb"),
         expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END")
           .as("ppl_bucket"))
-      .orderBy("doc_id")
   }
 
   /** [[pplBuckets]] with the per-doc scores SERVED from the persisted
@@ -433,6 +439,7 @@ object TextQueries {
         SamplingQueries.withSplit(docs(s, dir), "doc_id")
           .where(col("split") === "val"),
         "doc_id", "text"))
+      .orderBy("doc_id")
 
   /** TRAIN-ONCE / SCORE-MANY: one persisted [[graft.ml.NgramLm]] per
     * (application, corpus dir), fitted on the deterministic train split
@@ -2012,7 +2019,7 @@ object TextQueries {
     * ML over the trigram-context count, continuation-bigram middle
     * (distinct left contexts among trigram types), bigram-type
     * continuation unigram at the bottom. */
-  private val kn3OracleSql =
+  private[queries] val kn3OracleSql =
     s"""WITH dt AS (
        |  SELECT doc_id, w1, w2, w3, count(*) AS k FROM (
        |   SELECT doc_id,
@@ -2056,22 +2063,27 @@ object TextQueries {
     * the store-served twin. NTile arithmetic mirrored inline (first
     * n%3 terciles hold one extra row — Spark's NTile rule verbatim) so
     * uneven sources cannot drift between engines. */
-  private lazy val pplBucketsOracleSql =
-    s"""WITH h AS ($heldoutCoreSql),
-       | j AS (SELECT h.doc_id, d.source, h.heldout_mb
-       |  FROM h JOIN documents d USING (doc_id)),
-       | r AS (SELECT doc_id, source, heldout_mb,
+  private[queries] lazy val pplBucketsCtes =
+    s"""pplb_h AS ($heldoutCoreSql),
+       | pplb_j AS (SELECT pplb_h.doc_id, d.source, pplb_h.heldout_mb
+       |  FROM pplb_h JOIN documents d USING (doc_id)),
+       | pplb_r AS (SELECT doc_id, source, heldout_mb,
        |   CAST(row_number() OVER (PARTITION BY source
        |     ORDER BY heldout_mb, doc_id) AS BIGINT) AS rn,
        |   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
-       |  FROM j)
-       | SELECT doc_id, source, heldout_mb,
+       |  FROM pplb_j),
+       | pplb AS (SELECT doc_id, source, heldout_mb,
        |  CASE (CASE WHEN rn <= ((n // 3) + 1) * (n % 3)
        |    THEN (rn - 1) // ((n // 3) + 1) + 1
        |    ELSE (n % 3) + (rn - ((n // 3) + 1) * (n % 3) - 1) // (n // 3) + 1
        |   END) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
        |  END AS ppl_bucket
-       | FROM r ORDER BY doc_id""".stripMargin
+       | FROM pplb_r)""".stripMargin
+
+  private lazy val pplBucketsOracleSql =
+    s"""WITH $pplBucketsCtes
+       | SELECT doc_id, source, heldout_mb, ppl_bucket
+       | FROM pplb ORDER BY doc_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     // The model-served bigram twin shares the inline oracle: one
