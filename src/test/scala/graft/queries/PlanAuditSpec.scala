@@ -90,7 +90,15 @@ class PlanAuditSpec extends SparkSpec {
     for (q <- Seq("q_sample_pack", "q_pipeline_corpus", "q_w2_percent_norm",
         "q_w2_top_p", "q_w2_rfm", "q_sample_curriculum",
         "q_ml_auc", "q_ml_pr_curve", "q_ml_auc_sliced", "q_ml_rankcorr",
-        "q_sample_budget", "q_text_ppl_buckets")) {
+        "q_sample_budget", "q_text_ppl_buckets",
+        // Round 14: the bitext LM gate's tercile cut rides an
+        // empty-group PrefixOps rank (partition-id-only local window).
+        // q_pipeline_ccnet is NOT here: its bucket frame is an eager
+        // checkpoint, so no Window survives into the final plan — its
+        // rank machinery is the q_text_ppl_buckets path audited above.
+        // NOTE: the gate's builder carries eager localCheckpoints, so
+        // this executes its small sf0.001 build frames.
+        "q_sim_bitext_lm_gate")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       assert(df.queryExecution.optimizedPlan
           .collect { case w: LWindow => w }.nonEmpty,
