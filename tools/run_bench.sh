@@ -1,6 +1,8 @@
 #!/bin/bash
 # Run graft.Bench like the driver (full suite, min-of-2, calibrations).
-# Usage: tools/run_bench.sh <outJson> [logFile]
+# Usage: tools/run_bench.sh <outJson> [logFile] [onlyQueries]
+#   onlyQueries: comma-separated names -> partial run, merged into the
+#   committed artifact (fresh wins; untouched entries survive).
 set -e
 cd "$(dirname "$0")/.."
 OUT=${1:-bench_per_query.json}
@@ -16,4 +18,4 @@ SPARK_GRAFT_BENCH_OUT="$OUT" \
 exec java $ADD_OPENS -Xmx48g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Bench 2>"$LOG"
+  graft.Bench ${3:+"$3"} 2>"$LOG"
