@@ -77,8 +77,26 @@ object CurationQueries {
     * (model-state-sized — it feeds both the gate semi-join and the
     * output label), and every later stage only SHRINKS the doc set
     * before the LSH candidate join. */
-  private val ccnetCurate: Q = (s, dir) => {
-    val hm = TextQueries.pplBucketFrame(s, dir)
+  private val ccnetCurate: Q = (s, dir) =>
+    ccnetFrom(s, dir, TextQueries.pplBucketFrame(s, dir))
+
+  /** [[ccnetCurate]] with the bucket labels SERVED from the persisted
+    * train-split LM ([[TextQueries.pplBucketFrameServed]] — the
+    * `q_text_ppl_buckets_served` path, bit-identical labels), so the
+    * WHOLE pipeline rides the learn→serve loop: fit the reference LM
+    * once, then curate candidate shards for years without re-deriving
+    * the reference counts. Shares the inline query's oracle verbatim —
+    * one pipeline, two serving paths, one contract. */
+  private val ccnetCurateServed: Q = (s, dir) =>
+    ccnetFrom(s, dir, TextQueries.pplBucketFrameServed(s, dir))
+
+  /** The cut→gate→dedup→split chain over ANY (doc_id, …, ppl_bucket)
+    * label frame — one definition shared by the inline and store-served
+    * forms, so the two compositions cannot drift. */
+  private def ccnetFrom(s: org.apache.spark.sql.SparkSession, dir: String,
+      labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hm = labels
       .where(col("ppl_bucket") =!= "tail")
       .select("doc_id", "ppl_bucket")
       .localCheckpoint(true)
@@ -591,6 +609,7 @@ object CurationQueries {
   val queries: Seq[(String, Q)] = Seq(
     "q_pipeline_curate" -> curate,
     "q_pipeline_ccnet"  -> ccnetCurate,
+    "q_pipeline_ccnet_served" -> ccnetCurateServed,
     "q_pipeline_corpus" -> corpusBuild,
     "q_report_kanon"    -> kanonReport,
     "q_report_sources"  -> sourceReport,
@@ -620,6 +639,29 @@ object CurationQueries {
        |  FROM kept
        |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component))""".stripMargin
 
+  /** `q_pipeline_ccnet`'s oracle — ONE definition, also graded against
+    * the store-served twin (bit-identical labels by the
+    * `q_text_ppl_buckets_served` contract). */
+  private lazy val ccnetOracleSql =
+    s"""WITH RECURSIVE ${TextQueries.pplBucketsCtes},
+       | hm AS (SELECT doc_id, ppl_bucket FROM pplb
+       |  WHERE ppl_bucket <> 'tail'),
+       | verdicts AS (${TextQueries.duckFilterVerdicts}),
+       | cckept AS (SELECT v.doc_id FROM verdicts v
+       |  JOIN hm ON v.doc_id = hm.doc_id
+       |  WHERE v.verdict = 'keep'),
+       | ${DedupQueries.duckComponentsCte(
+             """
+               |  WHERE x.doc_id IN (SELECT doc_id FROM cckept)
+               |    AND y.doc_id IN (SELECT doc_id FROM cckept)""".stripMargin)},
+       | cur AS (
+       |  SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split
+       |  FROM cckept
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component))
+       | SELECT cur.doc_id, hm.ppl_bucket, cur.split
+       | FROM cur JOIN hm ON cur.doc_id = hm.doc_id
+       | ORDER BY cur.doc_id""".stripMargin
+
   val oracles: Seq[(String, String)] = Seq(
     // Stage fragments are the SAME generated SQL the standalone oracles
     // use (filter gate, LSH components, split) — composed, not restated.
@@ -629,26 +671,10 @@ object CurationQueries {
          | ORDER BY doc_id""".stripMargin,
     // The CCNet composition: the ppl-bucket CTEs are `q_text_ppl_buckets`'
     // verbatim fragment, the gate/components/split fragments are the
-    // curate oracle's — composed, not restated.
-    "q_pipeline_ccnet" ->
-      s"""WITH RECURSIVE ${TextQueries.pplBucketsCtes},
-         | hm AS (SELECT doc_id, ppl_bucket FROM pplb
-         |  WHERE ppl_bucket <> 'tail'),
-         | verdicts AS (${TextQueries.duckFilterVerdicts}),
-         | cckept AS (SELECT v.doc_id FROM verdicts v
-         |  JOIN hm ON v.doc_id = hm.doc_id
-         |  WHERE v.verdict = 'keep'),
-         | ${DedupQueries.duckComponentsCte(
-               """
-                 |  WHERE x.doc_id IN (SELECT doc_id FROM cckept)
-                 |    AND y.doc_id IN (SELECT doc_id FROM cckept)""".stripMargin)},
-         | cur AS (
-         |  SELECT doc_id, ${SamplingQueries.duckSplitSql("doc_id")} AS split
-         |  FROM cckept
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component))
-         | SELECT cur.doc_id, hm.ppl_bucket, cur.split
-         | FROM cur JOIN hm ON cur.doc_id = hm.doc_id
-         | ORDER BY cur.doc_id""".stripMargin,
+    // curate oracle's — composed, not restated. The served twin shares
+    // it verbatim (one pipeline, two serving paths).
+    "q_pipeline_ccnet" -> ccnetOracleSql,
+    "q_pipeline_ccnet_served" -> ccnetOracleSql,
     "q_pipeline_corpus" ->
       s"""WITH RECURSIVE $duckCuratedCtes,
          | train AS (

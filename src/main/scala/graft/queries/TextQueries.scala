@@ -434,12 +434,19 @@ object TextQueries {
     * per source); the ranking/tercile machinery is [[bucketsFrom]]
     * verbatim and the oracle is the inline query's. */
   private val pplBucketsServed: Q = (s, dir) =>
+    pplBucketFrameServed(s, dir).orderBy("doc_id")
+
+  /** [[pplBucketFrame]] with the per-doc scores SERVED from the
+    * persisted train-split LM — bit-identical labels (the
+    * `q_text_ppl_buckets_served` contract), exposed unordered for the
+    * serve-path pipeline twin ([[CurationQueries]]). */
+  private[queries] def pplBucketFrameServed(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
     bucketsFrom(s, dir,
       sharedNgramLm(s, dir).score(
         SamplingQueries.withSplit(docs(s, dir), "doc_id")
           .where(col("split") === "val"),
         "doc_id", "text"))
-      .orderBy("doc_id")
 
   /** TRAIN-ONCE / SCORE-MANY: one persisted [[graft.ml.NgramLm]] per
     * (application, corpus dir), fitted on the deterministic train split

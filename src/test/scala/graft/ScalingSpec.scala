@@ -130,9 +130,10 @@ class ScalingSpec extends SparkSpec {
   }
 
   test("committed scaling artifact honors the per-regime bars") {
-    // The newest committed artifact (r12 once generated this round,
-    // else the r11 one carried forward).
-    val path = Seq("SCALING_r12.json", "SCALING_r11.json")
+    // The newest committed artifact, whatever round generated it (the
+    // fixed r12/r11 candidate list went stale the round after it was
+    // written).
+    val path = (99 to 6 by -1).map(n => s"SCALING_r$n.json")
       .find(p => Files.exists(java.nio.file.Paths.get(p)))
       .getOrElse("SCALING_r10.json")
     assertBars(path, minBlocks = 10)
