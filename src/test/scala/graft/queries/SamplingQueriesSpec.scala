@@ -105,4 +105,48 @@ class SamplingQueriesSpec extends SparkSpec {
     assert(perTok(tgt) > perTok(rest),
       s"in-domain per-token logw ${perTok(tgt)} should exceed ${perTok(rest)}")
   }
+
+  test("epoch water-filling: caps honored, budget conserved, refill " +
+      "dominates the plain allocation") {
+    // Values are oracle-verified; this pins the SEMANTIC invariants of
+    // the closed-form fixpoint so a refactor cannot silently break the
+    // Muennighoff recipe while still agreeing with a co-broken oracle.
+    val plain = graft.SparkEntry.queries("q_sample_epochs")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val refill = graft.SparkEntry
+      .queries("q_sample_epochs_refill")(spark, dir).collect()
+    assert(refill.nonEmpty)
+    val capMilli = 4000L
+    var realizedSum = 0L
+    refill.foreach { r =>
+      val src = r.getAs[String]("source")
+      val e = r.getAs[Long]("epochs_milli")
+      val capped = r.getAs[Boolean]("capped")
+      assert(e <= capMilli, s"$src exceeds the 4-epoch cap: $e")
+      // Capped sources realize EXACTLY the cap; uncapped sit under it.
+      if (capped) assert(e == capMilli, s"$src capped but epochs $e")
+      else assert(e < capMilli, s"$src uncapped at the cap")
+      // Refill never shrinks an allocation: every source gets at least
+      // its plain-allocation epochs (water only flows downhill into
+      // uncapped sources; capped ones stay at the cap).
+      val pe = plain(src).getAs[Long]("epochs_milli")
+      assert(e >= pe, s"$src refill $e < plain $pe")
+      realizedSum += r.getAs[Long]("realized_tok")
+    }
+    // Budget conservation: total realized tokens never exceed B = 2x
+    // corpus tokens, and the refill strands LESS than the plain
+    // allocation did (that is its whole point) — unless nothing was
+    // capped, in which case the two coincide on realized totals.
+    val nTotal = refill.map(_.getAs[Long]("n_tok")).sum
+    val budget = 2L * nTotal
+    assert(realizedSum <= budget,
+      s"realized $realizedSum exceeds budget $budget")
+    val plainRealized = plain.values.map(_.getAs[Long]("realized_tok")).sum
+    assert(realizedSum >= plainRealized,
+      s"refill realized $realizedSum < plain $plainRealized")
+    if (refill.exists(_.getAs[Boolean]("capped")) &&
+        refill.exists(!_.getAs[Boolean]("capped")))
+      assert(realizedSum > plainRealized,
+        "capped + uncapped sources present but the refill moved nothing")
+  }
 }
