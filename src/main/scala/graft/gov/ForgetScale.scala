@@ -81,11 +81,26 @@ object ForgetScale {
           java.nio.file.Files.walk(p).iterator().asScala.toSeq
             .sortBy(-_.getNameCount)
             .foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case e: java.io.IOException =>
-          System.err.println(s"[ForgetScale] vacuum of $p failed: $e")
+        } catch {
+          // Files.walk surfaces mid-traversal errors as
+          // UncheckedIOException (a RuntimeException) — both kinds must
+          // log-and-continue, never abort a multi-hour anchor run over
+          // a cleanup hiccup.
+          case e @ (_: java.io.IOException |
+                    _: java.io.UncheckedIOException) =>
+            System.err.println(s"[ForgetScale] vacuum of $p failed: $e")
         }
       }
   }
+
+  /** Fixtures retired by a slice-exhaustion rebuild, vacuumed ONE
+    * GENERATION LATE (the `retiredBlockIds` idiom): deleting the store
+    * dirs at retirement time could yank them from under a concurrent
+    * in-flight request that drew the last slice moments earlier — a
+    * request would have to span an entire LATER fixture generation
+    * (≥ mod full erasure passes) for the deferred delete to touch it. */
+  private val retiredFixtures =
+    scala.collection.concurrent.TrieMap.empty[String, Fixture]
 
   private def fixture(spark: SparkSession, dir: String, mod: Int): Fixture = {
     val key = fixtureKey(spark, dir, mod)
@@ -165,8 +180,12 @@ object ForgetScale {
       System.err.println(s"[ForgetScale] victim slices exhausted " +
         s"($i >= $mod) for $dir — rebuilding a fresh fixture (this " +
         "pass pays a store build; treat its timing accordingly)")
-      fixtures.remove(fixtureKey(spark, dir, mod))
-        .foreach(vacuumFixture)
+      val key = fixtureKey(spark, dir, mod)
+      // Vacuum the PREVIOUSLY retired generation, retire this one: the
+      // deferred delete cannot race a request still reading this
+      // generation's stores (see [[retiredFixtures]]).
+      retiredFixtures.remove(key).foreach(vacuumFixture)
+      fixtures.remove(key).foreach(retiredFixtures.put(key, _))
       return frameAt(spark, dir, mod)
     }
     val docs = graft.queries.Tables.t(spark, dir, "documents")

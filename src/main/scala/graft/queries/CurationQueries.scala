@@ -28,7 +28,18 @@ object CurationQueries {
   /** The curated (doc_id, split) assignment — shared by [[curate]] and
     * [[corpusBuild]] so the two can never disagree on membership. */
   private def curatedSplit(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
+                           dir: String): org.apache.spark.sql.DataFrame =
+    curatedSplitOf(s, dir, restrictTo = None)
+
+  /** [[curatedSplit]] with an optional MEMBERSHIP restriction applied
+    * to the gate survivors before dedup — ONE definition of the
+    * gate → semi-joined LSH pairs → components → split chain for both
+    * the plain and the CCNet pipelines (the bucket cut is just a
+    * membership frame), so a fix to any stage cannot silently miss a
+    * twin. */
+  private def curatedSplitOf(s: org.apache.spark.sql.SparkSession,
+      dir: String, restrictTo: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
     // Materialize the verdicts ONCE, BEFORE the keep-filter. Two reasons,
     // both measured at sf0.1: (1) filter pushdown would substitute the
     // whole verdict CASE into a single Filter condition, duplicating the
@@ -41,9 +52,11 @@ object CurationQueries {
     // Cluster-mode swap point for every localCheckpoint(true) in the
     // graded paths: see "localCheckpoint swap point" in PLANS.md
     // (persist(MEMORY_AND_DISK_2) / reliable checkpoint dir).
-    val kept = TextQueries.filterVerdicts(s, dir)
+    val gateKept = TextQueries.filterVerdicts(s, dir)
       .select("doc_id", "verdict").localCheckpoint(true)
       .where(col("verdict") === "keep").select("doc_id")
+    val kept = restrictTo.fold(gateKept)(m =>
+      gateKept.join(m, Seq("doc_id"), "left_semi"))
     // Restrict the LSH candidate graph to filter survivors BEFORE cluster
     // formation — dropped docs must not bridge two clusters together.
     val pairs = DedupQueries.minhashCandidates(s, dir)
@@ -91,8 +104,10 @@ object CurationQueries {
     ccnetFrom(s, dir, TextQueries.pplBucketFrameServed(s, dir))
 
   /** The cut→gate→dedup→split chain over ANY (doc_id, …, ppl_bucket)
-    * label frame — one definition shared by the inline and store-served
-    * forms, so the two compositions cannot drift. */
+    * label frame — the head+middle cut becomes [[curatedSplitOf]]'s
+    * membership frame, so the gate/dedup/split stages are the SAME
+    * Spark chain the plain curate runs (one definition; the inline and
+    * store-served label forms cannot drift either). */
   private def ccnetFrom(s: org.apache.spark.sql.SparkSession, dir: String,
       labels: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -100,18 +115,7 @@ object CurationQueries {
       .where(col("ppl_bucket") =!= "tail")
       .select("doc_id", "ppl_bucket")
       .localCheckpoint(true)
-    val kept = TextQueries.filterVerdicts(s, dir)
-      .select("doc_id", "verdict").localCheckpoint(true)
-      .where(col("verdict") === "keep").select("doc_id")
-      .join(hm.select("doc_id"), Seq("doc_id"), "left_semi")
-    val pairs = DedupQueries.minhashCandidates(s, dir)
-      .join(kept.withColumnRenamed("doc_id", "doc1"), Seq("doc1"), "left_semi")
-      .join(kept.withColumnRenamed("doc_id", "doc2"), Seq("doc2"), "left_semi")
-      .select("doc1", "doc2")
-    val comp = DedupQueries.connectedComponents(s, pairs)
-    val dupes = comp.where(col("doc_id") =!= col("component")).select("doc_id")
-    SamplingQueries.withSplit(
-        kept.join(dupes, Seq("doc_id"), "left_anti"), "doc_id")
+    curatedSplitOf(s, dir, restrictTo = Some(hm.select("doc_id")))
       .join(hm, Seq("doc_id"))
       .select(col("doc_id"), col("ppl_bucket"), col("split"))
       .orderBy("doc_id")

@@ -63,27 +63,21 @@ final class CcnetScoreIngest(
     * absent model (the [[QualityGateIngest]] rule). */
   private val model: NgramLm.Model = NgramLm.load(spark, modelDir)
 
-  /** One row per id, deterministically (the content-keyed
-    * [[QualityGateIngest.onePerId]] rule: md5-smallest text wins, so
-    * any partitioning and any replay pick the same winner). */
-  private def onePerId(batch: DataFrame): DataFrame = {
-    val winner = batch.groupBy(col(idCol))
-      .agg(min(md5(coalesce(col(textCol), lit("")))).as("__tfp"))
-    batch.withColumn("__tfp", md5(coalesce(col(textCol), lit(""))))
-      .join(winner, Seq(idCol, "__tfp"))
-      .dropDuplicates(idCol)
-      .drop("__tfp")
-  }
-
   /** One micro-batch: returns the number of scored documents written. */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
     if (batch.isEmpty) return 0L
-    val docs = onePerId(batch)
+    // One row per id via the shared content-keyed winner rule
+    // ([[MicroBatchIngest.onePerId]]).
+    val docs = MicroBatchIngest.onePerId(batch, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK) // score join + output join
     try {
       val scores = model.score(docs, idCol, textCol)
         .select(col("doc_id"), col("n_tokens"), col("n_oov"),
           col("heldout_mb"))
+      // Persisted: the count and the partition write are two actions
+      // over the same scoring join — without the pin the batch would
+      // tokenize and join TWICE per trigger (the QualityGateIngest
+      // audit-frame discipline).
       val scored = docs.withColumnRenamed(idCol, "doc_id")
         .join(scores, Seq("doc_id"), "left_outer")
         .withColumn("ppl_bucket",
@@ -91,9 +85,12 @@ final class CcnetScoreIngest(
             .when(col("heldout_mb") <= headMaxMb, "head")
             .when(col("heldout_mb") <= middleMaxMb, "middle")
             .otherwise("tail"))
-      val n = scored.count()
-      MicroBatchIngest.writeBatchPartition(scored, scoredDir, batchId)
-      n
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = scored.count()
+        MicroBatchIngest.writeBatchPartition(scored, scoredDir, batchId)
+        n
+      } finally { scored.unpersist(); () }
     } finally { docs.unpersist(); () }
   }
 }

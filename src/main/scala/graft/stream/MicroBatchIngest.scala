@@ -47,6 +47,28 @@ private[stream] trait MicroBatchIngest {
 
 private[graft] object MicroBatchIngest {
 
+  /** One row per id, deterministically, ALL columns preserved —
+    * conflicting texts for one id resolve to the md5-smallest (content-
+    * keyed, so any partitioning and any replay pick the same winner).
+    * ONE definition for every maintainer that needs it (MinHash,
+    * QualityGate, CcnetScore) so the replay-determinism contract cannot
+    * drift between them; [[WinnowIngest]] keeps its own PROJECTING
+    * variant (it deliberately returns only (id, text)). */
+  def onePerId(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val winner = batch.groupBy(col(idCol))
+      .agg(org.apache.spark.sql.functions.min(
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.coalesce(col(textCol), lit(""))))
+        .as("__tfp"))
+    batch.withColumn("__tfp",
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.coalesce(col(textCol), lit(""))))
+      .join(winner, Seq(idCol, "__tfp"))
+      .dropDuplicates(idCol)
+      .drop("__tfp")
+  }
+
   /** Run `f` over an eagerly-checkpointed copy of `df`, releasing the
     * checkpoint's blocks afterward — the standing-maintainer storage
     * discipline (a per-trigger checkpoint pins the batch so multiple

@@ -68,22 +68,13 @@ final class MinHashIngest(
 
   private def index = new MinHashIndex(spark, indexDir)
 
-  /** One row per id, deterministically, ALL columns preserved:
-    * conflicting texts for one id (upstream corruption) resolve to the
-    * md5-smallest — content-keyed, so any partitioning picks the same
-    * winner and replays converge (the [[WinnowIngest]] rule; a bare
-    * dropDuplicates keeps an arbitrary row and a redelivery could keep
-    * a different one). Rows agreeing on (id, winning text) are assumed
-    * identical redelivery copies (the [[DedupIngest]] contract) and
-    * collapse to one. */
-  private def onePerId(batch: DataFrame): DataFrame = {
-    val winner = batch.groupBy(col(idCol))
-      .agg(min(md5(coalesce(col(textCol), lit("")))).as("__tfp"))
-    batch.withColumn("__tfp", md5(coalesce(col(textCol), lit(""))))
-      .join(winner, Seq(idCol, "__tfp"))
-      .dropDuplicates(idCol)
-      .drop("__tfp")
-  }
+  /** One row per id, deterministically — the shared content-keyed
+    * winner rule ([[MicroBatchIngest.onePerId]]; a bare dropDuplicates
+    * keeps an arbitrary row and a redelivery could keep a different
+    * one). Rows agreeing on (id, winning text) are assumed identical
+    * redelivery copies (the [[DedupIngest]] contract). */
+  private def onePerId(batch: DataFrame): DataFrame =
+    MicroBatchIngest.onePerId(batch, idCol, textCol)
 
   /** One micro-batch: returns the number of surviving documents (a
     * replayed batch recomputes — and re-reports — the same count). */

@@ -62,18 +62,11 @@ final class QualityGateIngest(
     * vocabulary would ship noise into the corpus. */
   private val model: NgramLm.Model = NgramLm.load(spark, modelDir)
 
-  /** One row per id, deterministically, ALL columns preserved —
-    * conflicting texts resolve to the md5-smallest (the
-    * [[MinHashIngest]]/[[WinnowIngest]] rule: content-keyed, so any
-    * partitioning picks the same winner and replays converge). */
-  private def onePerId(batch: DataFrame): DataFrame = {
-    val winner = batch.groupBy(col(idCol))
-      .agg(min(md5(coalesce(col(textCol), lit("")))).as("__tfp"))
-    batch.withColumn("__tfp", md5(coalesce(col(textCol), lit(""))))
-      .join(winner, Seq(idCol, "__tfp"))
-      .dropDuplicates(idCol)
-      .drop("__tfp")
-  }
+  /** One row per id, deterministically — the shared content-keyed
+    * winner rule ([[MicroBatchIngest.onePerId]], one definition for
+    * every maintainer so replays converge identically everywhere). */
+  private def onePerId(batch: DataFrame): DataFrame =
+    MicroBatchIngest.onePerId(batch, idCol, textCol)
 
   /** One micro-batch: returns the number of surviving documents. */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {
