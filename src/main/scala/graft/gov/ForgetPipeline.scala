@@ -170,8 +170,6 @@ final class ForgetPipeline(spark: SparkSession, val ledgerDir: String) {
     // acks computed for other victims. Over the distinct set the
     // fingerprint is a true set digest: equal (count, xor-of-distinct)
     // pairs collide only on an engineered 64-bit xor collision.
-    val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val pinned = victimIds.distinct().localCheckpoint(true)
     try {
       require(!pinned.isEmpty, "empty victim set")
@@ -213,9 +211,13 @@ final class ForgetPipeline(spark: SparkSession, val ledgerDir: String) {
       fs.delete(ackDir(requestId), true) // post-commit sweep (best effort)
       spark.read.parquet(path.toString)
     } finally {
-      val mine = sc.getPersistentRDDs.keySet.toSet -- before
-      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      // PRECISE release of the victim pin ([[graft.ops.CheckpointIds]]).
+      // This request can run for MINUTES against seven stores; the old
+      // getPersistentRDDs before/after diff would claim — and
+      // permanently break — any checkpoint a CONCURRENT job persisted
+      // in that window. Blocks the store forgets pin internally are
+      // those stores' own release contracts.
+      graft.ops.CheckpointIds.release(pinned)
     }
   }
 

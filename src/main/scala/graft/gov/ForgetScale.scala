@@ -218,6 +218,11 @@ object ForgetScale {
       fx.lastFrame = Some(ledger)
       ledger
     } finally {
+      // DELIBERATELY broad (unlike the production paths' precise
+      // CheckpointIds release): this is the sequential measurement
+      // harness, and the sweep is the between-passes leak control for
+      // anything a store forget pinned during the timed window — no
+      // concurrent job exists here to misattribute.
       val mine = sc.getPersistentRDDs.keySet.toSet -- before
       sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
         .values.foreach(_.unpersist(blocking = false))

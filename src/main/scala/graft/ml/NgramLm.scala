@@ -94,16 +94,19 @@ object NgramLm {
     * incompleteness and serving gates end here — this is the "full
     * refit" [[Model.forget]]'s legacy-store rule points at. */
   def fit(docs: DataFrame, textCol: String, dir: String): Unit = {
-    val store = new Store(org.apache.spark.sql.SparkSession.active, dir)
-    val (tokens, horizon, sid) = store.currentVersion() match {
-      case Some(_) => (store.liveTokens(),
-        graft.ops.BatchHorizon.afterFold(store.liveHorizon(),
-          store.liveSegments()),
-        store.liveSid())
+    // Bound to the FRAME's session (not SparkSession.active — a
+    // foreachBatch clone or a two-session test would otherwise read
+    // the manifest under one session's hadoopConfiguration and write
+    // segments under another's, a torn store by construction).
+    val store = new Store(docs.sparkSession, dir)
+    val snap = store.snapshot()
+    val (tokens, horizon, sid) = snap match {
+      case Some(s) => (s.tokens,
+        graft.ops.BatchHorizon.afterFold(s.horizon, s.segments), s.sid)
       case None => (Set.empty[String], None, None)
     }
     store.publish(Seq(store.writeSegment(gramCountsOf(docs, textCol))),
-      tokens, horizon, sid)
+      tokens, horizon, sid, basedOn = snap.map(_.version))
     ()
   }
 
@@ -121,9 +124,12 @@ object NgramLm {
       dir: String, batchId: Long,
       streamId: Option[String] = None): Unit = {
     val store = new Store(docs.sparkSession, dir)
+    // basedOn = None: the caller observed no store (m=0 expected) — a
+    // concurrent first publish makes this one fail loudly instead of
+    // clobbering it ([[Store.publish]]'s CAS rule).
     store.publish(Seq(store.writeNamedSegment(
       gramCountsOf(docs, textCol), s"seg-batch-$batchId")),
-      sid = streamId)
+      sid = streamId, basedOn = None)
     ()
   }
 
@@ -154,12 +160,41 @@ object NgramLm {
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
       .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
 
-  /** Load with torn-store verification on every live segment (see class
-    * doc). The checks are vocabulary-sized aggregates — model-state
-    * cost, not corpus cost. */
+  /** Load a LIVE handle with torn-store verification on every live
+    * segment (see class doc). The checks are vocabulary-sized
+    * aggregates — model-state cost, not corpus cost. A live handle
+    * re-resolves the NEWEST manifest version on every read, which is
+    * what the mutation-through-handle contract needs (append/forget/
+    * compact on the same handle serve the post-mutation state,
+    * spec-pinned); a standing scorer that must never change vocabulary
+    * mid-stream wants [[loadPinned]] instead. */
   def load(spark: SparkSession, dir: String): Model = {
     val store = new Store(spark, dir)
-    store.liveSegments().foreach { seg =>
+    verifySegments(spark, store, store.snapshotOrThrow().segments)
+    new Model(spark, store, pinned = None)
+  }
+
+  /** [[load]] PINNED to the newest version at load time: every later
+    * read resolves exactly that version — the standing-scorer contract
+    * ([[graft.stream.QualityGateIngest]]/[[graft.stream.CcnetScoreIngest]]:
+    * two halves of a corpus must never be graded by different
+    * vocabularies), now enforced rather than assumed (a live handle
+    * would silently adopt a concurrent refit or append mid-stream).
+    * A pinned handle is READ-ONLY — mutations throw. Retention note:
+    * [[Model.vacuum]] sweeps old versions; keep enough history to
+    * outlast the standing scorers' restart cadence, or a sweep breaks
+    * their pinned reads. */
+  def loadPinned(spark: SparkSession, dir: String): Model = {
+    val store = new Store(spark, dir)
+    val snap = store.snapshotOrThrow()
+    verifySegments(spark, store, snap.segments)
+    new Model(spark, store, pinned = Some(snap.version))
+  }
+
+  private def verifySegments(spark: SparkSession, store: Store,
+      segs: Seq[String]): Unit = {
+    val dir = store.dir
+    segs.foreach { seg =>
       val metaRows = spark.read.parquet(store.segPath(seg, "meta")).collect()
       require(metaRows.length == 1,
         s"LM store at $dir/$seg has ${metaRows.length} meta rows (want 1)")
@@ -192,8 +227,25 @@ object NgramLm {
       if (m.schema.fieldNames.contains("tri_size"))
         checkTable("tri", m.getAs[Long]("tri_size"), m.getAs[Long]("tri_total"))
     }
-    new Model(spark, store)
   }
+
+  /** One PARSED manifest read — everything a lifecycle operation needs
+    * to know about the store, captured atomically from a single
+    * version. Lifecycle ops read through this instead of 6–8
+    * independent accessor calls (each of which re-lists the directory
+    * and re-parses the manifest — on an object store that is one
+    * metadata round-trip apiece), and they publish AGAINST
+    * [[Snapshot.version]] ([[Store.publish]]'s basedOn rule), so two
+    * interleaved writers can no longer silently drop each other's
+    * lines. */
+  private[NgramLm] final case class Snapshot(
+      version: Long,
+      segments: Seq[String],
+      tokens: Set[String],
+      horizon: Option[Long],
+      sid: Option[String],
+      gates: Set[String],
+      inc: Set[String])
 
   /** Manifest + segment plumbing (the shared store rules). */
   private[NgramLm] final class Store(spark: SparkSession, val dir: String) {
@@ -205,6 +257,27 @@ object NgramLm {
           dirsOnly = false)
         .map(_._2).sorted.lastOption
 
+    /** The fully parsed state of manifest `v` (see [[Snapshot]]). */
+    def snapshotAt(v: Long): Snapshot = {
+      val lines = manifestLines(v)
+      val payload = lines.filterNot(l => l.startsWith("tok ") ||
+        l.startsWith("gate ") || l.startsWith("inc "))
+      val (segs, horizon) = graft.ops.BatchHorizon.split(payload)
+      Snapshot(v, segs,
+        lines.collect { case s if s.startsWith("tok ") => s.drop(4) }.toSet,
+        horizon,
+        graft.ops.BatchHorizon.splitSid(lines),
+        lines.collect { case s if s.startsWith("gate ") =>
+          s.drop(5).trim }.toSet,
+        lines.collect { case s if s.startsWith("inc ") =>
+          s.drop(4).trim }.toSet)
+    }
+
+    def snapshot(): Option[Snapshot] = currentVersion().map(snapshotAt)
+
+    def snapshotOrThrow(): Snapshot = snapshot().getOrElse(
+      throw new IllegalStateException(s"no complete LM store under $dir"))
+
     private def manifestLines(v: Long): Seq[String] = {
       val in = fs.open(new Path(dir, s"m=$v"))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -212,78 +285,29 @@ object NgramLm {
       finally in.close()
     }
 
-    // Stream-identity pin ([[graft.ops.BatchHorizon.requireSid]]): a
-    // `sid <token>` line written by the streaming maintainer's first
-    // publish and carried forever after, so a stream restarted with a
-    // FRESH checkpoint (batch ids back at 0) fails loudly in
-    // [[Model.appendBatch]] instead of silently no-opping below the
-    // replay horizon.
-    def liveSid(): Option[String] = currentVersion().flatMap(v =>
-      graft.ops.BatchHorizon.splitSid(manifestLines(v)))
-
-    // Manifest format: one segment name per line, plus `tok <token>`
-    // lines — the REALIZED-FORGET TOKEN LEDGER. compact() folds
-    // forget segments away (their negatives realize into the summed
-    // counts), which would otherwise erase the `seg-forget-<token>`
-    // name [[Model.forgetBatch]]'s replay no-op keys on — a replay
-    // landing after a compaction would re-subtract. Token lines
-    // survive every publish, so the no-op check stays true across
-    // compactions. Legacy manifests simply have no `tok ` lines
-    // (segment names are all `seg-…`, so the prefix cannot collide).
-    private def segmentsAt(v: Long): Seq[String] =
-      graft.ops.BatchHorizon.split(
-        manifestLines(v).filterNot(l => l.startsWith("tok ") ||
-          l.startsWith("gate ") || l.startsWith("inc ")))._1
-
-    // Replay horizon ([[graft.ops.BatchHorizon]]): compact() folds
-    // batch-named segments away; the `bh <id>` line keeps a
-    // redelivered folded batch a no-op in [[Model.appendBatch]]
-    // instead of a double-count.
-    private def horizonAt(v: Long): Option[Long] =
-      graft.ops.BatchHorizon.split(manifestLines(v))._2
-
-    def liveHorizon(): Option[Long] =
-      currentVersion().flatMap(horizonAt)
-
-    private def tokensAt(v: Long): Set[String] =
-      manifestLines(v).collect { case s if s.startsWith("tok ") =>
-        s.drop(4) }.toSet
-
-    def liveSegments(): Seq[String] = segmentsAt(currentVersion().getOrElse(
-      throw new IllegalStateException(s"no complete LM store under $dir")))
-
-    /** Realized forget tokens (one per completed [[Model.forgetBatch]]),
-      * carried by every manifest forever after. Growth is one short
-      * line per erasure REQUEST — audit-ledger-sized, not data-sized. */
-    def liveTokens(): Set[String] = tokensAt(currentVersion().getOrElse(
-      throw new IllegalStateException(s"no complete LM store under $dir")))
-
-    private def prefixedAt(v: Long, prefix: String): Set[String] =
-      manifestLines(v).collect { case s if s.startsWith(prefix) =>
-        s.drop(prefix.length).trim }.toSet
-
-    /** SERVING GATES (`gate <table>` manifest lines): order tables an
-      * erasure ran against while INCOMPLETE — their negative counts
-      * could not be subtracted exactly, so serving that order would
-      * leak un-redacted transitions. Carried by every publish until a
-      * full refit ([[NgramLm.fit]] over this dir) clears them. */
-    def liveGates(): Set[String] = currentVersion()
-      .map(prefixedAt(_, "gate ")).getOrElse(Set.empty)
-
-    /** INCOMPLETE-ORDER markers (`inc <table>`): some live ingests
-      * predate this order's table (legacy-vintage segments). Written
-      * the first time a fold or forget OBSERVES a segment missing the
-      * table, and carried forever after — [[Model.compact]] rewrites
-      * every segment in the full FORMAT (which makes the missing-dir
-      * test blind), but the absent transitions stay absent, and a
-      * later forget must still know not to subtract them. */
-    def liveIncomplete(): Set[String] = currentVersion()
-      .map(prefixedAt(_, "inc ")).getOrElse(Set.empty)
-
-    /** True iff any LIVE segment has no `table` directory (a
-      * legacy-vintage segment from before the order existed). */
-    def anySegmentMissing(table: String): Boolean =
-      liveSegments().exists(s => !fs.exists(new Path(segPath(s, table))))
+    // Manifest format, all read through [[snapshotAt]]:
+    //  - one SEGMENT name per line;
+    //  - `tok <token>` — the REALIZED-FORGET TOKEN LEDGER: compact()
+    //    folds forget segments away (their negatives realize into the
+    //    summed counts), which would otherwise erase the
+    //    `seg-forget-<token>` name [[Model.forgetBatch]]'s replay
+    //    no-op keys on; token lines survive every publish, so the
+    //    no-op check stays true across compactions. Audit-ledger-sized
+    //    growth: one short line per erasure REQUEST.
+    //  - `gate <table>` — SERVING GATES: order tables an erasure ran
+    //    against while incomplete; serving them would leak un-redacted
+    //    transitions, so [[Model.requireServable]] throws until a full
+    //    refit ([[NgramLm.fit]]) clears the line.
+    //  - `inc <table>` — INCOMPLETE-ORDER markers: some live ingests
+    //    predate the table (legacy vintage). Written the first time a
+    //    fold or forget OBSERVES a missing table dir, carried forever
+    //    (compaction's full-format rewrite blinds the missing-dir
+    //    test, but the absent transitions stay absent).
+    //  - `bh <id>` / `sid <token>` — the replay horizon and
+    //    stream-identity pin ([[graft.ops.BatchHorizon]]).
+    // Legacy manifests simply lack the optional lines; segment names
+    // are all `seg-…`, so the prefixes cannot collide.
+    private def segmentsAt(v: Long): Seq[String] = snapshotAt(v).segments
 
     def segPath(seg: String, table: String): String =
       s"$dir/segments/$seg/$table"
@@ -320,12 +344,24 @@ object NgramLm {
       seg
     }
 
+    /** Publish the next manifest version, OPTIMISTICALLY: `basedOn` is
+      * the version the caller's reads were based on (None = the caller
+      * observed no store), and the target is exactly basedOn + 1 —
+      * never a publish-time re-listing. [[graft.ops.VersionedPaths.publish]]
+      * throws if that version already exists, so a lifecycle op that
+      * interleaved with another writer (a standing [[graft.stream.LmIngest]]
+      * append racing a [[graft.gov.ForgetPipeline]] erasure) fails
+      * LOUDLY and retries against the fresh state, instead of silently
+      * rebuilding the manifest from stale reads — which would drop the
+      * other writer's segment and `tok` ledger lines and resurrect
+      * erased victims. */
     def publish(segs: Seq[String],
         tokens: Set[String] = Set.empty,
         horizon: Option[Long] = None,
         sid: Option[String] = None,
         gates: Set[String] = Set.empty,
-        inc: Set[String] = Set.empty): Long = {
+        inc: Set[String] = Set.empty,
+        basedOn: Option[Long]): Long = {
       val body = (segs ++ tokens.toSeq.sorted.map("tok " + _) ++
         gates.toSeq.sorted.map("gate " + _) ++
         inc.toSeq.sorted.map("inc " + _) ++
@@ -337,23 +373,27 @@ object NgramLm {
       try out.write(body.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       graft.ops.VersionedPaths.publish(fs, new Path(dir), tmp, "m=",
-        currentVersion().map(_ + 1).getOrElse(0L))
+        basedOn.map(_ + 1).getOrElse(0L))
     }
 
     def vacuum(keep: Int): (Int, Int) =
       graft.sim.IndexVacuum.vacuum(fs, dir, keep, segmentsAt,
         Seq("segments" -> "seg-"))
 
-    def readUnion(table: String): DataFrame =
-      liveSegments().map(s => spark.read.parquet(segPath(s, table)))
+    /** Union of `table` across an EXPLICIT segment set — the caller
+      * resolves the set once from its snapshot (live or pinned), so a
+      * multi-read operation cannot straddle two versions. */
+    def readUnion(segs: Seq[String], table: String): DataFrame =
+      segs.map(s => spark.read.parquet(segPath(s, table)))
         .reduce(_ unionByName _)
 
-    /** Union of `table` across live segments, tolerating segments that
-      * predate the table (the order-1 → order-2 migration: a legacy
-      * segment simply contributes no rows). Empty-schema fallback keeps
-      * downstream plans well-typed when NO live segment has the table. */
-    def readUnionTolerant(table: String, schemaDdl: String): DataFrame = {
-      val present = liveSegments().map(s => segPath(s, table))
+    /** [[readUnion]] tolerating segments that predate the table (the
+      * order-1 → order-2 migration: a legacy segment simply contributes
+      * no rows). Empty-schema fallback keeps downstream plans
+      * well-typed when NO segment has the table. */
+    def readUnionTolerant(segs: Seq[String], table: String,
+        schemaDdl: String): DataFrame = {
+      val present = segs.map(s => segPath(s, table))
         .filter(p => fs.exists(new Path(p)))
       if (present.isEmpty)
         spark.createDataFrame(
@@ -361,35 +401,68 @@ object NgramLm {
           org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
       else present.map(spark.read.parquet(_)).reduce(_ unionByName _)
     }
+
+    /** True iff any of `segs` has no `table` directory (a legacy
+      * segment from before the order existed). */
+    def anyMissing(segs: Seq[String], table: String): Boolean =
+      segs.exists(s => !fs.exists(new Path(segPath(s, table))))
   }
 
-  /** A verified handle; construct via [[load]]. */
-  final class Model private[NgramLm] (spark: SparkSession, store: Store) {
+  /** A verified handle; construct via [[load]] (live — every read
+    * resolves the newest manifest, so mutations through the handle are
+    * visible) or [[loadPinned]] (frozen at one version, read-only —
+    * the standing-scorer contract). */
+  final class Model private[NgramLm] (spark: SparkSession, store: Store,
+      pinned: Option[Long]) {
 
-    /** The rolled-up vocabulary (term, cnt): per-term sums across live
-      * segments, zero-sum terms dropped (a fully-forgotten term is
-      * ABSENT, exactly as in a redacted-corpus fit). Fails loudly if
-      * any rolled count is negative — that is a broken forget contract,
-      * not a servable LM. */
-    def vocab(): DataFrame = {
-      val rolled = store.readUnion("uni")
-        .groupBy("term").agg(sum("cnt").as("cnt"))
+    /** The version this read resolves: the pin, or the newest. */
+    private def ver(): Long = pinned.getOrElse(
+      store.currentVersion().getOrElse(throw new IllegalStateException(
+        s"no complete LM store under ${store.dir}")))
+
+    /** One parsed manifest read for this access ([[Store.snapshotAt]]). */
+    private def readSnap(): Snapshot = store.snapshotAt(ver())
+
+    private def requireMutable(): Unit =
+      if (pinned.nonEmpty) throw new IllegalStateException(
+        s"LM handle on ${store.dir} is PINNED to version ${pinned.get} " +
+          "(loadPinned) and read-only — load() a live handle to mutate")
+
+    /** The shared roll-up: per-key sums across the resolved segments,
+      * zero-sum keys dropped (a fully-forgotten n-gram is ABSENT,
+      * exactly as in a redacted-corpus fit), loud on any negative
+      * rolled count — that is a broken forget contract, not a servable
+      * LM. ONE definition for all three orders so the algebra and the
+      * guard cannot drift between them. */
+    private def rolledNonNeg(read: DataFrame, keys: Seq[String],
+        what: String): DataFrame = {
+      val rolled = read.groupBy(keys.map(col): _*)
+        .agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
+      val label: Seq[org.apache.spark.sql.Column] =
+        lit(s"LM store at ${store.dir} rolled a negative count for $what '") +:
+          keys.zipWithIndex.flatMap { case (k, i) =>
+            (if (i > 0) Seq(lit(" ")) else Seq.empty[org.apache.spark.sql.Column]) :+
+              col(k) } :+
+          lit("' — forget subtracted text never ingested")
       rolled.withColumn("cnt",
-        when(col("cnt") < 0L, raise_error(concat(
-          lit("LM store at " + store.dir + " rolled a negative count for term '"),
-          col("term"), lit("' — forget subtracted text never ingested"))))
+        when(col("cnt") < 0L, raise_error(concat(label: _*)))
           .otherwise(col("cnt")))
     }
 
-    /** Loud serving gate ([[Store.liveGates]]): an erasure ran while
+    /** The rolled-up vocabulary (term, cnt) ([[rolledNonNeg]]). */
+    def vocab(): DataFrame =
+      rolledNonNeg(store.readUnion(readSnap().segments, "uni"),
+        Seq("term"), "term")
+
+    /** Loud serving gate (`gate` manifest lines): an erasure ran while
       * this order's table was incomplete, so its rolled counts still
       * contain transitions the committed erasure claims are gone —
       * serving them would leak. The negative-count raise_error never
       * fires for this case (the forget SKIPPED the inexact negatives);
       * it remains the broken-contract guard it always was. */
-    private def requireServable(table: String): Unit =
-      if (store.liveGates().contains(table))
+    private def requireServable(snap: Snapshot, table: String): Unit =
+      if (snap.gates.contains(table))
         throw new IllegalStateException(
           s"LM store at ${store.dir}: order-" +
             (if (table == "tri") "3" else "2") +
@@ -400,45 +473,27 @@ object NgramLm {
             "them. Refit the store on the redacted corpus " +
             "(NgramLm.fit over this dir) to restore this order.")
 
-    /** The rolled-up bigram table (w1, w2, cnt) — same algebra and same
-      * negative-count guard as [[vocab]] (a forget that subtracts
-      * never-ingested transitions is a broken contract at order 2 just
-      * as at order 1). Throws when order-2 serving is gated
-      * ([[requireServable]]). */
+    /** The rolled-up bigram table (w1, w2, cnt) — [[rolledNonNeg]]
+      * at order 2. Legacy order-1 segments contribute no rows
+      * ([[Store.readUnionTolerant]]); throws when order-2 serving is
+      * gated ([[requireServable]]). */
     def bigrams(): DataFrame = {
-      requireServable("bi")
-      val rolled = store
-        .readUnionTolerant("bi", "w1 STRING, w2 STRING, cnt BIGINT")
-        .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
-        .where(col("cnt") =!= 0L)
-      rolled.withColumn("cnt",
-        when(col("cnt") < 0L, raise_error(concat(
-          lit("LM store at " + store.dir +
-            " rolled a negative count for bigram '"),
-          col("w1"), lit(" "), col("w2"),
-          lit("' — forget subtracted text never ingested"))))
-          .otherwise(col("cnt")))
+      val snap = readSnap()
+      requireServable(snap, "bi")
+      rolledNonNeg(store.readUnionTolerant(snap.segments, "bi",
+          "w1 STRING, w2 STRING, cnt BIGINT"),
+        Seq("w1", "w2"), "bigram")
     }
 
-    /** The rolled-up trigram table (w1, w2, w3, cnt) — same algebra and
-      * same negative-count guard as [[vocab]]/[[bigrams]] (order-3
-      * counts are additive like every order's). Legacy order-2
-      * segments contribute no rows ([[Store.readUnionTolerant]]).
-      * Throws when order-3 serving is gated ([[requireServable]]). */
+    /** The rolled-up trigram table (w1, w2, w3, cnt) — [[rolledNonNeg]]
+      * at order 3. Legacy order-2 segments contribute no rows; throws
+      * when order-3 serving is gated ([[requireServable]]). */
     def trigrams(): DataFrame = {
-      requireServable("tri")
-      val rolled = store
-        .readUnionTolerant("tri",
-          "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT")
-        .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
-        .where(col("cnt") =!= 0L)
-      rolled.withColumn("cnt",
-        when(col("cnt") < 0L, raise_error(concat(
-          lit("LM store at " + store.dir +
-            " rolled a negative count for trigram '"),
-          col("w1"), lit(" "), col("w2"), lit(" "), col("w3"),
-          lit("' — forget subtracted text never ingested"))))
-          .otherwise(col("cnt")))
+      val snap = readSnap()
+      requireServable(snap, "tri")
+      rolledNonNeg(store.readUnionTolerant(snap.segments, "tri",
+          "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT"),
+        Seq("w1", "w2", "w3"), "trigram")
     }
 
     private def stats: DataFrame =
@@ -466,20 +521,6 @@ object NgramLm {
           expr(graft.queries.TextQueries.HeldoutDocAggSql).as("heldout_mb"))
     }
 
-    /** Score a batch under the frozen INTERPOLATED BIGRAM LM:
-      * (doc_id, n_bigrams, mean_surprisal_mb) — the `q_text_bigram_lm`
-      * output contract, unsorted (callers order). Catches word-salad
-      * documents whose unigram stats look normal but whose transitions
-      * are improbable. Only the BATCH is tokenized; the c1first / cuni /
-      * t_total marginals are integer sums of the stored bigram table,
-      * so they equal the inline kernel's db-derived marginals exactly
-      * and the shared [[graft.queries.TextQueries.BigramSurprisalSql]]
-      * emission is bit-identical (graded by `q_text_bigram_served`).
-      * Contract: bigrams ABSENT from the trained table drop from the
-      * mean (inner join — the inline semantics, where scoring the
-      * training corpus makes absence impossible); docs with < 2 tokens
-      * produce no row. An order-2 OOV backoff is deliberately NOT
-      * invented here — it would change the graded statistic. */
     /** The scored TYPE table of the frozen model, rolled once PER STORE
       * VERSION: the vocabulary²-sized roll-up is cached keyed on the
       * manifest version the handle currently resolves — a standing
@@ -509,9 +550,7 @@ object NgramLm {
     private var retiredBlockIds: Set[Int] = Set.empty
 
     private def bigramTypeScores: DataFrame = synchronized {
-      val v = store.currentVersion().getOrElse(
-        throw new IllegalStateException(
-          s"no complete LM store under ${store.dir}"))
+      val v = ver()
       bigramScoresCache match {
         case Some((cv, df, _)) if cv == v => df
         case stale =>
@@ -520,11 +559,14 @@ object NgramLm {
             .filter { case (id, _) => retiredBlockIds(id) }
             .values.foreach(_.unpersist(blocking = false))
           retiredBlockIds = stale.map(_._3).getOrElse(Set.empty)
-          val before = sc.getPersistentRDDs.keySet.toSet
           // One read of the rolled table feeds c2 and both marginals.
+          // Block attribution is PRECISE ([[graft.ops.CheckpointIds]]
+          // reads the ids off the frames themselves) — a session-global
+          // before/after diff would claim a concurrent thread's
+          // checkpoint and unpersisting that breaks its
+          // lineage-truncated frame permanently.
           val c2 = bigrams().withColumnRenamed("cnt", "c2")
             .localCheckpoint(true)
-          val afterC2 = sc.getPersistentRDDs.keySet.toSet
           val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
           val uni2 = c2.groupBy(col("w2").as("w")).agg(sum("c2").as("cuni"))
           val total = uni2.agg(coalesce(sum("cuni"), lit(0L)).as("t_total"))
@@ -535,11 +577,9 @@ object NgramLm {
               expr(graft.queries.TextQueries.BigramSurprisalSql)
                 .as("surprisal_mb"))
             .localCheckpoint(true)
-          val c2Ids = afterC2 -- before
-          sc.getPersistentRDDs.filter { case (id, _) => c2Ids(id) }
-            .values.foreach(_.unpersist(blocking = false))
-          val mine = (sc.getPersistentRDDs.keySet.toSet -- before) -- c2Ids
-          bigramScoresCache = Some((v, scored, mine))
+          graft.ops.CheckpointIds.release(c2)
+          bigramScoresCache =
+            Some((v, scored, graft.ops.CheckpointIds.of(scored)))
           scored
       }
     }
@@ -558,6 +598,20 @@ object NgramLm {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
 
+    /** Score a batch under the frozen INTERPOLATED BIGRAM LM:
+      * (doc_id, n_bigrams, mean_surprisal_mb) — the `q_text_bigram_lm`
+      * output contract, unsorted (callers order). Catches word-salad
+      * documents whose unigram stats look normal but whose transitions
+      * are improbable. Only the BATCH is tokenized; the c1first / cuni /
+      * t_total marginals are integer sums of the stored bigram table,
+      * so they equal the inline kernel's db-derived marginals exactly
+      * and the shared [[graft.queries.TextQueries.BigramSurprisalSql]]
+      * emission is bit-identical (graded by `q_text_bigram_served`).
+      * Contract: bigrams ABSENT from the trained table drop from the
+      * mean (inner join — the inline semantics, where scoring the
+      * training corpus makes absence impossible); docs with < 2 tokens
+      * produce no row. An order-2 OOV backoff is deliberately NOT
+      * invented here — it would change the graded statistic. */
     def scoreBigrams(docs: DataFrame, idCol: String,
         textCol: String): DataFrame =
       docBigrams(docs, idCol, textCol)
@@ -677,12 +731,12 @@ object NgramLm {
       * after any append sequence equal a from-scratch fit on the union
       * (spec-pinned). Cost ∝ delta. */
     def append(docs: DataFrame, textCol: String): Long = {
-      val live = store.liveSegments() // resolve BEFORE the heavy write
-      val tokens = store.liveTokens()
-      val h = store.liveHorizon()
-      store.publish(live :+ store.writeSegment(gramCountsOf(docs, textCol)),
-        tokens, h, store.liveSid(), store.liveGates(),
-        store.liveIncomplete())
+      requireMutable()
+      val snap = store.snapshotOrThrow() // one read, BEFORE the write
+      store.publish(
+        snap.segments :+ store.writeSegment(gramCountsOf(docs, textCol)),
+        snap.tokens, snap.horizon, snap.sid, snap.gates, snap.inc,
+        basedOn = Some(snap.version))
     }
 
     /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -698,25 +752,26 @@ object NgramLm {
       * counts are deterministic, so skipping loses nothing. */
     private[graft] def appendBatch(docs: DataFrame, textCol: String,
         batchId: Long, streamId: Option[String] = None): Long = {
-      val live = store.liveSegments()
-      val tokens = store.liveTokens()
-      val h = store.liveHorizon()
-      val sid = store.liveSid()
+      requireMutable()
+      val snap = store.snapshotOrThrow()
       // Identity pin FIRST (BatchHorizon.requireSid): the horizon no-op
       // below is sound only per checkpoint — a pinned store fed by a
       // different stream identity fails loudly here instead of silently
       // dropping every batch at or below the old horizon.
-      graft.ops.BatchHorizon.requireSid(sid, streamId, s"LM store ${store.dir}")
+      graft.ops.BatchHorizon.requireSid(snap.sid, streamId,
+        s"LM store ${store.dir}")
       val seg = s"seg-batch-$batchId"
       // Second no-op trigger: the batch is at or below the replay
       // horizon — a compact() already realized its counts into the
       // folded segment; re-appending would double-count them.
-      if (live.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, store.dir))
-        return store.currentVersion().get
+      if (snap.segments.contains(seg) ||
+          graft.ops.BatchHorizon.realizedLoud(snap.horizon, batchId,
+            store.dir))
+        return snap.version
       store.writeNamedSegment(gramCountsOf(docs, textCol), seg)
-      store.publish(live :+ seg, tokens, h,
-        graft.ops.BatchHorizon.adoptSid(sid, streamId),
-        store.liveGates(), store.liveIncomplete())
+      store.publish(snap.segments :+ seg, snap.tokens, snap.horizon,
+        graft.ops.BatchHorizon.adoptSid(snap.sid, streamId),
+        snap.gates, snap.inc, basedOn = Some(snap.version))
     }
 
     /** EXACT FORGET via a NEGATIVE-count segment: tokenize the victim
@@ -735,23 +790,23 @@ object NgramLm {
       * ([[requireServable]]) until a full refit: order-1 erasure stays
       * exact, incomplete orders stop serving rather than leak. */
     def forget(docs: DataFrame, textCol: String): Long = {
-      val live = store.liveSegments()
-      val tokens = store.liveTokens()
-      val h = store.liveHorizon()
-      val inc = incompleteNow()
-      store.publish(live :+ store.writeSegment(
+      requireMutable()
+      val snap = store.snapshotOrThrow()
+      val inc = incompleteNow(snap)
+      store.publish(snap.segments :+ store.writeSegment(
         negGrams(gramCountsOf(docs, textCol), inc)),
-        tokens, h, store.liveSid(), store.liveGates() ++ inc, inc)
+        snap.tokens, snap.horizon, snap.sid, snap.gates ++ inc, inc,
+        basedOn = Some(snap.version))
     }
 
-    /** Orders whose table is INCOMPLETE right now: the persisted
-      * marker ([[Store.liveIncomplete]] — survives compaction's
-      * format rewrite), any already-gated order (its counts are
-      * un-maintained by definition), plus a live missing-dir scan
-      * (the pre-marker legacy case). */
-    private def incompleteNow(): Set[String] =
-      store.liveIncomplete() ++ store.liveGates() ++
-        Seq("bi", "tri").filter(store.anySegmentMissing)
+    /** Orders whose table is INCOMPLETE in this snapshot: the
+      * persisted `inc` marker (survives compaction's format rewrite),
+      * any already-gated order (its counts are un-maintained by
+      * definition), plus a missing-dir scan over the snapshot's
+      * segments (the pre-marker legacy case). */
+    private def incompleteNow(snap: Snapshot): Set[String] =
+      snap.inc ++ snap.gates ++
+        Seq("bi", "tri").filter(t => store.anyMissing(snap.segments, t))
 
     /** The NEGATED victim counts, with incomplete orders' rows
       * dropped (see [[forget]]). */
@@ -775,11 +830,18 @@ object NgramLm {
       * replayable orchestrator; this form is the one to wire there. */
     def forgetBatch(docs: DataFrame, textCol: String,
         token: String): Long = {
+      requireMutable()
+      // ASCII-only, matching the error message exactly:
+      // Char.isLetterOrDigit would accept any Unicode letter, and a
+      // non-ASCII segment name risks NFC/NFD path-normalization
+      // differences between filesystems — the replay no-op's
+      // live.contains(seg) could then miss the existing segment and
+      // subtract twice, the precise failure the token exists to stop.
       require(token.nonEmpty && token.forall(c =>
-        c.isLetterOrDigit || c == '-' || c == '_'),
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == '-' || c == '_'),
         s"forget token must be [A-Za-z0-9_-]+, got '$token'")
-      val live = store.liveSegments()
-      val tokens = store.liveTokens()
+      val snap = store.snapshotOrThrow()
       val seg = s"seg-forget-$token"
       // The no-op check consults BOTH the live segment name and the
       // manifest's realized-token ledger: [[compact]] folds the
@@ -788,13 +850,14 @@ object NgramLm {
       // survives every later publish, so a replay landing AFTER a
       // compaction is still a true no-op instead of a second
       // subtraction.
-      if (live.contains(seg) || tokens.contains(token))
-        return store.currentVersion().get
-      val inc = incompleteNow() // the [[forget]] legacy-store rule
+      if (snap.segments.contains(seg) || snap.tokens.contains(token))
+        return snap.version
+      val inc = incompleteNow(snap) // the [[forget]] legacy-store rule
       store.writeNamedSegment(
         negGrams(gramCountsOf(docs, textCol), inc), seg)
-      store.publish(live :+ seg, tokens + token, store.liveHorizon(),
-        store.liveSid(), store.liveGates() ++ inc, inc)
+      store.publish(snap.segments :+ seg, snap.tokens + token,
+        snap.horizon, snap.sid, snap.gates ++ inc, inc,
+        basedOn = Some(snap.version))
     }
 
     /** MAINTENANCE compaction: fold live segments into one (the same
@@ -802,28 +865,29 @@ object NgramLm {
       * forget segments are REALIZED and their negatives leave the
       * store). Bounds per-score segment fan-out after many appends. */
     def compact(): Long = {
-      val live = store.liveSegments()
-      val tokens = store.liveTokens()
-      if (live.size <= 1) return store.currentVersion().get
+      requireMutable()
+      val snap = store.snapshotOrThrow()
+      if (snap.segments.size <= 1) return snap.version
       // Observe incompleteness BEFORE the fold: the rewrite below is
       // full-format (every order gets a dir), so this is the last
       // moment the missing-dir test can see a legacy segment — the
       // `inc` marker carries the fact forward for any later forget.
-      val inc = incompleteNow()
-      val uni = store.readUnion("uni")
+      val inc = incompleteNow(snap)
+      val uni = store.readUnion(snap.segments, "uni")
         .groupBy("term").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
         .select(col("term").as("w1"),
           lit(null).cast("string").as("w2"),
           lit(null).cast("string").as("w3"), col("cnt"))
       val bi = store
-        .readUnionTolerant("bi", "w1 STRING, w2 STRING, cnt BIGINT")
+        .readUnionTolerant(snap.segments, "bi",
+          "w1 STRING, w2 STRING, cnt BIGINT")
         .groupBy("w1", "w2").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
         .select(col("w1"), col("w2"),
           lit(null).cast("string").as("w3"), col("cnt"))
       val tri = store
-        .readUnionTolerant("tri",
+        .readUnionTolerant(snap.segments, "tri",
           "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT")
         .groupBy("w1", "w2", "w3").agg(sum("cnt").as("cnt"))
         .where(col("cnt") =!= 0L)
@@ -834,9 +898,9 @@ object NgramLm {
       // no-ops in [[appendBatch]] instead of double-counting.
       store.publish(
         Seq(store.writeSegment(uni.unionByName(bi).unionByName(tri))),
-        tokens,
-        graft.ops.BatchHorizon.afterFold(store.liveHorizon(), live),
-        store.liveSid(), store.liveGates(), inc)
+        snap.tokens,
+        graft.ops.BatchHorizon.afterFold(snap.horizon, snap.segments),
+        snap.sid, snap.gates, inc, basedOn = Some(snap.version))
     }
 
     /** Retention: keep the newest `keep` versions, sweep older
@@ -874,14 +938,19 @@ object NgramLm {
       .select(col(idCol).as("doc_id"), col(srcCol).as("source"),
         explode(TokenOps.terms(col(textCol))).as("term"))
       .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("k"))
-    // Vocabulary-sized: one left join of the two frozen count tables
-    // feeds both the totals aggregate and the type scores.
+    // Vocabulary-sized left join of the two frozen count tables; it
+    // feeds both the totals aggregate and the type scores and is
+    // RECOMPUTED per consumer (two model-state-sized parquet reads) —
+    // the [[Model.scoreKneserNey]] no-pinned-blocks rule. A per-call
+    // localCheckpoint here would leak its blocks until GC (the result
+    // frame depends on it, so this path could never release it
+    // deterministically); a standing per-trigger consumer should wire
+    // a [[Model.bigramTypeScores]]-style generation cache instead.
     val counts = general.vocab().withColumnRenamed("cnt", "c_all")
       .join(inDomain.vocab().withColumnRenamed("cnt", "c_in"),
         Seq("term"), "left_outer")
       .select(col("term"), col("c_all"),
         coalesce(col("c_in"), lit(0L)).as("c_in"))
-      .localCheckpoint(true)
     val consts = counts.agg(sum("c_all").as("t_all"),
       sum("c_in").as("t_in"), count(lit(1)).as("v"))
     val typeScores = counts.crossJoin(broadcast(consts))

@@ -59,9 +59,11 @@ final class CcnetScoreIngest(
   require(headMaxMb <= middleMaxMb,
     s"head cut $headMaxMb must not exceed middle cut $middleMaxMb")
 
-  /** Load (and verify) once; fails loudly at construction on a torn or
-    * absent model (the [[QualityGateIngest]] rule). */
-  private val model: NgramLm.Model = NgramLm.load(spark, modelDir)
+  /** Load (and verify) once, PINNED to the load-time version
+    * ([[NgramLm.loadPinned]] — the [[QualityGateIngest]] rule, now
+    * enforced: a concurrent refit cannot move this stream's scoring
+    * state). */
+  private val model: NgramLm.Model = NgramLm.loadPinned(spark, modelDir)
 
   /** One micro-batch: returns the number of scored documents written. */
   override def processBatch(batch: DataFrame, batchId: Long): Long = {

@@ -78,13 +78,14 @@ private[graft] object MicroBatchIngest {
     * of re-implemented per maintainer: a fix to the release rule lands
     * everywhere at once. */
   def withReleasedCheckpoint[A](df: DataFrame)(f: DataFrame => A): A = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
     val pinned = df.localCheckpoint(true)
-    val mine = sc.getPersistentRDDs.keySet.toSet -- before
+    // PRECISE attribution ([[graft.ops.CheckpointIds]]): the released
+    // ids are read off the pinned frame itself — the old
+    // getPersistentRDDs before/after diff claimed any RDD a CONCURRENT
+    // thread persisted in the window, and unpersisting a foreign
+    // lineage-truncated checkpoint breaks that frame permanently.
     try f(pinned)
-    finally sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    finally graft.ops.CheckpointIds.release(pinned)
   }
 
   /** Idempotent per-batch write: DYNAMIC overwrite of this batch's own

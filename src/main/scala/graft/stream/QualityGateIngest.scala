@@ -57,10 +57,14 @@ final class QualityGateIngest(
     maxMb: Long,
     maxBigramMb: Option[Long] = None) extends MicroBatchIngest with Serializable {
 
-  /** Load (and verify) once; fails loudly at construction on a torn or
-    * absent model — a gate that silently scored against half a
-    * vocabulary would ship noise into the corpus. */
-  private val model: NgramLm.Model = NgramLm.load(spark, modelDir)
+  /** Load (and verify) once, PINNED to the load-time version
+    * ([[NgramLm.loadPinned]]) — a live handle would silently adopt a
+    * concurrent refit or append mid-stream, grading two halves of a
+    * corpus with different vocabularies; a pinned one cannot. Fails
+    * loudly at construction on a torn or absent model — a gate that
+    * silently scored against half a vocabulary would ship noise into
+    * the corpus. */
+  private val model: NgramLm.Model = NgramLm.loadPinned(spark, modelDir)
 
   /** One row per id, deterministically — the shared content-keyed
     * winner rule ([[MicroBatchIngest.onePerId]], one definition for

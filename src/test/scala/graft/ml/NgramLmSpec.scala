@@ -436,6 +436,43 @@ class NgramLmSpec extends SparkSpec {
         .orderBy("w1", "w2", "w3").collect().toSeq)
   }
 
+  test("a pinned handle serves the load-time version across a refit; " +
+      "mutations on it throw") {
+    // The standing-scorer contract (QualityGateIngest/CcnetScoreIngest:
+    // two halves of a corpus must never be graded by different
+    // vocabularies), enforced by loadPinned rather than assumed — a
+    // live load() handle re-resolves the newest manifest per read and
+    // would silently adopt a concurrent refit mid-stream.
+    val all = graft.queries.Tables.t(spark, dir, "documents")
+    val oldDocs = all.where(col("doc_id") < 100)
+    val d = Files.createTempDirectory("nglm-pin").toString + "/lm"
+    NgramLm.fit(oldDocs, "text", d)
+    val pinnedM = NgramLm.loadPinned(spark, d)
+    val v0 = pinnedM.vocab().orderBy("term").collect().toSeq
+    val s0 = pinnedM.score(oldDocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // A refit lands on the same dir (the mid-stream hazard).
+    NgramLm.fit(all.where(col("doc_id") >= 100 && col("doc_id") < 200),
+      "text", d)
+    // The live handle adopts it; the pinned one does not.
+    assert(NgramLm.load(spark, d).vocab()
+      .orderBy("term").collect().toSeq != v0,
+      "fixture too small: the refit changed nothing")
+    assert(pinnedM.vocab().orderBy("term").collect().toSeq == v0)
+    assert(pinnedM.score(oldDocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq == s0,
+      "pinned scoring drifted across a concurrent refit")
+    // Pinned handles are read-only.
+    val e = intercept[IllegalStateException] {
+      pinnedM.append(oldDocs, "text")
+    }
+    assert(e.getMessage.contains("PINNED"), e.getMessage)
+    intercept[IllegalStateException] { pinnedM.compact() }
+    intercept[IllegalStateException] {
+      pinnedM.forgetBatch(oldDocs.localCheckpoint(true), "text", "req-x")
+    }
+  }
+
   test("a mutation THROUGH the handle rebuilds bigram type scores " +
       "(no stale cache)") {
     // The round-11 ADVICE bug: the type table was cached for the
