@@ -86,19 +86,24 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
   private[sim] def publish(tmp: Path, v: Long): Long =
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=", v)
 
+  /** Publish OPTIMISTICALLY against the version the caller's reads
+    * were based on (None = no store observed): target = basedOn + 1,
+    * and the versioned rename throws if it exists — an op interleaving
+    * with another writer fails loudly instead of silently rebuilding
+    * the manifest from stale reads (the lost-update that could drop a
+    * concurrent forget's fold and resurrect erased victims). */
   private def publishManifest(codebook: String, segs: Seq[String],
-      horizon: Option[Long] = None): Long = {
+      horizon: Option[Long] = None,
+      basedOn: Option[Long]): Long = {
     val body = (codebook +: segs) ++ graft.ops.BatchHorizon.lines(horizon)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write((body.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    publish(tmp, currentVersion().map(_ + 1).getOrElse(0L))
+    publish(tmp, basedOn.map(_ + 1).getOrElse(0L))
   }
 
-  private def liveHorizon(): Option[Long] =
-    currentVersion().flatMap(horizonAt)
 
   /** Delete `paths` recursively, swallowing cleanup failures (the
     * original error is the one worth throwing). */
@@ -145,6 +150,7 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     * uuid-named dirs (no later build would ever reclaim them). */
   def build(emb: DataFrame, idCol: String, vecCol: String,
             seedCol: String): Long = {
+    val cv = currentVersion() // the basedOn CAS anchor
     val cb = s"cb-${java.util.UUID.randomUUID()}"
     val cbPath = new Path(indexDir, s"codebooks/$cb")
     val seg =
@@ -156,7 +162,7 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
       } catch {
         case e: Throwable => bestEffortDelete(cbPath); throw e
       }
-    publishManifest(cb, Seq(seg))
+    publishManifest(cb, Seq(seg), basedOn = cv)
   }
 
   /** Incremental APPEND under the live FROZEN codebook: assign only the
@@ -170,7 +176,7 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     val v0 = resolvedOrFail()
     val (cb, segs) = manifestAt(v0) // resolve BEFORE writing
     val seg = writeSegment(emb, idCol, vecCol, codebook(cb))
-    publishManifest(cb, segs :+ seg, horizonAt(v0))
+    publishManifest(cb, segs :+ seg, horizonAt(v0), basedOn = Some(v0))
   }
 
   /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -204,9 +210,9 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     // horizon — a forget/compact already realized (and possibly
     // redacted) its rows; re-appending would resurrect victims.
     if (segs.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, indexDir))
-      return resolvedOrFail()
+      return v0
     writeNamedSegment(emb, idCol, vecCol, codebook(cb), seg)
-    publishManifest(cb, segs :+ seg, h)
+    publishManifest(cb, segs :+ seg, h, basedOn = Some(v0))
   }
 
   /** The live codebook's name (manifest head) — what a streaming
@@ -231,7 +237,8 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     // Fold advances the replay horizon (BatchHorizon): a redelivery of
     // a folded batch no-ops instead of re-adding its rows.
     publishManifest(cb, Seq(seg),
-      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs),
+      basedOn = Some(v0))
   }
 
   /** FORGET: remove `ids` from the postings — deletion propagated into
@@ -270,7 +277,8 @@ final class IvfIndex(spark: SparkSession, val indexDir: String)
     // The fold advances the replay horizon so a redelivered pre-forget
     // batch cannot re-append and resurrect the victims just erased.
     publishManifest(cb, Seq(seg),
-      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs),
+      basedOn = Some(v0))
   }
 
   /** Retention: keep the newest `keep` versions, sweep older manifests

@@ -61,14 +61,18 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no fitted model under $modelDir"))
 
-  private def publishManifest(codebook: String, segs: Seq[String]): Long = {
+  /** OPTIMISTIC publish: target = basedOn + 1, loud on collision —
+    * the shared lost-update guard ([[IvfIndex]]'s publishManifest
+    * rule; None = the caller observed no store). */
+  private def publishManifest(codebook: String, segs: Seq[String],
+      basedOn: Option[Long]): Long = {
     val tmp = new Path(modelDir, s".manifest-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(((codebook +: segs).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     graft.ops.VersionedPaths.publish(fs, new Path(modelDir), tmp, "m=",
-      currentVersion().map(_ + 1).getOrElse(0L))
+      basedOn.map(_ + 1).getOrElse(0L))
   }
 
   private def bestEffortDelete(paths: Path*): Unit =
@@ -146,6 +150,7 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     * until vacuumed. Returns the published version. */
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int = 2): Long = {
+    val cv = currentVersion() // the basedOn CAS anchor
     val sc = spark.sparkContext
     val preExisting = sc.getPersistentRDDs.keySet.toSet
     // One materialization serves every assignment + update pass.
@@ -163,7 +168,7 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
           // so what the manifest references is exactly what assigned it.
           writeSegment(base, spark.read.parquet(cbPath.toString))
         } catch { case e: Throwable => bestEffortDelete(cbPath); throw e }
-      publishManifest(cb, Seq(seg))
+      publishManifest(cb, Seq(seg), basedOn = cv)
     } finally
       // The model is on disk; nothing returned references base.
       sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
@@ -245,10 +250,11 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     * delta, publish old segments + the new one. Ids must be disjoint
     * from standing segments (the `IvfIndex`/`LexIndex` contract). */
   def append(df: DataFrame, idCol: String, vecCol: String): Long = {
-    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val v0 = resolvedOrFail() // resolve ONCE, BEFORE writing
+    val (cb, segs) = manifestAt(v0)
     val seg = writeSegment(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), codebook(cb))
-    publishManifest(cb, segs :+ seg)
+    publishManifest(cb, segs :+ seg, basedOn = Some(v0))
   }
 
   private def codebook(cb: String): DataFrame =
@@ -266,15 +272,16 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
     * fan-out after many [[append]]s; [[assignments]] is row-identical
     * before and after. The [[IvfIndex.compact]] economics. */
   def compact(): Long = {
-    val (cb, segs) = manifestAt(resolvedOrFail())
-    if (segs.size <= 1) return resolvedOrFail()
+    val v0 = resolvedOrFail()
+    val (cb, segs) = manifestAt(v0)
+    if (segs.size <= 1) return v0
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(modelDir, s"segments/$seg")
     try segs.map(s0 => spark.read.parquet(s"$modelDir/segments/$s0"))
       .reduce(_ unionByName _)
       .write.mode(SaveMode.Overwrite).parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(cb, Seq(seg))
+    publishManifest(cb, Seq(seg), basedOn = Some(v0))
   }
 
   /** FORGET: remove `ids` from the assignment store — the
@@ -303,14 +310,15 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
   }
 
   private def forgetImpl(screen: DataFrame => DataFrame): Long = {
-    val (cb, segs) = manifestAt(resolvedOrFail()) // resolve BEFORE writing
+    val v0 = resolvedOrFail() // resolve ONCE, BEFORE writing
+    val (cb, segs) = manifestAt(v0)
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = new Path(modelDir, s"segments/$seg")
     try screen(segs.map(s0 => spark.read.parquet(s"$modelDir/segments/$s0"))
       .reduce(_ unionByName _))
       .write.mode(SaveMode.Overwrite).parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(cb, Seq(seg))
+    publishManifest(cb, Seq(seg), basedOn = Some(v0))
   }
 
   /** Retention: keep the newest `keep` versions, sweep older manifests

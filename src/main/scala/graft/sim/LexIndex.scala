@@ -98,7 +98,8 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
   }
 
   private def forgetImpl(screen: DataFrame => DataFrame): Long = {
-    val live = liveSegments() // resolve BEFORE the writes
+    val v0 = resolvedOrFail() // resolve ONCE, BEFORE the writes
+    val live = segmentsAt(v0)
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = s"$indexDir/segments/$seg"
     val posts = screen(readUnion(live, "postings"))
@@ -111,7 +112,7 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
     posts.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
-    publishManifest(Seq(seg))
+    publishManifest(Seq(seg), basedOn = Some(v0))
   }
 
   /** Write one segment (postings + stats + meta) from a (id, text)
@@ -142,21 +143,26 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
   /** Publish `segs` as the next manifest version: temp write + one
     * atomic rename (shared [[graft.ops.VersionedPaths.publish]] rules —
     * a racing publisher loses loudly, readers never see a torn set). */
-  private def publishManifest(segs: Seq[String]): Long = {
+  private def publishManifest(segs: Seq[String],
+      basedOn: Option[Long]): Long = {
+    // OPTIMISTIC target = basedOn + 1, loud on collision — the shared
+    // lost-update guard ([[IvfIndex]]'s publishManifest rule).
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val outStream = fs.create(tmp, false)
     try outStream.write(
       (segs.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally outStream.close()
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
-      currentVersion().map(_ + 1).getOrElse(0L))
+      basedOn.map(_ + 1).getOrElse(0L))
   }
 
   /** First build: one segment, manifest version 0 (or the next version
     * when rebuilding over an existing index — older manifests keep
     * working until pruned). */
-  def build(docs: DataFrame, idCol: String, textCol: String): Long =
-    publishManifest(Seq(writeSegment(docs, idCol, textCol)))
+  def build(docs: DataFrame, idCol: String, textCol: String): Long = {
+    val cv = currentVersion() // the basedOn CAS anchor
+    publishManifest(Seq(writeSegment(docs, idCol, textCol)), basedOn = cv)
+  }
 
   /** Incremental APPEND: index only the delta batch, publish the
     * manifest referencing old segments + the new one. Cost ∝ delta —
@@ -168,8 +174,9 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
     * merge its postings at query time — put the dedup ingest in front,
     * as the streaming pipeline here already does. */
   def append(docs: DataFrame, idCol: String, textCol: String): Long = {
-    val live = liveSegments() // resolve BEFORE the heavy write
-    publishManifest(live :+ writeSegment(docs, idCol, textCol))
+    val v0 = resolvedOrFail() // resolve ONCE, BEFORE the heavy write
+    publishManifest(segmentsAt(v0) :+ writeSegment(docs, idCol, textCol),
+      basedOn = Some(v0))
   }
 
   /** MAINTENANCE compaction: merge the live segments into one (postings
@@ -178,8 +185,9 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
     * O(index size), never re-tokenizes; bounds per-query fan-out after
     * many appends. */
   def compact(): Long = {
-    val live = liveSegments()
-    if (live.size <= 1) return resolvedOrFail()
+    val v0 = resolvedOrFail()
+    val live = segmentsAt(v0)
+    if (live.size <= 1) return v0
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = s"$indexDir/segments/$seg"
     readUnion(live, "postings")
@@ -190,7 +198,7 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
     readUnion(live, "meta")
       .agg(sum("n_docs").as("n_docs"), sum("dl_sum").as("dl_sum"))
       .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
-    publishManifest(Seq(seg))
+    publishManifest(Seq(seg), basedOn = Some(v0))
   }
 
   private def readSeg(seg: String, table: String): DataFrame =

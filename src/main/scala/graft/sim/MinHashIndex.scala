@@ -74,9 +74,6 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
   private def segmentsAt(v: Long): Seq[String] =
     graft.ops.BatchHorizon.split(manifestLinesAt(v))._1
 
-  private def horizonAt(v: Long): Option[Long] =
-    graft.ops.BatchHorizon.split(manifestLinesAt(v))._2
-
   /** Live segment names at the newest version, or fail loudly. */
   def liveSegments(): Seq[String] = segmentsAt(resolvedOrFail())
 
@@ -89,9 +86,28 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     IndexVacuum.vacuum(fs, indexDir, keep, segmentsAt,
       Seq("segments" -> "seg-"))
 
+  /** (segments, horizon, sid) from ONE parsed manifest read — the
+    * lifecycle ops' single-read rule (each accessor is a metadata
+    * round trip on an object store, and independent reads can straddle
+    * a concurrent publish). */
+  private def stateAt(v: Long): (Seq[String], Option[Long], Option[String]) = {
+    val lines = manifestLinesAt(v)
+    val (segs, h) = graft.ops.BatchHorizon.split(lines)
+    (segs, h, graft.ops.BatchHorizon.splitSid(lines))
+  }
+
+  /** Publish OPTIMISTICALLY against the version the caller's reads
+    * were based on (None = no store observed): the target is exactly
+    * basedOn + 1, and [[graft.ops.VersionedPaths.publish]] throws if
+    * it already exists — a lifecycle op interleaving with another
+    * writer (a standing [[graft.stream.MinHashIngest]] append racing a
+    * [[graft.gov.ForgetPipeline]] erasure) fails LOUDLY instead of
+    * silently rebuilding the manifest from stale reads, which would
+    * drop the other writer's segment (or resurrect erased victims). */
   private def publishManifest(segs: Seq[String],
       horizon: Option[Long] = None,
-      sid: Option[String] = None): Long = {
+      sid: Option[String] = None,
+      basedOn: Option[Long]): Long = {
     val body = segs ++ graft.ops.BatchHorizon.lines(horizon) ++
       graft.ops.BatchHorizon.sidLines(sid)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
@@ -100,21 +116,8 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
       (body.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     finally outStream.close()
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
-      currentVersion().map(_ + 1).getOrElse(0L))
+      basedOn.map(_ + 1).getOrElse(0L))
   }
-
-  /** The live replay horizon (carried forward by non-folding publishes
-    * below — horizons only grow). */
-  private def liveHorizon(): Option[Long] =
-    currentVersion().flatMap(horizonAt)
-
-  /** The live stream-identity pin ([[graft.ops.BatchHorizon.requireSid]]
-    * — written by the streaming maintainer's first publish, carried by
-    * every later one, so a fresh-checkpoint restart fails loudly in
-    * [[appendSigsAsBatch]] instead of no-opping below the horizon). */
-  private def liveSid(): Option[String] =
-    currentVersion().flatMap(v =>
-      graft.ops.BatchHorizon.splitSid(manifestLinesAt(v)))
 
   /** Write one segment from a signatures frame: sigs parquet first, then
     * bands DERIVED FROM THE WRITTEN FILE (the write is the
@@ -152,24 +155,24 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * pre-rebuild forget erased) and the stream-identity pin is carried.
     * Old manifests serve until vacuumed. */
   def build(docs: DataFrame, idCol: String, textCol: String): Long = {
-    val (folded, h, sid) = currentVersion() match {
-      case Some(v) => (segmentsAt(v), horizonAt(v),
-        graft.ops.BatchHorizon.splitSid(manifestLinesAt(v)))
+    val cv = currentVersion()
+    val (folded, h, sid) = cv match {
+      case Some(v) => stateAt(v)
       case None => (Nil, None, None)
     }
     publishManifest(Seq(writeSegmentFromSigs(sketch(docs, idCol, textCol))),
-      graft.ops.BatchHorizon.afterFold(h, folded), sid)
+      graft.ops.BatchHorizon.afterFold(h, folded), sid, basedOn = cv)
   }
 
   /** Incremental APPEND: sketch only the delta, publish old segments +
     * the new one. Cost ∝ delta — the standing corpus text is never
     * re-read. Exact (per-doc rows, doc-disjoint contract). */
   def append(docs: DataFrame, idCol: String, textCol: String): Long = {
-    val live = liveSegments() // resolve BEFORE the heavy write
-    val h = liveHorizon()
+    val v = resolvedOrFail() // resolve ONCE, BEFORE the heavy write
+    val (live, h, sid) = stateAt(v)
     publishManifest(
       live :+ writeSegmentFromSigs(sketch(docs, idCol, textCol)), h,
-      liveSid())
+      sid, basedOn = Some(v))
   }
 
   /** IDEMPOTENT per-batch append for the streaming maintainer
@@ -194,9 +197,9 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * double-add its survivors and RESURRECT its forgotten victims. */
   private[graft] def appendSigsAsBatch(sigs: DataFrame, batchId: Long,
       streamId: Option[String] = None): Long = {
-    val (live, h, sid) = currentVersion() match {
-      case Some(v) => (segmentsAt(v), horizonAt(v),
-        graft.ops.BatchHorizon.splitSid(manifestLinesAt(v)))
+    val cv = currentVersion()
+    val (live, h, sid) = cv match {
+      case Some(v) => stateAt(v)
       case None    => (Nil, None, None)
     }
     // Identity pin FIRST: the horizon no-op is sound only per
@@ -206,10 +209,10 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     graft.ops.BatchHorizon.requireSid(sid, streamId, s"MinHash index $indexDir")
     val seg = s"seg-batch-$batchId"
     if (live.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, indexDir))
-      return resolvedOrFail()
+      return cv.get
     writeNamedSegment(sigs, seg)
     publishManifest(live :+ seg, h,
-      graft.ops.BatchHorizon.adoptSid(sid, streamId))
+      graft.ops.BatchHorizon.adoptSid(sid, streamId), basedOn = cv)
   }
 
   /** FORGET: drop `ids` and publish one rewritten segment — deletion
@@ -219,27 +222,29 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * `MinHashIndexSpec`). O(index) filter; no re-sketch, the corpus
     * text is never re-read. */
   def forget(ids: Seq[Long]): Long = {
-    val live = liveSegments()
+    val v = resolvedOrFail()
+    val (live, h, sid) = stateAt(v)
     val survivors = readUnion(live, "sigs")
       .where(!col("doc_id").isin(ids: _*))
     // The fold realizes every batch-named segment: advance the replay
     // horizon so a redelivered pre-forget batch cannot re-append (and
     // resurrect victims this forget just erased).
     publishManifest(Seq(writeSegmentFromSigs(survivors)),
-      graft.ops.BatchHorizon.afterFold(liveHorizon(), live), liveSid())
+      graft.ops.BatchHorizon.afterFold(h, live), sid, basedOn = Some(v))
   }
 
   /** MASS-erasure forget: victims stay a DataFrame end to end (LEFT
     * ANTI join on `doc_id`; first column cast to BIGINT) — the
     * [[graft.sim.IvfIndex.forget]] overload contract. */
   def forget(victims: DataFrame): Long = {
-    val v = victims.select(
+    val vict = victims.select(
       col(victims.columns.head).cast("long").as("doc_id"))
-    val live = liveSegments()
+    val v = resolvedOrFail()
+    val (live, h, sid) = stateAt(v)
     val survivors = readUnion(live, "sigs")
-      .join(v, Seq("doc_id"), "left_anti")
+      .join(vict, Seq("doc_id"), "left_anti")
     publishManifest(Seq(writeSegmentFromSigs(survivors)),
-      graft.ops.BatchHorizon.afterFold(liveHorizon(), live), liveSid())
+      graft.ops.BatchHorizon.afterFold(h, live), sid, basedOn = Some(v))
   }
 
   /** MAINTENANCE compaction: merge live segments into one (row union —
@@ -254,10 +259,11 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     * checkpoint's last committed batch" rule). Like every maintenance
     * pass here, run it in a window with no concurrent builders. */
   def compact(): Long = {
-    val live = liveSegments()
-    if (live.size <= 1) return resolvedOrFail()
+    val v = resolvedOrFail()
+    val (live, h, sid) = stateAt(v)
+    if (live.size <= 1) return v
     publishManifest(Seq(writeSegmentFromSigs(readUnion(live, "sigs"))),
-      graft.ops.BatchHorizon.afterFold(liveHorizon(), live), liveSid())
+      graft.ops.BatchHorizon.afterFold(h, live), sid, basedOn = Some(v))
   }
 
   private def readSeg(seg: String, table: String): DataFrame =

@@ -83,8 +83,13 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
 
+  /** Publish OPTIMISTICALLY against the version the caller's reads
+    * were based on (None = no store observed): target = basedOn + 1,
+    * loud on collision — the shared lost-update guard
+    * ([[IvfIndex]]'s publishManifest rule). */
   private def publishManifest(coarse: String, pq: String,
-      segs: Seq[String], horizon: Option[Long] = None): Long = {
+      segs: Seq[String], horizon: Option[Long] = None,
+      basedOn: Option[Long]): Long = {
     val body = (coarse +: pq +: segs) ++ graft.ops.BatchHorizon.lines(horizon)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
@@ -92,7 +97,7 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
-      currentVersion().map(_ + 1).getOrElse(0L))
+      basedOn.map(_ + 1).getOrElse(0L))
   }
 
   private def bestEffortDelete(paths: Path*): Unit =
@@ -130,6 +135,7 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     * query vectors never enter the store. */
   def build(emb: DataFrame, idCol: String, vecCol: String, seedCol: String,
             m: Int, dsub: Int, pqK: Int): Long = {
+    val cv = currentVersion() // the basedOn CAS anchor
     val cb = s"cb-${java.util.UUID.randomUUID()}"
     val pq = s"pq-${java.util.UUID.randomUUID()}"
     val cbPath = new Path(indexDir, s"codebooks/$cb")
@@ -147,7 +153,7 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
       } catch {
         case e: Throwable => bestEffortDelete(cbPath, pqPath); throw e
       }
-    publishManifest(cb, pq, Seq(seg))
+    publishManifest(cb, pq, Seq(seg), basedOn = cv)
   }
 
   /** Incremental APPEND under the live FROZEN codebooks: encode only the
@@ -159,7 +165,8 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     val (cb, pq, segs) = manifestAt(v0) // resolve FIRST
     val seg = writeNamedSegment(emb, idCol, vecCol, coarseCodebook(cb),
       pqCodebookDf(pq), s"seg-${java.util.UUID.randomUUID()}")
-    publishManifest(cb, pq, segs :+ seg, horizonAt(v0))
+    publishManifest(cb, pq, segs :+ seg, horizonAt(v0),
+      basedOn = Some(v0))
   }
 
   /** Idempotent per-batch append — the [[IvfIndex.appendAsBatch]] rule
@@ -179,10 +186,10 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     // horizon — a forget/compact already realized (and possibly
     // redacted) its rows; re-appending would resurrect victims.
     if (segs.contains(seg) || graft.ops.BatchHorizon.realizedLoud(h, batchId, indexDir))
-      return resolvedOrFail()
+      return v0
     writeNamedSegment(emb, idCol, vecCol, coarseCodebook(cb),
       pqCodebookDf(pq), seg)
-    publishManifest(cb, pq, segs :+ seg, h)
+    publishManifest(cb, pq, segs :+ seg, h, basedOn = Some(v0))
   }
 
   private[graft] def coarseName(): String = manifestAt(resolvedOrFail())._1
@@ -202,7 +209,8 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     // Fold advances the replay horizon (BatchHorizon): a redelivery of
     // a folded batch no-ops instead of re-adding its rows.
     publishManifest(cb, pq, Seq(seg),
-      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs),
+      basedOn = Some(v0))
   }
 
   /** FORGET: rewrite live segments without the victims under the SAME
@@ -235,7 +243,8 @@ final class PqIvfIndex(spark: SparkSession, val indexDir: String)
     // The fold advances the replay horizon so a redelivered pre-forget
     // batch cannot re-append and resurrect the victims just erased.
     publishManifest(cb, pq, Seq(seg),
-      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs))
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs),
+      basedOn = Some(v0))
   }
 
   /** Keep the newest `keep` versions, sweep unreferenced dirs. */
