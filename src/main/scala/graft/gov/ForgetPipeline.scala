@@ -84,8 +84,16 @@ final class ForgetPipeline(spark: SparkSession, val ledgerDir: String) {
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def validId(requestId: String): String = {
+    // ASCII-only, matching the message AND NgramLm.forgetBatch's token
+    // charset: Char.isLetterOrDigit accepts any Unicode letter, so a
+    // Unicode id used to pass here, let six stores erase and ack, then
+    // fail the LM target's stricter check — a request stranded
+    // part-propagated with a permanently failing id. One charset at
+    // both sites (and the request=/ack= paths avoid the NFC/NFD
+    // filesystem-normalization hazard too).
     require(requestId.nonEmpty && requestId.forall(c =>
-      c.isLetterOrDigit || c == '-' || c == '_'),
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '-' || c == '_'),
       s"requestId must be [A-Za-z0-9_-]+, got '$requestId'")
     requestId
   }
@@ -191,7 +199,8 @@ final class ForgetPipeline(spark: SparkSession, val ledgerDir: String) {
       }
       val acks = targets.sortBy(_._1).map { case (name, forget) =>
         require(name.nonEmpty && name.forall(c =>
-          c.isLetterOrDigit || c == '-' || c == '_'),
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == '-' || c == '_'),
           s"store name must be [A-Za-z0-9_-]+, got '$name'")
         val ack = new Path(ackDir(requestId), name)
         val version = readAck(ack).getOrElse {

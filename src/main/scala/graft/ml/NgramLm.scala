@@ -321,7 +321,18 @@ object NgramLm {
       writeNamedSegment(grams, s"seg-${java.util.UUID.randomUUID()}")
 
     def writeNamedSegment(grams: DataFrame, seg: String): String = {
-      val c = grams.localCheckpoint(true) // table writes + meta read once
+      // Table writes + meta read one materialization; RELEASED before
+      // returning (precise ids — [[graft.ops.CheckpointIds]]): nothing
+      // returned references it, and an unreleased per-segment pin would
+      // accumulate index-sized blocks per lifecycle op on a long-lived
+      // driver (the stores-own-release contract [[graft.gov.ForgetPipeline]]
+      // relies on).
+      val c = grams.localCheckpoint(true)
+      try writeSegmentTables(c, seg)
+      finally graft.ops.CheckpointIds.release(c)
+    }
+
+    private def writeSegmentTables(c: DataFrame, seg: String): String = {
       c.where(col("w2").isNull).select(col("w1").as("term"), col("cnt"))
         .write.mode(SaveMode.Overwrite).parquet(segPath(seg, "uni"))
       c.where(col("w2").isNotNull && col("w3").isNull)
@@ -451,8 +462,10 @@ object NgramLm {
     }
 
     /** The rolled-up vocabulary (term, cnt) ([[rolledNonNeg]]). */
-    def vocab(): DataFrame =
-      rolledNonNeg(store.readUnion(readSnap().segments, "uni"),
+    def vocab(): DataFrame = vocabOf(readSnap())
+
+    private def vocabOf(snap: Snapshot): DataFrame =
+      rolledNonNeg(store.readUnion(snap.segments, "uni"),
         Seq("term"), "term")
 
     /** Loud serving gate (`gate` manifest lines): an erasure ran while
@@ -477,8 +490,9 @@ object NgramLm {
       * at order 2. Legacy order-1 segments contribute no rows
       * ([[Store.readUnionTolerant]]); throws when order-2 serving is
       * gated ([[requireServable]]). */
-    def bigrams(): DataFrame = {
-      val snap = readSnap()
+    def bigrams(): DataFrame = bigramsOf(readSnap())
+
+    private def bigramsOf(snap: Snapshot): DataFrame = {
       requireServable(snap, "bi")
       rolledNonNeg(store.readUnionTolerant(snap.segments, "bi",
           "w1 STRING, w2 STRING, cnt BIGINT"),
@@ -488,27 +502,34 @@ object NgramLm {
     /** The rolled-up trigram table (w1, w2, w3, cnt) — [[rolledNonNeg]]
       * at order 3. Legacy order-2 segments contribute no rows; throws
       * when order-3 serving is gated ([[requireServable]]). */
-    def trigrams(): DataFrame = {
-      val snap = readSnap()
+    def trigrams(): DataFrame = trigramsOf(readSnap())
+
+    private def trigramsOf(snap: Snapshot): DataFrame = {
       requireServable(snap, "tri")
       rolledNonNeg(store.readUnionTolerant(snap.segments, "tri",
           "w1 STRING, w2 STRING, w3 STRING, cnt BIGINT"),
         Seq("w1", "w2", "w3"), "trigram")
     }
 
-    private def stats: DataFrame =
-      vocab().agg(coalesce(sum("cnt"), lit(0L)).as("t_total"),
+    private def statsOf(vocabDf: DataFrame): DataFrame =
+      vocabDf.agg(coalesce(sum("cnt"), lit(0L)).as("t_total"),
         count(lit(1)).as("v_size"))
 
     /** Score a batch under the frozen LM: (doc_id, n_tokens, n_oov,
       * heldout_mb) — the `q_text_heldout_ppl` output contract, unsorted
-      * (callers order). Only the BATCH is tokenized. */
+      * (callers order). Only the BATCH is tokenized. ONE snapshot feeds
+      * the vocabulary and both totals reads — on a live handle a
+      * concurrent publish between independent resolutions would
+      * otherwise mix two versions' counts in one statistic. */
     def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+      val snap = readSnap()
+      val voc = vocabOf(snap)
+      val stats = statsOf(voc)
       val tf = docs
         .select(col(idCol).as("doc_id"),
           explode(TokenOps.terms(col(textCol))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
-      val lmQ = vocab().crossJoin(broadcast(stats))
+      val lmQ = voc.crossJoin(broadcast(stats))
         .select(col("term"),
           expr(graft.queries.TextQueries.HeldoutInVocabSql).as("mln"))
       tf.join(lmQ, Seq("term"), "left_outer")
@@ -550,7 +571,12 @@ object NgramLm {
     private var retiredBlockIds: Set[Int] = Set.empty
 
     private def bigramTypeScores: DataFrame = synchronized {
-      val v = ver()
+      // ONE snapshot supplies both the cache key and the data — on a
+      // live handle, keying on ver() but letting bigrams() re-resolve
+      // independently could cache version-v+1 data under key v when a
+      // publish lands between the two reads.
+      val snap = readSnap()
+      val v = snap.version
       bigramScoresCache match {
         case Some((cv, df, _)) if cv == v => df
         case stale =>
@@ -565,7 +591,7 @@ object NgramLm {
           // before/after diff would claim a concurrent thread's
           // checkpoint and unpersisting that breaks its
           // lineage-truncated frame permanently.
-          val c2 = bigrams().withColumnRenamed("cnt", "c2")
+          val c2 = bigramsOf(snap).withColumnRenamed("cnt", "c2")
             .localCheckpoint(true)
           val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
           val uni2 = c2.groupBy(col("w2").as("w")).agg(sum("c2").as("cuni"))
@@ -636,7 +662,7 @@ object NgramLm {
       * only if a standing per-trigger consumer appears). */
     def scoreKneserNey(docs: DataFrame, idCol: String,
         textCol: String): DataFrame = {
-      val c2 = bigrams().withColumnRenamed("cnt", "c2")
+      val c2 = bigramsOf(readSnap()).withColumnRenamed("cnt", "c2")
       val cf = c2.groupBy("w1")
         .agg(sum("c2").as("c1first"), count(lit(1)).as("n1pr"))
       val cl = c2.groupBy("w2").agg(count(lit(1)).as("n1pl"))
@@ -693,13 +719,17 @@ object NgramLm {
       // scans — rather than pinning blocks a per-call path could never
       // release. Wire a [[bigramTypeScores]]-style generation cache
       // only if a standing per-trigger consumer appears.
-      val c3 = trigrams().withColumnRenamed("cnt", "c3")
+      // ONE snapshot for both order tables (a concurrent publish
+      // between independent trigrams()/bigrams() resolutions would
+      // otherwise interpolate across two versions).
+      val snap = readSnap()
+      val c3 = trigramsOf(snap).withColumnRenamed("cnt", "c3")
       val ctx = c3.groupBy("w1", "w2")
         .agg(sum("c3").as("cctx"), count(lit(1)).as("n3r"))
       val ml = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n3l"))
       val mid = c3.groupBy("w2")
         .agg(count(lit(1)).as("n3mid"), countDistinct("w3").as("n3rt"))
-      val c2types = bigrams()
+      val c2types = bigramsOf(snap)
       val cl = c2types.groupBy("w2").agg(count(lit(1)).as("n1pl"))
         .withColumnRenamed("w2", "w3")
       val nAll = c2types.agg(count(lit(1)).as("n1pall"))
@@ -904,8 +934,14 @@ object NgramLm {
     }
 
     /** Retention: keep the newest `keep` versions, sweep older
-      * manifests and unreferenced segments (shared IndexVacuum rules). */
-    def vacuum(keep: Int = 1): (Int, Int) = store.vacuum(keep)
+      * manifests and unreferenced segments (shared IndexVacuum rules).
+      * A MUTATION for the read-only guard: a pinned handle sweeping
+      * old versions could delete its own pinned manifest and brick
+      * every later read. */
+    def vacuum(keep: Int = 1): (Int, Int) = {
+      requireMutable()
+      store.vacuum(keep)
+    }
   }
 
   /** Moore–Lewis data selection served from TWO frozen stores — the

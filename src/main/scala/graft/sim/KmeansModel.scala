@@ -151,12 +151,12 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int = 2): Long = {
     val cv = currentVersion() // the basedOn CAS anchor
-    val sc = spark.sparkContext
-    val preExisting = sc.getPersistentRDDs.keySet.toSet
-    // One materialization serves every assignment + update pass.
+    // One materialization serves every assignment + update pass;
+    // RELEASED by precise ids ([[graft.ops.CheckpointIds]]) — the old
+    // getPersistentRDDs before/after diff could claim (and permanently
+    // break) a concurrent thread's lineage-truncated checkpoint.
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true)
-    val mine = sc.getPersistentRDDs.keySet.toSet -- preExisting
     try {
       val cents = lloydCentroids(base, k, rounds)
       val cb = s"cb-${java.util.UUID.randomUUID()}"
@@ -171,8 +171,7 @@ final class KmeansModel(spark: SparkSession, val modelDir: String)
       publishManifest(cb, Seq(seg), basedOn = cv)
     } finally
       // The model is on disk; nothing returned references base.
-      sc.getPersistentRDDs.filter { case (id, _) => mine(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      graft.ops.CheckpointIds.release(base)
   }
 
   /** Maintenance refit — a fresh Lloyd run published as a new version. */

@@ -102,16 +102,22 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
     val live = segmentsAt(v0)
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = s"$indexDir/segments/$seg"
-    val posts = screen(readUnion(live, "postings"))
-      .localCheckpoint(true) // postings, df, and meta read it once
-    posts.write.mode(SaveMode.Overwrite).partitionBy("b")
-      .parquet(s"$out/postings")
-    posts.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
-    // One row per surviving doc: dl is denormalized onto every posting.
-    posts.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+    // One materialization feeds postings, df, and meta; RELEASED
+    // before returning (nothing returned references it — an
+    // unreleased index-sized pin per erasure request would accumulate
+    // for the driver's lifetime, the stores-own-release contract
+    // [[graft.gov.ForgetPipeline]] relies on).
+    val posts = screen(readUnion(live, "postings")).localCheckpoint(true)
+    try {
+      posts.write.mode(SaveMode.Overwrite).partitionBy("b")
+        .parquet(s"$out/postings")
+      posts.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
+      // One row per surviving doc: dl is denormalized onto every posting.
+      posts.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+    } finally graft.ops.CheckpointIds.release(posts)
     publishManifest(Seq(seg), basedOn = Some(v0))
   }
 
@@ -123,20 +129,24 @@ final class LexIndex(spark: SparkSession, val indexDir: String)
       textCol: String): String = {
     val seg = s"seg-${java.util.UUID.randomUUID()}"
     val out = s"$indexDir/segments/$seg"
+    // One materialization feeds postings, dl, df, and meta; RELEASED
+    // before returning (see forgetImpl's release note).
     val tf = graft.queries.Tables.fanout(docs)
       .select(col(idCol).as("doc_id"),
         explode(graft.ops.TokenOps.terms(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // postings, dl, df, and meta read it once
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    tf.join(dl, Seq("doc_id"))
-      .withColumn("b", expr(bucketSql("term")))
-      .select("b", "term", "doc_id", "tf", "dl")
-      .write.mode(SaveMode.Overwrite).partitionBy("b").parquet(s"$out/postings")
-    tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+      .localCheckpoint(true)
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      tf.join(dl, Seq("doc_id"))
+        .withColumn("b", expr(bucketSql("term")))
+        .select("b", "term", "doc_id", "tf", "dl")
+        .write.mode(SaveMode.Overwrite).partitionBy("b").parquet(s"$out/postings")
+      tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/stats")
+      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("dl_sum"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/meta")
+    } finally graft.ops.CheckpointIds.release(tf)
     seg
   }
 
