@@ -832,11 +832,82 @@ object NgramLm {
     /** Orders whose table is INCOMPLETE in this snapshot: the
       * persisted `inc` marker (survives compaction's format rewrite),
       * any already-gated order (its counts are un-maintained by
-      * definition), plus a missing-dir scan over the snapshot's
-      * segments (the pre-marker legacy case). */
+      * definition), a missing-dir scan over the snapshot's segments
+      * (the pre-marker legacy case), plus the [[auditVintage]] totals
+      * cross-check — the one-time-migration guard for stores a
+      * PRE-marker compact() already rewrote full-format (dirs present,
+      * no `inc` line, missing-dir test blind) before this code could
+      * observe their legacy vintage. */
     private def incompleteNow(snap: Snapshot): Set[String] =
       snap.inc ++ snap.gates ++
-        Seq("bi", "tri").filter(t => store.anyMissing(snap.segments, t))
+        Seq("bi", "tri").filter(t => store.anyMissing(snap.segments, t)) ++
+        auditVintage(snap)
+
+    /** Rolled (t_total, b_total, tri_total) across the snapshot's
+      * segment metas — O(segments) one-row reads, the
+      * [[NgramLm.verifySegments]] economics. Metas that predate an
+      * order's fields contribute zero (those segments also lack the
+      * dir, which the missing-dir scan flags independently). */
+    private def rolledMetaTotals(snap: Snapshot): (Long, Long, Long) =
+      snap.segments.foldLeft((0L, 0L, 0L)) { case ((t, b, tr), seg) =>
+        val m = spark.read.parquet(store.segPath(seg, "meta")).head()
+        def f(name: String): Long =
+          if (m.schema.fieldNames.contains(name)) m.getAs[Long](name) else 0L
+        (t + f("t_total"), b + f("b_total"), tr + f("tri_total"))
+      }
+
+    /** ONE-TIME MIGRATION AUDIT: orders whose rolled totals are
+      * PROVABLY inconsistent with an exact corpus state. For any exact
+      * fit (or any exact redaction of one) the per-doc identities
+      * n unigrams / n−1 bigrams / max(n−2,0) trigrams force
+      * `2·Σbi − Σuni ≤ Σtri ≤ Σbi` and `Σbi ≤ Σuni`; a store whose
+      * trigram table only PARTIALLY covers its corpus (a legacy
+      * order-2-vintage store that a pre-`inc`-marker compact() already
+      * rewrote full-format, hiding it from the missing-dir test) falls
+      * below the lower bound whenever the missing trigram mass exceeds
+      * the one-token-doc slack. SOUND, not complete: a healthy store
+      * can never trip it (zero false positives — safe to fold into
+      * every forget via [[incompleteNow]]), while a thin sliver of
+      * incomplete stores inside the slack still needs the documented
+      * operator caveat: a store whose tri table predates some of its
+      * live ingest must be gated by hand ([[gateOrders]]) before its
+      * first post-upgrade forget if this audit comes back empty. */
+    private[graft] def auditVintage(snap: Snapshot): Set[String] = {
+      val (t, b, tr) = rolledMetaTotals(snap)
+      // An already-marked order's totals drift by design (forgets skip
+      // its negatives), so only audit orders still believed complete —
+      // and tri's bounds lean on b, so they need bi believed complete
+      // too.
+      def marked(o: String) = snap.inc(o) || snap.gates(o)
+      val biBad = !marked("bi") && b > t
+      val triBad = !marked("tri") && !marked("bi") && !biBad &&
+        (tr < 2 * b - t || tr > b)
+      (if (biBad) Set("bi") else Set.empty[String]) ++
+        (if (triBad) Set("tri") else Set.empty[String])
+    }
+
+    /** [[auditVintage]] on the live snapshot — the operator-facing
+      * migration check ("which orders of this store are provably not
+      * full-corpus?"). */
+    def auditVintage(): Set[String] = auditVintage(readSnap())
+
+    /** MANUAL GATE — the migration path for a legacy store the totals
+      * audit cannot prove inconsistent (the one-token-doc slack):
+      * publishes the named orders as incomplete + gated, exactly what
+      * a forget would have recorded had the pre-marker compact not
+      * blinded the missing-dir test. Idempotent; cleared by a full
+      * refit ([[NgramLm.fit]]), like every other gate. */
+    def gateOrders(tables: Set[String]): Long = {
+      requireMutable()
+      require(tables.nonEmpty && tables.subsetOf(Set("bi", "tri")),
+        s"gateOrders takes a non-empty subset of {bi, tri}, got $tables")
+      val snap = store.snapshotOrThrow()
+      if (tables.subsetOf(snap.gates) && tables.subsetOf(snap.inc))
+        return snap.version
+      store.publish(snap.segments, snap.tokens, snap.horizon, snap.sid,
+        snap.gates ++ tables, snap.inc ++ tables,
+        basedOn = Some(snap.version))
+    }
 
     /** The NEGATED victim counts, with incomplete orders' rows
       * dropped (see [[forget]]). */

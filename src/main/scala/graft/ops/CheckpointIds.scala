@@ -14,12 +14,23 @@ import org.apache.spark.sql.DataFrame
   * the frame itself — no session-global snapshot, no misattribution. */
 object CheckpointIds {
 
-  /** RDD ids of the checkpointed leaves of `df` (empty if the frame is
-    * not checkpoint-backed). Safe to unpersist exactly these. */
+  /** RDD id of `df` when the frame IS a checkpoint — i.e. the root of
+    * its analyzed plan is the [[org.apache.spark.sql.execution.LogicalRDD]]
+    * a `localCheckpoint(true)` call returned — and empty otherwise.
+    *
+    * Deliberately NOT a plan-wide leaf collect: a frame merely DERIVED
+    * from a checkpointed input (a join/select over someone else's
+    * pinned frame) also has LogicalRDD leaves, but those blocks belong
+    * to the upstream owner — unpersisting them is the foreign-release
+    * hazard this class exists to prevent. Callers therefore pass the
+    * checkpoint result itself, never a derivation of it; a derived
+    * frame returns empty and [[release]] becomes a no-op instead of a
+    * theft. */
   def of(df: DataFrame): Set[Int] =
-    df.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }.toSet
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Set(l.rdd.id)
+      case _ => Set.empty
+    }
 
   /** Unpersist exactly the checkpointed leaves of `df` (non-blocking —
     * the release discipline's default). */

@@ -324,17 +324,19 @@ final class MinHashIndex(spark: SparkSession, val indexDir: String)
     // [[build]]) must not assemble a multi-million-literal In filter
     // on the driver. Past the cap the same lossless pruning runs as a
     // bucket semi-join (still a bucket-table-sized broadcast side).
-    val bucketRows = deltaBands.select("bucket").distinct()
-      .limit(maxBucketLiterals + 1).collect()
+    // ONE distinct-bucket frame serves both the capped driver probe and
+    // the semi-join fallback (it reads from the checkpoint either way —
+    // the fallback no longer re-derives its own distinct).
+    val distinctBuckets = deltaBands.select("bucket").distinct()
+    val bucketRows = distinctBuckets.limit(maxBucketLiterals + 1).collect()
     if (bucketRows.isEmpty) return deltaBands
       .select(col("doc_id"), col("doc_id").as("corpus_doc")).limit(0)
     val corpus = readUnion(live, "bands")
     val pruned =
       if (bucketRows.length <= maxBucketLiterals)
-        corpus.where(col("bucket").isin(bucketRows.map(_.getLong(0)): _*))
-      else corpus.join(
-        broadcast(deltaBands.select("bucket").distinct()),
-        Seq("bucket"), "left_semi")
+        corpus.where(col("bucket").isin(
+          bucketRows.map(_.getLong(0)).toIndexedSeq: _*))
+      else corpus.join(broadcast(distinctBuckets), Seq("bucket"), "left_semi")
     pruned.as("c")
       .join(deltaBands.as("n"),
         col("n.b") === col("c.b") && col("n.bkey") === col("c.bkey"))
@@ -368,8 +370,12 @@ object MinHashIndex {
     * a broadcast bucket semi-join instead. With mod-[[Buckets]]
     * bucketing the list can't exceed 64, so the live path never falls
     * back — the cap guards the INVARIANT against a widened bucket
-    * space or a bulk delta that should have gone through `build`. */
-  val MaxBucketLiterals = 100000
+    * space or a bulk delta that should have gone through `build`.
+    * Sized at 16×[[Buckets]]: far above anything the live layout can
+    * produce, but small enough that the guarded failure case collects
+    * a bounded probe instead of a 10⁵-row driver list before deciding
+    * to fall back. */
+  val MaxBucketLiterals = 1024
 
   /** The layout/probe bucket rule — ONE definition (the md5-60-bit hex
     * parse idiom shared with [[LexIndex.bucketSql]]), evaluated through

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 /** The scale-amplification evidence (`SCALING_r6.json`) is only as good
@@ -109,6 +111,19 @@ class ScalingSpec extends SparkSpec {
                 * math.max(1.0, p1),
               f"$name [span_budget]: pairs$fm $pf%.0f outgrew " +
                 f"${Scaling.SpanBudgetSlack}%.1f × rows-ratio ${rf / r1}%.2f × pairs1 $p1%.0f in $path")
+        } else if (Scaling.PrefixBudgeted(name)) {
+          // The sparse-branch bars (see Scaling.PrefixBudgeted): strict
+          // work-tracks-result time AND prefix candidates per output row.
+          assert(tf / t1 <= rf / math.max(1.0, r1),
+            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
+              f"rows ratio ${rf / math.max(1.0, r1)}%.2f in $path")
+          val (p1, pf) = (num(body, "pairs1"), num(body, s"pairs$fm"))
+          assert(p1.isDefined && pf.isDefined,
+            s"$name [prefix_budget] block carries no pairs columns in $path")
+          assert(pf.get <= Scaling.PrefixBudgetSlack * (rf / math.max(1.0, r1))
+              * math.max(1.0, p1.get),
+            f"$name [prefix_budget]: pairs$fm ${pf.get}%.0f outgrew " +
+              f"${Scaling.PrefixBudgetSlack}%.1f × rows-ratio ${rf / r1}%.2f × pairs1 ${p1.get}%.0f in $path")
         } else if (name == Scaling.KmeansFitScaled)
           assert(tf / t1 <= fm.toDouble * fm,
             f"$name [fit_design]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
@@ -130,12 +145,18 @@ class ScalingSpec extends SparkSpec {
   }
 
   test("committed scaling artifact honors the per-regime bars") {
-    // The newest committed artifact, whatever round generated it (the
-    // fixed r12/r11 candidate list went stale the round after it was
-    // written).
-    val path = (99 to 6 by -1).map(n => s"SCALING_r$n.json")
-      .find(p => Files.exists(java.nio.file.Paths.get(p)))
-      .getOrElse("SCALING_r10.json")
+    // The newest committed artifact, whatever round generated it —
+    // discovered by globbing, never an enumerated candidate range (a
+    // fixed list goes stale; an enumerated 6..99 range would go stale
+    // at round 100, the same failure one bound further out).
+    val rx = "SCALING_r(\\d+)\\.json".r
+    val path = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      .iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s @ rx(n) => (n.toInt, s) }
+      .toSeq.sortBy(-_._1)
+      .headOption.map(_._2)
+      .getOrElse(fail("no SCALING_r*.json artifact committed"))
     assertBars(path, minBlocks = 10)
   }
 

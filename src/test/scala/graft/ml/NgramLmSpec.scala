@@ -436,6 +436,107 @@ class NgramLmSpec extends SparkSpec {
         .orderBy("w1", "w2", "w3").collect().toSeq)
   }
 
+  test("the vintage audit flags a pre-marker-compacted legacy store; " +
+      "a forget against it gates order-3 instead of bricking") {
+    // The round-14 ADVICE hazard one step further back in time: a
+    // legacy order-2-vintage store that a PRE-`inc`-marker compact()
+    // already rewrote full-format — every order has a dir, each
+    // segment is self-consistent with its meta, and there is no `inc`
+    // line — so the missing-dir test is blind and only the TOTALS
+    // audit (2·Σbi − Σuni ≤ Σtri for any exact corpus state) can warn
+    // the first post-upgrade forget. Simulated surgically: fit the
+    // full corpus, then truncate the tri table (and its meta fields,
+    // keeping the per-segment cross-check green) to the state a
+    // partial trigram ingest folded into one segment leaves behind.
+    val all = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("doc_id") < 200)
+    val base = Files.createTempDirectory("nglm-preinc").toString + "/lm"
+    NgramLm.fit(all, "text", base)
+    val segDir = new java.io.File(s"$base/segments").listFiles()
+      .filter(_.getName.startsWith("seg-")).head
+    // Keep ~10% of trigram rows — far below the one-token-doc slack.
+    val triKept = spark.read.parquet(s"$segDir/tri")
+      .where(org.apache.spark.sql.functions
+        .abs(org.apache.spark.sql.functions.hash(col("w1"), col("w2"),
+          col("w3"))) % 10 === 0)
+      .localCheckpoint(true)
+    val newTotals = triKept.agg(
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("cnt"),
+        org.apache.spark.sql.functions.lit(0L)).as("tri_total"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("tri_size")).head()
+    val m0 = spark.read.parquet(s"$segDir/meta").head()
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/tri"))
+    triKept.write.parquet(s"$segDir/tri")
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/meta"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          m0.getAs[Long]("t_total"), m0.getAs[Long]("v_size"),
+          m0.getAs[Long]("b_total"), m0.getAs[Long]("b_size"),
+          newTotals.getAs[Long]("tri_total"),
+          newTotals.getAs[Long]("tri_size"))), 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "t_total BIGINT, v_size BIGINT, b_total BIGINT, " +
+            "b_size BIGINT, tri_total BIGINT, tri_size BIGINT"))
+      .write.parquet(s"$segDir/meta")
+
+    // Loads clean (per-segment checks pass) — but the audit flags tri.
+    val hazard = NgramLm.load(spark, base)
+    assert(hazard.auditVintage() == Set("tri"),
+      "totals audit missed the pre-marker-compacted legacy store")
+    // A healthy store trips nothing (the zero-false-positive contract
+    // that lets the audit sit inside every forget).
+    val refH = Files.createTempDirectory("nglm-preinc-h").toString + "/lm"
+    NgramLm.fit(all, "text", refH)
+    assert(NgramLm.load(spark, refH).auditVintage().isEmpty)
+
+    // The forget rides the audit: order-3 gets no negatives and GATES;
+    // orders 1-2 equal a refit on the redacted corpus bit-for-bit.
+    val victims = all.where(col("doc_id") < 30).localCheckpoint(true)
+    hazard.forgetBatch(victims, "text", "req-preinc-1")
+    val served = NgramLm.load(spark, base)
+    val ref = Files.createTempDirectory("nglm-preinc-ref").toString + "/lm"
+    NgramLm.fit(all.where(col("doc_id") >= 30), "text", ref)
+    val refM = NgramLm.load(spark, ref)
+    assert(served.vocab().orderBy("term").collect().toSeq ==
+      refM.vocab().orderBy("term").collect().toSeq)
+    assert(served.bigrams().orderBy("w1", "w2").collect().toSeq ==
+      refM.bigrams().orderBy("w1", "w2").collect().toSeq)
+    assert(intercept[IllegalStateException] { served.trigrams() }
+      .getMessage.contains("GATED"))
+  }
+
+  test("gateOrders is the manual migration path: idempotent, gates " +
+      "serving, cleared by a full refit") {
+    // For the sliver of legacy stores inside the audit's slack (the
+    // documented caveat): the operator gates by hand before the first
+    // post-upgrade forget.
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("doc_id") < 100)
+    val base = Files.createTempDirectory("nglm-gate").toString + "/lm"
+    NgramLm.fit(docs, "text", base)
+    val m = NgramLm.load(spark, base)
+    val v1 = m.gateOrders(Set("tri"))
+    assert(m.gateOrders(Set("tri")) == v1, "gateOrders is not idempotent")
+    assert(intercept[IllegalStateException] {
+      NgramLm.load(spark, base).trigrams() }.getMessage.contains("GATED"))
+    // Gated = incomplete: a forget now skips tri negatives (no brick),
+    // and orders 1-2 stay exact.
+    NgramLm.load(spark, base).forgetBatch(
+      docs.where(col("doc_id") < 10).localCheckpoint(true),
+      "text", "req-gate-1")
+    val ref = Files.createTempDirectory("nglm-gate-ref").toString + "/lm"
+    NgramLm.fit(docs.where(col("doc_id") >= 10), "text", ref)
+    assert(NgramLm.load(spark, base).vocab().orderBy("term")
+        .collect().toSeq ==
+      NgramLm.load(spark, ref).vocab().orderBy("term").collect().toSeq)
+    // A full refit clears the gate.
+    NgramLm.fit(docs, "text", base)
+    NgramLm.load(spark, base).trigrams().collect() // must not throw
+  }
+
   test("a pinned handle serves the load-time version across a refit; " +
       "mutations on it throw") {
     // The standing-scorer contract (QualityGateIngest/CcnetScoreIngest:

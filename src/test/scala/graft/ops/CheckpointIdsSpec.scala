@@ -33,4 +33,23 @@ class CheckpointIdsSpec extends SparkSpec {
   test("a plain (non-checkpointed) frame reports no ids") {
     assert(CheckpointIds.of((1 to 10).toDF("x")).isEmpty)
   }
+
+  test("a frame DERIVED from a checkpoint reports no ids (foreign-release guard)") {
+    val sc = spark.sparkContext
+    val owner = (1 to 100).toDF("x").localCheckpoint(true)
+    val ownerIds = CheckpointIds.of(owner)
+    assert(ownerIds.nonEmpty)
+    // A derivation has the owner's LogicalRDD as a LEAF but not as its
+    // root: of() must refuse it, and release() must be a no-op — the
+    // blocks belong to the owner.
+    val derived = owner.select((org.apache.spark.sql.functions
+      .col("x") + 1).as("y")).where("y > 1")
+    assert(CheckpointIds.of(derived).isEmpty,
+      "of() attributed an upstream owner's checkpoint to a derived frame")
+    CheckpointIds.release(derived)
+    assert(ownerIds.forall(sc.getPersistentRDDs.contains),
+      "releasing a derived frame unpersisted the owner's blocks")
+    assert(owner.count() == 100)
+    CheckpointIds.release(owner)
+  }
 }
