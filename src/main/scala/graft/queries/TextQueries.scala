@@ -1482,6 +1482,63 @@ object TextQueries {
       .select("doc_id", "n_terms", "score_milli", "margin_mpt", "label")
       .orderBy("doc_id")
 
+  /** The PERSISTED classifier weight store — the
+    * [[graft.ml.HashedLogReg]] O(B) parquet table holding
+    * `q_text_classify`'s derived milli weights (w(b) = md5("w#"+b)
+    * 60-bit mod 2001 − 1000, computed once driver-side: B hashes, not a
+    * job), saved once per application through the trainer's
+    * [[graft.ml.HashedLogReg.save]]/load loop so the GRADED serving
+    * path exercises the same store a trained model ships through. The
+    * weights are integers held exactly in the store's doubles (|w| ≤
+    * 1000 ≪ 2⁵³), so load → serve loses nothing. Keyed by application
+    * only — the derived table is corpus-independent. */
+  private val classifyModelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def sharedClassifyModel(
+      s: SparkSession): graft.ml.HashedLogReg.Model = {
+    val d = classifyModelDirs.getOrElseUpdate(s.sparkContext.applicationId, {
+      val p = java.nio.file.Files.createTempDirectory("graft_clsw_").toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val w = Array.tabulate(ClassifyBuckets) { b =>
+        val hex = md.digest(s"w#$b".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2001 - 1000)
+          .toDouble
+      }
+      graft.ml.HashedLogReg.save(
+        graft.ml.HashedLogReg.Model(ClassifyBuckets, 0.0, w), p)
+      p
+    })
+    graft.ml.HashedLogReg.load(s, d)
+  }
+
+  /** Classifier serving from the PERSISTED weight table — the
+    * `q_text_classify` contract through the learn→serve loop, closing
+    * the one scorer family whose store was spec-only: the O(B) weight
+    * table comes from the [[graft.ml.HashedLogReg]] store (bias row,
+    * width row, tear checks), and the margin is the trainer's join-free
+    * `element_at` lookup against the broadcast-as-literal weight array —
+    * one codegen pass, no join, no model state on executors beyond the
+    * B-element literal. All arithmetic stays integer (milli weights cast
+    * back to BIGINT), so the oracle is the inline query's verbatim:
+    * same statistic, two serving paths, one contract. */
+  private val classifyServed: Q = (s, dir) => {
+    val m = sharedClassifyModel(s)
+    val wCol = array(m.w.toIndexedSeq.map(v => lit(v.toLong)): _*)
+    docs(s, dir)
+      .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substring(md5(term), 1, 15), 16, 10) AS BIGINT) % $ClassifyBuckets"))
+      .withColumn("w_milli", element_at(wCol, col("bucket").cast("int") + 1))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_milli").as("score_milli"))
+      .withColumn("margin_mpt", expr("1000 * score_milli DIV n_terms"))
+      .withColumn("label",
+        when(col("score_milli") > 0, "keep").otherwise("drop"))
+      .select("doc_id", "n_terms", "score_milli", "margin_mpt", "label")
+      .orderBy("doc_id")
+  }
+
   /** Per-source corpus-mixture divergence — KL(source ‖ corpus) over
     * unigram distributions, the domain-shift diagnostic that ranks which
     * sources differ most from the blend (the corpus-composition
@@ -1890,6 +1947,7 @@ object TextQueries {
     "q_dedup_footprint"  -> dedupFootprint,
     "q_text_bm25"        -> bm25,
     "q_text_classify"    -> classify,
+    "q_text_classify_served" -> classifyServed,
     "q_text_source_kl"   -> sourceKl,
     "q_text_repetition"  -> repetition,
     "q_text_pii"         -> piiScrub,
@@ -2091,6 +2149,21 @@ object TextQueries {
     s"""WITH $pplBucketsCtes
        | SELECT doc_id, source, heldout_mb, ppl_bucket
        | FROM pplb ORDER BY doc_id""".stripMargin
+
+  /** `q_text_classify`'s oracle — ONE definition, also graded against
+    * `q_text_classify_served` (the persisted weight-table serving
+    * path). */
+  private lazy val classifyOracleSql =
+    s"""SELECT doc_id, count(*) AS n_terms,
+       | CAST(sum(w_milli) AS BIGINT) AS score_milli,
+       | 1000 * CAST(sum(w_milli) AS BIGINT) // count(*) AS margin_mpt,
+       | CASE WHEN sum(w_milli) > 0 THEN 'keep' ELSE 'drop' END AS label
+       | FROM (SELECT doc_id,
+       |   CAST('0x' || substr(md5('w#' || CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w_milli
+       |  FROM (SELECT doc_id,
+       |    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % $ClassifyBuckets AS bucket
+       |   FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)))
+       | GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val oracles: Seq[(String, String)] = Seq(
     // The model-served bigram twin shares the inline oracle: one
@@ -2400,17 +2473,11 @@ object TextQueries {
          |  CAST(sum(k) AS BIGINT) AS n_tokens,
          |  CAST(sum(k * mln) AS BIGINT) // CAST(sum(k) AS BIGINT) AS kl_mln
          | FROM m GROUP BY source ORDER BY source""".stripMargin,
-    "q_text_classify" ->
-      s"""SELECT doc_id, count(*) AS n_terms,
-         | CAST(sum(w_milli) AS BIGINT) AS score_milli,
-         | 1000 * CAST(sum(w_milli) AS BIGINT) // count(*) AS margin_mpt,
-         | CASE WHEN sum(w_milli) > 0 THEN 'keep' ELSE 'drop' END AS label
-         | FROM (SELECT doc_id,
-         |   CAST('0x' || substr(md5('w#' || CAST(bucket AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000 AS w_milli
-         |  FROM (SELECT doc_id,
-         |    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % $ClassifyBuckets AS bucket
-         |   FROM (SELECT doc_id, unnest(${duckTerms("text")}) AS term FROM documents)))
-         | GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_classify" -> classifyOracleSql,
+    // The store-served classifier twin shares the inline oracle: the
+    // persisted weights ARE the derived table (integer milli, exact in
+    // the store's doubles), so one statistic grades both serving paths.
+    "q_text_classify_served" -> classifyOracleSql,
     "q_text_repetition" ->
       s"""SELECT doc_id,
          | CAST(len(toks_all) AS INTEGER) AS n_tokens,
