@@ -280,6 +280,100 @@ object SimilarityQueries {
         round(col("cos"), 4).as("cos4"))
       .orderBy("qid", "rnk")
 
+  /** CROSS-MODAL retrieval audit (`q_mm_crossmodal`) — the
+    * `q_sim_recall` question asked over a PAIRED-MODALITY split of the
+    * one embedding space (the CLIP-style shared space a multimodal
+    * corpus embeds both sides into: text-side captions querying
+    * image-side vectors). The pairing is DECLARED, not configured:
+    * vec_id parity is the modality (odd = image side), the probe set
+    * is the shared convention (vec_id < NumQueries, the text side),
+    * and candidates are the image-side rest. The modality filter
+    * applies BEFORE top-k on both arms (filtered-ANN semantics — a
+    * text query must rank among image vectors, not have its image
+    * hits crowded out by text neighbors), so recall compares like
+    * against like. Truth = brute-force top-K over the same filtered
+    * candidate set, pruned by the map-side bounded heap — never a
+    * global sort. */
+  private def crossmodalTruth(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = emb.where(col("vec_id") >= NumQueries &&
+        pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+    graft.plans.GraftOps.topKPerKey(scored, Seq("qid"),
+        Seq("cos" -> false, "cid" -> true), LshTopK)
+      .select("qid", "cid")
+  }
+
+  /** The inline IVF arm of the cross-modal audit — `q_sim_ivf_ann`'s
+    * probe plan with the image-side filter pushed into the candidate
+    * assignment (the filter prunes BEFORE the probe join, so the join
+    * carries only image-side postings). */
+  private def crossmodalApproxInline(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = Similarity.centroids(emb, "embedding", "label")
+    val affinity = Similarity.rankedCellAffinity(
+      Tables.fanout(emb.select("vec_id", "embedding")),
+      "vec_id", "embedding", cents)
+    val cands = affinity.where(col("rnk") === 1 &&
+        col("id") >= NumQueries && pmod(col("id"), lit(2)) === 1)
+      .select(col("id").as("cid"), col("vector").as("ce"), col("cell"))
+    val probes = affinity
+      .where(col("rnk") <= IvfProbes && col("id") < NumQueries)
+      .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
+    cands.join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+  }
+
+  /** The recall combinator both cross-modal arms share — the
+    * `q_sim_recall` shape: per-query hit count against the filtered
+    * brute truth, integer basis points. */
+  private def crossmodalRecall(truth: DataFrame,
+      approx: DataFrame): DataFrame =
+    truth.join(approx,
+        truth("qid") === approx("aqid") && truth("cid") === approx("acid"),
+        "left")
+      .groupBy("qid")
+      .agg(count(col("acid")).as("n_hits"))
+      .withColumn("recall_bp",
+        expr(s"CAST(10000 * n_hits DIV $LshTopK AS BIGINT)"))
+      .orderBy("qid")
+
+  private val mmCrossmodal: Q = (s, dir) =>
+    crossmodalRecall(crossmodalTruth(s, dir), crossmodalApproxInline(s, dir))
+
+  /** Cross-modal retrieval SERVED from the persisted IVF store — the
+    * `q_sim_ivf_served` contract composed over the modality pairing:
+    * the probe reads only its probed cells' partitions, the image-side
+    * filter rides the unranked probe scores ([[graft.sim.IvfIndex
+    * .probeMatches]], the documented side-filter-before-top-k seam),
+    * and the store has already had the text-side queries
+    * forget-redacted out of it. Same statistic, two serving paths, one
+    * oracle. */
+  private val mmCrossmodalServed: Q = (s, dir) => {
+    val approx = sharedIvfIndex(s, dir)
+      .probeMatches(
+        t(s, dir, "embeddings").where(col("vec_id") < NumQueries),
+        "vec_id", "embedding", IvfProbes)
+      .where(pmod(col("cid"), lit(2)) === 1)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    crossmodalRecall(crossmodalTruth(s, dir), approx)
+  }
+
   /** Embedding-cosine near-dup (the 5th dedup mode): candidate pairs
     * blocked by label (stand-in for an IVF/LSH bucket), verified by exact
     * cosine ≥ threshold. The pair join is a shuffle equi-join on the block
@@ -1418,6 +1512,11 @@ object SimilarityQueries {
     "q_sim_lsh_ann"         -> lshAnn,
     "q_sim_ivf_ann"         -> ivfAnn,
     "q_sim_ivf_served"      -> ivfServed,
+    // Cross-modal retrieval (the q_mm_* family's ANN composition) lives
+    // here with the IVF machinery it reuses; the keys stay mm-prefixed
+    // because the operator is the multimodal pairing, not a new index.
+    "q_mm_crossmodal"       -> mmCrossmodal,
+    "q_mm_crossmodal_served" -> mmCrossmodalServed,
     "q_sim_quantize"        -> quantizeInt8,
     "q_sim_sq_adc"          -> sqAdc,
     "q_sim_hard_negatives"  -> hardNegatives,
@@ -1654,6 +1753,36 @@ object SimilarityQueries {
        | SELECT qid, rnk, cid, round(cos, 4) AS cos4 FROM r
        | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin
 
+  /** `q_mm_crossmodal`'s oracle — the IVF probe CTEs with the
+    * image-side (vec_id parity) filter on the candidate arm, recall'd
+    * against the same-filtered brute-force truth; ONE definition, also
+    * graded against `q_mm_crossmodal_served`. */
+  private lazy val crossmodalOracleSql =
+    s"""WITH $ivfProbeCtes,
+       | cands AS (SELECT vec_id AS cid, embedding AS ce, cell
+       |   FROM rk WHERE rnk = 1 AND vec_id >= $NumQueries AND vec_id % 2 = 1),
+       | probes AS (SELECT vec_id AS qid, embedding AS qe, cell
+       |   FROM rk WHERE rnk <= $IvfProbes AND vec_id < $NumQueries),
+       | ap AS (SELECT qid, cid, $duckCos AS cos
+       |  FROM cands JOIN probes USING (cell)),
+       | apr AS (SELECT qid, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM ap),
+       | approx AS (SELECT qid, cid FROM apr WHERE rnk <= $LshTopK),
+       | q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       | c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id >= $NumQueries AND vec_id % 2 = 1),
+       | sc AS (SELECT qid, cid, $duckCos AS cos FROM q CROSS JOIN c),
+       | tr AS (SELECT qid, cid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+       |  FROM sc),
+       | truth AS (SELECT qid, cid FROM tr WHERE rnk <= $LshTopK)
+       | SELECT t.qid, count(a.cid) AS n_hits,
+       |  10000 * count(a.cid) // $LshTopK AS recall_bp
+       | FROM truth t LEFT JOIN approx a ON t.qid = a.qid AND t.cid = a.cid
+       | GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   /** The margin-kernel SQL tail — ONE definition over two candidate
     * CTEs (`fwdCte`, `bwdCte`, each (aid, bid, cp) of positive
     * floor-ppm cosines), mirroring [[marginPairs]] integer for
@@ -1866,6 +1995,10 @@ object SimilarityQueries {
     // two serving paths (inline rebuild vs persisted forget-redacted
     // index).
     "q_sim_ivf_served" -> ivfOracleSql,
+    // The served cross-modal twin shares the inline oracle (the
+    // persisted-store discipline: same definitions, parquet-exact).
+    "q_mm_crossmodal" -> crossmodalOracleSql,
+    "q_mm_crossmodal_served" -> crossmodalOracleSql,
     // The truth and approx CTE chains are the two verified pipelines
     // above, renamed to coexist in one WITH list.
     "q_sim_recall" ->
