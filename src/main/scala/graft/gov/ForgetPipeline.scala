@@ -373,6 +373,43 @@ final class ForgetPipeline(spark: SparkSession, val ledgerDir: String) {
     live.map(_.unionByName(auditRows())).getOrElse(auditRows())
   }
 
+  /** Every COMMITTED erasure-request id — live `request=` dirs with
+    * their `_SUCCESS` marker plus the consolidated (folded) set. The
+    * ledger-side half of the model-fit horizon ([[FitHorizon]]):
+    * request-count-bounded driver metadata, same class as
+    * [[isComplete]]. */
+  def committedRequests(): Set[String] = {
+    val root = new Path(ledgerDir)
+    val live = (if (fs.exists(root)) fs.listStatus(root)
+                else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("request="))
+      .map(_.getPath.getName.stripPrefix("request="))
+      .filter(id => fs.exists(new Path(requestPath(id), "_SUCCESS")))
+    live.toSet ++ foldedRequests()
+  }
+
+  /** MODEL-FIT HORIZON AUDIT — the regulator's "which persisted models
+    * were fit on erased data?" as one partition-prunable frame. Each
+    * `fits` entry is (model name, artifact dir); the answer is one row
+    * per (model, committed request) pair where the model's
+    * [[FitHorizon]] stamp does NOT cover the request — i.e. the
+    * erasure landed after the fit, so the fit may have seen its
+    * victims and the artifact needs a refit (after which its fresh
+    * stamp clears these rows). Unstamped artifacts are conservatively
+    * stale against every committed request (`stamped = false` marks
+    * them apart from genuinely outrun fits). Driver cost is
+    * O(models × requests) — audit metadata, never data. */
+  def staleFits(fits: Seq[(String, String)]): DataFrame = {
+    val committed = committedRequests()
+    import spark.implicits._
+    fits.flatMap { case (model, dir) =>
+      val covered = FitHorizon.read(spark, dir)
+      (committed -- covered.getOrElse(Set.empty)).toSeq.sorted
+        .map(r => (model, dir, covered.nonEmpty, r))
+    }.toDF("model", "model_dir", "stamped", "request_id")
+      .orderBy("model", "request_id")
+  }
+
   /** Per-store acknowledgement summary for one request — the audit
     * answer: which stores erased, at which published version, how many
     * victims. Empty when the request has not committed; answers from

@@ -114,8 +114,16 @@ object HashedLogReg {
     * trainer's in-memory one (pinned in `HashedLogRegSpec`): the
     * train → persist → serve loop has no FP seam. The table is model
     * STATE (≤ B+1 rows), not data — [[load]]'s collect is the bounded
-    * driver round-trip class, same as the per-iteration gradient. */
-  def save(m: Model, dir: String): Unit = {
+    * driver round-trip class, same as the per-iteration gradient.
+    *
+    * `fitHorizon`: the committed-erasure horizon at fit time
+    * ([[graft.gov.ForgetPipeline.committedRequests]]), stamped next to
+    * the table so [[graft.gov.ForgetPipeline.staleFits]] can answer
+    * "was this model fit before erasure R?" from the ledger; omit it
+    * and the artifact is conservatively stale against every committed
+    * request (see [[graft.gov.FitHorizon]]). */
+  def save(m: Model, dir: String,
+      fitHorizon: Option[Set[String]] = None): Unit = {
     val s = org.apache.spark.sql.SparkSession.active
     s.createDataFrame(
       s.sparkContext.parallelize(
@@ -133,6 +141,7 @@ object HashedLogReg {
         org.apache.spark.sql.types.StructField("w",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    fitHorizon.foreach(graft.gov.FitHorizon.stamp(s, dir, _))
   }
 
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {

@@ -128,8 +128,14 @@ object BpeTrainer {
     * a truncated tokenizer (truncation changes every later
     * segmentation). Parquet keeps strings/longs exact, so a loaded
     * list serves segmentations identical to the trainer's in-memory
-    * one (pinned in `BpeTrainerSpec`). */
-  def save(merges: Seq[Merge], dir: String): Unit = {
+    * one (pinned in `BpeTrainerSpec`).
+    *
+    * `fitHorizon`: the committed-erasure horizon at fit time, stamped
+    * for [[graft.gov.ForgetPipeline.staleFits]] — the
+    * [[graft.ml.HashedLogReg.save]] contract (a merge list is a lossy
+    * corpus summary too: it can only be refit, never redacted). */
+  def save(merges: Seq[Merge], dir: String,
+      fitHorizon: Option[Set[String]] = None): Unit = {
     val s = org.apache.spark.sql.SparkSession.active
     val rows = org.apache.spark.sql.Row(-1, "", "", merges.size.toLong) +:
       merges.map(m => org.apache.spark.sql.Row(m.step, m.left, m.right, m.freq))
@@ -145,6 +151,7 @@ object BpeTrainer {
         org.apache.spark.sql.types.StructField("freq",
           org.apache.spark.sql.types.LongType, nullable = false))))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+    fitHorizon.foreach(graft.gov.FitHorizon.stamp(s, dir, _))
   }
 
   /** Load a persisted merge table in TRAINING ORDER. O(merges) driver

@@ -353,4 +353,73 @@ class ForgetPipelineSpec extends SparkSpec {
       fp.consolidate(Seq("req-never"))
     }
   }
+
+  test("fit-horizon stamps: an erasure landing after a fit flags the " +
+      "model stale; a refit with a fresh stamp clears it") {
+    // The regulator's question the stores alone cannot answer: a
+    // trained artifact is a lossy summary of its fit corpus — only the
+    // ledger-anchored fit stamp says whether an erasure outran it.
+    val fp = new ForgetPipeline(spark, tmp("fp_fit_ledger"))
+    val train = docs.where(col("doc_id") < 100)
+
+    // Fit + stamp BOTH trainer artifact kinds at the current horizon.
+    val clsDir = tmp("fp_fit_cls")
+    val feats = graft.ml.HashedLogReg.featurize(train, buckets = 64)
+    val labels = train.select(col("doc_id"),
+      (col("doc_id") % 2).cast("double").as("y"))
+    val (m, _) = graft.ml.HashedLogReg.train(feats, labels,
+      buckets = 65, iters = 2, lr = 0.5)
+    graft.ml.HashedLogReg.save(m, clsDir,
+      fitHorizon = Some(fp.committedRequests()))
+    val bpeDir = tmp("fp_fit_bpe")
+    val (merges, _) = graft.ops.BpeTrainer.train(
+      graft.ops.BpeTrainer.wordFreqs(train), nMerges = 5)
+    graft.ops.BpeTrainer.save(merges, bpeDir,
+      fitHorizon = Some(fp.committedRequests()))
+    val fits = Seq("quality_classifier" -> clsDir, "bpe" -> bpeDir)
+
+    // No committed erasures yet: nothing is stale.
+    assert(fp.staleFits(fits).isEmpty)
+    // The stamp round-trips and does not disturb the parquet loads.
+    assert(FitHorizon.read(spark, clsDir).contains(Set.empty[String]))
+    assert(graft.ml.HashedLogReg.load(spark, clsDir).buckets == 65)
+    assert(graft.ops.BpeTrainer.load(spark, bpeDir).size == merges.size)
+
+    // An erasure commits AFTER the fits: both artifacts flag stale.
+    fp.execute("req-fit-1", Seq(3L, 7L), Seq("s" -> (_ => 1L)))
+    val stale = fp.staleFits(fits).collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getString(3)))
+    assert(stale.toSet == Set(
+      ("quality_classifier", true, "req-fit-1"),
+      ("bpe", true, "req-fit-1")),
+      s"unexpected stale set: ${stale.toSeq}")
+
+    // Refit on the redacted corpus, stamp at the NEW horizon: cleared.
+    val redacted = train.where(!col("doc_id").isin(3L, 7L))
+    graft.ml.HashedLogReg.save(m, clsDir,
+      fitHorizon = Some(fp.committedRequests()))
+    val (merges2, _) = graft.ops.BpeTrainer.train(
+      graft.ops.BpeTrainer.wordFreqs(redacted), nMerges = 5)
+    graft.ops.BpeTrainer.save(merges2, bpeDir,
+      fitHorizon = Some(fp.committedRequests()))
+    assert(fp.staleFits(fits).isEmpty)
+
+    // An UNSTAMPED artifact is conservatively stale against every
+    // committed request, marked apart by stamped = false.
+    val legacyDir = tmp("fp_fit_legacy")
+    graft.ops.BpeTrainer.save(merges, legacyDir) // no stamp
+    val legacy = fp.staleFits(Seq("legacy_bpe" -> legacyDir)).collect()
+      .map(r => (r.getString(0), r.getBoolean(2), r.getString(3)))
+    assert(legacy.toSet == Set(("legacy_bpe", false, "req-fit-1")))
+
+    // A second erasure re-flags only the artifacts it outran — the
+    // folded/consolidated form keeps answering too.
+    fp.execute("req-fit-2", Seq(11L), Seq("s" -> (_ => 2L)))
+    fp.consolidate(Seq("req-fit-1"))
+    val after = fp.staleFits(fits).collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    assert(after.toSet == Set(
+      ("quality_classifier", "req-fit-2"), ("bpe", "req-fit-2")))
+    assert(fp.committedRequests() == Set("req-fit-1", "req-fit-2"))
+  }
 }
