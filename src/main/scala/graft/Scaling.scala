@@ -98,7 +98,11 @@ object Scaling {
     // Round-14: the CCNet head+middle curation pipeline (ppl-bucket
     // cut -> gate -> dedup -> split as one plan — its 100x story is
     // the composed prefix-scan + shrinking-candidate-join shape).
-    "q_pipeline_ccnet")
+    "q_pipeline_ccnet",
+    // Round-15: the SPARSE-regime (prefix-routed) exact-dedup branch —
+    // the one branch of the cost-based selector the five dense pair
+    // blocks could not measure (see [[PrefixBudgeted]]).
+    "q_dedup_ngram_jaccard_zipf")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -185,7 +189,29 @@ object Scaling {
   private[graft] val OutputBound = Set(
     "q_dedup_simhash_pairs", "q_dedup_spans", "q_dedup_span_apply",
     "q_text_winnow_pairs", "q_dedup_containment", "q_dedup_ngram_jaccard",
-    "q_dedup_prefix_join", "q_dedup_pair_rouge")
+    "q_dedup_prefix_join", "q_dedup_pair_rouge", "q_dedup_ngram_jaccard_zipf")
+
+  /** PREFIX-FILTER CANDIDATE BUDGET — the sparse branch of the
+    * exact-dedup cost selector, finally measured (round-15; the five
+    * dense pair blocks above all exercise the all-pairs branch).
+    * `q_dedup_ngram_jaccard_zipf` runs the SAME selective plan as
+    * `q_dedup_ngram_jaccard` but over 3-word-shingle sets — a Zipfian
+    * element space (real text's shape), where
+    * [[graft.queries.DedupQueries.prefixSelective]] routes to the
+    * lossless prefix-filter join (routing pinned in `PlanAuditSpec`).
+    * The amplifier manufactures f(f−1)/2 cross-copy near-dup pairs per
+    * doc (copies share every interior shingle), so the RESULT is
+    * quadratic by fixture and `output_linear` is unmeasurable on this
+    * harness; the sparse-branch claim — candidate volume tracks TRUE
+    * sharing, never corpus² — is graded as work-per-output-row
+    * (`pairs_f ≤ slack · (rows_f/rows_1) · pairs_1`, the span_budget
+    * form) plus the strict output_bound time bar. A dense all-pairs
+    * plan would pay corpus²/4 candidates against the fixture's ~f²/2
+    * result growth and break the budget as the corpus outgrows its
+    * duplication; the prefix branch's candidates are Σ prefix-bucket²,
+    * bounded by the same sharing that produces the result. */
+  private[graft] val PrefixBudgeted = Set("q_dedup_ngram_jaccard_zipf")
+  private[graft] val PrefixBudgetSlack = 3.0
 
   /** g-bar for the output-linear regime (measured fleet ≤ 0.35). */
   private[graft] val GBar = 0.57
@@ -397,6 +423,11 @@ object Scaling {
             // Candidate-pair count off the session-shared winnow store
             // (already materialized by the timed run) — outside the clock.
             Some(graft.queries.TextQueries.spanCandidateCount(spark, dirs(f)))
+          else if (PrefixBudgeted(name))
+            // Prefix-filter candidate count off the session-shared
+            // shingle frame (already materialized) — outside the clock.
+            Some(graft.queries.DedupQueries.zipfPrefixCandidateCount(
+              spark, dirs(f)))
           else None
         System.err.println(
           f"[scaling] $name x$f: $sec%.2f s, $rows rows, $shuf shuffle B" +
@@ -449,6 +480,22 @@ object Scaling {
           // Report BOTH when both break — hiding the budget violation
           // behind the time one would cost a second multi-hour run to
           // discover it.
+          (timeBad.toSeq ++ budgetBad.toSeq): Seq[String]
+        } else if (PrefixBudgeted(name) && pf.isDefined) {
+          // The SpanBudgeted two-bar shape with the prefix slack:
+          // strict work-tracks-result time PLUS candidates per output row.
+          val p1 = per(1)._4.get.toDouble
+          val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
+          val tRatio = per(fm)._1 / per(1)._1
+          val timeBad =
+            if (tRatio > rRatio) Some(
+              f"$name [output_bound]: t$fm/t1 $tRatio%.2f > rows ratio $rRatio%.2f")
+            else None
+          val budgetBad =
+            if (pf.get > PrefixBudgetSlack * rRatio * math.max(1.0, p1)) Some(
+              f"$name [prefix_budget]: pairs$fm ${pf.get} > " +
+                f"$PrefixBudgetSlack%.1f × rows-ratio $rRatio%.2f × pairs1 ${per(1)._4.get}")
+            else None
           (timeBad.toSeq ++ budgetBad.toSeq): Seq[String]
         } else if (name == KmeansFitScaled) {
           val tRatio = per(fm)._1 / per(1)._1
@@ -532,6 +579,7 @@ object Scaling {
       val regime =
         if (name == SemDedupScaled) "pair_budget"
         else if (SpanBudgeted(name)) "output_bound+span_budget"
+        else if (PrefixBudgeted(name)) "output_bound+prefix_budget"
         else if (name == KmeansFitScaled) "fit_design"
         else if (OutputBound(name)) "output_bound"
         else "output_linear"

@@ -606,9 +606,16 @@ object DedupQueries {
       Seq("doc1", "doc2", "jac_bp"))
 
   private[graft] def ngramJaccardPairs(s: SparkSession,
-      dir: String): DataFrame = {
-    val d = termSets(s, dir).localCheckpoint(true) // one term-set build, three readers
-    val dfreq = termDf(d).localCheckpoint(true)    // selector + prefix ranking
+      dir: String): DataFrame =
+    ngramJaccardPairsOf(termSets(s, dir))
+
+  /** The selective kernel over ANY (doc_id, lang, tset, n) set frame —
+    * shared by the graded term-space query and the Zipfian shingle-space
+    * scaling fixture ([[ngramJaccardZipfFrame]]), so the selector and
+    * both branches are measured exactly as shipped. */
+  private[graft] def ngramJaccardPairsOf(d0: DataFrame): DataFrame = {
+    val d = d0.localCheckpoint(true)            // one set build, three readers
+    val dfreq = termDf(d).localCheckpoint(true) // selector + prefix ranking
     if (prefixSelective(dfreq, d.count(), 10000 - JaccardBpThreshold))
       ngramJaccardPrefixRouted(d, dfreq)
     else ngramJaccardAllPairsFrame(d)
@@ -734,6 +741,58 @@ object DedupQueries {
           .agg(array_sort(collect_set(col("h"))).as("tset"))
           .withColumn("n", size(col("tset"))))
         .localCheckpoint(true))
+
+  /** SHINGLE-space set frame (doc_id, lang, tset, n) — the Zipfian
+    * element space (3-word shingles, df≈1 almost everywhere on real
+    * text) the [[prefixSelective]] sparse branch exists for. Same
+    * md5-60-bit shingle hash as [[prefixJoinPairs]]'s fixture so DuckDB
+    * rebuilds identical sets; session-shared like [[termSets]] (the
+    * tokenize+shingle+hash pass runs once per corpus). */
+  private[queries] def zipfShingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.fanout(Tables.sharedFrame(s, dir, "shinglesets") {
+      Tables.fanout(tokenized(s, dir))
+        .select(col("doc_id"), col("lang"),
+          explode(expr(shingleExpr)).as("shingle"))
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("doc_id", "lang")
+        .agg(array_sort(collect_set(col("h"))).as("tset"))
+        .withColumn("n", size(col("tset")))
+    })
+
+  /** SPARSE-REGIME ngram Jaccard (`q_dedup_ngram_jaccard_zipf`) — the
+    * SAME cost-based selective plan as `q_dedup_ngram_jaccard`, run
+    * where exact-verify joins actually live at 100 TB: a Zipfian
+    * element space instead of the graded 29-term vocabulary. On this
+    * input [[prefixSelective]]'s Σdf² estimate sits orders of magnitude
+    * under the all-pairs kernel volume, so the selector routes to the
+    * lossless prefix-filter branch (routing pinned in `PlanAuditSpec`;
+    * losslessness proven per-run by the brute-force all-pairs oracle).
+    * The SCALING block for this key grades the sparse-branch work
+    * budget the dense-branch blocks cannot show: prefix candidates must
+    * track the RESULT's growth, never corpus² (`prefix_budget` regime —
+    * the amplifier manufactures f(f−1)/2 cross-copy near-dup pairs per
+    * doc, so output itself is quadratic by fixture and the honest bars
+    * are work-per-output-row plus strict output_bound time). */
+  private val ngramJaccardZipf: Q = (s, dir) =>
+    Tables.resultDigest(ngramJaccardZipfFrame(s, dir),
+      Seq("doc1", "doc2", "jac_bp"))
+
+  private[graft] def ngramJaccardZipfFrame(s: SparkSession,
+      dir: String): DataFrame =
+    ngramJaccardPairsOf(zipfShingleSets(s, dir))
+
+  /** The zipf fixture's prefix-filter CANDIDATE count — the
+    * `prefix_budget` metric [[graft.Scaling]] reads OUTSIDE the clock
+    * (the `spanCandidateCount` convention): one count over the same
+    * candidate generator the timed plan ran, against the same
+    * session-shared shingle frame. */
+  private[graft] def zipfPrefixCandidateCount(s: SparkSession,
+      dir: String): Long = {
+    val d = zipfShingleSets(s, dir).localCheckpoint(true)
+    jaccardPrefixCandidates(d, JaccardBpThreshold).count()
+  }
 
   /** Cross-source DUPLICATION MATRIX — the dedup-planning signal read
     * from theta sketches instead of a corpus self-join: one content
@@ -1351,6 +1410,7 @@ object DedupQueries {
     "q_dedup_simhash_sig" -> simhashFingerprints,
     "q_dedup_simhash_pairs" -> simhashPairs,
     "q_dedup_ngram_jaccard" -> ngramJaccard,
+    "q_dedup_ngram_jaccard_zipf" -> ngramJaccardZipf,
     "q_dedup_prefix_join"   -> prefixJaccardJoin,
     "q_dedup_cdc_chunks"    -> cdcChunks,
     "q_dedup_shared_passages" -> sharedPassages,
@@ -1552,6 +1612,23 @@ object DedupQueries {
     // Brute-force ALL-PAIRS over the same md5-60-bit shingle sets at the
     // same threshold: a green row proves the Spark side's prefix filter
     // lossless on the graded corpus.
+    // The zipf fixture's oracle is the BRUTE-FORCE all-pairs join over
+    // the same shingle-hash sets (lang-blocked, same integer jac_bp),
+    // so every green run proves the prefix filter lossless on the
+    // graded corpus — the q_dedup_prefix_join convention at the
+    // selective query's threshold.
+    "q_dedup_ngram_jaccard_zipf" -> Tables.duckDigest(
+      s"""WITH hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM ($duckShingles)),
+         | dl AS (SELECT doc_id, lang FROM documents),
+         | d AS (SELECT hs.doc_id AS doc_id, dl.lang AS lang,
+         |        list_sort(list_distinct(list(h))) AS tset
+         |       FROM hs JOIN dl ON hs.doc_id = dl.doc_id
+         |       GROUP BY hs.doc_id, dl.lang)
+         | SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+         |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // (len(x.tset) + len(y.tset) - len(list_intersect(x.tset, y.tset))) AS BIGINT) AS jac_bp
+         | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         | WHERE (10000 + $JaccardBpThreshold) * len(list_intersect(x.tset, y.tset)) >= $JaccardBpThreshold * (len(x.tset) + len(y.tset))""".stripMargin,
+      Seq("doc1", "doc2", "jac_bp")),
     "q_dedup_prefix_join" -> Tables.duckDigest(
       s"""WITH hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM ($duckShingles)),
          | d AS (SELECT doc_id, list_sort(list_distinct(list(h))) AS tset FROM hs GROUP BY doc_id)

@@ -288,6 +288,21 @@ class PlanAuditSpec extends SparkSpec {
       assert(hJoinLines(p).isEmpty,
         "audit no longer discriminates all-pairs from prefix-routed:\n" + p)
     }
+
+    // The SHIPPED Zipfian query (the round-15 SCALING fixture) routes
+    // to the prefix branch on the REAL corpus: 3-word-shingle space is
+    // df≈1 almost everywhere, the selector fires, and the graded plan
+    // carries the h-keyed candidate equi-join feeding the same kernel —
+    // the claim its prefix_budget scaling block prices.
+    val sd = DedupQueries.zipfShingleSets(spark, dir).localCheckpoint(true)
+    val sdf = DedupQueries.termDf(sd).localCheckpoint(true)
+    assert(DedupQueries.prefixSelective(sdf, sd.count(), 4000),
+      "selector rejects prefix routing on the shingle-space corpus")
+    val zq = plan("q_dedup_ngram_jaccard_zipf")
+    assert(!zq.contains("CartesianProduct"), zq)
+    assert(hJoinLines(zq).nonEmpty,
+      "q_dedup_ngram_jaccard_zipf did not route to the prefix branch:\n" + zq)
+    assert(zq.contains("sorted_intersection_size"), zq)
   }
 
   test("per-key top-K rides the custom sort-free operator (TopKPerKey)") {
