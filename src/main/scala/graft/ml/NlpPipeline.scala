@@ -81,9 +81,21 @@ object NlpPipeline {
   /** Train on a prepared frame (text/subreddit/sentiment/time/score). */
   def fit(prepared: DataFrame): PipelineModel = pipeline().fit(prepared)
 
-  /** S11: model save — one call for all six reference model files. */
-  def save(model: PipelineModel, path: String): Unit =
+  /** S11: model save — one call for all six reference model files.
+    *
+    * `fitHorizon`: the committed-erasure set at fit time
+    * ([[graft.gov.ForgetPipeline.committedRequests]]). The pipeline's
+    * models (Word2Vec, LDA, the forest) are exactly the artifact class
+    * [[graft.gov.FitHorizon]] exists for — lossy corpus summaries with
+    * no per-store forget, redactable only by refit — so an erasure can
+    * only be answered temporally: stamp here, audit via
+    * [[graft.gov.ForgetPipeline.staleFits]]. */
+  def save(model: PipelineModel, path: String,
+      fitHorizon: Option[Set[String]] = None): Unit = {
     model.write.overwrite().save(path)
+    fitHorizon.foreach(graft.gov.FitHorizon.stamp(
+      org.apache.spark.sql.SparkSession.active, path, _))
+  }
 
   /** S3: model load. */
   def load(path: String): PipelineModel = PipelineModel.load(path)

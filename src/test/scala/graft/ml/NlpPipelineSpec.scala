@@ -65,7 +65,12 @@ class NlpPipelineSpec extends SparkSpec {
 
   test("save/load round-trips the whole pipeline (S3/S11)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
-    NlpPipeline.save(model, dir)
+    // Stamped save: the fit-horizon sidecar must neither disturb the
+    // ML reader nor get lost (the gov/FitHorizon audit seam — these
+    // models are lossy corpus summaries with no per-store forget, so
+    // the stamp is the ONLY erasure answer they can give).
+    NlpPipeline.save(model, dir, fitHorizon = Some(Set("req-nlp-0")))
+    assert(graft.gov.FitHorizon.read(spark, dir).contains(Set("req-nlp-0")))
     val reloaded = NlpPipeline.load(dir)
     val a = model.transform(corpus).select("id", "prediction")
       .as[(String, Double)].collect().toMap
