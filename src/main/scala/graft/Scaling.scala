@@ -99,10 +99,11 @@ object Scaling {
     // cut -> gate -> dedup -> split as one plan — its 100x story is
     // the composed prefix-scan + shrinking-candidate-join shape).
     "q_pipeline_ccnet",
-    // Round-15: the SPARSE-regime (prefix-routed) exact-dedup branch —
-    // the one branch of the cost-based selector the five dense pair
-    // blocks could not measure (see [[PrefixBudgeted]]).
-    "q_dedup_ngram_jaccard_zipf")
+    // Round-15: the SPARSE-regime (prefix-routed) exact-dedup branches —
+    // the side of the cost-based selector the five dense pair blocks
+    // could not measure (see [[PrefixBudgeted]]): the symmetric Jaccard
+    // prefix filter and the asymmetric small-side containment filter.
+    "q_dedup_ngram_jaccard_zipf", "q_dedup_containment_zipf")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
@@ -189,7 +190,8 @@ object Scaling {
   private[graft] val OutputBound = Set(
     "q_dedup_simhash_pairs", "q_dedup_spans", "q_dedup_span_apply",
     "q_text_winnow_pairs", "q_dedup_containment", "q_dedup_ngram_jaccard",
-    "q_dedup_prefix_join", "q_dedup_pair_rouge", "q_dedup_ngram_jaccard_zipf")
+    "q_dedup_prefix_join", "q_dedup_pair_rouge", "q_dedup_ngram_jaccard_zipf",
+    "q_dedup_containment_zipf")
 
   /** PREFIX-FILTER CANDIDATE BUDGET — the sparse branch of the
     * exact-dedup cost selector, finally measured (round-15; the five
@@ -210,7 +212,8 @@ object Scaling {
     * result growth and break the budget as the corpus outgrows its
     * duplication; the prefix branch's candidates are Σ prefix-bucket²,
     * bounded by the same sharing that produces the result. */
-  private[graft] val PrefixBudgeted = Set("q_dedup_ngram_jaccard_zipf")
+  private[graft] val PrefixBudgeted =
+    Set("q_dedup_ngram_jaccard_zipf", "q_dedup_containment_zipf")
   private[graft] val PrefixBudgetSlack = 3.0
 
   /** g-bar for the output-linear regime (measured fleet ≤ 0.35). */
@@ -426,7 +429,10 @@ object Scaling {
           else if (PrefixBudgeted(name))
             // Prefix-filter candidate count off the session-shared
             // shingle frame (already materialized) — outside the clock.
-            Some(graft.queries.DedupQueries.zipfPrefixCandidateCount(
+            Some(if (name == "q_dedup_containment_zipf")
+              graft.queries.DedupQueries.zipfContainmentCandidateCount(
+                spark, dirs(f))
+            else graft.queries.DedupQueries.zipfPrefixCandidateCount(
               spark, dirs(f)))
           else None
         System.err.println(

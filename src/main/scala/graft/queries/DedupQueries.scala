@@ -1052,12 +1052,43 @@ object DedupQueries {
       Seq("doc1", "doc2", "cont_bp"))
 
   private[graft] def containmentPairs(s: SparkSession,
-      dir: String): DataFrame = {
-    val d = termSets(s, dir).localCheckpoint(true)
+      dir: String): DataFrame =
+    containmentPairsOf(termSets(s, dir))
+
+  /** The selective containment kernel over ANY (doc_id, lang, tset, n)
+    * set frame — the [[ngramJaccardPairsOf]] seam for the asymmetric
+    * filter, shared by the graded term-space query and the Zipfian
+    * shingle-space fixture. */
+  private[graft] def containmentPairsOf(d0: DataFrame): DataFrame = {
+    val d = d0.localCheckpoint(true)
     val dfreq = termDf(d).localCheckpoint(true)
     if (prefixSelective(dfreq, d.count(), 10000 - ContainmentBpThreshold))
       containmentPrefixRouted(d, dfreq)
     else containmentAllPairsFrame(d)
+  }
+
+  /** SPARSE-REGIME containment (`q_dedup_containment_zipf`) — the
+    * [[ngramJaccardZipfFrame]] discipline for the ASYMMETRIC filter:
+    * the same selective containment plan over the Zipfian shingle
+    * space, where the selector routes to the small-side prefix branch
+    * (`containmentPrefixCandidates`'s ns − ⌈T·ns⌉ + 1 bound — the
+    * second of the two sparse branches the round-14 audit found only
+    * spec-pinned). Its SCALING block shares the `prefix_budget` regime. */
+  private val containmentZipf: Q = (s, dir) =>
+    Tables.resultDigest(containmentZipfFrame(s, dir),
+      Seq("doc1", "doc2", "cont_bp"))
+
+  private[graft] def containmentZipfFrame(s: SparkSession,
+      dir: String): DataFrame =
+    containmentPairsOf(zipfShingleSets(s, dir))
+
+  /** The containment zipf fixture's prefix-candidate count — the
+    * `prefix_budget` metric, [[zipfPrefixCandidateCount]]'s asymmetric
+    * twin. */
+  private[graft] def zipfContainmentCandidateCount(s: SparkSession,
+      dir: String): Long = {
+    val d = zipfShingleSets(s, dir).localCheckpoint(true)
+    containmentPrefixCandidates(d, ContainmentBpThreshold).count()
   }
 
   /** The sparse-regime containment plan — spec-pinned against the
@@ -1418,6 +1449,7 @@ object DedupQueries {
     "q_dedup_lsh_jaccard" -> lshJaccard,
     "q_dedup_pair_rouge"  -> pairRouge,
     "q_dedup_containment" -> containment,
+    "q_dedup_containment_zipf" -> containmentZipf,
     "q_dedup_decontam"    -> decontaminate,
     "q_dedup_incremental" -> incrementalDedup,
     "q_dedup_index_pairs" -> indexPairs,
@@ -1670,6 +1702,22 @@ object DedupQueries {
       Seq("doc1", "doc2", "nb1", "nb2", "overlap2", "rouge2_f_bp")),
     "q_dedup_containment" -> Tables.duckDigest(
       s"""WITH d AS (SELECT doc_id, lang, list_slice(list_sort(list_distinct(${duckTerms("text")})), 1, $MaxTermsPerDoc) AS tset FROM documents)
+         | SELECT x.doc_id AS doc1, y.doc_id AS doc2,
+         |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // least(len(x.tset), len(y.tset)) AS BIGINT) AS cont_bp
+         | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         | WHERE 10000 * len(list_intersect(x.tset, y.tset)) >= $ContainmentBpThreshold * least(len(x.tset), len(y.tset))""".stripMargin,
+      Seq("doc1", "doc2", "cont_bp")),
+    // The containment zipf oracle: brute-force all-pairs over the same
+    // shingle-hash sets (the q_dedup_ngram_jaccard_zipf convention with
+    // the asymmetric least() denominator), proving the small-side
+    // prefix filter lossless per run.
+    "q_dedup_containment_zipf" -> Tables.duckDigest(
+      s"""WITH hs AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h FROM ($duckShingles)),
+         | dl AS (SELECT doc_id, lang FROM documents),
+         | d AS (SELECT hs.doc_id AS doc_id, dl.lang AS lang,
+         |        list_sort(list_distinct(list(h))) AS tset
+         |       FROM hs JOIN dl ON hs.doc_id = dl.doc_id
+         |       GROUP BY hs.doc_id, dl.lang)
          | SELECT x.doc_id AS doc1, y.doc_id AS doc2,
          |  CAST(10000 * len(list_intersect(x.tset, y.tset)) // least(len(x.tset), len(y.tset)) AS BIGINT) AS cont_bp
          | FROM d x JOIN d y ON x.lang = y.lang AND x.doc_id < y.doc_id

@@ -298,11 +298,13 @@ class PlanAuditSpec extends SparkSpec {
     val sdf = DedupQueries.termDf(sd).localCheckpoint(true)
     assert(DedupQueries.prefixSelective(sdf, sd.count(), 4000),
       "selector rejects prefix routing on the shingle-space corpus")
-    val zq = plan("q_dedup_ngram_jaccard_zipf")
-    assert(!zq.contains("CartesianProduct"), zq)
-    assert(hJoinLines(zq).nonEmpty,
-      "q_dedup_ngram_jaccard_zipf did not route to the prefix branch:\n" + zq)
-    assert(zq.contains("sorted_intersection_size"), zq)
+    for (q <- Seq("q_dedup_ngram_jaccard_zipf", "q_dedup_containment_zipf")) {
+      val zq = plan(q)
+      assert(!zq.contains("CartesianProduct"), zq)
+      assert(hJoinLines(zq).nonEmpty,
+        s"$q did not route to the prefix branch:\n" + zq)
+      assert(zq.contains("sorted_intersection_size"), zq)
+    }
   }
 
   test("per-key top-K rides the custom sort-free operator (TopKPerKey)") {
