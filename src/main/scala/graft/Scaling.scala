@@ -468,9 +468,16 @@ object Scaling {
             f"$name [pair_budget]: pairs$fm ${pf.get} > " +
               f"$PairBudgetSlack%.1f × $fm × pairs1 ${per(1)._4.get}")
           else None
-        } else if (SpanBudgeted(name) && pf.isDefined) {
-          // BOTH bars: the strict output_bound time bar AND the declared
-          // work-per-output-row candidate budget (see SpanBudgeted doc).
+        } else if ((SpanBudgeted(name) || PrefixBudgeted(name)) &&
+            pf.isDefined) {
+          // ONE two-bar shape for both candidate-budgeted regimes:
+          // the strict output_bound time bar AND the declared
+          // work-per-output-row candidate budget (see
+          // SpanBudgeted/PrefixBudgeted docs) — differing only in
+          // slack and regime label.
+          val (slack, label) =
+            if (SpanBudgeted(name)) (SpanBudgetSlack, "span_budget")
+            else (PrefixBudgetSlack, "prefix_budget")
           val p1 = per(1)._4.get.toDouble
           val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
           val tRatio = per(fm)._1 / per(1)._1
@@ -479,29 +486,13 @@ object Scaling {
               f"$name [output_bound]: t$fm/t1 $tRatio%.2f > rows ratio $rRatio%.2f")
             else None
           val budgetBad =
-            if (pf.get > SpanBudgetSlack * rRatio * math.max(1.0, p1)) Some(
-              f"$name [span_budget]: pairs$fm ${pf.get} > " +
-                f"$SpanBudgetSlack%.1f × rows-ratio $rRatio%.2f × pairs1 ${per(1)._4.get}")
+            if (pf.get > slack * rRatio * math.max(1.0, p1)) Some(
+              f"$name [$label]: pairs$fm ${pf.get} > " +
+                f"$slack%.1f × rows-ratio $rRatio%.2f × pairs1 ${per(1)._4.get}")
             else None
           // Report BOTH when both break — hiding the budget violation
           // behind the time one would cost a second multi-hour run to
           // discover it.
-          (timeBad.toSeq ++ budgetBad.toSeq): Seq[String]
-        } else if (PrefixBudgeted(name) && pf.isDefined) {
-          // The SpanBudgeted two-bar shape with the prefix slack:
-          // strict work-tracks-result time PLUS candidates per output row.
-          val p1 = per(1)._4.get.toDouble
-          val rRatio = per(fm)._2.toDouble / math.max(1L, per(1)._2)
-          val tRatio = per(fm)._1 / per(1)._1
-          val timeBad =
-            if (tRatio > rRatio) Some(
-              f"$name [output_bound]: t$fm/t1 $tRatio%.2f > rows ratio $rRatio%.2f")
-            else None
-          val budgetBad =
-            if (pf.get > PrefixBudgetSlack * rRatio * math.max(1.0, p1)) Some(
-              f"$name [prefix_budget]: pairs$fm ${pf.get} > " +
-                f"$PrefixBudgetSlack%.1f × rows-ratio $rRatio%.2f × pairs1 ${per(1)._4.get}")
-            else None
           (timeBad.toSeq ++ budgetBad.toSeq): Seq[String]
         } else if (name == KmeansFitScaled) {
           val tRatio = per(fm)._1 / per(1)._1

@@ -28,6 +28,16 @@ import org.apache.spark.sql.SparkSession
   * with respect to every committed request — absence of evidence is
   * not evidence of a clean fit.
   *
+  * CAPTURE ORDER IS THE CALLER'S HALF OF THE CONTRACT: read
+  * `committedRequests()` BEFORE the first training read of the corpus,
+  * and pass that pre-read snapshot to `save(...)`. A horizon captured
+  * at save time over-covers — an erasure committing DURING a
+  * multi-minute fit would be stamped as covered although the fit's
+  * input predates it, and [[ForgetPipeline.staleFits]] would then
+  * under-report (the one direction the audit must never fail). The
+  * stamp API takes a value rather than reading the ledger itself
+  * precisely so the caller can pin the capture to the read point.
+  *
   * On-disk: one `_fit_horizon` text file INSIDE the artifact's
   * directory (underscore-prefixed, so parquet readers ignore it like
   * `_SUCCESS`), `n <count>` header + one request id per line, written

@@ -116,12 +116,14 @@ object HashedLogReg {
     * STATE (≤ B+1 rows), not data — [[load]]'s collect is the bounded
     * driver round-trip class, same as the per-iteration gradient.
     *
-    * `fitHorizon`: the committed-erasure horizon at fit time
-    * ([[graft.gov.ForgetPipeline.committedRequests]]), stamped next to
-    * the table so [[graft.gov.ForgetPipeline.staleFits]] can answer
+    * `fitHorizon`: the committed-erasure horizon, captured BEFORE the
+    * first training read ([[graft.gov.FitHorizon]]'s capture-order
+    * contract — a save-time capture would cover an erasure that
+    * committed mid-fit and make the audit under-report), stamped next
+    * to the table so [[graft.gov.ForgetPipeline.staleFits]] can answer
     * "was this model fit before erasure R?" from the ledger; omit it
     * and the artifact is conservatively stale against every committed
-    * request (see [[graft.gov.FitHorizon]]). */
+    * request. */
   def save(m: Model, dir: String,
       fitHorizon: Option[Set[String]] = None): Unit = {
     val s = org.apache.spark.sql.SparkSession.active

@@ -867,21 +867,40 @@ object NgramLm {
       * below the lower bound whenever the missing trigram mass exceeds
       * the one-token-doc slack. SOUND, not complete: a healthy store
       * can never trip it (zero false positives — safe to fold into
-      * every forget via [[incompleteNow]]), while a thin sliver of
-      * incomplete stores inside the slack still needs the documented
-      * operator caveat: a store whose tri table predates some of its
-      * live ingest must be gated by hand ([[gateOrders]]) before its
-      * first post-upgrade forget if this audit comes back empty. */
+      * every forget via [[incompleteNow]]), while two incomplete
+      * shapes stay inside the slack and need the documented operator
+      * caveat — a partially-covered tri table whose missing mass is
+      * under the one-token-doc slack, and an order-1-vintage store
+      * whose partial bi AND tri came from the same post-upgrade
+      * appends (internally consistent with a shorter-doc corpus; no
+      * inequality can see it). Either way the rule is the same: a
+      * store any of whose order tables predates some of its live
+      * ingest must be gated by hand ([[gateOrders]]) before its first
+      * post-upgrade forget if this audit comes back empty. */
     private[graft] def auditVintage(snap: Snapshot): Set[String] = {
-      val (t, b, tr) = rolledMetaTotals(snap)
       // An already-marked order's totals drift by design (forgets skip
       // its negatives), so only audit orders still believed complete —
-      // and tri's bounds lean on b, so they need bi believed complete
-      // too.
+      // and skip the O(segments) meta scan entirely when nothing the
+      // audit could add is unmarked.
       def marked(o: String) = snap.inc(o) || snap.gates(o)
-      val biBad = !marked("bi") && b > t
-      val triBad = !marked("tri") && !marked("bi") && !biBad &&
-        (tr < 2 * b - t || tr > b)
+      if (marked("bi") && marked("tri")) return Set.empty
+      val (t, b, tr) = rolledMetaTotals(snap)
+      // Attribution by direction (legacy vintage only UNDER-counts):
+      //  - b > t: impossible under any exact or under-counted state —
+      //    corruption; gate bi.
+      //  - tr > b: an under-counted TRI can only lower tr, so the
+      //    upper bound can break only when BI is under-counted — and
+      //    vintage ordering (the tri table postdates bi) means a store
+      //    with partial bi cannot have certified-complete tri, so gate
+      //    BOTH. Flagging only tri here would leave the next forget
+      //    subtracting full bi negatives against the partial bi table —
+      //    the exact brick this audit exists to stop.
+      //  - tr < 2b − t: an under-counted bi only LOOSENS this bound,
+      //    so a violation proves tri itself is short; gate tri.
+      val biBad = !marked("bi") && (b > t || tr > b)
+      val triBad = (!marked("tri") && !marked("bi") &&
+          (tr < 2 * b - t || tr > b)) ||
+        (!marked("tri") && biBad)
       (if (biBad) Set("bi") else Set.empty[String]) ++
         (if (triBad) Set("tri") else Set.empty[String])
     }

@@ -83,8 +83,9 @@ object NlpPipeline {
 
   /** S11: model save — one call for all six reference model files.
     *
-    * `fitHorizon`: the committed-erasure set at fit time
-    * ([[graft.gov.ForgetPipeline.committedRequests]]). The pipeline's
+    * `fitHorizon`: the committed-erasure set, captured BEFORE the
+    * training read ([[graft.gov.FitHorizon]]'s capture-order
+    * contract). The pipeline's
     * models (Word2Vec, LDA, the forest) are exactly the artifact class
     * [[graft.gov.FitHorizon]] exists for — lossy corpus summaries with
     * no per-store forget, redactable only by refit — so an erasure can

@@ -130,8 +130,9 @@ object BpeTrainer {
     * list serves segmentations identical to the trainer's in-memory
     * one (pinned in `BpeTrainerSpec`).
     *
-    * `fitHorizon`: the committed-erasure horizon at fit time, stamped
-    * for [[graft.gov.ForgetPipeline.staleFits]] — the
+    * `fitHorizon`: the committed-erasure horizon, captured BEFORE the
+    * first training read, stamped for
+    * [[graft.gov.ForgetPipeline.staleFits]] — the
     * [[graft.ml.HashedLogReg.save]] contract (a merge list is a lossy
     * corpus summary too: it can only be refit, never redacted). */
   def save(merges: Seq[Merge], dir: String,

@@ -791,7 +791,10 @@ object DedupQueries {
   private[graft] def zipfPrefixCandidateCount(s: SparkSession,
       dir: String): Long = {
     val d = zipfShingleSets(s, dir).localCheckpoint(true)
-    jaccardPrefixCandidates(d, JaccardBpThreshold).count()
+    // Explicit dfreq, exactly as the routed plan passes it — the
+    // metric must count the SAME candidate generator the timed plan
+    // ran, through the same input seam.
+    jaccardPrefixCandidates(d, JaccardBpThreshold, Some(termDf(d))).count()
   }
 
   /** Cross-source DUPLICATION MATRIX — the dedup-planning signal read
@@ -1088,7 +1091,8 @@ object DedupQueries {
   private[graft] def zipfContainmentCandidateCount(s: SparkSession,
       dir: String): Long = {
     val d = zipfShingleSets(s, dir).localCheckpoint(true)
-    containmentPrefixCandidates(d, ContainmentBpThreshold).count()
+    containmentPrefixCandidates(d, ContainmentBpThreshold,
+      Some(termDf(d))).count()
   }
 
   /** The sparse-regime containment plan — spec-pinned against the

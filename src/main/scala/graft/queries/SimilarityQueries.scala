@@ -216,28 +216,39 @@ object SimilarityQueries {
     * nearest cells. Fully oracle-checked: the centroid means, the
     * nearest-centroid assignment, and the probe join are all expressed in
     * DuckDB via aligned unnest + per-(cell,dim) avg (see `oracles`). */
-  private val ivfAnn: Q = (s, dir) => {
-    val emb = t(s, dir, "embeddings")
+  /** The inline IVF probe scores (qid, cid, cos) — codebook from the
+    * data, nearest-cell candidate assignment, probe join — ONE
+    * definition shared by `q_sim_ivf_ann` and the cross-modal arm
+    * ([[crossmodalApproxInline]]), so a change to the probe discipline
+    * lands in both. The nearest-cell rule is itself shared with the
+    * persisted sim.IvfIndex (Similarity.rankedCellAffinity).
+    * `candPred` filters the CANDIDATE side before the probe join
+    * (filtered-ANN semantics; `lit(true)` = unfiltered), referencing
+    * the affinity frame's `id` column. */
+  private def ivfProbeScores(emb: DataFrame,
+      candPred: org.apache.spark.sql.Column): DataFrame = {
     val cents = Similarity.centroids(emb, "embedding", "label")
-    // Nearest-cell rule shared with the persisted sim.IvfIndex — ONE
-    // definition (Similarity.rankedCellAffinity) for both.
     val affinity = Similarity.rankedCellAffinity(
       Tables.fanout(emb.select("vec_id", "embedding")),
       "vec_id", "embedding", cents)
-    val cands = affinity.where(col("rnk") === 1 && col("id") >= NumQueries)
+    val cands = affinity
+      .where(col("rnk") === 1 && col("id") >= NumQueries && candPred)
       .select(col("id").as("cid"), col("vector").as("ce"), col("cell"))
     val probes = affinity.where(col("rnk") <= IvfProbes && col("id") < NumQueries)
       .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
     cands.join(broadcast(probes), Seq("cell"))
       .select(col("qid"), col("cid"),
         Similarity.cosine(col("qe"), col("ce")).as("cos"))
+  }
+
+  private val ivfAnn: Q = (s, dir) =>
+    ivfProbeScores(t(s, dir, "embeddings"), lit(true))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
       .where(col("rnk") <= LshTopK)
       .select(col("qid"), col("rnk").cast("int").as("rnk"), col("cid"),
         round(col("cos"), 4).as("cos4"))
       .orderBy("qid", "rnk")
-  }
 
   /** BUILD-ONCE / SEARCH-MANY for IVF: one persisted
     * [[graft.sim.IvfIndex]] per (application, corpus dir), built over
@@ -310,31 +321,17 @@ object SimilarityQueries {
       .select("qid", "cid")
   }
 
-  /** The inline IVF arm of the cross-modal audit — `q_sim_ivf_ann`'s
-    * probe plan with the image-side filter pushed into the candidate
-    * assignment (the filter prunes BEFORE the probe join, so the join
-    * carries only image-side postings). */
+  /** The inline IVF arm of the cross-modal audit — [[ivfProbeScores]]
+    * (one definition with `q_sim_ivf_ann`) with the image-side filter
+    * pushed into the candidate assignment (the filter prunes BEFORE
+    * the probe join, so the join carries only image-side postings). */
   private def crossmodalApproxInline(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cents = Similarity.centroids(emb, "embedding", "label")
-    val affinity = Similarity.rankedCellAffinity(
-      Tables.fanout(emb.select("vec_id", "embedding")),
-      "vec_id", "embedding", cents)
-    val cands = affinity.where(col("rnk") === 1 &&
-        col("id") >= NumQueries && pmod(col("id"), lit(2)) === 1)
-      .select(col("id").as("cid"), col("vector").as("ce"), col("cell"))
-    val probes = affinity
-      .where(col("rnk") <= IvfProbes && col("id") < NumQueries)
-      .select(col("id").as("qid"), col("vector").as("qe"), col("cell"))
-    cands.join(broadcast(probes), Seq("cell"))
-      .select(col("qid"), col("cid"),
-        Similarity.cosine(col("qe"), col("ce")).as("cos"))
+      dir: String): DataFrame =
+    ivfProbeScores(t(s, dir, "embeddings"), pmod(col("id"), lit(2)) === 1)
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("cid").asc)))
       .where(col("rnk") <= LshTopK)
       .select(col("qid").as("aqid"), col("cid").as("acid"))
-  }
 
   /** The recall combinator both cross-modal arms share — the
     * `q_sim_recall` shape: per-query hit count against the filtered

@@ -96,34 +96,30 @@ class ScalingSpec extends SparkSpec {
           assert(pf.get <= Scaling.PairBudgetSlack * fm * math.max(1.0, p1.get),
             f"$name [pair_budget]: pairs$fm ${pf.get}%.0f outgrew " +
               f"${Scaling.PairBudgetSlack}%.1f × $fm × pairs1 ${p1.get}%.0f in $path")
-        } else if (Scaling.SpanBudgeted(name)) {
-          // Time holds the STRICT work-tracks-result bar AND the
-          // candidate-pair budget holds per output row (pairs columns
-          // appear from round 10 on; the time bar applies to every
-          // artifact vintage — the round-10 artifact already sat inside
-          // the strict form, the ln-envelope it was graded under having
-          // excused only the since-removed result sort).
-          assert(tf / t1 <= rf / math.max(1.0, r1),
-            f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
-              f"rows ratio ${rf / math.max(1.0, r1)}%.2f in $path")
-          for (p1 <- num(body, "pairs1"); pf <- num(body, s"pairs$fm"))
-            assert(pf <= Scaling.SpanBudgetSlack * (rf / math.max(1.0, r1))
-                * math.max(1.0, p1),
-              f"$name [span_budget]: pairs$fm $pf%.0f outgrew " +
-                f"${Scaling.SpanBudgetSlack}%.1f × rows-ratio ${rf / r1}%.2f × pairs1 $p1%.0f in $path")
-        } else if (Scaling.PrefixBudgeted(name)) {
-          // The sparse-branch bars (see Scaling.PrefixBudgeted): strict
-          // work-tracks-result time AND prefix candidates per output row.
+        } else if (Scaling.SpanBudgeted(name) ||
+            Scaling.PrefixBudgeted(name)) {
+          // ONE two-bar shape for both candidate-budgeted regimes
+          // (mirrors Scaling.violationsOf): the STRICT
+          // work-tracks-result time bar AND the candidate-pair budget
+          // per output row. Pairs columns are optional only for the
+          // span family's pre-round-10 artifact vintages; the prefix
+          // regime postdates them and hard-requires its columns.
+          val (slack, label, pairsRequired) =
+            if (Scaling.SpanBudgeted(name))
+              (Scaling.SpanBudgetSlack, "span_budget", false)
+            else (Scaling.PrefixBudgetSlack, "prefix_budget", true)
           assert(tf / t1 <= rf / math.max(1.0, r1),
             f"$name [output_bound]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
               f"rows ratio ${rf / math.max(1.0, r1)}%.2f in $path")
           val (p1, pf) = (num(body, "pairs1"), num(body, s"pairs$fm"))
-          assert(p1.isDefined && pf.isDefined,
-            s"$name [prefix_budget] block carries no pairs columns in $path")
-          assert(pf.get <= Scaling.PrefixBudgetSlack * (rf / math.max(1.0, r1))
-              * math.max(1.0, p1.get),
-            f"$name [prefix_budget]: pairs$fm ${pf.get}%.0f outgrew " +
-              f"${Scaling.PrefixBudgetSlack}%.1f × rows-ratio ${rf / r1}%.2f × pairs1 ${p1.get}%.0f in $path")
+          if (pairsRequired)
+            assert(p1.isDefined && pf.isDefined,
+              s"$name [$label] block carries no pairs columns in $path")
+          for (p1v <- p1; pfv <- pf)
+            assert(pfv <= slack * (rf / math.max(1.0, r1))
+                * math.max(1.0, p1v),
+              f"$name [$label]: pairs$fm $pfv%.0f outgrew " +
+                f"$slack%.1f × rows-ratio ${rf / r1}%.2f × pairs1 $p1v%.0f in $path")
         } else if (name == Scaling.KmeansFitScaled)
           assert(tf / t1 <= fm.toDouble * fm,
             f"$name [fit_design]: t$fm/t1 ${tf / t1}%.2f outgrew the " +
@@ -150,13 +146,15 @@ class ScalingSpec extends SparkSpec {
     // fixed list goes stale; an enumerated 6..99 range would go stale
     // at round 100, the same failure one bound further out).
     val rx = "SCALING_r(\\d+)\\.json".r
-    val path = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-      .iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s @ rx(n) => (n.toInt, s) }
-      .toSeq.sortBy(-_._1)
-      .headOption.map(_._2)
-      .getOrElse(fail("no SCALING_r*.json artifact committed"))
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    val path =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s @ rx(n) => (n.toInt, s) }
+        .toSeq.sortBy(-_._1)
+        .headOption.map(_._2)
+        .getOrElse(fail("no SCALING_r*.json artifact committed"))
+      finally listing.close() // Files.list holds an open dir handle
     assertBars(path, minBlocks = 10)
   }
 

@@ -362,20 +362,23 @@ class ForgetPipelineSpec extends SparkSpec {
     val fp = new ForgetPipeline(spark, tmp("fp_fit_ledger"))
     val train = docs.where(col("doc_id") < 100)
 
-    // Fit + stamp BOTH trainer artifact kinds at the current horizon.
+    // Capture the horizon BEFORE the first training read (the
+    // FitHorizon contract): a save-time capture would mark an erasure
+    // that committed mid-fit as covered and make staleFits
+    // under-report.
+    val fitH0 = fp.committedRequests()
+    // Fit + stamp BOTH trainer artifact kinds at that pre-read horizon.
     val clsDir = tmp("fp_fit_cls")
     val feats = graft.ml.HashedLogReg.featurize(train, buckets = 64)
     val labels = train.select(col("doc_id"),
       (col("doc_id") % 2).cast("double").as("y"))
     val (m, _) = graft.ml.HashedLogReg.train(feats, labels,
       buckets = 65, iters = 2, lr = 0.5)
-    graft.ml.HashedLogReg.save(m, clsDir,
-      fitHorizon = Some(fp.committedRequests()))
+    graft.ml.HashedLogReg.save(m, clsDir, fitHorizon = Some(fitH0))
     val bpeDir = tmp("fp_fit_bpe")
     val (merges, _) = graft.ops.BpeTrainer.train(
       graft.ops.BpeTrainer.wordFreqs(train), nMerges = 5)
-    graft.ops.BpeTrainer.save(merges, bpeDir,
-      fitHorizon = Some(fp.committedRequests()))
+    graft.ops.BpeTrainer.save(merges, bpeDir, fitHorizon = Some(fitH0))
     val fits = Seq("quality_classifier" -> clsDir, "bpe" -> bpeDir)
 
     // No committed erasures yet: nothing is stale.
@@ -394,14 +397,14 @@ class ForgetPipelineSpec extends SparkSpec {
       ("bpe", true, "req-fit-1")),
       s"unexpected stale set: ${stale.toSeq}")
 
-    // Refit on the redacted corpus, stamp at the NEW horizon: cleared.
+    // Refit on the redacted corpus, stamp at the NEW pre-read horizon:
+    // cleared.
+    val fitH1 = fp.committedRequests()
     val redacted = train.where(!col("doc_id").isin(3L, 7L))
-    graft.ml.HashedLogReg.save(m, clsDir,
-      fitHorizon = Some(fp.committedRequests()))
+    graft.ml.HashedLogReg.save(m, clsDir, fitHorizon = Some(fitH1))
     val (merges2, _) = graft.ops.BpeTrainer.train(
       graft.ops.BpeTrainer.wordFreqs(redacted), nMerges = 5)
-    graft.ops.BpeTrainer.save(merges2, bpeDir,
-      fitHorizon = Some(fp.committedRequests()))
+    graft.ops.BpeTrainer.save(merges2, bpeDir, fitHorizon = Some(fitH1))
     assert(fp.staleFits(fits).isEmpty)
 
     // An UNSTAMPED artifact is conservatively stale against every

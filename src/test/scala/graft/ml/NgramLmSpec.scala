@@ -508,6 +508,64 @@ class NgramLmSpec extends SparkSpec {
       .getMessage.contains("GATED"))
   }
 
+  test("the vintage audit attributes a broken tri<=bi bound to BI " +
+      "(and gates tri with it)") {
+    // tr > b can only fire when the BIGRAM table is under-counted (an
+    // under-counted tri lowers tr; corruption aside, b is the side
+    // that moved) — and vintage ordering means partial bi can never
+    // coexist with certified-complete tri, so BOTH orders must gate.
+    // Flagging only tri would leave the next forget subtracting full
+    // bi negatives against the partial bi table — the brick.
+    val all = graft.queries.Tables.t(spark, dir, "documents")
+      .where(col("doc_id") < 200)
+    val base = Files.createTempDirectory("nglm-bipart").toString + "/lm"
+    NgramLm.fit(all, "text", base)
+    val segDir = new java.io.File(s"$base/segments").listFiles()
+      .filter(_.getName.startsWith("seg-")).head
+    val biKept = spark.read.parquet(s"$segDir/bi")
+      .where(org.apache.spark.sql.functions
+        .abs(org.apache.spark.sql.functions.hash(col("w1"), col("w2"))) %
+          10 === 0)
+      .localCheckpoint(true)
+    val nb = biKept.agg(
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("cnt"),
+        org.apache.spark.sql.functions.lit(0L)).as("b_total"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("b_size")).head()
+    val m0 = spark.read.parquet(s"$segDir/meta").head()
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/bi"))
+    biKept.write.parquet(s"$segDir/bi")
+    FileUtils.deleteDirectory(new java.io.File(s"$segDir/meta"))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+          m0.getAs[Long]("t_total"), m0.getAs[Long]("v_size"),
+          nb.getAs[Long]("b_total"), nb.getAs[Long]("b_size"),
+          m0.getAs[Long]("tri_total"), m0.getAs[Long]("tri_size"))), 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "t_total BIGINT, v_size BIGINT, b_total BIGINT, " +
+            "b_size BIGINT, tri_total BIGINT, tri_size BIGINT"))
+      .write.parquet(s"$segDir/meta")
+
+    val hazard = NgramLm.load(spark, base)
+    assert(hazard.auditVintage() == Set("bi", "tri"),
+      s"tr>b must gate BOTH orders, got ${hazard.auditVintage()}")
+    // The forget rides it: order-1 stays exact, orders 2-3 gate.
+    hazard.forgetBatch(
+      all.where(col("doc_id") < 20).localCheckpoint(true),
+      "text", "req-bipart-1")
+    val served = NgramLm.load(spark, base)
+    val ref = Files.createTempDirectory("nglm-bipart-ref").toString + "/lm"
+    NgramLm.fit(all.where(col("doc_id") >= 20), "text", ref)
+    assert(served.vocab().orderBy("term").collect().toSeq ==
+      NgramLm.load(spark, ref).vocab().orderBy("term").collect().toSeq)
+    assert(intercept[IllegalStateException] { served.bigrams() }
+      .getMessage.contains("GATED"))
+    assert(intercept[IllegalStateException] { served.trigrams() }
+      .getMessage.contains("GATED"))
+  }
+
   test("gateOrders is the manual migration path: idempotent, gates " +
       "serving, cleared by a full refit") {
     // For the sliver of legacy stores inside the audit's slack (the
