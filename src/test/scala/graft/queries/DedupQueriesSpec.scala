@@ -311,6 +311,26 @@ class DedupQueriesSpec extends SparkSpec {
     assert(dig.getAs[Long]("n_rows") == jac.size.toLong)
   }
 
+  /** The zipf fixtures' twin of the branch-equality loop: on the
+    * SHINGLE-space frame (where the selector picks prefix routing —
+    * pinned in PlanAuditSpec) the graded queries must equal the fused
+    * all-pairs twins run on the same frame. Any candidate the prefix
+    * filter misses on the real corpus surfaces as a row diff here,
+    * independent of the DuckDB oracle. */
+  test("zipf Jaccard and containment: prefix-routed results equal all-pairs") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val d = DedupQueries.zipfShingleSets(spark, dir).localCheckpoint(true)
+    val jac = rows(DedupQueries.ngramJaccardZipfFrame(spark, dir))
+    assert(jac == rows(DedupQueries.ngramJaccardAllPairsFrame(d)))
+    val cont = rows(DedupQueries.containmentZipfFrame(spark, dir))
+    assert(cont == rows(DedupQueries.containmentAllPairsFrame(d)))
+    // Shingle-space near-dups exist at sf0.001 (the corpus carries
+    // planted duplicate families) — the comparison is non-vacuous.
+    assert(cont.nonEmpty, "degenerate corpus: no qualifying shingle pairs")
+  }
+
   /** Adversarial random-input losslessness for the term-space candidate
     * generators (mirrors the shingle-space prefix-join property): tiny
     * vocabulary = maximum prefix collisions AND maximum qualifying
