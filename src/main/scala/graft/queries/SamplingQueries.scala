@@ -243,6 +243,85 @@ object SamplingQueries {
         .select(col("vec_id"), col("cid")),
       "vec_id", ClusterBudgetDiv)
 
+  /** Keep fraction (basis points) of [[sampleProtoPrune]] — the graded
+    * operating point; [[ProtoGridBp]] is the ablation sweep around it. */
+  private[queries] val ProtoKeepBp = 5000L
+  private[queries] val ProtoGridBp = Seq(2500L, 5000L, 7500L)
+
+  /** The per-cluster HARDNESS ranking both prototype-pruning surfaces
+    * share: each corpus vector ranked within its cluster by squared
+    * distance to the centroid, DESCENDING (quantized floor-ppm d2 from
+    * the shared store, ties → smallest vec_id), with the cluster's
+    * occupancy joined on for quota math. `keepCapBp` bounds the heap:
+    * ranks beyond ceil(n_c·cap/10000) can never be kept by any
+    * consumer, so TopKPerKey prunes them map-side (the global cap is
+    * one O(K) occupancy aggregate + 1-row driver read — bounded model
+    * state, the fixpoint convention) and the rank window runs on the
+    * survivor frame, never a full per-cluster sort. */
+  private def protoRanked(s: org.apache.spark.sql.SparkSession, dir: String,
+      keepCapBp: Long): org.apache.spark.sql.DataFrame = {
+    val assign = SimilarityQueries.sharedKmeansAssign(s, dir)
+    val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_c"))
+    val cap = sizes
+      .agg(max(expr(s"(n_c * $keepCapBp + 9999) DIV 10000")).as("q"))
+      .head().getLong(0).toInt
+    graft.plans.GraftOps.topKPerKey(assign, keyCols = Seq("cid"),
+        orderBy = Seq("d2_ppm" -> false, "vec_id" -> true), k = cap)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cid")
+          .orderBy(col("d2_ppm").desc, col("vec_id").asc)).cast("int"))
+      .join(broadcast(sizes), Seq("cid"))
+  }
+
+  /** SSL-PROTOTYPE PRUNING (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"): prototypicality of an example = its squared
+    * distance to its cluster centroid, and in the abundant-data regime
+    * the MOST prototypical (smallest-d2) examples are the redundant
+    * ones — so each cluster keeps only its hardest
+    * [[ProtoKeepBp]]/10000 fraction, the beyond-dedup pruning pass a
+    * 100 TB curation stack runs after SemDeDup (remove near-copies)
+    * to also remove the easy mass. Reads the SAME persisted k-means
+    * assignment every cluster consumer shares (no extra Lloyd run);
+    * the per-cluster fraction (vs a global d2 cut) is the paper's
+    * class-balance discipline — no cluster is emptied. Deterministic:
+    * quantized floor-ppm distances, ties → smallest vec_id. Output is
+    * O(corpus·keep): the kept set IS the result, with its hardness
+    * rank for downstream curriculum use. */
+  private val sampleProtoPrune: Q = (s, dir) =>
+    protoRanked(s, dir, ProtoKeepBp)
+      .where(col("rnk") <= expr(s"(n_c * $ProtoKeepBp + 9999) DIV 10000"))
+      .select(col("cid"), col("rnk"), col("vec_id"), col("d2_ppm"))
+      .orderBy("cid", "rnk")
+
+  /** PRUNING-CURVE ABLATION — the decision report behind
+    * [[sampleProtoPrune]]'s operating point (the `q_text_gate_ablation`
+    * convention): for each keep fraction on [[ProtoGridBp]], how many
+    * examples survive and how much of the corpus' total hardness mass
+    * (Σ d2) the survivors retain. Hardness-ranked pruning should hold
+    * far more mass than its size (the curve's gap vs the diagonal is
+    * the selection value); a flat curve says the embedding space is
+    * uninformative and the pruner should be turned off. One ranked
+    * frame (heap-capped at the grid max) feeds all grid points;
+    * totals ride one O(1) aggregate through the scalar-broadcast
+    * convention. Output is O(|grid|). */
+  private val sampleProtoAblation: Q = (s, dir) => {
+    val ranked = protoRanked(s, dir, ProtoGridBp.max).localCheckpoint(true)
+    val tot = SimilarityQueries.sharedKmeansAssign(s, dir)
+      .agg(count(lit(1)).as("n_total"), sum("d2_ppm").as("d2_total_ppm"))
+    ProtoGridBp.map { bp =>
+      ranked.where(col("rnk") <= expr(s"(n_c * $bp + 9999) DIV 10000"))
+        .agg(count(lit(1)).as("n_kept"), sum("d2_ppm").as("d2_kept_ppm"))
+        .crossJoin(broadcast(tot))
+        .select(lit(bp).cast("int").as("keep_bp"),
+          col("n_kept"), col("n_total"), col("d2_kept_ppm"),
+          col("d2_total_ppm"),
+          expr("""CASE WHEN d2_total_ppm = 0 THEN 10000
+                 | ELSE CAST((CAST(10000 AS DECIMAL(38,0)) * d2_kept_ppm)
+                 |   div d2_total_ppm AS BIGINT) END""".stripMargin)
+            .as("retained_bp"))
+    }.reduce(_ unionByName _).orderBy("keep_bp")
+  }
+
   /** Panel size for [[sampleTopkStrat]]. */
   private val StratTopK = 10
 
@@ -824,6 +903,8 @@ object SamplingQueries {
     "q_sample_kfold" -> sampleKfold,
     "q_sample_cluster_split" -> sampleClusterSplit,
     "q_sample_cluster_balanced" -> sampleClusterBalanced,
+    "q_sample_proto_prune" -> sampleProtoPrune,
+    "q_sample_proto_ablation" -> sampleProtoAblation,
     "q_sample_pack" -> samplePack,
     "q_sample_pack_bpe" -> samplePackBpe,
     "q_sample_topk_strat" -> sampleTopkStrat
@@ -1120,6 +1201,42 @@ object SamplingQueries {
          |  FROM rh)
          | SELECT cid, rnk, vec_id FROM rr CROSS JOIN qta
          | WHERE rnk <= quota ORDER BY cid, rnk""".stripMargin,
+    // Shared Lloyd chain again; hardness rank per cluster (d2 DESC,
+    // vec_id) with a per-cluster ceil(n_c·bp/10000) quota — the Spark
+    // core transliterated.
+    "q_sample_proto_prune" ->
+      s"""WITH ${SimilarityQueries.duckKmeansCtes},
+         | sz AS (SELECT cid, count(*) AS n_c FROM a2 GROUP BY cid),
+         | rk AS (SELECT vec_id, cid, d2,
+         |   CAST(row_number() OVER (PARTITION BY cid
+         |     ORDER BY d2 DESC, vec_id) AS INTEGER) AS rnk
+         |  FROM a2)
+         | SELECT r.cid, r.rnk, r.vec_id, CAST(r.d2 AS BIGINT) AS d2_ppm
+         | FROM rk r JOIN sz USING (cid)
+         | WHERE r.rnk <= (sz.n_c * $ProtoKeepBp + 9999) // 10000
+         | ORDER BY r.cid, r.rnk""".stripMargin,
+    "q_sample_proto_ablation" ->
+      s"""WITH ${SimilarityQueries.duckKmeansCtes},
+         | sz AS (SELECT cid, count(*) AS n_c FROM a2 GROUP BY cid),
+         | rk AS (SELECT vec_id, cid, d2,
+         |   row_number() OVER (PARTITION BY cid
+         |     ORDER BY d2 DESC, vec_id) AS rnk
+         |  FROM a2),
+         | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |   CAST(sum(d2) AS BIGINT) AS d2_total_ppm FROM a2),
+         | g AS (SELECT unnest([${ProtoGridBp.mkString(", ")}]) AS bp),
+         | kept AS (SELECT g.bp,
+         |   CAST(count(*) AS BIGINT) AS n_kept,
+         |   CAST(sum(r.d2) AS BIGINT) AS d2_kept_ppm
+         |  FROM g CROSS JOIN rk r JOIN sz USING (cid)
+         |  WHERE r.rnk <= (sz.n_c * g.bp + 9999) // 10000
+         |  GROUP BY g.bp)
+         | SELECT CAST(bp AS INTEGER) AS keep_bp, n_kept, n_total,
+         |  d2_kept_ppm, d2_total_ppm,
+         |  CAST(CASE WHEN d2_total_ppm = 0 THEN 10000
+         |   ELSE (10000 * CAST(d2_kept_ppm AS HUGEINT)) // d2_total_ppm
+         |   END AS BIGINT) AS retained_bp
+         | FROM kept CROSS JOIN tot ORDER BY keep_bp""".stripMargin,
     "q_sample_cluster_split" -> {
       val cluster = "coalesce(c.component, d.doc_id)"
       s"""WITH RECURSIVE ${DedupQueries.duckComponentsCte()}

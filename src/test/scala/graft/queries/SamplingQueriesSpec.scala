@@ -149,4 +149,45 @@ class SamplingQueriesSpec extends SparkSpec {
       assert(realizedSum > plainRealized,
         "capped + uncapped sources present but the refill moved nothing")
   }
+
+  test("prototype pruning keeps exactly the hardest ceil-fraction per cluster") {
+    val kept = graft.SparkEntry.queries("q_sample_proto_prune")(spark, dir)
+      .collect()
+    assert(kept.nonEmpty)
+    val assign = SimilarityQueries.sharedKmeansAssign(spark, dir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cid"),
+        r.getAs[Long]("d2_ppm")))
+    val byCid = assign.groupBy(_._2)
+    kept.groupBy(_.getAs[Long]("cid")).foreach { case (cid, ks) =>
+      val members = byCid(cid)
+      val quota = (members.length * SamplingQueries.ProtoKeepBp + 9999L) / 10000L
+      assert(ks.length == quota, s"cluster $cid kept ${ks.length} != $quota")
+      // The kept set IS the hardest: every kept d2 >= every dropped d2
+      // (ties broken by vec_id, so compare (d2, -vec_id) lexically).
+      val keptIds = ks.map(_.getAs[Long]("vec_id")).toSet
+      val keyOf = (m: (Long, Long, Long)) => (m._3, -m._1)
+      val minKept = members.filter(m => keptIds(m._1)).map(keyOf).min
+      val dropped = members.filterNot(m => keptIds(m._1))
+      if (dropped.nonEmpty)
+        assert(Ordering[(Long, Long)].gt(minKept, dropped.map(keyOf).max))
+    }
+  }
+
+  test("pruning curve is monotone and beats proportional mass retention") {
+    val rows = graft.SparkEntry.queries("q_sample_proto_ablation")(spark, dir)
+      .orderBy("keep_bp").collect()
+    assert(rows.map(_.getAs[Int]("keep_bp")).toSeq == Seq(2500, 5000, 7500))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_kept") <= b.getAs[Long]("n_kept"))
+      assert(a.getAs[Long]("d2_kept_ppm") <= b.getAs[Long]("d2_kept_ppm"))
+    }
+    rows.foreach { r =>
+      // Hardness-ranked selection retains at least its proportional
+      // share of the d2 mass (top-q mean >= cluster mean, per cluster).
+      assert(r.getAs[Long]("retained_bp") >= r.getAs[Int]("keep_bp"),
+        s"keep_bp ${r.getAs[Int]("keep_bp")} retained only " +
+          s"${r.getAs[Long]("retained_bp")}")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_total"))
+    }
+  }
 }
