@@ -259,8 +259,15 @@ object SamplingQueries {
     * state, the fixpoint convention) and the rank window runs on the
     * survivor frame, never a full per-cluster sort. */
   private def protoRanked(s: org.apache.spark.sql.SparkSession, dir: String,
+      keepCapBp: Long): org.apache.spark.sql.DataFrame =
+    protoRankedOf(SimilarityQueries.sharedKmeansAssign(s, dir), keepCapBp)
+
+  /** [[protoRanked]] over ANY (vec_id, cid, d2_ppm) assignment frame —
+    * the seam the D4 composition routes its SemDeDup-survivor set
+    * through, so both pruning surfaces share one quota/heap/rank
+    * kernel. */
+  private def protoRankedOf(assign: org.apache.spark.sql.DataFrame,
       keepCapBp: Long): org.apache.spark.sql.DataFrame = {
-    val assign = SimilarityQueries.sharedKmeansAssign(s, dir)
     val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_c"))
     val cap = sizes
       .agg(max(expr(s"(n_c * $keepCapBp + 9999) DIV 10000")).as("q"))
@@ -320,6 +327,36 @@ object SamplingQueries {
                  |   div d2_total_ppm AS BIGINT) END""".stripMargin)
             .as("retained_bp"))
     }.reduce(_ unionByName _).orderBy("keep_bp")
+  }
+
+  /** D4 (Tirumala et al. 2023, "D4: Improving LLM Pretraining via
+    * Document De-Duplication and Diversification") — the published
+    * composition of the two embedding-space pruners this engine
+    * already grades separately: SemDeDup first removes near-copies
+    * (every vector with a lower-id cluster-mate at ≥ cos threshold —
+    * the `q_sim_semdedup` removed set, anti-joined here), then
+    * SSL-prototype pruning removes the easy mass of what SURVIVES —
+    * per-cluster hardness quotas recomputed on SURVIVOR occupancies
+    * (dedup shrinks clusters unevenly; quoting against pre-dedup
+    * sizes would over-prune the clusters dedup already emptied).
+    * Both stages read the ONE shared persisted k-means assignment
+    * (the paper re-clusters the deduped space; this form reuses the
+    * corpus partition — the store-build-once economics every cluster
+    * consumer here shares, and the d2-vs-centroid ranking is
+    * unchanged by dropping members since centroids are frozen in the
+    * store). Same determinism contract as [[sampleProtoPrune]];
+    * output is the kept manifest with survivor-relative hardness
+    * ranks. */
+  private val sampleD4: Q = (s, dir) => {
+    val removed = SimilarityQueries
+      .semDedupAt(s, dir, SimilarityQueries.KmeansK)
+      .select(col("vec_id"))
+    val surv = SimilarityQueries.sharedKmeansAssign(s, dir)
+      .join(removed, Seq("vec_id"), "left_anti")
+    protoRankedOf(surv, ProtoKeepBp)
+      .where(col("rnk") <= expr(s"(n_c * $ProtoKeepBp + 9999) DIV 10000"))
+      .select(col("cid"), col("rnk"), col("vec_id"), col("d2_ppm"))
+      .orderBy("cid", "rnk")
   }
 
   /** Panel size for [[sampleTopkStrat]]. */
@@ -905,6 +942,7 @@ object SamplingQueries {
     "q_sample_cluster_balanced" -> sampleClusterBalanced,
     "q_sample_proto_prune" -> sampleProtoPrune,
     "q_sample_proto_ablation" -> sampleProtoAblation,
+    "q_sample_d4" -> sampleD4,
     "q_sample_pack" -> samplePack,
     "q_sample_pack_bpe" -> samplePackBpe,
     "q_sample_topk_strat" -> sampleTopkStrat
@@ -1211,6 +1249,23 @@ object SamplingQueries {
          |   CAST(row_number() OVER (PARTITION BY cid
          |     ORDER BY d2 DESC, vec_id) AS INTEGER) AS rnk
          |  FROM a2)
+         | SELECT r.cid, r.rnk, r.vec_id, CAST(r.d2 AS BIGINT) AS d2_ppm
+         | FROM rk r JOIN sz USING (cid)
+         | WHERE r.rnk <= (sz.n_c * $ProtoKeepBp + 9999) // 10000
+         | ORDER BY r.cid, r.rnk""".stripMargin,
+    // SemDeDup removed set (the shared pair CTEs) anti-joined off the
+    // assignment, then the proto quota/rank body over the survivors.
+    "q_sample_d4" ->
+      s"""WITH ${SimilarityQueries.duckKmeansCtes},
+         | ${SimilarityQueries.duckSemDedupPairCtes},
+         | rem AS (SELECT DISTINCT v AS vec_id FROM p),
+         | sv AS (SELECT * FROM a2
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM rem)),
+         | sz AS (SELECT cid, count(*) AS n_c FROM sv GROUP BY cid),
+         | rk AS (SELECT vec_id, cid, d2,
+         |   CAST(row_number() OVER (PARTITION BY cid
+         |     ORDER BY d2 DESC, vec_id) AS INTEGER) AS rnk
+         |  FROM sv)
          | SELECT r.cid, r.rnk, r.vec_id, CAST(r.d2 AS BIGINT) AS d2_ppm
          | FROM rk r JOIN sz USING (cid)
          | WHERE r.rnk <= (sz.n_c * $ProtoKeepBp + 9999) // 10000

@@ -1715,6 +1715,20 @@ object SimilarityQueries {
   private[queries] lazy val duckKmeansCtes: String =
     duckKmeansCtesAt(KmeansK, "")
 
+  /** The SemDeDup qualifying-pair CTEs (`m`: cluster-joined embeddings,
+    * `p`: within-cluster pairs at ≥ [[CosDupThreshold]]) — ONE
+    * definition shared by the `q_sim_semdedup` oracle and the D4
+    * composition oracle in [[SamplingQueries]] (removed set =
+    * `SELECT DISTINCT v FROM p`). Expects `a2` from
+    * [[duckKmeansCtes]] in scope. */
+  private[queries] lazy val duckSemDedupPairCtes: String =
+    s"""m AS (SELECT a2.vec_id, a2.cid, CAST(e.embedding AS DOUBLE[]) AS emb
+       |  FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id),
+       | p AS (SELECT y.vec_id AS v, x.vec_id AS u, y.cid,
+       |   CAST(floor(1000000.0 * list_cosine_similarity(x.emb, y.emb)) AS BIGINT) AS cos_ppm
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  WHERE list_cosine_similarity(x.emb, y.emb) >= $CosDupThreshold)""".stripMargin
+
   /** `q_sim_ivf_ann`'s oracle — ONE definition, also graded against
     * `q_sim_ivf_served` (the persisted forget-redacted index path). */
   /** The IVF probe CTE chain (centroids from label cells → per-vector
@@ -2144,12 +2158,7 @@ object SimilarityQueries {
          | FROM rk WHERE rnk <= 5 ORDER BY cid, rnk""".stripMargin,
     "q_sim_semdedup" ->
       s"""WITH $duckKmeansCtes,
-         | m AS (SELECT a2.vec_id, a2.cid, CAST(e.embedding AS DOUBLE[]) AS emb
-         |  FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id),
-         | p AS (SELECT y.vec_id AS v, x.vec_id AS u, y.cid,
-         |   CAST(floor(1000000.0 * list_cosine_similarity(x.emb, y.emb)) AS BIGINT) AS cos_ppm
-         |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
-         |  WHERE list_cosine_similarity(x.emb, y.emb) >= $CosDupThreshold)
+         | $duckSemDedupPairCtes
          | SELECT cid, vec_id, nn_vec, cos_ppm FROM (
          |  SELECT v AS vec_id, cid, u AS nn_vec, cos_ppm,
          |   row_number() OVER (PARTITION BY v ORDER BY cos_ppm DESC, u) AS rn

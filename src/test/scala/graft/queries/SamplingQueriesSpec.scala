@@ -173,6 +173,32 @@ class SamplingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("d4 composes dedup-then-prune: no removed doc kept, survivor quotas exact") {
+    val kept = graft.SparkEntry.queries("q_sample_d4")(spark, dir).collect()
+    assert(kept.nonEmpty)
+    val removed = graft.SparkEntry.queries("q_sim_semdedup")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(removed.nonEmpty, "fixture should produce semantic near-dups")
+    val keptIds = kept.map(_.getAs[Long]("vec_id")).toSet
+    assert(keptIds.intersect(removed).isEmpty,
+      "a SemDeDup-removed vector survived into the D4 kept set")
+    // Quotas are ceil on SURVIVOR occupancies, not pre-dedup sizes.
+    val surv = SimilarityQueries.sharedKmeansAssign(spark, dir).collect()
+      .filterNot(r => removed(r.getAs[Long]("vec_id")))
+    val survByCid = surv.groupBy(_.getAs[Long]("cid")).view.mapValues(_.length)
+    kept.groupBy(_.getAs[Long]("cid")).foreach { case (cid, ks) =>
+      val quota =
+        (survByCid(cid) * SamplingQueries.ProtoKeepBp + 9999L) / 10000L
+      assert(ks.length == quota, s"cluster $cid kept ${ks.length} != $quota")
+    }
+    // Dedup happened before pruning: the D4 kept set differs from
+    // plain proto-prune wherever a removed doc freed a quota slot.
+    val plain = graft.SparkEntry.queries("q_sample_proto_prune")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds != plain,
+      "d4 should differ from plain proto-prune on a fixture with near-dups")
+  }
+
   test("pruning curve is monotone and beats proportional mass retention") {
     val rows = graft.SparkEntry.queries("q_sample_proto_ablation")(spark, dir)
       .orderBy("keep_bp").collect()
