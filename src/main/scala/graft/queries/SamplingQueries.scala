@@ -517,6 +517,68 @@ object SamplingQueries {
       .orderBy("train_pos")
   }
 
+  /** Stride resolution of [[sampleInterleave]]'s virtual-time key —
+    * large enough that the floor against a ppm weight perturbs the
+    * schedule by well under one slot per source. */
+  private val InterleaveStride = 1000000000L
+
+  /** PROPORTIONAL SOURCE INTERLEAVING — the loader-ORDER complement of
+    * the mixture family: `q_sample_temperature` says how much of each
+    * source to train on, this emits WHEN — a (train_pos, doc_id)
+    * manifest in which every prefix matches the α=0.5 temperature
+    * shares (the GPT-3/Pile-style interleaved stream: a loader that
+    * reads the manifest top-to-bottom sees the target mixture at every
+    * training step, not just in expectation over the epoch). The
+    * schedule is STRIDE SCHEDULING (Waldspurger & Weihl 1995): doc
+    * with within-source rank r from a source of weight w is placed at
+    * virtual time (2r−1)/w — the deterministic without-replacement
+    * realization of proportional sampling, with bounded per-prefix
+    * deviation where a rand() draw only converges in expectation.
+    * Determinism: within-source order is the md5 shuffle every split
+    * here uses; the virtual key clears through DECIMAL(38,0)/HUGEINT
+    * (at trillion-doc scale (2r−1)·stride outgrows int64) and is
+    * ordered on, never emitted. Scale shape: weights are one tokenize
+    * aggregate → O(sources) broadcast; the within-source rank and the
+    * global position BOTH ride [[graft.ops.PrefixOps]] two-phase
+    * prefix sums (a `Window.partitionBy(source)` would funnel the
+    * corpus through |sources| tasks; a global row_number window
+    * through one — the round-4 scale-killer), so parallelism stays at
+    * the shuffle-partition count at any corpus size. */
+  private val sampleInterleave: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val nTok = Tables.fanout(docs).groupBy("source")
+      .agg(sum(size(graft.ops.TokenOps.terms(col("text")))).as("n_tok"))
+    // α = 0.5 temperature weights, the q_sample_temperature arithmetic
+    // verbatim (IEEE-sqrt, order-pinned normalizer fold, floored ppm);
+    // the floor can reach 0 for a sub-ppm source, and a zero stride
+    // weight would push the whole source past every finite key.
+    val f = nTok.withColumn("fn", expr("sqrt(CAST(n_tok AS DOUBLE))"))
+    val tot = f.agg(expr(
+      """aggregate(transform(array_sort(collect_list(struct(source, fn))), x -> x.fn),
+        |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("fsum"))
+    val w = f.crossJoin(broadcast(tot))
+      .select(col("source"),
+        expr("greatest(CAST(floor(1000000.0 * fn / fsum) AS BIGINT), 1)")
+          .as("w_ppm"))
+    val keyed = docs
+      .withColumn("rk", expr("md5(CAST(doc_id AS STRING))"))
+      .select("doc_id", "source", "rk")
+    val ranked = graft.ops.PrefixOps.withPrefixOffsets(keyed, Seq("source"),
+        Seq(col("rk").asc, col("doc_id").asc), Seq("r" -> lit(1L)))
+      .withColumn("src_rank", col("r_off") + row_number().over(
+        Window.partitionBy(col("source"), col(graft.ops.PrefixOps.PidCol))
+          .orderBy(col("rk").asc, col("doc_id").asc)).cast("long"))
+      .select("doc_id", "source", "src_rank")
+    val vkeyed = ranked.join(broadcast(w), Seq("source"))
+      .withColumn("vkey", expr(
+        s"(CAST(2 * src_rank - 1 AS DECIMAL(38,0)) * $InterleaveStride) div w_ppm"))
+    graft.ops.PrefixOps.withGlobalRowNumber(vkeyed,
+        Seq(col("vkey").asc, col("source").asc, col("doc_id").asc), "train_pos")
+      .select("train_pos", "doc_id", "source", "src_rank")
+      .orderBy("train_pos")
+  }
+
   /** Approximate-query-processing estimate — the BlinkDB-shape answer:
     * totals (row count, revenue cents) estimated from the deterministic
     * md5 ~10% sample by Horvitz–Thompson inverse-probability scaling
@@ -943,6 +1005,7 @@ object SamplingQueries {
     "q_sample_proto_prune" -> sampleProtoPrune,
     "q_sample_proto_ablation" -> sampleProtoAblation,
     "q_sample_d4" -> sampleD4,
+    "q_sample_interleave" -> sampleInterleave,
     "q_sample_pack" -> samplePack,
     "q_sample_pack_bpe" -> samplePackBpe,
     "q_sample_topk_strat" -> sampleTopkStrat
@@ -1107,6 +1170,27 @@ object SamplingQueries {
          |  CAST(floor(1000000.0 * fn * n_total / (fsum * n_tok)) AS BIGINT) AS epochs_ppm
          | FROM f JOIN tot ON f.alpha_pct = tot.alpha_pct
          | ORDER BY alpha_pct, source""".stripMargin,
+    // α=0.5 leg of the temperature chain → stride keys → one global
+    // row_number (fine at oracle scale; the Spark side rides PrefixOps).
+    "q_sample_interleave" ->
+      s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
+         |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)
+         |  GROUP BY source),
+         | f AS (SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS fn FROM nt),
+         | tot AS (SELECT list_sum(list(fn ORDER BY source)) AS fsum FROM f),
+         | w AS (SELECT source,
+         |   greatest(CAST(floor(1000000.0 * fn / fsum) AS BIGINT), 1) AS w_ppm
+         |  FROM f CROSS JOIN tot),
+         | r AS (SELECT doc_id, source,
+         |   CAST(row_number() OVER (PARTITION BY source
+         |     ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS src_rank
+         |  FROM documents),
+         | k AS (SELECT r.doc_id, r.source, r.src_rank,
+         |   (CAST(2 * src_rank - 1 AS HUGEINT) * $InterleaveStride) // w.w_ppm AS vkey
+         |  FROM r JOIN w USING (source))
+         | SELECT CAST(row_number() OVER (ORDER BY vkey, source, doc_id) AS BIGINT)
+         |   AS train_pos, doc_id, source, src_rank
+         | FROM k ORDER BY train_pos""".stripMargin,
     "q_sample_budget" ->
       s"""WITH b AS (SELECT doc_id, n_chars // 4 AS tok,
          |   CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS BIGINT) AS quality_bp

@@ -98,7 +98,10 @@ class PlanAuditSpec extends SparkSpec {
         // rank machinery is the q_text_ppl_buckets path audited above.
         // NOTE: the gate's builder carries eager localCheckpoints, so
         // this executes its small sf0.001 build frames.
-        "q_sim_bitext_lm_gate")) {
+        "q_sim_bitext_lm_gate",
+        // Round 15: both the within-source rank and the global
+        // train_pos of the interleave manifest ride PrefixOps.
+        "q_sample_interleave")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       assert(df.queryExecution.optimizedPlan
           .collect { case w: LWindow => w }.nonEmpty,

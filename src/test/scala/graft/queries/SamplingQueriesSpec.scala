@@ -173,6 +173,42 @@ class SamplingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("interleave: total, md5-ordered per source, prefixes track temperature shares") {
+    val rows = graft.SparkEntry.queries("q_sample_interleave")(spark, dir)
+      .orderBy("train_pos").collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("train_pos")).toSeq == (1L to n).toSeq)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // Within each source the schedule consumes docs in md5-rank order.
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val ranks = rs.sortBy(_.getAs[Long]("train_pos"))
+        .map(_.getAs[Long]("src_rank"))
+      assert(ranks.toSeq == (1L to ranks.length).toSeq,
+        s"source $src consumed out of rank order")
+    }
+    // Prefix mixture matches the α=0.5 shares while no source is
+    // exhausted (stride scheduling's bounded-deviation guarantee;
+    // past first exhaustion the survivors legitimately speed up).
+    val wppm = graft.SparkEntry.queries("q_sample_temperature")(spark, dir)
+      .where(col("alpha_pct") === 50).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("w_ppm")).toMap
+    val wSum = wppm.values.sum.toDouble
+    val firstExhaust = rows.groupBy(_.getAs[String]("source"))
+      .values.map(_.map(_.getAs[Long]("train_pos")).max).min
+    val srcSeq = rows.map(_.getAs[String]("source"))
+    val tol = (t: Int) => math.max(wppm.size + 1.0, 0.02 * t)
+    for (fr <- Seq(0.25, 0.5, 0.75, 1.0)) {
+      val t0 = math.max(1, ((firstExhaust - 1) * fr).toInt)
+      val pre = srcSeq.take(t0).groupBy(identity).view.mapValues(_.length)
+      wppm.foreach { case (src, w) =>
+        val expect = t0 * w / wSum
+        val got = pre.getOrElse(src, 0)
+        assert(math.abs(got - expect) <= tol(t0),
+          s"prefix $t0: source $src got $got expected ~$expect")
+      }
+    }
+  }
+
   test("d4 composes dedup-then-prune: no removed doc kept, survivor quotas exact") {
     val kept = graft.SparkEntry.queries("q_sample_d4")(spark, dir).collect()
     assert(kept.nonEmpty)
