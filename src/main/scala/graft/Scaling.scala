@@ -103,7 +103,11 @@ object Scaling {
     // the side of the cost-based selector the five dense pair blocks
     // could not measure (see [[PrefixBudgeted]]): the symmetric Jaccard
     // prefix filter and the asymmetric small-side containment filter.
-    "q_dedup_ngram_jaccard_zipf", "q_dedup_containment_zipf")
+    "q_dedup_ngram_jaccard_zipf", "q_dedup_containment_zipf",
+    // Round-15: the interleave manifest — two full-corpus PrefixOps
+    // passes (within-source rank, global train_pos) plus a tokenize
+    // aggregate; output ∝ corpus, so the standard wall bar applies.
+    "q_sample_interleave")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
