@@ -484,6 +484,94 @@ object SimilarityQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** Binary-quantization geometry: 64 dims → two 32-bit sign-bit words
+    * (8 B per vector — 32× smaller than the f32 vector, the cheapest
+    * point on the quantization curve after SQ's 10.7× and PQ's 64×),
+    * and the Hamming-prefilter rerank budget. */
+  // lazy: EmbDim is declared further down the object, and a strict val
+  // here would read it mid-initialization as 0 (slice length 0 → every
+  // code empty — caught by the driver-recompute spec, NOT by the
+  // oracle, which dutifully agreed with its own zero-width CTEs).
+  private lazy val BqHalf = EmbDim / 2
+  private val BqRerankC   = 4 * LshTopK
+
+  /** Sign-bit packing of one 32-dim slice into a BIGINT: bit i set iff
+    * dim (off+i) ≥ 0. Disjoint bits, so `+` IS bitwise-or — and `+`
+    * is the form both engines fold identically. */
+  private def bqWordSql(off: Int): String =
+    s"""aggregate(zip_with(slice(embedding, ${off + 1}, $BqHalf),
+       |  sequence(0, ${BqHalf - 1}),
+       |  (x, i) -> IF(CAST(x AS DOUBLE) >= 0.0,
+       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+       | CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin
+
+  /** BINARY-QUANTIZATION Hamming search — the 1-bit extreme of the
+    * ADC family ([[sqAdc]], [[pqAdc]]): candidates live ONLY as two
+    * sign-bit words, and the coarse score is the Hamming distance
+    * (`bit_count(xor)` — two codegen'd integer ops per word where SQ
+    * pays a 64-lane float loop), the modern serving trick (binary
+    * quantization with rescoring) that makes a 100 TB index RAM- and
+    * bandwidth-resident at 32× compression. Symmetric by design: the
+    * query is binarized too, so the scan reads 16 B per pair total.
+    * Emits the top-[[BqRerankC]] candidate list per query — the
+    * rerank budget [[bqRerank]] rescoring consumes — through the
+    * bounded-heap TopKPerKey (exchange carries ≤ C·queries·partitions
+    * rows, never the full Hamming stream). Deterministic: integer
+    * distance, ties → smallest cid. */
+  private val bqAdc: Q = (s, dir) => {
+    val coded = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr(bqWordSql(0)).as("lo"),
+        expr(bqWordSql(BqHalf)).as("hi"))
+    val q = coded.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"),
+        col("hi").as("qhi"))
+    val c = coded.where(col("vec_id") >= NumQueries)
+      .select(col("vec_id").as("cid"), col("lo"), col("hi"))
+    val scored = Tables.fanout(c).join(broadcast(q))
+      .withColumn("ham",
+        expr("CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS BIGINT)"))
+    graft.plans.GraftOps.topKPerKey(
+        scored.select(col("qid"), col("cid"), col("ham")),
+        Seq("qid"), Seq("ham" -> true, "cid" -> true), BqRerankC)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("cid").asc))
+        .cast("int"))
+      .select(col("qid"), col("rnk"), col("cid"), col("ham"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The RESCORE leg of binary quantization: the Hamming top-C
+    * candidate list joined back to exact vectors and reranked by
+    * full-precision cosine to top-[[LshTopK]] — the two-tier read
+    * pattern a BQ deployment serves (bit scan over everything, float
+    * fetch for C·queries rows only; at 100 TB the float side is a
+    * point-lookup join, not a scan). Same floor-ppm/ties-by-cid
+    * determinism as every cosine emission here. */
+  private val bqRerank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val cand = bqAdc(s, dir).select(col("qid"), col("cid"))
+    val qe = emb.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val ce = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    cand.join(ce, Seq("cid")).join(broadcast(qe), Seq("qid"))
+      .withColumn("cos", Similarity.cosine(col("qe"), col("ce")))
+      .withColumn("cos_ppm",
+        expr("CAST(floor(1000000.0 * cos) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos_ppm").desc, col("cid").asc))
+        .cast("int"))
+      .where(col("rnk") <= LshTopK)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos_ppm"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** Recall@K of the BQ rescore path against the exact cosine truth —
+    * the number that prices 32× compression, read next to
+    * [[sqRecall]]/[[pqRecall]] (same truth conventions, so the three
+    * reports compare quantizers directly). */
+  private val bqRecall: Q = (s, dir) =>
+    recallVsTruth(sharedCosineTruth(s, dir), bqRerank(s, dir))
+
   /** Vector math through BUILT-IN higher-order functions (zip_with +
     * aggregate), no UDF and no custom expression: dot product, norms,
     * and cosine in floor-ppm — the composable fallback when a codegen
@@ -1516,6 +1604,9 @@ object SimilarityQueries {
     "q_mm_crossmodal_served" -> mmCrossmodalServed,
     "q_sim_quantize"        -> quantizeInt8,
     "q_sim_sq_adc"          -> sqAdc,
+    "q_sim_bq_adc"          -> bqAdc,
+    "q_sim_bq_rerank"       -> bqRerank,
+    "q_sim_bq_recall"       -> bqRecall,
     "q_sim_hard_negatives"  -> hardNegatives,
     "q_sim_recall"          -> annRecall,
     "q_sim_matryoshka"      -> matryoshka,
@@ -1674,6 +1765,43 @@ object SimilarityQueries {
        |  FROM sq CROSS JOIN sr),
        | sqrank AS (SELECT qid, cid, adc_ppm,
        |   CAST(row_number() OVER (PARTITION BY qid ORDER BY adc_ppm, cid) AS INTEGER) AS rnk FROM ss)""".stripMargin
+
+  /** The binary-quantization chain: sign-bit words per vector →
+    * symmetric Hamming rank (`bqrank`) → rescore-budget candidates →
+    * exact-cosine rerank (`bqrr`). Shared by the three `q_sim_bq_*`
+    * oracles. Disjoint bit positions mean SUM is bitwise-or — the
+    * same trick the Spark packer uses. */
+  private lazy val duckBqCtes: String =
+    s"""bqbits AS (SELECT vec_id, unnest(embedding) AS x,
+       |   unnest(generate_series(1, $EmbDim)) AS pos FROM embeddings),
+       | bqcode AS (SELECT vec_id,
+       |   -- the shift amount is %-clamped because DuckDB's vectorized
+       |   -- CASE evaluates both branches for every row: an unclamped
+       |   -- pos-1 would compute 1<<63 on hi-half rows and overflow
+       |   CAST(sum(CASE WHEN pos <= $BqHalf AND CAST(x AS DOUBLE) >= 0.0
+       |     THEN (CAST(1 AS BIGINT) << ((pos - 1) % $BqHalf)) ELSE 0 END) AS BIGINT) AS lo,
+       |   CAST(sum(CASE WHEN pos > $BqHalf AND CAST(x AS DOUBLE) >= 0.0
+       |     THEN (CAST(1 AS BIGINT) << ((pos - 1) % $BqHalf)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bqbits GROUP BY vec_id),
+       | bqq AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bqcode
+       |  WHERE vec_id < $NumQueries),
+       | bqc AS (SELECT vec_id AS cid, lo, hi FROM bqcode
+       |  WHERE vec_id >= $NumQueries),
+       | bqh AS (SELECT qid, cid,
+       |   CAST(bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS BIGINT) AS ham
+       |  FROM bqc CROSS JOIN bqq),
+       | bqrank AS (SELECT qid, cid, ham,
+       |   CAST(row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS INTEGER) AS rnk
+       |  FROM bqh),
+       | bqcand AS (SELECT qid, cid FROM bqrank WHERE rnk <= $BqRerankC),
+       | bqsc AS (SELECT c.qid, c.cid,
+       |   CAST(floor(1000000.0 * list_cosine_similarity(
+       |     CAST(qe.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[]))) AS BIGINT) AS cos_ppm
+       |  FROM bqcand c JOIN embeddings qe ON qe.vec_id = c.qid
+       |   JOIN embeddings ce ON ce.vec_id = c.cid),
+       | bqrr AS (SELECT qid, cid, cos_ppm,
+       |   CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_ppm DESC, cid) AS INTEGER) AS rnk
+       |  FROM bqsc)""".stripMargin
 
   /** Shared 2-round Lloyd CTE chain ending in `a2(vec_id, cid, d2)` —
     * one definition for the cluster report and the topic labeling, so
@@ -2061,6 +2189,26 @@ object SimilarityQueries {
       s"""WITH $duckSqCtes,
          | $duckL2TruthCtes,
          | approx AS (SELECT qid, cid FROM sqrank WHERE rnk <= $LshTopK)
+         | $duckRecallSelect""".stripMargin,
+    "q_sim_bq_adc" ->
+      s"""WITH $duckBqCtes
+         | SELECT qid, rnk, cid, ham FROM bqrank
+         | WHERE rnk <= $BqRerankC ORDER BY qid, rnk""".stripMargin,
+    "q_sim_bq_rerank" ->
+      s"""WITH $duckBqCtes
+         | SELECT qid, rnk, cid, cos_ppm FROM bqrr
+         | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
+    // Rerank path graded against the exact-cosine truth (the metric it
+    // reranks in — the q_sim_recall truth text verbatim).
+    "q_sim_bq_recall" ->
+      s"""WITH $duckBqCtes,
+         | ctq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NumQueries),
+         | ctc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= $NumQueries),
+         | ctr AS (SELECT qid, cid,
+         |   row_number() OVER (PARTITION BY qid ORDER BY $duckCos DESC, cid) AS rnk
+         |  FROM ctq CROSS JOIN ctc),
+         | truth AS (SELECT qid, cid FROM ctr WHERE rnk <= $LshTopK),
+         | approx AS (SELECT qid, cid FROM bqrr WHERE rnk <= $LshTopK)
          | $duckRecallSelect""".stripMargin,
     "q_sim_kmeans" ->
       s"""WITH $duckKmeansCtes

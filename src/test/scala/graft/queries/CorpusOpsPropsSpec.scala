@@ -64,6 +64,43 @@ class CorpusOpsPropsSpec extends SparkSpec {
     }
   }
 
+  test("binary quantization: Hamming top-C matches a driver recompute; rerank ⊆ candidates") {
+    // Independent reference: recompute sign-bit codes and Hamming
+    // distances from the raw embeddings on the driver.
+    val emb = graft.queries.Tables.t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val codes = emb.map { case (id, v) =>
+      id -> v.zipWithIndex.filter(_._1 >= 0f).map(_._2).toSet
+    }.toMap
+    def ham(a: Set[Int], b: Set[Int]) = (a.diff(b).size + b.diff(a).size)
+    val adc = q("q_sim_bq_adc").collect()
+    val queries = adc.map(_.getAs[Long]("qid")).distinct
+    queries.foreach { qid =>
+      val expect = codes.filter(_._1 >= 5L).toSeq
+        .map { case (cid, c) => (ham(codes(qid), c).toLong, cid) }
+        .sorted.take(20).map { case (h, cid) => (cid, h) }
+      val got = adc.filter(_.getAs[Long]("qid") == qid)
+        .sortBy(_.getAs[Int]("rnk"))
+        .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("ham"))).toSeq
+      assert(got == expect, s"qid $qid: engine top-C diverges from recompute")
+    }
+    // The rescore leg only reorders within the Hamming candidate set.
+    val candSet = adc.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val rr = q("q_sim_bq_rerank").collect()
+    assert(rr.nonEmpty)
+    rr.foreach { r =>
+      assert(candSet((r.getAs[Long]("qid"), r.getAs[Long]("cid"))),
+        "reranked pair outside the Hamming candidate budget")
+    }
+    q("q_sim_bq_recall").collect().foreach { r =>
+      val bp = r.getAs[Long]("recall_bp")
+      assert(bp >= 0L && bp <= 10000L)
+    }
+  }
+
   test("pair ROUGE: overlap bounded by both sides; F within [0, 10000]") {
     val rows = DedupQueries.pairRougeFrame(spark, dir).collect()
     assert(rows.nonEmpty)
