@@ -248,6 +248,13 @@ object SamplingQueries {
   private[queries] val ProtoKeepBp = 5000L
   private[queries] val ProtoGridBp = Seq(2500L, 5000L, 7500L)
 
+  /** The one ceil-quota formula every prototype-pruning consumer
+    * shares — `ceil(n_c · bp / 10000)` in exact integers. A single
+    * definition so the spec-pinned quota invariants cannot drift
+    * between prune/ablation/D4. */
+  private def quotaExpr(bp: Long): org.apache.spark.sql.Column =
+    expr(s"(n_c * $bp + 9999) DIV 10000")
+
   /** The per-cluster HARDNESS ranking both prototype-pruning surfaces
     * share: each corpus vector ranked within its cluster by squared
     * distance to the centroid, DESCENDING (quantized floor-ppm d2 from
@@ -270,7 +277,7 @@ object SamplingQueries {
       keepCapBp: Long): org.apache.spark.sql.DataFrame = {
     val sizes = assign.groupBy("cid").agg(count(lit(1)).as("n_c"))
     val cap = sizes
-      .agg(max(expr(s"(n_c * $keepCapBp + 9999) DIV 10000")).as("q"))
+      .agg(max(quotaExpr(keepCapBp)).as("q"))
       .head().getLong(0).toInt
     graft.plans.GraftOps.topKPerKey(assign, keyCols = Seq("cid"),
         orderBy = Seq("d2_ppm" -> false, "vec_id" -> true), k = cap)
@@ -296,7 +303,7 @@ object SamplingQueries {
     * rank for downstream curriculum use. */
   private val sampleProtoPrune: Q = (s, dir) =>
     protoRanked(s, dir, ProtoKeepBp)
-      .where(col("rnk") <= expr(s"(n_c * $ProtoKeepBp + 9999) DIV 10000"))
+      .where(col("rnk") <= quotaExpr(ProtoKeepBp))
       .select(col("cid"), col("rnk"), col("vec_id"), col("d2_ppm"))
       .orderBy("cid", "rnk")
 
@@ -316,7 +323,7 @@ object SamplingQueries {
     val tot = SimilarityQueries.sharedKmeansAssign(s, dir)
       .agg(count(lit(1)).as("n_total"), sum("d2_ppm").as("d2_total_ppm"))
     ProtoGridBp.map { bp =>
-      ranked.where(col("rnk") <= expr(s"(n_c * $bp + 9999) DIV 10000"))
+      ranked.where(col("rnk") <= quotaExpr(bp))
         .agg(count(lit(1)).as("n_kept"), sum("d2_ppm").as("d2_kept_ppm"))
         .crossJoin(broadcast(tot))
         .select(lit(bp).cast("int").as("keep_bp"),
@@ -351,10 +358,16 @@ object SamplingQueries {
     val removed = SimilarityQueries
       .semDedupAt(s, dir, SimilarityQueries.KmeansK)
       .select(col("vec_id"))
+    // Eager checkpoint: the survivor frame sits on the O(Σn_c²)
+    // SemDeDup pair join, and protoRankedOf consumes it three times
+    // (the cap driver read, the heap branch, the column-pruned sizes
+    // branch — non-identical subtrees, so ReuseExchange cannot merge
+    // them). One materialization, three cheap reads.
     val surv = SimilarityQueries.sharedKmeansAssign(s, dir)
       .join(removed, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
     protoRankedOf(surv, ProtoKeepBp)
-      .where(col("rnk") <= expr(s"(n_c * $ProtoKeepBp + 9999) DIV 10000"))
+      .where(col("rnk") <= quotaExpr(ProtoKeepBp))
       .select(col("cid"), col("rnk"), col("vec_id"), col("d2_ppm"))
       .orderBy("cid", "rnk")
   }
@@ -570,9 +583,20 @@ object SamplingQueries {
         Window.partitionBy(col("source"), col(graft.ops.PrefixOps.PidCol))
           .orderBy(col("rk").asc, col("doc_id").asc)).cast("long"))
       .select("doc_id", "source", "src_rank")
+    // floor(a·S/w) decomposed as (a DIV w)·S + (a%w)·S DIV w with
+    // a = 2r−1: every BIGINT subterm is overflow-safe ((a%w)·S ≤
+    // w_ppm·stride ≈ 1e15) and the sum lands in DECIMAL(38,0), so the
+    // key stays EXACT past the int64 horizon (Spark's `div` on a
+    // decimal multiply would cast the quotient back to BIGINT — at
+    // trillion-doc scale that overflows, and under ANSI mode throws,
+    // exactly where the DuckDB HUGEINT twin keeps going). Value equals
+    // the oracle's `(a::HUGEINT · S) // w` by the division identity.
     val vkeyed = ranked.join(broadcast(w), Seq("source"))
       .withColumn("vkey", expr(
-        s"(CAST(2 * src_rank - 1 AS DECIMAL(38,0)) * $InterleaveStride) div w_ppm"))
+        s"""CAST((2 * src_rank - 1) DIV w_ppm AS DECIMAL(38,0))
+           |  * $InterleaveStride
+           |  + ((2 * src_rank - 1) % w_ppm) * $InterleaveStride DIV w_ppm"""
+          .stripMargin))
     graft.ops.PrefixOps.withGlobalRowNumber(vkeyed,
         Seq(col("vkey").asc, col("source").asc, col("doc_id").asc), "train_pos")
       .select("train_pos", "doc_id", "source", "src_rank")
