@@ -1916,7 +1916,64 @@ object TextQueries {
         expr("1000000 * n_hapax DIV n_types").as("hapax_ppm"))
       .orderBy("source")
 
+  /** Quartile count of the vocabulary-growth curve. */
+  private val HeapsBuckets = 4
+
+  /** VOCABULARY-GROWTH (Heaps-law) report — the corpus-health curve a
+    * curator reads per source: order each source's docs by the md5
+    * shuffle (so the curve is a property of the SOURCE, not of
+    * ingestion order), cut into [[HeapsBuckets]] quartiles, and report
+    * cumulative tokens vs cumulative DISTINCT vocabulary at each cut.
+    * Healthy text follows Heaps' law (V ∝ n^β, β≈0.5 — vocab density
+    * `vocab_per_mtok` falls steadily across buckets); a FLAT density
+    * says new docs keep minting new types (OCR noise, random IDs,
+    * boilerplate churn), a COLLAPSING one says the tail is near-
+    * duplicate mass a dedup pass missed — both actionable before
+    * training. Complements [[lexicalRichness]] (one point per source)
+    * with the curve that point sits on. All exact integers: a term's
+    * contribution lands at its FIRST bucket (min over occurrences), so
+    * cumulative vocab is one O(vocab) aggregate + an O(sources·4)
+    * running sum — never a distinct-count per prefix. The per-source
+    * rank rides [[graft.ops.PrefixOps]] (never a stream window on the
+    * low-cardinality source key); the quartile is Spark's exact NTile
+    * arithmetic from the prefix rank. */
+  private val textHeaps: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.fanout(t(s, dir, "documents"))
+      .withColumn("rk", expr("md5(CAST(doc_id AS STRING))"))
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .select(col("doc_id"), col("source"), col("rk"), col("toks"),
+        size(col("toks")).cast("long").as("n_tok"))
+    val ranked = graft.ops.PrefixOps.withPrefixOffsets(d, Seq("source"),
+        Seq(col("rk").asc, col("doc_id").asc), Seq("r" -> lit(1L)))
+      .withColumn("rn", col("r_off") + row_number().over(
+        Window.partitionBy(col("source"), col(graft.ops.PrefixOps.PidCol))
+          .orderBy(col("rk").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("bucket",
+        graft.ops.PrefixOps.ntileFromRowNumber("rn", "r_tot", HeapsBuckets)
+          .cast("int"))
+    val perBucket = ranked.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val firstSeen = ranked
+      .select(col("source"), col("bucket"), explode(col("toks")).as("term"))
+      .groupBy("source", "term").agg(min("bucket").as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("vocab_new"))
+    // O(sources · buckets) frame from here down — window is model-state
+    // sized, the bounded-frame convention.
+    val w = Window.partitionBy("source").orderBy("bucket")
+    perBucket.join(firstSeen, Seq("source", "bucket"), "left")
+      .na.fill(0L, Seq("vocab_new"))
+      .withColumn("n_tokens_cum", sum("n_tokens").over(w))
+      .withColumn("vocab_cum", sum("vocab_new").over(w))
+      .select(col("source"), col("bucket"), col("n_docs"), col("n_tokens"),
+        col("n_tokens_cum"), col("vocab_new"), col("vocab_cum"),
+        expr("1000000 * vocab_cum DIV greatest(n_tokens_cum, 1)")
+          .as("vocab_per_mtok"))
+      .orderBy("source", "bucket")
+  }
+
   val queries: Seq[(String, Q)] = Seq(
+    "q_text_heaps"       -> textHeaps,
     "q_text_lexical"     -> lexicalRichness,
     "q_text_bpe_pairs"   -> bpePairs,
     "q_text_bpe_tokenize" -> bpeTokenize,
@@ -2179,6 +2236,42 @@ object TextQueries {
     // shares the oracle verbatim (one statistic, two serving paths).
     "q_text_ppl_buckets" -> pplBucketsOracleSql,
     "q_text_ppl_buckets_served" -> pplBucketsOracleSql,
+    // md5 per-source order, native ntile (= Spark's NTile arithmetic,
+    // the curriculum precedent), first-bucket vocab attribution,
+    // running sums over the O(sources·4) frame.
+    "q_text_heaps" ->
+      s"""WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS STRING)) AS rk,
+         |   ${duckTerms("text")} AS toks FROM documents),
+         | b AS (SELECT doc_id, source, toks,
+         |   CAST(len(toks) AS BIGINT) AS n_tok,
+         |   CAST(ntile($HeapsBuckets) OVER (PARTITION BY source
+         |     ORDER BY rk, doc_id) AS INTEGER) AS bucket
+         |  FROM d),
+         | pb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |  FROM b GROUP BY source, bucket),
+         | fs AS (SELECT source, min(bucket) AS bucket, term
+         |  FROM (SELECT source, bucket, unnest(toks) AS term FROM b)
+         |  GROUP BY source, term),
+         | vn AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS vocab_new
+         |  FROM fs GROUP BY source, bucket),
+         | j AS (SELECT pb.source, pb.bucket, pb.n_docs, pb.n_tokens,
+         |   coalesce(vn.vocab_new, 0) AS vocab_new
+         |  FROM pb LEFT JOIN vn USING (source, bucket))
+         | SELECT source, bucket, n_docs, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_tokens_cum,
+         |  vocab_new,
+         |  CAST(sum(vocab_new) OVER (PARTITION BY source ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS vocab_cum,
+         |  CAST(1000000 * sum(vocab_new) OVER (PARTITION BY source
+         |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    // greatest(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1) AS BIGINT)
+         |    AS vocab_per_mtok
+         | FROM j ORDER BY source, bucket""".stripMargin,
     "q_text_lexical" ->
       s"""WITH tf AS (
          |  SELECT source, term, CAST(count(*) AS BIGINT) AS tf

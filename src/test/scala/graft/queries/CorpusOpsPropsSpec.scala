@@ -115,6 +115,36 @@ class CorpusOpsPropsSpec extends SparkSpec {
     }
   }
 
+  test("heaps curve: quartiles balanced, cumulatives monotone, closes on q_text_lexical") {
+    val rows = q("q_text_heaps").collect()
+    val lex = q("q_text_lexical").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"))).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("bucket"))
+      assert(sorted.map(_.getAs[Int]("bucket")).toSeq == (1 to sorted.length),
+        s"$src: bucket gap")
+      // ntile balance: sizes differ by at most 1
+      val sizes = sorted.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src: unbalanced quartiles $sizes")
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Long]("n_tokens_cum") <= b.getAs[Long]("n_tokens_cum"))
+        assert(a.getAs[Long]("vocab_cum") <= b.getAs[Long]("vocab_cum"))
+      }
+      // Heaps behavior: vocabulary density falls from the first cut to
+      // the last (sublinear type growth on any non-degenerate corpus).
+      assert(sorted.head.getAs[Long]("vocab_per_mtok") >
+        sorted.last.getAs[Long]("vocab_per_mtok"),
+        s"$src: vocabulary density did not fall — Heaps violated")
+      // The curve's endpoint IS the lexical report's totals.
+      val (types, toks) = lex(src)
+      assert(sorted.last.getAs[Long]("vocab_cum") == types,
+        s"$src: endpoint vocab != q_text_lexical n_types")
+      assert(sorted.last.getAs[Long]("n_tokens_cum") == toks,
+        s"$src: endpoint tokens != q_text_lexical n_tokens")
+    }
+  }
+
   test("temperature: floors sum to ~1e6 and lower alpha flattens the mixture") {
     val rows = q("q_sample_temperature").collect()
     val byAlpha = rows.groupBy(_.getAs[Long]("alpha_pct"))
