@@ -107,7 +107,11 @@ object Scaling {
     // Round-15: the interleave manifest — two full-corpus PrefixOps
     // passes (within-source rank, global train_pos) plus a tokenize
     // aggregate; output ∝ corpus, so the standard wall bar applies.
-    "q_sample_interleave")
+    "q_sample_interleave",
+    // Round-15: the Heaps curve — one tokenize explode to a
+    // vocabulary-sized first-seen aggregate (Heaps-sublinear state);
+    // O(sources·4) output, standard wall bar.
+    "q_text_heaps")
 
   /** SemDeDup is audited at SCALE-CORRECT K — K = [[SemDedupBaseK]]·f at
     * amplification ×f (the paper's K ∝ corpus / target-cluster-size
