@@ -180,6 +180,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("TopKPerKey".r.findAllIn(p).length == 4, p)
   }
 
+  /** Round-15 pruning/quantization families: the quota rank window must
+    * run on the heap-capped survivor frame (partial+final TopKPerKey =
+    * 2 nodes per ranking), never sort the full assignment/Hamming
+    * stream; the BQ rescore's candidate join must stay an equi-join. */
+  test("prototype pruning, D4, and BQ ride TopKPerKey; BQ rerank stays equi-join") {
+    for (q <- Seq("q_sample_proto_prune", "q_sample_d4", "q_sim_bq_adc")) {
+      val p = plan(q)
+      assert("TopKPerKey".r.findAllIn(p).length >= 2,
+        s"$q: rank window lost its bounded-heap prune:\n$p")
+    }
+    val p = plan("q_sim_bq_rerank")
+    assert(!p.contains("CartesianProduct"),
+      "bq rerank candidate join fell into a cartesian:\n" + p)
+  }
+
   test("global top-K plans as TakeOrderedAndProject, never a global sort (O1/O3)") {
     for (q <- Seq("q_p9_topk", "q_text_pmi", "q_text_bm25")) {
       val p = plan(q)
