@@ -495,15 +495,10 @@ object SimilarityQueries {
   private lazy val BqHalf = EmbDim / 2
   private val BqRerankC   = 4 * LshTopK
 
-  /** Sign-bit packing of one 32-dim slice into a BIGINT: bit i set iff
-    * dim (off+i) ≥ 0. Disjoint bits, so `+` IS bitwise-or — and `+`
-    * is the form both engines fold identically. */
+  /** Sign-bit packing — the shared [[graft.sim.BqIndex.wordSql]] rule
+    * (ONE definition for store, inline twin, and oracle translit). */
   private def bqWordSql(off: Int): String =
-    s"""aggregate(zip_with(slice(embedding, ${off + 1}, $BqHalf),
-       |  sequence(0, ${BqHalf - 1}),
-       |  (x, i) -> IF(CAST(x AS DOUBLE) >= 0.0,
-       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
-       | CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin
+    graft.sim.BqIndex.wordSql("embedding", off, BqHalf)
 
   /** BINARY-QUANTIZATION Hamming search — the 1-bit extreme of the
     * ADC family ([[sqAdc]], [[pqAdc]]): candidates live ONLY as two
@@ -571,6 +566,44 @@ object SimilarityQueries {
     * reports compare quantizers directly). */
   private val bqRecall: Q = (s, dir) =>
     recallVsTruth(sharedCosineTruth(s, dir), bqRerank(s, dir))
+
+  /** BUILD-ONCE / SCAN-MANY for the BQ sidecar — the
+    * [[sharedIvfIndex]] rule: one persisted [[graft.sim.BqIndex]] per
+    * (application, corpus dir), packed over the FULL embeddings table
+    * and then `forget`-redacted of the query vectors, so the graded
+    * serving path exercises deletion propagation on the way to its
+    * answer (a forgotten vector must vanish from the Hamming scan). */
+  private val bqIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def sharedBqIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.sim.BqIndex = {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val idir = bqIndexDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft_bq_").toString
+      val idx = new graft.sim.BqIndex(s, d)
+      idx.build(t(s, dir, "embeddings"), "vec_id", "embedding", EmbDim)
+      idx.forget(0L until NumQueries.toLong)
+      d
+    })
+    new graft.sim.BqIndex(s, idir)
+  }
+
+  /** The BQ rescore path served from the PERSISTED code store —
+    * [[bqRerank]]'s contract through [[graft.sim.BqIndex.search]]:
+    * the coarse scan reads 8 B/vector parquet codes (packed once at
+    * build; only the query side packs here), the rerank fetches
+    * exactly the candidate rows from the base table. Same answer, two
+    * serving paths, one oracle — and the store has already had the
+    * query vectors forgotten out of it, so candidates come from the
+    * redacted code table exactly as the inline twin's `vec_id >=
+    * NumQueries` screen. */
+  private val bqServed: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    sharedBqIndex(s, dir)
+      .search(emb.where(col("vec_id") < NumQueries), emb,
+        "vec_id", "embedding", EmbDim, k = LshTopK, c = BqRerankC)
+      .orderBy("qid", "rnk")
+  }
 
   /** Vector math through BUILT-IN higher-order functions (zip_with +
     * aggregate), no UDF and no custom expression: dot product, norms,
@@ -1606,6 +1639,7 @@ object SimilarityQueries {
     "q_sim_sq_adc"          -> sqAdc,
     "q_sim_bq_adc"          -> bqAdc,
     "q_sim_bq_rerank"       -> bqRerank,
+    "q_sim_bq_served"       -> bqServed,
     "q_sim_bq_recall"       -> bqRecall,
     "q_sim_hard_negatives"  -> hardNegatives,
     "q_sim_recall"          -> annRecall,
@@ -2195,6 +2229,12 @@ object SimilarityQueries {
          | SELECT qid, rnk, cid, ham FROM bqrank
          | WHERE rnk <= $BqRerankC ORDER BY qid, rnk""".stripMargin,
     "q_sim_bq_rerank" ->
+      s"""WITH $duckBqCtes
+         | SELECT qid, rnk, cid, cos_ppm FROM bqrr
+         | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
+    // One answer, two serving paths, one oracle (the persisted
+    // forget-redacted code store vs the inline rerank).
+    "q_sim_bq_served" ->
       s"""WITH $duckBqCtes
          | SELECT qid, rnk, cid, cos_ppm FROM bqrr
          | WHERE rnk <= $LshTopK ORDER BY qid, rnk""".stripMargin,
