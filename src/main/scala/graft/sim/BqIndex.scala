@@ -43,23 +43,30 @@ final class BqIndex(spark: SparkSession, val indexDir: String)
       .map(_._2).sorted.lastOption
 
   private[sim] def segmentsAt(v: Long): Seq[String] = {
+    val (segs, _) = graft.ops.BatchHorizon.split(manifestLinesAt(v))
+    require(segs.nonEmpty, s"empty manifest m=$v under $indexDir")
+    segs
+  }
+
+  private def horizonAt(v: Long): Option[Long] =
+    graft.ops.BatchHorizon.split(manifestLinesAt(v))._2
+
+  private def manifestLinesAt(v: Long): Seq[String] = {
     val in = fs.open(new Path(indexDir, s"m=$v"))
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
-    require(lines.nonEmpty, s"empty manifest m=$v under $indexDir")
-    lines
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
   }
 
   private def resolvedOrFail(): Long = currentVersion().getOrElse(
     throw new IllegalStateException(s"no complete index under $indexDir"))
 
   private def publishManifest(segs: Seq[String],
-      basedOn: Option[Long]): Long = {
+      horizon: Option[Long], basedOn: Option[Long]): Long = {
+    val body = segs ++ graft.ops.BatchHorizon.lines(horizon)
     val tmp = new Path(indexDir, s".manifest-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((segs.mkString("\n") + "\n")
+    try out.write((body.mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     graft.ops.VersionedPaths.publish(fs, new Path(indexDir), tmp, "m=",
@@ -85,7 +92,8 @@ final class BqIndex(spark: SparkSession, val indexDir: String)
   /** Full (re)build: pack the corpus into one segment, publish. */
   def build(emb: DataFrame, idCol: String, vecCol: String, dim: Int): Long = {
     val cv = currentVersion()
-    publishManifest(Seq(writeSegment(emb, idCol, vecCol, dim)), basedOn = cv)
+    publishManifest(Seq(writeSegment(emb, idCol, vecCol, dim)),
+      horizon = None, basedOn = cv)
   }
 
   /** Incremental append: pack ONLY the delta (codes are per-vector, so
@@ -95,9 +103,32 @@ final class BqIndex(spark: SparkSession, val indexDir: String)
   def append(emb: DataFrame, idCol: String, vecCol: String,
       dim: Int): Long = {
     val v0 = resolvedOrFail()
+    publishManifest(
+      segmentsAt(v0) :+ writeSegment(emb, idCol, vecCol, dim),
+      horizonAt(v0), basedOn = Some(v0))
+  }
+
+  /** IDEMPOTENT per-batch append for the streaming maintainer
+    * ([[graft.stream.BqIngest]]) — the shared replay rule: segment
+    * name derives from the batch id and the manifest gains it at most
+    * once (an at-least-once redelivery converges); a batch at or below
+    * the replay horizon no-ops LOUDLY-checked (a forget already
+    * realized — and possibly redacted — its rows; re-appending would
+    * resurrect victims). Unlike build this cannot create the index. */
+  private[graft] def appendAsBatch(emb: DataFrame, idCol: String,
+      vecCol: String, dim: Int, batchId: Long): Long = {
+    val v0 = resolvedOrFail()
     val segs = segmentsAt(v0)
-    publishManifest(segs :+ writeSegment(emb, idCol, vecCol, dim),
-      basedOn = Some(v0))
+    val h = horizonAt(v0)
+    val seg = s"seg-batch-$batchId"
+    if (segs.contains(seg) ||
+        graft.ops.BatchHorizon.realizedLoud(h, batchId, indexDir))
+      return v0
+    val out = new Path(indexDir, s"segments/$seg")
+    try BqIndex.codes(graft.queries.Tables.fanout(emb), idCol, vecCol, dim)
+      .write.mode(SaveMode.Overwrite).parquet(out.toString)
+    catch { case e: Throwable => bestEffortDelete(out); throw e }
+    publishManifest(segs :+ seg, h, basedOn = Some(v0))
   }
 
   /** Deletion propagated into the derived store: rewrite live segments
@@ -121,7 +152,11 @@ final class BqIndex(spark: SparkSession, val indexDir: String)
     try screen(readUnion(segs))
       .write.mode(SaveMode.Overwrite).parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(Seq(seg), basedOn = Some(v0))
+    // The fold advances the replay horizon so a redelivered pre-forget
+    // batch cannot re-append and resurrect the victims just erased.
+    publishManifest(Seq(seg),
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs),
+      basedOn = Some(v0))
   }
 
   /** Merge live segments into one — pure IO, search-invariant. */
@@ -134,7 +169,9 @@ final class BqIndex(spark: SparkSession, val indexDir: String)
     try readUnion(segs)
       .write.mode(SaveMode.Overwrite).parquet(out.toString)
     catch { case e: Throwable => bestEffortDelete(out); throw e }
-    publishManifest(Seq(seg), basedOn = Some(v0))
+    publishManifest(Seq(seg),
+      graft.ops.BatchHorizon.afterFold(horizonAt(v0), segs),
+      basedOn = Some(v0))
   }
 
   /** Keep the newest `keep` versions, sweep older manifests and
