@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * (`ANCHOR_forget.json`). The per-round `q_gov_forget_victims` scaling
   * block proves shape (×1/×4/×8, victim set ∝ corpus) but its ×1 ledger
   * is ~550 rows — the 10⁷–10⁸ claim stayed extrapolation. This main
-  * drives ONE erasure request with ≥10⁶ victims through all SEVEN store
+  * drives ONE erasure request with ≥10⁶ victims through all EIGHT store
   * shapes over a heavily amplified corpus and bars it output-linear
   * against the ×1 baseline.
   *
@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *  - only `documents` and `embeddings` amplify (the only tables the
   *    fixture reads — amplifying the TPC-H spine at ×400 would cost an
   *    hour of parquet writes that measure nothing);
-  *  - the seven-store fixture builds OUTSIDE the clock
+  *  - the eight-store fixture builds OUTSIDE the clock
   *    ([[ForgetScale.prewarm]]) — the claim under audit is the erasure,
   *    and at this magnitude the build is too large to hide inside a
   *    min-of-2 exclusion;
@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   *    rebuild.
   *
   * Bar: the output-linear envelope at the anchor factor
-  * ([[graft.Scaling.gBarAt]]) — ledger rows (victims × 7 stores) scale
+  * ([[graft.Scaling.gBarAt]]) — ledger rows (victims × 8 stores) scale
   * ∝ f by construction, and forget work is O(store + victims) with
   * per-publish fixed overhead that amortizes under amplification.
   * Band: one [[graft.Calib.bwParSec]] probe brackets each factor's

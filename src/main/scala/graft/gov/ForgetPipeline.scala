@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * per-store forget ([[graft.sim.IvfIndex.forget]],
   * [[graft.sim.PqIvfIndex.forget]], [[graft.sim.MinHashIndex.forget]],
   * [[graft.sim.LexIndex.forget]], [[graft.sim.KmeansModel.forget]],
+  * [[graft.sim.BqIndex.forget]],
   * [[graft.ml.NgramLm]]'s negative-segment forget), but a real erasure
   * request must reach ALL of them, survive a crash halfway through, and
   * leave an audit trail a regulator can read. This pipeline adds

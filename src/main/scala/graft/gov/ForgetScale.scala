@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** MASS-ERASURE AT SCALE — the measured form of the
   * [[ForgetPipeline.executeVictims]] 10⁷–10⁸-victim claim, driven by
   * [[graft.Scaling]] as the `q_gov_forget_victims` block: one erasure
-  * request propagated through ALL SEVEN store shapes (IVF, IVF-PQ,
-  * MinHash, BM25 lexical, k-means, order-2 LM, and a
+  * request propagated through ALL EIGHT store shapes (IVF, IVF-PQ,
+  * MinHash, BM25 lexical, k-means, order-2 LM, the BQ code sidecar
+  * ([[graft.sim.BqIndex]], round 15), and a
   * `batch_id=`-partitioned maintainer output via
   * [[graft.stream.MicroBatchIngest.forgetFromBatchStore]]) over the
   * amplified corpus, victim set ∝ corpus (a fixed 1/[[VictimMod]] id slice — at
@@ -41,6 +42,7 @@ object ForgetScale {
       mh: graft.sim.MinHashIndex,
       lex: graft.sim.LexIndex,
       km: graft.sim.KmeansModel,
+      bq: graft.sim.BqIndex,
       lmDir: String,
       batchStoreDir: String,
       pipeline: ForgetPipeline,
@@ -60,7 +62,7 @@ object ForgetScale {
   private def fixtureKey(spark: SparkSession, dir: String, mod: Int) =
     spark.sparkContext.applicationId + "|" + dir + "|" + mod
 
-  /** Delete an abandoned fixture's SEVEN temp-dir stores. Without
+  /** Delete an abandoned fixture's EIGHT temp-dir stores. Without
     * this, every slice-exhaustion rebuild would orphan a full store
     * copy for the life of the JVM — a long anchor run leaks multi-GB
     * per cycle. Each store root is `<tempdir>/x` ([[fixture]]'s
@@ -74,7 +76,8 @@ object ForgetScale {
     def parent(storeDir: String): java.nio.file.Path =
       java.nio.file.Paths.get(storeDir).getParent
     Seq(fx.ivf.indexDir, fx.pq.indexDir, fx.mh.indexDir,
-        fx.lex.indexDir, fx.km.modelDir, fx.lmDir, fx.batchStoreDir)
+        fx.lex.indexDir, fx.km.modelDir, fx.bq.indexDir, fx.lmDir,
+        fx.batchStoreDir)
       .map(parent).distinct.foreach { p =>
         try {
           import scala.jdk.CollectionConverters._
@@ -119,6 +122,12 @@ object ForgetScale {
       lex.build(docs, "doc_id", "text")
       val km = new graft.sim.KmeansModel(spark, tmp("fsc_km"))
       km.fit(emb, "vec_id", "embedding", k = 8)
+      // The EIGHTH store shape (round 15): the BQ sign-bit code
+      // sidecar — a forget here is the cheapest rewrite in the family
+      // (8 B/row, no derived statistics), included so the graded
+      // erasure covers every persisted store the engine serves.
+      val bq = new graft.sim.BqIndex(spark, tmp("fsc_bq"))
+      bq.build(emb, "vec_id", "embedding", dim = 64)
       val lmDir = tmp("fsc_lm")
       graft.ml.NgramLm.fit(docs, "text", lmDir)
       // The SEVENTH store shape: a batch_id=-partitioned maintainer
@@ -132,20 +141,20 @@ object ForgetScale {
             .select(col("doc_id").as("id"), col("n_chars")),
           bsDir, b.toLong)
       }
-      Fixture(ivf, pq, mh, lex, km, lmDir, bsDir,
+      Fixture(ivf, pq, mh, lex, km, bq, lmDir, bsDir,
         new ForgetPipeline(spark, tmp("fsc_ledger")), new AtomicInteger(0))
     })
   }
 
   /** One FRESH mass-erasure request over the next victim slice; returns
     * the committed ledger frame (victims × stores rows). The heavy work
-    * — seven store forgets + the distributed ledger write — happens
+    * — eight store forgets + the distributed ledger write — happens
     * here at frame-build time, which [[graft.Scaling]] invokes inside
     * its clock. */
   def frame(spark: SparkSession, dir: String): DataFrame =
     frameAt(spark, dir, VictimMod)
 
-  /** Build the seven-store fixture WITHOUT running an erasure — the
+  /** Build the eight-store fixture WITHOUT running an erasure — the
     * anchor runs ([[ForgetAnchor]]) separate the one-time store build
     * from the timed forget passes explicitly, instead of riding the
     * scaling block's min-of-2 exclusion. Idempotent per (app, dir,
@@ -208,6 +217,7 @@ object ForgetScale {
       "batchstore" -> (v => graft.stream.MicroBatchIngest
         .forgetFromBatchStore(spark, fx.batchStoreDir, v, "id",
           checkpointLocation = None)),
+      "bq" -> (v => fx.bq.forget(v)),
       "ivf" -> (v => fx.ivf.forget(v)),
       "ivfpq" -> (v => fx.pq.forget(v)),
       "kmeans" -> (v => fx.km.forget(v)),
