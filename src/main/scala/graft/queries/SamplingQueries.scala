@@ -454,6 +454,40 @@ object SamplingQueries {
         .select(col("doc_id"), col("source"),
           col("n_bpe_tokens").as("tok")))
 
+  /** MIXTURE-ORDERED packing — [[packManifest]]'s window assembly
+    * composed over [[sampleInterleave]]'s loader order instead of the
+    * per-source doc_id layout: docs lay head-to-tail into fixed
+    * token-budget context windows IN THE STRIDE-SCHEDULED ORDER, so
+    * every window draws from the α=0.5 mixture (per-bin `n_sources`
+    * reports exactly that — the property a mixture-correct batch wants,
+    * where per-source packing gives single-source windows and the
+    * loader must shuffle bins to recover the mixture). Same greedy
+    * start-offset rule (bin = tokens-before DIV budget), same two-phase
+    * prefix sum — here GLOBAL (empty group) over train_pos, so
+    * parallelism stays at the shuffle-partition count. Output is the
+    * O(corpus/budget) bin manifest. */
+  private val samplePackMix: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val order = sampleInterleave(s, dir)
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), expr("n_chars DIV 4").as("tok"))
+    val pref = graft.ops.PrefixOps.withPrefixOffsets(
+      order.join(toks, Seq("doc_id")), Nil,
+      Seq(col("train_pos").asc), Seq("tok" -> col("tok")))
+    val wLoc = Window.partitionBy(col(graft.ops.PrefixOps.PidCol))
+      .orderBy("train_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pref
+      .withColumn("before",
+        col("tok_off") + coalesce(sum(col("tok")).over(wLoc), lit(0L)))
+      .withColumn("bin", expr(s"before DIV $PackBudget"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"),
+        countDistinct("source").as("n_sources"),
+        min("train_pos").as("first_pos"), max("train_pos").as("last_pos"))
+      .orderBy("bin")
+  }
+
   private val NumFolds = 5
 
   /** Deterministic k-fold assignment — fold = md5-bucket mod k, the
@@ -1032,8 +1066,33 @@ object SamplingQueries {
     "q_sample_interleave" -> sampleInterleave,
     "q_sample_pack" -> samplePack,
     "q_sample_pack_bpe" -> samplePackBpe,
+    "q_sample_pack_mix" -> samplePackMix,
     "q_sample_topk_strat" -> sampleTopkStrat
   )
+
+  /** The interleave CTE chain (α=0.5 weights → per-source md5 rank →
+    * stride keys → `il` with the global train_pos) — ONE definition
+    * shared by the interleave oracle and the mixture-ordered packing
+    * oracle. */
+  private lazy val duckInterleaveCtes: String =
+    s"""nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
+       |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)
+       |  GROUP BY source),
+       | f AS (SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS fn FROM nt),
+       | tot AS (SELECT list_sum(list(fn ORDER BY source)) AS fsum FROM f),
+       | w AS (SELECT source,
+       |   greatest(CAST(floor(1000000.0 * fn / fsum) AS BIGINT), 1) AS w_ppm
+       |  FROM f CROSS JOIN tot),
+       | r AS (SELECT doc_id, source,
+       |   CAST(row_number() OVER (PARTITION BY source
+       |     ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS src_rank
+       |  FROM documents),
+       | k AS (SELECT r.doc_id, r.source, r.src_rank,
+       |   (CAST(2 * src_rank - 1 AS HUGEINT) * $InterleaveStride) // w.w_ppm AS vkey
+       |  FROM r JOIN w USING (source)),
+       | il AS (SELECT CAST(row_number() OVER (ORDER BY vkey, source, doc_id) AS BIGINT)
+       |   AS train_pos, doc_id, source, src_rank
+       |  FROM k)""".stripMargin
 
   /** DuckDB mirror of the `split` column in [[withSplit]] — shared with
     * the curation-pipeline oracle (same no-drift contract as the Spark
@@ -1197,24 +1256,24 @@ object SamplingQueries {
     // α=0.5 leg of the temperature chain → stride keys → one global
     // row_number (fine at oracle scale; the Spark side rides PrefixOps).
     "q_sample_interleave" ->
-      s"""WITH nt AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tok
-         |  FROM (SELECT source, ${TextQueries.duckTerms("text")} AS toks FROM documents)
-         |  GROUP BY source),
-         | f AS (SELECT source, n_tok, sqrt(CAST(n_tok AS DOUBLE)) AS fn FROM nt),
-         | tot AS (SELECT list_sum(list(fn ORDER BY source)) AS fsum FROM f),
-         | w AS (SELECT source,
-         |   greatest(CAST(floor(1000000.0 * fn / fsum) AS BIGINT), 1) AS w_ppm
-         |  FROM f CROSS JOIN tot),
-         | r AS (SELECT doc_id, source,
-         |   CAST(row_number() OVER (PARTITION BY source
-         |     ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS src_rank
-         |  FROM documents),
-         | k AS (SELECT r.doc_id, r.source, r.src_rank,
-         |   (CAST(2 * src_rank - 1 AS HUGEINT) * $InterleaveStride) // w.w_ppm AS vkey
-         |  FROM r JOIN w USING (source))
-         | SELECT CAST(row_number() OVER (ORDER BY vkey, source, doc_id) AS BIGINT)
-         |   AS train_pos, doc_id, source, src_rank
-         | FROM k ORDER BY train_pos""".stripMargin,
+      s"""WITH $duckInterleaveCtes
+         | SELECT train_pos, doc_id, source, src_rank
+         | FROM il ORDER BY train_pos""".stripMargin,
+    // The interleave chain again, then the pack cumsum/bin/report over
+    // the GLOBAL train_pos order.
+    "q_sample_pack_mix" ->
+      s"""WITH $duckInterleaveCtes,
+         | pd AS (SELECT il.train_pos, il.source, documents.n_chars // 4 AS tok
+         |  FROM il JOIN documents USING (doc_id)),
+         | pc AS (SELECT *, CAST(coalesce(sum(tok) OVER (ORDER BY train_pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |   AS before FROM pd)
+         | SELECT CAST(before // $PackBudget AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  min(train_pos) AS first_pos, max(train_pos) AS last_pos
+         | FROM pc GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_sample_budget" ->
       s"""WITH b AS (SELECT doc_id, n_chars // 4 AS tok,
          |   CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g')) // length(text) AS BIGINT) AS quality_bp

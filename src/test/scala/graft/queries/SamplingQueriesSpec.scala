@@ -209,6 +209,27 @@ class SamplingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("mixture-ordered packing: bins contiguous, totals conserved, windows mixed") {
+    val bins = graft.SparkEntry.queries("q_sample_pack_mix")(spark, dir)
+      .orderBy("bin").collect()
+    assert(bins.nonEmpty)
+    assert(bins.map(_.getAs[Long]("bin")).toSeq ==
+      (0L until bins.length).toSeq, "bin gap")
+    // Positions partition the schedule: consecutive, non-overlapping.
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("last_pos") + 1 == b.getAs[Long]("first_pos"))
+    }
+    // Token totals conserve the corpus.
+    val corpusTok = graft.queries.Tables.t(spark, dir, "documents")
+      .selectExpr("sum(n_chars DIV 4)").head().getLong(0)
+    assert(bins.map(_.getAs[Long]("sum_tokens")).sum == corpusTok)
+    // The property this packer exists for: every full window draws
+    // from MORE than one source (per-source packing gives 1 here).
+    val full = bins.dropRight(1)
+    assert(full.nonEmpty && full.forall(_.getAs[Long]("n_sources") >= 2),
+      "a full mixture-ordered window came from a single source")
+  }
+
   test("d4 composes dedup-then-prune: no removed doc kept, survivor quotas exact") {
     val kept = graft.SparkEntry.queries("q_sample_d4")(spark, dir).collect()
     assert(kept.nonEmpty)
