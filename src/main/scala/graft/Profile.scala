@@ -14,19 +14,22 @@ object Profile {
   private final class StageTally
       extends org.apache.spark.scheduler.SparkListener {
     final case class Row(id: Int, name: String, tasks: Int, inputRec: Long,
-      srBytes: Long, srRec: Long, swBytes: Long, swRec: Long, ms: Long)
+      srBytes: Long, srRec: Long, swBytes: Long, swRec: Long, ms: Long,
+      subMs: Long, wallMs: Long)
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[Row]()
     override def onStageCompleted(
         sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val i = sc.stageInfo
       val m = i.taskMetrics
+      val sub = i.submissionTime.getOrElse(0L)
+      val wall = i.completionTime.getOrElse(sub) - sub
       rows.add(Row(i.stageId, i.name.takeWhile(_ != '\n').take(80),
         i.numTasks, m.inputMetrics.recordsRead,
         m.shuffleReadMetrics.totalBytesRead,
         m.shuffleReadMetrics.recordsRead,
         m.shuffleWriteMetrics.bytesWritten,
         m.shuffleWriteMetrics.recordsWritten,
-        m.executorRunTime))
+        m.executorRunTime, sub, wall))
     }
   }
 
@@ -38,6 +41,9 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Sort-path shuffle writer always (see Sessions.BypassMergeThreshold).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        Sessions.BypassMergeThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -66,6 +72,20 @@ object Profile {
     import scala.jdk.CollectionConverters._
     tally.rows.asScala.toSeq.sortBy(-_.swBytes).foreach { r =>
       println(f"${r.id}%5d ${r.tasks}%5d ${r.inputRec}%12d ${r.srBytes}%13d ${r.srRec}%12d ${r.swBytes}%13d ${r.swRec}%12d ${r.ms}%8d  ${r.name}")
+    }
+    // Wall-clock timeline of the final run: stages in submission order
+    // with their scheduler-to-completion spans and the idle gap since the
+    // previous stage completed — the critical-path view (a long `gap` is
+    // driver/planning/barrier time no per-stage metric shows).
+    println("[profile] stage timeline (final run): submit-order, wall spans:")
+    println("stage  t_sub_ms  wall_ms   gap_ms tasks   cpu_ms  name")
+    val ordered = tally.rows.asScala.toSeq.sortBy(_.subMs)
+    var prevEnd = ordered.headOption.map(_.subMs).getOrElse(0L)
+    val t0Sub = prevEnd
+    ordered.foreach { r =>
+      val gap = r.subMs - prevEnd
+      println(f"${r.id}%5d ${r.subMs - t0Sub}%9d ${r.wallMs}%8d ${math.max(gap, -1)}%8d ${r.tasks}%5d ${r.ms}%8d  ${r.name.take(40)}")
+      prevEnd = math.max(prevEnd, r.subMs + r.wallMs)
     }
     spark.stop()
   }

@@ -10,6 +10,9 @@ object Smoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Sort-path shuffle writer always (see Sessions.BypassMergeThreshold).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        Sessions.BypassMergeThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -695,13 +695,15 @@ object SamplingQueries {
     * ALL docs (the kept subset alone is Gumbel-biased). */
   private[graft] def dsirScoredFrame(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val tf = Tables.fanout(
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("source"),
-            explode(graft.ops.TokenOps.terms(col("text"))).as("term"))
-          .withColumn("b",
-            expr(s"CAST((${hexBucketSql("term", 2)}) AS BIGINT)"))
-          .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("k")))
+    // Tokenize at full width (the scan arrives single-split), checkpoint
+    // at the aggregate's AQE width — consumers are light (the r15
+    // fanout-overhead rule; see TextQueries.tfidf's comment).
+    val tf = Tables.fanout(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        explode(graft.ops.TokenOps.terms(col("text"))).as("term"))
+      .withColumn("b",
+        expr(s"CAST((${hexBucketSql("term", 2)}) AS BIGINT)"))
+      .groupBy("doc_id", "source", "b").agg(count(lit(1)).as("k"))
       .localCheckpoint(true) // raw counts, target counts, doc scoring
     val inDom = tf.select(min("source").as("in_src"))
     val raw = tf.groupBy("b").agg(sum("k").as("kr"))

@@ -207,11 +207,13 @@ object TextQueries {
     val byDocTerm = docs(s, dir)
       .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
     // Materialize tf ONCE: df, N, and the join all derive from it — unshared,
-    // the plan tokenizes the corpus three times. Trailing fanout keeps the
-    // checkpoint at full parallelism past AQE's small-shuffle coalescing
-    // (same guard as the dedup pair joins).
-    val tf = Tables.fanout(
-        byDocTerm.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // the plan tokenizes the corpus three times. The checkpoint keeps the
+    // aggregate's AQE-coalesced width (size-proportional): every consumer
+    // below is a light aggregate/join, and re-widening a small frame to
+    // defaultParallelism costs ~0.3-0.5 s of pure task overhead per
+    // consuming stage at bench scale (round-15 measurement) while buying
+    // nothing — the expensive tokenize already ran at full width upstream.
+    val tf = byDocTerm.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
@@ -238,8 +240,11 @@ object TextQueries {
     * over-generate, the exact filter kills false positives, so the
     * output is exactly the plain GROUP BY ... HAVING oracle. */
   private val heavyHitters: Q = (s, dir) => {
-    val toks = Tables.fanout(
-        docs(s, dir).select(explode(TokenOps.terms(col("text"))).as("term")))
+    // No rebalance before the checkpoint: docs() is already fanned out, so
+    // the explode output is 32-wide and near-balanced — the extra
+    // round-robin shuffle of the token stream bought nothing (r15).
+    val toks = docs(s, dir)
+      .select(explode(TokenOps.terms(col("text"))).as("term"))
       .localCheckpoint(true) // sketch + exact pass read the same frame once
     val cands = graft.ops.FrequentItems.candidates(
         toks.select("term").as(org.apache.spark.sql.Encoders.STRING), HhK)
@@ -270,10 +275,11 @@ object TextQueries {
     * hash-identical across engines. The global top-50 pairs ride
     * TakeOrderedAndProject, never a full sort. */
   private val docsim: Q = (s, dir) => {
-    val tf = Tables.fanout(
-        docs(s, dir)
-          .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    // Checkpoint at the aggregate's AQE width: df/n/w consumers are light
+    // (the r15 fanout-overhead rule — see tfidf's comment).
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
@@ -308,10 +314,11 @@ object TextQueries {
     * (AQE broadcasts them when small); corpus total is one broadcast
     * scalar; everything else is partial+final hash aggregation. */
   private val unigramLp: Q = (s, dir) => {
-    val tf = Tables.fanout(
-        docs(s, dir)
-          .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
-          .groupBy("doc_id", "term").agg(count(lit(1)).as("k")))
+    // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
+    // rule — see tfidf's comment).
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
     val termCnt = tf.groupBy("term").agg(sum("k").as("cnt"))
     val total = tf.select(sum("k").as("t_total"))
@@ -374,8 +381,10 @@ object TextQueries {
     val tagged = SamplingQueries.withSplit(docs(s, dir), "doc_id")
       .select(col("doc_id"), col("split"),
         explode(TokenOps.terms(col("text"))).as("term"))
-    heldoutOf(Tables.fanout(
-        tagged.groupBy("doc_id", "split", "term").agg(count(lit(1)).as("k")))
+    // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
+    // rule — see tfidf's comment).
+    heldoutOf(tagged.groupBy("doc_id", "split", "term")
+      .agg(count(lit(1)).as("k"))
       .localCheckpoint(true)) // train LM + val scoring read one pass
   }
 
@@ -543,11 +552,12 @@ object TextQueries {
     * carries two precomputed narrow columns. No per-doc model state,
     * no driver loops. */
   private val mooreLewis: Q = (s, dir) => {
-    val tf = Tables.fanout(
-        docs(s, dir)
-          .select(col("doc_id"), col("source"),
-            explode(TokenOps.terms(col("text"))).as("term"))
-          .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("k")))
+    // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
+    // rule — see tfidf's comment).
+    val tf = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
     val inDom = tf.select(min("source").as("in_src"))
     val cAll = tf.groupBy("term").agg(sum("k").as("c_all"))
@@ -669,13 +679,14 @@ object TextQueries {
     val bigramsExpr =
       """transform(sequence(1, size(toks) - 1),
         |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin
-    val db = Tables.fanout(
-        docs(s, dir)
-          .withColumn("toks", TokenOps.terms(col("text")))
-          .where(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k")))
+    // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
+    // rule — see tfidf's comment).
+    val db = docs(s, dir)
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
     val c2 = db.groupBy("w1", "w2").agg(sum("k").as("c2"))
     val cFirst = c2.groupBy("w1").agg(sum("c2").as("c1first"))
@@ -714,13 +725,14 @@ object TextQueries {
     val bigramsExpr =
       """transform(sequence(1, size(toks) - 1),
         |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin
-    val db = Tables.fanout(
-        docs(s, dir)
-          .withColumn("toks", TokenOps.terms(col("text")))
-          .where(size(col("toks")) >= 2)
-          .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k")))
+    // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
+    // rule — see tfidf's comment).
+    val db = docs(s, dir)
+      .withColumn("toks", TokenOps.terms(col("text")))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(bigramsExpr)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
     val c2 = db.groupBy("w1", "w2").agg(sum("k").as("c2"))
       .localCheckpoint(true) // feeds three marginals + the type join
@@ -801,9 +813,11 @@ object TextQueries {
     val bigramsExpr =
       """transform(sequence(1, size(toks) - 1),
         |  i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))""".stripMargin
-    val base = Tables.fanout(
-        docs(s, dir).withColumn("toks", TokenOps.terms(col("text")))
-          .select("doc_id", "toks"))
+    // docs() is already fanned out, so the tokenize ran 32-wide and its
+    // output is round-robin balanced — the extra rebalance shuffle of the
+    // token arrays bought nothing (r15).
+    val base = docs(s, dir).withColumn("toks", TokenOps.terms(col("text")))
+      .select("doc_id", "toks")
       .localCheckpoint(true) // one tokenize pass feeds both orders
     val dt = base.where(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(trigramsExpr)).as("g"))
@@ -1553,10 +1567,11 @@ object TextQueries {
     * (source, term) tf frame; corpus/term totals are vocabulary-sized
     * and source totals O(sources); output is O(sources). */
   private val sourceKl: Q = (s, dir) => {
-    val tf = Tables.fanout(
-        docs(s, dir)
-          .select(col("source"), explode(TokenOps.terms(col("text"))).as("term"))
-          .groupBy("source", "term").agg(count(lit(1)).as("k")))
+    // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
+    // rule — see tfidf's comment).
+    val tf = docs(s, dir)
+      .select(col("source"), explode(TokenOps.terms(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("k"))
       .localCheckpoint(true) // term totals, source totals, corpus total, join
     val byTerm = tf.groupBy("term").agg(sum("k").as("ck"))
     val bySrc = tf.groupBy("source").agg(sum("k").as("tsrc"))
