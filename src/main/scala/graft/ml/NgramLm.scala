@@ -198,19 +198,7 @@ object NgramLm {
       val metaRows = spark.read.parquet(store.segPath(seg, "meta")).collect()
       require(metaRows.length == 1,
         s"LM store at $dir/$seg has ${metaRows.length} meta rows (want 1)")
-      def checkTable(table: String, nWant: Long, sWant: Long): Unit = {
-        val check = spark.read.parquet(store.segPath(seg, table))
-          .agg(count(lit(1)).as("n"),
-            coalesce(sum("cnt"), lit(0L)).as("s")).head()
-        require(check.getLong(0) == nWant,
-          s"LM store at $dir is torn: segment $seg/$table has " +
-            s"${check.getLong(0)} rows for declared $nWant")
-        require(check.getLong(1) == sWant,
-          s"LM store at $dir is torn: segment $seg/$table count sum " +
-            s"${check.getLong(1)} for declared $sWant")
-      }
       val m = metaRows.head
-      checkTable("uni", m.getAs[Long]("v_size"), m.getAs[Long]("t_total"))
       // LEGACY segments predate the bi/ (order-1 vintage) or tri/
       // (order-2 vintage) tables and declare no b_*/tri_* meta — they
       // load fine (absent transitions roll as an empty table; the
@@ -222,10 +210,35 @@ object NgramLm {
       // and GATES that order's serving until a full refit
       // ([[Model.forget]]). The cross-check still runs on every
       // segment that DECLARES the order.
-      if (m.schema.fieldNames.contains("b_size"))
-        checkTable("bi", m.getAs[Long]("b_size"), m.getAs[Long]("b_total"))
-      if (m.schema.fieldNames.contains("tri_size"))
-        checkTable("tri", m.getAs[Long]("tri_size"), m.getAs[Long]("tri_total"))
+      val wanted: Seq[(String, Long, Long)] =
+        Seq(("uni", m.getAs[Long]("v_size"), m.getAs[Long]("t_total"))) ++
+          (if (m.schema.fieldNames.contains("b_size"))
+            Seq(("bi", m.getAs[Long]("b_size"), m.getAs[Long]("b_total")))
+          else Nil) ++
+          (if (m.schema.fieldNames.contains("tri_size"))
+            Seq(("tri", m.getAs[Long]("tri_size"), m.getAs[Long]("tri_total")))
+          else Nil)
+      // ONE action for all declared tables (a tagged union of the three
+      // vocabulary-sized aggregates), not one job per table: load-time
+      // verification sits on the serving path of every `*_served` query,
+      // and three sequential tiny jobs cost ~3 job launches where one
+      // suffices (round-15; semantics identical — same counts, same
+      // failure messages).
+      val checks = wanted.map { case (table, _, _) =>
+        spark.read.parquet(store.segPath(seg, table))
+          .agg(count(lit(1)).as("n"), coalesce(sum("cnt"), lit(0L)).as("s"))
+          .select(lit(table).as("tbl"), col("n"), col("s"))
+      }.reduce(_ unionAll _).collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      wanted.foreach { case (table, nWant, sWant) =>
+        val (n, sSum) = checks(table)
+        require(n == nWant,
+          s"LM store at $dir is torn: segment $seg/$table has " +
+            s"$n rows for declared $nWant")
+        require(sSum == sWant,
+          s"LM store at $dir is torn: segment $seg/$table count sum " +
+            s"$sSum for declared $sWant")
+      }
     }
   }
 

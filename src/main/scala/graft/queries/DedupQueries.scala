@@ -313,8 +313,16 @@ object DedupQueries {
       // the logical plan each round — caching cuts re-EXECUTION but not
       // re-ANALYSIS, so planning time compounds. Checkpointing truncates
       // the lineage, keeping each iteration's plan constant-size.
-      var labels = edges.select(col("src").as("doc_id"))
-        .distinct().withColumn("label", col("doc_id")).localCheckpoint(true)
+      // Seed labels with min(self, min neighbor) instead of self: the
+      // same shuffle the old distinct() paid (groupBy src) already folds
+      // iteration 1's propagate step into the init, so shallow LSH
+      // cluster graphs converge one full join-chain earlier (round 15;
+      // the fixpoint and its value are unchanged — min over reachable
+      // ids is order-insensitive).
+      var labels = edges.groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("doc_id"),
+          least(col("doc_id"), col("m")).as("label")).localCheckpoint(true)
       var changed = 1L
       var iter = 0
       ccLog(f"[cc] edges+labels init: ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -68,22 +68,22 @@ object TextQueries {
     * (reference `spark/preprocessor.py:17-21`), all native expressions in
     * one codegen span. */
   private val fCleanChain: Q = (s, dir) =>
-    docs(s, dir).select(
+    Tables.orderedOnce(docs(s, dir).select(
       col("doc_id"),
       TextOps.cleanText(col("text")).as("cleaned"),
-      length(TextOps.stripUnprintable(col("text"))).as("n_printable"))
-      .orderBy("doc_id")
+      length(TextOps.stripUnprintable(col("text"))).as("n_printable")),
+        col("doc_id"))
 
   /** F5–F7: regexp_extract_all extraction (mentions/hashtags/s-words),
     * emitted as joined strings (array columns hash differently across
     * engines; the join also exercises F5 concat-with-sep). */
   private val fExtract: Q = (s, dir) =>
-    docs(s, dir).select(
+    Tables.orderedOnce(docs(s, dir).select(
       col("doc_id"),
       array_join(TextOps.mentions(col("text")), ",").as("mentions"),
       array_join(TextOps.hashtags(col("text")), ",").as("hashtags"),
-      array_join(regexp_extract_all(col("text"), lit("\\b(s[a-z]+)"), lit(1)), ",").as("s_words"))
-      .orderBy("doc_id")
+      array_join(regexp_extract_all(col("text"), lit("\\b(s[a-z]+)"), lit(1)), ",").as("s_words")),
+        col("doc_id"))
 
   /** P6/F9: whole-word keyword relevance predicate (reference
     * `main/data_ingestion/utils.py:22-35`) — one compiled alternation,
@@ -99,21 +99,21 @@ object TextQueries {
     * get_json_object pattern as the reference's Kafka value parse
     * (reference `spark/engine.py:245-247`). */
   private val p2JsonEnvelope: Q = (s, dir) =>
-    t(s, dir, "events").select(
+    Tables.orderedOnce(t(s, dir, "events").select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").as("k"),
-      col("event_type"))
-      .orderBy("event_id")
+      col("event_type")),
+        col("event_id"))
 
   /** D1–D4: the calendar-feature set (reference
     * `spark/model_training.py:83-90`). Spark dayofweek is 1=Sunday; the
     * oracle compensates (+1 over DuckDB's 0=Sunday). */
   private val d4TimeFeatures: Q = (s, dir) =>
-    TimeOps.withTimeFeatures(t(s, dir, "events"), col("ts"))
+    Tables.orderedOnce(TimeOps.withTimeFeatures(t(s, dir, "events"), col("ts"))
       .withColumn("unix_secs", TimeOps.toUnixSeconds(col("ts")))
       .select("event_id", "year", "month", "day", "hour", "minute", "second",
-        "day_of_week", "day_of_year", "unix_secs")
-      .orderBy("event_id")
+        "day_of_week", "day_of_year", "unix_secs"),
+        col("event_id"))
 
   /** D4+ calendar truncation/arithmetic: date_trunc to month/week (ISO
     * Monday on both engines), day diffs against an epoch date, month end
@@ -158,23 +158,23 @@ object TextQueries {
   private val ViralityHot = 150.0
   private val ViralityUp  = 75.0
   private val m2Virality: Q = (s, dir) =>
-    t(s, dir, "events").select(
+    Tables.orderedOnce(t(s, dir, "events").select(
       col("event_id").as("id"),
       col("user_id").as("author"),
       col("event_type").as("subreddit"),
       round(col("value"), 2).cast("float").as("score_predit"),
       ScoreOps.virality(col("value"), ViralityHot, ViralityUp).as("viralite"),
-      col("ts").as("creation_date"))
-      .orderBy("id")
+      col("ts").as("creation_date")),
+        col("id"))
 
   /** M3: argmax over an array column — native, first-max tie-break like
     * `Vector.argmax` (reference UDF at `spark/engine.py:115`). */
   private val m3Argmax: Q = (s, dir) =>
-    t(s, dir, "embeddings").select(
+    Tables.orderedOnce(t(s, dir, "embeddings").select(
       col("vec_id"),
       ScoreOps.argmax(col("embedding")).as("top_dim"),
-      col("label"))
-      .orderBy("vec_id")
+      col("label")),
+        col("vec_id"))
 
   /** J1/F5: topic-label broadcast join with default label (reference
     * `spark/engine.py:113-122` as a join, not a UDF). */
@@ -965,9 +965,9 @@ object TextQueries {
       .drop("__toks")
 
   private val langId: Q = (s, dir) =>
-    langScored(docs(s, dir), "text")
-      .select("doc_id", "lang", "s_en", "s_fr", "s_de", "predicted")
-      .orderBy("doc_id")
+    Tables.orderedOnce(langScored(docs(s, dir), "text")
+      .select("doc_id", "lang", "s_en", "s_fr", "s_de", "predicted"),
+        col("doc_id"))
 
   /** Classifier evaluation — the confusion matrix of [[langId]] against
     * the labeled `lang` column, in long form (actual, predicted, n): the
@@ -982,7 +982,7 @@ object TextQueries {
   /** Quality scoring: length / punctuation / stop-word ratios as exact
     * integer basis points (10000 * part DIV whole). */
   private val quality: Q = (s, dir) =>
-    docs(s, dir)
+    Tables.orderedOnce(docs(s, dir)
       .withColumn("toks_all",
         filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
       .withColumn("toks", TokenOps.terms(col("text")))
@@ -992,40 +992,40 @@ object TextQueries {
         length(col("text")).as("n_chars_raw"),
         expr("CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text) AS BIGINT)").as("alpha_bp"),
         expr("CAST(10000 * length(regexp_replace(text, '[^0-9]', '')) DIV length(text) AS BIGINT)").as("digit_bp"),
-        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)").as("stopword_bp"))
-      .orderBy("doc_id")
+        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)").as("stopword_bp")),
+        col("doc_id"))
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols). */
   private val tokenCount: Q = (s, dir) =>
-    docs(s, dir).select(
+    Tables.orderedOnce(docs(s, dir).select(
       col("doc_id"),
       size(split(col("text"), "\\s+")).as("ws_tokens"),
       size(regexp_extract_all(col("text"),
-        lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens"))
-      .orderBy("doc_id")
+        lit("[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("bpe_tokens")),
+        col("doc_id"))
 
   /** U1: the deterministic lexicon sentiment scorer (the graded default
     * of the reference's HTTP pandas-UDF scorer, SURVEY.md §2.12) — one
     * native expression over the cleaned token stream. */
   private val u1Sentiment: Q = (s, dir) => {
     val scorer = new graft.ml.LexiconSentiment()
-    docs(s, dir).select(
+    Tables.orderedOnce(docs(s, dir).select(
       col("doc_id"),
-      scorer.score(col("text")).as("sentiment"))
-      .orderBy("doc_id")
+      scorer.score(col("text")).as("sentiment")),
+      col("doc_id"))
   }
 
   /** Document fingerprinting: raw md5 + content fingerprint over the
     * sorted distinct term set (order-insensitive near-identity). */
   private val fingerprint: Q = (s, dir) =>
-    docs(s, dir)
+    Tables.orderedOnce(docs(s, dir)
       .withColumn("toks", TokenOps.terms(col("text")))
       .select(
         col("doc_id"),
         md5(col("text")).as("fp_raw"),
-        md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp_content"))
-      .orderBy("doc_id")
+        md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp_content")),
+        col("doc_id"))
 
   /** Winnowing k-gram size and window width. */
   private val WinnowK = 4
@@ -1595,7 +1595,7 @@ object TextQueries {
     * A spammy "buy now buy now buy now" page scores ~1, clean prose ~0.
     * Pure map-side expressions — one codegen pass at any scale. */
   private val repetition: Q = (s, dir) =>
-    docs(s, dir)
+    Tables.orderedOnce(docs(s, dir)
       .withColumn("toks_all",
         filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
       // Guard the 0/1-token case explicitly: Spark's sequence(1, 0) is the
@@ -1610,20 +1610,20 @@ object TextQueries {
         expr("CASE WHEN size(toks_all) > 0 THEN CAST(10000 * (size(toks_all) - size(array_distinct(toks_all))) DIV size(toks_all) AS BIGINT) ELSE 0 END")
           .as("dup_token_bp"),
         expr("CASE WHEN size(bigrams) > 0 THEN CAST(10000 * (size(bigrams) - size(array_distinct(bigrams))) DIV size(bigrams) AS BIGINT) ELSE 0 END")
-          .as("dup_bigram_bp"))
-      .orderBy("doc_id")
+          .as("dup_bigram_bp")),
+        col("doc_id"))
 
   /** PII scrubbing for corpus publication: redact emails / IP literals /
     * long digit runs, plus per-doc match counts for the redaction audit a
     * release pipeline logs. Chained regexp_replace — map-side, no UDF. */
   private val piiScrub: Q = (s, dir) =>
-    docs(s, dir).select(
+    Tables.orderedOnce(docs(s, dir).select(
       col("doc_id"),
       TextOps.scrubPii(col("text")).as("scrubbed"),
       size(regexp_extract_all(col("text"), lit(TextOps.EmailPattern), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("text"), lit(TextOps.IpPattern), lit(0))).as("n_ips"),
-      size(regexp_extract_all(col("text"), lit(TextOps.LongNumPattern), lit(0))).as("n_longnums"))
-      .orderBy("doc_id")
+      size(regexp_extract_all(col("text"), lit(TextOps.LongNumPattern), lit(0))).as("n_longnums")),
+      col("doc_id"))
 
   /** C4/Gopher-style keep/drop decision: the composed quality gate a
     * curation pipeline applies before dedup — minimum length, alphabetic
@@ -1652,7 +1652,7 @@ object TextQueries {
              | ELSE 'keep' END""".stripMargin).as("verdict"))
 
   private val filterDecision: Q = (s, dir) =>
-    filterVerdicts(s, dir).orderBy("doc_id")
+    Tables.orderedOnce(filterVerdicts(s, dir), col("doc_id"))
 
   /** GATE ABLATION — the "which rule earns its place" report a quality
     * gate-stack owner reads before adding/removing a rule: per rule,
@@ -1721,11 +1721,11 @@ object TextQueries {
     * raw text head drifts from its cleaned form — bounded operands (the
     * DP is O(len²); at scale always cap the compared prefix). */
   private val editDistance: Q = (s, dir) =>
-    docs(s, dir).select(
+    Tables.orderedOnce(docs(s, dir).select(
       col("doc_id"),
       levenshtein(substring(col("text"), 1, 40),
-        substring(TextOps.cleanText(col("text")), 1, 40)).as("edit40"))
-      .orderBy("doc_id")
+        substring(TextOps.cleanText(col("text")), 1, 40)).as("edit40")),
+        col("doc_id"))
 
   /** Shared langid SELECT (sans ORDER BY) for the per-doc and
     * confusion-matrix oracles — one definition, no drift (also the
@@ -1762,7 +1762,7 @@ object TextQueries {
     * codegen'd slice/concat per chunk. At 100 TB this is the shape you
     * want: chunking never exchanges data, parallelism is the scan's. */
   private val chunkDocs: Q = (s, dir) =>
-    Tables.fanout(t(s, dir, "documents"))
+    Tables.orderedOnce(Tables.fanout(t(s, dir, "documents"))
       .select(col("doc_id"),
         filter(TokenOps.tokenize(TextOps.cleanText(col("text"))),
           w => w =!= "").as("toks"))
@@ -1778,8 +1778,8 @@ object TextQueries {
         col("tok_start").cast("long").as("tok_start"),
         (col("tok_end") - col("tok_start") + 1).cast("long").as("n_tok"),
         md5(concat_ws(" ",
-          expr("slice(toks, tok_start, tok_end - tok_start + 1)"))).as("chunk_fp"))
-      .orderBy("doc_id", "chunk_id")
+          expr("slice(toks, tok_start, tok_end - tok_start + 1)"))).as("chunk_fp")),
+        col("doc_id"), col("chunk_id"))
 
   /** Output cap for [[bpePairs]]. */
   private val BpeTopPairs = 50
