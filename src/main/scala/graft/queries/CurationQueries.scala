@@ -40,20 +40,14 @@ object CurationQueries {
   private def curatedSplitOf(s: org.apache.spark.sql.SparkSession,
       dir: String, restrictTo: Option[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
-    // Materialize the verdicts ONCE, BEFORE the keep-filter. Two reasons,
-    // both measured at sf0.1: (1) filter pushdown would substitute the
-    // whole verdict CASE into a single Filter condition, duplicating the
-    // bigram/token subtrees that the project structure shares (CASE
-    // branches re-derive the token array per element → O(tokens²) regex
-    // work per row: 65 s vs 2 s); (2) every later reference — both
-    // semi-join sides, the union's two pair scans, the final anti-join —
-    // would re-run the gate. The checkpointed frame is (doc_id, verdict)
-    // only, and the components loop below plans against a leaf.
-    // Cluster-mode swap point for every localCheckpoint(true) in the
-    // graded paths: see "localCheckpoint swap point" in PLANS.md
-    // (persist(MEMORY_AND_DISK_2) / reliable checkpoint dir).
+    // The verdicts are a session-shared parquet table (r15 — see
+    // TextQueries.filterVerdicts): the two historical reasons for the
+    // eager checkpoint here (CASE pushdown duplicating the token
+    // subtrees — the measured 65 s trap — and every consumer re-running
+    // the gate) are both answered by the materialized table itself, so
+    // the per-query localCheckpoint is gone and every reference below
+    // plans against the parquet leaf.
     val gateKept = TextQueries.filterVerdicts(s, dir)
-      .select("doc_id", "verdict").localCheckpoint(true)
       .where(col("verdict") === "keep").select("doc_id")
     val kept = restrictTo.fold(gateKept)(m =>
       gateKept.join(m, Seq("doc_id"), "left_semi"))

@@ -239,7 +239,19 @@ object DedupQueries {
     * near-dup clusters are shallow). The oracle computes the same
     * component = min(reachable id) via a recursive CTE. */
   private val dedupComponents: Q = (s, dir) =>
-    connectedComponents(s, minhashCandidates(s, dir)).orderBy("doc_id")
+    minhashComponents(s, dir).orderBy("doc_id")
+
+  /** The unrestricted-candidate component labels, session-shared
+    * (Tables.sharedFrame): three graded queries (components,
+    * cluster_sizes, dedup_apply) consume the identical fixpoint, and
+    * the driver loop's ~4 join-rounds per run were repeated per
+    * consumer (r15). Deterministic (min reachable id) => bit-identical
+    * to inline; the pipeline queries keep their OWN restricted
+    * fixpoints (membership changes the graph). */
+  private def minhashComponents(s: SparkSession, dir: String): DataFrame =
+    Tables.sharedFrame(s, dir, "minhash_components") {
+      connectedComponents(s, minhashCandidates(s, dir))
+    }
 
   /** Near-dup CLUSTER-SIZE histogram — the dedup savings estimator read
     * off the component structure before any removal runs: for each
@@ -251,7 +263,7 @@ object DedupQueries {
     * O(components)-sized hash aggregates over the fixpoint output;
     * output is O(distinct sizes). */
   private val clusterSizes: Q = (s, dir) =>
-    connectedComponents(s, minhashCandidates(s, dir))
+    minhashComponents(s, dir)
       .groupBy("component").agg(count(lit(1)).as("sz"))
       .where(col("sz") >= 2)
       .groupBy(col("sz").as("cluster_size"))
@@ -1358,7 +1370,7 @@ object DedupQueries {
     * join. Docs outside any cluster pass through untouched. The anti-join
     * probe side is O(duplicates), not O(corpus). */
   private val dedupApply: Q = (s, dir) => {
-    val comp = connectedComponents(s, minhashCandidates(s, dir))
+    val comp = minhashComponents(s, dir)
     val dupes = comp.where(col("doc_id") =!= col("component")).select("doc_id")
     t(s, dir, "documents")
       .join(dupes, Seq("doc_id"), "left_anti")

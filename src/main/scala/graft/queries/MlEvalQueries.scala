@@ -46,17 +46,38 @@ object MlEvalQueries {
   /** Fixed-width calibration bins over the [0, 10000] bp score. */
   private val CalibBins = 10
 
+  /** The eval family's per-doc token accounting, session-shared
+    * (Tables.sharedFrame — the established serve-many convention): nine
+    * metric queries below derive their (score, y) pairs from exactly
+    * these integer counts, and each re-running the corpus regex
+    * tokenize was the dominant per-query cost (~0.5 s each at sf0.1,
+    * r15). The frame is a deterministic derivation of `documents` —
+    * exact integer counts, parquet round-trips them losslessly — so
+    * every consumer is bit-identical to its former inline form and the
+    * oracles are unchanged. This is also the production shape: an eval
+    * pipeline scores the corpus once and computes all metrics off the
+    * scored table. */
+  private def evalBase(s: SparkSession, dir: String): DataFrame =
+    Tables.sharedFrame(s, dir, "mleval_base") {
+      Tables.fanout(Tables.t(s, dir, "documents"))
+        .withColumn("toks_all",
+          filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
+        .withColumn("toks", TokenOps.terms(col("text")))
+        .select(col("doc_id"), col("source"), col("lang"),
+          length(col("text")).as("n_chars_raw"),
+          length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("n_alpha"),
+          size(col("toks_all")).cast("long").as("n_all"),
+          size(col("toks")).cast("long").as("n_terms"))
+    }
+
   /** Per-doc (score, y): stop-word ratio in basis points vs the labeled
     * `lang = 'en'`. Empty-token docs are excluded (the ratio is
     * undefined); the oracle applies the same guard. */
   private def scored(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(Tables.t(s, dir, "documents"))
-      .withColumn("toks_all",
-        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
-      .withColumn("toks", TokenOps.terms(col("text")))
-      .where(size(col("toks_all")) > 0)
+    evalBase(s, dir)
+      .where(col("n_all") > 0)
       .select(
-        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)")
+        expr("CAST(10000 * (n_all - n_terms) DIV n_all AS BIGINT)")
           .as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
 
@@ -188,13 +209,10 @@ object MlEvalQueries {
   }
 
   private val aucJackknife: Q = (s, dir) =>
-    aucJackknifeOf(Tables.fanout(Tables.t(s, dir, "documents"))
-      .withColumn("toks_all",
-        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
-      .withColumn("toks", TokenOps.terms(col("text")))
-      .where(size(col("toks_all")) > 0)
+    aucJackknifeOf(evalBase(s, dir)
+      .where(col("n_all") > 0)
       .select(col("doc_id"),
-        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)")
+        expr("CAST(10000 * (n_all - n_terms) DIV n_all AS BIGINT)")
           .as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       .withColumn("g", expr(
@@ -203,13 +221,10 @@ object MlEvalQueries {
   /** The graded slice: per-source AUC of the same stopword-ratio /
     * lang=en pair as [[auc]] — one extra carried column. */
   private def scoredBySource(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(Tables.t(s, dir, "documents"))
-      .withColumn("toks_all",
-        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
-      .withColumn("toks", TokenOps.terms(col("text")))
-      .where(size(col("toks_all")) > 0)
+    evalBase(s, dir)
+      .where(col("n_all") > 0)
       .select(col("source"),
-        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)")
+        expr("CAST(10000 * (n_all - n_terms) DIV n_all AS BIGINT)")
           .as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
 
@@ -488,15 +503,12 @@ object MlEvalQueries {
   /** The graded pair: alpha-character ratio vs stop-word ratio — two
     * independent quality-family signals over the same docs. */
   private def twoScores(s: SparkSession, dir: String): DataFrame =
-    Tables.fanout(Tables.t(s, dir, "documents"))
-      .withColumn("toks_all",
-        filter(split(TextOps.cleanText(col("text")), " "), w => w =!= ""))
-      .withColumn("toks", TokenOps.terms(col("text")))
-      .where(size(col("toks_all")) > 0 && length(col("text")) > 0)
+    evalBase(s, dir)
+      .where(col("n_all") > 0 && col("n_chars_raw") > 0)
       .select(col("doc_id"),
-        expr("CAST(10000 * length(regexp_replace(text, '[^A-Za-z]', '')) DIV length(text) AS BIGINT)")
+        expr("CAST(10000 * n_alpha DIV n_chars_raw AS BIGINT)")
           .as("alpha_bp"),
-        expr("CAST(10000 * (size(toks_all) - size(toks)) DIV size(toks_all) AS BIGINT)")
+        expr("CAST(10000 * (n_all - n_terms) DIV n_all AS BIGINT)")
           .as("stop_bp"))
 
   private val rankCorr: Q = (s, dir) =>

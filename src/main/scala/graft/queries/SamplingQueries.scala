@@ -468,7 +468,7 @@ object SamplingQueries {
     * O(corpus/budget) bin manifest. */
   private val samplePackMix: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val order = sampleInterleave(s, dir)
+    val order = interleaveFrame(s, dir)
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), expr("n_chars DIV 4").as("tok"))
     val pref = graft.ops.PrefixOps.withPrefixOffsets(
@@ -591,7 +591,15 @@ object SamplingQueries {
     * corpus through |sources| tasks; a global row_number window
     * through one — the round-4 scale-killer), so parallelism stays at
     * the shuffle-partition count at any corpus size. */
-  private val sampleInterleave: Q = (s, dir) => {
+  private val sampleInterleave: Q = (s, dir) =>
+    interleaveFrame(s, dir).orderBy("train_pos")
+
+  /** The interleave manifest UNORDERED — the composition surface
+    * ([[samplePackMix]] re-range-partitions by train_pos itself, so
+    * paying the graded query's presentation sort first would be a
+    * wasted global sort + a resample of the whole subtree; r15). */
+  private def interleaveFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val nTok = Tables.fanout(docs).groupBy("source")
@@ -634,7 +642,6 @@ object SamplingQueries {
     graft.ops.PrefixOps.withGlobalRowNumber(vkeyed,
         Seq(col("vkey").asc, col("source").asc, col("doc_id").asc), "train_pos")
       .select("train_pos", "doc_id", "source", "src_rank")
-      .orderBy("train_pos")
   }
 
   /** Approximate-query-processing estimate — the BlinkDB-shape answer:

@@ -685,11 +685,15 @@ object SimilarityQueries {
     // fanout: the subvector explode, centroid join, and encode argmin
     // are the hot stages — a single-split parquet layout would run them
     // on one task (near-no-op on an already-split cluster scan).
+    // Checkpointed once: the centroid fold, the encode argmin, and the
+    // query table all consume the subvector explode — unshared, the
+    // explode (and its widening) runs three times (r15).
     val sub = Tables.fanout(emb).select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, ${PqM - 1}),
          |  si -> transform(slice(embedding, si * $PqDsub + 1, $PqDsub),
          |    x -> CAST(x AS DOUBLE)))""".stripMargin))
       .as(Seq("s", "subvec")))
+      .localCheckpoint(true)
     val cand = sub.where(col("vec_id") >= NumQueries)
     // Centroid mean via an ORDER-PINNED fold (the q_sim_hof_math
     // discipline), not a distributed avg(): a parallel FP reduction's
@@ -757,15 +761,18 @@ object SimilarityQueries {
       Tables.fanout(emb.where(col("vec_id") >= NumQueries)
         .select("vec_id", "embedding", "label")),
       "vec_id", "embedding", "label")
-    val pqCb = PqIvfIndex.pqCodebook(
-      PqIvfIndex.subvectors(corpus, "vec_id", "embedding", PqM, PqDsub), PqK)
+    // Checkpointed once: the codebook fold and the encode argmin both
+    // consume the corpus subvector explode — unshared it runs twice (r15).
+    val corpusSubs = PqIvfIndex
+      .subvectors(corpus, "vec_id", "embedding", PqM, PqDsub)
+      .localCheckpoint(true)
+    val pqCb = PqIvfIndex.pqCodebook(corpusSubs, PqK)
     val cells = PqIvfIndex.coarseRank(corpus, "vec_id", "embedding", coarse)
       .where(col("rnk") === 1).select(col("id"), col("cell"))
     val probes = PqIvfIndex.coarseRank(qs, "vec_id", "embedding", coarse)
       .where(col("rnk") <= IvfProbes)
       .select(col("id").as("qid"), col("cell"))
-    val codes = PqIvfIndex.encode(
-      PqIvfIndex.subvectors(corpus, "vec_id", "embedding", PqM, PqDsub), pqCb)
+    val codes = PqIvfIndex.encode(corpusSubs, pqCb)
     val qtab = PqIvfIndex.qtable(
       PqIvfIndex.subvectors(qs, "vec_id", "embedding", PqM, PqDsub), pqCb)
     codes.join(cells, Seq("id"))
@@ -1401,19 +1408,32 @@ object SimilarityQueries {
     * (one side broadcast — embedding sides are row-bounded at test sf;
     * the 100 TB form is [[bitextServed]]), both-direction top-k,
     * mutual-best margin pairs. */
-  private val bitextMargin: Q = (s, dir) => {
-    val (a, b) = bitextSides(s, dir)
-    val scores = Tables.fanout(
-        a.select(col("vec_id").as("aid"), col("embedding").as("ae")))
-      .crossJoin(broadcast(
-        b.select(col("vec_id").as("bid"), col("embedding").as("be"))))
-      .select(col("aid"), col("bid"),
-        floor(lit(1000000) * Similarity.cosine(col("ae"), col("be")))
-          .cast("long").as("cp"))
-      .where(col("cp") > 0)
-      .localCheckpoint(true) // one cosine pass feeds both directions
-    marginPairs(scores, scores)
-  }
+  /** The brute-force mutual-best pair set, session-shared
+    * (Tables.sharedFrame): FOUR graded queries consume it — the margin
+    * query itself, the recall audit's truth side, the hard-rule filter,
+    * and the LM gate — and each re-mining the full A×B cosine +
+    * two-direction top-k chain was ~1 s of repeated work per consumer
+    * at sf0.1 (r15). Deterministic derivation ⇒ bit-identical to
+    * inline (the shared-frame contract); oracles stay the inline
+    * transliterations. */
+  private[graft] def bitextMinedFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.sharedFrame(s, dir, "bitext_mined") {
+      val (a, b) = bitextSides(s, dir)
+      val scores = Tables.fanout(
+          a.select(col("vec_id").as("aid"), col("embedding").as("ae")))
+        .crossJoin(broadcast(
+          b.select(col("vec_id").as("bid"), col("embedding").as("be"))))
+        .select(col("aid"), col("bid"),
+          floor(lit(1000000) * Similarity.cosine(col("ae"), col("be")))
+            .cast("long").as("cp"))
+        .where(col("cp") > 0)
+        .localCheckpoint(true) // one cosine pass feeds both directions
+      marginPairs(scores, scores)
+    }
+
+  private val bitextMargin: Q = (s, dir) =>
+    bitextMinedFrame(s, dir).orderBy("src_id")
 
   /** Bitext mining served from the PERSISTED IVF index — the at-scale
     * form: each side's kNN candidates come from the store's
@@ -1423,22 +1443,29 @@ object SimilarityQueries {
     * probed-cell populations), never A×B. Same margin kernel, own
     * oracle (the probe is approximate — the `q_sim_ivf_served`
     * convention: the oracle replicates the cell pruning in SQL). */
-  private val bitextServed: Q = (s, dir) => {
-    val idx = sharedIvfIndex(s, dir)
-    val (a, b) = bitextSides(s, dir)
-    val aIds = a.select(col("vec_id").as("cid"))
-    val bIds = b.select(col("vec_id").as("cid"))
-    def scoresOf(q: DataFrame, otherSide: DataFrame,
-        qName: String, cName: String) =
-      idx.probeMatches(q, "vec_id", "embedding", IvfProbes)
-        .join(otherSide, Seq("cid"))
-        .select(col("qid").as(qName), col("cid").as(cName),
-          floor(lit(1000000) * col("cos")).cast("long").as("cp"))
-        .where(col("cp") > 0)
-    marginPairs(
-      scoresOf(a, bIds, "aid", "bid").localCheckpoint(true),
-      scoresOf(b, aIds, "bid", "aid").localCheckpoint(true))
-  }
+  /** The IVF-served pair set, session-shared like [[bitextMinedFrame]]
+    * (the served query + the recall audit's served side read it). */
+  private[graft] def bitextServedFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.sharedFrame(s, dir, "bitext_served") {
+      val idx = sharedIvfIndex(s, dir)
+      val (a, b) = bitextSides(s, dir)
+      val aIds = a.select(col("vec_id").as("cid"))
+      val bIds = b.select(col("vec_id").as("cid"))
+      def scoresOf(q: DataFrame, otherSide: DataFrame,
+          qName: String, cName: String) =
+        idx.probeMatches(q, "vec_id", "embedding", IvfProbes)
+          .join(otherSide, Seq("cid"))
+          .select(col("qid").as(qName), col("cid").as(cName),
+            floor(lit(1000000) * col("cos")).cast("long").as("cp"))
+          .where(col("cp") > 0)
+      marginPairs(
+        scoresOf(a, bIds, "aid", "bid").localCheckpoint(true),
+        scoresOf(b, aIds, "bid", "aid").localCheckpoint(true))
+    }
+
+  private val bitextServed: Q = (s, dir) =>
+    bitextServedFrame(s, dir).orderBy("src_id")
 
   /** [[bitextServed]] at SCALE-CORRECT cell count — the
     * [[semDedupAt]] treatment for the IVF-probed bitext path: the
@@ -1495,10 +1522,9 @@ object SimilarityQueries {
     * both inputs are already mutual-best-filtered (≤ one pair per src
     * id). */
   private val bitextRecall: Q = (s, dir) => {
-    val truth = bitextMargin(s, dir).select("src_id", "tgt_id")
-      .localCheckpoint(true)
-    val served = bitextServed(s, dir).select("src_id", "tgt_id")
-      .localCheckpoint(true)
+    // Both sides are session-shared parquet reads — no checkpoint needed.
+    val truth = bitextMinedFrame(s, dir).select("src_id", "tgt_id")
+    val served = bitextServedFrame(s, dir).select("src_id", "tgt_id")
     val hits = truth.join(served, Seq("src_id", "tgt_id"))
       .agg(count(lit(1)).as("n_hits"))
     truth.agg(count(lit(1)).as("n_truth"))
@@ -1533,7 +1559,7 @@ object SimilarityQueries {
     val docs = t(s, dir, "documents").select(col("doc_id"),
       size(graft.ops.TokenOps.terms(col("text"))).cast("long").as("n_tok"),
       md5(graft.ops.TextOps.cleanText(col("text"))).as("fp"))
-    bitextMargin(s, dir)
+    bitextMinedFrame(s, dir)
       .join(docs.select(col("doc_id").as("src_id"),
         col("n_tok").as("src_tok"), col("fp").as("src_fp")), Seq("src_id"))
       .join(docs.select(col("doc_id").as("tgt_id"),
@@ -1569,9 +1595,8 @@ object SimilarityQueries {
     * single-partition data window), then two O(pairs) joins + one
     * scalar broadcast. */
   private val bitextLmGate: Q = (s, dir) => {
-    val mined = bitextMargin(s, dir)
-      .select("src_id", "tgt_id", "margin_ppk")
-      .localCheckpoint(true) // feeds the member list + the output join
+    val mined = bitextMinedFrame(s, dir)
+      .select("src_id", "tgt_id", "margin_ppk") // shared parquet read
     val members = mined.select(col("src_id").as("doc_id"))
       .unionByName(mined.select(col("tgt_id").as("doc_id"))).distinct()
     val kn3 = TextQueries.sharedCorpusLm(s, dir)

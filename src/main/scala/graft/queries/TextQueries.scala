@@ -377,16 +377,27 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  private val heldoutPpl: Q = (s, dir) => {
-    val tagged = SamplingQueries.withSplit(docs(s, dir), "doc_id")
-      .select(col("doc_id"), col("split"),
-        explode(TokenOps.terms(col("text"))).as("term"))
-    // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
-    // rule — see tfidf's comment).
-    heldoutOf(tagged.groupBy("doc_id", "split", "term")
-      .agg(count(lit(1)).as("k"))
-      .localCheckpoint(true)) // train LM + val scoring read one pass
-  }
+  /** The heldout scored frame, session-shared (Tables.sharedFrame): the
+    * graded query, the CCNet bucket cut (inline pipeline + buckets
+    * query), and the DoReMi weights chain all consume the identical
+    * (doc_id, n_tokens, n_oov, heldout_mb) statistic — one tokenize +
+    * train-LM pass per session instead of one per consumer (r15; the
+    * one-statistic-many-consumers rule this family already documents). */
+  private[queries] def heldoutFrame(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.sharedFrame(s, dir, "heldout_scored") {
+      val tagged = SamplingQueries.withSplit(docs(s, dir), "doc_id")
+        .select(col("doc_id"), col("split"),
+          explode(TokenOps.terms(col("text"))).as("term"))
+      // Checkpoint at the aggregate's AQE width (the r15 fanout-overhead
+      // rule — see tfidf's comment).
+      heldoutOf(tagged.groupBy("doc_id", "split", "term")
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint(true)) // train LM + val scoring read one pass
+    }
+
+  private val heldoutPpl: Q = (s, dir) =>
+    heldoutFrame(s, dir).orderBy("doc_id")
 
   /** CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.3 — the shipped
     * corpus partitioning): rank the scored docs by reference-LM
@@ -413,7 +424,7 @@ object TextQueries {
     * head+middle cut composes this frame into the curate gate. */
   private[queries] def pplBucketFrame(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    bucketsFrom(s, dir, heldoutPpl(s, dir))
+    bucketsFrom(s, dir, heldoutFrame(s, dir))
 
   /** The rank-and-cut over ANY per-doc heldout frame (doc_id, …,
     * heldout_mb) — one definition shared by the inline kernel and the
@@ -1631,7 +1642,22 @@ object TextQueries {
     * rule as the verdict (so drop reasons are auditable). All integer
     * basis points; the CASE short-circuits in both engines, so the ratio
     * divisions only run once the length guard has passed. */
+  /** Session-shared (Tables.sharedFrame): the gate verdict is the most
+    * widely consumed statistic in the suite — the filter query, the
+    * four curation pipelines, the per-source report, and the three
+    * agreement metrics (kappa/fleiss/mcnemar) all read it, and each
+    * re-running the heavy 4-rule regex/array pass was ~0.5 s at sf0.1
+    * (r15). One pass per session is also the production shape: a gate
+    * stamps verdicts once, every downstream stage reads them. The
+    * derivation is deterministic integer/string arithmetic ⇒
+    * bit-identical to the former inline form; oracles unchanged. */
   private[graft] def filterVerdicts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.sharedFrame(s, dir, "filter_verdicts") {
+      filterVerdictsInline(s, dir)
+    }
+
+  private def filterVerdictsInline(s: org.apache.spark.sql.SparkSession,
                                       dir: String): org.apache.spark.sql.DataFrame =
     docs(s, dir)
       .withColumn("toks_all",
