@@ -29,7 +29,14 @@ object CurationQueries {
     * [[corpusBuild]] so the two can never disagree on membership. */
   private def curatedSplit(s: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame =
-    curatedSplitOf(s, dir, restrictTo = None)
+    // Session-shared (Tables.sharedFrame, r15): the curate query and the
+    // corpus build consume the identical gate→dedup→split assignment;
+    // deterministic derivation ⇒ bit-identical to inline. The CCNet
+    // pipelines keep their own restricted fixpoints (membership changes
+    // the candidate graph).
+    Tables.sharedFrame(s, dir, "curated_split") {
+      curatedSplitOf(s, dir, restrictTo = None)
+    }
 
   /** [[curatedSplit]] with an optional MEMBERSHIP restriction applied
     * to the gate survivors before dedup — ONE definition of the

@@ -223,7 +223,14 @@ object DedupQueries {
     * downstream consumer inherits the one-sketch-pass economics, and
     * the store-vs-inline bit-identity is spec-pinned. */
   private[queries] def minhashCandidates(s: SparkSession, dir: String): DataFrame =
-    sharedFullMinhashIndex(s, dir).candidatePairs()
+    // Session-shared (r15): ~8 graded consumers (pairs/est/triangles/
+    // pagerank/lsh_jaccard/pair_rouge + the pipelines' restricted
+    // fixpoints) read the identical candidate set; the banded self-join
+    // + distinct over the 64-bucket store ran once per consumer before.
+    // Deterministic ⇒ bit-identical (the shared-frame contract).
+    Tables.sharedFrame(s, dir, "minhash_cand_pairs") {
+      sharedFullMinhashIndex(s, dir).candidatePairs()
+    }
 
   /** MinHash-LSH candidate pairs: docs sharing any band bucket. The join
     * key is (band, bandKey) — shuffle is proportional to bucket sizes,
@@ -248,6 +255,9 @@ object DedupQueries {
     * consumer (r15). Deterministic (min reachable id) => bit-identical
     * to inline; the pipeline queries keep their OWN restricted
     * fixpoints (membership changes the graph). */
+  private[graft] def sharedMinhashComponents(s: SparkSession,
+      dir: String): DataFrame = minhashComponents(s, dir)
+
   private def minhashComponents(s: SparkSession, dir: String): DataFrame =
     Tables.sharedFrame(s, dir, "minhash_components") {
       connectedComponents(s, minhashCandidates(s, dir))
