@@ -674,21 +674,50 @@ object NgramLm {
       * pinned, nothing cached; wire a [[bigramTypeScores]]-style cache
       * only if a standing per-trigger consumer appears). */
     def scoreKneserNey(docs: DataFrame, idCol: String,
-        textCol: String): DataFrame = {
-      val c2 = bigramsOf(readSnap()).withColumnRenamed("cnt", "c2")
-      val cf = c2.groupBy("w1")
-        .agg(sum("c2").as("c1first"), count(lit(1)).as("n1pr"))
-      val cl = c2.groupBy("w2").agg(count(lit(1)).as("n1pl"))
-      val nAll = c2.agg(count(lit(1)).as("n1pall"))
-      val typeScores = c2.join(cf, Seq("w1")).join(cl, Seq("w2"))
-        .crossJoin(broadcast(nAll))
-        .select(col("w1"), col("w2"),
-          expr(graft.queries.TextQueries.KnSurprisalSql).as("s_mb"))
+        textCol: String): DataFrame =
       docBigrams(docs, idCol, textCol)
-        .join(typeScores, Seq("w1", "w2"))
+        .join(knTypeScores, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(sum("k").as("n_bigrams"),
           expr("sum(k * s_mb) DIV sum(k)").as("kn_surprisal_mb"))
+
+    /** KN order-2 scored type table — the [[bigramTypeScores]]
+      * generation-cache discipline (one roll per store version per
+      * handle; the rolled c2 checkpoint is released as soon as the
+      * scored table materializes; the previous generation retires one
+      * mutation late). Added in r15: the per-call path re-read the
+      * stored bigram table once per marginal (3× model-state parquet
+      * scans + their stage launches per scoring call). */
+    private var knScoresCache: Option[(Long, DataFrame, Set[Int])] = None
+    private var knRetiredBlockIds: Set[Int] = Set.empty
+
+    private def knTypeScores: DataFrame = synchronized {
+      val snap = readSnap()
+      val v = snap.version
+      knScoresCache match {
+        case Some((cv, df, _)) if cv == v => df
+        case stale =>
+          val sc = spark.sparkContext
+          sc.getPersistentRDDs
+            .filter { case (id, _) => knRetiredBlockIds(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          knRetiredBlockIds = stale.map(_._3).getOrElse(Set.empty)
+          val c2 = bigramsOf(snap).withColumnRenamed("cnt", "c2")
+            .localCheckpoint(true)
+          val cf = c2.groupBy("w1")
+            .agg(sum("c2").as("c1first"), count(lit(1)).as("n1pr"))
+          val cl = c2.groupBy("w2").agg(count(lit(1)).as("n1pl"))
+          val nAll = c2.agg(count(lit(1)).as("n1pall"))
+          val scored = c2.join(cf, Seq("w1")).join(cl, Seq("w2"))
+            .crossJoin(broadcast(nAll))
+            .select(col("w1"), col("w2"),
+              expr(graft.queries.TextQueries.KnSurprisalSql).as("s_mb"))
+            .localCheckpoint(true)
+          graft.ops.CheckpointIds.release(c2)
+          knScoresCache =
+            Some((v, scored, graft.ops.CheckpointIds.of(scored)))
+          scored
+      }
     }
 
     /** The scored batch's (doc_id, w1, w2, w3, k) trigram counts — the
@@ -726,36 +755,57 @@ object NgramLm {
       * practice (trigram types ≲ corpus tokens), AQE-broadcast when
       * small. */
     def scoreKneserNey3(docs: DataFrame, idCol: String,
-        textCol: String): DataFrame = {
-      // NO checkpoint here (the [[scoreKneserNey]] contract): the
-      // rolled table re-reads per marginal — model-state-sized parquet
-      // scans — rather than pinning blocks a per-call path could never
-      // release. Wire a [[bigramTypeScores]]-style generation cache
-      // only if a standing per-trigger consumer appears.
-      // ONE snapshot for both order tables (a concurrent publish
-      // between independent trigrams()/bigrams() resolutions would
-      // otherwise interpolate across two versions).
-      val snap = readSnap()
-      val c3 = trigramsOf(snap).withColumnRenamed("cnt", "c3")
-      val ctx = c3.groupBy("w1", "w2")
-        .agg(sum("c3").as("cctx"), count(lit(1)).as("n3r"))
-      val ml = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n3l"))
-      val mid = c3.groupBy("w2")
-        .agg(count(lit(1)).as("n3mid"), countDistinct("w3").as("n3rt"))
-      val c2types = bigramsOf(snap)
-      val cl = c2types.groupBy("w2").agg(count(lit(1)).as("n1pl"))
-        .withColumnRenamed("w2", "w3")
-      val nAll = c2types.agg(count(lit(1)).as("n1pall"))
-      val typeScores = c3.join(ctx, Seq("w1", "w2"))
-        .join(ml, Seq("w2", "w3")).join(mid, Seq("w2"))
-        .join(cl, Seq("w3")).crossJoin(broadcast(nAll))
-        .select(col("w1"), col("w2"), col("w3"),
-          expr(graft.queries.TextQueries.Kn3SurprisalSql).as("s_mb"))
+        textCol: String): DataFrame =
       docTrigrams(docs, idCol, textCol)
-        .join(typeScores, Seq("w1", "w2", "w3"))
+        .join(kn3TypeScores, Seq("w1", "w2", "w3"))
         .groupBy("doc_id")
         .agg(sum("k").as("n_trigrams"),
           expr("sum(k * s_mb) DIV sum(k)").as("kn3_surprisal_mb"))
+
+    /** KN order-3 scored type table — the [[bigramTypeScores]]
+      * generation-cache discipline (see [[knTypeScores]]). Added in
+      * r15: the per-call path re-read the stored trigram table once
+      * per marginal (4× model-state parquet scans per scoring call)
+      * plus the bigram table twice. ONE snapshot supplies both order
+      * tables (a concurrent publish between independent resolutions
+      * would otherwise interpolate across two versions). */
+    private var kn3ScoresCache: Option[(Long, DataFrame, Set[Int])] = None
+    private var kn3RetiredBlockIds: Set[Int] = Set.empty
+
+    private def kn3TypeScores: DataFrame = synchronized {
+      val snap = readSnap()
+      val v = snap.version
+      kn3ScoresCache match {
+        case Some((cv, df, _)) if cv == v => df
+        case stale =>
+          val sc = spark.sparkContext
+          sc.getPersistentRDDs
+            .filter { case (id, _) => kn3RetiredBlockIds(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          kn3RetiredBlockIds = stale.map(_._3).getOrElse(Set.empty)
+          val c3 = trigramsOf(snap).withColumnRenamed("cnt", "c3")
+            .localCheckpoint(true)
+          val ctx = c3.groupBy("w1", "w2")
+            .agg(sum("c3").as("cctx"), count(lit(1)).as("n3r"))
+          val ml = c3.groupBy("w2", "w3").agg(count(lit(1)).as("n3l"))
+          val mid = c3.groupBy("w2")
+            .agg(count(lit(1)).as("n3mid"), countDistinct("w3").as("n3rt"))
+          val c2types = bigramsOf(snap).localCheckpoint(true)
+          val cl = c2types.groupBy("w2").agg(count(lit(1)).as("n1pl"))
+            .withColumnRenamed("w2", "w3")
+          val nAll = c2types.agg(count(lit(1)).as("n1pall"))
+          val scored = c3.join(ctx, Seq("w1", "w2"))
+            .join(ml, Seq("w2", "w3")).join(mid, Seq("w2"))
+            .join(cl, Seq("w3")).crossJoin(broadcast(nAll))
+            .select(col("w1"), col("w2"), col("w3"),
+              expr(graft.queries.TextQueries.Kn3SurprisalSql).as("s_mb"))
+            .localCheckpoint(true)
+          graft.ops.CheckpointIds.release(c3)
+          graft.ops.CheckpointIds.release(c2types)
+          kn3ScoresCache =
+            Some((v, scored, graft.ops.CheckpointIds.of(scored)))
+          scored
+      }
     }
 
     /** The CCNet-style gate: keep docs at or below `maxMb` mean

@@ -424,7 +424,11 @@ object TextQueries {
     * head+middle cut composes this frame into the curate gate. */
   private[queries] def pplBucketFrame(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    bucketsFrom(s, dir, heldoutFrame(s, dir))
+    // Session-shared past the rank-and-cut too (r15): the buckets query
+    // and the inline CCNet pipeline read identical labels.
+    Tables.sharedFrame(s, dir, "ppl_bucket_labels") {
+      bucketsFrom(s, dir, heldoutFrame(s, dir))
+    }
 
   /** The rank-and-cut over ANY per-doc heldout frame (doc_id, …,
     * heldout_mb) — one definition shared by the inline kernel and the
@@ -462,11 +466,23 @@ object TextQueries {
     * serve-path pipeline twin ([[CurationQueries]]). */
   private[queries] def pplBucketFrameServed(s: SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    bucketsFrom(s, dir,
+    // Session-shared like the inline labels (buckets_served +
+    // ccnet_served read identical labels; r15).
+    Tables.sharedFrame(s, dir, "ppl_bucket_labels_served") {
+      bucketsFrom(s, dir, servedHeldoutFrame(s, dir))
+    }
+
+  /** The store-served heldout scores, session-shared: three graded
+    * queries (ppl_served, ppl_buckets_served, pipeline_ccnet_served)
+    * consume the identical frozen-LM scoring pass (r15). */
+  private def servedHeldoutFrame(s: SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.sharedFrame(s, dir, "heldout_served") {
       sharedNgramLm(s, dir).score(
         SamplingQueries.withSplit(docs(s, dir), "doc_id")
           .where(col("split") === "val"),
-        "doc_id", "text"))
+        "doc_id", "text")
+    }
 
   /** TRAIN-ONCE / SCORE-MANY: one persisted [[graft.ml.NgramLm]] per
     * (application, corpus dir), fitted on the deterministic train split
@@ -500,12 +516,7 @@ object TextQueries {
     * Same statistic, two serving paths, one contract — the
     * `q_dedup_index_delta` discipline applied to the LM family. */
   private val pplServed: Q = (s, dir) =>
-    sharedNgramLm(s, dir)
-      .score(
-        SamplingQueries.withSplit(docs(s, dir), "doc_id")
-          .where(col("split") === "val"),
-        "doc_id", "text")
-      .orderBy("doc_id")
+    servedHeldoutFrame(s, dir).orderBy("doc_id")
 
   /** The FULL-corpus shared LM — the [[sharedNgramLm]] economics for the
     * statistics whose inline twins train on the whole corpus (the
