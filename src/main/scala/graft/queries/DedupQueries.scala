@@ -55,9 +55,17 @@ object DedupQueries {
   /** documents + de-stopped token array, ≥3 tokens (shingle-able). The
     * scan is fanned out FIRST: tokenize/shingle/hash are the map-side
     * cost of every sketch below, and a single-split parquet input would
-    * run them all on one task. */
+    * run them all on one task. Session-shared (r15): eight dedup
+    * consumers (simhash fp, prefix join, cdc chunks, pair rouge,
+    * winnow, decontam, dupngrams, source overlap) re-ran the identical
+    * regex tokenize per query; the shared table drops `text` (no
+    * consumer reads past the token array) and the trailing fanout
+    * restores full width for each consumer's shingle/hash map work. */
   private def tokenized(s: SparkSession, dir: String): DataFrame =
-    tokenizedOf(Tables.fanout(t(s, dir, "documents")))
+    Tables.fanout(Tables.sharedFrame(s, dir, "tokenized_docs") {
+      tokenizedOf(Tables.fanout(t(s, dir, "documents")))
+        .select("doc_id", "lang", "source", "n_chars", "toks")
+    })
 
   /** 3-word shingles (1-based element_at — same indexing as DuckDB). */
   private val shingleExpr =

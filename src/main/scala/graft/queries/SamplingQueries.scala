@@ -593,11 +593,18 @@ object SamplingQueries {
   private val sampleInterleave: Q = (s, dir) =>
     interleaveFrame(s, dir).orderBy("train_pos")
 
-  /** The interleave manifest UNORDERED — the composition surface
-    * ([[samplePackMix]] re-range-partitions by train_pos itself, so
-    * paying the graded query's presentation sort first would be a
-    * wasted global sort + a resample of the whole subtree; r15). */
+  /** The interleave manifest UNORDERED, session-shared — the
+    * composition surface ([[samplePackMix]] re-range-partitions by
+    * train_pos itself, so paying the graded query's presentation sort
+    * first would be a wasted global sort + a resample of the whole
+    * subtree; both consumers read one materialization; r15). */
   private def interleaveFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.sharedFrame(s, dir, "interleave_manifest") {
+      interleaveFrameInline(s, dir)
+    }
+
+  private def interleaveFrameInline(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")

@@ -1895,19 +1895,23 @@ object TextQueries {
     * (SamplingQueries): the "real tokenizer count column" the packing
     * scaladoc promised drops in without changing the packing shape. */
   private[queries] def bpeDocTokens(s: SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    val tf = docs(s, dir)
-      .select(col("doc_id"), col("source"),
-        explode(TokenOps.terms(col("text"))).as("term"))
-      .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
-    val vocab = tf.select("term").distinct()
-      .select(col("term"),
-        expr(bpeCountExpr("term", spark = true)).cast("long").as("n_sub"))
-    tf.join(vocab, Seq("term"))
-      .groupBy("doc_id", "source")
-      .agg(sum("tf").as("n_ws_tokens"),
-        sum(col("tf") * col("n_sub")).as("n_bpe_tokens"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    // Session-shared (r15): bpe_tokenize + pack_bpe read the identical
+    // per-doc accounting, and the vocabulary-sized BPE replace chain is
+    // the family's dominant cost.
+    Tables.sharedFrame(s, dir, "bpe_doc_tokens") {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TokenOps.terms(col("text"))).as("term"))
+        .groupBy("doc_id", "source", "term").agg(count(lit(1)).as("tf"))
+      val vocab = tf.select("term").distinct()
+        .select(col("term"),
+          expr(bpeCountExpr("term", spark = true)).cast("long").as("n_sub"))
+      tf.join(vocab, Seq("term"))
+        .groupBy("doc_id", "source")
+        .agg(sum("tf").as("n_ws_tokens"),
+          sum(col("tf") * col("n_sub")).as("n_bpe_tokens"))
+    }
 
   /** DuckDB twin of [[bpeDocTokens]], as a CTE body both BPE consumers
     * paste — the merge recipe string is generated from the SAME
