@@ -539,8 +539,15 @@ object CurationQueries {
     val parentKeys = FkEdges.zipWithIndex.map { case ((_, _, parent, pk), i) =>
       t(s, dir, parent).select(lit(i).as("eid"), col(pk).as("k"))
     }.reduce(_ unionByName _)
-    val cagg = childKeys.where(col("k").isNotNull)
+    // ONE pass over the unioned child keys (r15): the per-key counts
+    // keep NULL keys as their own group, so the totals (row count, null
+    // keys) read off the same aggregate instead of re-scanning every
+    // child table a second time; the classify join then drops the NULL
+    // group exactly as the old isNotNull pre-filter did.
+    val caggAll = childKeys
       .groupBy("eid", "k").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // classify join + totals read one pass
+    val cagg = caggAll.where(col("k").isNotNull)
     val p = parentKeys.distinct().withColumn("inp", lit(1L))
     val classified = cagg.join(p, Seq("eid", "k"), "full_outer")
       .groupBy("eid").agg(
@@ -548,9 +555,9 @@ object CurationQueries {
           .as("orphan_rows"),
         sum(when(col("inp").isNull, 1L).otherwise(0L)).as("orphan_keys"),
         sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("unused_parents"))
-    val totals = childKeys
-      .groupBy("eid").agg(count(lit(1)).as("n_rows"),
-        sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_keys"))
+    val totals = caggAll
+      .groupBy("eid").agg(sum("cnt").as("n_rows"),
+        sum(when(col("k").isNull, col("cnt")).otherwise(0L)).as("null_keys"))
     val names = FkEdges.zipWithIndex
       .map { case ((child, fk, parent, _), i) => (i, child, fk, parent) }
       .toDF("eid", "child_tbl", "fk_col", "parent_tbl")
